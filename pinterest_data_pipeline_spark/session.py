@@ -46,6 +46,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The driver's events.parquet stores TIMESTAMP(NANOS); Spark has no
+        # nanosecond timestamp type, so read them as raw longs and convert
+        # at the read edge (load_table) with integer division — lossless,
+        # and truncation matches DuckDB's micro precision.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():
@@ -56,8 +61,18 @@ def get_spark(
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one driver-generated parquet table (TESTDATA.md)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one driver-generated parquet table (TESTDATA.md).
+
+    ``events.ts`` is TIMESTAMP(NANOS) on disk; with nanosAsLong it arrives as
+    a long which we convert to a proper timestamp via integer division (``div``
+    keeps all 64 bits — a double round-trip would lose sub-microsecond bits).
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 TESTDATA_TABLES = (
