@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion with the `noop` write format — the full
+physical plan runs on the executors (scan → shuffle → agg/window/join) but
+nothing is collected to the driver, which is what a cluster benchmark should
+measure. One warm-up pass of the flagship query amortizes JVM/codegen startup
+so the timings reflect steady-state throughput, not session boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pinterest_data_pipeline_spark.plans import analytics
+from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401 (registers queries)
+from pinterest_data_pipeline_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline battery: the nine reference-analogue analytics queries plus the
+# scale-relevant extension operators (dedup, similarity, text, events).
+# Pairwise-explosion ops (simhash over all near pairs) are excluded from the
+# headline number but remain in queries() for correctness checking.
+HEADLINE = [
+    "q1_top_brand_per_nation",
+    "q2_orders_per_brand_year",
+    "q3_top_supplier_per_nation",
+    "q4_nation_with_top_supplier",
+    "q5_top_segment_per_balance_band",
+    "q6_median_acctbal_per_band",
+    "q7_orders_per_year",
+    "q8_median_price_by_year",
+    "q9_median_price_by_year_priority",
+    "window_running_revenue",
+    "agg_rollup_region_nation",
+    "json_extract_event_props",
+    "events_tumbling_window",
+    "top_k_orders",
+    "dedup_exact_documents",
+    "dedup_minhash_near_duplicates",
+    "text_token_stats",
+    "text_quality_scores",
+    "ann_topk_quantized",
+]
+
+
+def run_once(spark, name: str) -> float:
+    fn = analytics.QUERIES[name]
+    t0 = time.perf_counter()
+    fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    # Warm-up: JIT/codegen + parquet footer caches, not counted.
+    run_once(spark, "q1_top_brand_per_nation")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run_once(spark, name), 4)
+
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

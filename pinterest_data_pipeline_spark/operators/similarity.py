@@ -1,0 +1,241 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Three tiers, increasing scale-fitness:
+
+* ``cosine_topk`` — brute force: broadcast the (small) query set, score every
+  corpus vector with built-in array lambdas (``zip_with`` + ``aggregate`` —
+  JVM-side, no Python), rank per query. Exact baseline; O(n·q·d) but embar-
+  rassingly parallel with zero shuffle until the final per-query top-k.
+* ``cosine_topk_quantized`` — same plan on integer-quantized components;
+  bit-exact across engines, so it carries the DuckDB oracle for the family.
+* ``lsh_topk`` — random-hyperplane LSH: sign-bit bucket key per vector,
+  candidates = bucket collisions with the query (multi-probe over 1-bit
+  flips), exact re-rank on candidates. At 100 TB the bucket join replaces
+  the full scan; recall is tunable via n_planes/probes.
+
+Hyperplanes are derived from a seeded RNG at plan-build time and inlined as
+literal arrays — every run and every engine sees identical planes.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns via zip_with + aggregate."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def as_double(a: Column) -> Column:
+    return F.transform(a, lambda v: v.cast("double"))
+
+
+def quantize(a: Column, scale: int = 1000) -> Column:
+    """Integer-quantize an embedding: round(x*scale) per component.
+
+    float32 -> double -> round is deterministic and identical in Spark and
+    DuckDB, which makes integer dot products bit-exact cross-engine.
+    """
+    return F.transform(a, lambda v: F.round(v.cast("double") * scale).cast("long"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for every query vector (brute-force baseline).
+
+    ``queries`` must be small (it is broadcast); the corpus scan is a single
+    narrow pass. The only shuffle is the per-query rank, keyed on query_id.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("query_vec")
+    )
+    scored = (
+        corpus.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col))
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine(as_double(F.col(vec_col)), as_double(F.col("query_vec"))), 6),
+        )
+        .select(query_id_col, id_col, "cosine_sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, id_col, "cosine_sim", F.col("rk").alias("rank"))
+    )
+
+
+def cosine_topk_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """Top-k by integer-quantized dot product — the oracle-exact variant."""
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), quantize(F.col(vec_col), scale).alias("query_vec")
+    )
+    scored = (
+        corpus.select(F.col(id_col), quantize(F.col(vec_col), scale).alias("qvec"))
+        .join(F.broadcast(q), F.col(id_col) != F.col(query_id_col))
+        .withColumn(
+            "dot_q",
+            F.aggregate(
+                F.zip_with(F.col("qvec"), F.col("query_vec"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .select(query_id_col, id_col, "dot_q")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("dot_q"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, id_col, "dot_q", F.col("rk").alias("rank"))
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 1234) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket key: one char per hyperplane ('1' if dot >= 0)."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(w) for w in plane])) >= 0, "1").otherwise("0")
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    n_planes: int = 8,
+    probes: int = 1,
+    seed: int = 1234,
+) -> DataFrame:
+    """ANN top-k: hyperplane-LSH candidate buckets + exact cosine re-rank.
+
+    ``probes`` > 0 additionally probes buckets at Hamming distance 1 from the
+    query's bucket (all 1-bit flips), trading compute for recall. The corpus
+    is bucketed once; at scale you would persist/bucketBy the bucketed
+    corpus and reuse it across query batches.
+    """
+    planes = _hyperplanes(n_planes, dim, seed)
+    bucketed = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bucket(as_double(F.col(vec_col)), planes).alias("bucket"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("query_vec"),
+        hyperplane_bucket(as_double(F.col(vec_col)), planes).alias("qbucket"),
+    )
+    if probes:
+        # expand each query to its bucket + all 1-bit-flip buckets
+        flips = F.array(
+            F.col("qbucket"),
+            *[
+                F.concat(
+                    F.substring(F.col("qbucket"), 1, i),
+                    F.when(F.substring(F.col("qbucket"), i + 1, 1) == "1", "0").otherwise("1"),
+                    F.substring(F.col("qbucket"), i + 2, n_planes - i - 1),
+                )
+                for i in range(n_planes)
+            ],
+        )
+        qb = qb.withColumn("bucket", F.explode(flips)).drop("qbucket")
+    else:
+        qb = qb.withColumnRenamed("qbucket", "bucket")
+    cands = bucketed.join(F.broadcast(qb), "bucket").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = cands.withColumn(
+        "cosine_sim",
+        F.round(cosine(as_double(F.col(vec_col)), as_double(F.col("query_vec"))), 6),
+    ).select(query_id_col, id_col, "cosine_sim").distinct()
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, id_col, "cosine_sim", F.col("rk").alias("rank"))
+    )
+
+
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 12,
+    seed: int = 99,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH self-join + exact verify.
+
+    Pairs whose cosine >= threshold almost surely share a sign-bit bucket
+    (for high thresholds); the bucket self-join keeps the candidate set
+    near-linear. Returns (id_a, id_b, cosine_sim).
+    """
+    planes = _hyperplanes(n_planes, dim, seed)
+    bucketed = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bucket(as_double(F.col(vec_col)), planes).alias("bucket"),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                cosine(as_double(F.col(f"a.{vec_col}")), as_double(F.col(f"b.{vec_col}"))), 6
+            ),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cosine_sim",
+        )
+    )

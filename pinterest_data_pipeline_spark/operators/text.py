@@ -1,0 +1,150 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+Everything here is built from ``pyspark.sql.functions`` built-ins — split /
+higher-order array lambdas / regex — so the hot path stays inside
+WholeStageCodegen with zero Python row transfer. At 100 TB each operator is a
+single projection (no shuffle): it scales linearly with input splits.
+
+Operators: token counting, quality scoring (length/punct/stopword ratios),
+n-gram heuristic language ID, and rolling-hash document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Function-word marker sets per language for the n-gram/stopword heuristic
+# language ID. Deterministic and tiny on purpose: the operator's contract is
+# "same text -> same label", not linguistic accuracy.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "las"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "von", "den", "ein", "eine", "mit"],
+}
+
+# English stopwords for the quality-score ratio.
+STOPWORDS = ["the", "a", "an", "of", "and", "or", "to", "in", "is", "it", "for", "on"]
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokenization (single-space; wire format is space-joined)."""
+    return F.split(c, " ")
+
+
+def token_count(c: Column) -> Column:
+    """Number of whitespace tokens."""
+    return F.size(tokens(c))
+
+
+def bpe_ish_token_count(c: Column) -> Column:
+    """Sub-word-ish token count: words + digit runs + punctuation marks.
+
+    A cheap stand-in for a BPE tokenizer budget estimate: counts maximal
+    letter runs, digit runs, and individual punctuation characters.
+    """
+    pieces = F.split(F.trim(c), r"\s+")
+    per_word = F.transform(
+        pieces,
+        lambda w: F.size(
+            F.filter(
+                F.split(F.regexp_replace(w, r"([a-zA-Z]+|\d+|[^a-zA-Z\d])", "$1\x00"), "\x00"),
+                lambda p: p != "",
+            )
+        ),
+    )
+    return F.aggregate(per_word, F.lit(0), lambda acc, x: acc + x)
+
+
+def stable_hash64(c: Column) -> Column:
+    """Deterministic cross-engine 60-bit hash: first 15 hex chars of md5.
+
+    DuckDB dual: ``('0x' || substring(md5(x), 1, 15))::bigint`` — used by
+    every oracle-checked hashing operator (fingerprints, exact dedup buckets)
+    so Spark and the oracle agree bit-for-bit. For rows-only operators the
+    faster JVM-native ``xxhash64`` is preferred.
+    """
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def shingles(c: Column, n: int = 3) -> Column:
+    """Word n-gram shingle strings from a text column (empty-safe)."""
+    toks = tokens(c)
+    return F.when(F.size(toks) < n, F.array(c)).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def rolling_fingerprint(c: Column, n: int = 3) -> Column:
+    """Document fingerprint: min rolling-shingle hash (MinHash with k=1).
+
+    Near-identical documents (small edits) collide with high probability on
+    at least one shingle, and identical documents always produce the same
+    fingerprint. Cross-engine deterministic via ``stable_hash64``.
+    """
+    return F.array_min(F.transform(shingles(c, n), stable_hash64))
+
+
+def punct_ratio(c: Column) -> Column:
+    """Fraction of characters that are punctuation."""
+    n_punct = F.length(F.regexp_replace(c, r"[^.!?,;:'\"()\[\]{}-]", ""))
+    return F.when(F.length(c) > 0, n_punct / F.length(c)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(c: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (English) stopwords."""
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS)])
+    toks = tokens(F.lower(c))
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, n_sw / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(c: Column) -> Column:
+    """Composite [0,1] quality heuristic for training-data filtering.
+
+    Rewards moderate length and word size, penalizes punctuation soup and
+    stopword-free keyword stuffing — the standard cheap pre-filter before
+    model-based scoring. Weights are fixed so scores are reproducible.
+    """
+    n_chars = F.length(c)
+    n_toks = token_count(c)
+    avg_word = F.when(n_toks > 0, n_chars / n_toks).otherwise(F.lit(0.0))
+    len_term = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    word_term = F.when((avg_word >= 3) & (avg_word <= 10), 1.0).otherwise(0.5)
+    punct_term = F.lit(1.0) - F.least(punct_ratio(c) * 5, F.lit(1.0))
+    sw = stopword_ratio(c)
+    sw_term = F.when((sw >= 0.1) & (sw <= 0.6), 1.0).otherwise(0.6)
+    return F.round(
+        0.3 * len_term + 0.2 * word_term + 0.2 * punct_term + 0.3 * sw_term, 4
+    )
+
+
+def lang_scores(c: Column) -> dict[str, Column]:
+    """Marker-hit count per candidate language."""
+    toks = tokens(F.lower(c))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
+    return out
+
+
+def lang_id(c: Column) -> Column:
+    """Heuristic language ID: argmax marker-hit count, 'und' when all zero.
+
+    Ties break by the fixed language order en > es > fr > de (greatest-so-far
+    scan), making the label deterministic and oracle-expressible.
+    """
+    scores = lang_scores(c)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in LANG_MARKERS:  # insertion order = priority order
+        s = scores[lang]
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best_lang

@@ -1,0 +1,178 @@
+"""Extension-operator query battery: dedup, similarity, text analysis.
+
+Registers into the same ``QUERIES`` dict as the relational battery. Queries
+whose semantics are bit-reproducible in ANSI SQL carry DuckDB oracles
+(``oracles.py``); the float-heavy / LSH ops are rows-only checks backed by
+pytest assertions (planted duplicates, recall vs brute force).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, text
+from ..session import load_table
+from .analytics import query
+
+
+# --- text analysis ----------------------------------------------------------
+
+
+@query
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char counts per document (whitespace tokenization)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("int").alias("n_chars_measured"),
+    ).orderBy("doc_id")
+
+
+@query
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic marker-word language ID per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.lang_id(F.col("text")).alias("predicted_lang")
+    ).orderBy("doc_id")
+
+
+@query
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.quality_score(F.col("text")).alias("quality"),
+        F.round(text.stopword_ratio(F.col("text")), 4).alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+@query
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (cross-engine stable hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.rolling_fingerprint(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+@query
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish sub-word token budget estimate (rows-only; regex lambda)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.bpe_ish_token_count(F.col("text")).alias("bpe_tokens")
+    ).orderBy("doc_id")
+
+
+# --- dedup ------------------------------------------------------------------
+
+
+@query
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup summary: one row per distinct text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_summary(docs, "text", "doc_id").orderBy("keep_id")
+
+
+@query
+def dedup_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard between consecutive doc ids (the verifier op)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sets_ = dedup.shingle_sets(docs, "text", "doc_id")
+    a = sets_.select(
+        F.col("doc_id").alias("id_a"), F.col("shingle_set").alias("shingle_set_a")
+    )
+    b = sets_.select(
+        (F.col("doc_id") - 1).alias("id_a"), F.col("shingle_set").alias("shingle_set_b")
+    )
+    return (
+        dedup.ngram_jaccard_pairs(a.join(b, "id_a"))
+        .select("id_a", (F.col("id_a") + 1).alias("id_b"), "jaccard_sim")
+        .orderBy("id_a")
+    )
+
+
+@query
+def dedup_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, Jaccard-verified (rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_near_duplicates(
+        docs, "text", "doc_id", threshold=0.3
+    ).orderBy("id_a", "id_b")
+
+
+@query
+def dedup_simhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 10 (rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_duplicates(
+        docs, "text", "doc_id", max_distance=10
+    ).orderBy("id_a", "id_b")
+
+
+# --- similarity search ------------------------------------------------------
+
+
+def _query_vectors(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < n)
+
+
+@query
+def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-10 by integer-quantized dot product (oracle-exact)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_quantized(
+        emb, _query_vectors(spark, sf_dir), k=10
+    ).orderBy("query_id", "rank")
+
+
+@query
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force float cosine top-10 (rows-only; float ulp differences
+    across engines make hash comparison unreliable)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, _query_vectors(spark, sf_dir), k=10).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN top-10 with 1-bit multi-probe (rows-only)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(
+        emb, _query_vectors(spark, sf_dir), k=10, dim=64, n_planes=8, probes=1
+    ).orderBy("query_id", "rank")
+
+
+@query
+def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH + exact verify (rows-only).
+
+    The synthetic embeddings are near-orthogonal (max pairwise cosine ≈0.51
+    at sf0.01), so the threshold targets the top of that distribution; 6
+    planes keep sign-LSH recall meaningful at moderate cosine.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_duplicates(
+        emb, threshold=0.45, n_planes=6
+    ).orderBy("id_a", "id_b")
+
+
+# --- multimodal -------------------------------------------------------------
+
+
+@query
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode plumbing over synthesized binary
+    payloads (deterministic fake decoder — codecs absent here; rows-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    return multimodal.extract_image_features(media).orderBy("content_id")

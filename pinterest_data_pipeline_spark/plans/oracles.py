@@ -379,3 +379,155 @@ oracle("top_k_orders")(
     FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
     """
 )
+
+# --- text analysis -----------------------------------------------------------
+# Shared fragments: whitespace tokens, the cross-engine stable 60-bit hash
+# ('0x'||first-15-md5-hex-chars)::bigint == Spark conv(substring(md5,1,15),16,10).
+
+_TOKS = "string_split(text, ' ')"
+_TOKS_LOWER = "string_split(lower(text), ' ')"
+
+
+def _marker_score(markers: list[str]) -> str:
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_TOKS_LOWER}, t -> t IN ({inlist})))"
+
+
+oracle("text_token_stats")(
+    f"""
+    SELECT doc_id, len({_TOKS})::int AS n_tokens,
+           length(text)::int AS n_chars_measured
+    FROM documents ORDER BY doc_id
+    """
+)
+
+# Cascading argmax with first-in-order tie win: en > es > fr > de, 'und' if all 0.
+_EN = _marker_score(["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"])
+_ES = _marker_score(["el", "la", "de", "que", "y", "en", "un", "una", "los", "las"])
+_FR = _marker_score(["le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"])
+_DE = _marker_score(["der", "die", "das", "und", "ist", "von", "den", "ein", "eine", "mit"])
+
+oracle("text_lang_id")(
+    f"""
+    WITH scored AS (
+        SELECT doc_id, {_EN} AS s_en, {_ES} AS s_es, {_FR} AS s_fr, {_DE} AS s_de
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en > 0 THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_de AND s_es > 0 THEN 'es'
+                WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+                WHEN s_de > 0 THEN 'de'
+                ELSE 'und' END AS predicted_lang
+    FROM scored ORDER BY doc_id
+    """
+)
+
+_SW = ", ".join(
+    f"'{s}'" for s in ["the", "a", "an", "of", "and", "or", "to", "in", "is", "it", "for", "on"]
+)
+
+oracle("text_quality_scores")(
+    f"""
+    WITH m AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len({_TOKS}) AS n_toks,
+               length(regexp_replace(text, '[^.!?,;:''"()\\[\\]{{}}-]', '', 'g')) AS n_punct,
+               len(list_filter({_TOKS_LOWER}, t -> t IN ({_SW}))) AS n_sw
+        FROM documents
+    ), r AS (
+        SELECT doc_id,
+               CASE WHEN n_chars / 500.0 < 1.0 THEN n_chars / 500.0 ELSE 1.0 END AS len_term,
+               CASE WHEN n_toks > 0 AND (n_chars::double / n_toks) BETWEEN 3 AND 10
+                    THEN 1.0 ELSE 0.5 END AS word_term,
+               1.0 - least((CASE WHEN n_chars > 0 THEN n_punct::double / n_chars ELSE 0.0 END) * 5,
+                           1.0) AS punct_term,
+               CASE WHEN n_toks > 0 THEN n_sw::double / n_toks ELSE 0.0 END AS sw_ratio
+        FROM m
+    )
+    SELECT doc_id,
+           round(0.3 * len_term + 0.2 * word_term + 0.2 * punct_term
+                 + 0.3 * (CASE WHEN sw_ratio BETWEEN 0.1 AND 0.6 THEN 1.0 ELSE 0.6 END), 4)
+               AS quality,
+           round(sw_ratio, 4) AS stopword_ratio
+    FROM r ORDER BY doc_id
+    """
+)
+
+_SHINGLE_HASH = (
+    "('0x' || substring(md5(array_to_string("
+    f"list_slice({_TOKS}, i, i + 2), ' ')), 1, 15))::bigint"
+)
+
+oracle("text_fingerprints")(
+    f"""
+    SELECT doc_id,
+           CASE WHEN len({_TOKS}) < 3
+                THEN ('0x' || substring(md5(text), 1, 15))::bigint
+                ELSE list_min(list_transform(range(1, len({_TOKS}) - 1),
+                                             i -> {_SHINGLE_HASH}))
+           END AS fingerprint
+    FROM documents ORDER BY doc_id
+    """
+)
+
+# --- dedup -------------------------------------------------------------------
+
+oracle("dedup_exact_documents")(
+    """
+    SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+           count(*) AS copy_count
+    FROM documents GROUP BY 1 ORDER BY keep_id
+    """
+)
+
+_SHINGLE_SET = (
+    f"list_distinct(CASE WHEN len({_TOKS}) < 3 THEN [text] "
+    f"ELSE list_transform(range(1, len({_TOKS}) - 1), "
+    f"i -> array_to_string(list_slice({_TOKS}, i, i + 2), ' ')) END)"
+)
+
+oracle("dedup_ngram_jaccard_adjacent")(
+    f"""
+    WITH s AS (SELECT doc_id, {_SHINGLE_SET} AS ss FROM documents),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ss AS sa, b.ss AS sb
+        FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+    ), scored AS (
+        SELECT id_a, id_b,
+               len(list_filter(sa, x -> list_contains(sb, x))) AS inter,
+               len(sa) + len(sb) - len(list_filter(sa, x -> list_contains(sb, x))) AS uni
+        FROM pairs
+    )
+    SELECT id_a, id_b,
+           round(CASE WHEN uni > 0 THEN inter::double / uni ELSE 0.0 END, 4)
+               AS jaccard_sim
+    FROM scored ORDER BY id_a
+    """
+)
+
+# --- similarity --------------------------------------------------------------
+
+oracle("ann_topk_quantized")(
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3
+    ), pairs AS (
+        SELECT q.query_id, e.vec_id,
+               unnest(list_transform(e.embedding, v -> round(v::double * 1000)::bigint)) AS ev,
+               unnest(list_transform(q.embedding, v -> round(v::double * 1000)::bigint)) AS qv
+        FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+    ), dots AS (
+        SELECT query_id, vec_id, sum(ev * qv)::bigint AS dot_q
+        FROM pairs GROUP BY 1, 2
+    ), ranked AS (
+        SELECT query_id, vec_id, dot_q,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dot_q DESC, vec_id) AS rk
+        FROM dots
+    )
+    SELECT query_id, vec_id, dot_q, rk::int AS rank
+    FROM ranked WHERE rk <= 10 ORDER BY query_id, rank
+    """
+)

@@ -1,0 +1,179 @@
+"""Unit tests for dedup / similarity / text operators with planted cases.
+
+The oracle battery proves cross-engine agreement on real tables; these tests
+prove the *semantics*: planted exact dups are found, planted near-dups are
+found by MinHash and SimHash, ANN recall against brute force is sane.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.operators import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away into "
+        "the deep green forest looking for food and water every single day"
+    )
+    rows = [
+        (0, base),
+        (1, base),  # exact duplicate of 0
+        (2, base.replace("quick", "speedy")),  # near-dup of 0 (one token)
+        (3, "completely different text about apache spark query engines and shuffles"),
+        (4, "el la de que y en un una los las palabras en espanol para probar"),
+        (5, base.replace("dog", "cat").replace("fox", "wolf")),  # near-dup, 2 tokens
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = dedup.exact_dedup(docs, "text", "doc_id")
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [0, 2, 3, 4, 5]  # doc 1 removed, doc 0 (min id) kept
+
+
+def test_exact_dedup_summary_counts(docs):
+    summ = {r.keep_id: r.copy_count for r in dedup.exact_dedup_summary(docs, "text", "doc_id").collect()}
+    assert summ[0] == 2 and summ[3] == 1
+
+
+def test_minhash_finds_planted_near_dups(docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_near_duplicates(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs  # exact dup
+    assert (0, 2) in pairs  # one-token edit
+    # unrelated docs never pair
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_minhash_jaccard_value_exact_dup_is_one(docs):
+    rows = dedup.minhash_near_duplicates(docs, "text", "doc_id", threshold=0.5).collect()
+    sim = {(r.id_a, r.id_b): r.jaccard_sim for r in rows}
+    assert sim[(0, 1)] == 1.0
+
+
+def test_simhash_finds_planted_near_dups(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_duplicates(docs, "text", "doc_id", max_distance=12).collect()
+    }
+    assert pairs.get((0, 1)) == 0  # identical text -> identical simhash
+    assert (0, 2) in pairs
+    assert (3, 4) not in pairs
+
+
+def test_jaccard_identity_and_disjoint(spark):
+    df = spark.createDataFrame([(["a", "b"], ["a", "b"], ["c"])], ["x", "y", "z"])
+    r = df.select(
+        dedup.jaccard(F.col("x"), F.col("y")).alias("same"),
+        dedup.jaccard(F.col("x"), F.col("z")).alias("disjoint"),
+    ).collect()[0]
+    assert r.same == 1.0 and r.disjoint == 0.0
+
+
+# --- similarity -------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = random.Random(5)
+    dim = 16
+    base = [rng.gauss(0, 1) for _ in range(dim)]
+    near = [v + rng.gauss(0, 0.01) for v in base]  # cosine ~1 with base
+    rows = [(0, base), (1, near)] + [
+        (i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(2, 60)
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_finds_planted_neighbor(vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    out = similarity.cosine_topk(vectors, q, k=3).collect()
+    assert out[0].vec_id == 1 and out[0].cosine_sim > 0.99
+    assert [r.rank for r in out] == [1, 2, 3]
+
+
+def test_quantized_topk_agrees_with_float_on_top1(vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    fl = similarity.cosine_topk(vectors, q, k=1).collect()[0]
+    qt = similarity.cosine_topk_quantized(vectors, q, k=1, scale=10000).collect()[0]
+    # quantized uses dot (no norm); top-1 may differ in general, but the
+    # planted ~identical neighbor dominates both metrics
+    assert fl.vec_id == qt.vec_id == 1
+
+
+def test_lsh_topk_recall_vs_brute_force(vectors):
+    q = vectors.filter(F.col("vec_id") < 3)
+    brute = similarity.cosine_topk(vectors, q, k=5)
+    ann = similarity.lsh_topk(vectors, q, k=5, dim=16, n_planes=4, probes=1)
+    b = {(r.query_id, r.vec_id) for r in brute.collect()}
+    a = {(r.query_id, r.vec_id) for r in ann.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.5  # 4 planes + 1-bit probes on 16d: generous floor
+    # the planted twin must always survive LSH for query 0
+    assert (0, 1) in a
+
+
+def test_embedding_near_duplicates_finds_twin(vectors):
+    out = similarity.embedding_near_duplicates(
+        vectors, threshold=0.99, dim=16, n_planes=6
+    ).collect()
+    assert any((r.id_a, r.id_b) == (0, 1) for r in out)
+
+
+# --- text -------------------------------------------------------------------
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat is in the house and it is warm"),
+            (1, "el gato que vive en la casa de los vecinos"),
+            (2, "xyzzy plugh foobar"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.lang for r in df.select("doc_id", text.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out == {0: "en", 1: "es", 2: "und"}
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(0, "a b c"), (1, "hello")], ["doc_id", "text"])
+    out = {r.doc_id: r.n for r in df.select("doc_id", text.token_count(F.col("text")).alias("n")).collect()}
+    assert out == {0: 3, 1: 1}
+
+
+def test_bpe_ish_counts_subword_pieces(spark):
+    df = spark.createDataFrame([(0, "hello, world42!")], ["doc_id", "text"])
+    n = df.select(text.bpe_ish_token_count(F.col("text")).alias("n")).collect()[0].n
+    # hello | , | world | 42 | !
+    assert n == 5
+
+
+def test_fingerprint_stable_and_edit_sensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d e"), (2, "totally different words here now")],
+        ["doc_id", "text"],
+    )
+    fp = {r.doc_id: r.f for r in df.select("doc_id", text.rolling_fingerprint(F.col("text")).alias("f")).collect()}
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[2]
+
+
+def test_quality_score_ranges(spark):
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox is a very good animal and it runs in the park"),
+         (1, "!!! ??? ... ,,, ;;; :::")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.q for r in df.select("doc_id", text.quality_score(F.col("text")).alias("q")).collect()}
+    assert 0.0 <= out[1] < out[0] <= 1.0

@@ -1,0 +1,52 @@
+"""Multimodal plumbing tests: schema, batching, determinism of the stub."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.operators import multimodal
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [(i, f"media-blob-{i % 3}".encode()) for i in range(20)]
+    return spark.createDataFrame(rows, ["media_id", "content"])
+
+
+def test_content_address_is_sha256(media):
+    import hashlib
+
+    out = multimodal.content_address(media).collect()
+    for r in out:
+        assert r.content_id == hashlib.sha256(bytes(r.content)).hexdigest()
+
+
+def test_extract_image_features_schema_and_determinism(media):
+    feats = multimodal.extract_image_features(media)
+    assert [f.name for f in feats.schema.fields] == [
+        "content_id", "width", "height", "n_channels", "mean_intensity",
+    ]
+    rows = feats.collect()
+    assert len(rows) == 20
+    # identical bytes -> identical features (content-addressed determinism)
+    by_id = {}
+    for r in rows:
+        if r.content_id in by_id:
+            assert by_id[r.content_id] == (r.width, r.height, r.n_channels, r.mean_intensity)
+        by_id[r.content_id] = (r.width, r.height, r.n_channels, r.mean_intensity)
+    assert len(by_id) == 3
+    for r in rows:
+        assert 64 <= r.width < 256 and r.n_channels in (1, 3)
+
+
+def test_real_decoder_raises_clearly(media):
+    with pytest.raises(Exception) as e:
+        multimodal.extract_image_features(media, decoder=multimodal.real_image_decoder).collect()
+    assert "not installed" in str(e.value) or "NotImplementedError" in str(e.value)
+
+
+def test_sample_video_frames(spark):
+    df = spark.createDataFrame([("v1", 3500)], ["content_id", "duration_ms"])
+    out = multimodal.sample_video_frames(df, every_ms=1000).collect()
+    assert [r.frame_ts_ms for r in out] == [0, 1000, 2000, 3000]
