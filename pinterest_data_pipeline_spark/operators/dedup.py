@@ -19,9 +19,12 @@ machinery.
 
 from __future__ import annotations
 
+import random as _random
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import fan_out
 from .text import shingles, stable_hash64
 
 # --- exact dedup ------------------------------------------------------------
@@ -85,51 +88,85 @@ def ngram_jaccard_pairs(
 # --- MinHash + LSH ----------------------------------------------------------
 
 
-def minhash_signature(shingle_set: Column, k: int = 32) -> Column:
-    """k-permutation MinHash signature as an array<long>.
+# Fixed affine-permutation parameters (odd multiplier, additive constant).
+# Permutation j of a shingle hash is ``a_j*(h & 0xFFFFFFFF) + b_j`` — pure
+# integer codegen, no per-permutation string hashing. The hash is masked to
+# 32 bits and a_j < 2^30 so the product never exceeds a 64-bit long (Spark 4
+# ANSI mode raises on overflow rather than wrapping). Collision probability
+# per permutation is 2^-32 — irrelevant to MinHash estimates. Parameters are
+# generated once at import from a fixed-seed PRNG (deterministic).
+_rng = _random.Random(0x5EED)
+_PERMS: list[tuple[int, int]] = [
+    (_rng.randrange(1, 2**30) | 1, _rng.randrange(0, 2**30)) for _ in range(128)
+]
+_MASK32 = (1 << 32) - 1
 
-    Permutation j is simulated by ``xxhash64(shingle, j)`` — JVM-native,
-    vectorized, no Python. Empty sets get MAX_LONG sentinels.
+
+def minhash_signature(shingle_set: Column, k: int = 32) -> Column:
+    """k-permutation MinHash signature as an array<long> (expression form).
+
+    Hashes each shingle once (``xxhash64``), then applies k affine
+    permutations as integer arithmetic. For corpus-scale signature jobs
+    prefer :func:`minhash_signatures` (explode + hash-agg formulation).
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda j: F.coalesce(
-            F.array_min(F.transform(shingle_set, lambda s: F.xxhash64(s, j))),
-            F.lit(2**63 - 1),
-        ),
+    hashes = F.transform(shingle_set, lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MASK32)))
+    return F.array(
+        *[
+            F.coalesce(
+                F.array_min(F.transform(hashes, lambda h: F.lit(a) * h + F.lit(b))),
+                F.lit(2**63 - 1),
+            )
+            for (a, b) in _PERMS[:k]
+        ]
     )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 3, k: int = 32
+) -> DataFrame:
+    """(id, mh0..mh{k-1}) MinHash signature columns via a single hash-agg.
+
+    Formulated as explode -> groupBy(id).agg(k × MIN(a_j*h+b_j)) so the whole
+    signature computation is one WholeStageCodegen hash aggregate with
+    map-side partial aggregation: each shingle string is hashed exactly once,
+    every permutation is two integer ops, and at 100 TB the shuffle carries
+    one partially aggregated row per (partition, doc) — never the shingles.
+    """
+    sets_ = shingle_sets(fan_out(df), text_col, id_col, shingle_n)
+    hashes = sets_.select(
+        F.col(id_col), F.explode("shingle_set").alias("shingle")
+    ).select(id_col, F.xxhash64("shingle").bitwiseAND(F.lit(_MASK32)).alias("h"))
+    aggs = [
+        F.min(F.lit(a) * F.col("h") + F.lit(b)).alias(f"mh{j}")
+        for j, (a, b) in enumerate(_PERMS[:k])
+    ]
+    return hashes.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_candidates(
     sigs: DataFrame, id_col: str, k: int = 32, bands: int = 8
 ) -> DataFrame:
-    """Banded LSH: explode signatures into (band, band_hash) buckets and
-    self-join. Returns distinct (id_a, id_b) candidate pairs, id_a < id_b.
+    """Banded LSH over signature columns (``mh0..mh{k-1}``): hash each band
+    of k/bands rows with one variadic ``xxhash64`` call, explode to
+    (band, band_hash) buckets, self-join. Returns distinct (id_a, id_b)
+    candidate pairs, id_a < id_b.
 
     The self-join is a plain equi-join on the bucket key: Catalyst plans a
     shuffled hash join; AQE splits skewed buckets (a hot bucket = a common
     band pattern) automatically.
     """
     rows_per_band = k // bands
+    buckets = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(
+                *[F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("band_hash"),
+        )
+        for bi in range(bands)
+    ]
     banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("bucket"),
+        F.col(id_col), F.explode(F.array(*buckets)).alias("bucket")
     ).select(id_col, "bucket.band", "bucket.band_hash")
     a = banded.alias("a")
     b = banded.alias("b")
@@ -160,10 +197,25 @@ def minhash_near_duplicates(
     """Full MinHash-LSH near-dup pipeline: candidates + exact-Jaccard verify.
 
     Output: (id_a, id_b, jaccard_sim) for verified near-duplicate pairs.
+
+    Verification recomputes shingle sets only for documents that appear in a
+    candidate pair (semi-join pushdown): the full corpus is scanned exactly
+    twice (signature pass + candidate-subset pass) and the exact Jaccard runs
+    on O(candidates) rows, not O(n) — the property that keeps this viable at
+    100 TB, where materializing every shingle set would rival the corpus size.
     """
-    sets_ = shingle_sets(df, text_col, id_col, shingle_n)
-    sigs = sets_.withColumn("signature", minhash_signature(F.col("shingle_set"), k))
-    cands = minhash_lsh_candidates(sigs.select(id_col, "signature"), id_col, k, bands)
+    sigs = minhash_signatures(df, text_col, id_col, shingle_n, k)
+    # The candidate-pair set is consumed by three plan branches (verify join
+    # + both halves of the id union); persisting it pins the result of the
+    # signature+banding stages instead of recomputing that lineage per
+    # branch. It is O(candidate pairs) — tiny relative to the corpus.
+    cands = minhash_lsh_candidates(sigs, id_col, k, bands).persist()
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sets_ = shingle_sets(df.join(cand_ids, id_col, "left_semi"), text_col, id_col, shingle_n)
     scored = (
         cands.join(
             sets_.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("shingle_set_a")),
@@ -187,14 +239,17 @@ def minhash_near_duplicates(
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, n_bits: int = 64) -> DataFrame:
-    """(id, simhash bitstring): explode tokens, vote per bit, reassemble.
+    """(id, simhash) with the signature packed into one 64-bit long.
 
-    The explode + groupBy formulation keeps every step in codegen'd
-    aggregates: per (doc, bit) the vote is sum(±1), then bits concatenate
-    ordered by position. Shuffle key is the doc id — same partitioning any
-    downstream per-doc op reuses.
+    Explode tokens -> one codegen'd hash aggregate with ``n_bits`` ±1 vote
+    sums -> OR the winning bits into a single long. Everything stays in
+    WholeStageCodegen; the shuffle key is the doc id — the same partitioning
+    any downstream per-doc op reuses. Packing into a long (vs a bitstring)
+    makes the downstream Hamming check a two-instruction expression
+    (``bit_count(a XOR b)``) instead of per-character array work.
     """
-    toks = df.select(
+    assert n_bits <= 64, "simhash packs into a single 64-bit long"
+    toks = fan_out(df).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
     ).withColumn("h", F.xxhash64("token"))
     bit_votes = [
@@ -204,24 +259,19 @@ def simhash(df: DataFrame, text_col: str, id_col: str, n_bits: int = 64) -> Data
         for b in range(n_bits)
     ]
     votes = toks.groupBy(id_col).agg(*bit_votes)
-    bits = F.concat(
-        *[F.when(F.col(f"b{b}") > 0, "1").otherwise("0") for b in range(n_bits)]
-    )
-    return votes.select(F.col(id_col), bits.alias("simhash"))
-
-
-def hamming_bitstring(a: Column, b: Column) -> Column:
-    """Hamming distance between equal-length bitstrings."""
-    return F.size(
-        F.filter(
-            F.zip_with(
-                F.split(a, ""),
-                F.split(b, ""),
-                lambda x, y: F.when(x != y, F.lit(1)).otherwise(F.lit(0)),
-            ),
-            lambda v: v == 1,
+    packed = F.lit(0).cast("long")
+    for b in range(n_bits):
+        # Bit 63 is the sign bit: its set-value is MIN_LONG, not 1<<63.
+        bit_val = (1 << b) if b < 63 else -(1 << 63)
+        packed = packed.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
         )
-    )
+    return votes.select(F.col(id_col), packed.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures: bit_count(a XOR b)."""
+    return F.bit_count(a.bitwiseXOR(b))
 
 
 def simhash_near_duplicates(
@@ -239,13 +289,15 @@ def simhash_near_duplicates(
     candidate generation is an equi-join on (chunk_idx, chunk_value). The
     default derives n_chunks = max_distance + 1 to keep that guarantee;
     chunk boundaries absorb the division remainder so all n_bits are
-    covered.
+    covered. Chunk values are shift/mask extractions from the packed long,
+    the Hamming verify is ``bit_count(XOR)``, and the verify filter runs
+    BEFORE the pair-dedup so the distinct shuffles only surviving pairs.
     """
     if n_chunks is None:
         n_chunks = min(max_distance + 1, n_bits)
     base_len, rem = divmod(n_bits, n_chunks)
     bounds = []
-    start = 1  # substring() is 1-based
+    start = 0
     for i in range(n_chunks):
         ln = base_len + (1 if i < rem else 0)
         bounds.append((i, start, ln))
@@ -259,7 +311,9 @@ def simhash_near_duplicates(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_idx"),
-                        F.substring(F.col("simhash"), s, ln).alias("chunk_val"),
+                        F.shiftrightunsigned(F.col("simhash"), s)
+                        .bitwiseAND(F.lit((1 << ln) - 1))
+                        .alias("chunk_val"),
                     )
                     for i, s, ln in bounds
                 ]
@@ -268,7 +322,7 @@ def simhash_near_duplicates(
     ).select(id_col, "simhash", "c.chunk_idx", "c.chunk_val")
     a = chunked.alias("a")
     b = chunked.alias("b")
-    cands = (
+    return (
         a.join(
             b,
             (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
@@ -278,13 +332,8 @@ def simhash_near_duplicates(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
         )
-        .distinct()
-    )
-    return (
-        cands.withColumn("hamming", hamming_bitstring(F.col("sim_a"), F.col("sim_b")))
         .filter(F.col("hamming") <= max_distance)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )

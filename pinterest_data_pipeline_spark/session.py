@@ -75,6 +75,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     return df
 
 
+def fan_out(df, partitions: int | None = None):
+    """Repartition narrow inputs before CPU-heavy per-row compute.
+
+    A small parquet file arrives as ONE input split (parquet can't split
+    inside a row group), so an expression-heavy stage would run on a single
+    core no matter how many the cluster has. When the scan already has >=
+    target partitions — the normal case on a real cluster reading many
+    files — this is a no-op, so big inputs never pay a gratuitous shuffle.
+    """
+    target = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 TESTDATA_TABLES = (
     "region",
     "nation",
