@@ -134,17 +134,17 @@ def dedup(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
 # --- composed entity pipelines ---------------------------------------------
 
 
-def clean_pin(df: DataFrame) -> DataFrame:
-    """Full pin cleaning chain (BATCH:76-100 / STREAM:114-140).
+def project_pin(df: DataFrame) -> DataFrame:
+    """Pin cleaning chain minus dedup (shared batch/stream, stream-safe).
 
-    dedup -> null-normalize -> strip save_location prefix -> parse
-    follower_count -> cast downloaded boolean -> rename index->ind ->
-    canonical column order. No orderBy: presentation ordering is the
-    caller's choice (the reference's mid-pipeline global sort is a
-    range-partition shuffle whose ordering later joins destroy anyway,
-    SURVEY.md §4.1).
+    null-normalize -> strip save_location prefix -> parse follower_count ->
+    cast downloaded boolean -> rename index->ind -> canonical column order.
+    Pure projection: no shuffle, applies unchanged to a streaming DataFrame
+    (the reference's STREAM:114-140 is this exact chain). No orderBy:
+    presentation ordering is the caller's choice (the reference's
+    mid-pipeline global sort is a range-partition shuffle whose ordering
+    later joins destroy anyway, SURVEY.md §4.1).
     """
-    df = dedup(df)
     df = normalize_nulls(df)
     df = (
         df.withColumn("save_location", strip_save_location_prefix(F.col("save_location")))
@@ -156,9 +156,8 @@ def clean_pin(df: DataFrame) -> DataFrame:
     return df.select(*PIN_CLEAN_COLUMNS)
 
 
-def clean_geo(df: DataFrame) -> DataFrame:
-    """Full geo cleaning chain (BATCH:112-124 / STREAM:149-167)."""
-    df = dedup(df)
+def project_geo(df: DataFrame) -> DataFrame:
+    """Geo cleaning chain minus dedup (shared batch/stream)."""
     df = normalize_nulls(df)
     df = (
         df.withColumn("coordinates", coordinates(F.col("latitude"), F.col("longitude")))
@@ -171,9 +170,8 @@ def clean_geo(df: DataFrame) -> DataFrame:
     return df.select(*GEO_CLEAN_COLUMNS)
 
 
-def clean_user(df: DataFrame) -> DataFrame:
-    """Full user cleaning chain (BATCH:139-152 / STREAM:175-190)."""
-    df = dedup(df)
+def project_user(df: DataFrame) -> DataFrame:
+    """User cleaning chain minus dedup (shared batch/stream)."""
     df = normalize_nulls(df)
     df = (
         df.withColumn("user_name", full_name(F.col("first_name"), F.col("last_name")))
@@ -184,3 +182,22 @@ def clean_user(df: DataFrame) -> DataFrame:
         .drop("index")
     )
     return df.select(*USER_CLEAN_COLUMNS)
+
+
+def clean_pin(df: DataFrame) -> DataFrame:
+    """Full batch pin cleaning chain (BATCH:76-100): dedup + projection."""
+    return project_pin(dedup(df))
+
+
+def clean_geo(df: DataFrame) -> DataFrame:
+    """Full batch geo cleaning chain (BATCH:112-124): dedup + projection."""
+    return project_geo(dedup(df))
+
+
+def clean_user(df: DataFrame) -> DataFrame:
+    """Full batch user cleaning chain (BATCH:139-152): dedup + projection.
+
+    The reference's user dedup is a discarded no-op (BATCH:139); real dedup
+    here is a documented divergence (SURVEY.md §5.3).
+    """
+    return project_user(dedup(df))

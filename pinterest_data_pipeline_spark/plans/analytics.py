@@ -533,6 +533,52 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.window 6h/3h sliding buckets: each event lands in exactly two
+    overlapping windows. Streaming twin: ``streaming.windowed_event_counts``
+    with the same (duration, slide)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "event_count",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window per user, 30-minute inactivity gap.
+
+    Session semantics: an event at exactly ``last_ts + gap`` starts a NEW
+    session (Spark's session window is the half-open [start, last+gap)); the
+    DuckDB oracle encodes the same boundary with ``diff >= gap`` in its
+    gaps-and-islands rewrite. The heavy lifting is one shuffle on user_id —
+    the session assembly itself is a streaming-capable stateful operator,
+    not a window-function sort.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query
 def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3: global top-k -> TakeOrderedAndProject, no full sort materialized."""
     orders = load_table(spark, sf_dir, "orders")

@@ -373,6 +373,50 @@ oracle("events_tumbling_window")(
     """
 )
 
+oracle("events_sliding_window")(
+    # A 6h window sliding by 3h means each event contributes to exactly two
+    # windows: the one starting at its 3h bucket and the one 3h earlier.
+    """
+    WITH contrib AS (
+        SELECT time_bucket(INTERVAL '3 hours', ts) AS ws, event_type FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '3 hours', ts) - INTERVAL '3 hours' AS ws,
+               event_type
+        FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS event_count
+    FROM contrib GROUP BY 1, 2 ORDER BY window_start, event_type
+    """
+)
+
+oracle("events_session_window")(
+    # Gaps-and-islands rewrite of session windows: a gap of >= 30 minutes
+    # (half-open boundary, matching Spark's [start, last+gap)) starts a new
+    # island; islands aggregate to sessions.
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM numbered GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """
+)
+
 oracle("top_k_orders")(
     """
     SELECT o_orderkey, o_totalprice

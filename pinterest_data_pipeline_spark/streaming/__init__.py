@@ -1,0 +1,19 @@
+"""Structured Streaming surface: source parse, watermarked dedup, sinks.
+
+Reproduces the reference's streaming pipeline (source -> CAST -> from_json ->
+flatten -> clean -> append sink + checkpoint, reference
+``databricks_notebooks/pintrest_stream_data_transformation.py:45-232``) on
+open Spark primitives, and extends it with the watermarked event-time
+operators the reference lacks (SURVEY.md §2.9).
+"""
+
+from .pipeline import (  # noqa: F401
+    parse_envelope_stream,
+    read_entity_stream,
+    run_streaming_pipeline,
+    session_event_counts,
+    stream_clean_entity,
+    watermarked_dedup,
+    windowed_event_counts,
+    write_entity_stream,
+)

@@ -1,0 +1,244 @@
+"""Streaming ELT pipeline: landing files -> parse -> clean -> append sink.
+
+Local idiomatic stand-in for the reference's Kinesis -> Databricks -> Delta
+path (``pintrest_stream_data_transformation.py``, STREAM for short):
+
+* **Source** (STREAM:45-53, S4): a file-source ``readStream`` over a landing
+  directory of envelope JSON lines — same shape the reference's emulator PUTs
+  to Kinesis (``{StreamName, Data, PartitionKey}``,
+  ``python_files/user_posting_emulation_streaming.py:76-104``). A file source
+  is the open-Spark equivalent: replayable, checkpointable offsets, and the
+  exact ``maxFilesPerTrigger`` batching knobs a Kafka/Kinesis source exposes.
+* **Parse** (STREAM:54-56, S5-S7): CAST to string -> ``from_json`` with the
+  explicit per-entity schema -> struct flatten.
+* **Clean** (STREAM:114-190, T4): the SAME projection chain the batch path
+  uses (``operators.cleaning.project_*``) — one module, two runners.
+* **Dedup** (T2): the reference calls unwatermarked ``dropDuplicates()`` on an
+  unbounded stream — state grows forever. Here dedup is watermarked
+  (``dropDuplicatesWithinWatermark``): bounded state, the non-negotiable fix
+  at 100 TB/day stream volume.
+* **Sink** (STREAM:201-232, S8/T3): per-entity append sink with a checkpoint
+  per query. Parquet here (Delta is not in this container); the writer is
+  format-parameterized so a Delta-enabled cluster flips one string.
+
+Three independent queries (one per entity), mirroring STREAM:224-232 — no
+cross-stream coordination, each with its own checkpoint and failure domain.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import cleaning
+from ..schemas import (
+    GEO_RAW_SCHEMA,
+    PIN_RAW_SCHEMA,
+    STREAM_ENVELOPE_SCHEMA,
+    USER_RAW_SCHEMA,
+)
+
+RAW_SCHEMAS = {
+    "pin": PIN_RAW_SCHEMA,
+    "geo": GEO_RAW_SCHEMA,
+    "user": USER_RAW_SCHEMA,
+}
+
+PROJECTORS = {
+    "pin": cleaning.project_pin,
+    "geo": cleaning.project_geo,
+    "user": cleaning.project_user,
+}
+
+# Event-time column per entity used to bound dedup state. pin carries no
+# event time on the wire, so it falls back to arrival (ingest) time — the
+# watermark then bounds state by wall-clock arrival, which is the only
+# meaningful bound available for that stream.
+EVENT_TIME = {"pin": None, "geo": "timestamp", "user": "date_joined"}
+
+DEFAULT_WATERMARK = "10 minutes"
+
+
+def parse_envelope_stream(raw: DataFrame, entity: str) -> DataFrame:
+    """S5-S7: value -> envelope struct -> entity struct -> flat columns.
+
+    ``raw`` must have a string ``value`` column (text file source or
+    Kafka's ``CAST(value AS STRING)``). Two ``from_json`` hops mirror the
+    wire format: the transport envelope, then the entity payload.
+    """
+    return (
+        raw.select(F.from_json(F.col("value"), STREAM_ENVELOPE_SCHEMA).alias("envelope"))
+        .select(F.from_json(F.col("envelope.Data"), RAW_SCHEMAS[entity]).alias("parsed_data"))
+        .select("parsed_data.*")
+    )
+
+
+def read_entity_stream(
+    spark: SparkSession, landing_dir: str, entity: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """S4: file-source readStream over ``landing_dir/<entity>/*.json``.
+
+    Each landing file holds envelope JSON lines. Reading as ``text`` (not
+    ``json``) keeps the parse explicit and schema-checked via ``from_json`` —
+    exactly the reference's CAST-then-parse shape, and the schema mismatch
+    failure mode is a NULL struct (inspectable), not a corrupted inference.
+    """
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(os.path.join(landing_dir, entity))
+    return parse_envelope_stream(raw, entity)
+
+
+def watermarked_dedup(
+    df: DataFrame,
+    event_time_col: str | None,
+    delay: str = DEFAULT_WATERMARK,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """T2: bounded-state streaming dedup (the reference's is unbounded).
+
+    ``dropDuplicatesWithinWatermark`` keeps a key's state only until the
+    watermark passes its first-seen event time: duplicates arriving within
+    the delay window are dropped, state is evicted afterwards. When the
+    entity has no event-time column, an ingest-time column is synthesized
+    from the micro-batch clock — the only sound bound for such a stream.
+    """
+    synthetic = event_time_col is None
+    if synthetic:
+        event_time_col = "_arrival_ts"
+        df = df.withColumn(event_time_col, F.current_timestamp())
+    else:
+        df = df.withColumn(event_time_col, F.to_timestamp(F.col(event_time_col)))
+    keys = keys or [c for c in df.columns if c != event_time_col]
+    out = df.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(keys)
+    if synthetic:
+        out = out.drop(event_time_col)
+    return out
+
+
+def stream_clean_entity(
+    df: DataFrame, entity: str, watermark_delay: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Watermarked dedup + the shared batch/stream projection chain (T4).
+
+    For entities whose event-time column the projector parses anyway
+    (geo.timestamp, user.date_joined) the watermark cast is a no-op on the
+    value — the projector's ``to_timestamp`` sees an already-typed column.
+    """
+    deduped = watermarked_dedup(df, EVENT_TIME[entity], watermark_delay)
+    return PROJECTORS[entity](deduped)
+
+
+def write_entity_stream(
+    df: DataFrame,
+    name: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+    available_now: bool = False,
+):
+    """S8/T3: append sink with a per-query checkpoint, started.
+
+    Mirrors the reference's ``write_table_to_delta`` (STREAM:201-220):
+    append mode, checkpoint keyed by table name. ``available_now=True``
+    drains everything currently in the source then stops — the batch-like
+    trigger used by tests and the daily-catchup runner.
+    """
+    writer = (
+        df.writeStream.format(fmt)
+        .outputMode("append")
+        .option("path", os.path.join(out_dir, name))
+        .option("checkpointLocation", os.path.join(checkpoint_dir, name))
+        .queryName(f"stream_{name}")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    duration: str = "6 hours",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling/sliding event-time aggregation (reference gap).
+
+    The reference has no event-time windows at all (SURVEY.md §2.9); this is
+    the canonical Structured Streaming form: watermark bounds state, late
+    events inside the delay still land in their window, and in append mode a
+    window emits exactly once when the watermark passes its end. Works
+    identically on a batch DataFrame (the watermark is a no-op there), which
+    is what the oracle-checked duals ``events_tumbling_window`` /
+    ``events_sliding_window`` exercise.
+    """
+    win = F.window(ts_col, duration, slide) if slide else F.window(ts_col, duration)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "event_count",
+        )
+    )
+
+
+def session_event_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked session windows per user (streaming stateful operator).
+
+    ``session_window`` merges events separated by less than ``gap``; state
+    per open session is evicted once the watermark passes session end.
+    Batch dual: ``events_session_window`` (oracle-checked).
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_streaming_pipeline(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    entities: tuple[str, ...] = ("pin", "geo", "user"),
+    watermark_delay: str = DEFAULT_WATERMARK,
+    available_now: bool = False,
+):
+    """Start the three independent entity streams (STREAM:224-232).
+
+    Returns the list of StreamingQuery handles; callers own lifecycle
+    (``awaitTermination`` / ``processAllAvailable`` / ``stop``).
+    """
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoints")
+    queries = []
+    for entity in entities:
+        src = read_entity_stream(spark, landing_dir, entity)
+        cleaned = stream_clean_entity(src, entity, watermark_delay)
+        queries.append(
+            write_entity_stream(
+                cleaned, entity, out_dir, checkpoint_dir, available_now=available_now
+            )
+        )
+    return queries

@@ -1,0 +1,123 @@
+"""Streaming pipeline tests: parse, watermarked dedup, batch/stream parity.
+
+The reference's streaming path is verified here the way SURVEY.md §5.2.3
+prescribes: land envelope files, drain with an availableNow trigger, and
+compare the sink contents against the batch cleaning functions run on the
+same raw rows — one cleaning module, two runners, identical results.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark import streaming
+from pinterest_data_pipeline_spark.operators import cleaning
+from pinterest_data_pipeline_spark.schemas import (
+    GEO_RAW_SCHEMA,
+    PIN_RAW_SCHEMA,
+    USER_RAW_SCHEMA,
+)
+from pinterest_data_pipeline_spark.sources.emitter import write_envelope_files
+from pinterest_data_pipeline_spark.sources.generator import make_raw_entities
+
+RAW_SCHEMAS = {"pin": PIN_RAW_SCHEMA, "geo": GEO_RAW_SCHEMA, "user": USER_RAW_SCHEMA}
+
+
+@pytest.fixture(scope="module")
+def streamed_outputs(spark, tmp_path_factory):
+    """Run the full three-stream pipeline once over generated envelopes."""
+    base = tmp_path_factory.mktemp("stream")
+    landing, out = str(base / "landing"), str(base / "out")
+    pins, geos, users = make_raw_entities(n=120, seed=11)
+    write_envelope_files({"pin": pins, "geo": geos, "user": users}, landing)
+    queries = streaming.run_streaming_pipeline(spark, landing, out, available_now=True)
+    for q in queries:
+        q.awaitTermination(120)
+    return {"pin": pins, "geo": geos, "user": users}, out
+
+
+def _rows(df, key="ind"):
+    return sorted([tuple(r) for r in df.collect()], key=lambda t: (t[0] is None, t))
+
+
+@pytest.mark.parametrize("entity", ["pin", "geo", "user"])
+def test_stream_matches_batch_clean(spark, streamed_outputs, entity):
+    """Batch/stream parity: same cleaning module, identical output rows."""
+    raw_rows, out = streamed_outputs
+    streamed = spark.read.parquet(f"{out}/{entity}")
+    batch_raw = spark.createDataFrame(raw_rows[entity], RAW_SCHEMAS[entity])
+    batch_clean = {
+        "pin": cleaning.clean_pin,
+        "geo": cleaning.clean_geo,
+        "user": cleaning.clean_user,
+    }[entity](batch_raw)
+    # Coordinates arrays compare fine as tuples-of-tuple; normalize arrays.
+    s_rows = _rows(streamed.select(*batch_clean.columns))
+    b_rows = _rows(batch_clean)
+    assert [tuple(map(str, r)) for r in s_rows] == [tuple(map(str, r)) for r in b_rows]
+    assert streamed.schema == batch_clean.schema
+
+
+def test_stream_dedups_within_watermark(spark, streamed_outputs):
+    """Planted full-row duplicates must not survive the watermarked dedup."""
+    raw_rows, out = streamed_outputs
+    pin = spark.read.parquet(f"{out}/pin")
+    n_raw = len(raw_rows["pin"])  # includes planted duplicates
+    n_distinct = len({tuple(sorted(r.items())) for r in raw_rows["pin"]})
+    assert n_distinct < n_raw  # fixture really planted dups
+    assert pin.count() == n_distinct
+
+
+def test_envelope_parse_roundtrip(spark, tmp_path):
+    """from_json envelope -> payload parse reproduces the original fields."""
+    pins, _, _ = make_raw_entities(n=10, seed=3)
+    write_envelope_files({"pin": pins}, str(tmp_path), files_per_entity=1)
+    raw = spark.read.format("text").load(str(tmp_path / "pin"))
+    parsed = streaming.parse_envelope_stream(raw, "pin")
+    got = {r["index"]: r["title"] for r in parsed.collect()}
+    want = {p["index"]: (p["title"] if p["title"] != "" else "") for p in pins}
+    # duplicates collapse onto the same index with identical payloads
+    assert {k: v for k, v in want.items()} == got
+
+
+def test_streaming_window_matches_batch(spark, tmp_path):
+    """Tumbling windowed agg over a stream == the same agg over the batch DF.
+
+    Complete output mode to a memory sink so every window is emitted
+    regardless of watermark progress; batch/stream results must be
+    identical because event-time windows depend only on the data.
+    """
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    if dict(events.dtypes).get("ts") == "bigint":
+        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src_dir = str(tmp_path / "events_src")
+    events.write.parquet(src_dir)
+
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    q = (
+        streaming.windowed_event_counts(stream, "6 hours")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("win_test").collect()))
+    want = sorted(map(tuple, streaming.windowed_event_counts(events, "6 hours").collect()))
+    assert got == want and len(got) > 0
+
+
+def test_checkpoint_makes_restart_idempotent(spark, tmp_path):
+    """Re-running the drained stream must append nothing (checkpoint replay)."""
+    landing, out = str(tmp_path / "landing"), str(tmp_path / "out")
+    pins, geos, users = make_raw_entities(n=40, seed=5)
+    write_envelope_files({"pin": pins}, landing)
+    for _ in range(2):
+        (q,) = streaming.run_streaming_pipeline(
+            spark, landing, out, entities=("pin",), available_now=True
+        )
+        q.awaitTermination(120)
+    n_distinct = len({tuple(sorted(r.items())) for r in pins})
+    assert spark.read.parquet(f"{out}/pin").count() == n_distinct
