@@ -97,6 +97,58 @@ def extract_image_features(
     return df.select(*cols).mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("content_id", T.StringType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("rms_energy", T.DoubleType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+    ]
+)
+
+
+def real_audio_decoder(data: bytes) -> dict[str, Any]:
+    """Placeholder for a librosa/soundfile-backed decoder — not in this env."""
+    raise NotImplementedError(
+        "Audio codecs (librosa/soundfile) are not installed in this "
+        "environment; pass fake_audio_decoder or a real decoder callable."
+    )
+
+
+def fake_audio_decoder(data: bytes) -> dict[str, Any]:
+    """Deterministic stand-in decoder: features derived from the bytes."""
+    h = hashlib.sha256(data).digest()
+    return {
+        "duration_ms": 500 + int.from_bytes(h[0:2], "big") % 60000,
+        "sample_rate": [8000, 16000, 22050, 44100][h[2] % 4],
+        "rms_energy": round(h[3] / 255.0, 6),
+        "zero_crossing_rate": round(h[4] / 255.0, 6),
+    }
+
+
+def extract_audio_features(
+    df: DataFrame,
+    binary_col: str = "content",
+    decoder: Callable[[bytes], dict[str, Any]] = fake_audio_decoder,
+) -> DataFrame:
+    """Decode + featurize audio via Arrow-batched mapInPandas.
+
+    Same narrow, batch-amortized shape as ``extract_image_features`` —
+    only the decoder callable and output schema differ.
+    """
+    df = content_address(df, binary_col)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decoder(bytes(b)) for b in pdf[binary_col]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "content_id", pdf["content_id"].values)
+            yield out
+
+    return df.select("content_id", binary_col).mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
 def sample_video_frames(
     df: DataFrame,
     every_ms: int = 1000,

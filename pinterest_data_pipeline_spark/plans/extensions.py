@@ -176,3 +176,13 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "utf-8").alias("content")
     )
     return multimodal.extract_image_features(media).orderBy("content_id")
+
+
+@query
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of the image-feature plumbing (same mapInPandas shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    return multimodal.extract_audio_features(media).orderBy("content_id")

@@ -46,6 +46,19 @@ def test_real_decoder_raises_clearly(media):
     assert "not installed" in str(e.value) or "NotImplementedError" in str(e.value)
 
 
+def test_extract_audio_features_schema_and_determinism(media):
+    feats = multimodal.extract_audio_features(media)
+    assert [f.name for f in feats.schema.fields] == [
+        "content_id", "duration_ms", "sample_rate", "rms_energy", "zero_crossing_rate",
+    ]
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert len({r.content_id for r in rows}) == 3
+    for r in rows:
+        assert r.sample_rate in (8000, 16000, 22050, 44100)
+        assert 0.0 <= r.rms_energy <= 1.0
+
+
 def test_sample_video_frames(spark):
     df = spark.createDataFrame([("v1", 3500)], ["content_id", "duration_ms"])
     out = multimodal.sample_video_frames(df, every_ms=1000).collect()
