@@ -1,0 +1,106 @@
+"""Join operators beyond plain equi-joins: as-of and range joins.
+
+The reference contains only inner equi-joins on a single key (SURVEY.md
+§2.3); these are extension operators a training-data pipeline needs for
+point-in-time feature lookup (as-of) and interval containment (range).
+
+Both are built from DataFrame primitives so Catalyst plans them:
+
+* **as-of** uses the union + per-key window formulation — ONE shuffle+sort
+  on the join key, O(left+right) state — instead of the naive
+  inequality-join + groupBy, whose candidate set explodes with key frequency
+  (every left row × every earlier right row). At 100 TB the union form's
+  sort-merge is the same machinery as a sort-merge join; nothing is
+  quadratic.
+* **range** composes an equi-key with interval predicates so Catalyst plans
+  a hash/sort-merge join on the equi part and post-filters the band — the
+  planner-friendly shape (a pure theta band join degenerates to
+  nested-loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: tuple[str, str],
+    value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: for each left row, the right row with the
+    greatest ``on`` value <= the left row's ``on`` value, matched per key.
+
+    ``on``: ordering column name present in both sides (comparable types).
+    ``by``: (left_key, right_key) equi-key pair.
+    ``value_cols``: right-side columns carried onto left rows (suffixed).
+
+    Right rows must be unique per (key, on) — pre-aggregate otherwise; that
+    restriction is what makes the result deterministic (and matches DuckDB's
+    ASOF JOIN for the oracle).
+
+    Implementation: tag sides, union, one window per key ordered by
+    (on, side) with right rows sorting first at equal ``on`` (>= semantics),
+    then ``last(value, ignorenulls=True)`` carries the latest right values
+    forward onto each left row.
+    """
+    lk, rk = by
+    l_tagged = left.select(
+        F.col(lk).alias("_key"),
+        F.col(on).alias("_on"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_left"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_rv_{c}") for c in value_cols],
+    )
+    r_tagged = right.select(
+        F.col(rk).alias("_key"),
+        F.col(on).alias("_on"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_tagged.schema["_left"].dataType).alias("_left"),
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+    )
+    w = (
+        Window.partitionBy("_key")
+        .orderBy("_on", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_tagged.unionByName(r_tagged).select(
+        "_side",
+        "_left",
+        *[
+            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_rv_{c}")
+            for c in value_cols
+        ],
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        *[F.col(f"_left.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_rv_{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    equi: tuple[str, str],
+    point: str,
+    lower: str,
+    upper: str,
+) -> DataFrame:
+    """Interval-containment join: equi-key match AND lower <= point <= upper.
+
+    The equi component keeps the physical plan a hash/sort-merge join; the
+    band predicates evaluate as join filters. Columns from both sides are
+    kept (right's equi key dropped as redundant).
+    """
+    lk, rk = equi
+    joined = left.join(
+        right,
+        (left[lk] == right[rk])
+        & (left[point] >= right[lower])
+        & (left[point] <= right[upper]),
+    )
+    return joined.drop(right[rk])

@@ -579,6 +579,118 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def join_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the user's latest order on/before it.
+
+    Backward as-of via the union + per-key window formulation
+    (``operators.joins.asof_join``): one shuffle on the key, no
+    inequality-join explosion. Right side pre-aggregated to one row per
+    (custkey, day) so the match is deterministic; DuckDB's native ASOF JOIN
+    is the oracle.
+    """
+    from ..operators.joins import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    obs = events.select(
+        "event_id", "user_id", F.to_date("ts").alias("obs_date")
+    )
+    daily = (
+        orders.withColumn("obs_date", F.to_date("o_orderdate"))
+        .groupBy("o_custkey", "obs_date")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_spend"))
+        .withColumn("order_date", F.col("obs_date"))
+    )
+    out = asof_join(
+        obs,
+        daily,
+        on="obs_date",
+        by=("user_id", "o_custkey"),
+        value_cols=["order_date", "day_spend"],
+    )
+    return out.orderBy("event_id")
+
+
+@query
+def join_range_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: lineitems shipped within 90 days of their order's date.
+
+    Equi-key (orderkey) + band predicate — planned as a sort-merge/hash
+    join with the interval as a join filter (``operators.joins.range_join``).
+    """
+    from ..operators.joins import range_join
+
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship_date")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("window_lo"),
+        F.date_add(F.to_date("o_orderdate"), 90).alias("window_hi"),
+    )
+    joined = range_join(
+        lineitem, orders, equi=("l_orderkey", "o_orderkey"),
+        point="ship_date", lower="window_lo", upper="window_hi",
+    )
+    return (
+        joined.groupBy(F.year("window_lo").alias("order_year"))
+        .agg(F.count(F.lit(1)).alias("shipped_in_90d"))
+        .orderBy("order_year")
+    )
+
+
+@query
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS over lineitem via the SQL entry path (S9)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_items,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+@query
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++): the 100 TB path for distinct counts.
+
+    Rows-only check: HLL sketches differ across engines, so exact-value
+    parity is meaningless; the pytest suite bounds relative error against
+    the exact count instead.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query
+def q6_median_acctbal_per_band_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 scale variant: percentile_approx instead of exact percentile.
+
+    Exact PERCENTILE is a TypedImperativeAggregate holding per-group
+    buffers; approx (GK sketch, bounded memory) is the 100 TB posture.
+    Rows-only: sketch tie-breaking differs across engines.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.withColumn("balance_band", _balance_band(F.col("c_acctbal")))
+        .groupBy("balance_band")
+        .agg(
+            F.round(F.percentile_approx("c_acctbal", 0.5), 4).alias("median_acctbal")
+        )
+        .orderBy("balance_band")
+    )
+
+
+@query
 def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3: global top-k -> TakeOrderedAndProject, no full sort materialized."""
     orders = load_table(spark, sf_dir, "orders")

@@ -373,6 +373,50 @@ oracle("events_tumbling_window")(
     """
 )
 
+oracle("join_asof_latest_order")(
+    # DuckDB's native ASOF JOIN: greatest order_date <= event date per user.
+    # Right side pre-aggregated to one row per (custkey, day) to make the
+    # match deterministic — the same contract asof_join documents.
+    """
+    WITH daily AS (
+        SELECT o_custkey, o_orderdate::date AS obs_date,
+               o_orderdate::date AS order_date,
+               round(sum(o_totalprice), 2) AS day_spend
+        FROM orders GROUP BY o_custkey, o_orderdate::date
+    ), ev AS (
+        SELECT event_id, user_id, ts::date AS obs_date FROM events
+    )
+    SELECT ev.event_id, ev.user_id, ev.obs_date,
+           d.order_date AS order_date_asof, d.day_spend AS day_spend_asof
+    FROM ev ASOF LEFT JOIN daily d
+      ON ev.user_id = d.o_custkey AND ev.obs_date >= d.obs_date
+    ORDER BY event_id
+    """
+)
+
+oracle("join_range_ship_window")(
+    """
+    SELECT year(o.o_orderdate)::int AS order_year,
+           count(*) AS shipped_in_90d
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate::date >= o.o_orderdate::date
+     AND l.l_shipdate::date <= o.o_orderdate::date + INTERVAL 90 DAY
+    GROUP BY 1 ORDER BY order_year
+    """
+)
+
+oracle("agg_grouping_sets")(
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """
+)
+
 oracle("events_sliding_window")(
     # A 6h window sliding by 3h means each event contributes to exactly two
     # windows: the one starting at its 3h bucket and the one 3h earlier.
