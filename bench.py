@@ -45,11 +45,16 @@ HEADLINE = [
     "json_extract_event_props",
     "events_tumbling_window",
     "top_k_orders",
+    "join_asof_latest_order",
+    "join_range_ship_window",
+    "agg_grouping_sets",
     "dedup_exact_documents",
     "dedup_minhash_near_duplicates",
+    "dedup_simhash_near_duplicates",
     "text_token_stats",
     "text_quality_scores",
     "ann_topk_quantized",
+    "ann_ivf_topk",
 ]
 
 

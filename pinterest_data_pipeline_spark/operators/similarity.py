@@ -197,6 +197,110 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    sample_size: int = 512,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> list[list[float]]:
+    """Train IVF coarse centroids on a deterministic corpus sample.
+
+    Standard IVF practice: centroids are fit on a small sample (k-means on
+    the driver — the sample is tiny by construction), while the expensive
+    parts — cell assignment and probing — run distributed. The sample is
+    the ``sample_size`` rows with smallest ``xxhash64(id, seed)``: stable
+    across runs and partitionings, no RNG on the executors.
+    """
+    sample = (
+        corpus.select(F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(sample_size)
+        .collect()
+    )
+    import numpy as np
+
+    x = np.array([list(map(float, r[0])) for r in sample])
+    rng = np.random.RandomState(seed)
+    centroids = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = x[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return [[round(float(v), 6) for v in c] for c in centroids]
+
+
+def nearest_cells(vec: Column, centroids: list[list[float]], n: int = 1) -> Column:
+    """Array of the ``n`` nearest centroid indices by dot product (vectors
+    near-normalized -> dot order ~ cosine order). Pure built-in expressions:
+    centroids inline as literals, scored per row, ranked via array sort."""
+    scored = F.array(
+        *[
+            F.struct(
+                dot(vec, F.array(*[F.lit(w) for w in c])).alias("score"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    ranked = F.reverse(F.array_sort(scored))
+    return F.transform(F.slice(ranked, 1, n), lambda s: s["cell"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN top-k: assign corpus to coarse cells once, probe the query's
+    ``n_probe`` nearest cells, exact cosine re-rank on the candidates.
+
+    The cell assignment is a narrow projection (broadcastable literal
+    centroids); the probe is an equi-join on cell id — at 100 TB the
+    assigned+partitioned corpus is written once (``partitionBy(cell)``) and
+    every query batch scans only its probed cells (partition pruning).
+    """
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        nearest_cells(as_double(F.col(vec_col)), centroids, 1)[0].alias("cell"),
+    )
+    qcells = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("query_vec"),
+        F.explode(nearest_cells(as_double(F.col(vec_col)), centroids, n_probe)).alias(
+            "cell"
+        ),
+    )
+    cands = assigned.join(F.broadcast(qcells), "cell").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = (
+        cands.withColumn(
+            "cosine_sim",
+            F.round(cosine(as_double(F.col(vec_col)), as_double(F.col("query_vec"))), 6),
+        )
+        .select(query_id_col, id_col, "cosine_sim")
+        .distinct()
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, id_col, "cosine_sim", F.col("rk").alias("rank"))
+    )
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     threshold: float = 0.95,

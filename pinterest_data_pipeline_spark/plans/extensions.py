@@ -12,8 +12,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, similarity, text
-from ..session import load_table
+from ..session import fan_out, load_table
 from .analytics import query
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with scan parallelism restored (single-split parquet)."""
+    return fan_out(load_table(spark, sf_dir, "documents"))
 
 
 # --- text analysis ----------------------------------------------------------
@@ -22,7 +27,7 @@ from .analytics import query
 @query
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token/char counts per document (whitespace tokenization)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     return docs.select(
         "doc_id",
         text.token_count(F.col("text")).alias("n_tokens"),
@@ -33,7 +38,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic marker-word language ID per document."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     return docs.select(
         "doc_id", text.lang_id(F.col("text")).alias("predicted_lang")
     ).orderBy("doc_id")
@@ -42,7 +47,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality heuristic per document."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     return docs.select(
         "doc_id",
         text.quality_score(F.col("text")).alias("quality"),
@@ -53,7 +58,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint (cross-engine stable hash)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     return docs.select(
         "doc_id", text.rolling_fingerprint(F.col("text")).alias("fingerprint")
     ).orderBy("doc_id")
@@ -62,7 +67,7 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query
 def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish sub-word token budget estimate (rows-only; regex lambda)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     return docs.select(
         "doc_id", text.bpe_ish_token_count(F.col("text")).alias("bpe_tokens")
     ).orderBy("doc_id")
@@ -74,14 +79,14 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup summary: one row per distinct text."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     return dedup.exact_dedup_summary(docs, "text", "doc_id").orderBy("keep_id")
 
 
 @query
 def dedup_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard between consecutive doc ids (the verifier op)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     sets_ = dedup.shingle_sets(docs, "text", "doc_id")
     a = sets_.select(
         F.col("doc_id").alias("id_a"), F.col("shingle_set").alias("shingle_set_a")
@@ -99,7 +104,7 @@ def dedup_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query
 def dedup_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, Jaccard-verified (rows-only check)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     return dedup.minhash_near_duplicates(
         docs, "text", "doc_id", threshold=0.3
     ).orderBy("id_a", "id_b")
@@ -108,7 +113,7 @@ def dedup_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame
 @query
 def dedup_simhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within Hamming distance 10 (rows-only check)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     return dedup.simhash_near_duplicates(
         docs, "text", "doc_id", max_distance=10
     ).orderBy("id_a", "id_b")
@@ -151,6 +156,17 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10: sample-trained coarse cells + probe + exact re-rank
+    (rows-only; recall vs brute force asserted in pytest)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = similarity.train_ivf_centroids(emb, n_cells=16)
+    return similarity.ivf_topk(
+        emb, _query_vectors(spark, sf_dir), centroids, k=10, n_probe=4
+    ).orderBy("query_id", "rank")
+
+
+@query
 def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH + exact verify (rows-only).
 
@@ -171,7 +187,7 @@ def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode plumbing over synthesized binary
     payloads (deterministic fake decoder — codecs absent here; rows-only)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     media = docs.select(
         F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "utf-8").alias("content")
     )
@@ -181,7 +197,7 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio twin of the image-feature plumbing (same mapInPandas shape)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     media = docs.select(
         F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "utf-8").alias("content")
     )

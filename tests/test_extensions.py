@@ -123,6 +123,20 @@ def test_lsh_topk_recall_vs_brute_force(vectors):
     assert (0, 1) in a
 
 
+def test_ivf_topk_recall_vs_brute_force(vectors):
+    q = vectors.filter(F.col("vec_id") < 3)
+    centroids = similarity.train_ivf_centroids(
+        vectors, n_cells=4, sample_size=60, iters=3
+    )
+    assert len(centroids) == 4 and len(centroids[0]) == 16
+    brute = similarity.cosine_topk(vectors, q, k=5)
+    ann = similarity.ivf_topk(vectors, q, centroids, k=5, n_probe=2)
+    b = {(r.query_id, r.vec_id) for r in brute.collect()}
+    a = {(r.query_id, r.vec_id) for r in ann.collect()}
+    assert len(a & b) / len(b) >= 0.5  # probing 2/4 cells on random 16d
+    assert (0, 1) in a  # planted twin shares the query's own cell
+
+
 def test_embedding_near_duplicates_finds_twin(vectors):
     out = similarity.embedding_near_duplicates(
         vectors, threshold=0.99, dim=16, n_planes=6
