@@ -656,6 +656,23 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def agg_salted_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a genuinely hot grouping key
+    (l_returnflag: 3 values across all of lineitem). Result-identical to the
+    plain GROUP BY — which is exactly what the oracle asserts."""
+    from ..operators.skew import salted_aggregate
+
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    out = salted_aggregate(
+        lineitem,
+        ["l_returnflag"],
+        {"n_items": ("*", "count"), "max_qty": ("l_quantity", "max")},
+        n_salts=16,
+    )
+    return out.withColumn("max_qty", F.round("max_qty", 2)).orderBy("l_returnflag")
+
+
+@query
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++): the 100 TB path for distinct counts.
 

@@ -406,6 +406,16 @@ oracle("join_range_ship_window")(
     """
 )
 
+oracle("agg_salted_returnflag")(
+    # The salted two-phase rewrite must be indistinguishable from the plain
+    # aggregate — the oracle IS the plain aggregate.
+    """
+    SELECT l_returnflag, count(*) AS n_items,
+           round(max(l_quantity), 2) AS max_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+)
+
 oracle("agg_grouping_sets")(
     """
     SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,74 @@
+"""Property-based tests (hypothesis) for the cleaning/text operators.
+
+Each property runs a batch of generated cases through ONE DataFrame action
+(lists -> single createDataFrame -> collect) so Spark job latency is paid
+once per example set, not per case.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.operators import cleaning, dedup
+
+SETTINGS = dict(max_examples=15, deadline=None)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=3_000_000), min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_parse_human_count_k_suffix(spark, ns):
+    df = spark.createDataFrame([(f"{n}k",) for n in ns], ["v"])
+    out = [r.p for r in df.select(cleaning.parse_human_count(F.col("v")).alias("p")).collect()]
+    for n, got in zip(ns, out):
+        expect = n * 1000 if n * 1000 <= 2**31 - 1 else None
+        assert got == expect
+
+
+@given(st.lists(st.integers(min_value=-5, max_value=120), min_size=1, max_size=50))
+@settings(**SETTINGS)
+def test_age_group_totality(spark, ages):
+    df = spark.createDataFrame([(a,) for a in ages], ["age"])
+    out = [r.g for r in df.select(cleaning.age_group(F.col("age")).alias("g")).collect()]
+    for a, g in zip(ages, out):
+        if a < 18:
+            assert g is None
+        else:
+            assert g in ("18-24", "25-35", "36-50", "50+")
+            lo = {"18-24": 18, "25-35": 25, "36-50": 36, "50+": 51}[g]
+            hi = {"18-24": 24, "25-35": 35, "36-50": 50, "50+": 10**9}[g]
+            assert lo <= a <= hi
+
+
+@given(
+    st.lists(
+        st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=20),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_normalize_nulls_idempotent(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], ["c"])
+    once = cleaning.normalize_nulls(df)
+    twice = cleaning.normalize_nulls(once)
+    assert [r.c for r in once.collect()] == [r.c for r in twice.collect()]
+    # empty strings and sentinels are gone after one pass
+    for r in once.collect():
+        assert r.c != "" and r.c not in cleaning.SENTINELS
+
+
+@given(
+    st.lists(st.sampled_from(["a", "b", "c", "dd", "ee"]), min_size=0, max_size=8),
+    st.lists(st.sampled_from(["a", "b", "c", "dd", "ee"]), min_size=0, max_size=8),
+)
+@settings(**SETTINGS)
+def test_jaccard_bounds_and_symmetry(spark, xs, ys):
+    df = spark.createDataFrame([(xs, ys)], "x array<string>, y array<string>")
+    r = df.select(
+        dedup.jaccard(F.col("x"), F.col("y")).alias("xy"),
+        dedup.jaccard(F.col("y"), F.col("x")).alias("yx"),
+    ).first()
+    assert 0.0 <= r.xy <= 1.0 and abs(r.xy - r.yx) < 1e-12
+    if set(xs) == set(ys) and xs:
+        assert r.xy == 1.0

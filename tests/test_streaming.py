@@ -109,6 +109,58 @@ def test_streaming_window_matches_batch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_late_event_beyond_watermark_is_dropped(spark, tmp_path):
+    """Append-mode windowed agg: a window emits once the watermark passes
+    its end; an event for that window arriving later is dropped.
+
+    Two availableNow runs against one checkpoint make watermark progress
+    deterministic: run 1 ingests on-time data (watermark advances to
+    max_ts - delay, closing the first hour's window); run 2 ingests an
+    event 3 hours late, which must not re-open the emitted window.
+    """
+    import datetime
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "ts timestamp, event_type string"
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        q = (
+            streaming.windowed_event_counts(
+                spark.readStream.schema(schema).parquet(src),
+                "1 hour",
+                watermark="30 minutes",
+            )
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    on_time = [
+        (t0 + datetime.timedelta(minutes=5), "click"),
+        (t0 + datetime.timedelta(minutes=10), "click"),
+        (t0 + datetime.timedelta(hours=3), "view"),  # pushes watermark to 02:30
+    ]
+    run_batch(on_time)
+    late = [(t0 + datetime.timedelta(minutes=20), "click")]  # 00:00 window, closed
+    run_batch(late)
+
+    got = {
+        (r.window_start, r.event_type): r.event_count
+        for r in spark.read.parquet(out).collect()
+    }
+    # the 00:00 window was emitted with the on-time count; the late event
+    # neither re-emits nor increments it
+    assert got.get(("2024-01-01 00:00:00", "click")) == 2
+
+
 def test_checkpoint_makes_restart_idempotent(spark, tmp_path):
     """Re-running the drained stream must append nothing (checkpoint replay)."""
     landing, out = str(tmp_path / "landing"), str(tmp_path / "out")
