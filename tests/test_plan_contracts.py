@@ -1,0 +1,90 @@
+"""Physical-plan contracts: the scale-critical plan shapes must not regress.
+
+Correctness tests prove the right rows come back; these prove the right PLAN
+produces them — the difference between "works at sf0.1" and "works at
+100 TB". Each assertion encodes a property argued in SURVEY.md §4:
+pushdown/pruning reach the parquet scans, small dims broadcast, rank-filters
+use the WindowGroupLimit short-circuit, and nothing ever degenerates to a
+cartesian product.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pinterest_data_pipeline_spark.plans import analytics, extensions  # noqa: F401
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = analytics.QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q1_top_brand_per_nation",
+        "q3_top_supplier_per_nation",
+        "q5_top_segment_per_balance_band",
+        "join_asof_latest_order",
+        "join_range_ship_window",
+        "dedup_exact_documents",
+        "events_session_window",
+    ],
+)
+def test_no_cartesian_or_python_udf_in_core_plans(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # core relational path stays JVM-side (no Python row UDFs)
+    assert "BatchEvalPython" not in plan
+
+
+def test_q1_broadcasts_dimension_and_prunes_columns(spark):
+    plan = plan_of(spark, "q1_top_brand_per_nation")
+    assert "BroadcastHashJoin" in plan
+    # column pruning: the lineitem scan must read only the two join keys
+    assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>" in plan
+
+
+def test_rank_filter_uses_window_group_limit(spark):
+    # W5 top-1-per-group: Spark's WindowGroupLimit short-circuit must kick
+    # in (rank computed streaming per partition, rows beyond rank 1 dropped
+    # before the filter).
+    assert "WindowGroupLimit" in plan_of(spark, "q1_top_brand_per_nation")
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "q2_orders_per_brand_year")
+    assert "PushedFilters: [IsNotNull" in plan
+
+
+def test_top_k_compiles_to_take_ordered(spark):
+    assert "TakeOrderedAndProject" in plan_of(spark, "top_k_orders")
+
+
+def test_asof_join_is_single_shuffle_window(spark):
+    plan = plan_of(spark, "join_asof_latest_order")
+    # union + window formulation: no join explosion — no SortMergeJoin or
+    # ShuffledHashJoin between events and orders (the only joins allowed
+    # are none; Union + Window + Exchange is the whole shape)
+    assert "Union" in plan and "Window" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    # A1 count: map-side partial agg (HashAggregate appears above and below
+    # the Exchange — Catalyst splits automatically; guard against plans
+    # that ship raw rows to the reducer)
+    plan = plan_of(spark, "q7_orders_per_year")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_exchange_reuse_in_self_joined_plans(spark):
+    # The minhash near-dup pipeline persists its candidate set; the banded
+    # self-join must reuse one exchange of the banded frame, not recompute
+    # the signature lineage per side.
+    plan = plan_of(spark, "dedup_minhash_near_duplicates")
+    assert "ReusedExchange" in plan or "InMemoryTableScan" in plan
