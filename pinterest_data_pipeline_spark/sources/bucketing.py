@@ -1,0 +1,48 @@
+"""Bucketed-table helpers: pre-shuffled storage for co-located joins.
+
+At 100 TB the dominant cost of a fact-fact equi-join is shuffling both
+sides. Bucketing spends that shuffle ONCE at write time: both tables hashed
+into the same number of buckets on the join key mean every subsequent join
+(and groupBy on the key) reads co-located buckets and skips the exchange
+entirely — the plan is Scan -> Sort -> SortMergeJoin with no
+ShuffleExchange. ``sortBy`` on the bucket key additionally lets the merge
+skip its sort at read when bucket files are single-split.
+
+The reference has no bucketing (nothing at its scale needed it, SURVEY.md
+§4.1); this is the documented 100 TB posture for the `ind`-keyed entity
+joins and any repeated fact-fact join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 64,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a bucketed (and bucket-sorted) managed table."""
+    writer = df.write.bucketBy(buckets, key).mode("overwrite")
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)
+
+
+def cobucket_for_join(
+    spark: SparkSession,
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    names: tuple[str, str],
+    buckets: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Write both sides bucketed on their join keys with the same bucket
+    count and return the (re-read) co-located tables."""
+    write_bucketed(left, names[0], left_key, buckets)
+    write_bucketed(right, names[1], right_key, buckets)
+    return spark.table(names[0]), spark.table(names[1])
