@@ -1,0 +1,96 @@
+"""Custom stateful streaming operators via Arrow-batched per-key state.
+
+For semantics the built-in stateful operators (windowed agg, session
+window, dropDuplicatesWithinWatermark) cannot express, Structured
+Streaming's escape hatch is ``applyInPandasWithState``: per-key state the
+operator updates from whole Arrow batches, with timeout-driven eviction.
+This module uses it for a running per-user engagement accumulator — totals
+that persist across micro-batches (and restarts, via the checkpoint) and
+evict after idleness, a shape no built-in window covers because the
+lifetime is data-dependent, not time-bucketed.
+
+State discipline for 100 TB streams: state is keyed (hash-partitioned by
+user), value is O(1) per key (two numbers), and every key carries a
+timeout so the store cannot grow without bound — the same bounded-state
+rule the watermarked dedup enforces (SURVEY.md §2.9 T2).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+if TYPE_CHECKING:  # pragma: no cover
+    pass
+
+RUNNING_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("evicted", T.BooleanType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def running_user_totals(
+    events: DataFrame,
+    idle_timeout_ms: int | None = None,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user running (count, sum) maintained across micro-batches.
+
+    Emits the updated totals for every user seen in a batch (update mode).
+    With ``idle_timeout_ms`` set, a user idle past the limit is emitted one
+    final time with ``evicted=True`` and the state removed — the bounded-
+    state production posture. Caveat: a processing-time timeout keeps the
+    micro-batch loop ticking to fire evictions, so drain-and-stop triggers
+    (``availableNow`` / ``processAllAvailable``) never see the query go
+    quiescent — use it with a real processing-time trigger; tests and
+    finite backfills run with ``None`` (no timeout).
+    """
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        if state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [uid], "n_events": [n], "total_value": [total], "evicted": [True]}
+            )
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, round(total, 6)))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {"user_id": [uid], "n_events": [n], "total_value": [round(total, 6)], "evicted": [False]}
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy(key_col).applyInPandasWithState(
+        update, RUNNING_TOTALS_SCHEMA, _STATE_SCHEMA, "update", timeout
+    )
