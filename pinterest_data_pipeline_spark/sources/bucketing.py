@@ -25,7 +25,21 @@ def write_bucketed(
     buckets: int = 64,
     sort: bool = True,
 ) -> None:
-    """Persist ``df`` as a bucketed (and bucket-sorted) managed table."""
+    """Persist ``df`` as a bucketed (and bucket-sorted) managed table.
+
+    Drops any previous table AND its leftover warehouse directory first: the
+    in-memory catalog forgets tables between sessions while their managed
+    locations survive on disk, and saveAsTable refuses to reuse an orphaned
+    location.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{table.lower()}", ignore_errors=True)
+
     writer = df.write.bucketBy(buckets, key).mode("overwrite")
     if sort:
         writer = writer.sortBy(key)
