@@ -15,6 +15,9 @@ joins and any repeated fact-fact join.
 
 from __future__ import annotations
 
+import math
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -44,6 +47,29 @@ def write_bucketed(
     if sort:
         writer = writer.sortBy(key)
     writer.saveAsTable(table)
+
+
+def compact_json_landing(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    schema,
+    target_mb: int = 128,
+) -> int:
+    """Compact a many-small-files JSON landing zone into sized parquet.
+
+    The reference's Kafka→S3 sink writes ONE file per record
+    (``flush.size=1``, ``implementation_details.md:71``) — at 100 TB that is
+    billions of S3 objects and a scan dominated by open/close overhead.
+    Compaction rewrites the zone as parquet with one file per
+    ``target_mb`` of input, sized so a scan task gets one well-filled
+    split. Returns the number of output files.
+    """
+    df = spark.read.schema(schema).json(src_dir)
+    n_bytes = sum(f.stat().st_size for f in Path(src_dir).rglob("*") if f.is_file())
+    n_files = max(1, math.ceil(n_bytes / (target_mb * 1024 * 1024)))
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_dir)
+    return n_files
 
 
 def cobucket_for_join(

@@ -5,9 +5,32 @@ from __future__ import annotations
 import pytest
 
 from pinterest_data_pipeline_spark.session import load_table
-from pinterest_data_pipeline_spark.sources.bucketing import cobucket_for_join
+from pinterest_data_pipeline_spark.sources.bucketing import (
+    cobucket_for_join,
+    compact_json_landing,
+)
 
 SF = "/root/testdata/sf0.001"
+
+
+def test_compact_json_landing_round_trips_and_sizes(spark, tmp_path):
+    """One-record-per-file landing zone -> few sized parquet files."""
+    import json
+
+    from pinterest_data_pipeline_spark.schemas import PIN_RAW_SCHEMA
+    from pinterest_data_pipeline_spark.sources.generator import make_raw_entities
+
+    pins, _, _ = make_raw_entities(n=200, seed=2)
+    src = tmp_path / "landing"
+    src.mkdir()
+    for i, row in enumerate(pins):  # flush.size=1 pathology reproduced
+        (src / f"rec-{i}.json").write_text(json.dumps(row))
+    dst = str(tmp_path / "compact")
+    n_files = compact_json_landing(spark, str(src), dst, PIN_RAW_SCHEMA, target_mb=128)
+    assert n_files == 1  # tiny input -> one full file, not 210 shards
+    back = spark.read.parquet(dst)
+    assert back.count() == len(pins)
+    assert {r["index"] for r in back.select("index").collect()} == {p["index"] for p in pins}
 
 
 @pytest.fixture()

@@ -161,6 +161,32 @@ def test_late_event_beyond_watermark_is_dropped(spark, tmp_path):
     assert got.get(("2024-01-01 00:00:00", "click")) == 2
 
 
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """Session-window agg over a stream == the same agg over the batch DF."""
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    if dict(events.dtypes).get("ts") == "bigint":
+        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = events.select("ts", "user_id", "value")
+    src_dir = str(tmp_path / "ev_src")
+    events.write.parquet(src_dir)
+
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    q = (
+        streaming.session_event_counts(stream, gap="30 minutes")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("sess_test").collect()))
+    want = sorted(
+        map(tuple, streaming.session_event_counts(events, gap="30 minutes").collect())
+    )
+    assert got == want and len(got) > 0
+
+
 def test_stateful_running_totals_accumulate_across_batches(spark, tmp_path):
     """applyInPandasWithState: per-key state survives micro-batch (and
     checkpoint-restart) boundaries and keeps accumulating."""
