@@ -95,12 +95,25 @@ def punct_ratio(c: Column) -> Column:
     return F.when(F.length(c) > 0, n_punct / F.length(c)).otherwise(F.lit(0.0))
 
 
+def _word_count_pattern(words: list[str]) -> str:
+    """Regex counting tokens equal to any of ``words`` in space-separated
+    text: zero-width boundaries keep adjacent matches countable, and the
+    alternation + lookahead backtracks correctly for prefix pairs (a/an).
+    Exactly equivalent to filtering ``split(text, ' ')`` for membership as
+    long as the text's only whitespace is the space character."""
+    return r"(?:^|(?<= ))(?:" + "|".join(words) + r")(?= |$)"
+
+
 def stopword_ratio(c: Column, stopwords: list[str] | None = None) -> Column:
-    """Fraction of tokens that are (English) stopwords."""
-    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS)])
-    toks = tokens(F.lower(c))
-    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return F.when(F.size(toks) > 0, n_sw / F.size(toks)).otherwise(F.lit(0.0))
+    """Fraction of tokens that are (English) stopwords.
+
+    Counted with one JVM ``regexp_count`` pass rather than a per-token
+    higher-order filter: HOF lambdas run interpreted (outside codegen), a
+    10×-ish tax on the hottest text operator at corpus scale.
+    """
+    n_sw = F.regexp_count(F.lower(c), F.lit(_word_count_pattern(stopwords or STOPWORDS)))
+    n_toks = token_count(c)
+    return F.when(n_toks > 0, n_sw / n_toks).otherwise(F.lit(0.0))
 
 
 def quality_score(c: Column) -> Column:
@@ -124,13 +137,12 @@ def quality_score(c: Column) -> Column:
 
 
 def lang_scores(c: Column) -> dict[str, Column]:
-    """Marker-hit count per candidate language."""
-    toks = tokens(F.lower(c))
-    out = {}
-    for lang, markers in LANG_MARKERS.items():
-        marker_arr = F.array(*[F.lit(m) for m in markers])
-        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
-    return out
+    """Marker-hit count per candidate language (one regexp pass each)."""
+    lowered = F.lower(c)
+    return {
+        lang: F.regexp_count(lowered, F.lit(_word_count_pattern(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
 
 
 def lang_id(c: Column) -> Column:
