@@ -61,18 +61,26 @@ EVENT_TIME = {"pin": None, "geo": "timestamp", "user": "date_joined"}
 DEFAULT_WATERMARK = "10 minutes"
 
 
-def parse_envelope_stream(raw: DataFrame, entity: str) -> DataFrame:
+def parse_envelope_stream(raw: DataFrame, entity: str, drop_corrupt: bool = True) -> DataFrame:
     """S5-S7: value -> envelope struct -> entity struct -> flat columns.
 
     ``raw`` must have a string ``value`` column (text file source or
     Kafka's ``CAST(value AS STRING)``). Two ``from_json`` hops mirror the
     wire format: the transport envelope, then the entity payload.
+
+    ``from_json`` yields a NULL struct for unparseable input and an
+    all-null struct for parseable-but-wrong-shape input, so a poison record
+    can never kill the query; with ``drop_corrupt`` both cases are filtered
+    via the join key (``index``) — a record without its key is
+    undeliverable regardless. A production deployment would tee the
+    filtered rows to a dead-letter sink instead (same predicate, inverted).
     """
-    return (
-        raw.select(F.from_json(F.col("value"), STREAM_ENVELOPE_SCHEMA).alias("envelope"))
-        .select(F.from_json(F.col("envelope.Data"), RAW_SCHEMAS[entity]).alias("parsed_data"))
-        .select("parsed_data.*")
-    )
+    parsed = raw.select(
+        F.from_json(F.col("value"), STREAM_ENVELOPE_SCHEMA).alias("envelope")
+    ).select(F.from_json(F.col("envelope.Data"), RAW_SCHEMAS[entity]).alias("parsed_data"))
+    if drop_corrupt:
+        parsed = parsed.filter(F.col("parsed_data.index").isNotNull())
+    return parsed.select("parsed_data.*")
 
 
 def read_entity_stream(

@@ -81,6 +81,28 @@ def test_envelope_parse_roundtrip(spark, tmp_path):
     assert {k: v for k, v in want.items()} == got
 
 
+def test_corrupt_records_dropped_not_fatal(spark, tmp_path):
+    """Malformed wire lines (bad JSON, bad envelope, bad payload) are
+    filtered by the parse stage; the valid records still flow through the
+    whole pipeline."""
+    pins, _, _ = make_raw_entities(n=10, seed=9)
+    landing = str(tmp_path / "landing")
+    write_envelope_files({"pin": pins}, landing, files_per_entity=1)
+    with open(f"{landing}/pin/part-junk.json", "w") as f:
+        f.write(
+            "this is not json\n"
+            '{"StreamName": "x"}\n'  # envelope without Data
+            '{"StreamName": "x", "Data": "not a pin object", "PartitionKey": "0"}\n'
+        )
+    out = str(tmp_path / "out")
+    (q,) = streaming.run_streaming_pipeline(
+        spark, landing, out, entities=("pin",), available_now=True
+    )
+    q.awaitTermination(120)
+    n_distinct = len({tuple(sorted(r.items())) for r in pins})
+    assert spark.read.parquet(f"{out}/pin").count() == n_distinct
+
+
 def test_streaming_window_matches_batch(spark, tmp_path):
     """Tumbling windowed agg over a stream == the same agg over the batch DF.
 
