@@ -58,6 +58,9 @@ HEADLINE = [
 ]
 
 
+REPEAT = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
+
+
 def run_once(spark, name: str) -> float:
     fn = analytics.QUERIES[name]
     t0 = time.perf_counter()
@@ -72,7 +75,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(run_once(spark, name), 4)
+        # min over REPEAT runs: the steady-state cost, robust to background
+        # load and one-off JIT/shuffle-file effects
+        timings[name] = round(min(run_once(spark, name) for _ in range(REPEAT)), 4)
 
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
     print(
