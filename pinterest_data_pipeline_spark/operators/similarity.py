@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -235,6 +236,30 @@ def train_ivf_centroids(
     return [[round(float(v), 6) for v in c] for c in centroids]
 
 
+def nearest_cells_pandas(centroids: list[list[float]], n: int = 1):
+    """Arrow-batched nearest-cell kernel: one numpy matmul per batch.
+
+    The expression form (:func:`nearest_cells`) evaluates
+    ``cells × dim`` multiply-adds per row through interpreted higher-order
+    lambdas; for dense numeric scoring the Pandas UDF path is the fast one —
+    the whole Arrow batch hits BLAS as ``X @ C.T``. Returns a pandas UDF
+    mapping an ``array<float/double>`` column to the top-``n`` cell indices.
+    """
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    c = np.asarray(centroids, dtype=np.float64).T  # dim × cells
+
+    @pandas_udf("array<int>")
+    def kernel(vecs: pd.Series) -> pd.Series:
+        x = np.vstack(vecs.to_numpy())  # rows × dim
+        scores = x @ c  # rows × cells
+        top = np.argsort(-scores, axis=1, kind="stable")[:, :n]
+        return pd.Series(list(top.astype("int32")))
+
+    return kernel
+
+
 def nearest_cells(vec: Column, centroids: list[list[float]], n: int = 1) -> Column:
     """Array of the ``n`` nearest centroid indices by dot product (vectors
     near-normalized -> dot order ~ cosine order). Pure built-in expressions:
@@ -265,22 +290,24 @@ def ivf_topk(
     """IVF ANN top-k: assign corpus to coarse cells once, probe the query's
     ``n_probe`` nearest cells, exact cosine re-rank on the candidates.
 
-    The cell assignment is a narrow projection (broadcastable literal
-    centroids); the probe is an equi-join on cell id — at 100 TB the
-    assigned+partitioned corpus is written once (``partitionBy(cell)``) and
-    every query batch scans only its probed cells (partition pruning).
+    Cell assignment is a narrow projection through the Arrow/numpy kernel
+    (``nearest_cells_pandas`` — dense scoring is the one place the Pandas
+    UDF path beats built-ins); the probe is an equi-join on cell id. At
+    100 TB the assigned corpus is written once partitioned by cell
+    (``partitionBy("cell")``) and every query batch scans only its probed
+    cells (partition pruning).
     """
+    assign1 = nearest_cells_pandas(centroids, 1)
+    assignp = nearest_cells_pandas(centroids, n_probe)
     assigned = corpus.select(
         F.col(id_col),
         F.col(vec_col),
-        nearest_cells(as_double(F.col(vec_col)), centroids, 1)[0].alias("cell"),
+        assign1(F.col(vec_col))[0].alias("cell"),
     )
     qcells = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("query_vec"),
-        F.explode(nearest_cells(as_double(F.col(vec_col)), centroids, n_probe)).alias(
-            "cell"
-        ),
+        F.explode(assignp(F.col(vec_col))).alias("cell"),
     )
     cands = assigned.join(F.broadcast(qcells), "cell").filter(
         F.col(id_col) != F.col(query_id_col)
