@@ -708,6 +708,47 @@ def q6_median_acctbal_per_band_approx(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query
+def reshape_unpivot_part_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt: wide per-part numeric columns to (part, metric, value)
+    rows — the inverse of pivot, the standard feature-long-format reshape."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").cast("double").alias("retailprice"),
+        )
+        .unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+        .withColumn("value", F.round("value", 2))
+        .orderBy("p_partkey", "metric")
+    )
+
+
+@query
+def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + access + explosion: create_map -> element_at ->
+    map_keys -> explode back to rows (rows keep the oracle cross-engine
+    comparable — map literals hash differently across engines)."""
+    nation = load_table(spark, sf_dir, "nation")
+    mapped = nation.select(
+        "n_nationkey",
+        F.create_map(
+            F.lit("name"), F.col("n_name"),
+            F.lit("region"), F.col("n_regionkey").cast("string"),
+        ).alias("m"),
+    )
+    return (
+        mapped.select(
+            "n_nationkey",
+            F.element_at("m", "name").alias("name_direct"),
+            F.explode(F.map_entries("m")).alias("e"),
+        )
+        .select("n_nationkey", "name_direct", F.col("e.key").alias("k"), F.col("e.value").alias("v"))
+        .orderBy("n_nationkey", "k")
+    )
+
+
+@query
 def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3: global top-k -> TakeOrderedAndProject, no full sort materialized."""
     orders = load_table(spark, sf_dir, "orders")

@@ -471,6 +471,33 @@ oracle("events_session_window")(
     """
 )
 
+oracle("reshape_unpivot_part_sizes")(
+    """
+    SELECT p_partkey, metric, round(value, 2) AS value
+    FROM (
+        SELECT p_partkey, p_size::double AS size,
+               p_retailprice::double AS retailprice
+        FROM part
+    ) UNPIVOT (value FOR metric IN (size, retailprice))
+    ORDER BY p_partkey, metric
+    """
+)
+
+oracle("scalar_map_functions")(
+    # The map round-trips to (key, value) rows so both engines compare on
+    # plain columns; name_direct checks point access (element_at).
+    """
+    WITH m AS (
+        SELECT n_nationkey, n_name AS name_direct, 'name' AS k, n_name AS v
+        FROM nation
+        UNION ALL
+        SELECT n_nationkey, n_name, 'region', n_regionkey::varchar FROM nation
+    )
+    SELECT n_nationkey, name_direct, k, v
+    FROM m ORDER BY n_nationkey, k
+    """
+)
+
 oracle("top_k_orders")(
     """
     SELECT o_orderkey, o_totalprice

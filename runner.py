@@ -95,6 +95,26 @@ def run_batch(spark, landing_dir: str, out_dir: str, approx: bool = False) -> di
     return counts
 
 
+def run_stream(spark, landing_dir: str, out_dir: str, rows: int) -> dict[str, int]:
+    """Streaming catchup: land envelopes, drain the three entity streams.
+
+    The availableNow trigger gives the streaming pipeline batch-job
+    semantics (drain everything, then stop) — the daily-catchup analogue of
+    the reference's always-on Kinesis consumers, with the same checkpoints
+    making reruns no-ops.
+    """
+    from pinterest_data_pipeline_spark import streaming
+    from pinterest_data_pipeline_spark.sources.emitter import write_envelope_files
+
+    pins, geos, users = make_raw_entities(n=rows, seed=42)
+    if not os.path.exists(os.path.join(landing_dir, "pin")):
+        write_envelope_files({"pin": pins, "geo": geos, "user": users}, landing_dir)
+    queries = streaming.run_streaming_pipeline(spark, landing_dir, out_dir, available_now=True)
+    for q in queries:
+        q.awaitTermination(600)
+    return {e: spark.read.parquet(os.path.join(out_dir, e)).count() for e in ("pin", "geo", "user")}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--landing", default="/tmp/spark_graft/landing")
@@ -105,10 +125,19 @@ def main() -> None:
         action="store_true",
         help="percentile_approx medians (the 100 TB path) instead of exact",
     )
+    ap.add_argument(
+        "--stream",
+        action="store_true",
+        help="run the streaming ELT (envelope landing -> cleaned tables) instead of batch",
+    )
     args = ap.parse_args()
 
-    land_raw(args.landing, args.rows)
     spark = get_spark("runner")
+    if args.stream:
+        counts = run_stream(spark, args.landing + "_stream", args.out + "_stream", args.rows)
+        print(json.dumps({"tables": counts, "out": args.out + "_stream"}))
+        return
+    land_raw(args.landing, args.rows)
     counts = run_batch(spark, args.landing, args.out, approx=args.approx)
     print(json.dumps({"answers": counts, "out": args.out}))
 
