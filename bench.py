@@ -44,6 +44,7 @@ HEADLINE = [
     "agg_rollup_region_nation",
     "json_extract_event_props",
     "events_tumbling_window",
+    "events_session_window",
     "top_k_orders",
     "join_asof_latest_order",
     "join_range_ship_window",

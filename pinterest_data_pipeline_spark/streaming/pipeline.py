@@ -167,6 +167,25 @@ def write_entity_stream(
     return writer.start()
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: tuple[str, str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich in-flight records with a dimension table.
+
+    The static side is broadcast to every micro-batch (re-resolved per
+    batch, so a refreshed dim parquet is picked up without restarting the
+    query). Stream-static equi-joins are stateless — no watermark, no
+    state store — which makes this the cheapest enrichment point in the
+    pipeline: at 100 TB/day it beats a post-hoc batch join because the
+    shuffle never happens.
+    """
+    skey, dkey = on
+    return stream.join(F.broadcast(dim), stream[skey] == dim[dkey], how).drop(dim[dkey])
+
+
 def windowed_event_counts(
     events: DataFrame,
     duration: str = "6 hours",

@@ -81,6 +81,36 @@ def test_envelope_parse_roundtrip(spark, tmp_path):
     assert {k: v for k, v in want.items()} == got
 
 
+def test_stream_static_enrichment_matches_batch_join(spark, tmp_path):
+    """Stream-static join: enriched stream output == the batch join."""
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    if dict(events.dtypes).get("ts") == "bigint":
+        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = events.select("event_id", "user_id", "value")
+    dim = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    src_dir = str(tmp_path / "ev")
+    events.write.parquet(src_dir)
+
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    q = (
+        streaming.enrich_stream(stream, dim, on=("user_id", "c_custkey"))
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("enrich_test").collect()))
+    want = sorted(
+        map(tuple, streaming.enrich_stream(events, dim, on=("user_id", "c_custkey")).collect())
+    )
+    assert got == want and len(got) == events.count()
+    # every event with a matching customer is enriched
+    assert any(r[-1] is not None for r in got)
+
+
 def test_corrupt_records_dropped_not_fatal(spark, tmp_path):
     """Malformed wire lines (bad JSON, bad envelope, bad payload) are
     filtered by the parse stage; the valid records still flow through the
