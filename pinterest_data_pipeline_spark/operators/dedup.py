@@ -235,6 +235,92 @@ def minhash_near_duplicates(
     )
 
 
+# --- near-dup clustering (connected components) -----------------------------
+
+
+def cluster_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over (id_a, id_b) near-dup pairs.
+
+    Returns (member_id, cluster_id) with cluster_id = min member id.
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(log(diameter)) rounds for the star/chain shapes near-dup graphs take.
+    The loop is driver-side control flow over distributed joins — the
+    standard Spark shape for iterative algorithms (each iteration one
+    join + one aggregate); ``localCheckpoint`` truncates the growing
+    lineage so the plan does not deepen per round.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("member_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def near_duplicate_clusters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Full near-dedup decision: MinHash pairs -> components -> keep/drop.
+
+    Output: (id, cluster_id, keep) for every document, keep = (id ==
+    cluster minimum) — singletons keep themselves. This is the end-to-end
+    training-data dedup primitive: ``df.join(result.filter("keep"),
+    id)`` is the deduplicated corpus.
+    """
+    pairs = minhash_near_duplicates(df, text_col, id_col, threshold=threshold, **minhash_kwargs)
+    comps = cluster_pairs(pairs)
+    all_ids = df.select(F.col(id_col).alias("member_id"))
+    labeled = (
+        all_ids.join(comps, "member_id", "left")
+        .select(
+            F.col("member_id").alias(id_col),
+            F.coalesce("cluster_id", "member_id").alias("cluster_id"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+    )
+    return labeled
+
+
 # --- SimHash ----------------------------------------------------------------
 
 

@@ -119,6 +119,17 @@ def dedup_simhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("id_a", "id_b")
 
 
+@query
+def dedup_near_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup decision: MinHash pairs -> connected
+    components -> (doc, cluster, keep). Iterative label propagation —
+    rows-only (not SQL-expressible); component semantics pinned by pytest."""
+    docs = load_documents(spark, sf_dir)
+    return dedup.near_duplicate_clusters(docs, "text", "doc_id", threshold=0.3).orderBy(
+        "doc_id"
+    )
+
+
 # --- similarity search ------------------------------------------------------
 
 

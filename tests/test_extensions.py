@@ -80,6 +80,25 @@ def test_jaccard_identity_and_disjoint(spark):
     assert r.same == 1.0 and r.disjoint == 0.0
 
 
+def test_cluster_pairs_components(spark):
+    # two chains and a singleton edge: {1,2,3,4}, {10,11}, {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], ["id_a", "id_b"]
+    )
+    comps = {r.member_id: r.cluster_id for r in dedup.cluster_pairs(pairs).collect()}
+    assert {comps[i] for i in (1, 2, 3, 4)} == {1}
+    assert comps[10] == comps[11] == 10 and comps[20] == 20
+
+
+def test_near_duplicate_clusters_keep_decision(docs):
+    out = {r.doc_id: (r.cluster_id, r.keep) for r in
+           dedup.near_duplicate_clusters(docs, "text", "doc_id", threshold=0.5).collect()}
+    assert len(out) == 6  # every doc labeled, incl. singletons
+    # docs 0,1,2 are the planted near-dup cluster -> min id 0 kept
+    assert out[0] == (0, True) and out[1] == (0, False) and out[2] == (0, False)
+    assert out[3][1] and out[4][1]  # unrelated docs keep themselves
+
+
 # --- similarity -------------------------------------------------------------
 
 
