@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pinterest_data_pipeline_spark.plans import analytics
 from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401  (registers queries)
+from pinterest_data_pipeline_spark.plans import relational  # noqa: F401  (registers queries)
 from pinterest_data_pipeline_spark.plans import oracles
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"

@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pinterest_data_pipeline_spark.plans import analytics
 from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401 (registers queries)
+from pinterest_data_pipeline_spark.plans import relational  # noqa: F401 (registers queries)
 from pinterest_data_pipeline_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -46,6 +47,10 @@ HEADLINE = [
     "events_tumbling_window",
     "events_session_window",
     "top_k_orders",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "subquery_correlated_above_nation_avg",
     "join_asof_latest_order",
     "join_range_ship_window",
     "agg_grouping_sets",

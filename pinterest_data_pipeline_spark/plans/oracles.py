@@ -656,3 +656,131 @@ oracle("ann_topk_quantized")(
     FROM ranked WHERE rk <= 10 ORDER BY query_id, rank
     """
 )
+
+# --- second relational battery (relational.py) -------------------------------
+
+oracle("subquery_exists_urgent_customers")(
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    ORDER BY c_custkey
+    """
+)
+
+oracle("subquery_in_heavy_parts")(
+    """
+    SELECT p_partkey, p_brand
+    FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+    ORDER BY p_partkey
+    """
+)
+
+oracle("subquery_scalar_above_avg_price")(
+    """
+    SELECT p_partkey, round(p_retailprice, 2) AS retail_price
+    FROM part
+    WHERE p_retailprice > (SELECT round(avg(p_retailprice), 4) FROM part)
+    ORDER BY p_partkey
+    """
+)
+
+oracle("subquery_correlated_above_nation_avg")(
+    """
+    SELECT s_suppkey, s_nationkey, round(s_acctbal, 2) AS acctbal
+    FROM supplier s
+    WHERE s_acctbal > (
+        SELECT round(avg(s2.s_acctbal), 4)
+        FROM supplier s2
+        WHERE s2.s_nationkey = s.s_nationkey
+    )
+    ORDER BY s_suppkey
+    """
+)
+
+oracle("scalar_date_functions")(
+    """
+    SELECT o_orderkey,
+           (o_orderdate + INTERVAL 30 DAY)::date AS due_date,
+           date_diff('day', o_orderdate::date, DATE '2002-01-01')::int
+               AS days_to_epoch_end,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           last_day(o_orderdate::date) AS month_end,
+           quarter(o_orderdate)::int AS order_quarter,
+           (dayofweek(o_orderdate) + 1)::int AS order_dow,
+           weekofyear(o_orderdate)::int AS order_week
+    FROM orders ORDER BY o_orderkey
+    """
+)
+
+oracle("scalar_string_functions")(
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           substring(p_name, 1, 5) AS name_prefix,
+           lpad(p_brand, 12, '*') AS brand_padded,
+           split_part(p_type, ' ', 1) AS type_head,
+           translate(p_type, 'AEIOU', 'aeiou') AS type_translated,
+           regexp_extract(p_brand, '(\\d+)', 1) AS brand_num,
+           levenshtein(p_brand, 'Brand#11')::int AS brand_edit_dist,
+           length(p_name)::int AS name_len
+    FROM part ORDER BY p_partkey
+    """
+)
+
+oracle("tpch_q1_pricing_summary")(
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """
+)
+
+oracle("tpch_q3_shipping_priority")(
+    """
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, o_orderkey
+    LIMIT 10
+    """
+)
+
+oracle("tpch_q5_local_supplier_volume")(
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey  = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """
+)

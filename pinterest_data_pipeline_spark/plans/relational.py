@@ -1,0 +1,249 @@
+"""Second relational battery: subqueries, scalar-function suites, TPC-H classics.
+
+Widens SURVEY.md §2.12 coverage beyond the reference's own surface:
+
+* **Subquery forms** (EXISTS / IN / scalar / correlated) via the SQL entry
+  path (S9) — these exercise Catalyst's subquery rewrite + decorrelation
+  rules (``RewritePredicateSubquery`` turns EXISTS/IN into left-semi joins;
+  correlated scalar subqueries decorrelate to an aggregate + join), so at
+  100 TB they run as ordinary shuffled/broadcast joins, never per-row probes.
+* **Date / string scalar-function suites** — one narrow oracle-checked
+  projection each, pinning cross-engine semantics (1-based ``split_part``,
+  Spark ``dayofweek`` = DuckDB ``dayofweek``+1, ISO ``weekofyear``).
+* **TPC-H-shaped classics** (Q1/Q3/Q5 adapted to the driver schema) — the
+  canonical scan-heavy aggregate, mid-join top-k, and 6-way join workloads;
+  these are bench headliners whose plans must show pushed filters, broadcast
+  dims, and partial aggregation.
+
+Every query has a DuckDB oracle dual in ``oracles.py`` (same name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_table, register_views
+from .analytics import query
+
+# ===========================================================================
+# Subquery forms (Catalyst decorrelation; reference has none — SURVEY §2.12)
+# ===========================================================================
+
+
+@query
+def subquery_exists_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left-semi join: customers with at least one URGENT order.
+
+    Catalyst's RewritePredicateSubquery plans this as a semi join on
+    c_custkey — a single shuffle (or broadcast if orders aggregates small),
+    not a per-row probe.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+        )
+        ORDER BY c_custkey
+        """
+    )
+
+
+@query
+def subquery_in_heavy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery) → left-semi join: parts ever shipped with quantity > 45."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+        ORDER BY p_partkey
+        """
+    )
+
+
+@query
+def subquery_scalar_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: parts priced above the global average.
+
+    Plans as a single-row broadcast (SubqueryExec) feeding a pushed filter;
+    the average is rounded to 4 dp in both duals so the comparison boundary
+    is bit-identical across engines.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, round(p_retailprice, 2) AS retail_price
+        FROM part
+        WHERE p_retailprice > (SELECT round(avg(p_retailprice), 4) FROM part)
+        ORDER BY p_partkey
+        """
+    )
+
+
+@query
+def subquery_correlated_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: suppliers above their nation's average
+    balance. Catalyst decorrelates to (per-nation aggregate) ⋈ supplier —
+    one partial+final agg and one join, no nested-loop re-execution.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_nationkey, round(s_acctbal, 2) AS acctbal
+        FROM supplier s
+        WHERE s_acctbal > (
+            SELECT round(avg(s2.s_acctbal), 4)
+            FROM supplier s2
+            WHERE s2.s_nationkey = s.s_nationkey
+        )
+        ORDER BY s_suppkey
+        """
+    )
+
+
+# ===========================================================================
+# Scalar-function suites (F-series breadth; all codegen'd built-ins)
+# ===========================================================================
+
+
+@query
+def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic battery over orders: add/diff/trunc/last_day/extract.
+
+    Cross-engine notes pinned here: Spark ``dayofweek`` is 1=Sunday..7 while
+    DuckDB's is 0=Sunday..6 (oracle adds 1); ``weekofyear`` is ISO in both.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_add(F.col("o_orderdate"), 30).alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_epoch_end"
+        ),
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.last_day(F.col("o_orderdate")).alias("month_end"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.dayofweek("o_orderdate").alias("order_dow"),
+        F.weekofyear("o_orderdate").alias("order_week"),
+    ).orderBy("o_orderkey")
+
+
+@query
+def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function battery over part: case/slice/pad/split/regex/edit
+    distance — all JVM built-ins with exact DuckDB equivalents."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("type_translated"),
+        F.regexp_extract("p_brand", r"(\d+)", 1).alias("brand_num"),
+        F.levenshtein("p_brand", F.lit("Brand#11")).alias("brand_edit_dist"),
+        F.length("p_name").alias("name_len"),
+    ).orderBy("p_partkey")
+
+
+# ===========================================================================
+# TPC-H classics adapted to the driver schema (bench headliners)
+# ===========================================================================
+
+
+@query
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: full-scan filter + 6-aggregate rollup per flag/status.
+
+    The canonical partial-aggregation workload: the scan filter pushes to
+    parquet, and the map-side partial agg reduces ~600k rows to 6 groups
+    before the (tiny) shuffle — the plan every 100 TB aggregate wants.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + revenue agg + deterministic top-10.
+
+    Orders/lineitem date filters push below the join; the LIMIT compiles to
+    TakeOrderedAndProject so only 10 rows per partition survive the final
+    exchange. o_orderkey in the sort key makes the cut deterministic.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join (2 broadcast dims) with the local-supplier
+    equality (c_nationkey = s_nationkey) applied as a post-join filter.
+
+    region/nation broadcast; customer/orders/lineitem/supplier shuffle on
+    their join keys. AQE picks broadcast for supplier too at small SF —
+    at 100 TB it degrades gracefully to shuffled hash joins.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .join(
+            supplier,
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import pytest
 
-from pinterest_data_pipeline_spark.plans import analytics, extensions  # noqa: F401
+from pinterest_data_pipeline_spark.plans import analytics, extensions, relational  # noqa: F401
 
 SF = "/root/testdata/sf0.001"
 
@@ -88,3 +88,40 @@ def test_exchange_reuse_in_self_joined_plans(spark):
     # the signature lineage per side.
     plan = plan_of(spark, "dedup_minhash_near_duplicates")
     assert "ReusedExchange" in plan or "InMemoryTableScan" in plan
+
+
+def test_exists_subquery_plans_as_semi_join(spark):
+    # RewritePredicateSubquery: EXISTS must become a left-semi hash join,
+    # never a per-row subquery probe or nested loop.
+    plan = plan_of(spark, "subquery_exists_urgent_customers")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_in_subquery_plans_as_semi_join(spark):
+    plan = plan_of(spark, "subquery_in_heavy_parts")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_correlated_subquery_decorrelates_to_agg_join(spark):
+    # The per-nation average must be computed ONCE (aggregate + equi-join),
+    # not re-executed per supplier row.
+    plan = plan_of(spark, "subquery_correlated_above_nation_avg")
+    assert "HashAggregate" in plan
+    assert any(j in plan for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q1_pushes_date_filter_and_partial_aggs(spark):
+    plan = plan_of(spark, "tpch_q1_pricing_summary")
+    # shipdate predicate reaches the parquet scan; map-side partial agg
+    # reduces the scan to 6 groups before the exchange
+    assert "LessThanOrEqual(l_shipdate" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_tpch_q5_broadcasts_both_dims(spark):
+    plan = plan_of(spark, "tpch_q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
