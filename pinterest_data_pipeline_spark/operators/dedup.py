@@ -324,34 +324,62 @@ def near_duplicate_clusters(
 # --- SimHash ----------------------------------------------------------------
 
 
+# 4 × 16-bit accumulator lanes per 64-bit sum: bit positions b, b+16, b+32,
+# b+48 of each token hash land in separate lanes of aggregate s_b.
+_LANE_MASK = 0x0001_0001_0001_0001
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, n_bits: int = 64) -> DataFrame:
     """(id, simhash) with the signature packed into one 64-bit long.
 
-    Explode tokens -> one codegen'd hash aggregate with ``n_bits`` ±1 vote
-    sums -> OR the winning bits into a single long. Everything stays in
-    WholeStageCodegen; the shuffle key is the doc id — the same partitioning
-    any downstream per-doc op reuses. Packing into a long (vs a bitstring)
-    makes the downstream Hamming check a two-instruction expression
-    (``bit_count(a XOR b)``) instead of per-character array work.
+    Explode tokens -> one codegen'd hash aggregate -> OR the winning bits
+    into a single long. Everything stays in WholeStageCodegen; the shuffle
+    key is the doc id — the same partitioning any downstream per-doc op
+    reuses. Packing into a long (vs a bitstring) makes the downstream
+    Hamming check a two-instruction expression (``bit_count(a XOR b)``)
+    instead of per-character array work.
+
+    The vote stage is SIMD-in-a-register: ``sum((h >>> b) & 0x0001000100010001)``
+    accumulates the set-bit counts of bit positions b, b+16, b+32, b+48 in
+    four independent 16-bit lanes of one long — 16 branch-free integer
+    aggregates instead of 64 conditional ±1 sums (a 4× cut in aggregate
+    work; the ±1 vote sum equals ``2*s - n``, so "vote > 0" is ``2s > n``).
+    The token explode is capped at 32,000 tokens/document: the bound keeps
+    the packed sum provably inside a signed long (32000 × 2^48 lane weight
+    < 2^63 — Spark 4 ANSI mode throws on overflow rather than wrapping)
+    and each 16-bit lane far from saturation. SimHashing a 32k-token
+    prefix of a pathological document is standard practice and leaves
+    near-dup semantics unchanged.
     """
     assert n_bits <= 64, "simhash packs into a single 64-bit long"
+    lanes = (n_bits + 15) // 16  # 16-bit-spaced bit groups needed
     toks = fan_out(df).select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+        F.col(id_col),
+        F.explode(
+            F.slice(F.split(F.col(text_col), " "), 1, 32000)
+        ).alias("token"),
     ).withColumn("h", F.xxhash64("token"))
-    bit_votes = [
+    lane_sums = [
         F.sum(
-            F.when(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(n_bits)
+            F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(_LANE_MASK))
+        ).alias(f"s{b}")
+        for b in range(16)
     ]
-    votes = toks.groupBy(id_col).agg(*bit_votes)
+    votes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"), *lane_sums)
     packed = F.lit(0).cast("long")
-    for b in range(n_bits):
-        # Bit 63 is the sign bit: its set-value is MIN_LONG, not 1<<63.
-        bit_val = (1 << b) if b < 63 else -(1 << 63)
-        packed = packed.bitwiseOR(
-            F.when(F.col(f"b{b}") > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
+    for b in range(16):
+        for k in range(lanes):
+            bit = b + 16 * k
+            if bit >= n_bits:
+                continue
+            s = F.shiftrightunsigned(F.col(f"s{b}"), 16 * k).bitwiseAND(F.lit(0xFFFF))
+            # Bit 63 is the sign bit: its set-value is MIN_LONG, not 1<<63.
+            bit_val = (1 << bit) if bit < 63 else -(1 << 63)
+            packed = packed.bitwiseOR(
+                F.when(2 * s > F.col("n"), F.lit(bit_val).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
     return votes.select(F.col(id_col), packed.alias("simhash"))
 
 
