@@ -1,0 +1,103 @@
+"""Sampling / dataset-splitting operators for training-data pipelines.
+
+A 100 TB corpus is never consumed whole: it is split (train/valid/test),
+stratified (per-language, per-source quotas), and subsampled (per-group
+caps against domination by one crawl). Three primitives cover those, all
+shuffle-free or single-shuffle:
+
+* **Deterministic hash split** — membership is a pure function of the row id
+  (md5-derived uniform hash), so the split is stable across runs, engines,
+  cluster sizes, and row order: the property that makes a train/test split
+  reproducible and leak-free forever. No shuffle at all — a narrow projection
+  + filter, trivially parallel at any scale.
+* **Stratified sample** — per-stratum Bernoulli fractions via ``sampleBy``
+  (seeded, map-side, no shuffle). Rates are exact-in-expectation, not exact
+  counts — the scale-friendly trade every distributed sampler makes.
+* **Per-group deterministic top-n** — cap each group's row count, choosing
+  survivors by hash order (not arrival order, which is nondeterministic in a
+  distributed scan). One shuffle on the group key; ``WindowGroupLimit``
+  short-circuits rows past rank n before the final filter.
+
+The hash is md5-based (not ``xxhash64``) on purpose: md5 exists in every
+engine (DuckDB oracle, Trino, Snowflake …), making split membership portable
+and auditable outside Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000
+
+
+def uniform_hash(c: Column, salt: str = "") -> Column:
+    """Uniform 32-bit integer from any column, stable across engines.
+
+    First 8 hex chars of md5(value || salt) as a long. DuckDB dual:
+    ``CAST(('0x' || substring(md5(v || salt), 1, 8)) AS UBIGINT)``.
+    """
+    salted = F.concat(c.cast("string"), F.lit(salt))
+    return F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long")
+
+
+def split_bucket(c: Column, salt: str = "split") -> Column:
+    """Hash bucket in [0, BUCKETS) — the unit of split assignment."""
+    return uniform_hash(c, salt) % BUCKETS
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Tag each row with a deterministic split name ('train'/'valid'/...).
+
+    ``weights`` maps split name -> fraction (must sum to ≤ 1; any remainder
+    falls into the last split). Membership depends only on (id, salt):
+    re-running on a re-partitioned, re-ordered, or incrementally-grown corpus
+    never moves an existing row between splits.
+    """
+    weights = weights or {"train": 0.8, "valid": 0.1, "test": 0.1}
+    bucket = split_bucket(F.col(id_col), salt)
+    expr = None
+    hi = 0
+    names = list(weights)
+    for name in names[:-1]:
+        hi += int(weights[name] * BUCKETS)
+        cond = bucket < hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-stratum Bernoulli sample (seeded ``sampleBy``; map-side, no shuffle).
+
+    Deterministic for a fixed partitioning of the input; NOT portable across
+    engines (Spark's internal sampler) — checked by pytest rate assertions,
+    not a SQL oracle.
+    """
+    return df.sampleBy(strata_col, fractions, seed)
+
+
+def per_group_sample(
+    df: DataFrame, group_col: str, id_col: str, n: int, salt: str = "cap"
+) -> DataFrame:
+    """Keep a deterministic cap of n rows per group, chosen by hash order.
+
+    Survivors are the n smallest ``uniform_hash(id)`` per group (ties broken
+    by id) — a uniform random-but-reproducible subset, independent of scan
+    order. Compiles to one shuffle on the group key with the
+    ``WindowGroupLimit`` short-circuit dropping rows past rank n early.
+    """
+    h = uniform_hash(F.col(id_col), salt)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n)
+        .drop("sample_rank")
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, similarity, text
+from ..operators import dedup, multimodal, sampling, similarity, text
 from ..session import fan_out, load_table
 from .analytics import query
 
@@ -127,6 +127,54 @@ def dedup_near_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = load_documents(spark, sf_dir)
     return dedup.near_duplicate_clusters(docs, "text", "doc_id", threshold=0.3).orderBy(
         "doc_id"
+    )
+
+
+# --- sampling / dataset splitting -------------------------------------------
+
+
+@query
+def sample_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-hash train/valid/test split — engine-portable
+    membership, verified value-for-value by the DuckDB oracle."""
+    docs = load_documents(spark, sf_dir)
+    return (
+        sampling.hash_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split")
+    )
+
+
+@query
+def sample_hash_split_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row split assignment (the auditable artifact of a split)."""
+    docs = load_documents(spark, sf_dir)
+    return sampling.hash_split(docs, "doc_id").select("doc_id", "split").orderBy("doc_id")
+
+
+@query
+def sample_per_lang_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language cap of 50 docs, chosen by hash order."""
+    docs = load_documents(spark, sf_dir)
+    return (
+        sampling.per_group_sample(docs, "lang", "doc_id", n=50)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@query
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded per-stratum Bernoulli sample (rows-only: Spark-internal
+    sampler; rate correctness pinned by pytest)."""
+    docs = load_documents(spark, sf_dir)
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    sampled = sampling.stratified_sample(docs, "lang", {lg: 0.5 for lg in langs})
+    return (
+        sampled.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("lang")
     )
 
 

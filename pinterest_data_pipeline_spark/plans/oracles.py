@@ -784,3 +784,46 @@ oracle("tpch_q5_local_supplier_volume")(
     ORDER BY revenue DESC, n_name
     """
 )
+
+# --- sampling / dataset splitting --------------------------------------------
+
+# Split membership is an md5 bucket: first 8 hex chars of md5(id || 'split')
+# as an integer, mod 10000; train < 8000 <= valid < 9000 <= test. Identical
+# arithmetic on both engines — the portability property hash_split promises.
+_SPLIT_CASE = """
+    CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8))
+               AS UBIGINT) % 10000 < 8000 THEN 'train'
+         WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8))
+               AS UBIGINT) % 10000 < 9000 THEN 'valid'
+         ELSE 'test' END
+"""
+
+oracle("sample_hash_split_counts")(
+    f"""
+    SELECT {_SPLIT_CASE} AS split, count(*) AS n_docs
+    FROM documents GROUP BY 1 ORDER BY split
+    """
+)
+
+oracle("sample_hash_split_membership")(
+    f"""
+    SELECT doc_id, {_SPLIT_CASE} AS split
+    FROM documents ORDER BY doc_id
+    """
+)
+
+oracle("sample_per_lang_cap")(
+    """
+    WITH hashed AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'cap'), 1, 8))
+                    AS UBIGINT) AS h
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+        FROM hashed
+    )
+    SELECT doc_id, lang FROM ranked WHERE rk <= 50 ORDER BY doc_id
+    """
+)
