@@ -1,0 +1,125 @@
+"""Multi-dimensional data layout: z-order clustering for scan pruning.
+
+Parquet scans prune at file/row-group granularity from footer min-max
+stats, so pruning quality is decided by HOW data is laid out at write
+time, not by the reader. A linear sort clusters one column perfectly and
+leaves every other column's min-max spanning the whole domain — a filter
+on the second column reads everything. Interleaving the bits of two key
+columns (Morton / z-order curve) makes file boundaries axis-aligned boxes
+in (c1, c2) space, so range predicates on EITHER column (or both) overlap
+only O(perimeter) of the files instead of all of them.
+
+This is the single biggest 100 TB lever after partitioning: the same
+query over the same bytes does 10-100× less IO purely from write-side
+clustering. Delta/Iceberg expose this as ``OPTIMIZE ZORDER BY``; this
+module is the engine-native equivalent: a z-value expression (pure
+codegen — shifts and masks, no UDF) + ``repartitionByRange`` on it +
+``sortWithinPartitions`` so both the file ranges AND the row groups
+inside each file are z-clustered.
+
+Normalization matters: interleaving RAW values lets the wider-domain
+column's high bits dominate the curve (its 11th bit sits above every bit
+of a 7-bit column), collapsing z-order back to a linear sort on one
+column. ``write_zordered`` therefore first maps each column onto equal-
+width buckets (``width_bucket`` over the column's min/max — one tiny
+pre-aggregation), so both dimensions contribute the same number of
+interleaved bits. Real lakehouse z-ordering (Delta OPTIMIZE ZORDER BY)
+uses sampled *quantile* boundaries instead, which additionally absorbs
+value skew; equal-width is the transparent version and exact for
+uniform-ish key domains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BITS = 16
+_NORM_BITS = 8  # 256 buckets per dimension = 65536 z-cells, ample for file-level pruning
+
+
+def z_value(c1: Column, c2: Column, bits: int = _BITS) -> Column:
+    """Morton interleave of the low ``bits`` of two non-negative ints.
+
+    Bit i of c1 lands at z-bit 2i, bit i of c2 at 2i+1 — a pure
+    shift/mask/OR expression tree that whole-stage codegen flattens into
+    straight-line JVM integer ops.
+    """
+    z = F.lit(0).cast("long")
+    a = c1.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    b = c2.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftrightunsigned(a, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+        ).bitwiseOR(
+            F.shiftrightunsigned(b, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame, path: str, col1: str, col2: str, n_files: int = 16
+) -> None:
+    """Write parquet clustered along the z-curve of (col1, col2).
+
+    Each column is first normalized onto 2^_NORM_BITS equal-width buckets
+    (min/max from one scalar pre-aggregation — at cluster scale a
+    footer-stats lookup) so both dimensions contribute equally to the
+    curve regardless of domain width. ``repartitionByRange`` on the
+    z-value gives each output file a contiguous z-range (an axis-aligned
+    box set in bucket space); ``sortWithinPartitions`` extends the
+    clustering to row groups inside each file. One range shuffle — the
+    same cost as any global sort.
+    """
+    bounds = df.agg(
+        F.min(col1).alias("lo1"),
+        F.max(col1).alias("hi1"),
+        F.min(col2).alias("lo2"),
+        F.max(col2).alias("hi2"),
+    ).first()
+    n_buckets = 1 << _NORM_BITS
+    b1 = F.width_bucket(F.col(col1), F.lit(bounds.lo1), F.lit(bounds.hi1), F.lit(n_buckets)) - 1
+    b2 = F.width_bucket(F.col(col2), F.lit(bounds.lo2), F.lit(bounds.hi2), F.lit(n_buckets)) - 1
+    (
+        df.withColumn("__z", z_value(b1, b2, bits=_NORM_BITS))
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def write_linear(df: DataFrame, path: str, col1: str, n_files: int = 16) -> None:
+    """Control layout: plain range-sort on one column (what naive ETL does)."""
+    (
+        df.repartitionByRange(n_files, col1)
+        .sortWithinPartitions(col1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def files_overlapping(path: str, col: str, lo: int, hi: int) -> tuple[int, int]:
+    """(n_overlapping, n_total) parquet files whose [min, max] footer stats
+    for ``col`` intersect [lo, hi] — the file-level IO a filtered scan pays.
+
+    Uses pyarrow footer metadata directly: this is the same statistic the
+    reader's pruning consults, measured without running a query.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = overlapping = 0
+    for name in os.listdir(path):
+        if not name.endswith(".parquet"):
+            continue
+        total += 1
+        meta = pq.ParquetFile(os.path.join(path, name)).metadata
+        idx = meta.schema.to_arrow_schema().get_field_index(col)
+        mn = min(meta.row_group(g).column(idx).statistics.min for g in range(meta.num_row_groups))
+        mx = max(meta.row_group(g).column(idx).statistics.max for g in range(meta.num_row_groups))
+        if mx >= lo and mn <= hi:
+            overlapping += 1
+    return overlapping, total
