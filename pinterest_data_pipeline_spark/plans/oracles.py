@@ -827,3 +827,21 @@ oracle("sample_per_lang_cap")(
     SELECT doc_id, lang FROM ranked WHERE rk <= 50 ORDER BY doc_id
     """
 )
+
+oracle("merge_upsert_orders")(
+    """
+    WITH src AS (
+        SELECT o_orderkey, o_totalprice * 2 AS s_total
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 1.0
+        FROM orders WHERE o_orderkey % 10 = 5
+    )
+    SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+           round(CASE WHEN s.o_orderkey IS NOT NULL THEN s.s_total
+                      ELSE t.o_totalprice END, 2) AS total_price,
+           t.o_orderstatus
+    FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+    ORDER BY o_orderkey
+    """
+)

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.merge import merge_into
 from ..session import load_table, register_views
 from .analytics import query
 
@@ -152,6 +153,35 @@ def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein("p_brand", F.lit("Brand#11")).alias("brand_edit_dist"),
         F.length("p_name").alias("name_len"),
     ).orderBy("p_partkey")
+
+
+# ===========================================================================
+# MERGE / upsert (engine-native Delta MERGE INTO — operators/merge.py)
+# ===========================================================================
+
+
+@query
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO orders: double the price of every 10th order (update),
+    insert shifted-key copies of every (10k+5)th (insert), keep the rest.
+
+    The source carries only (key, price): updates preserve the target's
+    other columns; inserts leave them NULL — Delta MERGE column semantics.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 10 == 5).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    merged = merge_into(orders, updates.unionByName(inserts), keys=["o_orderkey"])
+    return merged.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+        "o_orderstatus",
+    ).orderBy("o_orderkey")
 
 
 # ===========================================================================
