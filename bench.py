@@ -46,6 +46,7 @@ HEADLINE = [
     "json_extract_event_props",
     "events_tumbling_window",
     "events_session_window",
+    "events_view_purchase_attribution",
     "top_k_orders",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",

@@ -845,3 +845,20 @@ oracle("merge_upsert_orders")(
     ORDER BY o_orderkey
     """
 )
+
+oracle("events_view_purchase_attribution")(
+    """
+    SELECT v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           v.user_id,
+           date_diff('second', v.ts, p.ts)::bigint AS lag_seconds,
+           round(p.value, 2) AS purchase_value
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 1 HOUR
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    ORDER BY view_id, purchase_id
+    """
+)

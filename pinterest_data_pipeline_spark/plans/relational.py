@@ -277,3 +277,23 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.round(revenue, 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
+
+
+# ===========================================================================
+# Stream-stream interval join — batch dual (streaming/pipeline.py)
+# ===========================================================================
+
+
+@query
+def events_view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases within 1 hour of a same-user view (interval join dual).
+
+    Batch dual of ``streaming.attributed_conversions``: identical code path
+    (watermarks no-op on batch), oracle-checked against a DuckDB band join.
+    """
+    from ..streaming.pipeline import attributed_conversions
+
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    return attributed_conversions(views, purchases).orderBy("view_id", "purchase_id")

@@ -8,6 +8,7 @@ operators the reference lacks (SURVEY.md §2.9).
 """
 
 from .pipeline import (  # noqa: F401
+    attributed_conversions,
     enrich_stream,
     parse_envelope_stream,
     read_entity_stream,

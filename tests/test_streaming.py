@@ -342,3 +342,38 @@ def test_transform_with_state_matches_v1_semantics(spark, tmp_path):
         assert 2 not in second  # untouched key not re-emitted in update mode
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream attribution join (two file-source streams) must emit
+    exactly the batch dual's rows once both watermarks pass."""
+    from pinterest_data_pipeline_spark.session import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    views = events.filter(F.col("event_type") == "view")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    vdir, pdir = str(tmp_path / "views"), str(tmp_path / "purchases")
+    views.write.parquet(vdir)
+    purchases.write.parquet(pdir)
+
+    vs = spark.readStream.schema(views.schema).parquet(vdir)
+    ps = spark.readStream.schema(purchases.schema).parquet(pdir)
+    q = (
+        streaming.attributed_conversions(vs, ps)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attrib_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("attrib_test").collect()))
+    want = sorted(
+        map(tuple, streaming.attributed_conversions(views, purchases).collect())
+    )
+    # append mode emits a pair only once the watermark passes; with a finite
+    # drain the tail inside the final watermark is withheld — the emitted
+    # set must be a prefix-consistent subset of the batch result, and the
+    # bulk of it must have been released
+    assert set(got) <= set(want)
+    assert len(got) >= max(1, int(0.5 * len(want)))
