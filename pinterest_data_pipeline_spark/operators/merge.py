@@ -24,7 +24,7 @@ merge nondeterministic, exactly as Delta's MERGE rejects them.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _S = "__merge_src_"
@@ -77,4 +77,41 @@ def merge_into(
 
     return joined.select(
         *[F.col(k) for k in keys], *[value_of(c).alias(c) for c in non_keys]
+    )
+
+
+def scd2_history(
+    snapshots: DataFrame, key: str, ts_col: str, attr_cols: list[str]
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from versioned rows.
+
+    Input: every observed version of each dimension row (key, ts, attrs) —
+    e.g. the concatenation of daily snapshots or a CDC feed. Output: one
+    validity interval per consecutive distinct version:
+    ``(key, attrs…, valid_from, valid_to, is_current)`` with ``valid_to``
+    NULL on the open (current) interval.
+
+    Consecutive duplicate versions (attribute-identical re-observations)
+    collapse into one interval — the window compares each row to its
+    predecessor and keeps only change points. One shuffle on the key; the
+    lead() that closes each interval reuses the same partitioning, so the
+    whole operator is a single exchange.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col)
+    changed = F.lit(False)
+    for c in attr_cols:
+        prev = F.lag(c).over(w)
+        changed = changed | ~(
+            F.col(c).eqNullSafe(prev)
+        )
+    first_row = F.lag(ts_col).over(w).isNull()
+    change_points = snapshots.withColumn(
+        "__is_change", first_row | changed
+    ).filter(F.col("__is_change"))
+    w2 = Window.partitionBy(key).orderBy(ts_col)
+    return (
+        change_points.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("__is_change", ts_col)
     )

@@ -160,3 +160,17 @@ def lang_id(c: Column) -> Column:
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(is_better, s).otherwise(best_score)
     return best_lang
+
+
+def normalize_text(c: Column) -> Column:
+    """Canonical form for content comparison: casefold, strip punctuation,
+    collapse whitespace, trim.
+
+    The standard pre-pass before exact/near dedup — "Hello,  World!" and
+    "hello world" hash identically afterwards. Pure codegen projection
+    (lower + two regex passes); engine-portable semantics so the DuckDB
+    oracle applies the identical pipeline.
+    """
+    lowered = F.lower(c)
+    no_punct = F.regexp_replace(lowered, r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(no_punct, r"\s+", " "))

@@ -261,3 +261,22 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "utf-8").alias("content")
     )
     return multimodal.extract_audio_features(media).orderBy("content_id")
+
+@query
+def text_normalization_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casefold/punct-strip/whitespace-collapse normalization as a dedup
+    pre-pass: distinct raw texts vs distinct normalized texts in one row."""
+    docs = load_documents(spark, sf_dir)
+    return docs.agg(
+        F.countDistinct("text").alias("distinct_raw"),
+        F.countDistinct(text.normalize_text(F.col("text"))).alias("distinct_normalized"),
+    )
+
+
+@query
+def text_normalized_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document normalized content key (md5 of the canonical form)."""
+    docs = load_documents(spark, sf_dir)
+    return docs.select(
+        "doc_id", F.md5(text.normalize_text(F.col("text"))).alias("norm_key")
+    ).orderBy("doc_id")

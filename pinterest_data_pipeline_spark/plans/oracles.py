@@ -862,3 +862,52 @@ oracle("events_view_purchase_attribution")(
     ORDER BY view_id, purchase_id
     """
 )
+
+oracle("scd2_customer_segments")(
+    """
+    WITH snaps AS (
+        SELECT c_custkey, c_mktsegment, DATE '2020-01-01' AS snap_ts FROM customer
+        UNION ALL
+        SELECT c_custkey, 'NEW-' || c_mktsegment, DATE '2020-06-01'
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, 'NEW-' || c_mktsegment, DATE '2021-01-01'
+        FROM customer WHERE c_custkey % 3 = 0
+    ), flagged AS (
+        SELECT *, lag(c_mktsegment) OVER (PARTITION BY c_custkey ORDER BY snap_ts) AS prev
+        FROM snaps
+    ), changes AS (
+        SELECT c_custkey, c_mktsegment, snap_ts
+        FROM flagged WHERE prev IS NULL OR prev <> c_mktsegment
+    )
+    SELECT c_custkey, c_mktsegment,
+           snap_ts AS valid_from,
+           lead(snap_ts) OVER (PARTITION BY c_custkey ORDER BY snap_ts) AS valid_to,
+           (lead(snap_ts) OVER (PARTITION BY c_custkey ORDER BY snap_ts) IS NULL)
+               AS is_current
+    FROM changes
+    ORDER BY c_custkey, valid_from
+    """
+)
+
+# DuckDB regexp_replace needs the 'g' flag for global replacement (Spark's
+# replaces all matches by default) — the one cross-engine trap here.
+oracle("text_normalization_collapse")(
+    """
+    SELECT count(DISTINCT text) AS distinct_raw,
+           count(DISTINCT trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+               '\\s+', ' ', 'g'))) AS distinct_normalized
+    FROM documents
+    """
+)
+
+oracle("text_normalized_keys")(
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+               '\\s+', ' ', 'g'))) AS norm_key
+    FROM documents ORDER BY doc_id
+    """
+)

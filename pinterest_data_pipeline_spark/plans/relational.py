@@ -297,3 +297,29 @@ def events_view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFr
     views = events.filter(F.col("event_type") == "view")
     purchases = events.filter(F.col("event_type") == "purchase")
     return attributed_conversions(views, purchases).orderBy("view_id", "purchase_id")
+
+
+@query
+def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history from three synthetic snapshot dates.
+
+    v1 (2020-01-01): every customer's segment; v2 (2020-06-01): every third
+    customer re-segmented; v3 (2021-01-01): identical re-observation of v2 —
+    which must COLLAPSE into v2's interval, proving change-point detection.
+    """
+    from ..operators.merge import scd2_history
+
+    customer = load_table(spark, sf_dir, "customer")
+    v1 = customer.select(
+        "c_custkey", "c_mktsegment", F.lit("2020-01-01").cast("date").alias("snap_ts")
+    )
+    changed = customer.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("NEW-"), F.col("c_mktsegment")).alias("c_mktsegment"),
+    )
+    v2 = changed.withColumn("snap_ts", F.lit("2020-06-01").cast("date"))
+    v3 = changed.withColumn("snap_ts", F.lit("2021-01-01").cast("date"))
+    snapshots = v1.unionByName(v2).unionByName(v3)
+    return scd2_history(
+        snapshots, "c_custkey", "snap_ts", ["c_mktsegment"]
+    ).orderBy("c_custkey", "valid_from")

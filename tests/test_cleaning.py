@@ -122,3 +122,15 @@ def test_clean_pin_no_orderby_but_deterministic_content(raw_entities):
     a = sorted(cleaning.clean_pin(pin_raw).collect())
     b = sorted(cleaning.clean_pin(pin_raw).collect())
     assert a == b
+
+
+def test_normalize_text_canonicalizes(spark):
+    from pinterest_data_pipeline_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [("Hello,  World!",), ("hello world",), ("  HELLO   world.  ",), ("a1-b2",)],
+        "t string",
+    ).select(normalize_text(F.col("t")).alias("n"))
+    got = [r.n for r in df.collect()]
+    assert got[0] == got[1] == got[2] == "hello world"
+    assert got[3] == "a1 b2"

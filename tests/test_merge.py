@@ -48,3 +48,28 @@ def test_merge_plans_single_shuffle_join_no_cartesian(spark):
         _target(spark), source, ["id"]
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_scd2_history_intervals_and_collapse(spark):
+    from pinterest_data_pipeline_spark.operators.merge import scd2_history
+
+    snaps = spark.createDataFrame(
+        [
+            (1, "A", "2020-01-01"),
+            (1, "B", "2020-06-01"),
+            (1, "B", "2021-01-01"),  # identical re-observation: must collapse
+            (1, "C", "2021-06-01"),
+            (2, "X", "2020-01-01"),
+        ],
+        "id long, seg string, ts string",
+    ).withColumn("ts", F.to_date("ts"))
+    rows = sorted(
+        (r.id, r.seg, str(r.valid_from), str(r.valid_to), r.is_current)
+        for r in scd2_history(snaps, "id", "ts", ["seg"]).collect()
+    )
+    assert rows == [
+        (1, "A", "2020-01-01", "2020-06-01", False),
+        (1, "B", "2020-06-01", "2021-06-01", False),  # spans the collapse
+        (1, "C", "2021-06-01", "None", True),
+        (2, "X", "2020-01-01", "None", True),
+    ]
