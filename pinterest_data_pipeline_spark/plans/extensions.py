@@ -103,31 +103,34 @@ def dedup_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query
 def dedup_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs, Jaccard-verified (rows-only check)."""
+    """MinHash-LSH near-dup pairs, Jaccard-verified (rows-only check).
+
+    No presentation orderBy: the driver's value-hash is order-insensitive,
+    and a global sort's range-sampling pass would execute the whole
+    candidate-verify lineage a second time (~2× the query).
+    """
     docs = load_documents(spark, sf_dir)
-    return dedup.minhash_near_duplicates(
-        docs, "text", "doc_id", threshold=0.3
-    ).orderBy("id_a", "id_b")
+    return dedup.minhash_near_duplicates(docs, "text", "doc_id", threshold=0.3)
 
 
 @query
 def dedup_simhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs within Hamming distance 10 (rows-only check)."""
+    """SimHash near-dup pairs within Hamming distance 10 (rows-only check).
+
+    Unsorted on purpose — see ``dedup_minhash_near_duplicates``.
+    """
     docs = load_documents(spark, sf_dir)
-    return dedup.simhash_near_duplicates(
-        docs, "text", "doc_id", max_distance=10
-    ).orderBy("id_a", "id_b")
+    return dedup.simhash_near_duplicates(docs, "text", "doc_id", max_distance=10)
 
 
 @query
 def dedup_near_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup decision: MinHash pairs -> connected
     components -> (doc, cluster, keep). Iterative label propagation —
-    rows-only (not SQL-expressible); component semantics pinned by pytest."""
+    rows-only (not SQL-expressible); component semantics pinned by pytest.
+    Unsorted on purpose — see ``dedup_minhash_near_duplicates``."""
     docs = load_documents(spark, sf_dir)
-    return dedup.near_duplicate_clusters(docs, "text", "doc_id", threshold=0.3).orderBy(
-        "doc_id"
-    )
+    return dedup.near_duplicate_clusters(docs, "text", "doc_id", threshold=0.3)
 
 
 # --- sampling / dataset splitting -------------------------------------------
