@@ -388,6 +388,20 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def _hamming_ball_masks(width: int, radius: int) -> list[int]:
+    """All XOR masks of ``width`` bits with popcount <= radius."""
+    from itertools import combinations
+
+    masks = [0]
+    for k in range(1, radius + 1):
+        for bits in combinations(range(width), k):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str,
@@ -396,19 +410,36 @@ def simhash_near_duplicates(
     n_bits: int = 64,
     n_chunks: int | None = None,
 ) -> DataFrame:
-    """Near-dups by SimHash: pigeonhole chunk join + exact Hamming verify.
+    """Near-dups by SimHash: multi-index Hamming search + exact verify.
 
-    With ``n_chunks > max_distance`` any pair within ``max_distance`` leaves
-    at least one chunk untouched, so it must collide on that chunk —
-    candidate generation is an equi-join on (chunk_idx, chunk_value). The
-    default derives n_chunks = max_distance + 1 to keep that guarantee;
-    chunk boundaries absorb the division remainder so all n_bits are
-    covered. Chunk values are shift/mask extractions from the packed long,
-    the Hamming verify is ``bit_count(XOR)``, and the verify filter runs
-    BEFORE the pair-dedup so the distinct shuffles only surviving pairs.
+    Pigeonhole over ``m`` chunks: a pair within ``max_distance`` differs by
+    at most ``floor(d/m)`` bits in SOME chunk (else total > d). Candidate
+    generation probes each document's chunk values against every mask of
+    popcount <= floor(d/m) (Norouzi et al., "Fast Search in Hamming Space
+    with Multi-Index Hashing") and equi-joins on (chunk, value).
+
+    The chunk count trades probe-side blowup (LINEAR: n × m × |ball|)
+    against candidate blowup (QUADRATIC: collisions within 2^chunk_bits
+    buckets). Radius-0 with d+1 chunks — the naive pigeonhole — needs only
+    64/(d+1)-bit chunks, whose tiny value space degenerates toward a
+    self-cross-join as d grows; at d=10 that is a 20M-pair candidate set
+    on a 5k-doc corpus. Four 16-bit chunks with radius d//4 <= 2 cost 137
+    probes/chunk but collide in a 65536-value space — ~10× fewer
+    candidates, and the gap widens with corpus size, which is what matters
+    at 100 TB. Defaults pick radius 0 for d < 4 (probing buys nothing),
+    the 4-chunk probe index for 4 <= d < 12, and radius-0 d+1 chunks
+    beyond (probe ball C(16, d//4) would explode).
+
+    The mask table rides a broadcast join (4 × |ball| rows) — no probe
+    expression blowup; the Hamming verify (``bit_count(XOR)``) runs BEFORE
+    the pair-dedup so the final distinct shuffles only surviving pairs.
     """
+    radius = 0
     if n_chunks is None:
-        n_chunks = min(max_distance + 1, n_bits)
+        if 4 <= max_distance < 12 and n_bits % 4 == 0:
+            n_chunks, radius = 4, max_distance // 4
+        else:
+            n_chunks = min(max_distance + 1, n_bits)
     base_len, rem = divmod(n_bits, n_chunks)
     bounds = []
     start = 0
@@ -434,7 +465,21 @@ def simhash_near_duplicates(
             )
         ).alias("c"),
     ).select(id_col, "simhash", "c.chunk_idx", "c.chunk_val")
-    a = chunked.alias("a")
+    if radius > 0:
+        spark = df.sparkSession
+        mask_rows = [
+            (i, m) for i, _, ln in bounds for m in _hamming_ball_masks(ln, radius)
+        ]
+        masks = spark.createDataFrame(mask_rows, "chunk_idx int, probe_mask long")
+        probe_side = chunked.join(F.broadcast(masks), "chunk_idx").select(
+            F.col(id_col),
+            F.col("simhash"),
+            "chunk_idx",
+            F.col("chunk_val").bitwiseXOR(F.col("probe_mask")).alias("chunk_val"),
+        )
+    else:
+        probe_side = chunked
+    a = probe_side.alias("a")
     b = chunked.alias("b")
     return (
         a.join(

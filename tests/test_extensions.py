@@ -210,3 +210,17 @@ def test_quality_score_ranges(spark):
     )
     out = {r.doc_id: r.q for r in df.select("doc_id", text.quality_score(F.col("text")).alias("q")).collect()}
     assert 0.0 <= out[1] < out[0] <= 1.0
+
+
+def test_simhash_multi_index_probe_equals_radius0_pigeonhole(spark):
+    """The 4-chunk probe index (d>=4) must return exactly the pairs the
+    naive d+1-chunk radius-0 pigeonhole returns — both are exact methods."""
+    from pinterest_data_pipeline_spark.operators import dedup
+    from pinterest_data_pipeline_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    probed = dedup.simhash_near_duplicates(docs, "text", "doc_id", max_distance=8)
+    naive = dedup.simhash_near_duplicates(
+        docs, "text", "doc_id", max_distance=8, n_chunks=9
+    )
+    assert sorted(map(tuple, probed.collect())) == sorted(map(tuple, naive.collect()))
