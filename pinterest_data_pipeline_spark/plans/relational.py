@@ -323,3 +323,43 @@ def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(
         snapshots, "c_custkey", "snap_ts", ["c_mktsegment"]
     ).orderBy("c_custkey", "valid_from")
+
+
+# ===========================================================================
+# Mergeable sketches (Spark 4 Datasketches HLL) — the 100 TB pre-aggregation
+# pattern: store tiny per-partition sketches, answer distinct-counts over any
+# partition union by register-wise merge, never rescanning the raw data.
+# ===========================================================================
+
+
+@query
+def sketch_hll_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-part estimate vs exact, per return flag (rows-only:
+    sketch estimates are engine-specific; error bound pinned by pytest)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("hll_estimate"),
+            F.countDistinct("l_partkey").alias("exact_distinct"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query
+def sketch_hll_merge_equals_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merging per-month user sketches must equal sketching the whole
+    corpus directly — HLL union is register-wise max, so pre-aggregated
+    sketches lose nothing. One row: (merged_estimate, direct_estimate)."""
+    events = load_table(spark, sf_dir, "events")
+    monthly = events.groupBy(F.date_trunc("month", "ts").alias("month")).agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    merged = monthly.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("merged_estimate")
+    )
+    direct = events.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_estimate")
+    )
+    return merged.crossJoin(direct)

@@ -224,3 +224,20 @@ def test_simhash_multi_index_probe_equals_radius0_pigeonhole(spark):
         docs, "text", "doc_id", max_distance=8, n_chunks=9
     )
     assert sorted(map(tuple, probed.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_hll_sketch_error_bound_and_merge_exactness(spark):
+    from pinterest_data_pipeline_spark.plans import analytics, relational  # noqa: F401
+
+    rows = analytics.QUERIES["sketch_hll_distinct_parts"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # default lgConfigK=12 -> ~1.6% relative standard error; 5% is >3 sigma
+        assert abs(r.hll_estimate - r.exact_distinct) / r.exact_distinct < 0.05
+
+    one = analytics.QUERIES["sketch_hll_merge_equals_direct"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    assert one.merged_estimate == one.direct_estimate  # register-wise max is lossless
