@@ -911,3 +911,20 @@ oracle("text_normalized_keys")(
     FROM documents ORDER BY doc_id
     """
 )
+
+oracle("json_variant_extract_props")(
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+    FROM events ORDER BY event_id
+    """
+)
+
+oracle("json_variant_grouped_stats")(
+    """
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """
+)

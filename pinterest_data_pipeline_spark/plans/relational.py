@@ -363,3 +363,37 @@ def sketch_hll_merge_equals_direct(spark: SparkSession, sf_dir: str) -> DataFram
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_estimate")
     )
     return merged.crossJoin(direct)
+
+
+# ===========================================================================
+# Semi-structured data via VARIANT (Spark 4) — the modern path for schema-
+# drifting JSON: parse once into a binary-encoded variant, extract typed
+# fields at query time with no up-front StructType (contrast S6 from_json).
+# ===========================================================================
+
+
+@query
+def json_variant_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed field extraction from a VARIANT-parsed JSON props column."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return events.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_value"),
+    ).orderBy("event_id")
+
+
+@query
+def json_variant_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a variant-extracted field: avg/max k per event type."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
