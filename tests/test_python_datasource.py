@@ -1,0 +1,58 @@
+"""Custom Python Data Source: registration, parallelism, determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.sources.python_datasource import (
+    PostingEmulatorDataSource,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(PostingEmulatorDataSource)
+
+
+def _read(spark, **opts):
+    r = spark.read.format("posting_emulator")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_reads_requested_rows_across_partitions(spark):
+    df = _read(spark, entity="pin", rows=1000, partitions=8)
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 1000
+    assert df.columns[0] == "index"
+
+
+def test_same_options_same_data(spark):
+    a = _read(spark, entity="user", rows=300, partitions=4, seed=7)
+    b = _read(spark, entity="user", rows=300, partitions=4, seed=7)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_index_is_cross_entity_join_key(spark):
+    pin = _read(spark, entity="pin", rows=400, partitions=4)
+    geo = _read(spark, entity="geo", rows=400, partitions=4)
+    # aligned triplets: every pin index has exactly one geo row
+    assert pin.join(geo, "index").count() == 400
+    assert pin.select(F.countDistinct("index")).first()[0] == 400
+
+
+def test_source_feeds_cleaning_pipeline(spark):
+    from pinterest_data_pipeline_spark.operators import cleaning
+
+    raw = _read(spark, entity="pin", rows=500, partitions=4)
+    cleaned = cleaning.clean_pin(raw)
+    assert cleaned.filter(F.col("ind").isNull()).count() == 0
+    assert dict(cleaned.dtypes)["follower_count"] == "int"
+
+
+def test_dup_frac_option_plants_duplicates(spark):
+    df = _read(spark, entity="pin", rows=500, partitions=4, dup_frac=0.1)
+    assert df.count() > 500  # planted dups beyond the base rows
+    assert df.dropDuplicates().count() <= df.count()
