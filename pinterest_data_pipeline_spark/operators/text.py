@@ -174,3 +174,28 @@ def normalize_text(c: Column) -> Column:
     lowered = F.lower(c)
     no_punct = F.regexp_replace(lowered, r"[^a-z0-9\s]", " ")
     return F.trim(F.regexp_replace(no_punct, r"\s+", " "))
+
+
+def make_sentence_splitter_udtf():
+    """Python UDTF (Spark 4): explode text into (sentence, n_words) rows.
+
+    The UDTF extension point is the engine's answer for table-generating
+    logic too irregular for ``explode``+builtins — here a deliberately
+    simple sentence splitter so the DuckDB oracle can mirror it exactly.
+    Python-per-row is the slow path (SURVEY §2.10); real deployments pass
+    ``useArrow=True`` for Arrow-batched transfer, and anything expressible
+    with array builtins should stay JVM-side instead.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence: string, n_words: int")
+    class SentenceSplitter:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for s in text.replace("!", ".").replace("?", ".").split("."):
+                s = s.strip()
+                if s:
+                    yield s, len(s.split())
+
+    return SentenceSplitter

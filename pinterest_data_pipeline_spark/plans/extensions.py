@@ -283,3 +283,19 @@ def text_normalized_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.md5(text.normalize_text(F.col("text"))).alias("norm_key")
     ).orderBy("doc_id")
+
+
+@query
+def text_sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF in a LATERAL join: per-document sentence explosion."""
+    from ..session import register_views
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("split_sentences", text.make_sentence_splitter_udtf())
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence, s.n_words
+        FROM documents d, LATERAL split_sentences(d.text) s
+        ORDER BY d.doc_id, s.sentence
+        """
+    )

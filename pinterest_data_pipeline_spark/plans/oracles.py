@@ -928,3 +928,43 @@ oracle("json_variant_grouped_stats")(
     FROM events GROUP BY event_type ORDER BY event_type
     """
 )
+
+oracle("text_sentence_split_udtf")(
+    """
+    SELECT doc_id, trim(s) AS sentence,
+           array_length(regexp_split_to_array(trim(s), '\\s+'))::int AS n_words
+    FROM documents,
+         UNNEST(string_split(replace(replace(text, '!', '.'), '?', '.'), '.')) AS t(s)
+    WHERE trim(s) <> ''
+    ORDER BY doc_id, sentence
+    """
+)
+
+oracle("events_resample_ffill")(
+    """
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        FROM events
+    ), spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+    ), types AS (
+        SELECT DISTINCT event_type FROM events
+    ), hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type, round(sum(value), 4) AS v
+        FROM events GROUP BY 1, 2
+    ), grid AS (
+        SELECT s.h, t.event_type FROM spine s CROSS JOIN types t
+    ), j AS (
+        SELECT g.h, g.event_type, hv.v
+        FROM grid g LEFT JOIN hourly hv USING (h, event_type)
+    )
+    SELECT event_type,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           round(coalesce(last_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 4)
+               AS value_ffill,
+           (v IS NULL) AS was_gap
+    FROM j ORDER BY event_type, hour
+    """
+)

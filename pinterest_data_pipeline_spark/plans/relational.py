@@ -20,7 +20,7 @@ Every query has a DuckDB oracle dual in ``oracles.py`` (same name).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.merge import merge_into
@@ -397,3 +397,48 @@ def json_variant_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ===========================================================================
+# Time-series resample + gap-fill — spine generation (sequence/explode) +
+# left join + forward-fill window (last ignoreNulls). The standard shape for
+# regularizing event data before modeling; per-key windows keep it parallel.
+# ===========================================================================
+
+
+@query
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type value series with gaps forward-filled.
+
+    Spine = sequence(min_hour, max_hour) × event types (tiny broadcast
+    cross join); forward fill = last(ignorenulls) over an unbounded-
+    preceding frame PARTITIONED BY TYPE — per-key windows, so the sort
+    parallelizes across keys at scale (never a single global order).
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h")
+    )
+    types = events.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    filled = grid.join(hourly, ["h", "event_type"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.round(
+            F.coalesce(F.last("v", ignorenulls=True).over(w), F.lit(0.0)), 4
+        ).alias("value_ffill"),
+        F.col("v").isNull().alias("was_gap"),
+    ).orderBy("event_type", "hour")
