@@ -91,3 +91,67 @@ class PostingEmulatorDataSource(DataSource):
 
     def reader(self, schema) -> PostingEmulatorReader:
         return PostingEmulatorReader(dict(self.options))
+
+    def streamReader(self, schema) -> "PostingEmulatorStreamReader":
+        return PostingEmulatorStreamReader(dict(self.options))
+
+
+# --- streaming flavor --------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
+
+
+class PostingEmulatorStreamReader(DataSourceStreamReader):
+    """Offset-based micro-batch stream of emulator rows.
+
+    Mirrors the reference's continuous emitter
+    (``python_files/user_posting_emulation_streaming.py:47-70``) as a real
+    Structured Streaming source: the driver-side reader advances a row-count
+    offset by ``rows_per_batch`` per trigger (capped at ``max_rows`` when
+    set, so finite drains terminate); executors generate each batch's slice
+    from offset-derived seeds. Offsets are plain row indices — replayable:
+    re-reading [start, end) after a crash regenerates identical rows, which
+    is exactly the contract checkpoint recovery needs from a source.
+    """
+
+    def __init__(self, options: dict):
+        self.entity = options.get("entity", "pin")
+        self.seed = int(options.get("seed", 42))
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.max_rows = int(options.get("max_rows", 0))  # 0 = unbounded
+        self._cur = 0
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        self._cur += self.rows_per_batch
+        if self.max_rows:
+            self._cur = min(self._cur, self.max_rows)
+        return {"index": self._cur}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        lo, hi = start["index"], end["index"]
+        n = hi - lo
+        if n <= 0:
+            return []
+        n_parts = min(4, n)
+        base, rem = divmod(n, n_parts)
+        parts, off = [], lo
+        for i in range(n_parts):
+            size = base + (1 if i < rem else 0)
+            parts.append(_SlicePartition(i, size, self.seed + off, off))
+            off += size
+        return parts
+
+    def read(self, partition: _SlicePartition) -> Iterator[tuple]:
+        triplet = make_raw_entities(n=partition.n_rows, seed=partition.seed, dup_frac=0.0)
+        rows = triplet[_ENTITY_SLOT[self.entity]]
+        fields = [f.name for f in _SCHEMAS[self.entity].fields]
+        for r in rows:
+            r = dict(r)
+            r["index"] = r["index"] + partition.row_offset
+            yield tuple(r[f] for f in fields)
+
+    def commit(self, end: dict) -> None:
+        pass

@@ -56,3 +56,31 @@ def test_dup_frac_option_plants_duplicates(spark):
     df = _read(spark, entity="pin", rows=500, partitions=4, dup_frac=0.1)
     assert df.count() > 500  # planted dups beyond the base rows
     assert df.dropDuplicates().count() <= df.count()
+
+
+def test_stream_reader_drains_to_max_rows(spark, tmp_path):
+    stream = (
+        spark.readStream.format("posting_emulator")
+        .option("entity", "pin")
+        .option("rows_per_batch", 100)
+        .option("max_rows", 250)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("emu_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        if spark.table("emu_stream").count() >= 250:
+            break
+        time.sleep(1)
+    q.stop()
+    got = spark.table("emu_stream")
+    assert got.count() == 250
+    assert got.select("index").distinct().count() == 250  # offset-rebased, no overlap
