@@ -55,6 +55,9 @@ HEADLINE = [
     "join_asof_latest_order",
     "join_range_ship_window",
     "agg_grouping_sets",
+    "quality_expectations_orders",
+    "anomaly_zscore_events",
+    "sample_hash_split_counts",
     "dedup_exact_documents",
     "dedup_minhash_near_duplicates",
     "dedup_simhash_near_duplicates",

@@ -1,0 +1,88 @@
+"""Data-quality expectations: declarative constraint checks over a DataFrame.
+
+The gate every production pipeline puts between ingest and publish (Deequ /
+dbt-test shape): declare constraints, evaluate them ALL in one aggregation
+pass, get a (check, passed, observed) report. One job, no per-check scans —
+at 100 TB the difference between a quality gate and a quality bill.
+
+Each check compiles to an aggregate expression; ``run_checks`` unions them
+into a single ``agg`` so Catalyst evaluates every constraint in one
+map-side-partial pass over the data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Check:
+    name: str
+    observed: Column  # aggregate expression producing the observed metric
+    passed: Column  # boolean over the observed metric
+
+
+def not_null(col: str, max_null_frac: float = 0.0) -> Check:
+    """Fraction of NULLs in ``col`` must not exceed ``max_null_frac``."""
+    frac = F.round(
+        F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)) / F.count(F.lit(1)), 6
+    )
+    name = f"not_null({col})" if max_null_frac == 0.0 else f"not_null({col},max={max_null_frac})"
+    return Check(name, frac, frac <= max_null_frac)
+
+
+def unique(col: str) -> Check:
+    """``col`` must have no duplicate values (count == distinct count)."""
+    dups = F.count(col) - F.countDistinct(col)
+    return Check(f"unique({col})", dups.cast("double"), dups == 0)
+
+
+def in_range(col: str, lo: float, hi: float) -> Check:
+    """Every non-null value of ``col`` must lie in [lo, hi]."""
+    viol = F.sum(
+        F.when(F.col(col).isNotNull() & ~F.col(col).between(lo, hi), 1).otherwise(0)
+    )
+    return Check(f"in_range({col},{lo},{hi})", viol.cast("double"), viol == 0)
+
+
+def accepted_values(col: str, values: list) -> Check:
+    """Every non-null value of ``col`` must be in ``values``."""
+    viol = F.sum(
+        F.when(F.col(col).isNotNull() & ~F.col(col).isin(values), 1).otherwise(0)
+    )
+    return Check(f"accepted_values({col})", viol.cast("double"), viol == 0)
+
+
+def row_count_at_least(n: int) -> Check:
+    cnt = F.count(F.lit(1))
+    return Check(f"row_count_at_least({n})", cnt.cast("double"), cnt >= n)
+
+
+def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Evaluate all checks in ONE aggregation pass.
+
+    Returns (check_name, observed, passed) — one row per check, produced by
+    unpivoting a single-row aggregate, so the input is scanned exactly once
+    regardless of how many constraints are declared.
+    """
+    agg_cols = []
+    for i, c in enumerate(checks):
+        agg_cols.append(c.observed.cast("double").alias(f"obs_{i}"))
+        agg_cols.append(c.passed.cast("boolean").alias(f"ok_{i}"))
+    row = df.agg(*agg_cols)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c.name).alias("check_name"),
+                F.col(f"obs_{i}").alias("observed"),
+                F.col(f"ok_{i}").alias("passed"),
+            )
+            for i, c in enumerate(checks)
+        ]
+    )
+    return row.select(F.explode(entries).alias("e")).select(
+        "e.check_name", "e.observed", "e.passed"
+    )

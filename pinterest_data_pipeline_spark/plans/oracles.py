@@ -968,3 +968,54 @@ oracle("events_resample_ffill")(
     FROM j ORDER BY event_type, hour
     """
 )
+
+oracle("quality_expectations_orders")(
+    """
+    WITH m AS (
+        SELECT
+            round(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  / count(*)::double, 6) AS nn_key,
+            (count(o_orderkey) - count(DISTINCT o_orderkey))::double AS dup_key,
+            round(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  / count(*)::double, 6) AS nn_cust,
+            sum(CASE WHEN o_totalprice IS NOT NULL
+                      AND (o_totalprice < 0.0 OR o_totalprice > 1000000.0)
+                     THEN 1 ELSE 0 END)::double AS range_price,
+            sum(CASE WHEN o_orderstatus IS NOT NULL
+                      AND o_orderstatus NOT IN ('O', 'F', 'P')
+                     THEN 1 ELSE 0 END)::double AS accept_status,
+            count(*)::double AS n_rows
+        FROM orders
+    )
+    SELECT * FROM (
+        SELECT 'not_null(o_orderkey)' AS check_name, nn_key AS observed,
+               nn_key <= 0.0 AS passed FROM m
+        UNION ALL
+        SELECT 'unique(o_orderkey)', dup_key, dup_key = 0 FROM m
+        UNION ALL
+        SELECT 'not_null(o_custkey)', nn_cust, nn_cust <= 0.0 FROM m
+        UNION ALL
+        SELECT 'in_range(o_totalprice,0.0,1000000.0)', range_price,
+               range_price = 0 FROM m
+        UNION ALL
+        SELECT 'accepted_values(o_orderstatus)', accept_status,
+               accept_status = 0 FROM m
+        UNION ALL
+        SELECT 'row_count_at_least(100)', n_rows, n_rows >= 100 FROM m
+    ) ORDER BY check_name
+    """
+)
+
+oracle("anomaly_zscore_events")(
+    """
+    WITH stats AS (
+        SELECT event_id, event_type, value,
+               avg(value) OVER (PARTITION BY event_type) AS mu,
+               stddev_samp(value) OVER (PARTITION BY event_type) AS sd
+        FROM events
+    )
+    SELECT event_id, event_type, round(value, 4) AS value,
+           round((value - mu) / sd, 4) AS zscore
+    FROM stats WHERE abs((value - mu) / sd) > 3
+    """
+)

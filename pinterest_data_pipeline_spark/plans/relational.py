@@ -445,3 +445,48 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value_ffill"),
         F.col("v").isNull().alias("was_gap"),
     ).orderBy("event_type", "hour")
+
+
+# ===========================================================================
+# Data-quality expectations (operators/quality.py) — single-pass gate
+# ===========================================================================
+
+
+@query
+def quality_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint suite over orders, evaluated in one agg pass."""
+    from ..operators import quality as Q
+
+    orders = load_table(spark, sf_dir, "orders")
+    return Q.run_checks(
+        orders,
+        [
+            Q.not_null("o_orderkey"),
+            Q.unique("o_orderkey"),
+            Q.not_null("o_custkey"),
+            Q.in_range("o_totalprice", 0.0, 1_000_000.0),
+            Q.accepted_values("o_orderstatus", ["O", "F", "P"]),
+            Q.row_count_at_least(100),
+        ],
+    ).orderBy("check_name")
+
+
+# ===========================================================================
+# Grouped anomaly flagging: per-group z-score outliers via one window pass
+# ===========================================================================
+
+
+@query
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value is >3 sigma from their type's mean (z-score over
+    a per-type window — parallel across groups, no driver statistics)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    z = (F.col("value") - mu) / sd
+    return (
+        events.withColumn("zscore", F.round(z, 4))
+        .filter(F.abs(F.col("zscore")) > 3)
+        .select("event_id", "event_type", F.round("value", 4).alias("value"), "zscore")
+    )

@@ -1,0 +1,39 @@
+"""Quality expectations: violation detection and single-pass evaluation."""
+
+from __future__ import annotations
+
+from pinterest_data_pipeline_spark.operators import quality as Q
+
+
+def test_checks_detect_planted_violations(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 50.0), (2, None, -1.0)],
+        "id long, name string, val double",
+    )
+    report = {
+        r.check_name: (r.observed, r.passed)
+        for r in Q.run_checks(
+            df,
+            [
+                Q.unique("id"),  # dup id=2 -> fail
+                Q.not_null("name"),  # one null of three -> fail
+                Q.not_null("name", 0.5),  # 50% tolerance -> pass
+                Q.in_range("val", 0.0, 100.0),  # -1 out of range -> fail
+                Q.row_count_at_least(3),  # pass
+            ],
+        ).collect()
+    }
+    assert report["unique(id)"] == (1.0, False)
+    assert report["not_null(name)"] == (round(1 / 3, 6), False)
+    assert report["not_null(name,max=0.5)"] == (round(1 / 3, 6), True)
+    assert report["in_range(val,0.0,100.0)"] == (1.0, False)
+    assert report["row_count_at_least(3)"] == (3.0, True)
+
+
+def test_all_checks_one_scan(spark):
+    df = spark.createDataFrame([(1, 2.0)], "id long, val double")
+    plan = Q.run_checks(
+        df, [Q.unique("id"), Q.in_range("val", 0, 10), Q.row_count_at_least(1)]
+    )._jdf.queryExecution().executedPlan().toString()
+    # one aggregation over one scan: no joins, no repeated source scans
+    assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") <= 1
