@@ -51,6 +51,8 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
     "subquery_correlated_above_nation_avg",
     "join_asof_latest_order",
     "join_range_ship_window",

@@ -1019,3 +1019,75 @@ oracle("anomaly_zscore_events")(
     FROM stats WHERE abs((value - mu) / sd) > 3
     """
 )
+
+oracle("quality_referential_integrity")(
+    """
+    SELECT * FROM (
+        SELECT 'lineitem.l_orderkey -> orders' AS fk_edge,
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))::double
+                   AS orphans,
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey)) = 0 AS passed
+        UNION ALL
+        SELECT 'orders.o_custkey -> customer',
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))::double,
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey)) = 0
+    ) ORDER BY fk_edge
+    """
+)
+
+oracle("array_hof_battery")(
+    """
+    SELECT vec_id,
+           len(embedding)::int AS dim,
+           round(list_aggregate(list_transform(embedding, x -> x::double * x::double),
+                                'sum'), 4) AS sq_norm,
+           len(list_filter(embedding, x -> x::double > 0))::int AS n_positive,
+           round(list_max(list_transform(embedding, x -> x::double)), 4)
+               AS max_component,
+           round(list_sort(list_transform(embedding, x -> x::double))
+                 [len(embedding) - 1], 4) AS second_largest
+    FROM embeddings WHERE vec_id < 200 ORDER BY vec_id
+    """
+)
+
+oracle("tpch_q10_returned_items")(
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """
+)
+
+oracle("tpch_q18_large_orders")(
+    """
+    WITH big AS (
+        SELECT l_orderkey, sum(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           round(o.o_totalprice, 2) AS total_price,
+           round(b.total_qty, 2) AS total_qty
+    FROM orders o
+    JOIN big b      ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY total_price DESC, o_orderkey
+    LIMIT 100
+    """
+)

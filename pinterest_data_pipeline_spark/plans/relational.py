@@ -490,3 +490,107 @@ def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("zscore")) > 3)
         .select("event_id", "event_type", F.round("value", 4).alias("value"), "zscore")
     )
+
+
+@query
+def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table FK checks via anti-join counts (orphans must be 0).
+
+    Anti joins are the scalable form: no row-by-row lookups, one shuffle
+    per FK edge, and AQE broadcasts the smaller parent side when it fits.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    li_orphans = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"
+    ).count()
+    ord_orphans = orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "left_anti"
+    ).count()
+    return spark.createDataFrame(
+        [
+            ("lineitem.l_orderkey -> orders", float(li_orphans), li_orphans == 0),
+            ("orders.o_custkey -> customer", float(ord_orphans), ord_orphans == 0),
+        ],
+        "fk_edge string, orphans double, passed boolean",
+    ).orderBy("fk_edge")
+
+
+@query
+def array_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over embeddings: transform / filter /
+    aggregate / array_max / slice-of-sorted — the HOF surface in one query."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x), 4
+        ).alias("sq_norm"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+        F.round(F.array_max(v), 4).alias("max_component"),
+        F.round(
+            F.element_at(F.array_sort(v), -2), 4
+        ).alias("second_largest"),
+    ).orderBy("vec_id")
+
+
+# ===========================================================================
+# TPC-H Q10 / Q18 shapes — returned-item ranking and the big-subquery
+# semi-join (two more canonical multi-join workloads for the bench)
+# ===========================================================================
+
+
+@query
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: revenue lost to returns per customer in a quarter, top 20."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: orders whose total quantity exceeds a threshold — a
+    semi-join against an aggregated subquery (big-group filter), then
+    detail re-join. The aggregate runs once; the filter is a semi join."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
+        .limit(100)
+    )
