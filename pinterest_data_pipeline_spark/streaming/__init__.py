@@ -15,6 +15,7 @@ from .pipeline import (  # noqa: F401
     run_streaming_pipeline,
     session_event_counts,
     stream_clean_entity,
+    upsert_sink,
     watermarked_dedup,
     windowed_event_counts,
     write_entity_stream,

@@ -72,3 +72,37 @@ def test_jaccard_bounds_and_symmetry(spark, xs, ys):
     assert 0.0 <= r.xy <= 1.0 and abs(r.xy - r.yx) < 1e-12
     if set(xs) == set(ys) and xs:
         assert r.xy == 1.0
+
+
+# --- merge_into vs a Python reference model ---------------------------------
+
+_keys = st.integers(min_value=0, max_value=15)
+_rows = st.lists(
+    st.tuples(_keys, st.integers(min_value=-100, max_value=100)),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(target=_rows, source=_rows)
+@settings(**SETTINGS)
+def test_merge_into_matches_reference_model(spark, target, source):
+    """merge_into == dict-semantics upsert, for any target/source key sets.
+
+    Targets/sources are deduped per key (merge requires unique source keys;
+    last-wins here to make the model deterministic)."""
+    from pinterest_data_pipeline_spark.operators.merge import merge_into
+
+    tgt = {k: v for k, v in target}
+    src = {k: v for k, v in source}
+    expect = dict(tgt)
+    expect.update(src)  # matched -> source value; source-only -> insert
+
+    tdf = spark.createDataFrame(
+        [(k, v) for k, v in tgt.items()] or [(None, None)], "id long, val long"
+    ).filter(F.col("id").isNotNull())
+    sdf = spark.createDataFrame(
+        [(k, v) for k, v in src.items()] or [(None, None)], "id long, val long"
+    ).filter(F.col("id").isNotNull())
+    got = {r.id: r.val for r in merge_into(tdf, sdf, ["id"]).collect()}
+    assert got == expect

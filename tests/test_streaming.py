@@ -377,3 +377,29 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     # bulk of it must have been released
     assert set(got) <= set(want)
     assert len(got) >= max(1, int(0.5 * len(want)))
+
+
+def test_upsert_sink_latest_per_key_wins(spark, tmp_path):
+    """foreachBatch MERGE sink: re-keyed records update, new keys insert,
+    untouched keys survive across micro-batches."""
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, val double"
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        q = streaming.upsert_sink(
+            spark.readStream.schema(schema).parquet(src),
+            table,
+            ckpt,
+            keys=["id"],
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        return {r.id: r.val for r in spark.read.parquet(table).collect()}
+
+    first = run_batch([(1, 1.0), (2, 2.0)])
+    assert first == {1: 1.0, 2: 2.0}
+    second = run_batch([(2, 99.0), (3, 3.0)])
+    assert second == {1: 1.0, 2: 99.0, 3: 3.0}
