@@ -299,3 +299,37 @@ def text_sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, s.sentence
         """
     )
+
+
+@query
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vector: posexplode -> (label, pos) mean -> ordered
+    reassembly. The distributed form of an element-wise vector aggregate —
+    the shuffle key is (label, position), so width scales with dim x labels,
+    never with corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "component")
+    )
+    means = exploded.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("component").cast("double")), 6).alias("mean_c")
+    )
+    return (
+        means.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("mean_c")))
+                ),
+                lambda s: s.mean_c,
+            ).alias("centroid")
+        )
+        .select(
+            "label",
+            F.size("centroid").alias("dim"),
+            F.round(F.aggregate("centroid", F.lit(0.0), lambda a, x: a + x * x), 6).alias(
+                "centroid_sq_norm"
+            ),
+        )
+        .orderBy("label")
+    )

@@ -1091,3 +1091,19 @@ oracle("tpch_q18_large_orders")(
     LIMIT 100
     """
 )
+
+oracle("embedding_label_centroids")(
+    """
+    WITH exploded AS (
+        SELECT label, u.i - 1 AS pos, embedding[u.i]::double AS component
+        FROM embeddings,
+             UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ), means AS (
+        SELECT label, pos, round(avg(component), 6) AS mean_c
+        FROM exploded GROUP BY label, pos
+    )
+    SELECT label, count(*)::int AS dim,
+           round(sum(mean_c * mean_c), 6) AS centroid_sq_norm
+    FROM means GROUP BY label ORDER BY label
+    """
+)
