@@ -403,3 +403,45 @@ def test_upsert_sink_latest_per_key_wins(spark, tmp_path):
     assert first == {1: 1.0, 2: 2.0}
     second = run_batch([(2, 99.0), (3, 3.0)])
     assert second == {1: 1.0, 2: 99.0, 3: 3.0}
+
+
+def test_incremental_rollup_equals_batch_rollup(spark, tmp_path):
+    """Incremental materialized view: a streamed daily rollup maintained
+    through the upsert sink must equal the batch rollup over all data.
+
+    Update-mode aggregation emits refreshed (day, type) rows per batch;
+    merging them by key keeps the table current without recomputing
+    history — the incremental-MV pattern."""
+    from pinterest_data_pipeline_spark.session import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    half = events.count() // 2
+    first = events.filter(F.col("event_id") < half)
+    second = events.filter(F.col("event_id") >= half)
+
+    def rollup(df):
+        return (
+            df.withColumn("day", F.to_date(F.date_trunc("day", F.col("ts"))))
+            .groupBy("day", "event_type")
+            .agg(F.count(F.lit(1)).alias("event_count"))
+        )
+
+    for chunk in (first, second):
+        chunk.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = streaming.upsert_sink(
+            rollup(stream),
+            table,
+            ckpt,
+            keys=["day", "event_type"],
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(table).collect()))
+    want = sorted(map(tuple, rollup(events).collect()))
+    assert got == want
