@@ -104,3 +104,42 @@ def range_join(
         & (left[point] <= right[upper]),
     )
     return joined.drop(right[rk])
+
+
+def fuzzy_self_join(
+    df: DataFrame, text_col: str, max_distance: int = 2
+) -> DataFrame:
+    """Edit-distance self-join with length blocking (entity resolution).
+
+    All pairs of distinct values within ``max_distance`` edits. Naively
+    O(n²); the blocking exploits |len(a) - len(b)| <= edit_distance: side A
+    keys on its length bucket (width d+1), side B explodes to its bucket ±1,
+    so every qualifying pair meets in some bucket (equi-join shuffle) while
+    the candidate set stays near-linear for realistic length histograms.
+    The exact ``levenshtein`` verify runs only on bucket collisions —
+    LSH-for-edit-distance in two lines of relational algebra.
+    """
+    width = max_distance + 1
+    vals = df.select(F.col(text_col).alias("val")).distinct()
+    a = vals.select(
+        "val", (F.length("val") / width).cast("int").alias("bucket")
+    ).withColumnRenamed("val", "val_a")
+    b = vals.select(
+        F.col("val").alias("val_b"),
+        F.explode(
+            F.array(
+                *[
+                    ((F.length("val") / width).cast("int") + i)
+                    for i in (-1, 0, 1)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("val_a") < F.col("val_b"))
+        .withColumn("edit_distance", F.levenshtein("val_a", "val_b"))
+        .filter(F.col("edit_distance") <= max_distance)
+        .select("val_a", "val_b", "edit_distance")
+        .distinct()
+    )

@@ -1107,3 +1107,14 @@ oracle("embedding_label_centroids")(
     FROM means GROUP BY label ORDER BY label
     """
 )
+
+oracle("join_fuzzy_part_names")(
+    """
+    WITH vals AS (SELECT DISTINCT p_name AS val FROM part)
+    SELECT a.val AS val_a, b.val AS val_b,
+           levenshtein(a.val, b.val)::int AS edit_distance
+    FROM vals a JOIN vals b ON a.val < b.val
+    WHERE levenshtein(a.val, b.val) <= 3
+    ORDER BY val_a, val_b
+    """
+)

@@ -594,3 +594,14 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+@query
+def join_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity-resolution join: distinct part names within 3 edits."""
+    from ..operators.joins import fuzzy_self_join
+
+    part = load_table(spark, sf_dir, "part")
+    return fuzzy_self_join(part, "p_name", max_distance=3).orderBy(
+        "val_a", "val_b"
+    )

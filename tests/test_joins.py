@@ -67,3 +67,33 @@ def test_percentile_approx_close_to_exact(spark):
         F.percentile("v", F.lit(0.5)).alias("exact"),
     ).first()
     assert abs(row.approx - row.exact) <= 100  # within 1% of the range
+
+
+def test_fuzzy_join_blocking_loses_no_pairs(spark):
+    """Length-bucket blocking must find every pair an exhaustive scan finds,
+    including pairs whose lengths straddle a bucket boundary."""
+    from itertools import combinations
+
+    from pinterest_data_pipeline_spark.operators.joins import fuzzy_self_join
+
+    vals = ["ab", "abc", "abcd", "abcde", "xyz", "xyzzy", "abf", "kl"]
+    df = spark.createDataFrame([(v,) for v in vals], "name string")
+    got = {
+        (r.val_a, r.val_b, r.edit_distance)
+        for r in fuzzy_self_join(df, "name", max_distance=2).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    want = {
+        (min(a, b), max(a, b), lev(a, b))
+        for a, b in combinations(set(vals), 2)
+        if lev(a, b) <= 2
+    }
+    assert got == want and len(want) > 3
