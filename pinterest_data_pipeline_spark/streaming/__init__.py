@@ -9,6 +9,7 @@ operators the reference lacks (SURVEY.md §2.9).
 
 from .pipeline import (  # noqa: F401
     attributed_conversions,
+    corrupt_records,
     enrich_stream,
     parse_envelope_stream,
     read_entity_stream,

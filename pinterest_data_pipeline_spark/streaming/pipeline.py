@@ -83,6 +83,34 @@ def parse_envelope_stream(raw: DataFrame, entity: str, drop_corrupt: bool = True
     return parsed.select("parsed_data.*")
 
 
+def corrupt_records(raw: DataFrame, entity: str) -> DataFrame:
+    """Dead-letter view: the raw lines ``parse_envelope_stream`` rejects.
+
+    Inverted predicate of the parse filter, keeping the ORIGINAL wire bytes
+    plus a diagnosis — the two things a replay/repair job needs. Teeing this
+    to its own sink turns silent drops into an auditable DLQ; volume is the
+    corruption rate, so the sink costs nothing when the pipeline is healthy.
+
+    Two observable classes only: PERMISSIVE ``from_json`` renders both
+    unparseable JSON and parseable-but-wrong-shape as all-null structs, so
+    "bad envelope" vs "missing field" cannot be told apart post-parse —
+    the raw line is retained precisely so a repair job can re-diagnose.
+    """
+    env = F.from_json(F.col("value"), STREAM_ENVELOPE_SCHEMA)
+    payload = F.from_json(env["Data"], RAW_SCHEMAS[entity])
+    return (
+        raw.withColumn("envelope", env)
+        .withColumn("parsed_data", payload)
+        .filter(F.col("parsed_data.index").isNull())
+        .select(
+            F.col("value").alias("raw_line"),
+            F.when(F.col("envelope.Data").isNull(), "invalid_envelope")
+            .otherwise("invalid_payload")
+            .alias("reason"),
+        )
+    )
+
+
 def read_entity_stream(
     spark: SparkSession, landing_dir: str, entity: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:

@@ -445,3 +445,29 @@ def test_incremental_rollup_equals_batch_rollup(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(table).collect()))
     want = sorted(map(tuple, rollup(events).collect()))
     assert got == want
+
+
+def test_dead_letter_queue_captures_each_corruption_kind(spark, tmp_path):
+    """corrupt_records must classify every malformed line with a reason,
+    and the DLQ + clean path together must account for every input line."""
+    pins, _, _ = make_raw_entities(n=5, seed=21)
+    landing = str(tmp_path / "landing")
+    write_envelope_files({"pin": pins}, landing, files_per_entity=1)
+    with open(f"{landing}/pin/part-junk.json", "w") as f:
+        f.write(
+            "{not json at all\n"
+            '{"StreamName": "x", "PartitionKey": "0"}\n'
+            '{"StreamName": "x", "Data": "[1, 2", "PartitionKey": "0"}\n'
+            '{"StreamName": "x", "Data": "{\\"title\\": \\"no index field\\"}", "PartitionKey": "0"}\n'
+        )
+    raw = spark.read.format("text").load(f"{landing}/pin")
+    clean = streaming.parse_envelope_stream(raw, "pin")
+    dlq = streaming.corrupt_records(raw, "pin")
+    reasons = sorted(r.reason for r in dlq.collect())
+    assert reasons == [
+        "invalid_envelope",  # not json at all
+        "invalid_envelope",  # envelope without Data
+        "invalid_payload",  # Data is broken JSON
+        "invalid_payload",  # payload without the key field
+    ]
+    assert clean.count() + dlq.count() == raw.count()
