@@ -45,6 +45,7 @@ HEADLINE = [
     "agg_rollup_region_nation",
     "json_extract_event_props",
     "events_tumbling_window",
+    "events_sliding_window",
     "events_session_window",
     "events_view_purchase_attribution",
     "top_k_orders",
