@@ -1118,3 +1118,40 @@ oracle("join_fuzzy_part_names")(
     ORDER BY val_a, val_b
     """
 )
+
+oracle("tpch_q12_priority_shipmode")(
+    """
+    SELECT l.l_linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_priority_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_priority_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_linestatus ORDER BY l_linestatus
+    """
+)
+
+oracle("tpch_q14_promo_revenue_share")(
+    """
+    SELECT round(100 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                                THEN l.l_extendedprice * (1 - l.l_discount)
+                                ELSE 0.0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+               AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+    """
+)
+
+oracle("tpch_q19_disjunctive_predicates")(
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#11' AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#22' AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#33' AND l.l_quantity BETWEEN 20 AND 40)
+    """
+)

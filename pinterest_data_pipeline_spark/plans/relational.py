@@ -605,3 +605,65 @@ def join_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_self_join(part, "p_name", max_distance=3).orderBy(
         "val_a", "val_b"
     )
+
+
+@query
+def tpch_q12_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: CASE-inside-SUM — conditional counts in one grouped pass
+    (high- vs low-priority orders per line status)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query
+def tpch_q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: conditional-revenue ratio — two aggregates over one scan,
+    combined into a single percentage (PROMO parts share of revenue)."""
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .agg(
+            F.round(100 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query
+def tpch_q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: OR-of-ANDs join predicate — Catalyst extracts the common
+    conjuncts (the equi-join key) so the disjunction never forces a
+    nested-loop join; the residual OR evaluates post-join."""
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#22") & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#33") & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+    )

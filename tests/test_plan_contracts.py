@@ -125,3 +125,12 @@ def test_tpch_q5_broadcasts_both_dims(spark):
     plan = plan_of(spark, "tpch_q5_local_supplier_volume")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_q19_disjunction_still_hash_joins(spark):
+    # OR-of-ANDs with a common equi-conjunct: Catalyst must extract the
+    # join key and keep a hash join; the residual disjunction evaluates
+    # as a post-join filter, never a nested loop.
+    plan = plan_of(spark, "tpch_q19_disjunctive_predicates")
+    assert any(j in plan for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
