@@ -333,3 +333,35 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query
+def pipeline_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation flow in one composable chain:
+
+    normalize → exact dedup (on normalized content) → MinHash near-dup
+    clustering (keep one doc per cluster) → quality floor → deterministic
+    train/valid/test split. Output: (doc_id, quality, split) of the
+    surviving corpus — what a 100 TB curation job materializes.
+
+    Rows-only for the driver (MinHash stage); every component operator is
+    individually oracle-checked or pytest-pinned elsewhere, and the
+    composition invariants (no dup survives, floor holds, splits total)
+    are pytest-asserted.
+    """
+    from ..operators import sampling
+    from ..operators.dedup import exact_dedup, near_duplicate_clusters
+
+    docs = load_documents(spark, sf_dir).withColumn(
+        "norm_text", text.normalize_text(F.col("text"))
+    )
+    exact_unique = exact_dedup(docs, "norm_text", "doc_id")
+    keeps = near_duplicate_clusters(
+        exact_unique, "norm_text", "doc_id", threshold=0.5
+    ).filter(F.col("keep"))
+    survivors = exact_unique.join(keeps.select("doc_id"), "doc_id", "left_semi")
+    scored = survivors.withColumn("quality", text.quality_score(F.col("text")))
+    filtered = scored.filter(F.col("quality") >= 0.2)
+    return sampling.hash_split(filtered, "doc_id").select(
+        "doc_id", F.round("quality", 4).alias("quality"), "split"
+    )

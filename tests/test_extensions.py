@@ -241,3 +241,26 @@ def test_hll_sketch_error_bound_and_merge_exactness(spark):
         spark, "/root/testdata/sf0.01"
     ).collect()[0]
     assert one.merged_estimate == one.direct_estimate  # register-wise max is lossless
+
+
+def test_curation_pipeline_invariants(spark):
+    """Composite curation chain: no surviving exact dups (on normalized
+    text), at most one survivor per near-dup cluster, quality floor holds,
+    every survivor carries a split."""
+    from pinterest_data_pipeline_spark.operators import text as T
+    from pinterest_data_pipeline_spark.plans import analytics, extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.session import load_table
+
+    sf = "/root/testdata/sf0.01"
+    out = analytics.QUERIES["pipeline_curate_documents"](spark, sf)
+    rows = out.collect()
+    docs = load_table(spark, sf, "documents")
+    assert 0 < len(rows) < docs.count()  # something survived, something culled
+    assert all(r.quality >= 0.2 for r in rows)
+    assert all(r.split in ("train", "valid", "test") for r in rows)
+    # no two survivors share normalized content
+    ids = [r.doc_id for r in rows]
+    survivors = docs.filter(F.col("doc_id").isin(ids)).select(
+        "doc_id", T.normalize_text(F.col("text")).alias("n")
+    )
+    assert survivors.select("n").distinct().count() == len(ids)
