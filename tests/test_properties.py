@@ -106,3 +106,52 @@ def test_merge_into_matches_reference_model(spark, target, source):
     ).filter(F.col("id").isNotNull())
     got = {r.id: r.val for r in merge_into(tdf, sdf, ["id"]).collect()}
     assert got == expect
+
+
+# --- scd2_history vs a Python reference model -------------------------------
+
+_snap = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),   # key
+        st.integers(min_value=0, max_value=9),   # day offset (distinct ts per key enforced below)
+        st.sampled_from(["A", "B", "C"]),        # attribute
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=_snap)
+@settings(**SETTINGS)
+def test_scd2_history_matches_reference_model(spark, rows):
+    """scd2_history == per-key change-point model for arbitrary snapshots.
+
+    One observation per (key, ts): later duplicates in the generated list
+    overwrite earlier ones (dict semantics) before both sides run."""
+    import datetime
+
+    from pinterest_data_pipeline_spark.operators.merge import scd2_history
+
+    obs = {(k, d): a for k, d, a in rows}
+    data = [
+        (k, datetime.date(2020, 1, 1) + datetime.timedelta(days=d), a)
+        for (k, d), a in obs.items()
+    ]
+    df = spark.createDataFrame(data, "id long, ts date, attr string")
+    got = {
+        (r.id, str(r.valid_from), str(r.valid_to), r.attr, r.is_current)
+        for r in scd2_history(df, "id", "ts", ["attr"]).collect()
+    }
+
+    want = set()
+    by_key: dict = {}
+    for k, d in sorted(obs):
+        by_key.setdefault(k, []).append((datetime.date(2020, 1, 1) + datetime.timedelta(days=d), obs[(k, d)]))
+    for k, seq in by_key.items():
+        changes = [
+            (ts, a) for i, (ts, a) in enumerate(seq) if i == 0 or a != seq[i - 1][1]
+        ]
+        for i, (ts, a) in enumerate(changes):
+            nxt = str(changes[i + 1][0]) if i + 1 < len(changes) else "None"
+            want.add((k, str(ts), nxt, a, i + 1 == len(changes)))
+    assert got == want

@@ -471,3 +471,60 @@ def test_dead_letter_queue_captures_each_corruption_kind(spark, tmp_path):
         "invalid_payload",  # payload without the key field
     ]
     assert clean.count() + dlq.count() == raw.count()
+
+
+def test_interval_join_state_survives_restart(spark, tmp_path):
+    """Stream-stream join across two checkpointed drains: a view arriving
+    in run 1 must still match a purchase arriving in run 2 — join state
+    recovers from the checkpoint, and nothing is emitted twice."""
+    import datetime
+
+    src_v = str(tmp_path / "views")
+    src_p = str(tmp_path / "purchases")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def row(eid, mins, uid, val=1.0):
+        return (eid, t0 + datetime.timedelta(minutes=mins), uid, val)
+
+    # materialize both source dirs up front (a file stream needs the path)
+    empty = spark.createDataFrame([], schema)
+    empty.write.mode("append").parquet(src_v)
+    empty.write.mode("append").parquet(src_p)
+
+    def drain(views, purchases):
+        if views:
+            spark.createDataFrame(views, schema).write.mode("append").parquet(src_v)
+        if purchases:
+            spark.createDataFrame(purchases, schema).write.mode("append").parquet(src_p)
+        q = (
+            streaming.attributed_conversions(
+                spark.readStream.schema(schema).parquet(src_v),
+                spark.readStream.schema(schema).parquet(src_p),
+            )
+            .writeStream.foreachBatch(
+                lambda b, _id: b.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: a lone view — no match yet, it parks in join state.
+    # (inner stream-stream joins emit on match; the watermark only
+    # bounds state retention, so nothing must "flush" the result.)
+    drain([row(1, 0, 7)], [])
+    # run 2 (fresh query, same checkpoint): the matching purchase arrives;
+    # the recovered state must produce the pair exactly once
+    drain([], [row(2, 30, 7, 42.0)])
+    got = {
+        (r.view_id, r.purchase_id): r.purchase_value
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (1, 2) in got  # cross-restart match via recovered state
+    assert got[(1, 2)] == 42.0
+    assert len([k for k in got if k == (1, 2)]) == 1  # exactly once
