@@ -365,3 +365,42 @@ def pipeline_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.hash_split(filtered, "doc_id").select(
         "doc_id", F.round("quality", 4).alias("quality"), "split"
     )
+
+
+@query
+def events_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares trend of event values over time — grouped-map
+    ``applyInPandas``: each user's history arrives as ONE Arrow batch and a
+    numpy polyfit runs vectorized per group. The escape hatch for per-group
+    algorithms with no relational form; the shuffle is the same single
+    exchange any groupBy pays (rows-only: float regression cross-engine).
+    """
+    import pandas as pd
+
+    from ..session import load_table
+
+    events = load_table(spark, sf_dir, "events")
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        t = pdf["ts"].astype("int64") / 1e9
+        t = (t - t.min()) / 3600.0  # hours since first event
+        if len(pdf) < 2 or t.nunique() < 2:
+            slope = 0.0
+        else:
+            slope = float(np.polyfit(t, pdf["value"], 1)[0])
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "value_slope_per_hour": [round(slope, 6)],
+            }
+        )
+
+    out_schema = "user_id long, n_events long, value_slope_per_hour double"
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(fit, out_schema)
+    )

@@ -264,3 +264,27 @@ def test_curation_pipeline_invariants(spark):
         "doc_id", T.normalize_text(F.col("text")).alias("n")
     )
     assert survivors.select("n").distinct().count() == len(ids)
+
+
+def test_user_trend_matches_numpy_reference(spark):
+    """applyInPandas grouped-map: slopes equal a driver-side numpy fit."""
+    import numpy as np
+
+    from pinterest_data_pipeline_spark.plans import analytics, extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.user_id: (r.n_events, r.value_slope_per_hour)
+        for r in analytics.QUERIES["events_user_value_trend"](spark, sf).collect()
+    }
+    events = load_table(spark, sf, "events").select("user_id", "ts", "value").collect()
+    by_user: dict = {}
+    for r in events:
+        by_user.setdefault(r.user_id, []).append((r.ts.timestamp(), r.value))
+    assert len(got) == len(by_user)
+    for uid, pts in list(by_user.items())[:50]:
+        ts = np.array([p[0] for p in pts]); vs = np.array([p[1] for p in pts])
+        th = (ts - ts.min()) / 3600.0
+        want = 0.0 if len(pts) < 2 or len(set(th)) < 2 else float(np.polyfit(th, vs, 1)[0])
+        assert abs(got[uid][1] - round(want, 6)) < 1e-4, uid
