@@ -86,3 +86,20 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
     return row.select(F.explode(entries).alias("e")).select(
         "e.check_name", "e.observed", "e.passed"
     )
+
+
+def observed_write(df: DataFrame, path: str, metrics: dict[str, Column]):
+    """Write with in-flight metrics: ``df.observe`` accumulates the given
+    aggregate expressions DURING the write job — row counts, null counts,
+    sums — with zero extra passes over the data. The production pattern for
+    emit-metrics-with-every-job: at 100 TB a separate metrics scan is a
+    second job; observation is free.
+
+    Returns the collected metrics row as a dict.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("write_metrics")
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    observed.write.mode("overwrite").parquet(path)
+    return dict(zip(metrics.keys(), [obs.get[n] for n in metrics]))

@@ -37,3 +37,25 @@ def test_all_checks_one_scan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     # one aggregation over one scan: no joins, no repeated source scans
     assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") <= 1
+
+
+def test_observed_write_collects_metrics_in_one_job(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline_spark.session import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    got = Q.observed_write(
+        orders,
+        str(tmp_path / "out"),
+        {
+            "n_rows": F.count(F.lit(1)),
+            "null_custkeys": F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)),
+            "total_price": F.round(F.sum("o_totalprice"), 2),
+        },
+    )
+    n = orders.count()
+    assert got["n_rows"] == n
+    assert got["null_custkeys"] == 0
+    assert abs(got["total_price"] - round(sum(r.o_totalprice for r in orders.collect()), 2)) < 1.0
+    assert spark.read.parquet(str(tmp_path / "out")).count() == n
