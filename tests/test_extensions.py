@@ -288,3 +288,48 @@ def test_user_trend_matches_numpy_reference(spark):
         th = (ts - ts.min()) / 3600.0
         want = 0.0 if len(pts) < 2 or len(set(th)) < 2 else float(np.polyfit(th, vs, 1)[0])
         assert abs(got[uid][1] - round(want, 6)) < 1e-4, uid
+
+
+def test_cogroup_attribution_matches_relational_interval_join(spark):
+    """cogroup.applyInPandas (two-sided grouped map): per-user pandas
+    pairing of views->purchases within 1h must equal the relational
+    stream-stream interval join's batch dual — two independent
+    implementations, one truth."""
+    import pandas as pd
+
+    from pinterest_data_pipeline_spark.session import load_table
+    from pinterest_data_pipeline_spark.streaming.pipeline import attributed_conversions
+
+    sf = "/root/testdata/sf0.01"
+    events = load_table(spark, sf, "events")
+    views = events.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+
+    def pair(key, v_pdf: pd.DataFrame, p_pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, v in v_pdf.iterrows():
+            lo, hi = v["ts"], v["ts"] + pd.Timedelta(hours=1)
+            hit = p_pdf[(p_pdf["ts"] >= lo) & (p_pdf["ts"] <= hi)]
+            for _, p in hit.iterrows():
+                rows.append((int(v["event_id"]), int(p["event_id"])))
+        return pd.DataFrame(rows, columns=["view_id", "purchase_id"])
+
+    got = sorted(
+        map(
+            tuple,
+            views.groupBy("user_id")
+            .cogroup(purchases.groupBy("user_id"))
+            .applyInPandas(pair, "view_id long, purchase_id long")
+            .collect(),
+        )
+    )
+    want = sorted(
+        (r.view_id, r.purchase_id)
+        for r in attributed_conversions(
+            events.filter(F.col("event_type") == "view"),
+            events.filter(F.col("event_type") == "purchase"),
+        ).collect()
+    )
+    assert got == want and len(got) > 0
