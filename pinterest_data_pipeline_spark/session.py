@@ -66,7 +66,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     ``events.ts`` is TIMESTAMP(NANOS) on disk; with nanosAsLong it arrives as
     a long which we convert to a proper timestamp via integer division (``div``
     keeps all 64 bits — a double round-trip would lose sub-microsecond bits).
+
+    The nanosAsLong conf is (re)applied here at runtime, not only in
+    :func:`get_spark`, because callers (the correctness driver, notebooks) may
+    hand us a session built elsewhere; the conf is runtime-settable and
+    idempotent, and without it the events scan throws PARQUET_TYPE_ILLEGAL.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
