@@ -1155,3 +1155,31 @@ oracle("tpch_q19_disjunctive_predicates")(
        OR (p.p_brand = 'Brand#33' AND l.l_quantity BETWEEN 20 AND 40)
     """
 )
+
+oracle("dedup_minhash_near_duplicates")(
+    # Exhaustive-pair ground truth for the MinHash-LSH pipeline: every
+    # document pair's exact 3-gram Jaccard, thresholded like the Spark side.
+    # The LSH side is probabilistic-recall in theory, but with 32 modular
+    # affine permutations in 8 bands the miss probability for a >=0.3-Jaccard
+    # pair is <2e-4, and the data's true pairs are all >=0.9 — so the banded
+    # candidate set provably covers the exhaustive answer at this SF and the
+    # hash comparison is exact, turning LSH recall into a hard driver check.
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+                    ELSE [array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                          FOR i IN range(1, len(string_split(text, ' ')) - 1)]
+               END
+             ) AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s))::double
+                 / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard_sim
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.s, b.s))::double
+                / len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.3
+    """
+)
