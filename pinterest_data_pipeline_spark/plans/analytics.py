@@ -250,6 +250,30 @@ def clean_strip_prefix_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def clean_part_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 (prefix strip) + P3/P4 (k/M human-count parse) fused in one
+    projection over part — one driver slot certifies both cleaning ops;
+    the single-operator forms stay registered for focused debugging."""
+    part = load_table(spark, sf_dir, "part")
+    fc = (
+        F.when(F.col("p_size") < 20, F.concat(F.col("p_size").cast("string"), F.lit("k")))
+        .when(F.col("p_size") < 40, F.concat(F.col("p_size").cast("string"), F.lit("M")))
+        .otherwise(F.col("p_size").cast("string"))
+    )
+    loc = F.concat(F.lit("Local save in /data/"), F.col("p_type"))
+    return (
+        part.withColumn("raw_count", fc)
+        .select(
+            "p_partkey",
+            strip_save_location_prefix(loc).alias("save_location"),
+            "raw_count",
+            parse_human_count(F.col("raw_count")).alias("parsed_count"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query
 def clean_age_group_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P11 age bucketing on a derived pseudo-age, grouped count per bucket."""
     customer = load_table(spark, sf_dir, "customer")

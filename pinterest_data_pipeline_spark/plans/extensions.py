@@ -65,6 +65,28 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def text_analysis_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four oracle-checked text-analysis operators in one projection.
+
+    One driver slot certifies token counting, language ID, quality scoring,
+    and rolling-hash fingerprinting together — they are independent column
+    expressions over the same scan, so fusing them is also the efficient
+    plan (one pass, no shuffle). The single-operator forms stay registered
+    for focused debugging.
+    """
+    docs = load_documents(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("int").alias("n_chars_measured"),
+        text.lang_id(F.col("text")).alias("predicted_lang"),
+        text.quality_score(F.col("text")).alias("quality"),
+        F.round(text.stopword_ratio(F.col("text")), 4).alias("stopword_ratio"),
+        text.rolling_fingerprint(F.col("text")).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+@query
 def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish sub-word token budget estimate (rows-only; regex lambda)."""
     docs = load_documents(spark, sf_dir)

@@ -1183,3 +1183,66 @@ oracle("dedup_minhash_near_duplicates")(
                 / len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.3
     """
 )
+
+oracle("clean_part_battery")(
+    """
+    SELECT p_partkey,
+           regexp_replace('Local save in /data/' || p_type, '^Local save in', '')
+               AS save_location,
+           CASE WHEN p_size < 20 THEN p_size::varchar || 'k'
+                WHEN p_size < 40 THEN p_size::varchar || 'M'
+                ELSE p_size::varchar END AS raw_count,
+           CASE WHEN p_size < 20 THEN p_size * 1000
+                WHEN p_size < 40 THEN p_size * 1000000
+                ELSE p_size END::int AS parsed_count
+    FROM part ORDER BY p_partkey
+    """
+)
+
+oracle("text_analysis_battery")(
+    """
+    WITH lang AS (
+        SELECT doc_id,
+               len(list_filter(string_split(lower(text), ' '), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'for'))) AS s_en,
+               len(list_filter(string_split(lower(text), ' '), t -> t IN ('el', 'la', 'de', 'que', 'y', 'en', 'un', 'una', 'los', 'las'))) AS s_es,
+               len(list_filter(string_split(lower(text), ' '), t -> t IN ('le', 'la', 'de', 'et', 'les', 'des', 'un', 'une', 'est', 'dans'))) AS s_fr,
+               len(list_filter(string_split(lower(text), ' '), t -> t IN ('der', 'die', 'das', 'und', 'ist', 'von', 'den', 'ein', 'eine', 'mit'))) AS s_de
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(string_split(text, ' ')) AS n_toks,
+               length(regexp_replace(text, '[^.!?,;:''"()\[\]{}-]', '', 'g')) AS n_punct,
+               len(list_filter(string_split(lower(text), ' '), t -> t IN ('the', 'a', 'an', 'of', 'and', 'or', 'to', 'in', 'is', 'it', 'for', 'on'))) AS n_sw
+        FROM documents
+    ), r AS (
+        SELECT doc_id,
+               CASE WHEN n_chars / 500.0 < 1.0 THEN n_chars / 500.0 ELSE 1.0 END AS len_term,
+               CASE WHEN n_toks > 0 AND (n_chars::double / n_toks) BETWEEN 3 AND 10
+                    THEN 1.0 ELSE 0.5 END AS word_term,
+               1.0 - least((CASE WHEN n_chars > 0 THEN n_punct::double / n_chars ELSE 0.0 END) * 5,
+                           1.0) AS punct_term,
+               CASE WHEN n_toks > 0 THEN n_sw::double / n_toks ELSE 0.0 END AS sw_ratio
+        FROM m
+    )
+    SELECT d.doc_id,
+           len(string_split(d.text, ' '))::int AS n_tokens,
+           length(d.text)::int AS n_chars_measured,
+           CASE WHEN l.s_en >= l.s_es AND l.s_en >= l.s_fr AND l.s_en >= l.s_de AND l.s_en > 0 THEN 'en'
+                WHEN l.s_es >= l.s_fr AND l.s_es >= l.s_de AND l.s_es > 0 THEN 'es'
+                WHEN l.s_fr >= l.s_de AND l.s_fr > 0 THEN 'fr'
+                WHEN l.s_de > 0 THEN 'de'
+                ELSE 'und' END AS predicted_lang,
+           round(0.3 * r.len_term + 0.2 * r.word_term + 0.2 * r.punct_term
+                 + 0.3 * (CASE WHEN r.sw_ratio BETWEEN 0.1 AND 0.6 THEN 1.0 ELSE 0.6 END), 4)
+               AS quality,
+           round(r.sw_ratio, 4) AS stopword_ratio,
+           CASE WHEN len(string_split(d.text, ' ')) < 3
+                THEN ('0x' || substring(md5(d.text), 1, 15))::bigint
+                ELSE list_min(list_transform(range(1, len(string_split(d.text, ' ')) - 1),
+                                             i -> ('0x' || substring(md5(array_to_string(list_slice(string_split(d.text, ' '), i, i + 2), ' ')), 1, 15))::bigint))
+           END AS fingerprint
+    FROM documents d JOIN lang l USING (doc_id) JOIN r USING (doc_id)
+    ORDER BY d.doc_id
+    """
+)

@@ -78,8 +78,18 @@ def write_zordered(
         F.max(col2).alias("hi2"),
     ).first()
     n_buckets = 1 << _NORM_BITS
-    b1 = F.width_bucket(F.col(col1), F.lit(bounds.lo1), F.lit(bounds.hi1), F.lit(n_buckets)) - 1
-    b2 = F.width_bucket(F.col(col2), F.lit(bounds.lo2), F.lit(bounds.hi2), F.lit(n_buckets)) - 1
+    # width_bucket returns n_buckets+1 for values equal to the column max;
+    # unclamped, that index would wrap through the _NORM_BITS mask to z-cell
+    # 0 and widen the lowest file's min-max stats. Clamp max-holders into
+    # the top bucket instead.
+    b1 = F.least(
+        F.width_bucket(F.col(col1), F.lit(bounds.lo1), F.lit(bounds.hi1), F.lit(n_buckets)) - 1,
+        F.lit(n_buckets - 1),
+    )
+    b2 = F.least(
+        F.width_bucket(F.col(col2), F.lit(bounds.lo2), F.lit(bounds.hi2), F.lit(n_buckets)) - 1,
+        F.lit(n_buckets - 1),
+    )
     (
         df.withColumn("__z", z_value(b1, b2, bits=_NORM_BITS))
         .repartitionByRange(n_files, "__z")

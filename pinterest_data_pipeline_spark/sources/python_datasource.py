@@ -120,18 +120,29 @@ class PostingEmulatorStreamReader(DataSourceStreamReader):
         self.rows_per_batch = int(options.get("rows_per_batch", 100))
         self.max_rows = int(options.get("max_rows", 0))  # 0 = unbounded
         self._cur = 0
+        self._committed = 0  # highest offset the engine has committed
 
     def initialOffset(self) -> dict:
         return {"index": 0}
 
     def latestOffset(self) -> dict:
-        self._cur += self.rows_per_batch
+        # Advance from wherever the committed stream actually is: after a
+        # checkpoint restart this reader is rebuilt with _cur = 0 while the
+        # recovered start offset may be far ahead — without the max() the
+        # counter would lag behind the checkpoint and the n <= 0 guard in
+        # partitions() would emit empty micro-batches until it caught up.
+        self._cur = max(self._cur, self._committed) + self.rows_per_batch
         if self.max_rows:
             self._cur = min(self._cur, self.max_rows)
         return {"index": self._cur}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         lo, hi = start["index"], end["index"]
+        # A recovered stream replays its pending batch before any commit()
+        # fires; the replayed range is already in the engine's offset log
+        # (that is why it is being replayed), so its end is the true floor
+        # for the next latestOffset — resume immediately, no silent stall.
+        self._committed = max(self._committed, hi)
         n = hi - lo
         if n <= 0:
             return []
@@ -154,4 +165,4 @@ class PostingEmulatorStreamReader(DataSourceStreamReader):
             yield tuple(r[f] for f in fields)
 
     def commit(self, end: dict) -> None:
-        pass
+        self._committed = max(self._committed, end["index"])

@@ -351,16 +351,28 @@ def upsert_sink(
     checkpoint_dir: str,
     keys: list[str],
     available_now: bool = False,
+    order_col: str | None = None,
 ):
     """Keyed upsert sink: each micro-batch MERGEs into a parquet table.
 
     The engine-native version of Delta's streaming ``MERGE`` sink —
     ``foreachBatch`` gives batch-DataFrame semantics per trigger, so the
     relational ``merge_into`` applies directly: latest record per key wins,
-    inserts append, untouched keys survive. The table rewrite is
-    all-or-nothing per batch (write to a temp dir, atomic rename), so a
-    crash mid-batch leaves the previous table intact and the checkpoint
-    replays the batch — effectively exactly-once at the table level.
+    inserts append, untouched keys survive.
+
+    ``order_col`` names the column (event-time or sequence) that decides
+    which duplicate of a key wins WITHIN a batch. Without it the tie-break
+    falls back to physical position (``monotonically_increasing_id``), which
+    depends on partition layout — fine when upstream already deduplicates or
+    emits one record per key per trigger, arbitrary otherwise.
+
+    Crash safety: the new table is written to ``<dir>.tmp``, the live table
+    is renamed aside to ``<dir>.old``, the tmp renamed into place, and only
+    then is the old copy deleted. Every window in that sequence leaves either
+    the previous table or the ``.old`` copy on disk, and batch start recovers
+    ``.old`` if the live dir is missing — so a crash at any point replays the
+    batch against the previous table rather than an empty one (exactly-once
+    at the table level).
 
     A full rewrite per batch is O(table); Delta/Iceberg cut that to
     O(touched files) with min-max pruning — pair with z-order clustering
@@ -373,12 +385,19 @@ def upsert_sink(
     from ..operators.merge import merge_into
 
     spark = stream.sparkSession
+    old_dir = table_dir + ".old"
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        # crash recovery: a previous batch died between its two renames
+        if not os.path.exists(table_dir) and os.path.exists(old_dir):
+            os.rename(old_dir, table_dir)
         # last-wins within the batch so merge sees unique keys
         from pyspark.sql import Window
 
-        w = Window.partitionBy(*keys).orderBy(F.monotonically_increasing_id().desc())
+        tie_break = (
+            [F.col(order_col).desc()] if order_col else []
+        ) + [F.monotonically_increasing_id().desc()]
+        w = Window.partitionBy(*keys).orderBy(*tie_break)
         deduped = (
             batch.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
@@ -391,9 +410,13 @@ def upsert_sink(
             merged = deduped
         tmp = table_dir + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(old_dir):
+            shutil.rmtree(old_dir)
         if os.path.exists(table_dir):
-            shutil.rmtree(table_dir)
+            os.rename(table_dir, old_dir)
         os.rename(tmp, table_dir)
+        if os.path.exists(old_dir):
+            shutil.rmtree(old_dir)
 
     writer = (
         stream.writeStream.foreachBatch(apply_batch)

@@ -59,3 +59,34 @@ def test_zorder_prunes_second_dimension_linear_does_not(spark, tmp_path):
     b = spark.read.parquet(lpath)
     assert a.count() == b.count() == lineitem.count()
     assert a.exceptAll(b).count() == 0
+
+
+def test_max_value_rows_stay_in_top_z_cell(spark, tmp_path):
+    """Rows holding a column's max must land with their neighbors, not wrap
+    to z-cell 0 (width_bucket returns n_buckets+1 at the max; unclamped that
+    wrapped through the bit mask and widened the lowest file's stats)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    rows = [(i, i) for i in range(1024)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    path = str(tmp_path / "z")
+    layout.write_zordered(df, path, "x", "y", n_files=8)
+
+    full_span = 1023
+    widths = []
+    for name in os.listdir(path):
+        if not name.endswith(".parquet"):
+            continue
+        meta = pq.ParquetFile(os.path.join(path, name)).metadata
+        lo = min(
+            meta.row_group(g).column(0).statistics.min for g in range(meta.num_row_groups)
+        )
+        hi = max(
+            meta.row_group(g).column(0).statistics.max for g in range(meta.num_row_groups)
+        )
+        widths.append(hi - lo)
+    # with the wrap bug the file holding x=1023 also held x=0 (full span);
+    # clamped, every file covers a narrow contiguous band
+    assert max(widths) < full_span / 2, widths

@@ -84,3 +84,23 @@ def test_stream_reader_drains_to_max_rows(spark, tmp_path):
     got = spark.table("emu_stream")
     assert got.count() == 250
     assert got.select("index").distinct().count() == 250  # offset-rebased, no overlap
+
+
+def test_stream_reader_offsets_resume_after_restart():
+    """A rebuilt reader (checkpoint restart) must not re-announce offsets
+    behind the recovered start: the replayed batch's start and commit()
+    both advance the driver-side counter (driver-only logic, no Spark)."""
+    from pinterest_data_pipeline_spark.sources.python_datasource import (
+        PostingEmulatorStreamReader,
+    )
+
+    r = PostingEmulatorStreamReader({"rows_per_batch": "100"})
+    # restart with a pending batch: engine replays [500, 600) before commit
+    r.partitions({"index": 500}, {"index": 600})
+    assert r.latestOffset() == {"index": 700}
+    r.commit({"index": 700})
+    assert r.latestOffset() == {"index": 800}
+    # a clean restart that only sees commit() recovers too
+    r2 = PostingEmulatorStreamReader({"rows_per_batch": "100"})
+    r2.commit({"index": 900})
+    assert r2.latestOffset() == {"index": 1000}

@@ -528,3 +528,60 @@ def test_interval_join_state_survives_restart(spark, tmp_path):
     assert (1, 2) in got  # cross-restart match via recovered state
     assert got[(1, 2)] == 42.0
     assert len([k for k in got if k == (1, 2)]) == 1  # exactly once
+
+
+def test_upsert_sink_recovers_from_crash_between_renames(spark, tmp_path):
+    """A crash after the live table was renamed aside (.old present, table
+    missing) must not lose previously merged keys: the next batch recovers
+    the .old copy and merges into it."""
+    import os
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, val double"
+
+    def run_batch(rows, ckpt_dir):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        q = streaming.upsert_sink(
+            spark.readStream.schema(schema).parquet(src),
+            table,
+            ckpt_dir,
+            keys=["id"],
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        return {r.id: r.val for r in spark.read.parquet(table).collect()}
+
+    first = run_batch([(1, 1.0), (2, 2.0)], ckpt)
+    assert first == {1: 1.0, 2: 2.0}
+    # simulate the crash window: table renamed aside, replacement never landed
+    os.rename(table, table + ".old")
+    # fresh checkpoint so the engine replays everything (worst case)
+    second = run_batch([(3, 3.0)], str(tmp_path / "ckpt2"))
+    assert second == {1: 1.0, 2: 2.0, 3: 3.0}
+    assert not os.path.exists(table + ".old")
+
+
+def test_upsert_sink_order_col_decides_intra_batch_winner(spark, tmp_path):
+    """With an explicit event-time column, the winning duplicate inside one
+    micro-batch is the latest by that column, independent of partition
+    layout."""
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, seq long, val double"
+    rows = [(1, 10, 111.0), (1, 20, 222.0), (1, 15, 999.0), (2, 1, 7.0)]
+    # many partitions: physical order differs from seq order
+    spark.createDataFrame(rows, schema).repartition(4).write.parquet(src)
+    q = streaming.upsert_sink(
+        spark.readStream.schema(schema).parquet(src),
+        table,
+        ckpt,
+        keys=["id"],
+        available_now=True,
+        order_col="seq",
+    )
+    q.awaitTermination(120)
+    got = {r.id: (r.seq, r.val) for r in spark.read.parquet(table).collect()}
+    assert got == {1: (20, 222.0), 2: (1, 7.0)}
