@@ -168,23 +168,43 @@ def stream_clean_entity(
     return PROJECTORS[entity](deduped)
 
 
+def delta_available() -> bool:
+    """True when the delta-spark package is importable.
+
+    The reference's sink is Delta (``write_table_to_delta``,
+    STREAM:201-220); this environment ships without delta-spark, so sinks
+    fall back to parquet. The detection keeps the Delta code path live: on
+    a Delta-enabled cluster no call site changes.
+    """
+    import importlib.util
+
+    return importlib.util.find_spec("delta") is not None
+
+
+def default_sink_format() -> str:
+    """Sink format for entity streams: delta when installed, else parquet."""
+    return "delta" if delta_available() else "parquet"
+
+
 def write_entity_stream(
     df: DataFrame,
     name: str,
     out_dir: str,
     checkpoint_dir: str,
-    fmt: str = "parquet",
+    fmt: str | None = None,
     available_now: bool = False,
 ):
     """S8/T3: append sink with a per-query checkpoint, started.
 
     Mirrors the reference's ``write_table_to_delta`` (STREAM:201-220):
-    append mode, checkpoint keyed by table name. ``available_now=True``
-    drains everything currently in the source then stops — the batch-like
-    trigger used by tests and the daily-catchup runner.
+    append mode, checkpoint keyed by table name. ``fmt=None`` resolves via
+    :func:`default_sink_format` — Delta when the package is present,
+    parquet otherwise. ``available_now=True`` drains everything currently
+    in the source then stops — the batch-like trigger used by tests and
+    the daily-catchup runner.
     """
     writer = (
-        df.writeStream.format(fmt)
+        df.writeStream.format(fmt or default_sink_format())
         .outputMode("append")
         .option("path", os.path.join(out_dir, name))
         .option("checkpointLocation", os.path.join(checkpoint_dir, name))

@@ -37,6 +37,30 @@ from pinterest_data_pipeline_spark.session import get_spark
 from pinterest_data_pipeline_spark.sources.generator import make_raw_entities
 
 
+def with_retries(fn, retries: int = 2, delay_seconds: float = 120.0, on_error=None):
+    """Run ``fn`` with the reference DAG's retry policy (retries=2,
+    retry_delay=2 min — ``python_files/12471ce1b695_dag.py:20-21``).
+
+    The task bodies are idempotent (overwrite-mode writes keyed by query
+    name; streaming checkpoints make replays no-ops), so a retry is
+    literally "run it again" — the property Airflow relied on.
+    """
+    import time
+
+    last: Exception | None = None
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except Exception as exc:  # noqa: BLE001 — scheduler-style catch-all
+            last = exc
+            if on_error is not None:
+                on_error(attempt, exc)
+            if attempt < retries:
+                time.sleep(delay_seconds)
+    assert last is not None
+    raise last
+
+
 def land_raw(landing_dir: str, rows: int, seed: int = 42) -> None:
     """Write raw entity JSON-lines into the landing zone (skip if present).
 
@@ -130,15 +154,29 @@ def main() -> None:
         action="store_true",
         help="run the streaming ELT (envelope landing -> cleaned tables) instead of batch",
     )
+    ap.add_argument("--retries", type=int, default=2, help="retry attempts (DAG parity: 2)")
+    ap.add_argument(
+        "--retry-delay", type=float, default=120.0, help="seconds between retries (DAG parity: 120)"
+    )
     args = ap.parse_args()
 
     spark = get_spark("runner")
     if args.stream:
-        counts = run_stream(spark, args.landing + "_stream", args.out + "_stream", args.rows)
+        counts = with_retries(
+            lambda: run_stream(
+                spark, args.landing + "_stream", args.out + "_stream", args.rows
+            ),
+            retries=args.retries,
+            delay_seconds=args.retry_delay,
+        )
         print(json.dumps({"tables": counts, "out": args.out + "_stream"}))
         return
     land_raw(args.landing, args.rows)
-    counts = run_batch(spark, args.landing, args.out, approx=args.approx)
+    counts = with_retries(
+        lambda: run_batch(spark, args.landing, args.out, approx=args.approx),
+        retries=args.retries,
+        delay_seconds=args.retry_delay,
+    )
     print(json.dumps({"answers": counts, "out": args.out}))
 
 

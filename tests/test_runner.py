@@ -30,3 +30,40 @@ def test_runner_end_to_end_and_idempotent(spark, tmp_path):
     # approx medians keep the same output shape
     counts3 = runner.run_batch(spark, landing, out, approx=True)
     assert set(counts3) == set(counts1)
+
+
+def test_with_retries_recovers_from_transient_failure():
+    """DAG-parity retry: one transient failure, successful second attempt."""
+    from runner import with_retries
+
+    calls = {"n": 0}
+    seen = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient")
+        return "ok"
+
+    out = with_retries(
+        flaky, retries=2, delay_seconds=0.0, on_error=lambda a, e: seen.append((a, str(e)))
+    )
+    assert out == "ok"
+    assert calls["n"] == 2
+    assert seen == [(0, "transient")]
+
+
+def test_with_retries_exhausts_and_raises():
+    from pytest import raises
+
+    from runner import with_retries
+
+    calls = {"n": 0}
+
+    def always_fails():
+        calls["n"] += 1
+        raise ValueError("permanent")
+
+    with raises(ValueError, match="permanent"):
+        with_retries(always_fails, retries=2, delay_seconds=0.0)
+    assert calls["n"] == 3  # initial + 2 retries, DAG parity

@@ -585,3 +585,27 @@ def test_upsert_sink_order_col_decides_intra_batch_winner(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.id: (r.seq, r.val) for r in spark.read.parquet(table).collect()}
     assert got == {1: (20, 222.0), 2: (1, 7.0)}
+
+
+def test_sink_format_resolution_matches_environment(spark, tmp_path):
+    """default_sink_format flips to delta exactly when delta-spark exists;
+    the active branch is exercised end-to-end either way."""
+    import importlib.util
+
+    has_delta = importlib.util.find_spec("delta") is not None
+    fmt = streaming.pipeline.default_sink_format()
+    assert fmt == ("delta" if has_delta else "parquet")
+
+    src = str(tmp_path / "src")
+    schema = "id long, val double"
+    spark.createDataFrame([(1, 1.0), (2, 2.0)], schema).write.parquet(src)
+    q = streaming.pipeline.write_entity_stream(
+        spark.readStream.schema(schema).parquet(src),
+        "fmt_probe",
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    got = spark.read.format(fmt).load(str(tmp_path / "out" / "fmt_probe"))
+    assert got.count() == 2
