@@ -458,6 +458,10 @@ def simhash_near_duplicates(
         ln = base_len + (1 if i < rem else 0)
         bounds.append((i, start, ln))
         start += ln
+    # Both sides of the candidate self-join (and the probe expansion) read
+    # the chunked signatures; persisting pins the signature hash-agg — the
+    # pipeline's expensive stage — to one execution instead of one per join
+    # branch. Size is O(docs × n_chunks) longs, trivial next to the corpus.
     sigs = simhash(df, text_col, id_col, n_bits)
     chunked = sigs.select(
         F.col(id_col),
@@ -475,7 +479,7 @@ def simhash_near_duplicates(
                 ]
             )
         ).alias("c"),
-    ).select(id_col, "simhash", "c.chunk_idx", "c.chunk_val")
+    ).select(id_col, "simhash", "c.chunk_idx", "c.chunk_val").persist()
     if radius > 0:
         spark = df.sparkSession
         mask_rows = [
