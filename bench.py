@@ -54,6 +54,21 @@ HEADLINE = [
     "tpch_q5_local_supplier_volume",
     "tpch_q10_returned_items",
     "tpch_q18_large_orders",
+    # round-2 battery growth: 13 extended TPC-H shapes (36 -> 49 queries;
+    # headline totals are not comparable across rounds without this note)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_customers",
     "subquery_correlated_above_nation_avg",
     "join_asof_latest_order",
     "join_range_ship_window",

@@ -338,6 +338,27 @@ def window_order_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def window_analytics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/distribution window functions beyond the reference's RANK:
+    dense_rank, percent_rank, cume_dist, first/last/nth_value over an
+    explicit full-partition frame. One shuffle on the partition key —
+    identical cost profile to any other windowed pass at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+        F.first("o_orderkey").over(wf).alias("cheapest_key"),
+        F.last("o_orderkey").over(wf).alias("priciest_key"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_cheapest_key"),
+    ).orderBy("o_orderkey")
+
+
+@query
 def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit ROWS frame: cumulative revenue per customer over order time."""
     orders = load_table(spark, sf_dir, "orders")

@@ -1246,3 +1246,156 @@ oracle("text_analysis_battery")(
     ORDER BY d.doc_id
     """
 )
+
+
+# --- extended TPC-H battery (round 2) ---------------------------------------
+# SQL-entry-path queries share ONE ANSI text with the Spark side (imported
+# from relational.py), so the dual is the definition itself.
+
+def _register_shared_tpch() -> None:
+    from . import relational as _r
+
+    for name, sql in (
+        ("tpch_q2_min_cost_supplier", _r.TPCH_Q2_SQL),
+        ("tpch_q4_order_priority", _r.TPCH_Q4_SQL),
+        ("tpch_q15_top_supplier", _r.TPCH_Q15_SQL),
+        ("tpch_q17_small_quantity_revenue", _r.TPCH_Q17_SQL),
+        ("tpch_q20_promotion_suppliers", _r.TPCH_Q20_SQL),
+        ("tpch_q21_waiting_suppliers", _r.TPCH_Q21_SQL),
+        ("tpch_q22_dormant_customers", _r.TPCH_Q22_SQL),
+    ):
+        ORACLES[name] = sql
+
+
+_register_shared_tpch()
+
+oracle("tpch_q6_forecast_revenue")(
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """
+)
+
+oracle("tpch_q7_volume_shipping")(
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate)::int AS l_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """
+)
+
+oracle("tpch_q8_market_share")(
+    """
+    SELECT year(o.o_orderdate)::int AS o_year,
+           round(sum(CASE WHEN n2.n_name = 'NATION_2'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0.0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS mkt_share
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+    JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+    JOIN region r   ON n1.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    GROUP BY o_year ORDER BY o_year
+    """
+)
+
+oracle("tpch_q9_product_type_profit")(
+    """
+    SELECT n.n_name AS nation, year(o.o_orderdate)::int AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS sum_profit
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """
+)
+
+oracle("tpch_q13_customer_distribution")(
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """
+)
+
+oracle("tpch_q16_supplier_part_counts")(
+    """
+    SELECT p.p_brand, p.p_type, count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+    GROUP BY p.p_brand, p.p_type
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type
+    """
+)
+
+oracle("window_analytics_battery")(
+    """
+    SELECT o_orderkey, o_custkey,
+           dense_rank() OVER w AS price_dense_rank,
+           round(percent_rank() OVER w, 6) AS price_pct_rank,
+           round(cume_dist() OVER w, 6) AS price_cume_dist,
+           first_value(o_orderkey) OVER wf AS cheapest_key,
+           last_value(o_orderkey) OVER wf AS priciest_key,
+           nth_value(o_orderkey, 2) OVER wf AS second_cheapest_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+           wf AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_orderkey
+    """
+)
+
+oracle("ann_topk_cosine")(
+    # Bit-exact cross-engine: both engines compute the cosine in doubles
+    # over the same component order and round to 6 before ranking; ties
+    # break by vec_id in both.
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 3),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6)
+                   AS cosine_sim
+        FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """
+)

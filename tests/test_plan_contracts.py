@@ -134,3 +134,60 @@ def test_q19_disjunction_still_hash_joins(spark):
     plan = plan_of(spark, "tpch_q19_disjunctive_predicates")
     assert any(j in plan for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "tpch_q2_min_cost_supplier",
+        "tpch_q4_order_priority",
+        "tpch_q6_forecast_revenue",
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "tpch_q9_product_type_profit",
+        "tpch_q13_customer_distribution",
+        "tpch_q15_top_supplier",
+        "tpch_q16_supplier_part_counts",
+        "tpch_q17_small_quantity_revenue",
+        "tpch_q20_promotion_suppliers",
+        "tpch_q21_waiting_suppliers",
+        "tpch_q22_dormant_customers",
+    ],
+)
+def test_extended_tpch_plans_have_no_scale_killers(spark, name):
+    """The round-2 TPC-H battery: no cartesian products, no nested-loop
+    joins (except the sanctioned 1-row scalar-subquery broadcast), no
+    Python row UDFs anywhere."""
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_tpch_q4_exists_plans_as_semi_join(spark):
+    plan = plan_of(spark, "tpch_q4_order_priority")
+    assert "LeftSemi" in plan
+
+
+def test_tpch_q6_pushes_all_filters_to_scan(spark):
+    # the pushdown benchmark: every predicate is scan-evaluable (the plan
+    # string truncates the PushedFilters list, so assert the visible prefix
+    # plus the 4-column pruned ReadSchema)
+    plan = plan_of(spark, "tpch_q6_forecast_revenue")
+    assert "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)" in plan
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate"
+        in plan
+    )
+
+
+def test_tpch_q17_decorrelates_to_aggregate_join(spark):
+    # correlated scalar avg must become one aggregate + equi-join
+    plan = plan_of(spark, "tpch_q17_small_quantity_revenue")
+    assert "HashAggregate" in plan
+    assert any(j in plan for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+
+
+def test_tpch_q21_double_exists_stays_hash_joined(spark):
+    plan = plan_of(spark, "tpch_q21_waiting_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
