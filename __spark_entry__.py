@@ -60,14 +60,14 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "agg_grouping_sets",
     # SQL bridge + set ops
     "set_ops_customers",
-    # cleaning (P1-P11)
-    "clean_normalize_nulls_documents",
+    # cleaning (P2-P11; P1 sentinel-nulls is certified inside
+    # text_analysis_battery's norm_lang/norm_source columns)
     "clean_part_battery",
     "clean_age_group_customers",
     "clean_scalar_functions",
-    # window functions
-    "window_order_sequence",
-    "window_running_revenue",
+    # window functions (row_number/lag/lead/ntile/running-sum/dense_rank/
+    # percent_rank/cume_dist/first/last/nth_value in one two-sort pass)
+    "window_analytics_battery",
     # join family
     "join_semi_customers_with_orders",
     "join_anti_customers_without_orders",
@@ -84,10 +84,12 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "explode_document_tokens",
     "reshape_unpivot_part_sizes",
     "top_k_orders",
-    # text analysis + dedup + sampling + ANN extensions
+    # text analysis + dedup + sampling + ANN + multimodal extensions
     "text_analysis_battery",
+    "text_bpe_token_counts",
     "text_normalized_keys",
     "text_sentence_split_udtf",
+    "multimodal_image_features",
     "dedup_exact_documents",
     "dedup_ngram_jaccard_adjacent",
     "dedup_minhash_near_duplicates",

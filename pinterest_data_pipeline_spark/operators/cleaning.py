@@ -43,14 +43,15 @@ def normalize_nulls(df: DataFrame, sentinels: list[str] | None = None) -> DataFr
     for name, dtype in df.dtypes:
         c = F.col(name)
         if dtype == "string":
-            exprs.append(
-                F.when(c.isNull() | (c == "") | c.isin(sentinels), F.lit(None))
-                .otherwise(c)
-                .alias(name)
-            )
+            exprs.append(null_sentinel(c, sentinels).alias(name))
         else:
             exprs.append(c.alias(name))
     return df.select(*exprs)
+
+
+def null_sentinel(c: Column, sentinels: list[str]) -> Column:
+    """Single-column form of the P1 when-chain: '' or sentinel -> NULL."""
+    return F.when(c.isNull() | (c == "") | c.isin(sentinels), F.lit(None)).otherwise(c)
 
 
 def strip_save_location_prefix(c: Column) -> Column:

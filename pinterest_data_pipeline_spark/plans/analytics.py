@@ -339,16 +339,26 @@ def window_order_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query
 def window_analytics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking/distribution window functions beyond the reference's RANK:
-    dense_rank, percent_rank, cume_dist, first/last/nth_value over an
-    explicit full-partition frame. One shuffle on the partition key —
-    identical cost profile to any other windowed pass at 100 TB."""
+    """The full window-function surface in one pass: sequencing (row_number,
+    lag, lead, ntile over order time), ranking/distribution (dense_rank,
+    percent_rank, cume_dist over price), value extraction over an explicit
+    full frame (first/last/nth_value), and a running-sum frame. Both window
+    specs share the o_custkey partition key, so Catalyst plans ONE exchange
+    and two in-partition sorts — certifying ten operators for the cost of a
+    single shuffle at 100 TB."""
     orders = load_table(spark, sf_dir, "orders")
+    wd = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
     wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return orders.select(
         "o_orderkey",
         "o_custkey",
+        F.row_number().over(wd).alias("order_seq"),
+        F.lag("o_totalprice").over(wd).alias("prev_price"),
+        F.lead("o_totalprice").over(wd).alias("next_price"),
+        F.ntile(4).over(wd).alias("quartile"),
+        F.round(F.sum("o_totalprice").over(wrun), 2).alias("running_total"),
         F.dense_rank().over(w).alias("price_dense_rank"),
         F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),

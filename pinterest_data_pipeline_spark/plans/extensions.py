@@ -69,12 +69,15 @@ def text_analysis_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All four oracle-checked text-analysis operators in one projection.
 
     One driver slot certifies token counting, language ID, quality scoring,
-    and rolling-hash fingerprinting together — they are independent column
-    expressions over the same scan, so fusing them is also the efficient
-    plan (one pass, no shuffle). The single-operator forms stay registered
-    for focused debugging.
+    rolling-hash fingerprinting, and P1 sentinel-null normalization
+    together — they are independent column expressions over the same scan,
+    so fusing them is also the efficient plan (one pass, no shuffle). The
+    single-operator forms stay registered for focused debugging.
     """
+    from ..operators.cleaning import null_sentinel
+
     docs = load_documents(spark, sf_dir)
+    sentinels = ["src0", "src1", "es"]
     return docs.select(
         "doc_id",
         text.token_count(F.col("text")).alias("n_tokens"),
@@ -83,6 +86,8 @@ def text_analysis_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.quality_score(F.col("text")).alias("quality"),
         F.round(text.stopword_ratio(F.col("text")), 4).alias("stopword_ratio"),
         text.rolling_fingerprint(F.col("text")).alias("fingerprint"),
+        null_sentinel(F.col("lang"), sentinels).alias("norm_lang"),
+        null_sentinel(F.col("source"), sentinels).alias("norm_source"),
     ).orderBy("doc_id")
 
 

@@ -1241,7 +1241,11 @@ oracle("text_analysis_battery")(
                 THEN ('0x' || substring(md5(d.text), 1, 15))::bigint
                 ELSE list_min(list_transform(range(1, len(string_split(d.text, ' ')) - 1),
                                              i -> ('0x' || substring(md5(array_to_string(list_slice(string_split(d.text, ' '), i, i + 2), ' ')), 1, 15))::bigint))
-           END AS fingerprint
+           END AS fingerprint,
+           CASE WHEN d.lang IS NULL OR d.lang = '' OR d.lang IN ('src0', 'src1', 'es')
+                THEN NULL ELSE d.lang END AS norm_lang,
+           CASE WHEN d.source IS NULL OR d.source = '' OR d.source IN ('src0', 'src1', 'es')
+                THEN NULL ELSE d.source END AS norm_source
     FROM documents d JOIN lang l USING (doc_id) JOIN r USING (doc_id)
     ORDER BY d.doc_id
     """
@@ -1364,6 +1368,11 @@ oracle("tpch_q16_supplier_part_counts")(
 oracle("window_analytics_battery")(
     """
     SELECT o_orderkey, o_custkey,
+           row_number() OVER wd AS order_seq,
+           lag(o_totalprice) OVER wd AS prev_price,
+           lead(o_totalprice) OVER wd AS next_price,
+           ntile(4) OVER wd AS quartile,
+           round(sum(o_totalprice) OVER wrun, 2) AS running_total,
            dense_rank() OVER w AS price_dense_rank,
            round(percent_rank() OVER w, 6) AS price_pct_rank,
            round(cume_dist() OVER w, 6) AS price_cume_dist,
@@ -1371,7 +1380,10 @@ oracle("window_analytics_battery")(
            last_value(o_orderkey) OVER wf AS priciest_key,
            nth_value(o_orderkey, 2) OVER wf AS second_cheapest_key
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+    WINDOW wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wrun AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
            wf AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     ORDER BY o_orderkey
@@ -1397,5 +1409,38 @@ oracle("ann_topk_cosine")(
     )
     SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 10
     ORDER BY query_id, rank
+    """
+)
+
+oracle("multimodal_image_features")(
+    # The deterministic stand-in decoder derives every feature from the
+    # sha256 digest of the payload bytes, so the whole mapInPandas pipeline
+    # (content addressing + Arrow decode plumbing) has an exact SQL dual:
+    # digest byte k is hex chars [2k+1, 2k+2].
+    """
+    SELECT sha256(text) AS content_id,
+           (64 + ('0x' || substring(sha256(text), 1, 2))::int % 192)::int AS width,
+           (64 + ('0x' || substring(sha256(text), 3, 2))::int % 192)::int AS height,
+           (1 + (('0x' || substring(sha256(text), 5, 2))::int % 2) * 2)::int AS n_channels,
+           round(('0x' || substring(sha256(text), 7, 2))::int / 255.0, 6) AS mean_intensity
+    FROM documents ORDER BY content_id
+    """
+)
+
+oracle("text_bpe_token_counts")(
+    # Piece count per word: maximal letter runs + digit runs + single
+    # punctuation marks, summed across whitespace-split words — the same
+    # regex decomposition the Spark expression performs.
+    """
+    SELECT doc_id,
+           list_sum(list_transform(
+               string_split_regex(trim(text), '\\s+'),
+               w -> len(list_filter(
+                        string_split(
+                            regexp_replace(w, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9])',
+                                           '\\1' || chr(1), 'g'),
+                            chr(1)),
+                        p -> p <> ''))))::int AS bpe_tokens
+    FROM documents ORDER BY doc_id
     """
 )

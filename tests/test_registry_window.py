@@ -22,7 +22,7 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
     "asof_join": ("join_asof_latest_order",),
     "sql_bridge_set_ops": ("set_ops_customers",),
     "cleaning": ("clean_part_battery", "clean_normalize_nulls_documents"),
-    "window_functions": ("window_order_sequence", "window_running_revenue"),
+    "window_functions": ("window_analytics_battery", "window_order_sequence"),
     "join_variants": (
         "join_semi_customers_with_orders",
         "join_anti_customers_without_orders",
@@ -37,6 +37,8 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
     "explode_reshape": ("explode_document_tokens", "reshape_unpivot_part_sizes"),
     "top_k": ("top_k_orders",),
     "text_analysis": ("text_analysis_battery",),
+    "bpe_tokenization": ("text_bpe_token_counts",),
+    "multimodal": ("multimodal_image_features",),
     "text_normalization": ("text_normalized_keys",),
     "udtf": ("text_sentence_split_udtf",),
     "dedup_exact": ("dedup_exact_documents",),
