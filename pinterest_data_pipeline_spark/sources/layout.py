@@ -122,14 +122,148 @@ def files_overlapping(path: str, col: str, lo: int, hi: int) -> tuple[int, int]:
     import pyarrow.parquet as pq
 
     total = overlapping = 0
-    for name in os.listdir(path):
-        if not name.endswith(".parquet"):
-            continue
+    paths = []
+    for root, _, names in os.walk(path):  # flat AND partitioned layouts
+        paths.extend(os.path.join(root, n) for n in names if n.endswith(".parquet"))
+    for fpath in sorted(paths):
         total += 1
-        meta = pq.ParquetFile(os.path.join(path, name)).metadata
+        meta = pq.ParquetFile(fpath).metadata
         idx = meta.schema.to_arrow_schema().get_field_index(col)
         mn = min(meta.row_group(g).column(idx).statistics.min for g in range(meta.num_row_groups))
         mx = max(meta.row_group(g).column(idx).statistics.max for g in range(meta.num_row_groups))
         if mx >= lo and mn <= hi:
             overlapping += 1
     return overlapping, total
+
+
+# ===========================================================================
+# Incremental z-order maintenance (liquid-clustering-style).
+#
+# `write_zordered` re-sorts the WHOLE table per run — correct, but at 100 TB
+# an append of 0.1% of the data cannot pay a full-table shuffle. The managed
+# variant below keeps the table as explicit z-range partitions plus a tiny
+# manifest (normalization bounds + partition cut points, fixed at creation),
+# so maintenance after an append rewrites ONLY the partitions the new rows
+# land in: cost O(delta + touched partitions), never O(table). This is the
+# engine-native analogue of Delta Lake liquid clustering / incremental
+# OPTIMIZE ZORDER.
+# ===========================================================================
+
+_MANIFEST = "_zorder_manifest.json"
+_ZP = "__zp"  # partition-directory column
+_ZC = "__z"  # stored z-value (kept so later compactions re-sort cheaply)
+
+
+def _z_bucketed(df: DataFrame, m: dict) -> DataFrame:
+    """Attach __z (from manifest bounds, clamped both ends) and __zp."""
+    n_buckets = 1 << _NORM_BITS
+
+    def bucket(col: str, lo, hi) -> Column:
+        return F.greatest(
+            F.least(
+                F.width_bucket(F.col(col), F.lit(lo), F.lit(hi), F.lit(n_buckets)) - 1,
+                F.lit(n_buckets - 1),
+            ),
+            F.lit(0),
+        )
+
+    z = z_value(
+        bucket(m["col1"], m["lo1"], m["hi1"]),
+        bucket(m["col2"], m["lo2"], m["hi2"]),
+        bits=_NORM_BITS,
+    )
+    out = df.withColumn(_ZC, z)
+    pid = F.lit(0)
+    for cut in m["cuts"]:
+        pid = pid + F.when(F.col(_ZC) >= F.lit(cut), 1).otherwise(0)
+    return out.withColumn(_ZP, pid.cast("int"))
+
+
+def write_zordered_table(
+    df: DataFrame, path: str, col1: str, col2: str, n_files: int = 16
+) -> dict:
+    """Create a managed z-ordered table: z-range partition dirs + manifest.
+
+    Partition cut points come from approxQuantile over the z-values, so
+    partitions are balanced even under value skew (the quantile variant of
+    the equal-width normalization used by `write_zordered`). Bounds and
+    cuts are FROZEN in the manifest: later appends normalize with the same
+    parameters (out-of-range values clamp into the edge buckets), which is
+    what keeps incremental maintenance local.
+    """
+    import json
+    import os
+
+    bounds = df.agg(
+        F.min(col1).alias("lo1"),
+        F.max(col1).alias("hi1"),
+        F.min(col2).alias("lo2"),
+        F.max(col2).alias("hi2"),
+    ).first()
+    m = {
+        "col1": col1,
+        "col2": col2,
+        "lo1": bounds.lo1,
+        "hi1": bounds.hi1,
+        "lo2": bounds.lo2,
+        "hi2": bounds.hi2,
+        "cuts": [],
+        "n_files": n_files,
+    }
+    with_z = _z_bucketed(df, m)
+    qs = [i / n_files for i in range(1, n_files)]
+    m["cuts"] = sorted(set(with_z.stat.approxQuantile(_ZC, qs, 0.001)))
+    (
+        _z_bucketed(df, m)
+        .repartition(n_files, F.col(_ZP))
+        .sortWithinPartitions(_ZC)
+        .write.mode("overwrite")
+        .partitionBy(_ZP)
+        .parquet(path)
+    )
+    with open(os.path.join(path, _MANIFEST), "w") as f:
+        json.dump(m, f)
+    return m
+
+
+def read_zordered_table(spark, path: str) -> DataFrame:
+    """Read a managed z-ordered table without its maintenance columns."""
+    return spark.read.parquet(path).drop(_ZP, _ZC)
+
+
+def compact_zorder_incremental(spark, path: str, delta: DataFrame) -> dict:
+    """Merge appended rows into a managed z-ordered table, touching only
+    the z-range partitions the delta lands in.
+
+    One Spark job: the delta is z-assigned from the manifest, the existing
+    rows of ONLY the touched partitions are read back (partition pruning on
+    the directory column), and dynamic partition overwrite replaces exactly
+    those directories — every other partition's files stay byte-identical.
+    Returns {"touched": k, "total": n} so callers can assert locality.
+
+    At 100 TB this is the difference between a daily OPTIMIZE that reads
+    the whole table and one that reads a few percent: rewrite work scales
+    with delta volume (times partition granularity), not table size.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, _MANIFEST)) as f:
+        m = json.load(f)
+    delta_z = _z_bucketed(delta, m)
+    touched = sorted(r[_ZP] for r in delta_z.select(_ZP).distinct().collect())
+    existing = spark.read.parquet(path).filter(F.col(_ZP).isin(touched))
+    merged = existing.unionByName(delta_z)
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition(max(len(touched), 1), F.col(_ZP))
+            .sortWithinPartitions(_ZC)
+            .write.mode("overwrite")
+            .partitionBy(_ZP)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    return {"touched": len(touched), "total": len(m["cuts"]) + 1}

