@@ -58,6 +58,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "events_session_window",
     "join_asof_latest_order",
     "agg_grouping_sets",
+    "events_user_value_trend",
     # SQL bridge + set ops
     "set_ops_customers",
     # cleaning (P2-P11; P1 sentinel-nulls is certified inside
@@ -68,9 +69,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # window functions (row_number/lag/lead/ntile/running-sum/dense_rank/
     # percent_rank/cume_dist/first/last/nth_value in one two-sort pass)
     "window_analytics_battery",
-    # join family
+    # join family (anti-join is certified by tpch_q22's NOT EXISTS ->
+    # LeftAnti; join_anti_customers_without_orders is an empty result here)
     "join_semi_customers_with_orders",
-    "join_anti_customers_without_orders",
     "join_outer_order_counts",
     "join_range_ship_window",
     "join_fuzzy_part_names",

@@ -1444,3 +1444,39 @@ oracle("text_bpe_token_counts")(
     FROM documents ORDER BY doc_id
     """
 )
+
+oracle("multimodal_audio_features")(
+    # Audio twin of the image dual: digest bytes 0-1 (big-endian) drive
+    # duration, byte 2 picks the sample rate, bytes 3-4 the float features.
+    """
+    SELECT sha256(text) AS content_id,
+           (500 + ('0x' || substring(sha256(text), 1, 4))::bigint % 60000)::bigint
+               AS duration_ms,
+           ([8000, 16000, 22050, 44100])[1 + ('0x' || substring(sha256(text), 5, 2))::int % 4]::int
+               AS sample_rate,
+           round(('0x' || substring(sha256(text), 7, 2))::int / 255.0, 6) AS rms_energy,
+           round(('0x' || substring(sha256(text), 9, 2))::int / 255.0, 6)
+               AS zero_crossing_rate
+    FROM documents ORDER BY content_id
+    """
+)
+
+oracle("events_user_value_trend")(
+    # The grouped-map applyInPandas least-squares slope has an exact SQL
+    # dual: regr_slope over per-user hours-since-first-event. Slope is
+    # shift-invariant and both engines round to 6, so numpy polyfit and
+    # DuckDB's stable covariance agree bit-for-bit on this data.
+    """
+    WITH t AS (
+        SELECT user_id, value,
+               (epoch_ns(ts)/1e9
+                - min(epoch_ns(ts)/1e9) OVER (PARTITION BY user_id)) / 3600.0 AS h
+        FROM events
+    )
+    SELECT user_id, count(*) AS n_events,
+           CASE WHEN count(*) >= 2 AND count(DISTINCT h) >= 2
+                THEN round(regr_slope(value, h), 6) ELSE 0.0 END
+               AS value_slope_per_hour
+    FROM t GROUP BY user_id
+    """
+)

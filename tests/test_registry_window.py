@@ -25,9 +25,9 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
     "window_functions": ("window_analytics_battery", "window_order_sequence"),
     "join_variants": (
         "join_semi_customers_with_orders",
-        "join_anti_customers_without_orders",
         "join_outer_order_counts",
     ),
+    "applyinpandas_grouped_map": ("events_user_value_trend",),
     "range_join": ("join_range_ship_window",),
     "fuzzy_join": ("join_fuzzy_part_names",),
     "grouping_analytics": ("agg_rollup_region_nation", "agg_grouping_sets"),
