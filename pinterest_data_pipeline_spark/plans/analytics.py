@@ -508,7 +508,9 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query
 def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """min/max/avg/stddev/variance in one grouped pass."""
+    """min/max/avg/stddev + exact distinct counts in one grouped pass
+    (the fused form lets one driver slot certify the whole A-family;
+    ``agg_count_distinct`` remains as the focused variant)."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     return (
         lineitem.groupBy("l_returnflag")
@@ -517,6 +519,8 @@ def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("l_extendedprice"), 2).alias("max_price"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.stddev_samp("l_extendedprice"), 4).alias("stddev_price"),
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.countDistinct("l_suppkey").alias("distinct_suppliers"),
         )
         .orderBy("l_returnflag")
     )

@@ -330,7 +330,9 @@ oracle("agg_stats_suite")(
            round(min(l_extendedprice), 2) AS min_price,
            round(max(l_extendedprice), 2) AS max_price,
            round(avg(l_extendedprice), 4) AS avg_price,
-           round(stddev_samp(l_extendedprice), 4) AS stddev_price
+           round(stddev_samp(l_extendedprice), 4) AS stddev_price,
+           count(DISTINCT l_partkey) AS distinct_parts,
+           count(DISTINCT l_suppkey) AS distinct_suppliers
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """
 )
@@ -1478,5 +1480,110 @@ oracle("events_user_value_trend")(
                 THEN round(regr_slope(value, h), 6) ELSE 0.0 END
                AS value_slope_per_hour
     FROM t GROUP BY user_id
+    """
+)
+
+oracle("dedup_near_duplicate_clusters")(
+    # The iterative min-label propagation has an exact SQL dual: the pair
+    # set equals the exhaustive >=0.3 Jaccard pairs (see the minhash
+    # oracle), and connected components over an exact edge set are a
+    # recursive-CTE transitive closure (min reachable label per node).
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(string_split(text,' ')) < 3 THEN [text]
+                    ELSE [array_to_string(string_split(text,' ')[i:i+2], ' ')
+                          FOR i IN range(1, len(string_split(text,' ')) - 1)]
+               END) AS s
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.s, b.s))::double
+                  / len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.3
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT doc_id AS node, doc_id AS lbl FROM documents
+      UNION
+      SELECT e.src AS node, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+    )
+    SELECT node AS doc_id, min(lbl) AS cluster_id, (node = min(lbl)) AS keep
+    FROM reach GROUP BY node
+    """
+)
+
+oracle("pipeline_curate_documents")(
+    # End-to-end curation dual: normalize -> exact dedup (min id per
+    # canonical form) -> exhaustive >=0.5 Jaccard pairs on normalized
+    # shingles -> recursive-CTE components (keep = cluster min) -> quality
+    # floor on the ORIGINAL text -> deterministic md5 split. Every stage
+    # reuses the SQL of its single-operator oracle, so the composition is
+    # checked, not just the parts.
+    """
+    WITH RECURSIVE norm AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                                 '\\s+', ' ', 'g')) AS norm_text
+      FROM documents
+    ), uniq AS (
+      SELECT doc_id, text, norm_text FROM (
+        SELECT *, row_number() OVER (PARTITION BY norm_text ORDER BY doc_id) AS rn FROM norm
+      ) WHERE rn = 1
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(string_split(norm_text,' ')) < 3 THEN [norm_text]
+                    ELSE [array_to_string(string_split(norm_text,' ')[i:i+2], ' ')
+                          FOR i IN range(1, len(string_split(norm_text,' ')) - 1)]
+               END) AS s
+      FROM uniq
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.s, b.s))::double
+                  / len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT doc_id AS node, doc_id AS lbl FROM uniq
+      UNION
+      SELECT e.src AS node, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+    ), clusters AS (
+      SELECT node AS doc_id, min(lbl) AS cid FROM reach GROUP BY node
+    ), survivors AS (
+      SELECT u.doc_id, u.text FROM uniq u JOIN clusters c USING (doc_id)
+      WHERE c.doc_id = c.cid
+    ), m AS (
+      SELECT doc_id, length(text) AS n_chars, len(string_split(text, ' ')) AS n_toks,
+             length(regexp_replace(text, '[^.!?,;:''"()\\[\\]{}-]', '', 'g')) AS n_punct,
+             len(list_filter(string_split(lower(text), ' '),
+                 t -> t IN ('the','a','an','of','and','or','to','in','is','it','for','on'))) AS n_sw
+      FROM survivors
+    ), r AS (
+      SELECT doc_id,
+             CASE WHEN n_chars / 500.0 < 1.0 THEN n_chars / 500.0 ELSE 1.0 END AS len_term,
+             CASE WHEN n_toks > 0 AND (n_chars::double / n_toks) BETWEEN 3 AND 10
+                  THEN 1.0 ELSE 0.5 END AS word_term,
+             1.0 - least((CASE WHEN n_chars > 0 THEN n_punct::double / n_chars ELSE 0.0 END) * 5,
+                         1.0) AS punct_term,
+             CASE WHEN n_toks > 0 THEN n_sw::double / n_toks ELSE 0.0 END AS sw_ratio
+      FROM m
+    ), scored AS (
+      SELECT doc_id,
+             round(0.3 * len_term + 0.2 * word_term + 0.2 * punct_term
+                   + 0.3 * (CASE WHEN sw_ratio BETWEEN 0.1 AND 0.6 THEN 1.0 ELSE 0.6 END), 4)
+                 AS quality
+      FROM r
+    )
+    SELECT doc_id, round(quality, 4) AS quality,
+           CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8))
+                      AS UBIGINT) % 10000 < 8000 THEN 'train'
+                WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8))
+                      AS UBIGINT) % 10000 < 9000 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM scored WHERE quality >= 0.2
     """
 )
