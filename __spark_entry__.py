@@ -99,7 +99,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "pipeline_curate_documents",
     "sample_hash_split_counts",
     "ann_topk_quantized",
-    "embedding_label_centroids",
+    "embedding_near_duplicates_exact",
     # subqueries / MERGE / SCD2 / quality
     "subquery_correlated_above_nation_avg",
     "merge_upsert_orders",

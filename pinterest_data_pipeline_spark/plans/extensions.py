@@ -257,16 +257,37 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query
 def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH + exact verify (rows-only).
+    """Embedding-cosine near-dup pairs via OR-amplified LSH + exact verify.
 
     The synthetic embeddings are near-orthogonal (max pairwise cosine ≈0.51
-    at sf0.01), so the threshold targets the top of that distribution; 6
-    planes keep sign-LSH recall meaningful at moderate cosine.
+    at sf0.01), so the threshold targets the top of that distribution — the
+    regime where single-table sign-LSH recall collapses (~7%). 32 tables of
+    3 planes push per-pair recall to ~99.99% (verified 14/14 against the
+    exhaustive truth), at the n^(1+rho) candidate cost OR-amplification
+    pays near the similarity bulk; rows-only for the driver. The
+    oracle-checked production answer for this regime is
+    ``embedding_near_duplicates_exact`` below.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_near_duplicates(
-        emb, threshold=0.45, n_planes=6
+        emb, threshold=0.45, n_planes=3, n_tables=32
     ).orderBy("id_a", "id_b")
+
+
+@query
+def embedding_near_duplicates_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs by blocked BLAS matmul (exact).
+
+    At a moderate threshold no LSH family beats n^(1+rho) candidates, so
+    the scale-correct plan accepts the quadratic pair count and pays it at
+    BLAS speed: block-pair cogroups, one (bi, dim) @ (dim, bj) matmul per
+    Arrow batch, replication factor n_blocks. Exact by construction —
+    the DuckDB dual is the literal exhaustive cross join.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_all_pairs_above(emb, threshold=0.45).orderBy(
+        "id_a", "id_b"
+    )
 
 
 # --- multimodal -------------------------------------------------------------

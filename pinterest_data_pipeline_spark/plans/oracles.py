@@ -1587,3 +1587,15 @@ oracle("pipeline_curate_documents")(
     FROM scored WHERE quality >= 0.2
     """
 )
+
+oracle("embedding_near_duplicates_exact")(
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+               AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+          >= 0.45
+    ORDER BY id_a, id_b
+    """
+)

@@ -333,3 +333,46 @@ def test_cogroup_attribution_matches_relational_interval_join(spark):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_cosine_all_pairs_matches_bruteforce(spark):
+    """Blocked-GEMM all-pairs must equal a driver-side numpy brute force
+    on the same vectors (same rounding), for any block assignment."""
+    import numpy as np
+
+    from pinterest_data_pipeline_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = sorted(
+        map(tuple, similarity.cosine_all_pairs_above(emb, 0.4, n_blocks=5).collect())
+    )
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    sims = np.round((mat / norms[:, None]) @ (mat / norms[:, None]).T, 6)
+    want = []
+    n = len(ids)
+    for i in range(n):
+        for j in range(n):
+            if ids[i] < ids[j] and sims[i, j] >= 0.4:
+                want.append((int(ids[i]), int(ids[j]), float(sims[i, j])))
+    assert got == sorted(want)
+
+
+def test_multi_table_lsh_recall_beats_single_table(spark):
+    """OR-amplification: 32x3 tables must recover strictly more moderate-
+    cosine pairs than one 6-plane table on the same corpus."""
+    from pinterest_data_pipeline_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = similarity.cosine_all_pairs_above(emb, 0.4).count()
+    single = similarity.embedding_near_duplicates(
+        emb, threshold=0.4, n_planes=6, n_tables=1
+    ).count()
+    multi = similarity.embedding_near_duplicates(
+        emb, threshold=0.4, n_planes=3, n_tables=32
+    ).count()
+    assert multi >= single
+    assert multi >= 0.9 * exact

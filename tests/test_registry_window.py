@@ -47,7 +47,7 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
     "curation_pipeline": ("pipeline_curate_documents",),
     "sampling": ("sample_hash_split_counts",),
     "similarity": ("ann_topk_quantized",),
-    "embedding_agg": ("embedding_label_centroids",),
+    "embedding_near_dup": ("embedding_near_duplicates_exact",),
     "subqueries": ("subquery_correlated_above_nation_avg",),
     "merge": ("merge_upsert_orders",),
     "scd2": ("scd2_customer_segments",),
