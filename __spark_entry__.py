@@ -93,8 +93,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "text_sentence_split_udtf",
     "multimodal_image_features",
     "dedup_exact_documents",
-    "dedup_ngram_jaccard_adjacent",
     "dedup_minhash_near_duplicates",
+    "dedup_simhash_near_duplicates_stable",
     "dedup_near_duplicate_clusters",
     "pipeline_curate_documents",
     "sample_hash_split_counts",

@@ -340,7 +340,13 @@ def near_duplicate_clusters(
 _LANE_MASK = 0x0001_0001_0001_0001
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str, n_bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_bits: int = 64,
+    hash_fn=None,
+) -> DataFrame:
     """(id, simhash) with the signature packed into one 64-bit long.
 
     Explode tokens -> one codegen'd hash aggregate -> OR the winning bits
@@ -364,12 +370,13 @@ def simhash(df: DataFrame, text_col: str, id_col: str, n_bits: int = 64) -> Data
     """
     assert n_bits <= 64, "simhash packs into a single 64-bit long"
     lanes = (n_bits + 15) // 16  # 16-bit-spaced bit groups needed
+    hash_fn = hash_fn or (lambda c: F.xxhash64(c))
     toks = fan_out(df).select(
         F.col(id_col),
         F.explode(
             F.slice(F.split(F.col(text_col), " "), 1, 32000)
         ).alias("token"),
-    ).withColumn("h", F.xxhash64("token"))
+    ).withColumn("h", hash_fn(F.col("token")))
     lane_sums = [
         F.sum(
             F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(_LANE_MASK))
@@ -420,6 +427,7 @@ def simhash_near_duplicates(
     max_distance: int = 3,
     n_bits: int = 64,
     n_chunks: int | None = None,
+    hash_fn=None,
 ) -> DataFrame:
     """Near-dups by SimHash: multi-index Hamming search + exact verify.
 
@@ -462,7 +470,7 @@ def simhash_near_duplicates(
     # the chunked signatures; persisting pins the signature hash-agg — the
     # pipeline's expensive stage — to one execution instead of one per join
     # branch. Size is O(docs × n_chunks) longs, trivial next to the corpus.
-    sigs = simhash(df, text_col, id_col, n_bits)
+    sigs = simhash(df, text_col, id_col, n_bits, hash_fn=hash_fn)
     chunked = sigs.select(
         F.col(id_col),
         F.col("simhash"),

@@ -151,6 +151,26 @@ def dedup_simhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query
+def dedup_simhash_near_duplicates_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups with the cross-engine stable hash — oracle-exact.
+
+    Same multi-index pigeonhole pipeline as ``dedup_simhash_near_duplicates``
+    but tokens hash via ``stable_hash64`` (md5-derived, 60 bits), which DuckDB
+    can reproduce — and the pigeonhole candidate decomposition is LOSSLESS
+    (a pair within distance d must differ <= floor(d/m) in some chunk), so
+    the result equals the exhaustive Hamming cross join bit-for-bit: the
+    whole SimHash algorithm, not just its plumbing, is driver-checked. The
+    xxhash64 variant stays registered as the faster production default.
+    """
+    from ..operators.text import stable_hash64
+
+    docs = load_documents(spark, sf_dir)
+    return dedup.simhash_near_duplicates(
+        docs, "text", "doc_id", max_distance=10, n_bits=60, hash_fn=stable_hash64
+    )
+
+
+@query
 def dedup_near_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup decision: MinHash pairs -> connected
     components -> (doc, cluster, keep). Iterative label propagation —

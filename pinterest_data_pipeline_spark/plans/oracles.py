@@ -1599,3 +1599,36 @@ oracle("embedding_near_duplicates_exact")(
     ORDER BY id_a, id_b
     """
 )
+
+
+def _simhash_stable_sql(n_bits: int = 60, max_distance: int = 10) -> str:
+    """Generate the exhaustive SimHash dual: per-bit majority votes over
+    stable-hashed tokens, packed sum (bits are disjoint, so + == OR), then
+    a Hamming cross join. Generated rather than hand-written because it
+    needs one aggregate per bit."""
+    votes = ",\n           ".join(
+        f"sum((hv >> {b}) & 1) AS s{b}" for b in range(n_bits)
+    )
+    packed = "\n             + ".join(
+        f"(CASE WHEN 2*s{b} > n THEN {1 << b} ELSE 0 END)" for b in range(n_bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), h AS (
+      SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::bigint AS hv FROM toks
+    ), votes AS (
+      SELECT doc_id, count(*) AS n,
+           {votes}
+      FROM h GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, ({packed})::bigint AS simhash FROM votes
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::int AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_distance}
+    """
+
+
+oracle("dedup_simhash_near_duplicates_stable")(_simhash_stable_sql())

@@ -43,6 +43,7 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
     "udtf": ("text_sentence_split_udtf",),
     "dedup_exact": ("dedup_exact_documents",),
     "dedup_near": ("dedup_minhash_near_duplicates", "dedup_ngram_jaccard_adjacent"),
+    "dedup_simhash": ("dedup_simhash_near_duplicates_stable",),
     "near_dup_clustering": ("dedup_near_duplicate_clusters",),
     "curation_pipeline": ("pipeline_curate_documents",),
     "sampling": ("sample_hash_split_counts",),
