@@ -42,14 +42,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # slot; their single-operator forms remain registered after the window for
 # focused debugging. tests/test_registry_window.py pins this invariant.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # reference analytical battery (SURVEY §2.8)
+    # reference analytical battery (SURVEY §2.8) — all nine, the parity
+    # headline
     "q1_top_brand_per_nation",
     "q2_orders_per_brand_year",
+    "q3_top_supplier_per_nation",
     "q4_nation_with_top_supplier",
     "q5_top_segment_per_balance_band",
     "q6_median_acctbal_per_band",
     "q7_orders_per_year",
     "q8_median_price_by_year",
+    "q9_median_price_by_year_priority",
     # events / time-series (recovered from the r1 nanos-timestamp err)
     "json_extract_event_props",
     "events_daily_rollup",
@@ -87,9 +90,10 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "reshape_unpivot_part_sizes",
     "top_k_orders",
     # text analysis + dedup + sampling + ANN + multimodal extensions
+    # (text normalization and the md5 hash-split are certified inside
+    # pipeline_curate_documents' composition oracle, freeing their slots)
     "text_analysis_battery",
     "text_bpe_token_counts",
-    "text_normalized_keys",
     "text_sentence_split_udtf",
     "multimodal_image_features",
     "dedup_exact_documents",
@@ -97,7 +101,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_simhash_near_duplicates_stable",
     "dedup_near_duplicate_clusters",
     "pipeline_curate_documents",
-    "sample_hash_split_counts",
     "ann_topk_quantized",
     "embedding_near_duplicates_exact",
     # subqueries / MERGE / SCD2 / quality

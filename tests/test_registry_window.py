@@ -39,14 +39,16 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
     "text_analysis": ("text_analysis_battery",),
     "bpe_tokenization": ("text_bpe_token_counts",),
     "multimodal": ("multimodal_image_features",),
-    "text_normalization": ("text_normalized_keys",),
+    # normalization + hash split are hash-checked inside the curation
+    # pipeline's composition oracle
+    "text_normalization": ("text_normalized_keys", "pipeline_curate_documents"),
     "udtf": ("text_sentence_split_udtf",),
     "dedup_exact": ("dedup_exact_documents",),
     "dedup_near": ("dedup_minhash_near_duplicates", "dedup_ngram_jaccard_adjacent"),
     "dedup_simhash": ("dedup_simhash_near_duplicates_stable",),
     "near_dup_clustering": ("dedup_near_duplicate_clusters",),
     "curation_pipeline": ("pipeline_curate_documents",),
-    "sampling": ("sample_hash_split_counts",),
+    "sampling": ("sample_hash_split_counts", "pipeline_curate_documents"),
     "similarity": ("ann_topk_quantized",),
     "embedding_near_dup": ("embedding_near_duplicates_exact",),
     "subqueries": ("subquery_correlated_above_nation_avg",),
