@@ -191,3 +191,34 @@ def test_tpch_q21_double_exists_stays_hash_joined(spark):
     plan = plan_of(spark, "tpch_q21_waiting_suppliers")
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "window_analytics_battery",
+        "text_analysis_battery",
+        "clean_part_battery",
+        "multimodal_image_features",
+        "dedup_simhash_near_duplicates_stable",
+        "embedding_near_duplicates_exact",
+    ],
+)
+def test_round2_showpieces_have_no_scale_killers(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_window_battery_plans_single_exchange(spark):
+    """Both window specs share the partition key, so the whole ten-function
+    battery must cost ONE hash exchange (plus the presentation sort)."""
+    plan = plan_of(spark, "window_analytics_battery")
+    assert plan.count("Exchange hashpartitioning(o_custkey") == 1
+
+
+def test_text_battery_is_shuffle_free(spark):
+    """The fused text battery is a pure projection: no exchange other than
+    the presentation sort's range partitioning."""
+    plan = plan_of(spark, "text_analysis_battery")
+    assert "Exchange hashpartitioning" not in plan
