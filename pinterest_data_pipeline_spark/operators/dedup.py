@@ -24,7 +24,7 @@ import random as _random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..session import fan_out
+from ..session import fan_out, persist_scoped
 from .text import shingles, stable_hash64
 
 # --- exact dedup ------------------------------------------------------------
@@ -220,7 +220,10 @@ def minhash_near_duplicates(
     # + both halves of the id union); persisting it pins the result of the
     # signature+banding stages instead of recomputing that lineage per
     # branch. It is O(candidate pairs) — tiny relative to the corpus.
-    cands = minhash_lsh_candidates(sigs, id_col, k, bands).persist()
+    # persist_scoped bounds the cache at one generation across repeat calls.
+    cands = persist_scoped(
+        minhash_lsh_candidates(sigs, id_col, k, bands), "minhash_cands"
+    )
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .union(cands.select(F.col("id_b").alias(id_col)))
@@ -261,11 +264,11 @@ def cluster_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     join + one aggregate); ``localCheckpoint`` truncates the growing
     lineage so the plan does not deepen per round.
     """
-    edges = (
+    edges = persist_scoped(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
-        .persist()
+        .distinct(),
+        "cluster_edges",
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -487,7 +490,8 @@ def simhash_near_duplicates(
                 ]
             )
         ).alias("c"),
-    ).select(id_col, "simhash", "c.chunk_idx", "c.chunk_val").persist()
+    ).select(id_col, "simhash", "c.chunk_idx", "c.chunk_val")
+    chunked = persist_scoped(chunked, "simhash_chunks")
     if radius > 0:
         spark = df.sparkSession
         mask_rows = [

@@ -26,6 +26,30 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _stack_vectors(series: pd.Series, dim: int | None, ctx: str):
+    """np.vstack an Arrow batch of embeddings with a descriptive failure.
+
+    A null or ragged vector otherwise surfaces as an opaque ValueError deep
+    inside worker-side numpy reshape/vstack; validate up front and name the
+    offending condition (ADVICE r2). Returns a (batch, dim) float array.
+    """
+    import numpy as np
+
+    if series.isna().any():
+        raise ValueError(
+            f"{ctx}: {int(series.isna().sum())} null embedding(s) in batch — "
+            "filter nulls (e.g. .filter(col(vec).isNotNull())) before this operator"
+        )
+    lengths = series.map(len)
+    if lengths.nunique() > 1 or (dim is not None and int(lengths.iloc[0]) != dim):
+        seen = sorted(set(int(x) for x in lengths.unique()))
+        raise ValueError(
+            f"{ctx}: ragged/mis-sized embeddings — expected fixed dim "
+            f"{dim if dim is not None else seen[0]}, saw lengths {seen[:10]}"
+        )
+    return np.vstack(series.to_numpy())
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<numeric> columns via zip_with + aggregate."""
     return F.aggregate(
@@ -252,7 +276,7 @@ def nearest_cells_pandas(centroids: list[list[float]], n: int = 1):
 
     @pandas_udf("array<int>")
     def kernel(vecs: pd.Series) -> pd.Series:
-        x = np.vstack(vecs.to_numpy())  # rows × dim
+        x = _stack_vectors(vecs, None, "ivf_assign")  # rows × dim
         scores = x @ c  # rows × cells
         top = np.argsort(-scores, axis=1, kind="stable")[:, :n]
         return pd.Series(list(top.astype("int32")))
@@ -368,7 +392,7 @@ def embedding_near_duplicates(
 
     @pandas_udf("array<long>")
     def table_codes(vecs: pd.Series) -> pd.Series:
-        mat = np.vstack(vecs.to_numpy())  # (batch, dim)
+        mat = _stack_vectors(vecs, dim, "embedding_near_duplicates")  # (batch, dim)
         signs = (mat @ plane_mat) >= 0  # (batch, L*k)
         codes = signs.reshape(len(mat), n_tables, n_planes) @ weights
         return pd.Series(list(codes.astype("int64")))
@@ -456,8 +480,8 @@ def cosine_all_pairs_above(
         if len(l_pdf) == 0 or len(r_pdf) == 0:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
         diagonal = bool(l_pdf["bi"].iloc[0] == l_pdf["bj"].iloc[0])
-        la = np.vstack(l_pdf["vec"].to_numpy()).astype(np.float64)
-        rb = np.vstack(r_pdf["vec"].to_numpy()).astype(np.float64)
+        la = _stack_vectors(l_pdf["vec"], None, "cosine_all_pairs_above").astype(np.float64)
+        rb = _stack_vectors(r_pdf["vec"], None, "cosine_all_pairs_above").astype(np.float64)
         na = np.linalg.norm(la, axis=1)
         nb = np.linalg.norm(rb, axis=1)
         na[na == 0] = 1.0

@@ -1202,7 +1202,7 @@ oracle("clean_part_battery")(
 )
 
 oracle("text_analysis_battery")(
-    """
+    r"""
     WITH lang AS (
         SELECT doc_id,
                len(list_filter(string_split(lower(text), ' '), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'for'))) AS s_en,

@@ -81,6 +81,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     return df
 
 
+_SCOPED_CACHE: dict[str, object] = {}
+
+
+def persist_scoped(df, scope: str):
+    """``persist()`` with a bounded lifetime: one live generation per scope.
+
+    Operators persist small intermediate frames (LSH candidate pairs, SimHash
+    chunk signatures) that are consumed lazily by the DataFrame they return,
+    so they cannot unpersist before returning. A bare ``persist()`` there
+    leaks one cached frame per call for the session lifetime — the 50-query
+    driver plus bench runs accumulate executor storage. This helper
+    unpersists the PREVIOUS frame registered under the same scope before
+    persisting the new one, capping storage at one generation per call site.
+
+    Unpersisting never breaks correctness: a still-held older result simply
+    recomputes its lineage. ``release_scoped`` drops a scope eagerly once a
+    caller has fully materialized the result.
+    """
+    prev = _SCOPED_CACHE.pop(scope, None)
+    if prev is not None:
+        prev.unpersist()
+    _SCOPED_CACHE[scope] = df.persist()
+    return df
+
+
+def release_scoped(scope: str | None = None) -> None:
+    """Eagerly unpersist one scope (or all) registered via persist_scoped."""
+    scopes = [scope] if scope is not None else list(_SCOPED_CACHE)
+    for s in scopes:
+        df = _SCOPED_CACHE.pop(s, None)
+        if df is not None:
+            df.unpersist()
+
+
 def fan_out(df, partitions: int | None = None):
     """Repartition narrow inputs before CPU-heavy per-row compute.
 

@@ -231,39 +231,83 @@ def read_zordered_table(spark, path: str) -> DataFrame:
     return spark.read.parquet(path).drop(_ZP, _ZC)
 
 
+def recover_zorder_table(path: str) -> int:
+    """Restore any partition left renamed-aside by a crashed compaction.
+
+    A compaction that died between its two renames leaves ``__zp=k.old``
+    with no live ``__zp=k``; rename it back. Returns the number of
+    partitions recovered. Idempotent; called at the start of every
+    compaction (same batch-start recovery as ``streaming.upsert_sink``).
+    """
+    import os
+
+    recovered = 0
+    for name in sorted(os.listdir(path)):
+        if name.startswith(_ZP + "=") and name.endswith(".old"):
+            live = os.path.join(path, name[: -len(".old")])
+            if not os.path.exists(live):
+                os.rename(os.path.join(path, name), live)
+                recovered += 1
+    return recovered
+
+
 def compact_zorder_incremental(spark, path: str, delta: DataFrame) -> dict:
     """Merge appended rows into a managed z-ordered table, touching only
     the z-range partitions the delta lands in.
 
-    One Spark job: the delta is z-assigned from the manifest, the existing
-    rows of ONLY the touched partitions are read back (partition pruning on
-    the directory column), and dynamic partition overwrite replaces exactly
-    those directories — every other partition's files stay byte-identical.
+    The delta is z-assigned from the manifest, the existing rows of ONLY
+    the touched partitions are read back (partition pruning on the
+    directory column), and the merged partitions replace exactly those
+    directories — every other partition's files stay byte-identical.
     Returns {"touched": k, "total": n} so callers can assert locality.
+
+    Crash safety (mirrors ``streaming.upsert_sink``): merged partitions are
+    fully materialized under ``<path>.tmpcompact`` BEFORE any live file is
+    touched — the self-overwrite read/write race is impossible regardless
+    of ``partitionOverwriteMode``. Each touched directory is then swapped
+    in via rename: live -> ``.old``, tmp -> live, delete ``.old``. A crash
+    at any point leaves, per partition, either the previous directory or
+    its ``.old`` copy; ``recover_zorder_table`` (run at the start of every
+    compaction) renames ``.old`` back when the live dir is missing.
 
     At 100 TB this is the difference between a daily OPTIMIZE that reads
     the whole table and one that reads a few percent: rewrite work scales
-    with delta volume (times partition granularity), not table size.
+    with delta volume (times partition granularity), not table size. On an
+    object store the renames become the table format's atomic commit
+    (Delta/Iceberg snapshot swap); the staging-then-swap shape is the same.
     """
     import json
     import os
+    import shutil
 
+    recover_zorder_table(path)
     with open(os.path.join(path, _MANIFEST)) as f:
         m = json.load(f)
     delta_z = _z_bucketed(delta, m)
     touched = sorted(r[_ZP] for r in delta_z.select(_ZP).distinct().collect())
     existing = spark.read.parquet(path).filter(F.col(_ZP).isin(touched))
     merged = existing.unionByName(delta_z)
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            merged.repartition(max(len(touched), 1), F.col(_ZP))
-            .sortWithinPartitions(_ZC)
-            .write.mode("overwrite")
-            .partitionBy(_ZP)
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    tmp = path.rstrip("/") + ".tmpcompact"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    (
+        merged.repartition(max(len(touched), 1), F.col(_ZP))
+        .sortWithinPartitions(_ZC)
+        .write.mode("overwrite")
+        .partitionBy(_ZP)
+        .parquet(tmp)
+    )
+    for part in touched:
+        dirname = f"{_ZP}={part}"
+        src = os.path.join(tmp, dirname)
+        live = os.path.join(path, dirname)
+        old = live + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(live):
+            os.rename(live, old)
+        os.rename(src, live)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    shutil.rmtree(tmp)
     return {"touched": len(touched), "total": len(m["cuts"]) + 1}
