@@ -41,77 +41,67 @@ def entry(spark: SparkSession) -> DataFrame:
 # (clean_part_battery, text_analysis_battery) certify several operators per
 # slot; their single-operator forms remain registered after the window for
 # focused debugging. tests/test_registry_window.py pins this invariant.
+# ROUND-4 ROTATION (VERDICT r3 items 1+2): queries certified green in BOTH
+# r2 and r3 rotate out (their oracles + tools/check_parity.py coverage
+# remain) to give driver rows to the 25 oracled queries that never had one:
+# the extended TPC-H shapes, the subquery EXISTS/IN/scalar forms, VARIANT,
+# date/string/map scalar suites, cube, exact distinct counts, and the
+# scale-safe LSH embedding near-dup (swapped in for the quadratic
+# *_exact variant, which keeps its oracle after the window as the
+# truth-set generator it should be).
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # reference analytical battery (SURVEY §2.8) — all nine, the parity
-    # headline
+    # family keeps — one twice-certified representative per operator family
     "q1_top_brand_per_nation",
-    "q2_orders_per_brand_year",
-    "q3_top_supplier_per_nation",
-    "q4_nation_with_top_supplier",
-    "q5_top_segment_per_balance_band",
-    "q6_median_acctbal_per_band",
-    "q7_orders_per_year",
-    "q8_median_price_by_year",
     "q9_median_price_by_year_priority",
-    # events / time-series (recovered from the r1 nanos-timestamp err)
-    "json_extract_event_props",
-    "events_daily_rollup",
-    "events_tumbling_window",
-    "events_sliding_window",
     "events_session_window",
     "join_asof_latest_order",
     "agg_grouping_sets",
     "events_user_value_trend",
-    # SQL bridge + set ops
-    "set_ops_customers",
-    # cleaning (P2-P11; P1 sentinel-nulls is certified inside
-    # text_analysis_battery's norm_lang/norm_source columns)
     "clean_part_battery",
-    "clean_age_group_customers",
-    "clean_scalar_functions",
-    # window functions (row_number/lag/lead/ntile/running-sum/dense_rank/
-    # percent_rank/cume_dist/first/last/nth_value in one two-sort pass)
     "window_analytics_battery",
-    # join family (anti-join is certified by tpch_q22's NOT EXISTS ->
-    # LeftAnti; join_anti_customers_without_orders is an empty result here)
-    "join_semi_customers_with_orders",
-    "join_outer_order_counts",
     "join_range_ship_window",
     "join_fuzzy_part_names",
-    # aggregate family (agg_stats_suite's fused form carries the exact
-    # distinct counts, so agg_count_distinct's focused variant sits
-    # outside the window)
-    "agg_rollup_region_nation",
     "agg_pivot_status_revenue",
-    "agg_stats_suite",
     "agg_salted_returnflag",
-    # reshape / scalar / top-k
-    "explode_document_tokens",
-    "reshape_unpivot_part_sizes",
     "top_k_orders",
-    # text analysis + dedup + sampling + ANN + multimodal extensions
-    # (text normalization and the md5 hash-split are certified inside
-    # pipeline_curate_documents' composition oracle, freeing their slots)
+    "reshape_unpivot_part_sizes",
     "text_analysis_battery",
     "text_bpe_token_counts",
     "text_sentence_split_udtf",
-    "multimodal_image_features",
     "dedup_exact_documents",
     "dedup_minhash_near_duplicates",
     "dedup_simhash_near_duplicates_stable",
     "dedup_near_duplicate_clusters",
     "pipeline_curate_documents",
     "ann_topk_quantized",
-    "embedding_near_duplicates_exact",
-    # subqueries / MERGE / SCD2 / quality
-    "subquery_correlated_above_nation_avg",
     "merge_upsert_orders",
     "scd2_customer_segments",
-    "quality_expectations_orders",
-    # TPC-H battery representatives (the other 19 shapes sit after the
-    # window, each with its own oracle)
-    "tpch_q1_pricing_summary",
-    "tpch_q5_local_supplier_volume",
+    # rotations in — never-certified oracled queries
+    "embedding_near_duplicates",
+    "window_order_sequence",
+    "set_ops_intersect",
+    "agg_cube_flag_status",
+    "agg_count_distinct",
+    "scalar_map_functions",
+    "scalar_date_functions",
+    "scalar_string_functions",
+    "subquery_exists_urgent_customers",
+    "subquery_in_heavy_parts",
+    "subquery_scalar_above_avg_price",
+    "json_variant_extract_props",
+    "json_variant_grouped_stats",
+    "events_view_purchase_attribution",
+    "events_resample_ffill",
+    "anomaly_zscore_events",
+    "quality_referential_integrity",
+    "array_hof_battery",
+    "embedding_label_centroids",
+    "multimodal_audio_features",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q9_product_type_profit",
+    "tpch_q18_large_orders",
+    "tpch_q21_waiting_suppliers",
 )
 
 

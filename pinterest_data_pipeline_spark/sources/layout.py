@@ -123,7 +123,9 @@ def files_overlapping(path: str, col: str, lo: int, hi: int) -> tuple[int, int]:
 
     total = overlapping = 0
     paths = []
-    for root, _, names in os.walk(path):  # flat AND partitioned layouts
+    for root, dirs, names in os.walk(path):  # flat AND partitioned layouts
+        # never count renamed-aside compaction dirs as table content
+        dirs[:] = [d for d in dirs if not d.endswith(".old")]
         paths.extend(os.path.join(root, n) for n in names if n.endswith(".parquet"))
     for fpath in sorted(paths):
         total += 1
@@ -231,24 +233,50 @@ def read_zordered_table(spark, path: str) -> DataFrame:
     return spark.read.parquet(path).drop(_ZP, _ZC)
 
 
-def recover_zorder_table(path: str) -> int:
-    """Restore any partition left renamed-aside by a crashed compaction.
+_COMMIT_MARKER = "_zcompact_commit"  # "_"-prefixed: invisible to parquet readers
 
-    A compaction that died between its two renames leaves ``__zp=k.old``
-    with no live ``__zp=k``; rename it back. Returns the number of
-    partitions recovered. Idempotent; called at the start of every
-    compaction (same batch-start recovery as ``streaming.upsert_sink``).
+
+def recover_zorder_table(path: str) -> int:
+    """Restore table consistency after a crashed compaction. Idempotent;
+    called at the start of every compaction.
+
+    The compaction protocol (see ``compact_zorder_incremental``) makes the
+    commit marker the decision point:
+
+    - marker PRESENT: every touched partition was already swapped to its
+      merged contents — ROLL FORWARD by deleting the remaining ``.old``
+      copies (and the marker). The crash hit only the cleanup phase.
+    - marker ABSENT: the swap may be partial — ROLL BACK every partition
+      that has a ``.old`` copy (delete the half-swapped live dir if one
+      exists, rename ``.old`` back), restoring the exact pre-compaction
+      table so a retry with the same delta is duplicate-free.
+
+    Either way no ``__zp=k.old`` directory survives recovery: a stale
+    ``.old`` inside the table dir would otherwise be discovered by
+    ``spark.read.parquet`` as a partition with value ``"k.old"`` — silently
+    duplicating rows and flipping the partition column's inferred type to
+    string. Returns the number of partitions rolled back or forward.
     """
     import os
+    import shutil
 
-    recovered = 0
+    marker = os.path.join(path, _COMMIT_MARKER)
+    committed = os.path.exists(marker)
+    changed = 0
     for name in sorted(os.listdir(path)):
         if name.startswith(_ZP + "=") and name.endswith(".old"):
+            old = os.path.join(path, name)
             live = os.path.join(path, name[: -len(".old")])
-            if not os.path.exists(live):
-                os.rename(os.path.join(path, name), live)
-                recovered += 1
-    return recovered
+            if committed:  # swap complete: .old is garbage
+                shutil.rmtree(old)
+            else:  # swap may be partial: restore the previous contents
+                if os.path.exists(live):
+                    shutil.rmtree(live)
+                os.rename(old, live)
+            changed += 1
+    if committed:
+        os.remove(marker)
+    return changed
 
 
 def compact_zorder_incremental(spark, path: str, delta: DataFrame) -> dict:
@@ -261,20 +289,30 @@ def compact_zorder_incremental(spark, path: str, delta: DataFrame) -> dict:
     directories — every other partition's files stay byte-identical.
     Returns {"touched": k, "total": n} so callers can assert locality.
 
-    Crash safety (mirrors ``streaming.upsert_sink``): merged partitions are
-    fully materialized under ``<path>.tmpcompact`` BEFORE any live file is
-    touched — the self-overwrite read/write race is impossible regardless
-    of ``partitionOverwriteMode``. Each touched directory is then swapped
-    in via rename: live -> ``.old``, tmp -> live, delete ``.old``. A crash
-    at any point leaves, per partition, either the previous directory or
-    its ``.old`` copy; ``recover_zorder_table`` (run at the start of every
-    compaction) renames ``.old`` back when the live dir is missing.
+    Crash safety — a two-phase commit over directory renames:
+
+    1. STAGE: merged partitions are fully materialized under
+       ``<path>.tmpcompact`` (a sibling, outside the read path) BEFORE any
+       live file is touched — the self-overwrite read/write race is
+       impossible regardless of ``partitionOverwriteMode``.
+    2. SWAP: every touched live dir is renamed aside to ``.old``, then
+       every staged dir is renamed in. No ``.old`` is deleted yet.
+    3. COMMIT: a ``_zcompact_commit`` marker is written (the atomic commit
+       point), THEN all ``.old`` copies are deleted, THEN the marker.
+
+    ``recover_zorder_table`` (run at the start of every compaction) uses
+    the marker to decide direction: marker present -> the swap finished,
+    roll forward (delete leftover ``.old``); marker absent -> the swap may
+    be partial, roll back (restore every ``.old``), returning the exact
+    pre-compaction table so re-running with the SAME delta is safe —
+    without the marker a retry would union the delta into already-merged
+    partitions a second time and duplicate rows.
 
     At 100 TB this is the difference between a daily OPTIMIZE that reads
     the whole table and one that reads a few percent: rewrite work scales
     with delta volume (times partition granularity), not table size. On an
-    object store the renames become the table format's atomic commit
-    (Delta/Iceberg snapshot swap); the staging-then-swap shape is the same.
+    object store the marker becomes the table format's atomic commit
+    (Delta/Iceberg snapshot swap); the stage-swap-commit shape is the same.
     """
     import json
     import os
@@ -297,17 +335,27 @@ def compact_zorder_incremental(spark, path: str, delta: DataFrame) -> dict:
         .partitionBy(_ZP)
         .parquet(tmp)
     )
+    swaps = []  # (staged src, live dir, renamed-aside old)
     for part in touched:
         dirname = f"{_ZP}={part}"
-        src = os.path.join(tmp, dirname)
-        live = os.path.join(path, dirname)
-        old = live + ".old"
-        if os.path.exists(old):
-            shutil.rmtree(old)
+        swaps.append(
+            (
+                os.path.join(tmp, dirname),
+                os.path.join(path, dirname),
+                os.path.join(path, dirname + ".old"),
+            )
+        )
+    for _, live, old in swaps:  # phase 2a: set every previous dir aside
         if os.path.exists(live):
             os.rename(live, old)
+    for src, live, _ in swaps:  # phase 2b: promote every staged dir
         os.rename(src, live)
+    marker = os.path.join(path, _COMMIT_MARKER)
+    with open(marker, "w") as f:  # phase 3: commit point
+        f.write("\n".join(str(p) for p in touched))
+    for _, _, old in swaps:
         if os.path.exists(old):
             shutil.rmtree(old)
+    os.remove(marker)
     shutil.rmtree(tmp)
     return {"touched": len(touched), "total": len(m["cuts"]) + 1}

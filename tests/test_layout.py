@@ -148,6 +148,108 @@ def test_incremental_zorder_touches_only_delta_partitions(spark, tmp_path):
     assert base.unionByName(delta).exceptAll(got).count() == 0
 
 
+def _partition_dirs(path):
+    import os
+
+    return sorted(
+        d
+        for d in os.listdir(path)
+        if d.startswith(layout._ZP + "=") and not d.endswith(".old")
+    )
+
+
+def _small_managed_table(spark, tmp_path, name="crash"):
+    rows = spark.range(2000).select(
+        (F.col("id") % 97).alias("x"),
+        (F.col("id") % 89).alias("y"),
+        F.col("id").alias("v"),
+    )
+    path = str(tmp_path / name)
+    layout.write_zordered_table(rows, path, "x", "y", n_files=8)
+    return path, rows
+
+
+def test_recover_rolls_back_uncommitted_partial_swap(spark, tmp_path):
+    """Crash mid-swap with NO commit marker: recovery must restore every
+    renamed-aside partition (deleting any half-promoted live dir) so the
+    table reads exactly as before the compaction began."""
+    import os
+    import shutil
+
+    path, rows = _small_managed_table(spark, tmp_path)
+    n = rows.count()
+    parts = _partition_dirs(path)
+    p1, p2 = os.path.join(path, parts[0]), os.path.join(path, parts[1])
+    # p1: phase 2b done (live holds "new" data, .old holds the original)
+    shutil.copytree(p1, p1 + ".old")
+    for f in os.listdir(p1):
+        os.remove(os.path.join(p1, f))
+    for f in os.listdir(p2):
+        shutil.copy(os.path.join(p2, f), os.path.join(p1, f))
+    # p2: phase 2a done only (renamed aside, nothing promoted yet)
+    os.rename(p2, p2 + ".old")
+
+    recovered = layout.recover_zorder_table(path)
+    assert recovered == 2
+    assert not any(d.endswith(".old") for d in os.listdir(path))
+    got = layout.read_zordered_table(spark, path)
+    assert got.count() == n
+    assert got.exceptAll(rows).count() == 0
+
+
+def test_recover_rolls_forward_after_commit_marker(spark, tmp_path):
+    """Crash AFTER the commit marker but before .old cleanup (the r3 ADVICE
+    scenario): a stale __zp=k.old would otherwise be read as a partition
+    with value 'k.old' — duplicating its rows and flipping the partition
+    column's type to string. Recovery must delete it and keep the live dir."""
+    import os
+    import shutil
+
+    path, rows = _small_managed_table(spark, tmp_path)
+    n = rows.count()
+    parts = _partition_dirs(path)
+    p1 = os.path.join(path, parts[0])
+    shutil.copytree(p1, p1 + ".old")
+    with open(os.path.join(path, layout._COMMIT_MARKER), "w") as f:
+        f.write(parts[0])
+
+    recovered = layout.recover_zorder_table(path)
+    assert recovered == 1
+    assert not os.path.exists(p1 + ".old")
+    assert not os.path.exists(os.path.join(path, layout._COMMIT_MARKER))
+    got = layout.read_zordered_table(spark, path)
+    assert got.count() == n  # no duplicated partition rows
+
+
+def test_compaction_retry_after_crash_is_duplicate_free(spark, tmp_path):
+    """The medium-severity r3 ADVICE case: a crash mid-swap followed by a
+    retry with the SAME delta must not union the delta twice into the
+    already-swapped partitions. The retry's built-in recovery rolls the
+    table back first, so the final state is exactly base + delta."""
+    import os
+    import shutil
+
+    path, rows = _small_managed_table(spark, tmp_path)
+    delta = spark.range(100).select(
+        (F.col("id") % 7).alias("x"),
+        (F.col("id") % 5).alias("y"),
+        (F.col("id") + 1_000_000).alias("v"),
+    )
+    # simulate an uncommitted mid-swap crash on two partitions
+    parts = _partition_dirs(path)
+    p1, p2 = os.path.join(path, parts[0]), os.path.join(path, parts[1])
+    shutil.copytree(p1, p1 + ".old")
+    os.rename(p2, p2 + ".old")
+
+    layout.compact_zorder_incremental(spark, path, delta)
+    assert not any(d.endswith(".old") for d in os.listdir(path))
+    got = layout.read_zordered_table(spark, path)
+    want = rows.unionByName(delta)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_incremental_zorder_preserves_pruning(spark, tmp_path):
     """After several appends the managed table must still prune like a
     freshly z-ordered one: a narrow band on either dimension overlaps a
