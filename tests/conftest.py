@@ -10,7 +10,7 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-from pinterest_data_pipeline_spark.session import get_spark  # noqa: E402
+from pinterest_data_pipeline_spark.session import get_spark, release_scoped  # noqa: E402
 
 
 @pytest.fixture(scope="session")
@@ -19,6 +19,7 @@ def spark():
     # over parallel throughput.
     s = get_spark("tests", cpus=4)
     yield s
+    release_scoped()
 
 
 @pytest.fixture(scope="session")
