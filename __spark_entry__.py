@@ -64,7 +64,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "agg_pivot_status_revenue",
     "agg_salted_returnflag",
     "top_k_orders",
-    "reshape_unpivot_part_sizes",
     "text_analysis_battery",
     "text_bpe_token_counts",
     "text_sentence_split_udtf",
@@ -77,6 +76,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "merge_upsert_orders",
     "scd2_customer_segments",
     # rotations in — never-certified oracled queries
+    "streaming_availablenow_events",
     "embedding_near_duplicates",
     "window_order_sequence",
     "set_ops_intersect",

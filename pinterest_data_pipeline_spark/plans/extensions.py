@@ -8,6 +8,8 @@ pytest assertions (planted duplicates, recall vs brute force).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -476,3 +478,33 @@ def events_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(fit, out_schema)
     )
+
+
+@query
+def streaming_availablenow_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible certification of the reference's core streaming
+    surface (STREAM:45-232): envelope landing files -> ``readStream`` ->
+    envelope parse (S5-S7) -> watermarked dedup (T2) -> checkpointed
+    append sink (S8/T3), drained with ``availableNow`` and the sink read
+    back. Planted duplicates (every 3rd shipped record emitted twice) make
+    the dedup load-bearing: if it ever regressed, the row count would beat
+    the oracle's DISTINCT-by-key and the driver row would go red.
+
+    Oracle: the same every-20th-event subset straight off the parquet —
+    the round-trip through the wire format and the stream must be lossless.
+    """
+    from ..streaming import pipeline as streaming_pipeline
+
+    work_dir = os.path.join(
+        "/root/repo/spark-warehouse",
+        "_streaming_row",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    out = streaming_pipeline.availablenow_events_roundtrip(spark, sf_dir, work_dir)
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.round("value", 2).alias("value"),
+    ).orderBy("event_id")

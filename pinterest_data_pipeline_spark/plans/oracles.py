@@ -1640,3 +1640,20 @@ def _simhash_stable_sql(n_bits: int = 60, max_distance: int = 10) -> str:
 
 
 oracle("dedup_simhash_near_duplicates_stable")(_simhash_stable_sql())
+
+
+oracle("streaming_availablenow_events")(
+    # Dual of the availableNow streaming round-trip: the Spark side ships
+    # every 20th event through envelope JSON -> readStream -> watermarked
+    # dedup (with every 3rd record planted twice) -> checkpointed sink.
+    # Lossless round-trip + dedup == DISTINCT by key == this subset.
+    # epoch_us matches Spark's unix_micros on the micro-truncated ts.
+    """
+    SELECT event_id, user_id, event_type,
+           epoch_us(ts) AS ts_us,
+           round(value, 2) AS value
+    FROM events
+    WHERE event_id % 20 = 0
+    ORDER BY event_id
+    """
+)

@@ -61,6 +61,24 @@ EVENT_TIME = {"pin": None, "geo": "timestamp", "user": "date_joined"}
 DEFAULT_WATERMARK = "10 minutes"
 
 
+def parse_envelope_payload(
+    raw: DataFrame, payload_schema, key_col: str, drop_corrupt: bool = True
+) -> DataFrame:
+    """Generic S5-S7 parse: envelope struct -> payload struct -> flat columns.
+
+    The entity-agnostic core of :func:`parse_envelope_stream`; ``key_col``
+    names the payload field whose NULL-ness marks a corrupt/undeliverable
+    record (the entity streams use ``index``, the events stream
+    ``event_id``).
+    """
+    parsed = raw.select(
+        F.from_json(F.col("value"), STREAM_ENVELOPE_SCHEMA).alias("envelope")
+    ).select(F.from_json(F.col("envelope.Data"), payload_schema).alias("parsed_data"))
+    if drop_corrupt:
+        parsed = parsed.filter(F.col(f"parsed_data.{key_col}").isNotNull())
+    return parsed.select("parsed_data.*")
+
+
 def parse_envelope_stream(raw: DataFrame, entity: str, drop_corrupt: bool = True) -> DataFrame:
     """S5-S7: value -> envelope struct -> entity struct -> flat columns.
 
@@ -75,12 +93,7 @@ def parse_envelope_stream(raw: DataFrame, entity: str, drop_corrupt: bool = True
     undeliverable regardless. A production deployment would tee the
     filtered rows to a dead-letter sink instead (same predicate, inverted).
     """
-    parsed = raw.select(
-        F.from_json(F.col("value"), STREAM_ENVELOPE_SCHEMA).alias("envelope")
-    ).select(F.from_json(F.col("envelope.Data"), RAW_SCHEMAS[entity]).alias("parsed_data"))
-    if drop_corrupt:
-        parsed = parsed.filter(F.col("parsed_data.index").isNotNull())
-    return parsed.select("parsed_data.*")
+    return parse_envelope_payload(raw, RAW_SCHEMAS[entity], "index", drop_corrupt)
 
 
 def corrupt_records(raw: DataFrame, entity: str) -> DataFrame:
@@ -363,6 +376,107 @@ def run_streaming_pipeline(
             )
         )
     return queries
+
+
+def availablenow_events_roundtrip(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """Drive the WHOLE streaming surface as one bounded, oracle-checkable
+    run: envelope JSON landing files -> readStream -> envelope parse ->
+    typed payload -> watermarked dedup -> checkpointed append sink ->
+    read the sink back.
+
+    This is the reference's core streaming path (STREAM:45-232) executed
+    with ``availableNow`` so the result is deterministic and a DuckDB dual
+    can certify it from the same parquet the envelopes were derived from:
+
+    * Envelope lines are serialized from ``events`` rows (every 20th
+      ``event_id``) in the exact ``{StreamName, Data, PartitionKey}`` wire
+      shape the reference's Kinesis emulator PUTs, and every 3rd selected
+      record is emitted TWICE — planted duplicates the watermarked dedup
+      (T2) must drop for the row count to match the oracle.
+    * All lines land in ONE text file, so the file source drains them in
+      one micro-batch and ``dropDuplicatesWithinWatermark`` state covers
+      every planted duplicate regardless of arrival order — the result is
+      exactly DISTINCT-by-key, which is what the SQL dual asserts.
+    * The sink is the real checkpointed ``write_entity_stream`` writer
+      (S8/T3), format-resolved via :func:`default_sink_format` so a
+      Delta-enabled cluster certifies its Delta path with the same row.
+
+    ``work_dir`` is wiped and rebuilt every call (landing + checkpoint +
+    sink), so the run is idempotent for repeated driver/parity/bench
+    invocations. Timestamps travel on the wire as epoch micros (``ts_us``)
+    — lossless for the driver's micro-precision events and directly
+    reproducible in DuckDB as ``epoch_us(ts)``.
+    """
+    import shutil
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..session import load_table
+
+    wire_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("ts_us", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    if os.path.exists(work_dir):
+        shutil.rmtree(work_dir)
+    landing = os.path.join(work_dir, "landing", "events")
+    out_dir = os.path.join(work_dir, "sink")
+    ckpt_dir = os.path.join(work_dir, "checkpoints")
+
+    subset = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 20 == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "value",
+        )
+    )
+    def to_wire(df: DataFrame) -> DataFrame:
+        payload = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+        return df.select(
+            F.to_json(
+                F.struct(
+                    F.lit("events").alias("StreamName"),
+                    payload.alias("Data"),
+                    F.col("user_id").cast("string").alias("PartitionKey"),
+                )
+            ).alias("value")
+        )
+
+    lines = to_wire(subset)
+    planted_dups = to_wire(subset.filter(F.col("event_id") % 3 == 0))
+    lines.unionAll(planted_dups).coalesce(1).write.mode("overwrite").text(landing)
+
+    raw = spark.readStream.format("text").load(landing)
+    typed = parse_envelope_payload(raw, wire_schema, "event_id").withColumn(
+        "ts", F.timestamp_micros(F.col("ts_us"))
+    )
+    deduped = watermarked_dedup(typed, "ts", delay="1 day", keys=["event_id"]).drop(
+        "ts"
+    )
+    query = write_entity_stream(
+        deduped, "events", out_dir, ckpt_dir, available_now=True
+    )
+    query.awaitTermination()
+    return spark.read.format(default_sink_format()).load(
+        os.path.join(out_dir, "events")
+    )
 
 
 def upsert_sink(

@@ -53,6 +53,8 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
         "reshape_unpivot_part_sizes",
         "array_hof_battery",
     ),
+    # the availableNow round-trip certifies S4-S8 + T2/T3 with a driver row
+    "streaming_surface": ("streaming_availablenow_events",),
     "top_k": ("top_k_orders",),
     "scalar_suites": (
         "scalar_date_functions",

@@ -609,3 +609,27 @@ def test_sink_format_resolution_matches_environment(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.read.format(fmt).load(str(tmp_path / "out" / "fmt_probe"))
     assert got.count() == 2
+
+
+def test_availablenow_roundtrip_dedups_and_is_idempotent(spark, tmp_path):
+    """The driver-row streaming query end to end at sf0.001: the sink must
+    hold exactly the distinct shipped subset (planted duplicates dropped by
+    the watermarked dedup), and a second invocation — same work dir, fresh
+    landing/checkpoint/sink — must produce the identical result."""
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    work = str(tmp_path / "roundtrip")
+    out = streaming.pipeline.availablenow_events_roundtrip(spark, sf, work)
+    expected = (
+        load_table(spark, sf, "events").filter(F.col("event_id") % 20 == 0).count()
+    )
+    first_rows = {tuple(r) for r in out.collect()}
+    assert len(first_rows) == expected  # duplicates dropped, nothing lost
+    assert out.select("event_id").distinct().count() == expected
+
+    # re-run wipes and rebuilds the work dir, so materialize before comparing
+    again = streaming.pipeline.availablenow_events_roundtrip(spark, sf, work)
+    assert {tuple(r) for r in again.collect()} == first_rows
