@@ -52,7 +52,6 @@ def entry(spark: SparkSession) -> DataFrame:
 PRIORITY_WINDOW: tuple[str, ...] = (
     # family keeps — one twice-certified representative per operator family
     "q1_top_brand_per_nation",
-    "q9_median_price_by_year_priority",
     "events_session_window",
     "join_asof_latest_order",
     "agg_grouping_sets",
@@ -98,6 +97,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "embedding_label_centroids",
     "multimodal_audio_features",
     "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
     "tpch_q3_shipping_priority",
     "tpch_q9_product_type_profit",
     "tpch_q18_large_orders",

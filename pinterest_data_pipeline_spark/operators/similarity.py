@@ -35,6 +35,13 @@ def _stack_vectors(series: pd.Series, dim: int | None, ctx: str):
     """
     import numpy as np
 
+    if len(series) == 0:  # Arrow hands empty batches to UDFs on empty splits
+        if dim is not None:
+            return np.empty((0, dim), dtype=np.float64)
+        raise ValueError(
+            f"{ctx}: empty Arrow batch with no declared dim — pass the "
+            "expected embedding dim so a (0, dim) frame can be produced"
+        )
     if series.isna().any():
         raise ValueError(
             f"{ctx}: {int(series.isna().sum())} null embedding(s) in batch — "
@@ -47,7 +54,13 @@ def _stack_vectors(series: pd.Series, dim: int | None, ctx: str):
             f"{ctx}: ragged/mis-sized embeddings — expected fixed dim "
             f"{dim if dim is not None else seen[0]}, saw lengths {seen[:10]}"
         )
-    return np.vstack(series.to_numpy())
+    mat = np.vstack(series.to_numpy())
+    if not np.issubdtype(mat.dtype, np.number):  # None inside a vector
+        raise ValueError(
+            f"{ctx}: null/non-numeric element inside embedding vector(s) — "
+            "vectors must be dense arrays of numbers"
+        )
+    return mat
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -1263,6 +1263,7 @@ def _register_shared_tpch() -> None:
 
     for name, sql in (
         ("tpch_q2_min_cost_supplier", _r.TPCH_Q2_SQL),
+        ("tpch_q11_important_stock", _r.TPCH_Q11_SQL),
         ("tpch_q4_order_priority", _r.TPCH_Q4_SQL),
         ("tpch_q15_top_supplier", _r.TPCH_Q15_SQL),
         ("tpch_q17_small_quantity_revenue", _r.TPCH_Q17_SQL),
@@ -1606,6 +1607,14 @@ oracle("embedding_near_duplicates_exact")(_EMBEDDING_NEAR_DUP_SQL)
 # planes, same data every run) and exhaustive at sf0.01 — so the result set
 # is IDENTICAL to the all-pairs oracle, the same certification pattern the
 # MinHash query uses (exhaustive-Jaccard dual).
+#
+# SCOPE (r3 ADVICE): exact set equality is an EMPIRICAL property of the
+# sf0.01 data + seeds, verified 14/14, and the driver gate always runs at
+# sf0.01 — within scope. The operator's general contract is subset-of-truth
+# plus a recall floor (pytest: tests/test_extensions.py recall tests); at
+# other scale factors or seeds a <100% recall would surface here as a
+# "failure" that is really a contract difference. If the gate ever moves
+# off sf0.01, replace this dual with a subset + recall-floor check.
 oracle("embedding_near_duplicates")(_EMBEDDING_NEAR_DUP_SQL)
 
 

@@ -673,8 +673,8 @@ def tpch_q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFra
 # Extended TPC-H battery (round 2): Q2/Q4/Q6/Q7/Q8/Q9/Q13/Q15/Q16/Q17/Q20/
 # Q21/Q22 adapted to the driver schema (no partsupp, no commit/receipt
 # dates, no c_phone — adaptations noted per query). With the existing
-# Q1/Q3/Q5/Q10/Q12/Q14/Q18/Q19 this covers 21 of the 22 TPC-H shapes
-# (Q11 is purely partsupp-valued and has no faithful analogue here).
+# Q1/Q3/Q5/Q10/Q12/Q14/Q18/Q19 and the round-4 Q11 adaptation (shipped
+# value standing in for partsupp stock value) this covers ALL 22 shapes.
 #
 # Queries whose essence is subquery structure run through the SQL entry
 # path (S9) with ONE ANSI text shared verbatim by Spark and the DuckDB
@@ -1014,3 +1014,40 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipment history replaces ps_supplycost."""
     register_views(spark, sf_dir)
     return spark.sql(TPCH_Q2_SQL)
+
+
+TPCH_Q11_SQL = """
+    WITH stock AS (
+        SELECT l.l_partkey AS ps_partkey,
+               round(sum(l.l_extendedprice), 2) AS stock_value
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_nationkey = 7
+        GROUP BY l.l_partkey
+    )
+    SELECT ps_partkey, stock_value
+    FROM stock
+    WHERE stock_value > (SELECT sum(stock_value) * 0.001 FROM stock)
+    ORDER BY stock_value DESC, ps_partkey
+"""
+
+
+@query
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (the last of the 22): per-part value concentration within
+    one nation's suppliers, kept only when it exceeds a fraction of that
+    nation's TOTAL value — a grouped aggregate HAVING against a scalar
+    subquery over the same derived table.
+
+    Adaptation (closing the round-2 'no faithful analogue' note): the
+    driver schema has no partsupp, so ps_supplycost * ps_availqty is
+    replaced by shipped value (sum of l_extendedprice) per (part,
+    nation-7-supplier) — same join tree (partsupp->supplier->nation
+    becomes lineitem->supplier->nation), same two-level aggregate
+    structure, same fractional-threshold semantics. Catalyst decorrelates
+    the scalar subquery into a broadcast single-row aggregate rather than
+    rescanning per group.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(TPCH_Q11_SQL)

@@ -222,3 +222,22 @@ def test_text_battery_is_shuffle_free(spark):
     the presentation sort's range partitioning."""
     plan = plan_of(spark, "text_analysis_battery")
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_sentence_udtf_uses_arrow_eval(spark):
+    """The sentence-split UDTF must ride Arrow batches (ArrowEvalPythonUDTF),
+    not per-row pickling (BatchEvalPythonUDTF) — the last per-row Python
+    surface in the registry, closed in round 4."""
+    plan = plan_of(spark, "text_sentence_split_udtf")
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "BatchEvalPythonUDTF" not in plan
+
+
+def test_tpch_q11_scalar_threshold_is_single_aggregate(spark):
+    """Q11's HAVING-fraction-of-total must decorrelate to one reused
+    aggregate (subquery broadcast), never a per-group rescan, and the
+    grouped join tree must stay hash-joined."""
+    plan = plan_of(spark, "tpch_q11_important_stock")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert any(j in plan for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))

@@ -21,10 +21,7 @@ DRIVER_WINDOW = 50
 # sibling (e.g. join variants by the TPC-H semi/anti + outer shapes,
 # set ops by INTERSECT, quality by the FK-integrity check).
 FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
-    "reference_battery": (
-        "q1_top_brand_per_nation",
-        "q9_median_price_by_year_priority",
-    ),
+    "reference_battery": ("q1_top_brand_per_nation",),
     "events_time": ("events_tumbling_window", "events_session_window"),
     "asof_join": ("join_asof_latest_order",),
     "sql_bridge_set_ops": ("set_ops_customers", "set_ops_intersect"),
@@ -112,6 +109,7 @@ ROTATED_OUT_R4: frozenset[str] = frozenset(
         "q6_median_acctbal_per_band",
         "q7_orders_per_year",
         "q8_median_price_by_year",
+        "q9_median_price_by_year_priority",
         "json_extract_event_props",
         "events_daily_rollup",
         "events_tumbling_window",
