@@ -69,6 +69,9 @@ HEADLINE = [
     "tpch_q20_promotion_suppliers",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_dormant_customers",
+    # round-4 growth: Q11 completes the 22-shape battery (49 -> 50 queries;
+    # cross-round totals need the shared-query diff, as before)
+    "tpch_q11_important_stock",
     "subquery_correlated_above_nation_avg",
     "join_asof_latest_order",
     "join_range_ship_window",

@@ -1038,16 +1038,38 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11 shape (the last of the 22): per-part value concentration within
     one nation's suppliers, kept only when it exceeds a fraction of that
     nation's TOTAL value — a grouped aggregate HAVING against a scalar
-    subquery over the same derived table.
+    aggregate over the same derived table.
 
     Adaptation (closing the round-2 'no faithful analogue' note): the
     driver schema has no partsupp, so ps_supplycost * ps_availqty is
     replaced by shipped value (sum of l_extendedprice) per (part,
     nation-7-supplier) — same join tree (partsupp->supplier->nation
     becomes lineitem->supplier->nation), same two-level aggregate
-    structure, same fractional-threshold semantics. Catalyst decorrelates
-    the scalar subquery into a broadcast single-row aggregate rather than
-    rescanning per group.
+    structure, same fractional-threshold semantics.
+
+    DataFrame (not the shared-SQL path) on purpose: planning
+    ``TPCH_Q11_SQL`` directly makes Spark expand the ``stock`` CTE twice —
+    two full lineitem scans, one for the groups and one inside the scalar
+    subquery. Here the grouped frame is computed ONCE (``persist_scoped``),
+    the global threshold is a 1-row aggregate over it, and the HAVING is a
+    broadcast of that row — at 100 TB that's one fact scan instead of two.
+    The DuckDB oracle still runs the shared ANSI text (``TPCH_Q11_SQL``),
+    which CTE-materializes ``stock`` once, so both engines agree.
     """
-    register_views(spark, sf_dir)
-    return spark.sql(TPCH_Q11_SQL)
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") == 7)
+    stock = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("stock_value"))
+    )
+    stock = persist_scoped(stock, "tpch_q11_stock")
+    threshold = stock.agg((F.sum("stock_value") * 0.001).alias("__thresh"))
+    return (
+        stock.join(F.broadcast(threshold))
+        .filter(F.col("stock_value") > F.col("__thresh"))
+        .select("ps_partkey", "stock_value")
+        .orderBy(F.desc("stock_value"), "ps_partkey")
+    )
