@@ -495,8 +495,10 @@ def streaming_availablenow_events(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     from ..streaming import pipeline as streaming_pipeline
 
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     work_dir = os.path.join(
-        "/root/repo/spark-warehouse",
+        repo_root,
+        "spark-warehouse",
         "_streaming_row",
         sf_dir.strip("/").replace("/", "_"),
     )

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.merge import merge_into
-from ..session import load_table, register_views
+from ..session import load_table, persist_scoped, register_views
 from .analytics import query
 
 # ===========================================================================

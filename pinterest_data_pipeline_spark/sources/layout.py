@@ -234,6 +234,10 @@ def read_zordered_table(spark, path: str) -> DataFrame:
 
 
 _COMMIT_MARKER = "_zcompact_commit"  # "_"-prefixed: invisible to parquet readers
+_INTENT_MARKER = "_zcompact_intent"  # written before the swap: lists touched
+# partitions that had NO live dir pre-swap, so uncommitted recovery can tell a
+# promoted brand-new partition (must be rolled back by deletion — it has no
+# ``.old``) from an original dir the crash reached before renaming aside.
 
 
 def recover_zorder_table(path: str) -> int:
@@ -263,6 +267,18 @@ def recover_zorder_table(path: str) -> int:
     marker = os.path.join(path, _COMMIT_MARKER)
     committed = os.path.exists(marker)
     changed = 0
+    intent = os.path.join(path, _INTENT_MARKER)
+    if not committed and os.path.exists(intent):
+        # Partitions listed here had no live dir when the swap started, so a
+        # live dir now can only be the promoted staged copy — roll it back by
+        # deletion (there is no ``.old`` to restore for it).
+        with open(intent) as f:
+            born_in_swap = [ln for ln in f.read().splitlines() if ln]
+        for part in born_in_swap:
+            live = os.path.join(path, f"{_ZP}={part}")
+            if os.path.exists(live):
+                shutil.rmtree(live)
+                changed += 1
     for name in sorted(os.listdir(path)):
         if name.startswith(_ZP + "=") and name.endswith(".old"):
             old = os.path.join(path, name)
@@ -276,6 +292,8 @@ def recover_zorder_table(path: str) -> int:
             changed += 1
     if committed:
         os.remove(marker)
+    if os.path.exists(intent):
+        os.remove(intent)
     return changed
 
 
@@ -345,6 +363,15 @@ def compact_zorder_incremental(spark, path: str, delta: DataFrame) -> dict:
                 os.path.join(path, dirname + ".old"),
             )
         )
+    intent = os.path.join(path, _INTENT_MARKER)
+    with open(intent, "w") as f:  # before any rename: record brand-new partitions
+        f.write(
+            "\n".join(
+                str(p)
+                for p, (_, live, _) in zip(touched, swaps)
+                if not os.path.exists(live)
+            )
+        )
     for _, live, old in swaps:  # phase 2a: set every previous dir aside
         if os.path.exists(live):
             os.rename(live, old)
@@ -357,5 +384,6 @@ def compact_zorder_incremental(spark, path: str, delta: DataFrame) -> dict:
         if os.path.exists(old):
             shutil.rmtree(old)
     os.remove(marker)
+    os.remove(intent)
     shutil.rmtree(tmp)
     return {"touched": len(touched), "total": len(m["cuts"]) + 1}

@@ -266,3 +266,36 @@ def test_incremental_zorder_preserves_pruning(spark, tmp_path):
     hit, total = layout.files_overlapping(path, "l_suppkey", 10, 40)
     assert total >= 16
     assert hit <= 0.8 * total, (hit, total)
+
+
+def test_recover_deletes_promoted_brand_new_partition(spark, tmp_path):
+    """The r4 ADVICE case: a touched partition whose live dir did NOT exist
+    before the swap gets no ``.old`` in phase 2a, so after a crash between
+    phase 2b and the commit marker the promoted dir would survive a
+    rollback and the retry would union the same delta into it twice. The
+    intent file written before the swap lists such brand-new partitions;
+    uncommitted recovery must delete the promoted dir."""
+    import os
+    import shutil
+
+    path, rows = _small_managed_table(spark, tmp_path)
+    n = rows.count()
+    parts = _partition_dirs(path)
+    p1 = os.path.join(path, parts[0])
+    # fabricate a "brand-new" partition promoted in phase 2b: a live dir
+    # with data but no .old, listed in the intent file
+    newpart = "999"
+    pnew = os.path.join(path, f"{layout._ZP}={newpart}")
+    shutil.copytree(p1, pnew)
+    # and a normal mid-swap partition for good measure
+    os.rename(p1, p1 + ".old")
+    with open(os.path.join(path, layout._INTENT_MARKER), "w") as f:
+        f.write(newpart)
+
+    recovered = layout.recover_zorder_table(path)
+    assert recovered == 2
+    assert not os.path.exists(pnew)
+    assert not os.path.exists(os.path.join(path, layout._INTENT_MARKER))
+    got = layout.read_zordered_table(spark, path)
+    assert got.count() == n
+    assert got.exceptAll(rows).count() == 0
