@@ -149,6 +149,60 @@ def extract_audio_features(
     return df.select("content_id", binary_col).mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
 
 
+VIDEO_METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("content_id", T.StringType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("fps", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def real_video_decoder(data: bytes) -> dict[str, Any]:
+    """Placeholder for an ffmpeg/pyav-backed prober — not in this env."""
+    raise NotImplementedError(
+        "Video codecs (ffmpeg/pyav) are not installed in this environment; "
+        "pass fake_video_decoder or a real decoder callable."
+    )
+
+
+def fake_video_decoder(data: bytes) -> dict[str, Any]:
+    """Deterministic stand-in prober: metadata derived from the bytes."""
+    h = hashlib.sha256(data).digest()
+    return {
+        "duration_ms": 500 + int.from_bytes(h[0:2], "big") % 60000,
+        "fps": [24, 25, 30, 60][h[2] % 4],
+        "width": 320 + (h[3] % 4) * 320,
+        "height": 240 + (h[4] % 4) * 240,
+    }
+
+
+def extract_video_metadata(
+    df: DataFrame,
+    binary_col: str = "content",
+    decoder: Callable[[bytes], dict[str, Any]] = fake_video_decoder,
+) -> DataFrame:
+    """Probe video containers via Arrow-batched mapInPandas.
+
+    Same narrow, batch-amortized shape as the image/audio extractors; the
+    metadata feeds ``sample_video_frames`` to plan the per-frame decode.
+    """
+    df = content_address(df, binary_col)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decoder(bytes(b)) for b in pdf[binary_col]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "content_id", pdf["content_id"].values)
+            yield out
+
+    return df.select("content_id", binary_col).mapInPandas(
+        batches, VIDEO_METADATA_SCHEMA
+    )
+
+
 def sample_video_frames(
     df: DataFrame,
     every_ms: int = 1000,

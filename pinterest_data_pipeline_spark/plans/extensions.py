@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, sampling, similarity, text
@@ -510,3 +510,127 @@ def streaming_availablenow_events(spark: SparkSession, sf_dir: str) -> DataFrame
         "ts_us",
         F.round("value", 2).alias("value"),
     ).orderBy("event_id")
+
+
+# --- training-data layout (packing / chunking / keyword extraction) ---------
+
+
+@query
+def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: documents concatenated in doc_id order
+    and split into 2048-token context windows at token granularity.
+
+    The global prefix sum runs as a two-phase distributed scan (per-block
+    running sums + broadcast block offsets — see ``operators/packing.py``),
+    never as a single global-order window, so the plan survives 100 TB.
+    """
+    from ..operators import packing
+
+    docs = load_documents(spark, sf_dir)
+    sized = docs.select("doc_id", text.token_count(F.col("text")).alias("n_tokens"))
+    return packing.pack_sequences(
+        sized, size_col="n_tokens", order_col="doc_id", budget=2048
+    ).orderBy("doc_id")
+
+
+@query
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping character chunks (size 256, stride 192) via
+    codegen'd sequence+explode fan-out; rows carry offset, realized length,
+    and content digest."""
+    from ..operators import packing
+
+    docs = load_documents(spark, sf_dir)
+    return packing.chunk_sliding(
+        docs, text_col="text", id_col="doc_id", size=256, stride=192
+    ).orderBy("doc_id", "chunk_start")
+
+
+@query
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword scores: document frequency over the FULL
+    corpus, term frequency over an audited 1%-of-docs slice (doc_id % 100).
+
+    The small TF side is broadcast into the vocabulary-sized DF table, so
+    the only wide operations are the two aggregations (both partial-agg
+    friendly); idf = ln(N/df) with N delivered by a broadcast 1-row agg,
+    never a driver round-trip.
+    """
+    docs = load_documents(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
+    dfreq = (
+        toks.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    tf = (
+        toks.filter(F.col("doc_id") % 100 == 0)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .filter(F.col("tf") >= 2)
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        dfreq.join(F.broadcast(tf), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "doc_freq",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("doc_freq")), 4
+            ).alias("tfidf"),
+        )
+        .orderBy("doc_id", "term")
+    )
+
+
+@query
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: Arrow-batched container probe (duration)
+    -> sequence/explode frame timestamps every 5 s. The per-frame decode
+    would join back on (content_id, frame_ts_ms); the probe uses the
+    deterministic stand-in decoder (codecs absent here), which gives the
+    whole pipeline an exact digest-derived SQL dual."""
+    docs = load_documents(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    meta = multimodal.extract_video_metadata(media)
+    return multimodal.sample_video_frames(meta, every_ms=5000).orderBy(
+        "content_id", "frame_ts_ms"
+    )
+
+
+@query
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per near-duplicate cluster: MinHash
+    pairs -> connected components -> keep the longest text (doc_id as the
+    deterministic tie-break). The keep-best rule is what production dedup
+    actually ships — ``keep = cluster min`` is only a placeholder ranking.
+    """
+    docs = load_documents(spark, sf_dir)
+    labeled = dedup.near_duplicate_clusters(docs, "text", "doc_id", threshold=0.3)
+    scored = labeled.join(
+        docs.select("doc_id", F.length("text").cast("long").alias("quality")),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+                "canonical_doc_id"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("quality"))).alias(
+                "canonical_len"
+            ),
+        )
+        .orderBy("cluster_id")
+    )

@@ -1666,3 +1666,200 @@ oracle("streaming_availablenow_events")(
     ORDER BY event_id
     """
 )
+
+# --- round-5 additions ------------------------------------------------------
+
+oracle("pack_sequences_documents")(
+    # Greedy sequential packing is exactly an exclusive prefix sum over the
+    # doc_id order; the Spark side computes it as a two-phase distributed
+    # scan, the oracle as the literal global window — block decomposition
+    # must be invisible in the result.
+    """
+    WITH t AS (
+        SELECT doc_id, len(string_split(text, ' '))::bigint AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           (cum_before // 2048)::bigint AS bin_id,
+           (cum_before % 2048)::bigint AS bin_offset
+    FROM c ORDER BY doc_id
+    """
+)
+
+oracle("text_chunk_sliding")(
+    """
+    WITH s AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0, len(text) - 1, 192)) AS chunk_start
+        FROM documents WHERE len(text) > 0
+    )
+    SELECT doc_id,
+           chunk_start::bigint AS chunk_start,
+           len(substring(text, chunk_start::int + 1, 256))::bigint AS chunk_len,
+           md5(substring(text, chunk_start::int + 1, 256)) AS chunk_md5
+    FROM s ORDER BY doc_id, chunk_start
+    """
+)
+
+oracle("tfidf_top_terms")(
+    # DF over the full corpus, TF over the 1% slice, idf = ln(N/df) with
+    # identical op order so the round-4 values agree bit-for-bit.
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), dfreq AS (
+        SELECT term, count(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY term
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM toks WHERE doc_id % 100 = 0
+        GROUP BY doc_id, term HAVING count(*) >= 2
+    ), n AS (
+        SELECT count(*)::bigint AS n_docs FROM documents
+    )
+    SELECT tf.doc_id, tf.term, tf.tf, d.doc_freq,
+           round(tf.tf * ln(n.n_docs / d.doc_freq), 4) AS tfidf
+    FROM tf JOIN dfreq d USING (term) CROSS JOIN n
+    ORDER BY tf.doc_id, tf.term
+    """
+)
+
+oracle("multimodal_video_frames")(
+    # The stand-in video prober derives duration_ms from sha256 digest
+    # bytes 0-1 exactly like the audio decoder, so the frame plan has an
+    # exact digest-derived dual: one row per 5 s sample point.
+    """
+    WITH meta AS (
+        SELECT sha256(text) AS content_id,
+               (500 + ('0x' || substring(sha256(text), 1, 4))::bigint % 60000)
+                   ::bigint AS duration_ms
+        FROM documents
+    )
+    SELECT content_id,
+           unnest(generate_series(0, duration_ms, 5000))::bigint AS frame_ts_ms
+    FROM meta ORDER BY content_id, frame_ts_ms
+    """
+)
+
+oracle("dedup_cluster_canonical")(
+    # Clusters = recursive-CTE transitive closure over the exhaustive
+    # >= 0.3 Jaccard pair set (the dedup_near_duplicate_clusters dual);
+    # canonical = longest text, doc_id ascending as the tie-break.
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(string_split(text,' ')) < 3 THEN [text]
+                    ELSE [array_to_string(string_split(text,' ')[i:i+2], ' ')
+                          FOR i IN range(1, len(string_split(text,' ')) - 1)]
+               END) AS s
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.s, b.s))::double
+                  / len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.3
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT doc_id AS node, doc_id AS lbl FROM documents
+      UNION
+      SELECT e.src AS node, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+    ), clusters AS (
+      SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+    ), scored AS (
+      SELECT c.cluster_id, c.doc_id, len(d.text)::bigint AS quality,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY len(d.text) DESC, c.doc_id ASC) AS rn
+      FROM clusters c JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id,
+           count(*) AS cluster_size,
+           max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc_id,
+           max(CASE WHEN rn = 1 THEN quality END) AS canonical_len
+    FROM scored GROUP BY cluster_id ORDER BY cluster_id
+    """
+)
+
+oracle("events_resample_interpolate")(
+    """
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        FROM events
+    ), spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+    ), types AS (
+        SELECT DISTINCT event_type FROM events
+    ), hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type, round(sum(value), 4) AS v
+        FROM events GROUP BY 1, 2
+    ), grid AS (
+        SELECT s.h, t.event_type FROM spine s CROSS JOIN types t
+    ), j AS (
+        SELECT g.h, g.event_type, hv.v
+        FROM grid g LEFT JOIN hourly hv USING (h, event_type)
+    ), scanned AS (
+        SELECT h, event_type, v,
+            last_value(v IGNORE NULLS) OVER (
+                PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+            last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER (
+                PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+            first_value(v IGNORE NULLS) OVER (
+                PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+            first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER (
+                PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+        FROM j
+    )
+    SELECT event_type,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           round(CASE
+               WHEN prev_v IS NULL THEN next_v
+               WHEN next_v IS NULL THEN prev_v
+               WHEN epoch(next_h) = epoch(prev_h) THEN v
+               ELSE prev_v + (next_v - prev_v)
+                    * ((epoch(h) - epoch(prev_h))
+                       / (epoch(next_h) - epoch(prev_h)))
+           END, 4) AS value_interp,
+           (v IS NULL) AS was_gap
+    FROM scanned ORDER BY event_type, hour
+    """
+)
+
+oracle("window_time_range_frame")(
+    """
+    SELECT o_custkey,
+           o_orderdate::varchar AS order_date,
+           datediff('day', TIMESTAMP '1992-01-01', o_orderdate)::bigint AS day_num,
+           round(o_totalprice, 2) AS order_price,
+           round(sum(o_totalprice) OVER w, 2) AS trailing_90d_revenue,
+           count(*) OVER w AS trailing_90d_orders
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY datediff('day', TIMESTAMP '1992-01-01', o_orderdate)
+                 RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, day_num
+    """
+)
+
+oracle("join_bucketed_colocated")(
+    # The bucket layout must be semantically invisible: the oracle is the
+    # plain rollup over the raw views.
+    """
+    SELECT c.c_mktsegment, count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """
+)

@@ -20,6 +20,8 @@ Every query has a DuckDB oracle dual in ``oracles.py`` (same name).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1072,4 +1074,152 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("stock_value") > F.col("__thresh"))
         .select("ps_partkey", "stock_value")
         .orderBy(F.desc("stock_value"), "ps_partkey")
+    )
+
+
+# ===========================================================================
+# Round-5 additions: interpolating resample, time-range window frames,
+# bucketed co-located joins
+# ===========================================================================
+
+
+@query
+def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type value series with gaps LINEARLY INTERPOLATED between
+    the surrounding observed hours (the numeric companion to
+    ``events_resample_ffill``; leading/trailing gaps clamp to the nearest
+    observation).
+
+    Same scale shape as the ffill variant: spine × types is a tiny
+    broadcast cross join, and both direction-scans are windows PARTITIONED
+    BY TYPE, so the sort parallelizes across keys — never a global order.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h")
+    )
+    types = events.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    filled = grid.join(hourly, ["h", "event_type"], "left")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    prev_v = F.last("v", ignorenulls=True).over(wb)
+    prev_h = F.last(obs_h, ignorenulls=True).over(wb)
+    next_v = F.first("v", ignorenulls=True).over(wf)
+    next_h = F.first(obs_h, ignorenulls=True).over(wf)
+    frac = (
+        F.unix_timestamp("h") - F.unix_timestamp(prev_h)
+    ) / (F.unix_timestamp(next_h) - F.unix_timestamp(prev_h))
+    interp = (
+        F.when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .when(F.unix_timestamp(next_h) == F.unix_timestamp(prev_h), F.col("v"))
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    return filled.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.round(interp, 4).alias("value_interp"),
+        F.col("v").isNull().alias("was_gap"),
+    ).orderBy("event_type", "hour")
+
+
+@query
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 90-day revenue per customer: a value-based RANGE frame over
+    the order-date day number (RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+    — the frame the ROWS-based batteries cannot express, since customers
+    order at irregular intervals.
+
+    The 1%-customer filter sits on the base table, so partition pruning
+    and the window both see only the audited keys; windows partition by
+    customer, so no global sort.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 100 == 0
+    )
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-90, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("string").alias("order_date"),
+        day.cast("long").alias("day_num"),
+        F.round("o_totalprice", 2).alias("order_price"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_90d_revenue"),
+        F.count(F.lit(1)).over(w).alias("trailing_90d_orders"),
+    ).orderBy("o_custkey", "day_num")
+
+
+@query
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via bucketed tables: orders and
+    customer are both written bucketed (8 buckets, sorted) on the join key,
+    so the SortMergeJoin reads bucket i against bucket i with NO Exchange
+    on either side — the physical property a 100 TB fact⋈fact join lives
+    or dies by (pre-shuffling once at write time instead of per query).
+
+    The bucketed copies are materialized once per (sf, session) into the
+    warehouse; re-runs reuse them. The result itself is a plain revenue
+    rollup, so the DuckDB oracle runs the same SQL on the raw views — the
+    bucket layout must be semantically invisible. The no-Exchange property
+    is pinned by tests/test_plan_contracts.py.
+    """
+    import shutil
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+
+    def _materialize(table: str, source: str, key: str) -> None:
+        if spark.catalog.tableExists(table):
+            return
+        # A fresh session forgets the in-memory catalog but the files
+        # survive; saveAsTable refuses a pre-existing managed location, so
+        # clear the stale copy and rewrite (idempotent: same input data).
+        stale = os.path.join(warehouse, table)
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+        (
+            load_table(spark, sf_dir, source)
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(table)
+        )
+
+    t_orders, t_cust = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
+    _materialize(t_orders, "orders", "o_custkey")
+    _materialize(t_cust, "customer", "c_custkey")
+    o = spark.table(t_orders)
+    c = spark.table(t_cust)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
     )

@@ -63,3 +63,36 @@ def test_sample_video_frames(spark):
     df = spark.createDataFrame([("v1", 3500)], ["content_id", "duration_ms"])
     out = multimodal.sample_video_frames(df, every_ms=1000).collect()
     assert [r.frame_ts_ms for r in out] == [0, 1000, 2000, 3000]
+
+
+def test_extract_video_metadata_schema_and_determinism(media):
+    import hashlib
+
+    meta = multimodal.extract_video_metadata(media)
+    assert [f.name for f in meta.schema.fields] == [
+        "content_id", "duration_ms", "fps", "width", "height",
+    ]
+    rows = meta.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 500 <= r.duration_ms < 60500
+        assert r.fps in (24, 25, 30, 60)
+    # deterministic: same bytes -> same metadata
+    by_id = {}
+    for r in rows:
+        if r.content_id in by_id:
+            assert by_id[r.content_id] == (r.duration_ms, r.fps, r.width, r.height)
+        by_id[r.content_id] = (r.duration_ms, r.fps, r.width, r.height)
+
+
+def test_video_frame_plan_end_to_end(media):
+    """Probe -> frame sampling composition: frame count per video follows
+    duration // every_ms + 1."""
+    meta = multimodal.extract_video_metadata(media).distinct()
+    frames = multimodal.sample_video_frames(meta, every_ms=5000)
+    counts = {
+        r.content_id: r.n
+        for r in frames.groupBy("content_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for m in meta.collect():
+        assert counts[m.content_id] == m.duration_ms // 5000 + 1

@@ -241,3 +241,38 @@ def test_tpch_q11_scalar_threshold_is_single_aggregate(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert any(j in plan for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+
+
+def test_bucketed_join_has_no_shuffle_below_smj(spark):
+    """join_bucketed_colocated's reason to exist: with broadcast off (the
+    100 TB fact-to-fact regime), the SortMergeJoin must read bucket i
+    against bucket i with NO Exchange on either input — the pre-shuffle
+    was paid once at write time."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "join_bucketed_colocated")
+        smj = plan.find("SortMergeJoin")
+        assert smj >= 0, plan
+        assert plan[smj:].count("Exchange") == 0, plan[smj:]
+        assert plan.count("Bucketed: true") == 2, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_pack_sequences_never_globally_sorts_the_data(spark):
+    """The packing prefix sum must stay block-parallel: its only wide
+    exchange over the data is the per-block hash partitioning — a global
+    rangepartitioning over ALL rows for the running sum (the naive
+    Window.orderBy plan, one task at scale) must not appear before the
+    window. (The presentation orderBy after the window is fine: the driver
+    collects anyway.)"""
+    df = analytics.QUERIES["pack_sequences_documents"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    win = plan.find("Window")
+    assert win >= 0
+    below_window = plan[win:]
+    assert "hashpartitioning(_blk" in below_window
+    assert "rangepartitioning" not in below_window
