@@ -41,47 +41,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # (clean_part_battery, text_analysis_battery) certify several operators per
 # slot; their single-operator forms remain registered after the window for
 # focused debugging. tests/test_registry_window.py pins this invariant.
-# ROUND-4 ROTATION (VERDICT r3 items 1+2): queries certified green in BOTH
-# r2 and r3 rotate out (their oracles + tools/check_parity.py coverage
-# remain) to give driver rows to the 25 oracled queries that never had one:
-# the extended TPC-H shapes, the subquery EXISTS/IN/scalar forms, VARIANT,
-# date/string/map scalar suites, cube, exact distinct counts, and the
-# scale-safe LSH embedding near-dup (swapped in for the quadratic
-# *_exact variant, which keeps its oracle after the window as the
-# truth-set generator it should be).
+# ROUND-5 ROTATION: every query certified green in two driver rounds
+# rotates out (oracle + tools/check_parity.py coverage retained); the 21
+# r4-certified keeps stay to earn their second certification; the 20
+# oracled queries that never held a driver row (the rest of the TPC-H
+# battery, the sampling splits, cosine top-k, text normalization) rotate
+# in; and the 8 new round-5 operators (sequence packing, sliding chunks,
+# TF-IDF, video frames, cluster-canonical selection, interpolating
+# resample, time-range window frames, bucketed co-located join) take the
+# remaining slots.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # family keeps — one twice-certified representative per operator family
-    "q1_top_brand_per_nation",
-    "events_session_window",
-    "join_asof_latest_order",
-    "agg_grouping_sets",
-    "events_user_value_trend",
-    "clean_part_battery",
-    "window_analytics_battery",
-    "join_range_ship_window",
-    "join_fuzzy_part_names",
-    "agg_pivot_status_revenue",
-    "agg_salted_returnflag",
-    "top_k_orders",
-    "text_analysis_battery",
-    "text_bpe_token_counts",
-    "text_sentence_split_udtf",
-    "dedup_exact_documents",
-    "dedup_minhash_near_duplicates",
-    "dedup_simhash_near_duplicates_stable",
-    "dedup_near_duplicate_clusters",
-    "pipeline_curate_documents",
-    "ann_topk_quantized",
-    "merge_upsert_orders",
-    "scd2_customer_segments",
-    # rotations in — never-certified oracled queries
+    # r4-certified keeps - earn their second driver certification
     "streaming_availablenow_events",
     "embedding_near_duplicates",
-    "window_order_sequence",
-    "set_ops_intersect",
-    "agg_cube_flag_status",
-    "agg_count_distinct",
-    "scalar_map_functions",
     "scalar_date_functions",
     "scalar_string_functions",
     "subquery_exists_urgent_customers",
@@ -97,11 +69,42 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "embedding_label_centroids",
     "multimodal_audio_features",
     "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
     "tpch_q3_shipping_priority",
     "tpch_q9_product_type_profit",
     "tpch_q18_large_orders",
     "tpch_q21_waiting_suppliers",
+    # fixed this round (r4's one red row - the missing persist_scoped import)
+    "tpch_q11_important_stock",
+    # rotations in - never-certified oracled queries
+    "sample_hash_split_counts",
+    "sample_hash_split_membership",
+    "sample_per_lang_cap",
+    "ann_topk_cosine",
+    "text_normalization_collapse",
+    "text_normalized_keys",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_shipmode",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_predicates",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q22_dormant_customers",
+    # new round-5 operators
+    "pack_sequences_documents",
+    "text_chunk_sliding",
+    "tfidf_top_terms",
+    "multimodal_video_frames",
+    "dedup_cluster_canonical",
+    "events_resample_interpolate",
+    "window_time_range_frame",
+    "join_bucketed_colocated",
 )
 
 

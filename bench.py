@@ -86,6 +86,20 @@ HEADLINE = [
     "text_quality_scores",
     "ann_topk_quantized",
     "ann_ivf_topk",
+    # round-5 growth (50 -> 61 queries; cross-round totals need the
+    # shared-query diff, as before): the three TPC-H shapes the battery
+    # still lacked, plus the eight new training-data-layout operators.
+    "tpch_q12_priority_shipmode",
+    "tpch_q14_promo_revenue_share",
+    "tpch_q19_disjunctive_predicates",
+    "pack_sequences_documents",
+    "text_chunk_sliding",
+    "tfidf_top_terms",
+    "multimodal_video_frames",
+    "dedup_cluster_canonical",
+    "events_resample_interpolate",
+    "window_time_range_frame",
+    "join_bucketed_colocated",
 ]
 
 
