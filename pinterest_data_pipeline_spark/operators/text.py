@@ -227,3 +227,46 @@ def make_sentence_splitter_udtf():
                     yield s, len(s.split())
 
     return SentenceSplitter
+
+
+# --- PII redaction + repetition metrics (round 5) ---------------------------
+
+# Patterns deliberately restricted to syntax shared by Java regex (Spark)
+# and RE2 (DuckDB): char classes, \d, bounded repetition — no backrefs or
+# lookbehind, so both engines see identical semantics.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}",
+    "ssn": r"\d{3}-\d{2}-\d{4}",
+}
+
+
+def pii_counts(c: Column) -> dict[str, Column]:
+    """Match count per PII class (one JVM regexp pass each)."""
+    return {kind: F.regexp_count(c, F.lit(pat)) for kind, pat in PII_PATTERNS.items()}
+
+
+def redact_pii(c: Column) -> Column:
+    """Replace each PII class with a typed placeholder token.
+
+    Chained codegen ``regexp_replace`` passes — order matters (emails are
+    redacted before phones so a phone-like digit run inside an address
+    never double-matches); the fixed order keeps output deterministic and
+    oracle-expressible.
+    """
+    out = c
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
+    return out
+
+
+def duplicate_ngram_fraction(c: Column, n: int = 3) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram —
+    the Gopher-style repetition signal (high values mean boilerplate or
+    degenerate loops). 0.0 for documents shorter than n words."""
+    sh = shingles(c, n)
+    total = F.size(sh)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(sh)) / total,
+    ).otherwise(F.lit(0.0))

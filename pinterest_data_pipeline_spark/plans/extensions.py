@@ -376,6 +376,84 @@ def text_sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction battery (email / phone / SSN).
+
+    The synthetic corpus is PII-free, so the query plants deterministic
+    PII derived from ``doc_id`` (every 2nd row an email, 3rd a phone,
+    5th an SSN) and then counts + redacts it — the oracle replays the
+    same injection, so the hash certifies the regex semantics end to
+    end. All JVM-side codegen regex passes: one projection, no shuffle,
+    linear at 100 TB.
+    """
+    docs = load_documents(spark, sf_dir)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" call 555-123-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" ssn 987-65-4321")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    counts = text.pii_counts(F.col("text"))
+    return planted.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ssn"].alias("n_ssn"),
+        text.redact_pii(F.col("text")).alias("redacted"),
+    ).orderBy("doc_id")
+
+
+@query
+def text_repetition_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition / degeneracy signals per document.
+
+    Duplicate word-n-gram fraction (n=2,3), distinct-word ratio, and the
+    token-frequency concentration of the most common word — the standard
+    boilerplate / looping-generation filters in training-data curation.
+    Single projection over one scan; no shuffle.
+    """
+    docs = load_documents(spark, sf_dir)
+    toks = text.tokens(F.col("text"))
+    top_word_count = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda t: t == w)),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.round(text.duplicate_ngram_fraction(F.col("text"), 2), 4).alias(
+            "dup_2gram_frac"
+        ),
+        F.round(text.duplicate_ngram_fraction(F.col("text"), 3), 4).alias(
+            "dup_3gram_frac"
+        ),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 4).alias(
+            "distinct_word_ratio"
+        ),
+        F.round(top_word_count / F.size(toks), 4).alias("top_word_frac"),
+    ).orderBy("doc_id")
+
+
+@query
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid vector: posexplode -> (label, pos) mean -> ordered
     reassembly. The distributed form of an element-wise vector aggregate —

@@ -9,6 +9,8 @@ DataFrame query of the same key. Keep aliases in lockstep with the Spark side
 
 from __future__ import annotations
 
+from ..operators.text import PII_PATTERNS
+
 ORACLES: dict[str, str] = {}
 
 
@@ -911,6 +913,74 @@ oracle("text_normalized_keys")(
                regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
                '\\s+', ' ', 'g'))) AS norm_key
     FROM documents ORDER BY doc_id
+    """
+)
+
+# PII patterns are shared with the Spark side (operators/text.py) and are
+# deliberately restricted to Java-regex/RE2-common syntax so both engines
+# match identically. DuckDB regexp_replace needs the 'g' flag.
+_PII_EMAIL = PII_PATTERNS["email"]
+_PII_PHONE = PII_PATTERNS["phone"]
+_PII_SSN = PII_PATTERNS["ssn"]
+
+oracle("text_pii_redaction")(
+    f"""
+    WITH planted AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 2 = 0
+                       THEN ' contact user' || doc_id::varchar || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' call 555-123-' || lpad((doc_id % 10000)::varchar, 4, '0')
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN ' ssn 987-65-4321' ELSE '' END
+               AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_PII_EMAIL}'))::int AS n_email,
+           len(regexp_extract_all(text, '{_PII_PHONE}'))::int AS n_phone,
+           len(regexp_extract_all(text, '{_PII_SSN}'))::int AS n_ssn,
+           regexp_replace(regexp_replace(regexp_replace(
+               text, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+               '{_PII_PHONE}', '[PHONE]', 'g'),
+               '{_PII_SSN}', '[SSN]', 'g') AS redacted
+    FROM planted ORDER BY doc_id
+    """
+)
+
+_SHINGLES_N2 = (
+    f"CASE WHEN len({_TOKS}) < 2 THEN [text] "
+    f"ELSE list_transform(range(1, len({_TOKS})), "
+    f"i -> array_to_string(list_slice({_TOKS}, i, i + 1), ' ')) END"
+)
+_SHINGLES_N3 = (
+    f"CASE WHEN len({_TOKS}) < 3 THEN [text] "
+    f"ELSE list_transform(range(1, len({_TOKS}) - 1), "
+    f"i -> array_to_string(list_slice({_TOKS}, i, i + 2), ' ')) END"
+)
+
+oracle("text_repetition_battery")(
+    f"""
+    WITH sh AS (
+        SELECT doc_id,
+               {_SHINGLES_N2} AS sh2,
+               {_SHINGLES_N3} AS sh3,
+               {_TOKS} AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           round(1.0 - len(list_distinct(sh2))::double / len(sh2), 4)
+               AS dup_2gram_frac,
+           round(1.0 - len(list_distinct(sh3))::double / len(sh3), 4)
+               AS dup_3gram_frac,
+           round(len(list_distinct(toks))::double / len(toks), 4)
+               AS distinct_word_ratio,
+           round(list_max(list_transform(list_distinct(toks),
+                     w -> len(list_filter(toks, t -> t = w))))::double
+                 / len(toks), 4) AS top_word_frac
+    FROM sh ORDER BY doc_id
     """
 )
 

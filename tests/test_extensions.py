@@ -428,3 +428,55 @@ def test_shingle_fast_and_slow_paths_agree(spark):
     ).collect()
     for r in got:
         assert r.actual == r.expected, (r.actual, r.expected)
+
+
+def test_pii_redaction_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at jo.doe+x@mail.example.org today"),
+            (1, "call +1 555-123-4567 or 555 987 6543 now"),
+            (2, "ssn is 123-45-6789"),
+            (3, "no pii in this perfectly clean sentence"),
+        ],
+        ["doc_id", "text"],
+    )
+    counts = text.pii_counts(F.col("text"))
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            counts["email"].alias("e"),
+            counts["phone"].alias("p"),
+            counts["ssn"].alias("s"),
+            text.redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert (out[0].e, out[0].p, out[0].s) == (1, 0, 0)
+    assert out[0].red == "mail me at [EMAIL] today"
+    assert (out[1].e, out[1].p, out[1].s) == (0, 2, 0)
+    assert out[1].red == "call +1 [PHONE] or [PHONE] now"
+    assert (out[2].e, out[2].p, out[2].s) == (0, 0, 1)
+    assert out[2].red == "ssn is [SSN]"
+    assert out[3].red == "no pii in this perfectly clean sentence"
+    assert (out[3].e, out[3].p, out[3].s) == (0, 0, 0)
+
+
+def test_duplicate_ngram_fraction(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),  # 2-grams: ab ba ab ba ab -> 5 total, 2 distinct
+            (1, "all words here are unique tokens"),
+            (2, "hi"),  # shorter than n -> 0.0
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r.f
+        for r in df.select(
+            "doc_id",
+            F.round(text.duplicate_ngram_fraction(F.col("text"), 2), 4).alias("f"),
+        ).collect()
+    }
+    assert out[0] == 0.6
+    assert out[1] == 0.0
+    assert out[2] == 0.0
