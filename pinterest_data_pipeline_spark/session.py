@@ -78,6 +78,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ntz(df)
+
+
+def normalize_ntz(df):
+    """Cast any TIMESTAMP_NTZ column to session-zoned TIMESTAMP.
+
+    Driver-generated parquet has flip-flopped between TIMESTAMP(NANOS)
+    (handled above via nanosAsLong) and plain TIMESTAMP(MICROS) with no
+    timezone, which Spark 4 infers as TIMESTAMP_NTZ
+    (``spark.sql.parquet.inferTimestampNTZ.enabled`` defaults true). NTZ is
+    rejected by event-time operators (``withWatermark``:
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and ``unix_micros``. With the
+    session timezone pinned to UTC the cast is a pure reinterpretation —
+    wall-clock values, ``date_format`` output, and the DuckDB oracle's naive
+    timestamps are all unchanged — so normalizing at the read edge keeps
+    every downstream operator agnostic to which variant the driver wrote.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

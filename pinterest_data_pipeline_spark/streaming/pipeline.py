@@ -266,6 +266,9 @@ def attributed_conversions(
     what the oracle-checked dual ``events_view_purchase_attribution``
     exercises.
     """
+    from ..session import normalize_ntz
+
+    views, purchases = normalize_ntz(views), normalize_ntz(purchases)
     v = views.withWatermark("ts", watermark).select(
         F.col("event_id").alias("view_id"),
         F.col("user_id"),
@@ -310,6 +313,9 @@ def windowed_event_counts(
     is what the oracle-checked duals ``events_tumbling_window`` /
     ``events_sliding_window`` exercise.
     """
+    from ..session import normalize_ntz
+
+    events = normalize_ntz(events)
     win = F.window(ts_col, duration, slide) if slide else F.window(ts_col, duration)
     return (
         events.withWatermark(ts_col, watermark)
@@ -335,6 +341,9 @@ def session_event_counts(
     per open session is evicted once the watermark passes session end.
     Batch dual: ``events_session_window`` (oracle-checked).
     """
+    from ..session import normalize_ntz
+
+    events = normalize_ntz(events)
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(ts_col, gap).alias("w"), "user_id")
