@@ -523,3 +523,45 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_distance)
         .distinct()
     )
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Flag corpus documents sharing any word ``n``-gram with an eval set.
+
+    Test-set decontamination, the curation step that keeps benchmark text
+    out of training data (the n-gram-overlap method used for public-corpus
+    decontamination). Returns one row per contaminated document:
+    ``(id_col, n_shared_ngrams)`` where the count is over DISTINCT corpus
+    n-grams that also occur anywhere in the eval set.
+
+    Shape at 100 TB: the eval side (benchmarks, ~MBs) aggregates to a
+    distinct n-gram table that is *broadcast*; the corpus side is a single
+    scan -> shingle projection -> explode, joined map-side with zero
+    shuffle of corpus bytes. Only matched (id, ngram) rows — a tiny
+    fraction — reach the final groupBy shuffle. No O(corpus x eval) pair
+    set ever materializes.
+    """
+    ev = (
+        eval_docs.select(
+            F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("ngram")
+        )
+        .distinct()
+    )
+    corp = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("ngram"),
+    )
+    return (
+        corp.join(F.broadcast(ev), "ngram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )

@@ -712,3 +712,21 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query
+def dedup_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: corpus docs sharing a word 5-gram with the
+    eval set (every 50th document stands in for a held-out benchmark).
+
+    The eval n-gram table is tiny and *broadcast*; corpus bytes never
+    shuffle — the only exchange carries matched (doc_id, ngram) rows into
+    the final count. Flags the eval docs themselves (exact leakage) plus
+    any near-duplicate that shares one interior n-gram, which is exactly
+    the overlap-based decontamination contract.
+    """
+    docs = load_documents(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    return dedup.ngram_contamination(docs, ev, "text", "doc_id", n=5).orderBy(
+        "doc_id"
+    )

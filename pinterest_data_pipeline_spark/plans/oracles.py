@@ -1933,3 +1933,25 @@ oracle("join_bucketed_colocated")(
     GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
     """
 )
+
+_SHINGLES_N5 = (
+    f"CASE WHEN len({_TOKS}) < 5 THEN [text] "
+    f"ELSE list_transform(range(1, len({_TOKS}) - 3), "
+    f"i -> array_to_string(list_slice({_TOKS}, i, i + 4), ' ')) END"
+)
+
+oracle("dedup_decontaminate_ngram")(
+    f"""
+    WITH ev AS (
+        SELECT DISTINCT unnest({_SHINGLES_N5}) AS ngram
+        FROM documents WHERE doc_id % 50 = 0
+    ),
+    corp AS (
+        SELECT doc_id, unnest(list_distinct({_SHINGLES_N5})) AS ngram
+        FROM documents
+    )
+    SELECT doc_id, count(*)::bigint AS n_shared_ngrams
+    FROM corp JOIN ev USING (ngram)
+    GROUP BY doc_id ORDER BY doc_id
+    """
+)
