@@ -1,8 +1,12 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE JSON line (final stdout line, kept compact so the driver's
+bounded tail capture can always parse it):
+    {"metric": "...", "value": N, "unit": "sec", "sf": ..., "n_queries": N}
+and writes the per-query timing dict to BENCH_DETAIL.json alongside this
+file (the inline "queries" dict is included in the stdout line only while
+it fits the capture window).
 
 Each query is executed to completion with the `noop` write format — the full
 physical plan runs on the executors (scan → shuffle → agg/window/join) but
@@ -129,17 +133,24 @@ def main() -> None:
         release_scoped()
 
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_suite_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    # Per-query timings always land in a standalone artifact: the driver's
+    # tail capture truncates long stdout (round 5's 61-query line overflowed
+    # its 2000-char window and published `parsed: null`), so the final stdout
+    # line must stay compact. Include the full per-query dict inline only
+    # when it still fits comfortably inside that window.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump({**summary, "queries": timings}, f, indent=1, sort_keys=True)
+        f.write("\n")
+    full_line = json.dumps({**summary, "queries": timings})
+    print(full_line if len(full_line) <= 1500 else json.dumps(summary))
 
 
 if __name__ == "__main__":

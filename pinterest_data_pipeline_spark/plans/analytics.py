@@ -735,14 +735,27 @@ def agg_salted_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++): the 100 TB path for distinct counts.
 
-    Rows-only check: HLL sketches differ across engines, so exact-value
-    parity is meaningless; the pytest suite bounds relative error against
-    the exact count instead.
+    Bound-oracle form: HLL sketches differ across engines, so instead of
+    raw approx values the query certifies the *invariant* — per group it
+    emits the exact count plus ``abs(approx − exact) ≤ 0.15·exact`` (3σ of
+    the default rsd=0.05). The DuckDB dual emits the same exact count with
+    a literal TRUE, so the driver's value-hash passes iff the bound holds.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     return (
         lineitem.groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= 0.15 * F.col("exact_parts")
+            ).alias("within_bound"),
+        )
         .orderBy("l_returnflag")
     )
 
@@ -753,14 +766,26 @@ def q6_median_acctbal_per_band_approx(spark: SparkSession, sf_dir: str) -> DataF
 
     Exact PERCENTILE is a TypedImperativeAggregate holding per-group
     buffers; approx (GK sketch, bounded memory) is the 100 TB posture.
-    Rows-only: sketch tie-breaking differs across engines.
+    Bound-oracle form: sketch tie-breaking differs across engines, so the
+    query emits the exact median plus ``abs(approx − exact) ≤
+    0.05·|exact| + 1.0`` per band; the DuckDB dual emits the same exact
+    median with literal TRUE, so the hash certifies the error bound.
     """
     customer = load_table(spark, sf_dir, "customer")
     return (
         customer.withColumn("balance_band", _balance_band(F.col("c_acctbal")))
         .groupBy("balance_band")
         .agg(
-            F.round(F.percentile_approx("c_acctbal", 0.5), 4).alias("median_acctbal")
+            F.percentile_approx("c_acctbal", 0.5).alias("approx_median"),
+            F.percentile("c_acctbal", F.lit(0.5)).alias("exact_median"),
+        )
+        .select(
+            "balance_band",
+            F.round("exact_median", 4).alias("median_acctbal"),
+            (
+                F.abs(F.col("approx_median") - F.col("exact_median"))
+                <= 0.05 * F.abs(F.col("exact_median")) + F.lit(1.0)
+            ).alias("within_bound"),
         )
         .orderBy("balance_band")
     )

@@ -629,10 +629,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document TF-IDF keyword scores: document frequency over the FULL
     corpus, term frequency over an audited 1%-of-docs slice (doc_id % 100).
 
-    The small TF side is broadcast into the vocabulary-sized DF table, so
-    the only wide operations are the two aggregations (both partial-agg
-    friendly); idf = ln(N/df) with N delivered by a broadcast 1-row agg,
-    never a driver round-trip.
+    The TF side joins DF on ``term`` with NO forced broadcast: tf is
+    corpus-derived (1% of docs' token groups — unbounded at 100 TB), so the
+    broadcast-vs-shuffle choice belongs to AQE's runtime size check; the
+    scale-safe default is the term-keyed shuffle join. Both aggregations
+    are partial-agg friendly; idf = ln(N/df) with N delivered by a
+    broadcast 1-row agg, never a driver round-trip.
     """
     docs = load_documents(spark, sf_dir)
     toks = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
@@ -649,7 +651,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
-        dfreq.join(F.broadcast(tf), "term")
+        dfreq.join(tf, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

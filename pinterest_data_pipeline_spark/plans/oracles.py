@@ -113,6 +113,33 @@ oracle("q6_median_acctbal_per_band")(
     """
 )
 
+# Bound-oracle duals for the two approx aggregates (VERDICT r5 #5): the
+# Spark side computes approx AND exact and emits the invariant
+# abs(approx - exact) <= rtol*exact as a boolean; the DuckDB dual emits the
+# same exact value with a literal TRUE. The driver's value-hash therefore
+# certifies the sketch's error bound without requiring cross-engine sketch
+# equality.
+oracle("agg_approx_distinct")(
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_bound
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+)
+
+oracle("q6_median_acctbal_per_band_approx")(
+    f"""
+    SELECT {_BALANCE_BAND_SQL} AS balance_band,
+           round(quantile_cont(c_acctbal, 0.5), 4) AS median_acctbal,
+           TRUE AS within_bound
+    FROM customer
+    GROUP BY 1
+    ORDER BY balance_band
+    """
+)
+
 oracle("q7_orders_per_year")(
     """
     SELECT year(o_orderdate)::int AS order_year, count(*) AS number_orders
@@ -1195,9 +1222,9 @@ oracle("tpch_q12_priority_shipmode")(
     """
     SELECT l.l_linestatus,
            sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_priority_count,
+                    THEN 1 ELSE 0 END)::BIGINT AS high_priority_count,
            sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_priority_count
+                    THEN 1 ELSE 0 END)::BIGINT AS low_priority_count
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
       AND l.l_shipdate <  TIMESTAMP '1998-01-01'

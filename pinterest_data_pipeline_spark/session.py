@@ -73,6 +73,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     idempotent, and without it the events scan throws PARQUET_TYPE_ILLEGAL.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # normalize_ntz's NTZ->TIMESTAMP cast is a pure reinterpretation ONLY
+    # under a UTC session timezone; on a session built elsewhere the cast
+    # would shift the underlying instant and unix_micros / watermarks /
+    # oracle comparisons drift silently. Pin it here, at the same runtime
+    # edge that re-applies nanosAsLong.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
@@ -94,13 +100,41 @@ def normalize_ntz(df):
     wall-clock values, ``date_format`` output, and the DuckDB oracle's naive
     timestamps are all unchanged — so normalizing at the read edge keeps
     every downstream operator agnostic to which variant the driver wrote.
+
+    NTZ fields nested inside struct/array/map columns are normalized too:
+    the whole column is cast to its NTZ-free twin type (Spark casts structs
+    and arrays field-wise), so an ``array<struct<ts: timestamp_ntz>>``
+    column comes out event-time-ready like a flat one.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import TimestampNTZType
+    from pyspark.sql.types import (
+        ArrayType,
+        MapType,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
+    )
 
-    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
-    for c in ntz:
-        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    def strip_ntz(dt):
+        if isinstance(dt, TimestampNTZType):
+            return TimestampType()
+        if isinstance(dt, StructType):
+            out = StructType()
+            for f in dt.fields:
+                out.add(f.name, strip_ntz(f.dataType), f.nullable, f.metadata)
+            return out
+        if isinstance(dt, ArrayType):
+            return ArrayType(strip_ntz(dt.elementType), dt.containsNull)
+        if isinstance(dt, MapType):
+            return MapType(
+                strip_ntz(dt.keyType), strip_ntz(dt.valueType), dt.valueContainsNull
+            )
+        return dt
+
+    for f in df.schema.fields:
+        target = strip_ntz(f.dataType)
+        if target != f.dataType:
+            df = df.withColumn(f.name, F.col(f.name).cast(target))
     return df
 
 

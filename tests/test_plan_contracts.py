@@ -262,6 +262,29 @@ def test_bucketed_join_has_no_shuffle_below_smj(spark):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 
+def test_tfidf_term_join_is_not_a_forced_broadcast(spark):
+    """The TF side of tfidf_top_terms is corpus-derived (token groups of a
+    1%-of-docs slice — unbounded at 100 TB), so its join against document
+    frequency must be AQE's choice, never a forced ``F.broadcast``. With
+    the broadcast threshold disabled, a hint-free plan falls back to a
+    shuffle join; a forced hint would keep broadcasting and OOM executors
+    at scale."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "tfidf_top_terms")
+        joins = plan.count("BroadcastHashJoin")
+        # the single sanctioned broadcast is the 1-row n_docs scalar frame
+        assert joins <= 1, plan
+        assert any(
+            j in plan for j in ("SortMergeJoin", "ShuffledHashJoin")
+        ), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
 def test_pack_sequences_never_globally_sorts_the_data(spark):
     """The packing prefix sum must stay block-parallel: its only wide
     exchange over the data is the per-block hash partitioning — a global
