@@ -41,41 +41,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # (clean_part_battery, text_analysis_battery) certify several operators per
 # slot; their single-operator forms remain registered after the window for
 # focused debugging. tests/test_registry_window.py pins this invariant.
-# ROUND-5 ROTATION: every query certified green in two driver rounds
-# rotates out (oracle + tools/check_parity.py coverage retained); the 21
-# r4-certified keeps stay to earn their second certification; the 20
-# oracled queries that never held a driver row (the rest of the TPC-H
-# battery, the sampling splits, cosine top-k, text normalization) rotate
-# in; and the 8 new round-5 operators (sequence packing, sliding chunks,
-# TF-IDF, video frames, cluster-canonical selection, interpolating
-# resample, time-range window frames, bucketed co-located join) take the
-# remaining slots.
+# ROUND-6 ROTATION: the 21 queries that earned their second certification
+# in r5 rotate out (oracle + tools/check_parity.py coverage retained).
+# In: the 4 oracled queries that never held a green driver row (tpch_q12
+# — red in r5 only via the now-fixed HUGEINT hashing artifact — plus the
+# three round-5 additions that never had a slot), the 2 approx aggregates
+# newly converted to bound-oracles, the 5 new round-6 operators (int8
+# embedding quantization, two-stage ANN rerank, small-files compaction,
+# gap sessionization, streaming keyed upsert), and every once-certified
+# query — the 28 certified in r5 plus the 11 certified once in earlier
+# rounds — to earn its second row. 4+2+5+28+11 = 50.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # r4-certified keeps - earn their second driver certification
-    "streaming_availablenow_events",
-    "embedding_near_duplicates",
-    "scalar_date_functions",
-    "scalar_string_functions",
-    "subquery_exists_urgent_customers",
-    "subquery_in_heavy_parts",
-    "subquery_scalar_above_avg_price",
-    "json_variant_extract_props",
-    "json_variant_grouped_stats",
-    "events_view_purchase_attribution",
-    "events_resample_ffill",
-    "anomaly_zscore_events",
-    "quality_referential_integrity",
-    "array_hof_battery",
-    "embedding_label_centroids",
-    "multimodal_audio_features",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q9_product_type_profit",
-    "tpch_q18_large_orders",
-    "tpch_q21_waiting_suppliers",
-    # fixed this round (r4's one red row - the missing persist_scoped import)
+    # never-certified oracled queries
+    "tpch_q12_priority_shipmode",
+    "text_pii_redaction",
+    "text_repetition_battery",
+    "dedup_decontaminate_ngram",
+    # approx aggregates, newly bound-oracled
+    "agg_approx_distinct",
+    "q6_median_acctbal_per_band_approx",
+    # new round-6 operators
+    "embedding_quantize_int8",
+    "ann_two_stage_rerank",
+    "layout_compact_small_files",
+    "streaming_upsert_latest_events",
+    "events_sessionize_gap",
+    # once-certified in r5 - earn their second driver certification
     "tpch_q11_important_stock",
-    # rotations in - never-certified oracled queries
     "sample_hash_split_counts",
     "sample_hash_split_membership",
     "sample_per_lang_cap",
@@ -87,7 +79,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q10_returned_items",
-    "tpch_q12_priority_shipmode",
     "tpch_q13_customer_distribution",
     "tpch_q14_promo_revenue_share",
     "tpch_q15_top_supplier",
@@ -96,7 +87,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "tpch_q19_disjunctive_predicates",
     "tpch_q20_promotion_suppliers",
     "tpch_q22_dormant_customers",
-    # new round-5 operators
     "pack_sequences_documents",
     "text_chunk_sliding",
     "tfidf_top_terms",
@@ -105,6 +95,18 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "events_resample_interpolate",
     "window_time_range_frame",
     "join_bucketed_colocated",
+    # once-certified in earlier rounds - second certification
+    "clean_normalize_nulls_documents",
+    "clean_parse_human_count_part",
+    "clean_strip_prefix_part",
+    "clean_distinct_flag_status",
+    "window_running_revenue",
+    "join_anti_customers_without_orders",
+    "text_token_stats",
+    "text_lang_id",
+    "text_quality_scores",
+    "text_fingerprints",
+    "dedup_ngram_jaccard_adjacent",
 )
 
 

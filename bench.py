@@ -104,6 +104,15 @@ HEADLINE = [
     "events_resample_interpolate",
     "window_time_range_frame",
     "join_bucketed_colocated",
+    # round-6 growth (61 -> 66 queries; cross-round totals need the
+    # shared-query diff, as before): int8 quantization, two-stage rerank,
+    # small-files compaction, gap sessionization, bound-oracle approx agg.
+    # Streaming queries stay out of the headline battery, as before.
+    "embedding_quantize_int8",
+    "ann_two_stage_rerank",
+    "layout_compact_small_files",
+    "events_sessionize_gap",
+    "agg_approx_distinct",
 ]
 
 

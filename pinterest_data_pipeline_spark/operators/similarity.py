@@ -160,6 +160,92 @@ def cosine_topk_quantized(
     )
 
 
+def quantize_int8_longform(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension symmetric int8 quantization, long (vec_id, pos, code) form.
+
+    The vector-compression step a 100 TB embedding store runs before ANN:
+    codes are ``round(x * 127 / maxabs(dim))`` clamped to [-127, 127], with
+    the per-dimension scale learned in a first aggregation pass. Two jobs:
+
+    * pass 1 — posexplode -> groupBy(pos) max(abs): output is DIM rows
+      (dimension-bounded, NOT corpus-bounded), so broadcasting it back is
+      safe at any corpus size — this is the sanctioned broadcast, unlike a
+      corpus-derived frame.
+    * pass 2 — map-side join + pure projection; no further shuffle.
+
+    All arithmetic is float64 with a terminal half-away-from-zero round —
+    deterministic and identical in Spark and DuckDB, so the codes carry an
+    exact SQL oracle.
+    """
+    exploded = corpus.select(
+        F.col(id_col), F.posexplode(as_double(F.col(vec_col))).alias("pos", "val")
+    )
+    scales = exploded.groupBy("pos").agg(F.max(F.abs(F.col("val"))).alias("maxabs"))
+    code = F.when(
+        F.col("maxabs") > 0,
+        F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.round(F.col("val") * 127.0 / F.col("maxabs")).cast("int")),
+        ),
+    ).otherwise(F.lit(0))
+    return exploded.join(F.broadcast(scales), "pos").select(
+        id_col, "pos", code.alias("code")
+    )
+
+
+def two_stage_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k_coarse: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    coarse_scale: int = 100,
+) -> DataFrame:
+    """Production retrieval shape: cheap coarse scoring -> top-``k_coarse``
+    candidates -> exact full-precision rerank -> top-``k``.
+
+    Stage 1 scores every corpus vector with a COARSELY quantized integer
+    dot product (scale 100 — 10x cheaper integers than the oracle-exact
+    scale-1000 variant) and keeps ``k_coarse`` candidates per query; stage 2
+    rescores only those candidates with the exact float cosine. At 100 TB
+    the full-precision vectors never fan out: the rerank join touches
+    ``queries x k_coarse`` rows. Both stages rank on engine-exact values
+    (integer dot; cosine rounded to 6 before ranking) with ``vec_id``
+    tie-breaks, so the composition carries an exact cross-engine oracle.
+    """
+    candidates = cosine_topk_quantized(
+        corpus,
+        queries,
+        k=k_coarse,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        scale=coarse_scale,
+    ).select(query_id_col, id_col)
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), as_double(F.col(vec_col)).alias("query_vec")
+    )
+    rescored = (
+        candidates.join(corpus.select(id_col, vec_col), id_col)
+        .join(F.broadcast(q), query_id_col)
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine(as_double(F.col(vec_col)), F.col("query_vec")), 6),
+        )
+        .select(query_id_col, id_col, "cosine_sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        rescored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, id_col, "cosine_sim", F.col("rk").alias("rank"))
+    )
+
+
 def _hyperplanes(n_planes: int, dim: int, seed: int = 1234) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]

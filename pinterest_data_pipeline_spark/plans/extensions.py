@@ -732,3 +732,109 @@ def dedup_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_contamination(docs, ev, "text", "doc_id", n=5).orderBy(
         "doc_id"
     )
+
+
+# --- round-6 additions: vector compression, two-stage retrieval, layout -----
+
+
+def _work_dir(sf_dir: str, name: str) -> str:
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(
+        repo_root, "spark-warehouse", name, sf_dir.strip("/").replace("/", "_")
+    )
+
+
+@query
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension symmetric int8 quantization of the embedding store —
+    the 4x compression an ANN index applies before sharding at 100 TB.
+
+    Two aggregation passes: per-dimension max-abs (output is dim-bounded,
+    so broadcasting it back is safe at any corpus size), then a map-side
+    join + projection. Long (vec_id, pos, code) form keeps the oracle
+    exact: round-half-away-from-zero over float64 is bit-identical in
+    Spark and DuckDB.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantize_int8_longform(emb).orderBy("vec_id", "pos")
+
+
+@query
+def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: coarse int-quantized scoring -> top-50
+    candidates per query -> exact float cosine rerank -> top-10.
+
+    The production ANN serving shape: the expensive full-precision rerank
+    touches only queries x 50 rows, never the corpus. Both stages rank on
+    engine-exact values with vec_id tie-breaks, so the composed pipeline
+    (including which candidates survive stage 1) is certified by an exact
+    DuckDB dual.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.two_stage_rerank(
+        emb, _query_vectors(spark, sf_dir), k=10, k_coarse=50
+    ).orderBy("query_id", "rank")
+
+
+@query
+def layout_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction round-trip: documents -> 64-file JSON landing
+    zone (the reference's flush.size=1 pathology, bounded) -> explicit-
+    schema read -> bucket-partitioned parquet with one file per bucket.
+
+    The returned per-bucket digest (md5-derived content hash summed mod a
+    prime) certifies the JSON round-trip and compaction were lossless —
+    any dropped, duplicated, or corrupted row moves some bucket's digest.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from ..sources import layout
+
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    compacted, _, _ = layout.compact_small_files(
+        spark,
+        docs,
+        _work_dir(sf_dir, "_compaction"),
+        bucket_col=(F.col("doc_id") % 4).cast("int"),
+        schema=schema,
+    )
+    return (
+        compacted.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum(text.stable_hash64(F.col("text")) % F.lit(1_000_000_007)).alias(
+                "content_digest"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query
+def streaming_upsert_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed streaming upsert certified from the driver: events -> wire
+    envelopes -> readStream -> foreachBatch MERGE into a parquet table
+    keyed by user_id (latest event wins, event-time + event_id order) ->
+    final table read back.
+
+    The engine-native equivalent of a Delta streaming MERGE sink; the
+    oracle is the per-user row_number()=1 over the same slice, so the row
+    goes red if the merge ever keeps a stale record, drops a user, or
+    duplicates a key.
+    """
+    from ..streaming import pipeline as streaming_pipeline
+
+    out = streaming_pipeline.availablenow_upsert_roundtrip(
+        spark, sf_dir, _work_dir(sf_dir, "_streaming_upsert")
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("ts_us").alias("last_ts_us"),
+        F.round("value", 2).alias("last_value"),
+    ).orderBy("user_id")

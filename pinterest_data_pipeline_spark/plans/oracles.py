@@ -1982,3 +1982,118 @@ oracle("dedup_decontaminate_ngram")(
     GROUP BY doc_id ORDER BY doc_id
     """
 )
+
+# --- round-6 additions ------------------------------------------------------
+
+oracle("embedding_quantize_int8")(
+    # Symmetric int8 codes: round-half-away-from-zero over float64 is
+    # bit-identical in Spark and DuckDB; the per-dimension scale is an
+    # exact max-abs, so codes match integer-for-integer.
+    """
+    WITH e AS (
+        SELECT vec_id, u.i - 1 AS pos, embedding[u.i]::DOUBLE AS val
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ), s AS (
+        SELECT pos, max(abs(val)) AS maxabs FROM e GROUP BY pos
+    )
+    SELECT e.vec_id, e.pos,
+           CASE WHEN s.maxabs > 0
+                THEN CAST(greatest(-127, least(127, round(e.val * 127 / s.maxabs))) AS INTEGER)
+                ELSE 0 END AS code
+    FROM e JOIN s USING (pos)
+    ORDER BY vec_id, pos
+    """
+)
+
+oracle("ann_two_stage_rerank")(
+    # Stage 1 ranks on an integer-exact quantized dot product (scale 100),
+    # stage 2 on cosine rounded to 6 before ranking; vec_id breaks every
+    # tie — so the surviving candidate sets and final ranks are identical
+    # across engines.
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding, x -> round(x::DOUBLE * 100)) AS qvq,
+               embedding AS qv
+        FROM embeddings WHERE vec_id < 3
+    ), scored AS (
+        SELECT q.query_id, e.vec_id,
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                        i -> round(e.embedding[i]::DOUBLE * 100) * q.qvq[i])) AS dot_q,
+               e.embedding AS ev, q.qv AS qv
+        FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+    ), cand AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY dot_q DESC, vec_id) AS crk
+        FROM scored
+    ), rer AS (
+        SELECT query_id, vec_id,
+               round(list_cosine_similarity(ev::DOUBLE[], qv::DOUBLE[]), 6) AS cosine_sim
+        FROM cand WHERE crk <= 50
+    ), ranked AS (
+        SELECT query_id, vec_id, cosine_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, vec_id) AS rank
+        FROM rer
+    )
+    SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """
+)
+
+oracle("layout_compact_small_files")(
+    # The JSON landing + compaction round-trip must be lossless: per-bucket
+    # counts, id bounds, and a summed md5-derived content digest all have
+    # to survive the rewrite byte-for-byte.
+    """
+    SELECT (doc_id % 4)::INT AS bucket,
+           count(*) AS n_docs,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id,
+           sum(('0x' || substring(md5(text), 1, 15))::BIGINT % 1000000007)::BIGINT
+               AS content_digest
+    FROM documents GROUP BY 1 ORDER BY bucket
+    """
+)
+
+oracle("streaming_upsert_latest_events")(
+    # Dual of the foreachBatch MERGE sink: latest event per user over the
+    # streamed slice, order = event time then event_id (the sink's ``ord``
+    # struct), is exactly row_number() = 1.
+    """
+    WITH t AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 10 = 0
+    )
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           ts_us AS last_ts_us, round(value, 2) AS last_value
+    FROM t WHERE rn = 1 ORDER BY user_id
+    """
+)
+
+oracle("events_sessionize_gap")(
+    # Gap sessionization: is_new via lag, session_seq via running sum, both
+    # ordered (ts, event_id) — deterministic under timestamp ties.
+    """
+    WITH o AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, event_id, ts, value,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+        FROM o
+    )
+    SELECT user_id, session_seq, count(*) AS n_events,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) AS session_end_us,
+           round(sum(value), 2) AS session_value
+    FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+    """
+)

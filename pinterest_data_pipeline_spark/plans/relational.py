@@ -1223,3 +1223,38 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query
+def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is idle
+    longer than 6 hours; per-session rollup (events, bounds, value).
+
+    The lag/cumulative-sum formulation — the batch twin of the streaming
+    ``session_window`` aggregate (events_session_window), and the shape
+    clickstream sessionization actually ships: both windows partition by
+    user_id, so the whole plan is one hash exchange on the user key and
+    in-partition sorts; no global ordering anywhere. Ties on ts break by
+    event_id in both engines, keeping session numbering deterministic.
+    """
+    gap_us = 6 * 3600 * 1_000_000
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        prev_us.isNull() | (F.unix_micros(F.col("ts")) - prev_us > gap_us), 1
+    ).otherwise(0)
+    numbered = events.withColumn("is_new", is_new).withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        numbered.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_end_us"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

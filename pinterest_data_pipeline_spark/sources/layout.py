@@ -138,6 +138,57 @@ def files_overlapping(path: str, col: str, lo: int, hi: int) -> tuple[int, int]:
     return overlapping, total
 
 
+def compact_small_files(
+    spark,
+    df: DataFrame,
+    work_dir: str,
+    bucket_col: Column,
+    schema,
+    n_landing_files: int = 64,
+) -> tuple[DataFrame, int, int]:
+    """Small-files landing zone -> compacted bucket-partitioned parquet.
+
+    Reproduces the reference's batch-source pathology and its cure in one
+    operator: the S3 sink connector writes ONE JSON file per record
+    (``flush.size=1``, IMPL:71), so the landing zone accumulates millions
+    of tiny files whose open/footer overhead dominates any later scan.
+    Compaction is the standard answer: read the landing files once, assign
+    each row a bucket, and rewrite as parquet partitioned by bucket with
+    exactly one file per bucket.
+
+    Mechanics (each piece is the at-scale shape, not a local shortcut):
+
+    * the landing write fans ``df`` over ``n_landing_files`` round-robin
+      partitions — a bounded stand-in for per-record files; the read back
+      uses the EXPLICIT ``schema`` (no inference pass — §4.1's free win).
+    * the compaction's only shuffle is ``repartition(bucket)``: all rows
+      of a bucket land in one task, so ``partitionBy(bucket)`` emits one
+      file per bucket — file count goes from O(records) to O(buckets).
+    * rows never visit the driver; returns (compacted df read back from
+      parquet, landing file count, compacted file count) so callers can
+      assert the file-count collapse.
+    """
+    import glob
+    import os
+    import shutil
+
+    if os.path.exists(work_dir):
+        shutil.rmtree(work_dir)
+    landing = os.path.join(work_dir, "landing")
+    compacted = os.path.join(work_dir, "compacted")
+    df.repartition(n_landing_files).write.mode("overwrite").json(landing)
+    n_landing = len(glob.glob(os.path.join(landing, "part-*")))
+    reread = spark.read.schema(schema).json(landing).withColumn("bucket", bucket_col)
+    (
+        reread.repartition(F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(compacted)
+    )
+    n_compacted = len(glob.glob(os.path.join(compacted, "bucket=*", "part-*")))
+    return spark.read.parquet(compacted), n_landing, n_compacted
+
+
 # ===========================================================================
 # Incremental z-order maintenance (liquid-clustering-style).
 #

@@ -569,3 +569,86 @@ def upsert_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def availablenow_upsert_roundtrip(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """Drive the keyed upsert sink end-to-end as a bounded, oracle-checkable
+    run: events -> wire envelopes -> readStream -> :func:`upsert_sink`
+    keyed by ``user_id`` -> read the final table back.
+
+    The streamed slice is every 10th event; the sink's final state is the
+    LATEST event per user (order = event time, then event_id — carried as
+    one struct ``ord`` column so the winner is deterministic even for equal
+    timestamps). That is exactly a per-key ``row_number() = 1`` over the
+    same slice, which is what the DuckDB dual asserts — certifying the
+    whole foreachBatch MERGE path (last-wins dedup, full-outer merge,
+    atomic table swap) from the driver, not just from pytest.
+
+    All envelope lines land in one file (one micro-batch); cross-batch
+    upsert semantics are pinned separately by the streaming pytest suite.
+    """
+    import shutil
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..session import load_table
+
+    wire_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("ts_us", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    if os.path.exists(work_dir):
+        shutil.rmtree(work_dir)
+    landing = os.path.join(work_dir, "landing", "events")
+    table_dir = os.path.join(work_dir, "state", "latest_events")
+    ckpt_dir = os.path.join(work_dir, "checkpoints", "latest_events")
+
+    subset = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 10 == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "value",
+        )
+    )
+    payload = F.to_json(F.struct(*[F.col(c) for c in subset.columns]))
+    subset.select(
+        F.to_json(
+            F.struct(
+                F.lit("events").alias("StreamName"),
+                payload.alias("Data"),
+                F.col("user_id").cast("string").alias("PartitionKey"),
+            )
+        ).alias("value")
+    ).coalesce(1).write.mode("overwrite").text(landing)
+
+    raw = spark.readStream.format("text").load(landing)
+    typed = parse_envelope_payload(raw, wire_schema, "event_id").withColumn(
+        "ord", F.struct(F.col("ts_us"), F.col("event_id"))
+    )
+    query = upsert_sink(
+        typed,
+        table_dir,
+        ckpt_dir,
+        keys=["user_id"],
+        available_now=True,
+        order_col="ord",
+    )
+    query.awaitTermination()
+    return spark.read.parquet(table_dir).drop("ord")

