@@ -86,10 +86,170 @@ def probe_groupagg(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
+def _salt_text(df: DataFrame, mult: int, key_col: str) -> DataFrame:
+    """Per-copy text perturbation for content-addressed probes.
+
+    Key-shifted copies carry IDENTICAL text, so minhash/shingle operators
+    would see every text duplicated mult times and candidate pairs would
+    grow quadratically in multiplicity — a data property, not a plan
+    property. Rewriting a common letter per copy ('a' -> 'a<i>') changes
+    most shingles, so copies stay below the near-dup threshold and the
+    probe measures the operator's scaling, not planted duplication.
+    """
+    copy_idx = (F.col(key_col) / KEY_STRIDE).cast("int")
+    return df.withColumn(
+        "text",
+        F.when(copy_idx == 0, F.col("text")).otherwise(
+            F.regexp_replace(F.col("text"), "a", F.concat(F.lit("a"), copy_idx.cast("string")))
+        ),
+    )
+
+
+def probe_pack_sequences(spark, mult: int) -> float:
+    from pinterest_data_pipeline_spark.operators import packing, text
+
+    docs = multiply(load_table(spark, SF, "documents"), mult, ["doc_id"])
+    sized = docs.select("doc_id", text.token_count(F.col("text")).alias("n_tokens"))
+    q = packing.pack_sequences(sized, size_col="n_tokens", order_col="doc_id", budget=2048)
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_cluster_canonical(spark, mult: int) -> float:
+    from pyspark.sql import Window
+
+    docs = _salt_text(
+        multiply(load_table(spark, SF, "documents"), mult, ["doc_id"]), mult, "doc_id"
+    )
+    labeled = dedup.near_duplicate_clusters(docs, "text", "doc_id", threshold=0.3)
+    scored = labeled.join(
+        docs.select("doc_id", F.length("text").cast("long").alias("quality")), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    q = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("canonical_doc_id"),
+        )
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_tfidf(spark, mult: int) -> float:
+    from pinterest_data_pipeline_spark.operators import text
+
+    docs = _salt_text(
+        multiply(load_table(spark, SF, "documents"), mult, ["doc_id"]), mult, "doc_id"
+    )
+    toks = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
+    dfreq = toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    tf = (
+        toks.filter(F.col("doc_id") % 100 == 0)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .filter(F.col("tf") >= 2)
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    q = (
+        dfreq.join(tf, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("doc_freq"))).alias("tfidf"),
+        )
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_bucketed_join(spark, mult: int) -> float:
+    """Bucketed co-located join at mult x: the no-Exchange property must
+    survive growth — bucket COUNT is fixed at write time, bucket SIZE
+    grows, and the SortMergeJoin still reads bucket i vs bucket i."""
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+    t_orders, t_cust = f"probe_orders_bkt_{mult}", f"probe_customer_bkt_{mult}"
+    for table, source, keys in (
+        (t_orders, "orders", ["o_orderkey", "o_custkey"]),
+        (t_cust, "customer", ["c_custkey"]),
+    ):
+        if not spark.catalog.tableExists(table):
+            stale = os.path.join(warehouse, table)
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+            (
+                multiply(load_table(spark, SF, source), mult, keys)
+                .write.mode("overwrite")
+                .format("parquet")
+                .bucketBy(8, keys[-1])
+                .sortBy(keys[-1])
+                .saveAsTable(table)
+            )
+    o, c = spark.table(t_orders), spark.table(t_cust)
+    q = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("rev"))
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    smj = plan.find("SortMergeJoin")
+    assert smj >= 0 and plan[smj:].count("Exchange") == 0, "bucketed join lost no-Exchange"
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_quantize_int8(spark, mult: int) -> float:
+    from pinterest_data_pipeline_spark.operators import similarity
+
+    emb = multiply(load_table(spark, SF, "embeddings"), mult, ["vec_id"])
+    q = similarity.quantize_int8_longform(emb)
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_sessionize(spark, mult: int) -> float:
+    from pyspark.sql import Window
+
+    events = multiply(load_table(spark, SF, "events"), mult, ["event_id", "user_id"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        prev_us.isNull() | (F.unix_micros(F.col("ts")) - prev_us > 21_600_000_000), 1
+    ).otherwise(0)
+    q = (
+        events.withColumn("is_new", is_new)
+        .withColumn(
+            "session_seq", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("v"))
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 PROBES = {
     "tpch_q5_6way_join": probe_tpch_q5,
     "simhash_near_dup": probe_simhash,
     "pricing_agg": probe_groupagg,
+    # round-5 additions (VERDICT r5 #6)
+    "pack_sequences": probe_pack_sequences,
+    "cluster_canonical": probe_cluster_canonical,
+    "tfidf_post_fix": probe_tfidf,
+    "bucketed_join": probe_bucketed_join,
+    # round-6 additions
+    "quantize_int8": probe_quantize_int8,
+    "sessionize_gap": probe_sessionize,
 }
 
 
