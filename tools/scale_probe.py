@@ -198,12 +198,24 @@ def probe_bucketed_join(spark, mult: int) -> float:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("rev"))
     )
-    plan = q._jdf.queryExecution().executedPlan().toString()
-    smj = plan.find("SortMergeJoin")
-    assert smj >= 0 and plan[smj:].count("Exchange") == 0, "bucketed join lost no-Exchange"
-    t0 = time.perf_counter()
-    q.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    # the operator's regime is fact-join-fact where neither side broadcasts;
+    # with the threshold left on, the small probe input would take a
+    # BroadcastHashJoin and never exercise the bucketed SMJ path at all
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        smj = plan.find("SortMergeJoin")
+        assert smj >= 0 and plan[smj:].count("Exchange") == 0, (
+            "bucketed join lost no-Exchange"
+        )
+        t0 = time.perf_counter()
+        q.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 
 def probe_quantize_int8(spark, mult: int) -> float:
