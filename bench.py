@@ -113,6 +113,8 @@ HEADLINE = [
     "layout_compact_small_files",
     "events_sessionize_gap",
     "agg_approx_distinct",
+    "quality_column_profile",
+    "join_salted_skewed",
 ]
 
 

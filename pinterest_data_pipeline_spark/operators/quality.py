@@ -88,6 +88,49 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
     )
 
 
+def profile_columns(
+    df: DataFrame, numeric_cols: list[str], other_cols: list[str] | None = None
+) -> DataFrame:
+    """Per-column data profile — the first thing a training-data pipeline
+    computes over a new source: rows, nulls, distinct cardinality, numeric
+    bounds, one row per column.
+
+    Same single-pass shape as :func:`run_checks`: every column's metrics
+    are aggregate expressions in ONE ``agg`` (Catalyst plans the multiple
+    DISTINCTs via one Expand), then the single result row unpivots into
+    (column_name, n_rows, n_nulls, n_distinct, min_value, max_value) rows.
+    At 100 TB this is one scan, not one scan per column; for wider tables,
+    swap ``countDistinct`` for ``approx_count_distinct`` (same plan shape,
+    no Expand multiplier).
+    """
+    other_cols = other_cols or []
+    cols = list(numeric_cols) + list(other_cols)
+    agg_cols = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        agg_cols.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"nn_{c}")
+        )
+        agg_cols.append(F.countDistinct(F.col(c)).alias(f"nd_{c}"))
+        if c in numeric_cols:
+            agg_cols.append(F.min(F.col(c)).cast("double").alias(f"mn_{c}"))
+            agg_cols.append(F.max(F.col(c)).cast("double").alias(f"mx_{c}"))
+    row = df.agg(*agg_cols)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"nn_{c}").alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                (F.col(f"mn_{c}") if c in numeric_cols else F.lit(None).cast("double")).alias("min_value"),
+                (F.col(f"mx_{c}") if c in numeric_cols else F.lit(None).cast("double")).alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return row.select(F.explode(entries).alias("e")).select("e.*")
+
+
 def observed_write(df: DataFrame, path: str, metrics: dict[str, Column]):
     """Write with in-flight metrics: ``df.observe`` accumulates the given
     aggregate expressions DURING the write job — row counts, null counts,

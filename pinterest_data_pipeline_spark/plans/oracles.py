@@ -2097,3 +2097,54 @@ oracle("events_sessionize_gap")(
     FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq
     """
 )
+
+oracle("quality_column_profile")(
+    # One UNION ALL branch per column; Spark computes the same metrics in
+    # a single pass. Numeric bounds as DOUBLE; non-numeric columns carry
+    # NULL bounds.
+    """
+    SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           min(o_orderkey)::DOUBLE AS min_value, max(o_orderkey)::DOUBLE AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*),
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT o_custkey),
+           min(o_custkey)::DOUBLE, max(o_custkey)::DOUBLE
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*),
+           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT o_totalprice),
+           min(o_totalprice)::DOUBLE, max(o_totalprice)::DOUBLE
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*),
+           sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT o_orderstatus), NULL::DOUBLE, NULL::DOUBLE
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*),
+           sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT o_orderpriority), NULL::DOUBLE, NULL::DOUBLE
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*),
+           sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT o_orderdate), NULL::DOUBLE, NULL::DOUBLE
+    FROM orders
+    ORDER BY column_name
+    """
+)
+
+oracle("join_salted_skewed")(
+    # Salting must be semantically invisible: the oracle is the PLAIN join.
+    """
+    SELECT o.o_orderpriority, count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """
+)

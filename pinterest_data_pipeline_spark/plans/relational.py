@@ -1226,6 +1226,54 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def quality_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile of orders in ONE aggregation pass: rows,
+    nulls, distinct cardinality, numeric bounds — the ingest-time profiling
+    step a training-data pipeline runs on every new source. One scan
+    regardless of column count (single agg + unpivot; the DISTINCTs ride
+    one Expand)."""
+    from ..operators.quality import profile_columns
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_columns(
+        orders,
+        numeric_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+        other_cols=["o_orderstatus", "o_orderpriority", "o_orderdate"],
+    ).orderBy("column_name")
+
+
+@query
+def join_salted_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join: lineitem's join key is salted and the orders side
+    replicated 8x, scattering any hot key over 8 reducers — the manual
+    fallback for join skew AQE cannot split (e.g. when the skewed side
+    feeds a window next). Result must be IDENTICAL to the plain join,
+    which is exactly what the oracle asserts.
+    """
+    from ..operators.skew import salted_join
+
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = salted_join(
+        lineitem, orders, on=("l_orderkey", "o_orderkey"), n_salts=8
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query
 def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: a new session starts when a user is idle
     longer than 6 hours; per-session rollup (events, bounds, value).

@@ -59,3 +59,20 @@ def test_observed_write_collects_metrics_in_one_job(spark, tmp_path):
     assert got["null_custkeys"] == 0
     assert abs(got["total_price"] - round(sum(r.o_totalprice for r in orders.collect()), 2)) < 1.0
     assert spark.read.parquet(str(tmp_path / "out")).count() == n
+
+
+def test_profile_columns_counts_nulls_and_bounds(spark):
+    from pinterest_data_pipeline_spark.operators.quality import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "a"), (2, None, "b"), (3, 8.0, None), (4, 8.0, "b")],
+        "id long, v double, s string",
+    )
+    rows = {r.column_name: r for r in profile_columns(df, ["id", "v"], ["s"]).collect()}
+    assert rows["id"].n_rows == 4 and rows["id"].n_nulls == 0
+    assert rows["id"].n_distinct == 4
+    assert rows["id"].min_value == 1.0 and rows["id"].max_value == 4.0
+    assert rows["v"].n_nulls == 1 and rows["v"].n_distinct == 2
+    assert rows["v"].min_value == 2.0 and rows["v"].max_value == 8.0
+    assert rows["s"].n_nulls == 1 and rows["s"].n_distinct == 2
+    assert rows["s"].min_value is None and rows["s"].max_value is None
