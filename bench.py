@@ -115,6 +115,7 @@ HEADLINE = [
     "agg_approx_distinct",
     "quality_column_profile",
     "join_salted_skewed",
+    "text_unigram_logprob",
 ]
 
 

@@ -838,3 +838,55 @@ def streaming_upsert_latest_events(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("ts_us").alias("last_ts_us"),
         F.round("value", 2).alias("last_value"),
     ).orderBy("user_id")
+
+
+@query
+def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized view certified from the driver: events in
+    two file batches -> update-mode streaming aggregation -> keyed upsert
+    sink; the maintained table must equal the oracle's whole-table
+    GROUP BY. The 100 TB replacement for nightly full recomputes — each
+    trigger touches only the keys the new files changed.
+    """
+    from ..streaming import pipeline as streaming_pipeline
+
+    out = streaming_pipeline.availablenow_incremental_rollup(
+        spark, sf_dir, _work_dir(sf_dir, "_streaming_mv")
+    )
+    return out.select(
+        "day",
+        "event_type",
+        "event_count",
+        F.round("value_sum", 2).alias("value_sum"),
+    ).orderBy("day", "event_type")
+
+
+@query
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: per-document mean log
+    probability under the corpus's own unigram distribution — the cheap
+    statistical fluency filter (low scores = rare-token noise).
+
+    Two corpus aggregations (term frequencies, total count) feed a
+    term-keyed join back onto the token stream — NO forced broadcast of
+    the vocabulary (corpus-derived; AQE decides, the tfidf lesson), only
+    the 1-row total is broadcast. All arithmetic is double + ln with a
+    terminal round(4), far above cross-engine libm ulp differences.
+    """
+    docs = load_documents(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("term"))
+    freqs = toks.groupBy("term").agg(F.count(F.lit(1)).alias("term_count"))
+    total = toks.agg(F.count(F.lit(1)).alias("total_count"))
+    return (
+        toks.join(freqs, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("term_count").cast("double") / F.col("total_count"))),
+                4,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

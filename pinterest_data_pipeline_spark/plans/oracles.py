@@ -2148,3 +2148,32 @@ oracle("join_salted_skewed")(
     GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
     """
 )
+
+oracle("streaming_incremental_rollup")(
+    # Dual of the incrementally maintained rollup: the whole-table GROUP BY.
+    # If the upsert sink ever dropped/duplicated a (day, type) key across
+    # the two file batches, counts or sums would diverge.
+    """
+    SELECT ts::DATE AS day, event_type, count(*) AS event_count,
+           round(sum(value), 2) AS value_sum
+    FROM events
+    GROUP BY 1, 2 ORDER BY day, event_type
+    """
+)
+
+oracle("text_unigram_logprob")(
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), freqs AS (
+        SELECT term, count(*) AS term_count FROM toks GROUP BY term
+    ), total AS (
+        SELECT count(*) AS total_count FROM toks
+    )
+    SELECT t.doc_id, count(*) AS n_tokens,
+           round(avg(ln(f.term_count::DOUBLE / total.total_count)), 4)
+               AS avg_logprob
+    FROM toks t JOIN freqs f USING (term), total
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """
+)

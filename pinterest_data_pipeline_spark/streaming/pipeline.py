@@ -652,3 +652,63 @@ def availablenow_upsert_roundtrip(
     )
     query.awaitTermination()
     return spark.read.parquet(table_dir).drop("ord")
+
+
+def availablenow_incremental_rollup(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """Incremental materialized view, driven end-to-end as a bounded run:
+    events arrive in TWO file batches; an update-mode streaming aggregation
+    (day x event_type counts + value sum) is maintained through the keyed
+    :func:`upsert_sink`, and the final table must equal the batch rollup
+    over all data.
+
+    This is the pattern that replaces nightly full recomputes at 100 TB:
+    each trigger emits only the (day, type) rows the new files touched,
+    the MERGE rewrites only those keys, and aggregation state lives in the
+    checkpoint — history is never re-read. Two genuinely separate
+    availableNow runs (second sees only the second file via the shared
+    checkpoint) make the cross-batch merge load-bearing: if the sink ever
+    dropped or duplicated a key the totals would diverge from the oracle's
+    whole-table GROUP BY.
+    """
+    import shutil
+
+    from ..session import load_table
+
+    if os.path.exists(work_dir):
+        shutil.rmtree(work_dir)
+    src = os.path.join(work_dir, "src")
+    table_dir = os.path.join(work_dir, "state", "daily_rollup")
+    ckpt_dir = os.path.join(work_dir, "checkpoints", "daily_rollup")
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    mid = events.agg(F.max("event_id")).first()[0] // 2
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("day", F.to_date(F.date_trunc("day", F.col("ts"))))
+            .groupBy("day", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("event_count"),
+                F.sum("value").alias("value_sum"),
+            )
+        )
+
+    for chunk in (
+        events.filter(F.col("event_id") <= mid),
+        events.filter(F.col("event_id") > mid),
+    ):
+        chunk.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        query = upsert_sink(
+            rollup(stream),
+            table_dir,
+            ckpt_dir,
+            keys=["day", "event_type"],
+            available_now=True,
+        )
+        query.awaitTermination()
+    return spark.read.parquet(table_dir)
