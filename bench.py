@@ -116,6 +116,8 @@ HEADLINE = [
     "quality_column_profile",
     "join_salted_skewed",
     "text_unigram_logprob",
+    "agg_histogram_totalprice",
+    "csv_roundtrip_malformed",
 ]
 
 

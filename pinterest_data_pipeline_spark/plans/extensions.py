@@ -862,6 +862,56 @@ def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def csv_roundtrip_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingest with explicit schema + PERMISSIVE corrupt-record DLQ:
+    documents round-trip through CSV, 7 planted type-violating lines land
+    in ``_corrupt_record``, and the one-row summary accounts for every
+    line: valid count + content digest must match the source exactly,
+    corrupt count must equal the planted 7.
+
+    The schema-checked CSV twin of the JSON envelope DLQ (S1's
+    schema.compatibility=NONE landing made explicit): no inference pass,
+    malformed rows quarantined instead of silently nulled or dropped.
+
+    The summary aggregates over EVERY schema column deliberately: Spark's
+    CSV reader parses only the pruned required schema, so a type violation
+    in an unreferenced column would go undetected and the row would pass
+    as valid — the corrupt-record contract only covers columns the query
+    actually reads. Touching all of them makes the DLQ accounting total.
+    """
+    import shutil
+
+    work = _work_dir(sf_dir, "_csv_roundtrip")
+    if os.path.exists(work):
+        shutil.rmtree(work)
+    docs = load_documents(spark, sf_dir).select("doc_id", "text", "n_chars")
+    docs.write.mode("overwrite").csv(work)
+    bad = spark.createDataFrame(
+        [(f"not_a_number_{i},planted corruption,xx",) for i in range(7)],
+        "value string",
+    )
+    bad.coalesce(1).write.mode("append").text(work)
+    read = (
+        spark.read.schema(
+            "doc_id long, text string, n_chars long, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(work)
+    )
+    valid = F.col("_corrupt_record").isNull()
+    return read.agg(
+        F.sum(F.when(valid, 1).otherwise(0)).cast("long").alias("n_valid"),
+        F.sum(F.when(valid, 0).otherwise(1)).cast("long").alias("n_corrupt"),
+        F.sum(
+            F.when(valid, text.stable_hash64(F.col("text")) % F.lit(1_000_000_007))
+        ).alias("content_digest"),
+        F.sum(F.when(valid, F.col("n_chars"))).alias("sum_chars"),
+        F.max(F.when(valid, F.col("doc_id"))).alias("max_doc_id"),
+    )
+
+
+@query
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram language-model quality score: per-document mean log
     probability under the corpus's own unigram distribution — the cheap

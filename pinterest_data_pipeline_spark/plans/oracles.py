@@ -2177,3 +2177,28 @@ oracle("text_unigram_logprob")(
     GROUP BY t.doc_id ORDER BY t.doc_id
     """
 )
+
+oracle("agg_histogram_totalprice")(
+    """
+    SELECT least(floor(o_totalprice / 50000.0)::INT, 11) AS bin_id,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS bin_min,
+           round(max(o_totalprice), 2) AS bin_max
+    FROM orders GROUP BY 1 ORDER BY bin_id
+    """
+)
+
+oracle("csv_roundtrip_malformed")(
+    # The CSV round-trip must be lossless for every valid line (count +
+    # md5-derived digest match the source) and the 7 planted bad lines
+    # must all land in the corrupt-record column, not vanish.
+    """
+    SELECT count(*) AS n_valid,
+           7::BIGINT AS n_corrupt,
+           sum(('0x' || substring(md5(text), 1, 15))::BIGINT % 1000000007)::BIGINT
+               AS content_digest,
+           sum(n_chars)::BIGINT AS sum_chars,
+           max(doc_id) AS max_doc_id
+    FROM documents
+    """
+)

@@ -1226,6 +1226,29 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def agg_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram of order totals: 12 equal-width 50k bins with
+    the overflow clamped into the top bin. Pure arithmetic binning
+    (floor((x-lo)/width)) — one partial-agg-friendly groupBy, exact in
+    both engines, no width_bucket dependency; the standard first look at
+    any numeric distribution before choosing salting/partition bounds."""
+    orders = load_table(spark, sf_dir, "orders")
+    width, nbins = 50_000.0, 12
+    bin_id = F.least(
+        F.floor(F.col("o_totalprice") / width).cast("int"), F.lit(nbins - 1)
+    )
+    return (
+        orders.groupBy(bin_id.alias("bin_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+@query
 def quality_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column data profile of orders in ONE aggregation pass: rows,
     nulls, distinct cardinality, numeric bounds — the ingest-time profiling

@@ -285,6 +285,23 @@ def test_tfidf_term_join_is_not_a_forced_broadcast(spark):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 
+def test_unigram_logprob_vocabulary_join_not_forced_broadcast(spark):
+    """Same contract as tfidf: the term-frequency table is corpus-derived
+    (vocabulary-sized), so its join back onto the token stream must be
+    AQE's choice — with the threshold off, a shuffle join must appear;
+    only the 1-row total-count broadcast is sanctioned."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "text_unigram_logprob")
+        assert plan.count("BroadcastHashJoin") <= 1, plan
+        assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin")), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
 def test_sessionize_gap_costs_one_user_exchange(spark):
     """Gap sessionization: the lag window, the running-sum window, and the
     per-session rollup all share the user_id partitioning, so the whole
