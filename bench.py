@@ -118,6 +118,7 @@ HEADLINE = [
     "text_unigram_logprob",
     "agg_histogram_totalprice",
     "csv_roundtrip_malformed",
+    "join_asof_next_order",
 ]
 
 

@@ -31,9 +31,14 @@ def asof_join(
     by: tuple[str, str],
     value_cols: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the right row with the
-    greatest ``on`` value <= the left row's ``on`` value, matched per key.
+    """As-of join: for each left row, the nearest right row per key.
+
+    ``direction="backward"`` (default): greatest right ``on`` <= left ``on``
+    (point-in-time feature lookup). ``direction="forward"``: smallest right
+    ``on`` >= left ``on`` (next-event attribution). Equality matches in
+    both directions, like DuckDB's ASOF JOIN with >= / <=.
 
     ``on``: ordering column name present in both sides (comparable types).
     ``by``: (left_key, right_key) equi-key pair.
@@ -43,11 +48,14 @@ def asof_join(
     restriction is what makes the result deterministic (and matches DuckDB's
     ASOF JOIN for the oracle).
 
-    Implementation: tag sides, union, one window per key ordered by
-    (on, side) with right rows sorting first at equal ``on`` (>= semantics),
-    then ``last(value, ignorenulls=True)`` carries the latest right values
-    forward onto each left row.
+    Implementation: tag sides, union, ONE window per key — the side sort
+    key places right rows on the matching side of equal-``on`` left rows,
+    and ``last``/``first`` with ignorenulls carries the nearest right
+    values onto each left row. One shuffle+sort on the key, O(left+right)
+    state — never the quadratic inequality-join + groupBy.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward or forward, got {direction!r}")
     lk, rk = by
     l_tagged = left.select(
         F.col(lk).alias("_key"),
@@ -63,18 +71,26 @@ def asof_join(
         F.lit(None).cast(l_tagged.schema["_left"].dataType).alias("_left"),
         *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
     )
-    w = (
-        Window.partitionBy("_key")
-        .orderBy("_on", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # right rows sort before equal-on left rows; scan looks backward
+        w = (
+            Window.partitionBy("_key")
+            .orderBy(F.asc("_on"), F.asc("_side"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        fill = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+    else:
+        # right rows sort after equal-on left rows; scan looks forward
+        w = (
+            Window.partitionBy("_key")
+            .orderBy(F.asc("_on"), F.desc("_side"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        fill = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
     filled = l_tagged.unionByName(r_tagged).select(
         "_side",
         "_left",
-        *[
-            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_rv_{c}")
-            for c in value_cols
-        ],
+        *[fill(f"_rv_{c}").over(w).alias(f"_rv_{c}") for c in value_cols],
     )
     return filled.filter(F.col("_side") == 1).select(
         *[F.col(f"_left.{c}").alias(c) for c in left.columns],

@@ -671,6 +671,38 @@ def join_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def join_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each event picks the user's NEXT order on/after
+    it — the attribution direction (what did this event lead to), the
+    mirror of the point-in-time lookup. Same union + per-key window plan
+    (one shuffle, no inequality explosion); DuckDB's ASOF JOIN with <= is
+    the oracle."""
+    from ..operators.joins import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    obs = events.select(
+        "event_id", "user_id", F.to_date("ts").alias("obs_date")
+    )
+    daily = (
+        orders.withColumn("obs_date", F.to_date("o_orderdate"))
+        .groupBy("o_custkey", "obs_date")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_spend"))
+        .withColumn("order_date", F.col("obs_date"))
+    )
+    out = asof_join(
+        obs,
+        daily,
+        on="obs_date",
+        by=("user_id", "o_custkey"),
+        value_cols=["order_date", "day_spend"],
+        suffix="_next",
+        direction="forward",
+    )
+    return out.orderBy("event_id")
+
+
+@query
 def join_range_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: lineitems shipped within 90 days of their order's date.
 

@@ -2202,3 +2202,24 @@ oracle("csv_roundtrip_malformed")(
     FROM documents
     """
 )
+
+oracle("join_asof_next_order")(
+    # Forward as-of: smallest order_date >= event date per user (DuckDB
+    # ASOF JOIN with <=). Right side pre-aggregated per (custkey, day) for
+    # the deterministic-match contract.
+    """
+    WITH daily AS (
+        SELECT o_custkey, o_orderdate::date AS obs_date,
+               o_orderdate::date AS order_date,
+               round(sum(o_totalprice), 2) AS day_spend
+        FROM orders GROUP BY o_custkey, o_orderdate::date
+    ), ev AS (
+        SELECT event_id, user_id, ts::date AS obs_date FROM events
+    )
+    SELECT ev.event_id, ev.user_id, ev.obs_date,
+           d.order_date AS order_date_next, d.day_spend AS day_spend_next
+    FROM ev ASOF LEFT JOIN daily d
+      ON ev.user_id = d.o_custkey AND ev.obs_date <= d.obs_date
+    ORDER BY event_id
+    """
+)

@@ -42,6 +42,33 @@ def test_asof_join_keeps_all_left_rows_and_columns(spark):
     assert out.count() == left.count()
 
 
+def test_asof_join_forward_picks_earliest_at_or_after(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", _d(5)), (2, "u1", _d(8)), (3, "u2", _d(7)), (4, "u3", _d(5))],
+        ["event_id", "uid", "obs_date"],
+    )
+    right = spark.createDataFrame(
+        [("u1", _d(1), 10.0), ("u1", _d(5), 20.0), ("u1", _d(7), 30.0), ("u2", _d(6), 99.0)],
+        ["cust", "obs_date", "spend"],
+    )
+    out = {
+        r.event_id: r.spend_next
+        for r in asof_join(
+            left,
+            right,
+            on="obs_date",
+            by=("uid", "cust"),
+            value_cols=["spend"],
+            suffix="_next",
+            direction="forward",
+        ).collect()
+    }
+    assert out[1] == 20.0  # equal date counts (forward <= semantics)
+    assert out[2] is None  # only earlier right rows exist -> no match
+    assert out[3] is None  # u2's only order is before the event
+    assert out[4] is None  # key absent from right -> no match
+
+
 def test_range_join_band_containment(spark):
     left = spark.createDataFrame([(1, _d(5)), (1, _d(20)), (2, _d(5))], ["k", "p"])
     right = spark.createDataFrame(
