@@ -2223,3 +2223,23 @@ oracle("join_asof_next_order")(
     ORDER BY event_id
     """
 )
+
+oracle("scalar_math_functions")(
+    # DuckDB log10() is explicit; % on positive ints matches Spark's %.
+    # sign() returns int in DuckDB, double in Spark -> cast ::DOUBLE.
+    """
+    SELECT p_partkey,
+           round(abs(p_retailprice - 1500.0), 2) AS abs_delta,
+           ceil(p_retailprice / 100.0)::BIGINT AS price_ceil,
+           floor(p_retailprice / 100.0)::BIGINT AS price_floor,
+           pow(p_size::DOUBLE, 2) AS size_sq,
+           round(sqrt(p_size::DOUBLE), 6) AS size_sqrt,
+           round(exp(p_size / 100.0), 6) AS size_exp,
+           round(log10(p_size::DOUBLE), 6) AS size_log10,
+           (p_size % 7)::INT AS size_mod7,
+           sign(p_retailprice - 1500.0)::DOUBLE AS price_sign,
+           greatest(p_size, 25)::INT AS size_hi,
+           least(p_size, 25)::INT AS size_lo
+    FROM part
+    """
+)

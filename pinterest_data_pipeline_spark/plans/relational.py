@@ -157,6 +157,29 @@ def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # unsorted: order-insensitive compare; sort sampling would rescan
 
 
+@query
+def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-function battery over part, completing the scalar trio (date,
+    string, math): abs/ceil/floor/pow/sqrt/exp/log10/mod/sign/greatest/
+    least — all JVM built-ins; transcendentals round(6), far above libm
+    ulp differences between engines."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.round(F.abs(F.col("p_retailprice") - 1500.0), 2).alias("abs_delta"),
+        F.ceil(F.col("p_retailprice") / 100.0).alias("price_ceil"),
+        F.floor(F.col("p_retailprice") / 100.0).alias("price_floor"),
+        F.pow(F.col("p_size").cast("double"), 2).alias("size_sq"),
+        F.round(F.sqrt(F.col("p_size").cast("double")), 6).alias("size_sqrt"),
+        F.round(F.exp(F.col("p_size") / 100.0), 6).alias("size_exp"),
+        F.round(F.log10(F.col("p_size").cast("double")), 6).alias("size_log10"),
+        (F.col("p_size") % 7).alias("size_mod7"),
+        F.signum(F.col("p_retailprice") - 1500.0).alias("price_sign"),
+        F.greatest(F.col("p_size"), F.lit(25)).alias("size_hi"),
+        F.least(F.col("p_size"), F.lit(25)).alias("size_lo"),
+    )  # unsorted: order-insensitive compare, like the string battery
+
+
 # ===========================================================================
 # MERGE / upsert (engine-native Delta MERGE INTO — operators/merge.py)
 # ===========================================================================
