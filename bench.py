@@ -119,6 +119,9 @@ HEADLINE = [
     "agg_histogram_totalprice",
     "csv_roundtrip_malformed",
     "join_asof_next_order",
+    "scalar_math_functions",
+    "schema_evolution_merge",
+    "quality_table_checksum",
 ]
 
 

@@ -912,6 +912,54 @@ def csv_roundtrip_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution: an old batch (doc_id, text) and an evolved
+    batch (+lang, +n_chars) read together with ``mergeSchema`` — the
+    lakehouse append-with-new-columns path (the reference's landing zone
+    declares ``schema.compatibility=NONE``, IMPL:72, i.e. drift happens;
+    this is the read-side contract for surviving it). Old rows surface the
+    new columns as NULL; no rewrite of historical files.
+    """
+    import shutil
+
+    work = _work_dir(sf_dir, "_schema_evo")
+    if os.path.exists(work):
+        shutil.rmtree(work)
+    docs = load_documents(spark, sf_dir)
+    v1 = os.path.join(work, "v1")
+    v2 = os.path.join(work, "v2")
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text").write.parquet(v1)
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", "lang", "n_chars"
+    ).write.parquet(v2)
+    merged = spark.read.option("mergeSchema", "true").parquet(v1, v2)
+    return merged.select("doc_id", "text", "lang", "n_chars").orderBy("doc_id")
+
+
+@query
+def quality_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy table checksum: one order-insensitive digest row over
+    orders' stable columns (md5-derived row hash summed mod a prime, plus
+    count). The replication-audit primitive — two sides of a copy job
+    compare one row instead of the table; any changed/dropped/duplicated
+    row moves the digest. Map-side partial agg, no shuffle of row data.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+    )
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(text.stable_hash64(canon) % F.lit(1_000_000_007)).alias("table_digest"),
+    )
+
+
+@query
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram language-model quality score: per-document mean log
     probability under the corpus's own unigram distribution — the cheap

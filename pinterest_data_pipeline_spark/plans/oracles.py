@@ -2243,3 +2243,27 @@ oracle("scalar_math_functions")(
     FROM part
     """
 )
+
+oracle("schema_evolution_merge")(
+    # Old-batch rows (even doc_id) must surface the evolved columns as
+    # NULL; evolved rows carry them through unchanged.
+    """
+    SELECT doc_id, text,
+           CASE WHEN doc_id % 2 = 1 THEN lang END AS lang,
+           CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+    FROM documents ORDER BY doc_id
+    """
+)
+
+oracle("quality_table_checksum")(
+    # Same canonical row serialization on both sides: ints/strings render
+    # identically, the date via an explicit format string.
+    """
+    SELECT count(*) AS n_rows,
+           sum(('0x' || substring(md5(concat_ws('|',
+                    o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+                    strftime(o_orderdate, '%Y-%m-%d'))), 1, 15))::BIGINT
+               % 1000000007)::BIGINT AS table_digest
+    FROM orders
+    """
+)
