@@ -886,11 +886,11 @@ def csv_roundtrip_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work)
     docs = load_documents(spark, sf_dir).select("doc_id", "text", "n_chars")
     docs.write.mode("overwrite").csv(work)
-    bad = spark.createDataFrame(
-        [(f"not_a_number_{i},planted corruption,xx",) for i in range(7)],
-        "value string",
-    )
-    bad.coalesce(1).write.mode("append").text(work)
+    # plant the corruption with a driver-side write: 7 lines of test
+    # scaffolding don't justify a Spark job
+    with open(os.path.join(work, "part-99999-planted-bad.csv"), "w") as f:
+        for i in range(7):
+            f.write(f"not_a_number_{i},planted corruption,xx\n")
     read = (
         spark.read.schema(
             "doc_id long, text string, n_chars long, _corrupt_record string"
