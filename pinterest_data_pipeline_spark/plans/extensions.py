@@ -218,14 +218,30 @@ def sample_per_lang_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query
 def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded per-stratum Bernoulli sample (rows-only: Spark-internal
-    sampler; rate correctness pinned by pytest)."""
+    """Seeded per-stratum Bernoulli sample, bound-oracle form: realized
+    counts depend on Spark's internal sampler, so the query emits the
+    exact per-stratum total (cross-engine) plus the invariant
+    ``|n_sampled/n_total − 0.5| ≤ 0.15`` per language; the DuckDB dual
+    emits the totals with literal TRUE. Rate precision stays pinned by
+    pytest on the operator itself."""
     docs = load_documents(spark, sf_dir)
     langs = [r.lang for r in docs.select("lang").distinct().collect()]
     sampled = sampling.stratified_sample(docs, "lang", {lg: 0.5 for lg in langs})
+    counts = sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
     return (
-        sampled.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        totals.join(counts, "lang", "left")
+        .select(
+            "lang",
+            "n_total",
+            (
+                F.abs(
+                    F.coalesce(F.col("n_sampled"), F.lit(0)) / F.col("n_total")
+                    - 0.5
+                )
+                <= 0.15
+            ).alias("within_tolerance"),
+        )
         .orderBy("lang")
     )
 
@@ -268,13 +284,36 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-10: sample-trained coarse cells + probe + exact re-rank
-    (rows-only; recall vs brute force asserted in pytest)."""
+    """IVF ANN with recall certification: sample-trained coarse cells
+    (seeded, deterministic) + 4-of-16-cell probe + exact re-rank, then the
+    approximate top-10 is joined against the engine-exact quantized
+    brute-force top-10 and the per-query overlap bound (≥2 of 10) is
+    emitted as a boolean the DuckDB dual states as literal TRUE. Exact
+    per-dataset overlaps (3-7 of 10 across the test SFs) stay pinned by
+    pytest; the driver row certifies the invariant cross-engine."""
     emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vectors(spark, sf_dir)
     centroids = similarity.train_ivf_centroids(emb, n_cells=16)
-    return similarity.ivf_topk(
-        emb, _query_vectors(spark, sf_dir), centroids, k=10, n_probe=4
-    ).orderBy("query_id", "rank")
+    ann = similarity.ivf_topk(emb, q, centroids, k=10, n_probe=4)
+    exact = similarity.cosine_topk_quantized(emb, q, k=10).select(
+        "query_id", "vec_id"
+    )
+    overlap = (
+        ann.select("query_id", "vec_id")
+        .join(exact, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    base = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_returned"))
+    return (
+        base.join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            "n_returned",
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= 2).alias("recall_ok"),
+        )
+        .orderBy("query_id")
+    )
 
 
 @query

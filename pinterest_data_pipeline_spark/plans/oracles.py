@@ -2267,3 +2267,39 @@ oracle("quality_table_checksum")(
     FROM orders
     """
 )
+
+# Bound-oracle duals for the formerly rows-only sketch/sampling/ANN
+# queries: the Spark side computes the engine-specific value AND the
+# deterministic reference, emits the invariant as a boolean; the dual
+# emits the reference with literal TRUE.
+
+oracle("sketch_hll_distinct_parts")(
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_distinct,
+           TRUE AS within_bound
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+)
+
+oracle("sketch_hll_merge_equals_direct")(
+    """
+    SELECT count(DISTINCT user_id) AS exact_users,
+           TRUE AS merge_equals_direct
+    FROM events
+    """
+)
+
+oracle("sample_stratified_by_lang")(
+    """
+    SELECT lang, count(*) AS n_total, TRUE AS within_tolerance
+    FROM documents GROUP BY lang ORDER BY lang
+    """
+)
+
+oracle("ann_ivf_topk")(
+    """
+    SELECT vec_id AS query_id, 10::BIGINT AS n_returned, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 3 ORDER BY query_id
+    """
+)

