@@ -43,16 +43,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # focused debugging. tests/test_registry_window.py pins this invariant.
 # ROUND-6 ROTATION: the 21 queries that earned their second certification
 # in r5 rotate out (oracle + tools/check_parity.py coverage retained).
-# In: the 4 oracled queries that never held a green driver row (tpch_q12
-# — red in r5 only via the now-fixed HUGEINT hashing artifact — plus the
-# three round-5 additions that never had a slot), the 2 approx aggregates
-# newly converted to bound-oracles, the 5 new round-6 operators (int8
-# embedding quantization, two-stage ANN rerank, small-files compaction,
-# gap sessionization, streaming keyed upsert), and every once-certified
-# query — the 28 certified in r5 plus the 11 certified once in earlier
-# rounds — to earn its second row. 4+2+5+28+11 = 50.
+# In: every oracled query that has never held a green driver row — the 4
+# carried from r5 (tpch_q12 red only via the now-fixed HUGEINT hashing
+# artifact, plus the three round-5 additions that never had a slot), the
+# 2 approx aggregates converted to bound-oracles, the 14 round-6
+# additions (int8 quantization, two-stage rerank, compaction,
+# sessionization, streaming upsert + incremental MV, column profile,
+# salted join, unigram scoring, histogram, CSV DLQ, forward as-of, math
+# battery, schema evolution, table checksum) and the 4 formerly rows-only
+# queries now bound-oracled (HLL x2, stratified sampling, IVF recall) —
+# leaving ZERO oracled-never-certified entries if the round is green.
+# The remaining 25 slots hold once-certified r5 queries earning their
+# second row; the other 14 once-certified queries (cleaning/text singles,
+# three simple TPC-H shapes) already hold a green row each and queue for
+# r7. 4+2+19+25 = 50.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # never-certified oracled queries
+    # never-certified oracled queries (carried from r5)
     "tpch_q12_priority_shipmode",
     "text_pii_redaction",
     "text_repetition_battery",
@@ -60,12 +66,26 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # approx aggregates, newly bound-oracled
     "agg_approx_distinct",
     "q6_median_acctbal_per_band_approx",
-    # new round-6 operators
+    # new round-6 operators and bound-oracle conversions
     "embedding_quantize_int8",
     "ann_two_stage_rerank",
     "layout_compact_small_files",
     "streaming_upsert_latest_events",
     "events_sessionize_gap",
+    "streaming_incremental_rollup",
+    "quality_column_profile",
+    "join_salted_skewed",
+    "text_unigram_logprob",
+    "agg_histogram_totalprice",
+    "csv_roundtrip_malformed",
+    "join_asof_next_order",
+    "scalar_math_functions",
+    "schema_evolution_merge",
+    "quality_table_checksum",
+    "sketch_hll_distinct_parts",
+    "sketch_hll_merge_equals_direct",
+    "sample_stratified_by_lang",
+    "ann_ivf_topk",
     # once-certified in r5 - earn their second driver certification
     "tpch_q11_important_stock",
     "sample_hash_split_counts",
@@ -75,16 +95,13 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "text_normalization_collapse",
     "text_normalized_keys",
     "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q10_returned_items",
     "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue_share",
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_part_counts",
     "tpch_q17_small_quantity_revenue",
-    "tpch_q19_disjunctive_predicates",
     "tpch_q20_promotion_suppliers",
     "tpch_q22_dormant_customers",
     "pack_sequences_documents",
@@ -95,18 +112,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "events_resample_interpolate",
     "window_time_range_frame",
     "join_bucketed_colocated",
-    # once-certified in earlier rounds - second certification
-    "clean_normalize_nulls_documents",
-    "clean_parse_human_count_part",
-    "clean_strip_prefix_part",
-    "clean_distinct_flag_status",
-    "window_running_revenue",
-    "join_anti_customers_without_orders",
-    "text_token_stats",
-    "text_lang_id",
-    "text_quality_scores",
-    "text_fingerprints",
-    "dedup_ngram_jaccard_adjacent",
 )
 
 

@@ -37,24 +37,17 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
         "tpch_q12_priority_shipmode",
         "tpch_q22_dormant_customers",
     ),
-    "sampling": ("sample_hash_split_counts", "sample_per_lang_cap"),
-    "similarity": ("ann_topk_cosine", "ann_two_stage_rerank"),
+    "sampling": (
+        "sample_hash_split_counts",
+        "sample_per_lang_cap",
+        "sample_stratified_by_lang",
+    ),
+    "similarity": ("ann_topk_cosine", "ann_two_stage_rerank", "ann_ivf_topk"),
     "text_normalization": ("text_normalization_collapse", "text_normalized_keys"),
-    "cleaning_singles": (
-        "clean_normalize_nulls_documents",
-        "clean_parse_human_count_part",
-        "clean_strip_prefix_part",
-        "clean_distinct_flag_status",
+    "sketches": (
+        "sketch_hll_distinct_parts",
+        "sketch_hll_merge_equals_direct",
     ),
-    "text_singles": (
-        "text_token_stats",
-        "text_lang_id",
-        "text_quality_scores",
-        "text_fingerprints",
-    ),
-    "running_window": ("window_running_revenue",),
-    "anti_join": ("join_anti_customers_without_orders",),
-    "ngram_jaccard": ("dedup_ngram_jaccard_adjacent",),
     # round-5 additions
     "sequence_packing": ("pack_sequences_documents",),
     "chunking": ("text_chunk_sliding",),
@@ -73,7 +66,38 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
     "vector_compression": ("embedding_quantize_int8",),
     "layout_compaction": ("layout_compact_small_files",),
     "sessionization_batch": ("events_sessionize_gap",),
+    "incremental_mv": ("streaming_incremental_rollup",),
+    "column_profile": ("quality_column_profile",),
+    "salted_join": ("join_salted_skewed",),
+    "unigram_scoring": ("text_unigram_logprob",),
+    "histogram": ("agg_histogram_totalprice",),
+    "csv_dlq": ("csv_roundtrip_malformed",),
+    "asof_forward": ("join_asof_next_order",),
+    "math_battery": ("scalar_math_functions",),
+    "schema_evolution": ("schema_evolution_merge",),
+    "table_checksum": ("quality_table_checksum",),
 }
+
+# Once-certified queries that yielded their window seat to the round-6
+# never-certified block: each already holds one green driver row, keeps
+# its oracle and full local parity coverage, and queues for its second
+# certification in the r7 rotation.
+ONCE_CERTIFIED_QUEUE: tuple[str, ...] = (
+    "clean_normalize_nulls_documents",
+    "clean_parse_human_count_part",
+    "clean_strip_prefix_part",
+    "clean_distinct_flag_status",
+    "window_running_revenue",
+    "join_anti_customers_without_orders",
+    "text_token_stats",
+    "text_lang_id",
+    "text_quality_scores",
+    "text_fingerprints",
+    "dedup_ngram_jaccard_adjacent",
+    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_revenue_share",
+    "tpch_q19_disjunctive_predicates",
+)
 
 # Families fully driver-certified (two green rounds for every listed member
 # by CORRECTNESS_r05). Documented so a judge can see nothing was dropped —
@@ -272,3 +296,11 @@ def test_certified_families_remain_registered_with_oracles():
     for family, reps in CERTIFIED_FAMILIES.items():
         for rep in reps:
             assert rep in names, (family, rep)
+
+
+def test_once_certified_queue_remains_registered_with_oracles():
+    """Yielding a window seat must never delete the query or its oracle."""
+    names = set(entry.queries())
+    for q in ONCE_CERTIFIED_QUEUE:
+        assert q in names, q
+        assert q in oracles.ORACLES, q
