@@ -194,3 +194,131 @@ def test_approx_percentile_two_level_merge_within_error_bound(spark):
         F.expr(f"percentile(o_totalprice, {min(hi, 1.0)})").alias("hi"),
     ).first()
     assert bounds.lo <= approx_union <= bounds.hi, (exact, approx_union, bounds)
+
+
+# --- round-6 operator properties --------------------------------------------
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100.0,
+                max_value=100.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_quantize_int8_reconstruction_error_bound(spark, vecs):
+    """Dequantized components must lie within half a quantization step of
+    the original: |x - code*maxabs/127| <= maxabs/254 (+ float slack)."""
+    from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+    from pinterest_data_pipeline_spark.operators import similarity
+
+    schema = StructType(
+        [StructField("vec_id", LongType()), StructField("embedding", ArrayType(FloatType()))]
+    )
+    df = spark.createDataFrame(list(enumerate(vecs)), schema)
+    codes = similarity.quantize_int8_longform(df).collect()
+    maxabs = [0.0] * 4
+    for v in vecs:
+        for i, x in enumerate(v):
+            maxabs[i] = max(maxabs[i], abs(float(x)))
+    for r in codes:
+        assert -127 <= r.code <= 127
+        m = maxabs[r.pos]
+        x = float(vecs[r.vec_id][r.pos])
+        if m == 0:
+            assert r.code == 0
+        else:
+            assert abs(x - r.code * m / 127.0) <= m / 254.0 + 1e-6 * m
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # user
+            st.integers(min_value=0, max_value=100_000),  # ts seconds
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+@settings(**SETTINGS)
+def test_sessionize_gap_partitions_events_correctly(spark, rows):
+    """Session numbering invariants: every event belongs to exactly one
+    session; intra-session consecutive gaps <= threshold; the gap that
+    starts a new session > threshold."""
+    from pyspark.sql import Window
+
+    gap_s = 600
+    df = spark.createDataFrame(
+        [(u, i, ts) for i, (u, ts) in enumerate(rows)], ["user_id", "event_id", "ts_s"]
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    prev = F.lag("ts_s").over(w)
+    is_new = F.when(prev.isNull() | (F.col("ts_s") - prev > gap_s), 1).otherwise(0)
+    out = (
+        df.withColumn("is_new", is_new)
+        .withColumn(
+            "session_seq",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .collect()
+    )
+    assert len(out) == len(rows)
+    by_user: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.user_id, r.ts_s, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r)
+    for evs in by_user.values():
+        assert evs[0].session_seq == 1
+        for a, b in zip(evs, evs[1:]):
+            if b.session_seq == a.session_seq:
+                assert b.ts_s - a.ts_s <= gap_s
+            else:
+                assert b.session_seq == a.session_seq + 1
+                assert b.ts_s - a.ts_s > gap_s
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=15),
+    st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=15),
+)
+@settings(**SETTINGS)
+def test_asof_forward_is_backward_on_reversed_axis(spark, left_ts, right_ts):
+    """Duality: forward as-of on t equals backward as-of on -t."""
+    from pinterest_data_pipeline_spark.operators.joins import asof_join
+
+    right_ts = sorted(set(right_ts))
+    left = spark.createDataFrame(
+        [(i, "k", t) for i, t in enumerate(left_ts)], ["lid", "key", "t"]
+    )
+    right = spark.createDataFrame([("k", t, float(t)) for t in right_ts], ["rk", "t", "val"])
+    fwd = {
+        r.lid: r.val_x
+        for r in asof_join(
+            left, right, on="t", by=("key", "rk"), value_cols=["val"],
+            suffix="_x", direction="forward",
+        ).collect()
+    }
+    neg = F.col("t") * -1
+    left_n = left.withColumn("t", neg)
+    right_n = right.withColumn("t", neg)
+    bwd = {
+        r.lid: r.val_x
+        for r in asof_join(
+            left_n, right_n, on="t", by=("key", "rk"), value_cols=["val"],
+            suffix="_x", direction="backward",
+        ).collect()
+    }
+    assert fwd == bwd
