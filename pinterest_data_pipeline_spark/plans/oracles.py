@@ -1895,41 +1895,54 @@ oracle("events_resample_interpolate")(
     ), types AS (
         SELECT DISTINCT event_type FROM events
     ), hourly AS (
-        SELECT date_trunc('hour', ts) AS h, event_type, round(sum(value), 4) AS v
+        -- single rounding site: exact integer 1e-4 units; the
+        -- interpolation below is exact arithmetic on these (Spark does
+        -- the same in longs), so no intermediate-rounding knife edges
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               round(sum(value) * 10000)::BIGINT AS v4
         FROM events GROUP BY 1, 2
     ), grid AS (
         SELECT s.h, t.event_type FROM spine s CROSS JOIN types t
     ), j AS (
-        SELECT g.h, g.event_type, hv.v
+        SELECT g.h, g.event_type, hv.v4
         FROM grid g LEFT JOIN hourly hv USING (h, event_type)
     ), scanned AS (
-        SELECT h, event_type, v,
-            last_value(v IGNORE NULLS) OVER (
+        SELECT h, event_type, v4,
+            last_value(v4 IGNORE NULLS) OVER (
                 PARTITION BY event_type ORDER BY h
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
-            last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER (
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v4,
+            last_value(CASE WHEN v4 IS NOT NULL THEN h END IGNORE NULLS) OVER (
                 PARTITION BY event_type ORDER BY h
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
-            first_value(v IGNORE NULLS) OVER (
+            first_value(v4 IGNORE NULLS) OVER (
                 PARTITION BY event_type ORDER BY h
-                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
-            first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER (
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v4,
+            first_value(CASE WHEN v4 IS NOT NULL THEN h END IGNORE NULLS) OVER (
                 PARTITION BY event_type ORDER BY h
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
         FROM j
     )
+    , interp AS (
+        -- exact integer interpolation + integer round-half-away: no
+        -- float rounding anywhere (decimal ties like 850700/80000 =
+        -- 10.63375 are rounded identically by construction)
+        SELECT h, event_type, v4, prev_v4, next_v4, prev_h, next_h,
+               prev_v4 * (epoch(next_h)::BIGINT - epoch(h)::BIGINT)
+                   + next_v4 * (epoch(h)::BIGINT - epoch(prev_h)::BIGINT) AS num,
+               epoch(next_h)::BIGINT - epoch(prev_h)::BIGINT AS den
+        FROM scanned
+    )
     SELECT event_type,
            strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
-           round(CASE
-               WHEN prev_v IS NULL THEN next_v
-               WHEN next_v IS NULL THEN prev_v
-               WHEN epoch(next_h) = epoch(prev_h) THEN v
-               ELSE prev_v + (next_v - prev_v)
-                    * ((epoch(h) - epoch(prev_h))
-                       / (epoch(next_h) - epoch(prev_h)))
-           END, 4) AS value_interp,
-           (v IS NULL) AS was_gap
-    FROM scanned ORDER BY event_type, hour
+           (CASE
+               WHEN prev_v4 IS NULL THEN next_v4
+               WHEN next_v4 IS NULL THEN prev_v4
+               WHEN epoch(next_h) = epoch(prev_h) THEN v4
+               WHEN num < 0 THEN -((2 * (-num) + den) // (2 * den))
+               ELSE (2 * num + den) // (2 * den)
+           END) / 10000.0 AS value_interp,
+           (v4 IS NULL) AS was_gap
+    FROM interp ORDER BY event_type, hour
     """
 )
 

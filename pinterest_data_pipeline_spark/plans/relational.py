@@ -1135,11 +1135,23 @@ def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same scale shape as the ffill variant: spine × types is a tiny
     broadcast cross join, and both direction-scans are windows PARTITIONED
     BY TYPE, so the sort parallelizes across keys — never a global order.
+
+    Numeric contract: observations are scaled to exact integer 1e-4 units
+    at the single rounding site, the interpolation is exact long
+    arithmetic (``prev4*(m-k) + next4*k`` over second offsets), and the
+    final value is rounded to 1e-4 units with INTEGER round-half-away
+    (``(2|num|+den) div (2 den)``) before an exact ``/10000.0`` — no
+    float rounding anywhere. Float round(4) is structurally unsafe here:
+    linear interpolation of 4-decimal observations lands EXACTLY on
+    decimal ties (e.g. 850700/80000 = 10.63375) that have no binary
+    representation, and Spark's BigDecimal-exact rounding disagrees with
+    DuckDB's float-multiply rounding on which side such doubles fall
+    (caught by the sf0.001 sweep).
     """
     events = load_table(spark, sf_dir, "events")
     hourly = events.groupBy(
         F.date_trunc("hour", "ts").alias("h"), "event_type"
-    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    ).agg(F.round(F.sum("value") * 10000).cast("long").alias("v4"))
     bounds = events.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi"),
@@ -1160,26 +1172,36 @@ def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
-    prev_v = F.last("v", ignorenulls=True).over(wb)
+    obs_h = F.when(F.col("v4").isNotNull(), F.col("h"))
+    prev_v4 = F.last("v4", ignorenulls=True).over(wb)
     prev_h = F.last(obs_h, ignorenulls=True).over(wb)
-    next_v = F.first("v", ignorenulls=True).over(wf)
+    next_v4 = F.first("v4", ignorenulls=True).over(wf)
     next_h = F.first(obs_h, ignorenulls=True).over(wf)
-    frac = (
-        F.unix_timestamp("h") - F.unix_timestamp(prev_h)
-    ) / (F.unix_timestamp(next_h) - F.unix_timestamp(prev_h))
-    interp = (
-        F.when(prev_v.isNull(), next_v)
-        .when(next_v.isNull(), prev_v)
-        .when(F.unix_timestamp(next_h) == F.unix_timestamp(prev_h), F.col("v"))
-        .otherwise(prev_v + (next_v - prev_v) * frac)
+    k = F.unix_timestamp("h") - F.unix_timestamp(prev_h)
+    m = F.unix_timestamp(next_h) - F.unix_timestamp(prev_h)
+    num = prev_v4 * (m - k) + next_v4 * k
+    mag = F.expr(
+        "(2 * abs(_num) + _den) div (2 * _den)"
     )
-    return filled.select(
-        "event_type",
-        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
-        F.round(interp, 4).alias("value_interp"),
-        F.col("v").isNull().alias("was_gap"),
-    ).orderBy("event_type", "hour")
+    interp_e4 = (
+        F.when(prev_v4.isNull(), next_v4)
+        .when(next_v4.isNull(), prev_v4)
+        .when(m == 0, F.col("v4"))
+        .otherwise(
+            F.when(num < 0, -mag).otherwise(mag)
+        )
+    )
+    return (
+        filled.withColumn("_num", num)
+        .withColumn("_den", m)
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            (interp_e4 / 10000.0).alias("value_interp"),
+            F.col("v4").isNull().alias("was_gap"),
+        )
+        .orderBy("event_type", "hour")
+    )
 
 
 @query
