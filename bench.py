@@ -122,6 +122,7 @@ HEADLINE = [
     "scalar_math_functions",
     "schema_evolution_merge",
     "quality_table_checksum",
+    "pandas_grouped_agg_weighted_mean",
 ]
 
 

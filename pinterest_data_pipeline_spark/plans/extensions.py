@@ -951,6 +951,40 @@ def csv_roundtrip_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def pandas_grouped_agg_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG Pandas UDF — the remaining Arrow-vectorized UDF flavor
+    (grouped map and mapInPandas are covered elsewhere): a value-weighted
+    mean price per order priority, computed as a custom aggregate over
+    Arrow batches. Partial aggregation does NOT apply to grouped-agg
+    Python UDFs (whole groups ship to the Python worker), which is why
+    the core path avoids them — this query documents the API and its
+    cost model; the exact SQL dual is sum(xw)/sum(w).
+    """
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: the module's postponed annotations would make
+    # signature-based inference see unresolvable strings
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wmean(price, qty):
+        return float((price * qty).sum() / qty.sum())
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey
+    ).select("o_orderpriority", "l_extendedprice", "l_quantity")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                wmean(F.col("l_extendedprice"), F.col("l_quantity")), 4
+            ).alias("weighted_mean_price")
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query
 def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet schema evolution: an old batch (doc_id, text) and an evolved
     batch (+lang, +n_chars) read together with ``mergeSchema`` — the

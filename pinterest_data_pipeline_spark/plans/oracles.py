@@ -2316,3 +2316,14 @@ oracle("ann_ivf_topk")(
     FROM embeddings WHERE vec_id < 3 ORDER BY query_id
     """
 )
+
+oracle("pandas_grouped_agg_weighted_mean")(
+    # Exact dual of the GROUPED_AGG pandas UDF: weighted mean = sum(xw)/sum(w).
+    """
+    SELECT o.o_orderpriority,
+           round(sum(l.l_extendedprice * l.l_quantity) / sum(l.l_quantity), 4)
+               AS weighted_mean_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """
+)
