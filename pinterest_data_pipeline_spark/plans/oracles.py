@@ -2298,7 +2298,7 @@ oracle("sketch_hll_distinct_parts")(
 oracle("sketch_hll_merge_equals_direct")(
     """
     SELECT count(DISTINCT user_id) AS exact_users,
-           TRUE AS merge_equals_direct
+           TRUE AS merge_within_bound
     FROM events
     """
 )

