@@ -324,6 +324,23 @@ def test_quantize_int8_broadcasts_dim_bounded_scales(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_histogram_has_map_side_partial_agg(spark):
+    """Arithmetic binning must keep partial aggregation: HashAggregate
+    above AND below the exchange, so 100 TB of orders reduce to 12 bins
+    before any shuffle."""
+    plan = plan_of(spark, "agg_histogram_totalprice")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_table_checksum_is_single_pass_no_row_shuffle(spark):
+    """The anti-entropy digest must never shuffle row data: one scan, a
+    map-side partial aggregate, and a 1-row final exchange only."""
+    plan = plan_of(spark, "quality_table_checksum")
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" not in plan  # only the 1-row single-partition exchange
+    assert "BatchEvalPython" not in plan
+
+
 def test_pack_sequences_never_globally_sorts_the_data(spark):
     """The packing prefix sum must stay block-parallel: its only wide
     exchange over the data is the per-block hash partitioning — a global
