@@ -951,6 +951,37 @@ def csv_roundtrip_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def dedup_simhash_exact_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall floor for the xxhash64 SimHash variant, driver-certifiable:
+    identical texts have identical signatures (Hamming 0), so every
+    exact-duplicate pair in the corpus MUST appear in the near-dup output.
+    The query emits each md5-derived exact-dup pair with a found flag; the
+    DuckDB dual emits the same pairs with literal TRUE. The pair LIST from
+    simhash stays rows-only (bucket hashes are engine-specific) — this
+    certifies the invariant that matters without it.
+    """
+    docs = load_documents(spark, sf_dir)
+    found = dedup.simhash_near_duplicates(
+        docs, "text", "doc_id", max_distance=10
+    ).select("id_a", "id_b", F.lit(True).alias("_hit"))
+    h = docs.select(F.md5("text").alias("h"), "doc_id")
+    a = h.select(F.col("h"), F.col("doc_id").alias("id_a"))
+    b = h.select(F.col("h"), F.col("doc_id").alias("id_b"))
+    exact_pairs = a.join(b, "h").filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b"
+    )
+    return (
+        exact_pairs.join(found, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce(F.col("_hit"), F.lit(False)).alias("found_by_simhash"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query
 def pandas_grouped_agg_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPED_AGG Pandas UDF — the remaining Arrow-vectorized UDF flavor
     (grouped map and mapInPandas are covered elsewhere): a value-weighted

@@ -2327,3 +2327,14 @@ oracle("pandas_grouped_agg_weighted_mean")(
     GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
     """
 )
+
+oracle("dedup_simhash_exact_recall")(
+    # Identical text -> identical signature -> Hamming 0: simhash must
+    # find every exact-duplicate pair, whatever its bucket hashes are.
+    """
+    WITH g AS (SELECT md5(text) AS h, doc_id FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, TRUE AS found_by_simhash
+    FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """
+)
