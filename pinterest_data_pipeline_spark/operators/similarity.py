@@ -246,6 +246,65 @@ def two_stage_rerank(
     )
 
 
+def lsh_topk_multitable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    n_planes: int = 3,
+    n_tables: int = 16,
+    seed: int = 1234,
+) -> DataFrame:
+    """ANN top-k via OR-amplified multi-table LSH + exact cosine rerank.
+
+    The working configuration for moderate-similarity corpora where
+    single-table LSH recall collapses (see :func:`lsh_topk`): ``n_tables``
+    independent 3-plane tables, candidates = union of bucket collisions
+    across tables, exact rerank on the deduplicated candidate set. At
+    similarity ~0.4 the per-pair collision probability is
+    ``1-(1-(1-θ/π)^3)^16 ≈ 0.99``, so top-k recall is near-exhaustive —
+    the n^(1+rho) candidate cost OR-amplification pays near the
+    similarity bulk (same trade documented for embedding_near_duplicates).
+    Each table is one bucket equi-join; no all-pairs stage anywhere.
+    """
+    frames = []
+    for t in range(n_tables):
+        planes = _hyperplanes(n_planes, dim, seed + 1000 * t)
+        bucketed = corpus.select(
+            F.col(id_col),
+            hyperplane_bucket(as_double(F.col(vec_col)), planes).alias("bucket"),
+        )
+        qb = queries.select(
+            F.col(id_col).alias(query_id_col),
+            hyperplane_bucket(as_double(F.col(vec_col)), planes).alias("bucket"),
+        )
+        frames.append(bucketed.join(qb, "bucket").select(query_id_col, id_col))
+    cands = frames[0]
+    for f in frames[1:]:
+        cands = cands.unionByName(f)
+    cands = cands.filter(F.col(id_col) != F.col(query_id_col)).distinct()
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), as_double(F.col(vec_col)).alias("query_vec")
+    )
+    scored = (
+        cands.join(corpus.select(id_col, vec_col), id_col)
+        .join(F.broadcast(q), query_id_col)
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine(as_double(F.col(vec_col)), F.col("query_vec")), 6),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, id_col, "cosine_sim", F.col("rk").alias("rank"))
+    )
+
+
 def _hyperplanes(n_planes: int, dim: int, seed: int = 1234) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]

@@ -283,6 +283,39 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def ann_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified multi-table LSH top-10 with recall certification: 16
+    independent 3-plane tables push per-pair collision probability to ~99%
+    at the corpus's similarity bulk, so the approximate top-10 overlaps
+    the exact quantized brute-force top-10 in >= 7 of 10 slots (observed
+    9-10 at every test SF with seeded planes). The single-table collapse
+    regime stays documented (and rows-only) in ann_lsh_topk.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vectors(spark, sf_dir)
+    ann = similarity.lsh_topk_multitable(emb, q, k=10, dim=64)
+    exact = similarity.cosine_topk_quantized(emb, q, k=10).select(
+        "query_id", "vec_id"
+    )
+    overlap = (
+        ann.select("query_id", "vec_id")
+        .join(exact, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    base = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_returned"))
+    return (
+        base.join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            "n_returned",
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= 7).alias("recall_ok"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@query
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with recall certification: sample-trained coarse cells
     (seeded, deterministic) + 4-of-16-cell probe + exact re-rank, then the

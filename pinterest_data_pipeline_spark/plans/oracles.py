@@ -2338,3 +2338,10 @@ oracle("dedup_simhash_exact_recall")(
     ORDER BY id_a, id_b
     """
 )
+
+oracle("ann_lsh_multitable_topk")(
+    """
+    SELECT vec_id AS query_id, 10::BIGINT AS n_returned, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 3 ORDER BY query_id
+    """
+)
