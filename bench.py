@@ -123,6 +123,8 @@ HEADLINE = [
     "schema_evolution_merge",
     "quality_table_checksum",
     "pandas_grouped_agg_weighted_mean",
+    "events_funnel_steps",
+    "events_retention_cohorts",
 ]
 
 

@@ -2345,3 +2345,64 @@ oracle("ann_lsh_multitable_topk")(
     FROM embeddings WHERE vec_id < 3 ORDER BY query_id
     """
 )
+
+oracle("events_funnel_steps")(
+    # Same sequential-conditional-min formulation: each step's first time
+    # must be strictly after the previous step's first time.
+    """
+    WITH v AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        FROM events GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, min(v.t_view) AS t_view,
+               min(CASE WHEN e.event_type = 'click' AND e.ts > v.t_view
+                        THEN e.ts END) AS t_click
+        FROM events e JOIN v USING (user_id)
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(c.t_view) AS t_view, min(c.t_click) AS t_click,
+               min(CASE WHEN e.event_type = 'purchase' AND e.ts > c.t_click
+                        THEN e.ts END) AS t_purchase
+        FROM events e JOIN c USING (user_id)
+        GROUP BY e.user_id
+    ), agg AS (
+        SELECT count(t_view) AS n_view, count(t_click) AS n_click,
+               count(t_purchase) AS n_purchase
+        FROM p
+    )
+    SELECT 1 AS step, 'view' AS step_name, n_view AS n_users,
+           round(n_view / n_view::DOUBLE, 4) AS conversion_from_step1 FROM agg
+    UNION ALL
+    SELECT 2, 'click_after_view', n_click,
+           round(n_click / n_view::DOUBLE, 4) FROM agg
+    UNION ALL
+    SELECT 3, 'purchase_after_click', n_purchase,
+           round(n_purchase / n_view::DOUBLE, 4) FROM agg
+    ORDER BY step
+    """
+)
+
+oracle("events_retention_cohorts")(
+    """
+    WITH fs AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ), act AS (
+        SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS active_week,
+               f.cohort_week
+        FROM events e JOIN fs f USING (user_id)
+    ), m AS (
+        SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+               (datediff('day', cohort_week, active_week) / 7)::INT AS week_offset,
+               count(DISTINCT user_id) AS n_active
+        FROM act GROUP BY 1, 2
+    ), cs AS (
+        SELECT cohort_week, n_active AS cohort_size FROM m WHERE week_offset = 0
+    )
+    SELECT m.cohort_week, m.week_offset, m.n_active,
+           round(m.n_active / cs.cohort_size::DOUBLE, 4) AS retention_rate
+    FROM m JOIN cs USING (cohort_week)
+    ORDER BY cohort_week, week_offset
+    """
+)

@@ -1372,6 +1372,121 @@ def join_salted_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel (view -> click -> purchase): per user,
+    each step counts only if it happens strictly after the previous
+    step's first occurrence; output is the per-step user count plus
+    conversion from step 1.
+
+    The scalable shape: one aggregation per user computing first-view,
+    first-click-after-view, first-purchase-after-that via conditional
+    min-timestamps — no self-joins, no per-step scans; the whole funnel
+    is ONE groupBy(user) pass then a tiny rollup.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    # strict ordering: each step's time is conditional on the prior step
+    ordered = (
+        events.join(per_user.select("user_id", "t_view"), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min("t_view").alias("t_view"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_click"),
+        )
+    )
+    full = (
+        events.join(ordered, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min("t_view").alias("t_view"),
+            F.min("t_click").alias("t_click"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase"),
+        )
+    )
+    counts = full.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_view"),
+        F.count(F.when(F.col("t_click").isNotNull(), 1)).alias("n_click"),
+        F.count(F.when(F.col("t_purchase").isNotNull(), 1)).alias("n_purchase"),
+    )
+    steps = F.array(
+        F.struct(F.lit(1).alias("step"), F.lit("view").alias("step_name"), F.col("n_view").alias("n_users")),
+        F.struct(F.lit(2).alias("step"), F.lit("click_after_view").alias("step_name"), F.col("n_click").alias("n_users")),
+        F.struct(F.lit(3).alias("step"), F.lit("purchase_after_click").alias("step_name"), F.col("n_purchase").alias("n_users")),
+    )
+    return (
+        counts.select(F.explode(steps).alias("s"), "n_view")
+        .select(
+            "s.step",
+            "s.step_name",
+            "s.n_users",
+            F.round(F.col("s.n_users") / F.col("n_view"), 4).alias("conversion_from_step1"),
+        )
+        .orderBy("step")
+    )
+
+
+@query
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, counted
+    as retained in each later week they are active; output is the classic
+    (cohort_week, week_offset, n_active, retention_rate) matrix.
+
+    Two aggregations: first-seen per user (groupBy user), then the cohort
+    matrix (groupBy cohort, offset) — both partial-agg friendly; the only
+    join is user -> first_seen, which AQE broadcasts when cohort
+    cardinality allows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    week = lambda c: F.date_trunc("week", c)  # noqa: E731
+    first_seen = events.groupBy("user_id").agg(
+        week(F.min("ts")).alias("cohort_week")
+    )
+    active = (
+        events.select("user_id", week(F.col("ts")).alias("active_week"))
+        .distinct()
+        .join(first_seen, "user_id")
+    )
+    offset = (
+        F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+    ).cast("int")
+    matrix = (
+        active.groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            offset.alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    cohort_size = matrix.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        matrix.join(cohort_size, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            F.round(F.col("n_active") / F.col("cohort_size"), 4).alias(
+                "retention_rate"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@query
 def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: a new session starts when a user is idle
     longer than 6 hours; per-session rollup (events, bounds, value).
