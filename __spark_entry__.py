@@ -46,7 +46,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # In: every oracled query that has never held a green driver row — the 4
 # carried from r5 (tpch_q12 red only via the now-fixed HUGEINT hashing
 # artifact, plus the three round-5 additions that never had a slot), the
-# 2 approx aggregates converted to bound-oracles, the 14 round-6
+# 2 approx aggregates converted to bound-oracles, the 15 round-6
 # additions (int8 quantization, two-stage rerank, compaction,
 # sessionization, streaming upsert + incremental MV, column profile,
 # salted join, unigram scoring, histogram, CSV DLQ, forward as-of, math

@@ -10,6 +10,10 @@ from __future__ import annotations
 
 import os
 
+# module-level so get_type_hints can resolve the postponed ``pd.Series``
+# annotations on pandas_udf definitions below
+import pandas as pd  # noqa: F401
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -929,7 +933,7 @@ def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "event_type",
         "event_count",
-        F.round("value_sum", 2).alias("value_sum"),
+        F.round(F.col("value_cents") / 100.0, 2).alias("value_sum"),
     ).orderBy("day", "event_type")
 
 
@@ -957,7 +961,20 @@ def csv_roundtrip_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     if os.path.exists(work):
         shutil.rmtree(work)
     docs = load_documents(spark, sf_dir).select("doc_id", "text", "n_chars")
-    docs.write.mode("overwrite").csv(work)
+    # writer/reader options are SYMMETRIC so any text survives the
+    # round-trip byte-exact: escape='"' + multiLine=True carries embedded
+    # newlines through quoted fields, and the distinct nullValue/emptyValue
+    # sentinels keep NULL text and empty-string text distinguishable
+    # (default options silently read empties back as NULL). multiLine
+    # reads split per-file instead of per-block — fine for a DLQ ingest
+    # path whose parallelism is the file count.
+    (
+        docs.write.mode("overwrite")
+        .option("escape", '"')
+        .option("nullValue", "\\N")
+        .option("emptyValue", '""')
+        .csv(work)
+    )
     # plant the corruption with a driver-side write: 7 lines of test
     # scaffolding don't justify a Spark job
     with open(os.path.join(work, "part-99999-planted-bad.csv"), "w") as f:
@@ -969,6 +986,10 @@ def csv_roundtrip_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("multiLine", True)
+        .option("escape", '"')
+        .option("nullValue", "\\N")
+        .option("emptyValue", "")
         .csv(work)
     )
     valid = F.col("_corrupt_record").isNull()
@@ -985,32 +1006,43 @@ def csv_roundtrip_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query
 def dedup_simhash_exact_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall floor for the xxhash64 SimHash variant, driver-certifiable:
-    identical texts have identical signatures (Hamming 0), so every
-    exact-duplicate pair in the corpus MUST appear in the near-dup output.
-    The query emits each md5-derived exact-dup pair with a found flag; the
-    DuckDB dual emits the same pairs with literal TRUE. The pair LIST from
-    simhash stays rows-only (bucket hashes are engine-specific) — this
-    certifies the invariant that matters without it.
+    """Recall floor for the xxhash64 SimHash variant, driver-certifiable as
+    a POSITIVE assertion: identical texts have identical signatures
+    (Hamming 0), so every exact-duplicate pair in the corpus MUST appear in
+    the near-dup output. The natural corpus may contain zero exact-dup
+    pairs at small SFs (sf0.01 has none), which would let the invariant
+    certify via an empty result — the weakest possible green — so the
+    query PLANTS 50 deterministic duplicates (the 50 lowest doc_ids,
+    re-keyed at +10M) before running simhash. The single output row
+    ``(n_expected_pairs, n_found, n_missed)`` then has
+    ``n_expected_pairs >= 50`` at every SF; the DuckDB dual computes the
+    same pair count and states ``n_found = n_expected, n_missed = 0`` as
+    the recall invariant. The pair LIST from simhash stays rows-only
+    (bucket hashes are engine-specific) — this certifies the invariant
+    that matters without it.
     """
-    docs = load_documents(spark, sf_dir)
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    planted = (
+        docs.orderBy("doc_id")
+        .limit(50)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+    )
+    corpus = docs.unionByName(planted)
     found = dedup.simhash_near_duplicates(
-        docs, "text", "doc_id", max_distance=10
+        corpus, "text", "doc_id", max_distance=10
     ).select("id_a", "id_b", F.lit(True).alias("_hit"))
-    h = docs.select(F.md5("text").alias("h"), "doc_id")
+    h = corpus.select(F.md5("text").alias("h"), "doc_id")
     a = h.select(F.col("h"), F.col("doc_id").alias("id_a"))
     b = h.select(F.col("h"), F.col("doc_id").alias("id_b"))
     exact_pairs = a.join(b, "h").filter(F.col("id_a") < F.col("id_b")).select(
         "id_a", "id_b"
     )
-    return (
-        exact_pairs.join(found, ["id_a", "id_b"], "left")
-        .select(
-            "id_a",
-            "id_b",
-            F.coalesce(F.col("_hit"), F.lit(False)).alias("found_by_simhash"),
-        )
-        .orderBy("id_a", "id_b")
+    return exact_pairs.join(found, ["id_a", "id_b"], "left").agg(
+        F.count(F.lit(1)).cast("long").alias("n_expected_pairs"),
+        F.sum(F.when(F.col("_hit"), 1).otherwise(0)).cast("long").alias("n_found"),
+        F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missed"),
     )
 
 
@@ -1023,14 +1055,21 @@ def pandas_grouped_agg_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFr
     Python UDFs (whole groups ship to the Python worker), which is why
     the core path avoids them — this query documents the API and its
     cost model; the exact SQL dual is sum(xw)/sum(w).
-    """
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
 
-    # explicit functionType: the module's postponed annotations would make
-    # signature-based inference see unresolvable strings
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def wmean(price, qty):
-        return float((price * qty).sum() / qty.sum())
+    Inputs are quantized to integer cents before the weighted sum, so the
+    pandas-side pairwise summation and the SQL dual's scan-order summation
+    are the SAME exact int64 sum — no float sum-order knife-edge, one
+    float division + one rounding site on each engine. Series-to-scalar
+    type hints are the current pandas_udf spelling (the string
+    ``PandasUDFType.GROUPED_AGG`` form is deprecated in Spark 4).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wmean(price: pd.Series, qty: pd.Series) -> float:
+        cents = (price * 100).round().astype("int64")
+        q = qty.round().astype("int64")
+        return float(int((cents * q).sum()) / int(q.sum()) / 100.0)
 
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")

@@ -2168,7 +2168,8 @@ oracle("streaming_incremental_rollup")(
     # the two file batches, counts or sums would diverge.
     """
     SELECT ts::DATE AS day, event_type, count(*) AS event_count,
-           round(sum(value), 2) AS value_sum
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+               AS value_sum
     FROM events
     GROUP BY 1, 2 ORDER BY day, event_type
     """
@@ -2311,18 +2312,31 @@ oracle("sample_stratified_by_lang")(
 )
 
 oracle("ann_ivf_topk")(
+    # n_returned is derived, not hard-coded: least(k, corpus minus the
+    # query itself) survives a tiny corpus. PRECONDITION for the literal
+    # recall_ok/full-k at the IVF probe level: with n_probe=4 of 16 cells
+    # the probed cells must together hold >= k non-query vectors — true
+    # from sf0.001 upward (>= 600 vectors, ~37/cell at worst); pytest pins
+    # the per-dataset overlaps.
     """
-    SELECT vec_id AS query_id, 10::BIGINT AS n_returned, TRUE AS recall_ok
+    SELECT vec_id AS query_id,
+           least(10, (SELECT count(*) - 1 FROM embeddings))::BIGINT AS n_returned,
+           TRUE AS recall_ok
     FROM embeddings WHERE vec_id < 3 ORDER BY query_id
     """
 )
 
 oracle("pandas_grouped_agg_weighted_mean")(
-    # Exact dual of the GROUPED_AGG pandas UDF: weighted mean = sum(xw)/sum(w).
+    # Exact dual of the GROUPED_AGG pandas UDF: weighted mean =
+    # sum(xw)/sum(w), with x quantized to integer cents on BOTH engines so
+    # the sums are exact int64 (no float sum-order drift); one float
+    # division + one round(4) per engine, at the same site.
     """
     SELECT o.o_orderpriority,
-           round(sum(l.l_extendedprice * l.l_quantity) / sum(l.l_quantity), 4)
-               AS weighted_mean_price
+           round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * CAST(round(l.l_quantity) AS BIGINT))
+                 / sum(CAST(round(l.l_quantity) AS BIGINT)) / 100.0,
+                 4) AS weighted_mean_price
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
     """
@@ -2331,17 +2345,36 @@ oracle("pandas_grouped_agg_weighted_mean")(
 oracle("dedup_simhash_exact_recall")(
     # Identical text -> identical signature -> Hamming 0: simhash must
     # find every exact-duplicate pair, whatever its bucket hashes are.
+    # The corpus is the documents table plus 50 planted duplicates (the
+    # 50 lowest doc_ids re-keyed at +10M — same planting as the Spark
+    # side), so n_expected_pairs >= 50 at every SF: a green row asserts
+    # PRESENCE of recalled pairs, not absence of misses over an
+    # accidentally-empty pair set.
     """
-    WITH g AS (SELECT md5(text) AS h, doc_id FROM documents)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, TRUE AS found_by_simhash
+    WITH planted AS (
+        SELECT doc_id + 10000000 AS doc_id, text
+        FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50)
+    ), corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM planted
+    ), g AS (SELECT md5(text) AS h, doc_id FROM corpus)
+    SELECT count(*)::BIGINT AS n_expected_pairs,
+           count(*)::BIGINT AS n_found,
+           0::BIGINT AS n_missed
     FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
-    ORDER BY id_a, id_b
     """
 )
 
 oracle("ann_lsh_multitable_topk")(
+    # n_returned derived as least(k, corpus minus the query). PRECONDITION
+    # for full-k at the LSH level: the union of bucket collisions across
+    # the 16 OR-amplified tables must reach >= k candidates per query —
+    # with 3-plane tables (8 buckets) every corpus from sf0.001 upward
+    # collides >> k; pytest pins the observed per-dataset recall.
     """
-    SELECT vec_id AS query_id, 10::BIGINT AS n_returned, TRUE AS recall_ok
+    SELECT vec_id AS query_id,
+           least(10, (SELECT count(*) - 1 FROM embeddings))::BIGINT AS n_returned,
+           TRUE AS recall_ok
     FROM embeddings WHERE vec_id < 3 ORDER BY query_id
     """
 )

@@ -688,12 +688,19 @@ def availablenow_incremental_rollup(
     mid = events.agg(F.max("event_id")).first()[0] // 2
 
     def rollup(df: DataFrame) -> DataFrame:
+        # value accumulates as exact integer cents: streaming state adds
+        # per-batch partials in a different order than a whole-table sum,
+        # and integer addition is the one order-insensitive formulation
+        # (the source values are cent-quantized, so this is lossless);
+        # the read edge divides back to currency at a single site
         return (
             df.withColumn("day", F.to_date(F.date_trunc("day", F.col("ts"))))
             .groupBy("day", "event_type")
             .agg(
                 F.count(F.lit(1)).alias("event_count"),
-                F.sum("value").alias("value_sum"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                    "value_cents"
+                ),
             )
         )
 
