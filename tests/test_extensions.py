@@ -90,6 +90,54 @@ def test_cluster_pairs_components(spark):
     assert comps[10] == comps[11] == 10 and comps[20] == 20
 
 
+def test_cluster_pairs_requires_checkpoint_dir_when_reliable(spark):
+    if spark.sparkContext.getCheckpointDir() is not None:
+        pytest.skip("a checkpoint dir is already set on the shared context")
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    with pytest.raises(ValueError, match="checkpoint dir"):
+        dedup.cluster_pairs(pairs, reliable=True)
+
+
+def test_cluster_pairs_one_action_per_iteration(spark):
+    """VERDICT r6 item 3: the convergence flag folds into the round's
+    materializing aggregate — ONE action (= one job once AQE and broadcast
+    side-jobs are disabled) per iteration, not the old checkpoint + diff
+    pair that doubled scheduler round-trips."""
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.adaptive.enabled", "false")
+    ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sc = ns.sparkContext
+    pairs = ns.createDataFrame([(1, 2), (1, 3), (1, 4)], ["id_a", "id_b"])
+    group = "cluster-pairs-job-accounting"
+    sc.setJobGroup(group, "count actions per iteration")
+    try:
+        comps = {
+            r.member_id: r.cluster_id
+            for r in dedup.cluster_pairs(pairs).collect()
+        }
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1}
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    # star graph: round 1 relabels the leaves, round 2 observes no change
+    # (2 aggregate actions), + the final collect = 3 jobs total; the old
+    # two-jobs-per-round shape would show 5+
+    assert len(jobs) == 3, sorted(jobs)
+
+
+def test_cluster_pairs_reliable_checkpoint(spark, tmp_path):
+    """reliable=True writes fault-tolerant checkpoints (survives executor
+    loss, unlike localCheckpoint's block storage) and converges to the
+    same components."""
+    ckpt = tmp_path / "cc-ckpt"
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+    out = dedup.cluster_pairs(pairs, reliable=True, checkpoint_dir=str(ckpt))
+    comps = {r.member_id: r.cluster_id for r in out.collect()}
+    assert {comps[i] for i in (1, 2, 3)} == {1}
+    assert comps[10] == comps[11] == 10
+    assert any(ckpt.rglob("*")), "no checkpoint files written"
+
+
 def test_near_duplicate_clusters_keep_decision(docs):
     out = {r.doc_id: (r.cluster_id, r.keep) for r in
            dedup.near_duplicate_clusters(docs, "text", "doc_id", threshold=0.5).collect()}
