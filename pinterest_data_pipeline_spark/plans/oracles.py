@@ -2365,6 +2365,19 @@ oracle("dedup_simhash_exact_recall")(
     """
 )
 
+oracle("ann_lsh_topk")(
+    # Same certification dual as ann_lsh_multitable_topk: the Spark side
+    # runs the OR-amplified configuration under an INDEPENDENT plane seed,
+    # so the two green rows together certify the recall floor is seed-
+    # robust, not one lucky hyperplane draw.
+    """
+    SELECT vec_id AS query_id,
+           least(10, (SELECT count(*) - 1 FROM embeddings))::BIGINT AS n_returned,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 3 ORDER BY query_id
+    """
+)
+
 oracle("ann_lsh_multitable_topk")(
     # n_returned derived as least(k, corpus minus the query). PRECONDITION
     # for full-k at the LSH level: the union of bucket collisions across
