@@ -945,6 +945,25 @@ def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def streaming_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_funnel_steps``, certified from the
+    driver: events replayed as two event-time-ordered file batches through
+    the ``applyInPandasWithState`` funnel operator (O(1) state per user:
+    three epoch-nano longs) and the keyed upsert sink; the converged
+    per-user first-times table rolls up through the SAME presentation
+    edge as the batch funnel, and the oracle is the batch funnel's SQL
+    dual — a green row certifies incremental == recompute.
+    """
+    from ..streaming import pipeline as streaming_pipeline
+    from .relational import funnel_steps_rollup
+
+    per_user = streaming_pipeline.availablenow_funnel_steps(
+        spark, sf_dir, _work_dir(sf_dir, "_streaming_funnel")
+    )
+    return funnel_steps_rollup(per_user)
+
+
+@query
 def csv_roundtrip_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV ingest with explicit schema + PERMISSIVE corrupt-record DLQ:
     documents round-trip through CSV, 7 planted type-violating lines land

@@ -2429,6 +2429,11 @@ oracle("events_funnel_steps")(
     """
 )
 
+# The streaming funnel must converge to EXACTLY the batch funnel on the
+# same events — one oracle text, two engines' worth of certification
+# (batch conditional-min vs incremental stateful-greedy + upsert).
+ORACLES["streaming_funnel_steps"] = ORACLES["events_funnel_steps"]
+
 oracle("events_retention_cohorts")(
     """
     WITH fs AS (

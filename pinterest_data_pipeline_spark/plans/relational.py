@@ -1416,7 +1416,18 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("t_purchase"),
         )
     )
-    counts = full.agg(
+    return funnel_steps_rollup(full)
+
+
+def funnel_steps_rollup(per_user: DataFrame) -> DataFrame:
+    """(t_view, t_click, t_purchase) per user -> the 3-row funnel summary.
+
+    Shared presentation edge between the batch funnel above and the
+    streaming twin (streaming/pipeline.py ``availablenow_funnel_steps``),
+    so stream-vs-batch parity is a statement about the per-user first-time
+    computation, not about two rollup implementations.
+    """
+    counts = per_user.agg(
         F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_view"),
         F.count(F.when(F.col("t_click").isNotNull(), 1)).alias("n_click"),
         F.count(F.when(F.col("t_purchase").isNotNull(), 1)).alias("n_purchase"),

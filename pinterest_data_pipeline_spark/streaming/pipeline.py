@@ -719,3 +719,53 @@ def availablenow_incremental_rollup(
         )
         query.awaitTermination()
     return spark.read.parquet(table_dir)
+
+
+def availablenow_funnel_steps(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """Streaming ordered funnel, driven end-to-end as a bounded run: events
+    land in TWO event-time-ordered file batches (split at the time-range
+    midpoint — the log-ingestion arrival order the stateful operator's
+    precondition names); ``funnel_first_times`` maintains per-user
+    (t_view, t_click, t_purchase) in O(1) state across both drains, the
+    keyed upsert sink converges the monotone per-user rows, and the result
+    is the final per-user funnel table. The caller rolls it up with the
+    SAME presentation edge as the batch funnel, so the two must agree
+    row-for-row on the same events.
+
+    The 100 TB posture: per-user state is three longs (no event buffering),
+    emission touches only users seen in the batch, and the upsert rewrites
+    only their keys — history is never re-read across triggers.
+    """
+    import shutil
+
+    from ..session import load_table
+    from .stateful import funnel_first_times
+
+    if os.path.exists(work_dir):
+        shutil.rmtree(work_dir)
+    src = os.path.join(work_dir, "src")
+    table_dir = os.path.join(work_dir, "state", "funnel_times")
+    ckpt_dir = os.path.join(work_dir, "checkpoints", "funnel_times")
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    mid_ts = lo + (hi - lo) / 2
+    for chunk in (
+        events.filter(F.col("ts") <= F.lit(mid_ts)),
+        events.filter(F.col("ts") > F.lit(mid_ts)),
+    ):
+        chunk.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        query = upsert_sink(
+            funnel_first_times(stream),
+            table_dir,
+            ckpt_dir,
+            keys=["user_id"],
+            available_now=True,
+        )
+        query.awaitTermination()
+    return spark.read.parquet(table_dir)

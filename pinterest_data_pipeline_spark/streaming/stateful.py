@@ -94,3 +94,97 @@ def running_user_totals(
     return events.groupBy(key_col).applyInPandasWithState(
         update, RUNNING_TOTALS_SCHEMA, _STATE_SCHEMA, "update", timeout
     )
+
+
+# --- ordered funnel (view -> click -> purchase) -----------------------------
+
+FUNNEL_TIMES_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("t_view", T.TimestampType()),
+        T.StructField("t_click", T.TimestampType()),
+        T.StructField("t_purchase", T.TimestampType()),
+    ]
+)
+
+# epoch nanos with -1 as "not reached": integer state round-trips exactly
+# and keeps the per-key footprint at three longs
+_FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("t_view_ns", T.LongType()),
+        T.StructField("t_click_ns", T.LongType()),
+        T.StructField("t_purchase_ns", T.LongType()),
+    ]
+)
+
+
+def funnel_first_times(
+    events: DataFrame,
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of the batch ordered funnel (plans/relational.py
+    ``events_funnel_steps``): per user, first ``steps[0]`` time, first
+    ``steps[1]`` strictly after it, first ``steps[2]`` strictly after
+    that — maintained incrementally across micro-batches in O(1) state per
+    user (three epoch-nano longs).
+
+    PRECONDITION: micro-batches must arrive in event-time order ACROSS
+    batches (the log-ingestion norm: files land in time order); in-batch
+    order is restored by a per-key sort, so only cross-batch reordering
+    matters. Under that ordering the greedy state update is exactly the
+    batch conditional-min formulation, strict inequalities included. Late
+    (out-of-order) data would need the buffered-finalize variant — buffer
+    events in state, finalize per watermark advance — which trades state
+    size for reordering tolerance; this operator takes the O(1)-state side
+    of that trade and documents it.
+
+    Emits the current (t_view, t_click, t_purchase) per user seen in the
+    batch (update mode); fields are monotone — set once, never changed —
+    so a keyed upsert sink converges to the final funnel table.
+    """
+    first_step, second_step, third_step = steps
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        tv, tc, tp = state.get if state.exists else (-1, -1, -1)
+        rows = pd.concat([pdf[[ts_col, type_col]] for pdf in pdfs])
+        rows = rows.sort_values(ts_col, kind="mergesort")
+        for ts, et in zip(rows[ts_col], rows[type_col]):
+            if tp >= 0:
+                break
+            t = pd.Timestamp(ts).value
+            if tv < 0:
+                if et == first_step:
+                    tv = t
+            elif tc < 0:
+                if et == second_step and t > tv:
+                    tc = t
+            elif et == third_step and t > tc:
+                tp = t
+        state.update((tv, tc, tp))
+
+        def as_ts(v: int):
+            return pd.Timestamp(v) if v >= 0 else pd.NaT
+
+        yield pd.DataFrame(
+            {
+                "user_id": [uid],
+                "t_view": [as_ts(tv)],
+                "t_click": [as_ts(tc)],
+                "t_purchase": [as_ts(tp)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        FUNNEL_TIMES_SCHEMA,
+        _FUNNEL_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -633,3 +633,71 @@ def test_availablenow_roundtrip_dedups_and_is_idempotent(spark, tmp_path):
     # re-run wipes and rebuilds the work dir, so materialize before comparing
     again = streaming.pipeline.availablenow_events_roundtrip(spark, sf, work)
     assert {tuple(r) for r in again.collect()} == first_rows
+
+
+def test_stream_funnel_matches_batch(spark, tmp_path):
+    """The incrementally maintained funnel (two event-time-ordered drains
+    through the stateful operator + keyed upsert) must equal the batch
+    conditional-min funnel row-for-row on the same events."""
+    from pinterest_data_pipeline_spark.plans.relational import (
+        events_funnel_steps,
+        funnel_steps_rollup,
+    )
+    from pinterest_data_pipeline_spark.streaming.pipeline import (
+        availablenow_funnel_steps,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    per_user = availablenow_funnel_steps(spark, sf, str(tmp_path / "funnel"))
+    streamed = [tuple(r) for r in funnel_steps_rollup(per_user).collect()]
+    batch = [tuple(r) for r in events_funnel_steps(spark, sf).collect()]
+    assert streamed == batch
+    assert streamed[0][2] > 0  # n_view positive: the parity is non-vacuous
+
+
+def test_funnel_state_strict_ordering_across_batches(spark, tmp_path):
+    """Crafted sequences pin the strictness semantics: a click at the same
+    timestamp as the first view does NOT count, a click BEFORE the first
+    view does not count but a later one does, and state carries the funnel
+    across two separate drains."""
+    from pinterest_data_pipeline_spark.streaming.pipeline import upsert_sink
+    from pinterest_data_pipeline_spark.streaming.stateful import funnel_first_times
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, ts timestamp, event_type string"
+
+    def t(sec):
+        from datetime import datetime, timedelta
+
+        return datetime(2024, 1, 1) + timedelta(seconds=sec)
+
+    batch1 = [
+        (1, t(1), "view"), (1, t(2), "click"),           # u1 view+click
+        (2, t(1), "click"), (2, t(2), "view"),           # u2 early click ignored
+        (3, t(1), "view"), (3, t(1), "click"),           # u3 same-ts click: strict
+    ]
+    batch2 = [
+        (1, t(3), "purchase"),                            # u1 completes across drains
+        (2, t(4), "click"), (2, t(5), "purchase"),        # u2 click counts now
+        (3, t(6), "purchase"),                            # u3 purchase without click
+    ]
+    for rows in (batch1, batch2):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        q = upsert_sink(
+            funnel_first_times(spark.readStream.schema(schema).parquet(src)),
+            table,
+            ckpt,
+            keys=["user_id"],
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    got = {
+        r.user_id: (r.t_view, r.t_click, r.t_purchase)
+        for r in spark.read.parquet(table).collect()
+    }
+    assert got[1] == (t(1), t(2), t(3))
+    assert got[2] == (t(2), t(4), t(5))
+    assert got[3] == (t(1), None, None)
