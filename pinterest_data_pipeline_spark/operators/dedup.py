@@ -69,6 +69,18 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def containment(a: Column, b: Column) -> Column:
+    """Asymmetric containment |A ∩ B| / |A| of two array columns.
+
+    The doc-in-doc signal Jaccard misses: a short document fully embedded
+    in a long one has containment(short, long) = 1 while Jaccard ~
+    |short|/|long| → 0 — which is why quote/boilerplate/eval-contamination
+    detection keys on containment, not Jaccard (the same asymmetry n-gram
+    decontamination exploits one-sidedly)."""
+    inter = F.size(F.array_intersect(a, b))
+    return F.when(F.size(a) > 0, inter / F.size(a)).otherwise(F.lit(0.0))
+
+
 def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """(id, distinct shingle array) — the input to MinHash and Jaccard."""
     return df.select(

@@ -115,3 +115,56 @@ def scd2_history(
         .withColumn("is_current", F.col("valid_to").isNull())
         .drop("__is_change", ts_col)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """CDC between two full snapshots of a keyed table.
+
+    Emits the change feed a downstream MERGE / incremental view consumes:
+    one row per changed key with ``change_type`` in (insert, delete,
+    update) plus ``old_<c>`` / ``new_<c>`` for every compared column;
+    unchanged keys produce nothing. ``update`` uses null-safe comparison,
+    so NULL -> value and value -> NULL transitions count as changes.
+
+    The engine-native twin of Delta's CHANGE DATA FEED for sources that
+    only hand you periodic full dumps (the common warehouse-export shape):
+    one full-outer shuffle join on the key — the irreducible cost without
+    file statistics, and exactly the cost MERGE itself pays.
+    """
+    compare = compare_cols or [
+        c for c in old.columns if c not in keys and c in new.columns
+    ]
+    o = old.select(
+        *keys,
+        *[F.col(c).alias(f"old_{c}") for c in compare],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *keys,
+        *[F.col(c).alias(f"new_{c}") for c in compare],
+        F.lit(True).alias("__in_new"),
+    )
+    joined = o.join(n, on=keys, how="full_outer")
+    differs = F.lit(False)
+    for c in compare:
+        differs = differs | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("insert"))
+        .when(F.col("__in_new").isNull(), F.lit("delete"))
+        .when(differs, F.lit("update"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *keys,
+            "change_type",
+            *[F.col(f"old_{c}") for c in compare],
+            *[F.col(f"new_{c}") for c in compare],
+        )
+    )

@@ -135,6 +135,39 @@ def dedup_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def dedup_containment_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram containment (|A∩B|/|A|, both directions) between
+    consecutive doc ids — the asymmetric doc-in-doc signal that catches a
+    short document embedded in a long one where Jaccard reads ~0. Same
+    candidate frame and shingle machinery as the Jaccard verifier; at
+    scale the pair source is the MinHash/LSH candidate stream, not
+    adjacency.
+    """
+    docs = load_documents(spark, sf_dir)
+    sets_ = dedup.shingle_sets(docs, "text", "doc_id")
+    a = sets_.select(
+        F.col("doc_id").alias("id_a"), F.col("shingle_set").alias("sa")
+    )
+    b = sets_.select(
+        (F.col("doc_id") - 1).alias("id_a"), F.col("shingle_set").alias("sb")
+    )
+    return (
+        a.join(b, "id_a")
+        .select(
+            "id_a",
+            (F.col("id_a") + 1).alias("id_b"),
+            F.round(dedup.containment(F.col("sa"), F.col("sb")), 4).alias(
+                "containment_a_in_b"
+            ),
+            F.round(dedup.containment(F.col("sb"), F.col("sa")), 4).alias(
+                "containment_b_in_a"
+            ),
+        )
+        .orderBy("id_a")
+    )
+
+
+@query
 def dedup_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, Jaccard-verified (rows-only check).
 
@@ -843,6 +876,34 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def embedding_truncate_renormalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension truncation: keep the first 16 of 64
+    dims, re-L2-normalize, and report per-vector energy retained
+    (||v[:16]||² / ||v||²) plus the renormalized first component — the
+    projection an MRL-trained embedding store applies to trade recall for
+    a 4x smaller ANN index before sharding. Narrow map-side arithmetic on
+    fixed-length arrays: no shuffle, no UDF; both engines left-fold the
+    same 16/64-element sums, so the dual is exact under round(6).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    ss = lambda arr: F.aggregate(  # noqa: E731 — local fold shorthand
+        arr, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    v16 = F.slice(v, 1, 16)
+    return (
+        emb.select(
+            "vec_id",
+            F.round(ss(v16) / ss(v), 6).alias("energy_retained_16"),
+            F.round(
+                F.element_at(v16, 1) / F.sqrt(ss(v16)), 6
+            ).alias("first_component_renormed"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query
 def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieval: coarse int-quantized scoring -> top-50
     candidates per query -> exact float cosine rerank -> top-10.
@@ -1027,6 +1088,83 @@ def csv_roundtrip_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content_digest"),
         F.sum(F.when(valid, F.col("n_chars"))).alias("sum_chars"),
         F.max(F.when(valid, F.col("doc_id"))).alias("max_doc_id"),
+    )
+
+
+@query
+def sketch_mg_heavy_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters over documents.lang with k=3 counters —
+    fewer counters than the 5-language domain, so the per-partition
+    decrement path is actually exercised. Certified via the mergeable-
+    summaries guarantee: every language with true frequency > n/(k+1)
+    MUST appear in the merged summary (in_sketch) with an estimate
+    underestimating by at most n/(k+1) (within_bound); the DuckDB dual
+    computes the same exact heavy set and states both invariants as
+    literal TRUE. The corpus's 'en' share (~40%) clears the 25% threshold
+    at every SF, so the certification is never vacuous.
+    """
+    from ..operators import sketches
+
+    docs = load_documents(spark, sf_dir)
+    k = 3
+    summary = sketches.misra_gries_summary(docs, "lang", k=k)
+    exact = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("exact_count"))
+    total = docs.agg(F.count(F.lit(1)).alias("n"))
+    heavy = exact.crossJoin(F.broadcast(total)).filter(
+        F.col("exact_count") > F.col("n") / (k + 1)
+    )
+    return (
+        heavy.join(
+            summary.withColumnRenamed("item", "lang"), "lang", "left"
+        )
+        .select(
+            "lang",
+            "exact_count",
+            F.col("est_count").isNotNull().alias("in_sketch"),
+            (
+                (F.col("exact_count") - F.coalesce(F.col("est_count"), F.lit(0))
+                 <= F.col("n") / (k + 1))
+                & (F.coalesce(F.col("est_count"), F.lit(0))
+                   <= F.col("exact_count"))
+            ).alias("within_bound"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query
+def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: lineitem laid out partitioned by
+    l_returnflag, joined to a tiny handling-class dimension filtered on a
+    NON-partition attribute — so static pruning can't apply and Catalyst
+    must inject a runtime ``dynamicpruningexpression`` into the fact
+    scan's PartitionFilters (plan-contract pinned). At 100 TB this is the
+    difference between scanning 1 of N partition trees and scanning all
+    of them whenever the selective predicate lives on the dimension, the
+    canonical star-schema shape.
+    """
+    work = _work_dir(sf_dir, "_dpp_lineitem")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    lineitem.write.partitionBy("l_returnflag").mode("overwrite").parquet(work)
+    fact = spark.read.parquet(work)
+    dim = spark.createDataFrame(
+        [("R", "refund"), ("A", "keep"), ("N", "keep")],
+        "returnflag string, handling_class string",
+    )
+    joined = fact.join(dim, fact.l_returnflag == dim.returnflag).filter(
+        dim.handling_class == "refund"
+    )
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
     )
 
 

@@ -663,6 +663,27 @@ oracle("dedup_ngram_jaccard_adjacent")(
     """
 )
 
+oracle("dedup_containment_adjacent")(
+    f"""
+    WITH s AS (SELECT doc_id, {_SHINGLE_SET} AS ss FROM documents),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ss AS sa, b.ss AS sb
+        FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+    ), scored AS (
+        SELECT id_a, id_b,
+               len(list_filter(sa, x -> list_contains(sb, x))) AS inter,
+               len(sa) AS la, len(sb) AS lb
+        FROM pairs
+    )
+    SELECT id_a, id_b,
+           round(CASE WHEN la > 0 THEN inter::double / la ELSE 0.0 END, 4)
+               AS containment_a_in_b,
+           round(CASE WHEN lb > 0 THEN inter::double / lb ELSE 0.0 END, 4)
+               AS containment_b_in_a
+    FROM scored ORDER BY id_a
+    """
+)
+
 # --- similarity --------------------------------------------------------------
 
 oracle("ann_topk_quantized")(
@@ -891,6 +912,36 @@ oracle("events_view_purchase_attribution")(
      AND p.ts <= v.ts + INTERVAL 1 HOUR
     WHERE v.event_type = 'view' AND p.event_type = 'purchase'
     ORDER BY view_id, purchase_id
+    """
+)
+
+oracle("cdc_snapshot_diff")(
+    # Same simulated next-day snapshot (delete %101, +10.00 on %97,
+    # shifted-key insert on %103), diffed with a full-outer key join.
+    """
+    WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+    new_snap AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 10.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM base WHERE o_orderkey % 101 <> 0
+        UNION ALL
+        SELECT o_orderkey + 20000000, o_totalprice
+        FROM base WHERE o_orderkey % 103 = 0
+    )
+    SELECT coalesce(b.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN b.o_totalprice IS DISTINCT FROM n.o_totalprice
+                    THEN 'update' END AS change_type,
+           round(b.o_totalprice, 2) AS old_price,
+           round(n.o_totalprice, 2) AS new_price
+    FROM base b FULL JOIN new_snap n ON b.o_orderkey = n.o_orderkey
+    WHERE (CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN b.o_totalprice IS DISTINCT FROM n.o_totalprice
+                    THEN 'update' END) IS NOT NULL
+    ORDER BY o_orderkey
     """
 )
 
@@ -2339,6 +2390,56 @@ oracle("pandas_grouped_agg_weighted_mean")(
                  4) AS weighted_mean_price
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """
+)
+
+oracle("embedding_truncate_renormalize")(
+    # Same left-to-right folds over the same float->double values; the
+    # only float ops are 16/64-term sums of squares, one divide, one sqrt
+    # (IEEE correctly-rounded in both engines), then round(6).
+    """
+    SELECT vec_id,
+           round(
+               list_sum(list_transform(embedding[1:16],
+                                       x -> x::double * x::double))
+               / list_sum(list_transform(embedding,
+                                         x -> x::double * x::double)),
+               6) AS energy_retained_16,
+           round(
+               embedding[1]::double
+               / sqrt(list_sum(list_transform(embedding[1:16],
+                                              x -> x::double * x::double))),
+               6) AS first_component_renormed
+    FROM embeddings ORDER BY vec_id
+    """
+)
+
+oracle("sketch_mg_heavy_langs")(
+    # Exact heavy set at the same n/(k+1) threshold (k=3); presence and
+    # the n/(k+1) underestimate bound are the Misra-Gries guarantees the
+    # Spark side must uphold whatever its partition layout.
+    """
+    WITH t AS (SELECT count(*) AS n FROM documents),
+    c AS (SELECT lang, count(*)::BIGINT AS exact_count
+          FROM documents GROUP BY lang)
+    SELECT lang, exact_count, TRUE AS in_sketch, TRUE AS within_bound
+    FROM c, t WHERE exact_count > n / 4.0
+    ORDER BY lang
+    """
+)
+
+oracle("join_dpp_partition_pruned")(
+    # The partitioned work copy holds exactly the lineitem rows, so the
+    # dual runs on the source table directly.
+    """
+    WITH dim(returnflag, handling_class) AS (
+        VALUES ('R','refund'), ('A','keep'), ('N','keep')
+    )
+    SELECT l.l_returnflag, count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN dim d ON l.l_returnflag = d.returnflag
+    WHERE d.handling_class = 'refund'
+    GROUP BY l.l_returnflag ORDER BY l.l_returnflag
     """
 )
 

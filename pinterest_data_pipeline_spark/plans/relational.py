@@ -211,6 +211,43 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two full snapshots of orders: a
+    simulated next-day dump deletes every 101st key, bumps every 97th
+    key's price by 10.00, and inserts shifted-key copies of every 103rd;
+    ``snapshot_diff`` (operators/merge.py) recovers exactly that change
+    feed from the two snapshots via one full-outer key join — the
+    warehouse-export CDC path for sources without a native change feed.
+    The price delta is an exact-in-double addition, so both engines agree
+    bit-for-bit.
+    """
+    from ..operators.merge import snapshot_diff
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    key = F.col("o_orderkey")
+    survivors = base.filter(key % 101 != 0)
+    updated = survivors.withColumn(
+        "o_totalprice",
+        F.when(key % 97 == 0, F.col("o_totalprice") + 10.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    inserts = base.filter(key % 103 == 0).select(
+        (key + 20_000_000).alias("o_orderkey"), "o_totalprice"
+    )
+    new_snap = updated.unionByName(inserts)
+    diff = snapshot_diff(base, new_snap, ["o_orderkey"], ["o_totalprice"])
+    return diff.select(
+        "o_orderkey",
+        "change_type",
+        F.round("old_o_totalprice", 2).alias("old_price"),
+        F.round("new_o_totalprice", 2).alias("new_price"),
+    ).orderBy("o_orderkey")
+
+
 # ===========================================================================
 # TPC-H classics adapted to the driver schema (bench headliners)
 # ===========================================================================

@@ -530,3 +530,23 @@ def test_duplicate_ngram_fraction(spark):
     assert out[0] == 0.6
     assert out[1] == 0.0
     assert out[2] == 0.0
+
+
+def test_misra_gries_superset_and_bound_under_decrements(spark):
+    """High-cardinality tail with k=5 counters: the decrement path runs
+    constantly, yet the heavy item must survive with its estimate inside
+    the n/(k+1) mergeable-summaries bound and never above the true count."""
+    from pinterest_data_pipeline_spark.operators import sketches
+
+    rows = [("hot",)] * 400 + [(f"tail{i}",) for i in range(600)]
+    df = spark.createDataFrame(rows, "item string").repartition(8)
+    summary = {
+        r.item: r.est_count
+        for r in sketches.misra_gries_summary(df, "item", k=5).collect()
+    }
+    n, k, true_hot = 1000, 5, 400
+    assert "hot" in summary  # 400 > 1000/6: guaranteed present
+    assert summary["hot"] <= true_hot
+    assert true_hot - summary["hot"] <= n / (k + 1)
+    # the summary is bounded: at most k items per partition survive
+    assert len(summary) <= k * 8

@@ -61,6 +61,14 @@ def test_filter_pushdown_reaches_scan(spark):
     assert "PushedFilters: [IsNotNull" in plan
 
 
+def test_dpp_injects_runtime_partition_filter(spark):
+    # the selective predicate lives on the DIMENSION, so static pruning
+    # can't fire: the fact scan must carry a dynamicpruningexpression in
+    # its PartitionFilters (1 of 3 partition trees read at runtime)
+    plan = plan_of(spark, "join_dpp_partition_pruned")
+    assert "dynamicpruning" in plan.lower()
+
+
 def test_top_k_compiles_to_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan_of(spark, "top_k_orders")
 
