@@ -41,32 +41,57 @@ def entry(spark: SparkSession) -> DataFrame:
 # (clean_part_battery, text_analysis_battery) certify several operators per
 # slot; their single-operator forms remain registered after the window for
 # focused debugging. tests/test_registry_window.py pins this invariant.
-# ROUND-6 ROTATION: the 21 queries that earned their second certification
-# in r5 rotate out (oracle + tools/check_parity.py coverage retained).
-# In: every oracled query that has never held a green driver row — the 4
-# carried from r5 (tpch_q12 red only via the now-fixed HUGEINT hashing
-# artifact, plus the three round-5 additions that never had a slot), the
-# 2 approx aggregates converted to bound-oracles, the 15 round-6
-# additions (int8 quantization, two-stage rerank, compaction,
-# sessionization, streaming upsert + incremental MV, column profile,
-# salted join, unigram scoring, histogram, CSV DLQ, forward as-of, math
-# battery, schema evolution, table checksum) and the 4 formerly rows-only
-# queries now bound-oracled (HLL x2, stratified sampling, IVF recall) —
-# leaving ZERO oracled-never-certified entries if the round is green.
-# The remaining 25 slots hold once-certified r5 queries earning their
-# second row; the other 14 once-certified queries (cleaning/text singles,
-# three simple TPC-H shapes) already hold a green row each and queue for
-# r7. 4+2+19+25 = 50.
+# ROUND-7 ROTATION: the 25 r5-once-certified queries that earned their
+# second certification in r6 rotate out (oracle + tools/check_parity.py
+# coverage retained). In: the 5 oracled post-closure r6 additions that
+# never held a driver row (funnel, cohort retention, multi-table LSH,
+# simhash exact recall — now a positive assertion, weighted-mean grouped
+# agg — now integer-cent exact), the 7 round-7 additions (seed-robust
+# LSH recall twin, streaming funnel, containment dedup, CDC snapshot
+# diff, DPP join, Misra-Gries heavy hitters, Matryoshka truncation), the
+# 14 queries queued in ONCE_CERTIFIED_QUEUE since r6, and 24 of the 25
+# r6-first-certified queries earning their second row
+# (scalar_math_functions yields its seat and queues for r8 — the least
+# at-risk member: pure scalar battery, once-green, full local parity).
+# 5+7+14+24 = 50, leaving ZERO oracled-never-certified entries if the
+# round is green.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # never-certified oracled queries (carried from r5)
+    # never-certified oracled queries (post-closure r6 additions)
+    "events_funnel_steps",
+    "events_retention_cohorts",
+    "ann_lsh_multitable_topk",
+    "dedup_simhash_exact_recall",
+    "pandas_grouped_agg_weighted_mean",
+    # never-certified round-7 additions
+    "ann_lsh_topk",
+    "streaming_funnel_steps",
+    "dedup_containment_adjacent",
+    "cdc_snapshot_diff",
+    "join_dpp_partition_pruned",
+    "sketch_mg_heavy_langs",
+    "embedding_truncate_renormalize",
+    # queued since the r6 rotation - earn their second certification
+    "clean_normalize_nulls_documents",
+    "clean_parse_human_count_part",
+    "clean_strip_prefix_part",
+    "clean_distinct_flag_status",
+    "window_running_revenue",
+    "join_anti_customers_without_orders",
+    "text_token_stats",
+    "text_lang_id",
+    "text_quality_scores",
+    "text_fingerprints",
+    "dedup_ngram_jaccard_adjacent",
+    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_revenue_share",
+    "tpch_q19_disjunctive_predicates",
+    # first-certified in r6 - earn their second driver certification
     "tpch_q12_priority_shipmode",
     "text_pii_redaction",
     "text_repetition_battery",
     "dedup_decontaminate_ngram",
-    # approx aggregates, newly bound-oracled
     "agg_approx_distinct",
     "q6_median_acctbal_per_band_approx",
-    # new round-6 operators and bound-oracle conversions
     "embedding_quantize_int8",
     "ann_two_stage_rerank",
     "layout_compact_small_files",
@@ -79,39 +104,12 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "agg_histogram_totalprice",
     "csv_roundtrip_malformed",
     "join_asof_next_order",
-    "scalar_math_functions",
     "schema_evolution_merge",
     "quality_table_checksum",
     "sketch_hll_distinct_parts",
     "sketch_hll_merge_equals_direct",
     "sample_stratified_by_lang",
     "ann_ivf_topk",
-    # once-certified in r5 - earn their second driver certification
-    "tpch_q11_important_stock",
-    "sample_hash_split_counts",
-    "sample_hash_split_membership",
-    "sample_per_lang_cap",
-    "ann_topk_cosine",
-    "text_normalization_collapse",
-    "text_normalized_keys",
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q20_promotion_suppliers",
-    "tpch_q22_dormant_customers",
-    "pack_sequences_documents",
-    "text_chunk_sliding",
-    "tfidf_top_terms",
-    "multimodal_video_frames",
-    "dedup_cluster_canonical",
-    "events_resample_interpolate",
-    "window_time_range_frame",
-    "join_bucketed_colocated",
 )
 
 

@@ -125,6 +125,16 @@ HEADLINE = [
     "pandas_grouped_agg_weighted_mean",
     "events_funnel_steps",
     "events_retention_cohorts",
+    # round-7 growth (78 -> 84 queries; cross-round totals need the
+    # shared-query diff, as before): containment, CDC diff, DPP join,
+    # Misra-Gries, Matryoshka truncation, seed-robust LSH recall.
+    # Streaming queries stay out of the headline battery, as before.
+    "dedup_containment_adjacent",
+    "cdc_snapshot_diff",
+    "join_dpp_partition_pruned",
+    "sketch_mg_heavy_langs",
+    "embedding_truncate_renormalize",
+    "ann_lsh_topk",
 ]
 
 

@@ -26,35 +26,17 @@ DRIVER_WINDOW = 50
 FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
     # streaming: availablenow twice-certified; the new upsert sink is owed
     "streaming_surface": ("streaming_upsert_latest_events",),
-    "events_extensions": (
-        "events_resample_interpolate",
-        "events_sessionize_gap",
-    ),
-    "multimodal": ("multimodal_video_frames",),
-    "tpch": (
-        "tpch_q11_important_stock",
-        "tpch_q4_order_priority",
-        "tpch_q12_priority_shipmode",
-        "tpch_q22_dormant_customers",
-    ),
-    "sampling": (
-        "sample_hash_split_counts",
-        "sample_per_lang_cap",
-        "sample_stratified_by_lang",
-    ),
-    "similarity": ("ann_topk_cosine", "ann_two_stage_rerank", "ann_ivf_topk"),
-    "text_normalization": ("text_normalization_collapse", "text_normalized_keys"),
+    "events_extensions": ("events_sessionize_gap",),
+    # tpch: q4/q11/q22 earned their second row in r6; q12 is still owed
+    "tpch": ("tpch_q12_priority_shipmode",),
+    # sampling: hash splits + per-lang cap twice-certified; stratified owed
+    "sampling": ("sample_stratified_by_lang",),
+    # similarity: ann_topk_cosine twice-certified; rerank + IVF owed
+    "similarity": ("ann_two_stage_rerank", "ann_ivf_topk"),
     "sketches": (
         "sketch_hll_distinct_parts",
         "sketch_hll_merge_equals_direct",
     ),
-    # round-5 additions
-    "sequence_packing": ("pack_sequences_documents",),
-    "chunking": ("text_chunk_sliding",),
-    "keyword_extraction": ("tfidf_top_terms",),
-    "cluster_canonical": ("dedup_cluster_canonical",),
-    "window_range_frame": ("window_time_range_frame",),
-    "bucketed_join": ("join_bucketed_colocated",),
     "pii_redaction": ("text_pii_redaction",),
     "repetition_filters": ("text_repetition_battery",),
     "decontamination": ("dedup_decontaminate_ngram",),
@@ -73,30 +55,33 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
     "histogram": ("agg_histogram_totalprice",),
     "csv_dlq": ("csv_roundtrip_malformed",),
     "asof_forward": ("join_asof_next_order",),
-    "math_battery": ("scalar_math_functions",),
+    # math_battery (scalar_math_functions) yielded its seat to the r7
+    # never-certified block: once-green, queued for r8 in
+    # ONCE_CERTIFIED_QUEUE, full local parity retained
     "schema_evolution": ("schema_evolution_merge",),
     "table_checksum": ("quality_table_checksum",),
+    # post-closure r6 additions, first seated in r7
+    "funnel_cohorts": ("events_funnel_steps", "events_retention_cohorts"),
+    "lsh_or_amplified": ("ann_lsh_multitable_topk", "ann_lsh_topk"),
+    "simhash_recall": ("dedup_simhash_exact_recall",),
+    "grouped_agg_udf": ("pandas_grouped_agg_weighted_mean",),
+    # round-7 additions
+    "streaming_funnel": ("streaming_funnel_steps",),
+    "containment": ("dedup_containment_adjacent",),
+    "cdc_diff": ("cdc_snapshot_diff",),
+    "dpp_join": ("join_dpp_partition_pruned",),
+    "mg_sketch": ("sketch_mg_heavy_langs",),
+    "mrl_truncation": ("embedding_truncate_renormalize",),
 }
 
-# Once-certified queries that yielded their window seat to the round-6
+# Once-certified queries that yielded their window seat to a
 # never-certified block: each already holds one green driver row, keeps
 # its oracle and full local parity coverage, and queues for its second
-# certification in the r7 rotation.
+# certification in the next rotation. The 14 queries queued here through
+# r6 were all seated in the r7 window; scalar_math_functions yielded its
+# r7 seat to the round-7 additions and queues for r8.
 ONCE_CERTIFIED_QUEUE: tuple[str, ...] = (
-    "clean_normalize_nulls_documents",
-    "clean_parse_human_count_part",
-    "clean_strip_prefix_part",
-    "clean_distinct_flag_status",
-    "window_running_revenue",
-    "join_anti_customers_without_orders",
-    "text_token_stats",
-    "text_lang_id",
-    "text_quality_scores",
-    "text_fingerprints",
-    "dedup_ngram_jaccard_adjacent",
-    "tpch_q6_forecast_revenue",
-    "tpch_q14_promo_revenue_share",
-    "tpch_q19_disjunctive_predicates",
+    "scalar_math_functions",
 )
 
 # Families fully driver-certified (two green rounds for every listed member
@@ -154,7 +139,35 @@ CERTIFIED_FAMILIES: dict[str, tuple[str, ...]] = {
         "tpch_q3_shipping_priority",
         "tpch_q9_product_type_profit",
         "tpch_q18_large_orders",
+        # second rows earned in r6
+        "tpch_q4_order_priority",
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "tpch_q10_returned_items",
+        "tpch_q11_important_stock",
+        "tpch_q13_customer_distribution",
+        "tpch_q15_top_supplier",
+        "tpch_q16_supplier_part_counts",
+        "tpch_q17_small_quantity_revenue",
+        "tpch_q20_promotion_suppliers",
+        "tpch_q22_dormant_customers",
     ),
+    # certified in r5+r6
+    "multimodal_video": ("multimodal_video_frames",),
+    "text_normalization": ("text_normalization_collapse", "text_normalized_keys"),
+    "sequence_packing": ("pack_sequences_documents",),
+    "chunking": ("text_chunk_sliding",),
+    "keyword_extraction": ("tfidf_top_terms",),
+    "cluster_canonical": ("dedup_cluster_canonical",),
+    "window_range_frame": ("window_time_range_frame",),
+    "bucketed_join": ("join_bucketed_colocated",),
+    "events_interpolation": ("events_resample_interpolate",),
+    "hash_split_sampling": (
+        "sample_hash_split_counts",
+        "sample_hash_split_membership",
+        "sample_per_lang_cap",
+    ),
+    "ann_brute_force": ("ann_topk_cosine",),
 }
 
 
@@ -243,6 +256,32 @@ ROTATED_OUT: frozenset[str] = frozenset(
         "tpch_q9_product_type_profit",
         "tpch_q18_large_orders",
         "tpch_q21_waiting_suppliers",
+        # r7 rotation (certified green in r5 + r6)
+        "tpch_q11_important_stock",
+        "sample_hash_split_counts",
+        "sample_hash_split_membership",
+        "sample_per_lang_cap",
+        "ann_topk_cosine",
+        "text_normalization_collapse",
+        "text_normalized_keys",
+        "tpch_q4_order_priority",
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "tpch_q10_returned_items",
+        "tpch_q13_customer_distribution",
+        "tpch_q15_top_supplier",
+        "tpch_q16_supplier_part_counts",
+        "tpch_q17_small_quantity_revenue",
+        "tpch_q20_promotion_suppliers",
+        "tpch_q22_dormant_customers",
+        "pack_sequences_documents",
+        "text_chunk_sliding",
+        "tfidf_top_terms",
+        "multimodal_video_frames",
+        "dedup_cluster_canonical",
+        "events_resample_interpolate",
+        "window_time_range_frame",
+        "join_bucketed_colocated",
     }
 )
 

@@ -250,6 +250,137 @@ def probe_sessionize(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
+def probe_column_profile(spark, mult: int) -> float:
+    from pinterest_data_pipeline_spark.operators.quality import profile_columns
+
+    orders = multiply(load_table(spark, SF, "orders"), mult, ["o_orderkey", "o_custkey"])
+    q = profile_columns(
+        orders,
+        numeric_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+        other_cols=["o_orderstatus", "o_orderpriority", "o_orderdate"],
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_salted_join(spark, mult: int) -> float:
+    from pinterest_data_pipeline_spark.operators.skew import salted_join
+
+    lineitem = multiply(load_table(spark, SF, "lineitem"), mult, ["l_orderkey"]).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = multiply(load_table(spark, SF, "orders"), mult, ["o_orderkey"]).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = salted_join(lineitem, orders, on=("l_orderkey", "o_orderkey"), n_salts=8)
+    q = joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_funnel_steps(spark, mult: int) -> float:
+    # same conditional-min shape as events_funnel_steps (one groupBy(user)
+    # pass per step, no self-joins)
+    events = multiply(load_table(spark, SF, "events"), mult, ["event_id", "user_id"])
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    ordered = (
+        events.join(per_user, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min("t_view").alias("t_view"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_click"),
+        )
+    )
+    q = (
+        events.join(ordered, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min("t_click").alias("t_click"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase"),
+        )
+        .agg(
+            F.count(F.when(F.col("t_click").isNotNull(), 1)).alias("n_click"),
+            F.count(F.when(F.col("t_purchase").isNotNull(), 1)).alias("n_purchase"),
+        )
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_retention_cohorts(spark, mult: int) -> float:
+    events = multiply(load_table(spark, SF, "events"), mult, ["event_id", "user_id"])
+    week = lambda c: F.date_trunc("week", c)  # noqa: E731
+    first_seen = events.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
+    active = (
+        events.select("user_id", week(F.col("ts")).alias("active_week"))
+        .distinct()
+        .join(first_seen, "user_id")
+    )
+    q = active.groupBy(
+        "cohort_week",
+        (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7).cast("int").alias("off"),
+    ).agg(F.countDistinct("user_id").alias("n_active"))
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_incremental_rollup(spark, mult: int) -> float:
+    """Streaming incremental MV at mult x: one availableNow drain of the
+    update-mode day x type aggregate through the keyed upsert sink; state
+    and output stay (days x types)-bounded however large the input."""
+    import shutil
+
+    from pinterest_data_pipeline_spark.streaming.pipeline import upsert_sink
+
+    work = os.path.join("spark-warehouse", f"_probe_rollup_{mult}")
+    if os.path.exists(work):
+        shutil.rmtree(work)
+    src = os.path.join(work, "src")
+    events = multiply(load_table(spark, SF, "events"), mult, ["event_id", "user_id"])
+    events.select("event_id", "ts", "event_type", "value").write.parquet(src)
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        stream.withColumn("day", F.to_date(F.date_trunc("day", F.col("ts"))))
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+    t0 = time.perf_counter()
+    q = upsert_sink(
+        agg,
+        os.path.join(work, "table"),
+        os.path.join(work, "ckpt"),
+        keys=["day", "event_type"],
+        available_now=True,
+    )
+    q.awaitTermination()
+    secs = time.perf_counter() - t0
+    shutil.rmtree(work, ignore_errors=True)
+    return secs
+
+
 PROBES = {
     "tpch_q5_6way_join": probe_tpch_q5,
     "simhash_near_dup": probe_simhash,
@@ -262,6 +393,12 @@ PROBES = {
     # round-6 additions
     "quantize_int8": probe_quantize_int8,
     "sessionize_gap": probe_sessionize,
+    # round-7 additions (VERDICT r6 #6)
+    "column_profile": probe_column_profile,
+    "salted_join": probe_salted_join,
+    "funnel_steps": probe_funnel_steps,
+    "retention_cohorts": probe_retention_cohorts,
+    "incremental_rollup": probe_incremental_rollup,
 }
 
 
