@@ -69,6 +69,36 @@ def test_dpp_injects_runtime_partition_filter(spark):
     assert "dynamicpruning" in plan.lower()
 
 
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
+    """Row-level runtime filtering — the complement to DPP when the fact
+    is NOT partitioned on the join key: the optimizer pushes a bloom
+    filter built from the selective dimension's keys into the fact scan
+    (might_contain on xxhash64(l_orderkey)), so a shuffle join reads only
+    probably-matching rows. Size thresholds are production-tuned, so the
+    test lowers the application-side floor on an isolated session; the
+    contract is that the engine's join shapes keep the injection legal."""
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    ns.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    from pyspark.sql import functions as F
+
+    li = ns.read.parquet(f"{SF}/lineitem.parquet")
+    orders = ns.read.parquet(f"{SF}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in plan.lower()
+
+
 def test_top_k_compiles_to_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan_of(spark, "top_k_orders")
 
