@@ -135,6 +135,8 @@ HEADLINE = [
     "sketch_mg_heavy_langs",
     "embedding_truncate_renormalize",
     "ann_lsh_topk",
+    "sample_reservoir_topk",
+    "text_ngram_vocab_topk",
 ]
 
 

@@ -101,3 +101,18 @@ def per_group_sample(
         .filter(F.col("sample_rank") <= n)
         .drop("sample_rank")
     )
+
+
+def reservoir_sample(df: DataFrame, id_col: str, k: int, salt: str = "reservoir") -> DataFrame:
+    """Fixed-size global sample of k rows: the k smallest ``uniform_hash(id)``
+    (ties broken by id).
+
+    Distributionally a uniform k-subset like classic reservoir sampling,
+    but deterministic, engine-portable (md5 hash order), and embarrassingly
+    distributed: ``orderBy(hash).limit(k)`` compiles to
+    ``TakeOrderedAndProject`` — each partition keeps only its local top-k
+    and the driver merges k-sized heaps, so there is no global sort, no
+    sequential reservoir state, and no skew exposure at any corpus size.
+    """
+    h = uniform_hash(F.col(id_col), salt)
+    return df.orderBy(h.asc(), F.col(id_col).asc()).limit(k)

@@ -254,6 +254,52 @@ def sample_per_lang_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def sample_reservoir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size global sample: the 100 docs with smallest md5-derived
+    hash priority — reservoir sampling's deterministic, engine-portable,
+    distributed twin (TakeOrderedAndProject: per-partition top-k + driver
+    heap merge, no global sort; plan-contract pinned with top_k_orders).
+    """
+    docs = load_documents(spark, sf_dir)
+    return (
+        sampling.reservoir_sample(docs, "doc_id", k=100)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@query
+def text_ngram_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram vocabulary induction: whitespace bigrams counted over the
+    corpus, top-15 per language by frequency (bigram ascending on ties) —
+    the vocab/tokenizer-training counting pass of an LLM data pipeline.
+    explode -> two partial-agg-friendly groupBys -> WindowGroupLimit
+    rank<=15; no UDFs anywhere.
+    """
+    docs = load_documents(spark, sf_dir)
+    # single-space split: the corpus wire format, and the exact dual of
+    # DuckDB's string_split(text, ' ')
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.expr(
+        "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
+        " (x, i) -> concat(x, ' ', element_at(split(text, ' '), i + 2)))"
+    )
+    counts = (
+        docs.filter(F.size(toks) >= 2)
+        .select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 15)
+        .select("lang", "bigram", "n", F.col("rk").alias("rank"))
+        .orderBy("lang", "rank")
+    )
+
+
+@query
 def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded per-stratum Bernoulli sample, bound-oracle form: realized
     counts depend on Spark's internal sampler, so the query emits the

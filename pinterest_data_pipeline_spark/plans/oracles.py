@@ -2355,6 +2355,37 @@ oracle("sketch_hll_merge_equals_direct")(
     """
 )
 
+oracle("sample_reservoir_topk")(
+    # Same md5 hash priority as the Spark uniform_hash helper.
+    """
+    SELECT doc_id, lang, n_chars FROM documents
+    ORDER BY CAST(('0x' || substring(md5(doc_id::VARCHAR || 'reservoir'), 1, 8))
+                 AS UBIGINT) ASC, doc_id ASC
+    LIMIT 100
+    """
+)
+
+oracle("text_ngram_vocab_topk")(
+    f"""
+    WITH b AS (
+        SELECT lang,
+               unnest(list_transform(range(1, len({_TOKS})),
+                      i -> array_to_string(list_slice({_TOKS}, i, i + 1), ' ')))
+                   AS bigram
+        FROM documents
+    ), c AS (
+        SELECT lang, bigram, count(*)::BIGINT AS n FROM b GROUP BY lang, bigram
+    ), r AS (
+        SELECT lang, bigram, n,
+               row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram ASC)
+                   AS rank
+        FROM c
+    )
+    SELECT lang, bigram, n, rank::INT AS rank FROM r
+    WHERE rank <= 15 ORDER BY lang, rank
+    """
+)
+
 oracle("sample_stratified_by_lang")(
     """
     SELECT lang, count(*) AS n_total, TRUE AS within_tolerance

@@ -101,6 +101,9 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
 
 def test_top_k_compiles_to_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan_of(spark, "top_k_orders")
+    # the deterministic reservoir sample is the same shape: per-partition
+    # top-k + driver heap merge, never a global sort
+    assert "TakeOrderedAndProject" in plan_of(spark, "sample_reservoir_topk")
 
 
 def test_asof_join_is_single_shuffle_window(spark):
