@@ -361,17 +361,25 @@ def _certify_recall(
 ) -> DataFrame:
     """(query_id, n_returned, recall_ok): overlap of an approximate top-10
     against the engine-exact quantized brute-force top-10, thresholded at
-    ``floor`` — the shared certification edge for the ANN family."""
+    ``floor`` — the shared certification edge for the ANN family.
+
+    The approximate result feeds BOTH the overlap join and the per-query
+    count, so it is persisted (queries x k rows — trivially bounded) to
+    keep the ANN pipeline from executing twice."""
+    from ..session import persist_scoped
+
+    ann_pairs = persist_scoped(
+        ann.select("query_id", "vec_id"), "ann_certify_pairs"
+    )
     exact = similarity.cosine_topk_quantized(emb, q, k=10).select(
         "query_id", "vec_id"
     )
     overlap = (
-        ann.select("query_id", "vec_id")
-        .join(exact, ["query_id", "vec_id"])
+        ann_pairs.join(exact, ["query_id", "vec_id"])
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
-    base = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_returned"))
+    base = ann_pairs.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_returned"))
     return (
         base.join(overlap, "query_id", "left")
         .select(
