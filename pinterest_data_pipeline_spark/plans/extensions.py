@@ -363,29 +363,28 @@ def _certify_recall(
     against the engine-exact quantized brute-force top-10, thresholded at
     ``floor`` — the shared certification edge for the ANN family.
 
-    The approximate result feeds BOTH the overlap join and the per-query
-    count, so it is persisted (queries x k rows — trivially bounded) to
-    keep the ANN pipeline from executing twice."""
-    from ..session import persist_scoped
-
-    ann_pairs = persist_scoped(
-        ann.select("query_id", "vec_id"), "ann_certify_pairs"
+    The approximate frame is consumed EXACTLY once: the (queries x 10)-row
+    exact set broadcasts into a left join carrying a hit marker, and one
+    aggregation computes both n_returned and the overlap — no second
+    branch over the ANN pipeline (a prior version referenced it twice and
+    paid the whole LSH/IVF twice per run)."""
+    exact = (
+        similarity.cosine_topk_quantized(emb, q, k=10)
+        .select("query_id", "vec_id")
+        .withColumn("_hit", F.lit(1))
     )
-    exact = similarity.cosine_topk_quantized(emb, q, k=10).select(
-        "query_id", "vec_id"
-    )
-    overlap = (
-        ann_pairs.join(exact, ["query_id", "vec_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-    )
-    base = ann_pairs.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_returned"))
     return (
-        base.join(overlap, "query_id", "left")
+        ann.select("query_id", "vec_id")
+        .join(F.broadcast(exact), ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_returned"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_overlap"),
+        )
         .select(
             "query_id",
             "n_returned",
-            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= floor).alias("recall_ok"),
+            (F.col("n_overlap") >= floor).alias("recall_ok"),
         )
         .orderBy("query_id")
     )
