@@ -53,8 +53,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # r6-first-certified queries earning their second row
 # (scalar_math_functions yields its seat and queues for r8 — the least
 # at-risk member: pure scalar battery, once-green, full local parity).
-# 5+7+14+24 = 50, leaving ZERO oracled-never-certified entries if the
-# round is green.
+# LATE-R7 RESHAPE: every query added after the rotation froze is seated
+# immediately so NO oracled query is ever left never-certified — the late
+# additions (sample_reservoir_topk, text_ngram_vocab_topk) take the seats
+# yielded by sketch_hll_merge_equals_direct and
+# q6_median_acctbal_per_band_approx (both once-green in r6, both members
+# of families that keep another seated representative; queued for r8 in
+# ONCE_CERTIFIED_QUEUE with full local parity retained). The window stays
+# at exactly 50 with ZERO oracled-never-certified entries if the round is
+# green.
 PRIORITY_WINDOW: tuple[str, ...] = (
     # never-certified oracled queries (post-closure r6 additions)
     "events_funnel_steps",
@@ -70,6 +77,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "join_dpp_partition_pruned",
     "sketch_mg_heavy_langs",
     "embedding_truncate_renormalize",
+    # never-certified late-r7 additions (seated at birth, see reshape note)
+    "sample_reservoir_topk",
+    "text_ngram_vocab_topk",
     # queued since the r6 rotation - earn their second certification
     "clean_normalize_nulls_documents",
     "clean_parse_human_count_part",
@@ -91,7 +101,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "text_repetition_battery",
     "dedup_decontaminate_ngram",
     "agg_approx_distinct",
-    "q6_median_acctbal_per_band_approx",
     "embedding_quantize_int8",
     "ann_two_stage_rerank",
     "layout_compact_small_files",
@@ -107,7 +116,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "schema_evolution_merge",
     "quality_table_checksum",
     "sketch_hll_distinct_parts",
-    "sketch_hll_merge_equals_direct",
     "sample_stratified_by_lang",
     "ann_ivf_topk",
 )

@@ -33,18 +33,15 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
     "sampling": ("sample_stratified_by_lang",),
     # similarity: ann_topk_cosine twice-certified; rerank + IVF owed
     "similarity": ("ann_two_stage_rerank", "ann_ivf_topk"),
-    "sketches": (
-        "sketch_hll_distinct_parts",
-        "sketch_hll_merge_equals_direct",
-    ),
+    # hll merge-invariant twin yielded its r7 seat to the late-r7
+    # additions (ONCE_CERTIFIED_QUEUE); the distinct-parts rep stays
+    "sketches": ("sketch_hll_distinct_parts",),
     "pii_redaction": ("text_pii_redaction",),
     "repetition_filters": ("text_repetition_battery",),
     "decontamination": ("dedup_decontaminate_ngram",),
-    # round-6 additions
-    "approx_bound_oracles": (
-        "agg_approx_distinct",
-        "q6_median_acctbal_per_band_approx",
-    ),
+    # round-6 additions; the approx-median twin yielded its r7 seat to
+    # the late-r7 additions (ONCE_CERTIFIED_QUEUE), distinct rep stays
+    "approx_bound_oracles": ("agg_approx_distinct",),
     "vector_compression": ("embedding_quantize_int8",),
     "layout_compaction": ("layout_compact_small_files",),
     "sessionization_batch": ("events_sessionize_gap",),
@@ -72,6 +69,9 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
     "dpp_join": ("join_dpp_partition_pruned",),
     "mg_sketch": ("sketch_mg_heavy_langs",),
     "mrl_truncation": ("embedding_truncate_renormalize",),
+    # late-r7 additions, seated at birth so they never sit uncertified
+    "reservoir_sampling": ("sample_reservoir_topk",),
+    "vocab_induction": ("text_ngram_vocab_topk",),
 }
 
 # Once-certified queries that yielded their window seat to a
@@ -79,9 +79,14 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
 # its oracle and full local parity coverage, and queues for its second
 # certification in the next rotation. The 14 queries queued here through
 # r6 were all seated in the r7 window; scalar_math_functions yielded its
-# r7 seat to the round-7 additions and queues for r8.
+# r7 seat to the round-7 additions, and sketch_hll_merge_equals_direct /
+# q6_median_acctbal_per_band_approx (families that keep another seated
+# representative) yielded theirs to the late-r7 additions so no oracled
+# query is ever left never-certified. All queue for r8.
 ONCE_CERTIFIED_QUEUE: tuple[str, ...] = (
     "scalar_math_functions",
+    "sketch_hll_merge_equals_direct",
+    "q6_median_acctbal_per_band_approx",
 )
 
 # Families fully driver-certified (two green rounds for every listed member
