@@ -55,10 +55,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # at-risk member: pure scalar battery, once-green, full local parity).
 # LATE-R7 RESHAPE: every query added after the rotation froze is seated
 # immediately so NO oracled query is ever left never-certified — the late
-# additions (sample_reservoir_topk, text_ngram_vocab_topk) take the seats
-# yielded by sketch_hll_merge_equals_direct and
-# q6_median_acctbal_per_band_approx (both once-green in r6, both members
-# of families that keep another seated representative; queued for r8 in
+# additions (sample_reservoir_topk, text_ngram_vocab_topk,
+# sample_weighted_by_length) take the seats yielded by
+# sketch_hll_merge_equals_direct, q6_median_acctbal_per_band_approx, and
+# ann_two_stage_rerank (all once-green in r6, all members of families
+# that keep another seated representative; queued for r8 in
 # ONCE_CERTIFIED_QUEUE with full local parity retained). The window stays
 # at exactly 50 with ZERO oracled-never-certified entries if the round is
 # green.
@@ -80,6 +81,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # never-certified late-r7 additions (seated at birth, see reshape note)
     "sample_reservoir_topk",
     "text_ngram_vocab_topk",
+    "sample_weighted_by_length",
     # queued since the r6 rotation - earn their second certification
     "clean_normalize_nulls_documents",
     "clean_parse_human_count_part",
@@ -102,7 +104,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_decontaminate_ngram",
     "agg_approx_distinct",
     "embedding_quantize_int8",
-    "ann_two_stage_rerank",
     "layout_compact_small_files",
     "streaming_upsert_latest_events",
     "events_sessionize_gap",

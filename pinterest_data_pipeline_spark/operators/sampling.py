@@ -103,6 +103,39 @@ def per_group_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted random sample without replacement of k rows, deterministic.
+
+    Efraimidis–Spirakis A-ES priorities: each row gets key u^(1/w) for a
+    uniform u and weight w, and the k largest keys win — exactly weighted
+    sampling without replacement. u is md5-derived (``uniform_hash``), so
+    the draw is reproducible across runs, engines, partitionings, and row
+    orders; w <= 0 is clamped to 1. We compare ln(u)/w (monotone in
+    u^(1/w), numerically safer near u^tiny ≈ 1), u = (h+1)/2^32 ∈ (0, 1].
+
+    Distributed shape is identical to ``reservoir_sample``:
+    ``orderBy(key).limit(k)`` compiles to ``TakeOrderedAndProject`` — each
+    partition keeps a local k-heap and the driver merges heaps, no global
+    sort, no sequential state, no skew exposure. The selection key is NOT
+    emitted: the only cross-engine float sensitivity is the k-th/k+1-th
+    boundary, where a libm ulp flip would need two independent md5-derived
+    keys within ~1e-16 relative — vanishing, and far inside the repo's
+    knife-edge budget for emitted values (which stay integer/string here).
+    """
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    u = (uniform_hash(F.col(id_col), salt) + F.lit(1)).cast("double") / F.lit(
+        4294967296.0
+    )
+    key = F.log(u) / w
+    return df.orderBy(key.desc(), F.col(id_col).asc()).limit(k)
+
+
 def reservoir_sample(df: DataFrame, id_col: str, k: int, salt: str = "reservoir") -> DataFrame:
     """Fixed-size global sample of k rows: the k smallest ``uniform_hash(id)``
     (ties broken by id).

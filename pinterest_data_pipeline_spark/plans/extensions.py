@@ -269,6 +269,22 @@ def sample_reservoir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def sample_weighted_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sample without replacement: 100 docs drawn with
+    probability proportional to n_chars (Efraimidis–Spirakis md5-seeded
+    priorities) — the "sample by token budget, not by document count"
+    draw of LLM data curation. Same TakeOrderedAndProject shape as the
+    reservoir sample: per-partition k-heaps, no global sort.
+    """
+    docs = load_documents(spark, sf_dir)
+    return (
+        sampling.weighted_sample(docs, "doc_id", "n_chars", k=100)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@query
 def text_ngram_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram vocabulary induction: whitespace bigrams counted over the
     corpus, top-15 per language by frequency (bigram ascending on ties) —

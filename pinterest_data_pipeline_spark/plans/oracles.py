@@ -2365,6 +2365,21 @@ oracle("sample_reservoir_topk")(
     """
 )
 
+oracle("sample_weighted_by_length")(
+    # Same A-ES priority as sampling.weighted_sample: ln((h+1)/2^32) /
+    # greatest(n_chars, 1) with the md5-derived hash h. The key itself is
+    # never emitted; only the k-th-vs-k+1-th boundary could feel a libm
+    # ulp, and two independent md5 keys within 1e-16 relative is vanishing.
+    """
+    SELECT doc_id, lang, n_chars FROM documents
+    ORDER BY ln((CAST(('0x' || substring(md5(doc_id::VARCHAR || 'wsample'), 1, 8))
+                      AS UBIGINT) + 1) / 4294967296.0)
+             / greatest(n_chars, 1) DESC,
+             doc_id ASC
+    LIMIT 100
+    """
+)
+
 oracle("text_ngram_vocab_topk")(
     f"""
     WITH b AS (

@@ -31,8 +31,9 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
     "tpch": ("tpch_q12_priority_shipmode",),
     # sampling: hash splits + per-lang cap twice-certified; stratified owed
     "sampling": ("sample_stratified_by_lang",),
-    # similarity: ann_topk_cosine twice-certified; rerank + IVF owed
-    "similarity": ("ann_two_stage_rerank", "ann_ivf_topk"),
+    # similarity: ann_topk_cosine twice-certified; the rerank twin
+    # yielded its r7 seat to the late-r7 additions, IVF rep stays
+    "similarity": ("ann_ivf_topk",),
     # hll merge-invariant twin yielded its r7 seat to the late-r7
     # additions (ONCE_CERTIFIED_QUEUE); the distinct-parts rep stays
     "sketches": ("sketch_hll_distinct_parts",),
@@ -72,6 +73,7 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
     # late-r7 additions, seated at birth so they never sit uncertified
     "reservoir_sampling": ("sample_reservoir_topk",),
     "vocab_induction": ("text_ngram_vocab_topk",),
+    "weighted_sampling": ("sample_weighted_by_length",),
 }
 
 # Once-certified queries that yielded their window seat to a
@@ -87,6 +89,7 @@ ONCE_CERTIFIED_QUEUE: tuple[str, ...] = (
     "scalar_math_functions",
     "sketch_hll_merge_equals_direct",
     "q6_median_acctbal_per_band_approx",
+    "ann_two_stage_rerank",
 )
 
 # Families fully driver-certified (two green rounds for every listed member

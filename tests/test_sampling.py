@@ -60,3 +60,26 @@ def test_stratified_sample_rates_within_tolerance(spark):
     got = {r.lang: r.n for r in sampled.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     for lg in langs:
         assert abs(got.get(lg, 0) / totals[lg] - 0.5) < 0.2  # binomial, ~100/stratum
+
+
+def test_weighted_sample_is_deterministic_and_sized(spark):
+    docs = load_table(spark, SF, "documents")
+    a = sampling.weighted_sample(docs, "doc_id", "n_chars", k=50)
+    b = sampling.weighted_sample(docs.repartition(9), "doc_id", "n_chars", k=50)
+    assert a.count() == 50
+    assert a.select("doc_id").exceptAll(b.select("doc_id")).count() == 0
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """10 rows with weight 1e9 against 990 with weight 1: A-ES keys for the
+    heavy rows sit at u^(1e-9) ~ 1 while light rows draw plain u, so all 10
+    heavy ids must be selected (deterministic under the fixed md5 salt)."""
+    rows = [(i, 10**9 if i < 10 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    picked = {r.id for r in sampling.weighted_sample(df, "id", "w", k=10).collect()}
+    assert picked == set(range(10))
+
+
+def test_weighted_sample_clamps_nonpositive_weights(spark):
+    df = spark.createDataFrame([(i, 0) for i in range(100)], "id long, w long")
+    assert sampling.weighted_sample(df, "id", "w", k=20).count() == 20
