@@ -56,13 +56,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # LATE-R7 RESHAPE: every query added after the rotation froze is seated
 # immediately so NO oracled query is ever left never-certified — the late
 # additions (sample_reservoir_topk, text_ngram_vocab_topk,
-# sample_weighted_by_length) take the seats yielded by
-# sketch_hll_merge_equals_direct, q6_median_acctbal_per_band_approx, and
-# ann_two_stage_rerank (all once-green in r6, all members of families
-# that keep another seated representative; queued for r8 in
-# ONCE_CERTIFIED_QUEUE with full local parity retained). The window stays
-# at exactly 50 with ZERO oracled-never-certified entries if the round is
-# green.
+# sample_weighted_by_length, sketch_cms_part_counts) take seats yielded
+# by sketch_hll_merge_equals_direct, q6_median_acctbal_per_band_approx,
+# ann_two_stage_rerank, and layout_compact_small_files (all once-green
+# in r6; queued for r8 in ONCE_CERTIFIED_QUEUE with full local parity
+# retained). The window stays at exactly 50 with ZERO
+# oracled-never-certified entries if the round is green.
 PRIORITY_WINDOW: tuple[str, ...] = (
     # never-certified oracled queries (post-closure r6 additions)
     "events_funnel_steps",
@@ -82,6 +81,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "sample_reservoir_topk",
     "text_ngram_vocab_topk",
     "sample_weighted_by_length",
+    "sketch_cms_part_counts",
     # queued since the r6 rotation - earn their second certification
     "clean_normalize_nulls_documents",
     "clean_parse_human_count_part",
@@ -104,7 +104,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_decontaminate_ngram",
     "agg_approx_distinct",
     "embedding_quantize_int8",
-    "layout_compact_small_files",
     "streaming_upsert_latest_events",
     "events_sessionize_gap",
     "streaming_incremental_rollup",

@@ -1,4 +1,4 @@
-"""Frequency-sketch operators: Misra-Gries heavy hitters.
+"""Frequency-sketch operators: Misra-Gries heavy hitters, count-min sketch.
 
 The streaming/distributed classic for "top items without a full groupBy":
 each partition maintains at most ``k`` counters (Misra & Gries 1982); the
@@ -75,3 +75,100 @@ def misra_gries_summary(df: DataFrame, item_col: str, k: int = 8) -> DataFrame:
 
     partials = df.select(item_col).mapInPandas(summarize, schema=out_schema)
     return partials.groupBy("item").agg(F.sum("est_count").alias("est_count"))
+
+
+# --- count-min sketch -------------------------------------------------------
+#
+# Cormode & Muthukrishnan 2005, expressed ENTIRELY as DataFrame relational
+# algebra — no UDFs, no driver state. The sketch is a (depth x width) cell
+# table built with one hash-partitioned aggregate; point estimates are the
+# min over depth cells. Hashes are md5-derived (same uniform_hash family as
+# sampling), so the construction is bit-reproducible in any engine and the
+# estimates carry an EXACT SQL dual — no literal-TRUE invariant oracles.
+#
+# 100 TB posture: the cell table is depth*width rows no matter how many
+# input rows feed it (partial aggregation does the compression map-side),
+# it merges across corpora by cell-wise addition, and it broadcasts for
+# the probe join. est >= exact always; est <= exact + 2n/width w.h.p.
+
+
+def cms_bucket(c, row_idx: int, width: int, salt: str = "cms"):
+    """Bucket of ``c`` in hash row ``row_idx``: md5-derived, engine-portable.
+
+    DuckDB dual: ``CAST(('0x' || substring(md5(v::VARCHAR || salt || i), 1, 8))
+    AS UBIGINT) % width``.
+    """
+    salted = F.concat(c.cast("string"), F.lit(salt), F.lit(str(row_idx)))
+    h = F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long")
+    return (h % width).cast("int")
+
+
+def cms_cells(
+    df: DataFrame,
+    item_col: str,
+    weight_col: str | None = None,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min cell table: (row_idx, bucket, cell_count), <= depth*width rows.
+
+    Each input row adds its weight (1 if ``weight_col`` is None) to one
+    bucket per hash row. Compiles to explode + one hash aggregate whose
+    grouping domain is depth*width cells — partial aggregation collapses
+    the stream map-side, so the shuffle carries at most depth*width rows
+    per task regardless of input size. Sketches over disjoint corpora
+    merge by summing cell_count per (row_idx, bucket).
+    """
+    wcol = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    entries = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row_idx"),
+                    cms_bucket(F.col(item_col), i, width, salt).alias("bucket"),
+                )
+                for i in range(depth)
+            ]
+        )
+    ).alias("cell")
+    return (
+        df.select(entries, wcol.alias("w"))
+        .groupBy("cell.row_idx", "cell.bucket")
+        .agg(F.sum("w").alias("cell_count"))
+    )
+
+
+def cms_point_estimates(
+    probes: DataFrame,
+    cells: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-frequency estimate per probe item: min over its depth cells.
+
+    The cell table is broadcast (it is <= depth*width rows by
+    construction), so probing is a map-side join — no shuffle of the probe
+    side beyond its own final aggregate.
+    """
+    keyed = probes.select(
+        F.col(item_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_idx"),
+                        cms_bucket(F.col(item_col), i, width, salt).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select(item_col, "cell.row_idx", "cell.bucket")
+    return (
+        keyed.join(F.broadcast(cells), ["row_idx", "bucket"], "inner")
+        .groupBy(item_col)
+        .agg(F.min("cell_count").alias("cms_estimate"))
+    )

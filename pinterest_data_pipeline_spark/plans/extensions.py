@@ -1202,6 +1202,39 @@ def sketch_mg_heavy_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def sketch_cms_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over lineitem.l_partkey (depth 4 x width 256),
+    probing the 10 most-ordered parts. The key domain (thousands of
+    parts) far exceeds the 256-bucket width, so collisions are real and
+    the min-over-depth actually resolves them. All hashes are
+    md5-derived, so the DuckDB dual rebuilds the identical sketch and the
+    ESTIMATES themselves certify exactly — no literal-TRUE invariant.
+    Scale shape: the cell table is <= 1024 rows regardless of input size
+    (map-side partial agg does the compression) and broadcasts into the
+    probe join.
+    """
+    from ..operators import sketches
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact_count"))
+    cells = sketches.cms_cells(
+        exact, "l_partkey", weight_col="exact_count", depth=4, width=256
+    )
+    probes = exact.orderBy(F.desc("exact_count"), F.asc("l_partkey")).limit(10)
+    est = sketches.cms_point_estimates(probes, cells, "l_partkey", depth=4, width=256)
+    return (
+        probes.join(est, "l_partkey")
+        .select(
+            "l_partkey",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") >= F.col("exact_count")).alias("overestimates"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+@query
 def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition pruning: lineitem laid out partitioned by
     l_returnflag, joined to a tiny handling-class dimension filtered on a

@@ -2460,6 +2460,48 @@ oracle("embedding_truncate_renormalize")(
     """
 )
 
+oracle("sketch_cms_part_counts")(
+    # Rebuilds the IDENTICAL depth-4 x width-256 count-min sketch with the
+    # same md5-derived buckets, so the estimates certify exactly.
+    """
+    WITH exact AS (
+        SELECT l_partkey, count(*)::BIGINT AS exact_count
+        FROM lineitem GROUP BY l_partkey
+    ), rows_ AS (
+        SELECT unnest(range(0, 4)) AS row_idx
+    ), cells AS (
+        SELECT row_idx, bucket, sum(exact_count)::BIGINT AS cell_count
+        FROM (
+            SELECT r.row_idx,
+                   CAST(('0x' || substring(
+                        md5(e.l_partkey::VARCHAR || 'cms' || r.row_idx::VARCHAR),
+                        1, 8)) AS UBIGINT) % 256 AS bucket,
+                   e.exact_count
+            FROM exact e CROSS JOIN rows_ r
+        )
+        GROUP BY row_idx, bucket
+    ), probes AS (
+        SELECT l_partkey, exact_count FROM exact
+        ORDER BY exact_count DESC, l_partkey ASC LIMIT 10
+    ), probe_cells AS (
+        SELECT p.l_partkey, r.row_idx,
+               CAST(('0x' || substring(
+                    md5(p.l_partkey::VARCHAR || 'cms' || r.row_idx::VARCHAR),
+                    1, 8)) AS UBIGINT) % 256 AS bucket
+        FROM probes p CROSS JOIN rows_ r
+    ), est AS (
+        SELECT k.l_partkey, min(c.cell_count)::BIGINT AS cms_estimate
+        FROM probe_cells k
+        JOIN cells c ON c.row_idx = k.row_idx AND c.bucket = k.bucket
+        GROUP BY k.l_partkey
+    )
+    SELECT p.l_partkey, p.exact_count, e.cms_estimate,
+           e.cms_estimate >= p.exact_count AS overestimates
+    FROM probes p JOIN est e USING (l_partkey)
+    ORDER BY l_partkey
+    """
+)
+
 oracle("sketch_mg_heavy_langs")(
     # Exact heavy set at the same n/(k+1) threshold (k=3); presence and
     # the n/(k+1) underestimate bound are the Misra-Gries guarantees the

@@ -44,7 +44,9 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
     # the late-r7 additions (ONCE_CERTIFIED_QUEUE), distinct rep stays
     "approx_bound_oracles": ("agg_approx_distinct",),
     "vector_compression": ("embedding_quantize_int8",),
-    "layout_compaction": ("layout_compact_small_files",),
+    # layout_compaction (layout_compact_small_files) yielded its r7 seat
+    # to the late-r7 additions: once-green, queued for r8 in
+    # ONCE_CERTIFIED_QUEUE, full local parity retained
     "sessionization_batch": ("events_sessionize_gap",),
     "incremental_mv": ("streaming_incremental_rollup",),
     "column_profile": ("quality_column_profile",),
@@ -74,6 +76,7 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
     "reservoir_sampling": ("sample_reservoir_topk",),
     "vocab_induction": ("text_ngram_vocab_topk",),
     "weighted_sampling": ("sample_weighted_by_length",),
+    "cms_sketch": ("sketch_cms_part_counts",),
 }
 
 # Once-certified queries that yielded their window seat to a
@@ -90,6 +93,7 @@ ONCE_CERTIFIED_QUEUE: tuple[str, ...] = (
     "sketch_hll_merge_equals_direct",
     "q6_median_acctbal_per_band_approx",
     "ann_two_stage_rerank",
+    "layout_compact_small_files",
 )
 
 # Families fully driver-certified (two green rounds for every listed member
