@@ -56,9 +56,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # LATE-R7 RESHAPE: every query added after the rotation froze is seated
 # immediately so NO oracled query is ever left never-certified — the late
 # additions (sample_reservoir_topk, text_ngram_vocab_topk,
-# sample_weighted_by_length, sketch_cms_part_counts) take seats yielded
-# by sketch_hll_merge_equals_direct, q6_median_acctbal_per_band_approx,
-# ann_two_stage_rerank, and layout_compact_small_files (all once-green
+# sample_weighted_by_length, sketch_cms_part_counts, ann_pq_topk) take
+# seats yielded by sketch_hll_merge_equals_direct,
+# q6_median_acctbal_per_band_approx, ann_two_stage_rerank,
+# layout_compact_small_files, and quality_table_checksum (all once-green
 # in r6; queued for r8 in ONCE_CERTIFIED_QUEUE with full local parity
 # retained). The window stays at exactly 50 with ZERO
 # oracled-never-certified entries if the round is green.
@@ -82,6 +83,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "text_ngram_vocab_topk",
     "sample_weighted_by_length",
     "sketch_cms_part_counts",
+    "ann_pq_topk",
     # queued since the r6 rotation - earn their second certification
     "clean_normalize_nulls_documents",
     "clean_parse_human_count_part",
@@ -114,7 +116,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "csv_roundtrip_malformed",
     "join_asof_next_order",
     "schema_evolution_merge",
-    "quality_table_checksum",
     "sketch_hll_distinct_parts",
     "sample_stratified_by_lang",
     "ann_ivf_topk",

@@ -2423,6 +2423,20 @@ oracle("ann_ivf_topk")(
     """
 )
 
+oracle("ann_pq_topk")(
+    # Same derived-n_returned discipline as the IVF oracle. PRECONDITION
+    # for the literal recall_ok: the PQ shortlist (max(100, |corpus|/4)
+    # ADC candidates, 64 codes/subspace) must keep >= 7 of the exact
+    # top-10 per query before the exact rerank — measured 9-10/10 at
+    # sf0.001/0.01/0.1 (pytest pins the per-dataset overlaps).
+    """
+    SELECT vec_id AS query_id,
+           least(10, (SELECT count(*) - 1 FROM embeddings))::BIGINT AS n_returned,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 3 ORDER BY query_id
+    """
+)
+
 oracle("pandas_grouped_agg_weighted_mean")(
     # Exact dual of the GROUPED_AGG pandas UDF: weighted mean =
     # sum(xw)/sum(w), with x quantized to integer cents on BOTH engines so

@@ -59,7 +59,8 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
     # never-certified block: once-green, queued for r8 in
     # ONCE_CERTIFIED_QUEUE, full local parity retained
     "schema_evolution": ("schema_evolution_merge",),
-    "table_checksum": ("quality_table_checksum",),
+    # table_checksum (quality_table_checksum) yielded its r7 seat to the
+    # late-r7 additions: once-green, queued for r8, parity retained
     # post-closure r6 additions, first seated in r7
     "funnel_cohorts": ("events_funnel_steps", "events_retention_cohorts"),
     "lsh_or_amplified": ("ann_lsh_multitable_topk", "ann_lsh_topk"),
@@ -77,6 +78,7 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
     "vocab_induction": ("text_ngram_vocab_topk",),
     "weighted_sampling": ("sample_weighted_by_length",),
     "cms_sketch": ("sketch_cms_part_counts",),
+    "pq_ann": ("ann_pq_topk",),
 }
 
 # Once-certified queries that yielded their window seat to a
@@ -94,6 +96,7 @@ ONCE_CERTIFIED_QUEUE: tuple[str, ...] = (
     "q6_median_acctbal_per_band_approx",
     "ann_two_stage_rerank",
     "layout_compact_small_files",
+    "quality_table_checksum",
 )
 
 # Families fully driver-certified (two green rounds for every listed member

@@ -99,3 +99,63 @@ def test_compact_small_files_collapses_file_count_losslessly(spark, tmp_path):
     assert n_compacted == 4  # one file per bucket
     back = {r.doc_id: r.text for r in compacted.collect()}
     assert back == {i: f"doc {i} body with\nnewline and \"quotes\"" for i in range(100)}
+
+
+def test_pq_encode_is_deterministic_and_code_bounded(spark):
+    """Encoding is a pure function of (vector, codebooks): same codes under
+    repartitioning, every code inside [0, n_codes)."""
+    from pinterest_data_pipeline_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    books = similarity.train_pq_codebooks(emb, m=8, n_codes=16)
+    enc = emb.select(
+        "vec_id", similarity.pq_encode_pandas(books)(F.col("embedding")).alias("codes")
+    )
+    again = emb.repartition(7).select(
+        "vec_id", similarity.pq_encode_pandas(books)(F.col("embedding")).alias("codes")
+    )
+    assert enc.exceptAll(again).count() == 0
+    bad = enc.filter(
+        F.exists("codes", lambda c: (c < 0) | (c >= 16)) | (F.size("codes") != 8)
+    )
+    assert bad.count() == 0
+
+
+def test_pq_rerank_with_full_shortlist_matches_exact_topk(spark):
+    """k_coarse = |corpus| makes the ADC stage a no-op filter, so the
+    composition must reproduce the exact float-cosine top-k exactly."""
+    from pinterest_data_pipeline_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = emb.filter(F.col("vec_id") < 2)
+    books = similarity.train_pq_codebooks(emb, n_codes=16)
+    full = similarity.pq_topk_rerank(emb, q, books, k=5, k_coarse=emb.count())
+    exact = similarity.cosine_topk(emb, q, k=5)
+    assert (
+        full.select("query_id", "vec_id", "rank")
+        .exceptAll(exact.select("query_id", "vec_id", "rank"))
+        .count()
+        == 0
+    )
+
+
+def test_pq_recall_overlaps_pinned_at_sf001(spark):
+    """Pin the exact per-query overlap of the registered ann_pq_topk
+    configuration against the quantized brute-force top-10 (the oracle's
+    literal-TRUE precondition): 10/10, 10/10, 9/10 at sf0.001."""
+    from pinterest_data_pipeline_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    books = similarity.train_pq_codebooks(emb, n_codes=64)
+    ann = similarity.pq_topk_rerank(emb, q, books, k=10)
+    exact = similarity.cosine_topk_quantized(emb, q, k=10).select("query_id", "vec_id")
+    ov = {
+        r.query_id: r.n
+        for r in ann.select("query_id", "vec_id")
+        .join(exact, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert ov == {0: 10, 1: 10, 2: 9}
