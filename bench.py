@@ -137,6 +137,13 @@ HEADLINE = [
     "ann_lsh_topk",
     "sample_reservoir_topk",
     "text_ngram_vocab_topk",
+    # late-r7 growth (84 -> 88 queries; cross-round totals need the
+    # shared-query diff, as before): weighted sampling, count-min sketch,
+    # product-quantization ANN, ANSI lateral top-N.
+    "sample_weighted_by_length",
+    "sketch_cms_part_counts",
+    "ann_pq_topk",
+    "join_lateral_top_customers",
 ]
 
 

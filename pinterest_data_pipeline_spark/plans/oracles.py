@@ -754,6 +754,21 @@ oracle("subquery_correlated_above_nation_avg")(
     """
 )
 
+oracle("join_lateral_top_customers")(
+    # Identical LATERAL text: DuckDB executes the correlated subquery
+    # per-row; Spark decorrelates to WindowGroupLimit + broadcast join.
+    """
+    SELECT n.n_name, c.c_name, c.c_acctbal
+    FROM nation n,
+    LATERAL (
+        SELECT c_name, round(c_acctbal, 2) AS c_acctbal FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 3
+    ) c
+    ORDER BY n_name, c_acctbal DESC, c_name
+    """
+)
+
 oracle("scalar_date_functions")(
     """
     SELECT o_orderkey,

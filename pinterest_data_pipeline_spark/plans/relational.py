@@ -110,6 +110,30 @@ def subquery_correlated_above_nation_avg(spark: SparkSession, sf_dir: str) -> Da
     )
 
 
+@query
+def join_lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI LATERAL subquery with correlated ORDER BY + LIMIT: each
+    nation's top-3 customers by account balance. Catalyst decorrelates
+    the per-row subquery into ``WindowGroupLimit`` + one broadcast join —
+    no nested-loop re-execution, no cartesian product (plan-contract
+    pinned) — so the "top-N per outer row" idiom costs one shuffle at
+    any scale. DuckDB runs the identical LATERAL text.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM nation n,
+        LATERAL (
+            SELECT c_name, round(c_acctbal, 2) AS c_acctbal FROM customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name LIMIT 3
+        ) c
+        ORDER BY n_name, c_acctbal DESC, c_name
+        """
+    )
+
+
 # ===========================================================================
 # Scalar-function suites (F-series breadth; all codegen'd built-ins)
 # ===========================================================================

@@ -396,3 +396,32 @@ def test_pack_sequences_never_globally_sorts_the_data(spark):
     below_window = plan[win:]
     assert "hashpartitioning(_blk" in below_window
     assert "rangepartitioning" not in below_window
+
+
+def test_lateral_topn_decorrelates_to_window_group_limit(spark):
+    # ANSI LATERAL with correlated ORDER BY + LIMIT must not plan as a
+    # per-outer-row re-execution or a cartesian: Catalyst decorrelates it
+    # into WindowGroupLimit + one broadcast join.
+    plan = plan_of(spark, "join_lateral_top_customers")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_cells_keep_partial_aggregation(spark):
+    # the sketch's compression IS the map-side partial aggregate: the
+    # explode fans out depth rows per input, but the exchange may carry
+    # at most depth*width rows per task
+    from pinterest_data_pipeline_spark.operators import sketches
+    from pinterest_data_pipeline_spark.session import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    cells = sketches.cms_cells(li, "l_partkey", depth=4, width=256)
+    plan = cells._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "Exchange" in plan
+
+
+def test_weighted_sample_uses_take_ordered(spark):
+    plan = plan_of(spark, "sample_weighted_by_length")
+    assert "TakeOrderedAndProject" in plan

@@ -52,7 +52,8 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
     "column_profile": ("quality_column_profile",),
     "salted_join": ("join_salted_skewed",),
     "unigram_scoring": ("text_unigram_logprob",),
-    "histogram": ("agg_histogram_totalprice",),
+    # histogram (agg_histogram_totalprice) yielded its r7 seat to the
+    # late-r7 additions: once-green, queued for r8, parity retained
     "csv_dlq": ("csv_roundtrip_malformed",),
     "asof_forward": ("join_asof_next_order",),
     # math_battery (scalar_math_functions) yielded its seat to the r7
@@ -79,6 +80,7 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
     "weighted_sampling": ("sample_weighted_by_length",),
     "cms_sketch": ("sketch_cms_part_counts",),
     "pq_ann": ("ann_pq_topk",),
+    "lateral_join": ("join_lateral_top_customers",),
 }
 
 # Once-certified queries that yielded their window seat to a
@@ -97,6 +99,7 @@ ONCE_CERTIFIED_QUEUE: tuple[str, ...] = (
     "ann_two_stage_rerank",
     "layout_compact_small_files",
     "quality_table_checksum",
+    "agg_histogram_totalprice",
 )
 
 # Families fully driver-certified (two green rounds for every listed member

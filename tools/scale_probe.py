@@ -381,6 +381,54 @@ def probe_incremental_rollup(spark, mult: int) -> float:
     return secs
 
 
+def probe_cms(spark, mult: int) -> float:
+    """Count-min sketch at mult x raw rows: the cell table stays 4x256
+    however large the stream (map-side partial agg does the compression),
+    so growth should be scan-bound."""
+    from pinterest_data_pipeline_spark.operators import sketches
+
+    li = multiply(load_table(spark, SF, "lineitem"), mult, ["l_orderkey"])
+    cells = sketches.cms_cells(li, "l_partkey", depth=4, width=256)
+    probes = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("l_partkey"))
+        .limit(10)
+    )
+    q = sketches.cms_point_estimates(probes, cells, "l_partkey", depth=4, width=256)
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_weighted_sample(spark, mult: int) -> float:
+    """A-ES weighted sample at mult x: per-partition k-heaps merged on the
+    driver (TakeOrderedAndProject) — scan-bound, no global sort."""
+    from pinterest_data_pipeline_spark.operators import sampling
+
+    docs = multiply(load_table(spark, SF, "documents"), mult, ["doc_id"])
+    q = sampling.weighted_sample(docs, "doc_id", "n_chars", k=100)
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_pq_topk(spark, mult: int) -> float:
+    """PQ ANN at mult x corpus: one Arrow-batched encode pass + ADC scan
+    with a fixed 500-candidate shortlist (the at-scale configuration —
+    shortlists don't grow with the corpus on clustered data) + bounded
+    rerank."""
+    from pinterest_data_pipeline_spark.operators import similarity
+
+    emb = multiply(load_table(spark, SF, "embeddings"), mult, ["vec_id"])
+    queries = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 3)
+    books = similarity.train_pq_codebooks(emb, n_codes=64)
+    q = similarity.pq_topk_rerank(emb, queries, books, k=10, k_coarse=500)
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 PROBES = {
     "tpch_q5_6way_join": probe_tpch_q5,
     "simhash_near_dup": probe_simhash,
@@ -399,14 +447,21 @@ PROBES = {
     "funnel_steps": probe_funnel_steps,
     "retention_cohorts": probe_retention_cohorts,
     "incremental_rollup": probe_incremental_rollup,
+    # late-r7 additions
+    "cms_sketch": probe_cms,
+    "weighted_sample": probe_weighted_sample,
+    "pq_topk": probe_pq_topk,
 }
 
 
 def main() -> None:
-    mults = [int(a) for a in sys.argv[1:]] or [1, 8]
+    # integer args are multipliers; string args filter probes by name
+    mults = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 8]
+    names = [a for a in sys.argv[1:] if not a.isdigit()]
+    probes = {n: PROBES[n] for n in names} if names else PROBES
     spark = get_spark("scale_probe")
     probe_groupagg(spark, 1)  # warm-up
-    for name, fn in PROBES.items():
+    for name, fn in probes.items():
         for m in mults:
             secs = round(fn(spark, m), 2)
             print(json.dumps({"probe": name, "mult": m, "sec": secs}))
