@@ -1116,6 +1116,31 @@ def streaming_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def streaming_view_purchase_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join, certified from the driver:
+    the watermarked two-stream attribution join (purchase within 1 hour
+    of a view, both sides bounded to horizon + watermark of state) with
+    the OUTER rows — views that never converted — emitted once their
+    expiry passes the global watermark. Replayed as two event-time-
+    ordered batches plus two-sided watermark heartbeats (see
+    ``availablenow_attribution_outer``: the global watermark is the MIN
+    across both branches, so the heartbeat must advance views AND
+    purchases). The oracle is the plain batch LEFT JOIN dual — a green
+    row certifies streaming outer emission == batch outer semantics,
+    the inner join's dual having been certified by
+    ``events_view_purchase_attribution``.
+    """
+    from ..streaming import pipeline as streaming_pipeline
+
+    res = streaming_pipeline.availablenow_attribution_outer(
+        spark, sf_dir, _work_dir(sf_dir, "_streaming_outer_join")
+    )
+    return res.select(
+        "view_id", "purchase_id", "user_id", "lag_seconds", "purchase_value"
+    ).orderBy("view_id", "purchase_id")
+
+
+@query
 def csv_roundtrip_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV ingest with explicit schema + PERMISSIVE corrupt-record DLQ:
     documents round-trip through CSV, 7 planted type-violating lines land

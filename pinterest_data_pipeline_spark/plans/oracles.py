@@ -2652,6 +2652,26 @@ oracle("events_funnel_steps")(
 # (batch conditional-min vs incremental stateful-greedy + upsert).
 ORACLES["streaming_funnel_steps"] = ORACLES["events_funnel_steps"]
 
+oracle("streaming_view_purchase_outer")(
+    # Batch LEFT JOIN dual of the watermarked stream-stream outer join:
+    # a view with no purchase inside the horizon emits exactly once with
+    # null purchase columns. Same band condition as the certified inner
+    # attribution oracle.
+    """
+    SELECT v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           v.user_id,
+           date_diff('second', v.ts, p.ts)::BIGINT AS lag_seconds,
+           round(p.value, 2) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 1 HOUR
+    ORDER BY view_id, purchase_id
+    """
+)
+
 oracle("events_retention_cohorts")(
     """
     WITH fs AS (

@@ -252,6 +252,7 @@ def attributed_conversions(
     purchases: DataFrame,
     horizon: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: purchases attributed to a prior view.
 
@@ -285,7 +286,12 @@ def attributed_conversions(
         & (p.purchase_ts >= v.view_ts)
         & (p.purchase_ts <= v.view_ts + F.expr(f"INTERVAL {horizon}"))
     )
-    return v.join(p, cond, "inner").select(
+    # leftOuter: a view with no purchase inside the horizon emits ONCE with
+    # null purchase columns — but only after the watermark passes
+    # view_ts + horizon, which is what bounds the join state. The null-safe
+    # expressions below yield null lag/value for those rows, matching the
+    # batch LEFT JOIN dual exactly.
+    return v.join(p, cond, how).select(
         "view_id",
         "purchase_id",
         "user_id",
@@ -769,3 +775,78 @@ def availablenow_funnel_steps(
         )
         query.awaitTermination()
     return spark.read.parquet(table_dir)
+
+
+def availablenow_attribution_outer(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join, driven end-to-end bounded.
+
+    The outer side of the two-stream attribution trade: views with no
+    purchase inside the horizon must still emit (with null purchase
+    columns) — but a streaming outer join may only do so once the
+    watermark passes ``view_ts + horizon``, because until then a matching
+    purchase could still arrive. That makes outer emission WATERMARK-
+    DRIVEN, and a bounded drive has to advance the watermark past the last
+    real view: after the two real event-time-ordered batches, two
+    far-future sentinel batches (negative user_id, join-inert) push the
+    checkpoint watermark beyond every real view's expiry — the second one
+    is needed because batch N evicts with the watermark computed at the
+    end of batch N-1. This is the standard event-time-heartbeat pattern
+    for draining outer-join/timeout state in replayed or low-traffic
+    streams; on a live 100 TB/day stream the next day's traffic plays the
+    sentinels' role and state stays bounded at horizon + watermark of
+    history per side.
+    """
+    import shutil
+
+    from ..session import load_table
+
+    if os.path.exists(work_dir):
+        shutil.rmtree(work_dir)
+    src = os.path.join(work_dir, "src")
+    out_dir = os.path.join(work_dir, "out")
+    ckpt_dir = os.path.join(work_dir, "ckpt")
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    mid_ts = lo + (hi - lo) / 2
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def sentinel(hours: int):
+        # one heartbeat PER SIDE: the global watermark is the MIN over all
+        # watermark nodes (multipleWatermarkPolicy=min), so advancing only
+        # the views branch would pin the join's watermark at the last real
+        # purchase and the trailing unmatched views would never flush.
+        # Distinct negative user_ids keep the two heartbeats join-inert.
+        return spark.sql(
+            f"SELECT -1L AS event_id, timestamp'{hi}' + INTERVAL {hours} HOURS AS ts,"
+            " -1L AS user_id, 'view' AS event_type, CAST(0.0 AS DOUBLE) AS value"
+            f" UNION ALL SELECT -2L, timestamp'{hi}' + INTERVAL {hours} HOURS,"
+            " -2L, 'purchase', CAST(0.0 AS DOUBLE)"
+        )
+
+    chunks = [
+        events.filter(F.col("ts") <= F.lit(mid_ts)),
+        events.filter(F.col("ts") > F.lit(mid_ts)),
+        sentinel(8),
+        sentinel(16),
+    ]
+    for chunk in chunks:
+        chunk.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        views = stream.filter(F.col("event_type") == "view")
+        purchases = stream.filter(F.col("event_type") == "purchase")
+        joined = attributed_conversions(views, purchases, how="leftOuter")
+        query = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.read.parquet(out_dir).filter(F.col("user_id") >= 0)

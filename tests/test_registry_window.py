@@ -59,7 +59,8 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
     # math_battery (scalar_math_functions) yielded its seat to the r7
     # never-certified block: once-green, queued for r8 in
     # ONCE_CERTIFIED_QUEUE, full local parity retained
-    "schema_evolution": ("schema_evolution_merge",),
+    # schema_evolution (schema_evolution_merge) yielded its r7 seat to
+    # the late-r7 additions: once-green, queued for r8, parity retained
     # table_checksum (quality_table_checksum) yielded its r7 seat to the
     # late-r7 additions: once-green, queued for r8, parity retained
     # post-closure r6 additions, first seated in r7
@@ -81,6 +82,7 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
     "cms_sketch": ("sketch_cms_part_counts",),
     "pq_ann": ("ann_pq_topk",),
     "lateral_join": ("join_lateral_top_customers",),
+    "stream_stream_outer": ("streaming_view_purchase_outer",),
 }
 
 # Once-certified queries that yielded their window seat to a
@@ -100,6 +102,7 @@ ONCE_CERTIFIED_QUEUE: tuple[str, ...] = (
     "layout_compact_small_files",
     "quality_table_checksum",
     "agg_histogram_totalprice",
+    "schema_evolution_merge",
 )
 
 # Families fully driver-certified (two green rounds for every listed member

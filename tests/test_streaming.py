@@ -701,3 +701,66 @@ def test_funnel_state_strict_ordering_across_batches(spark, tmp_path):
     assert got[1] == (t(1), t(2), t(3))
     assert got[2] == (t(2), t(4), t(5))
     assert got[3] == (t(1), None, None)
+
+
+def test_stream_outer_attribution_matches_batch_left_join(spark, tmp_path):
+    """Crafted strictness for the stream-stream LEFT OUTER interval join:
+    a purchase exactly AT the horizon matches, one second past does not,
+    and every non-converting view emits exactly one null row once the
+    two-sided heartbeats advance the global watermark."""
+    import os
+
+    from pinterest_data_pipeline_spark.streaming.pipeline import (
+        attributed_conversions,
+    )
+
+    rows = [
+        # user 1: purchase exactly at +1h -> match
+        (10, "2024-01-01 00:00:00", 1, "view", 0.0),
+        (11, "2024-01-01 01:00:00", 1, "purchase", 5.0),
+        # user 2: purchase at +1h1s -> outside horizon -> null row
+        (20, "2024-01-01 00:00:00", 2, "view", 0.0),
+        (21, "2024-01-01 01:00:01", 2, "purchase", 7.0),
+        # user 3: never purchases -> null row
+        (30, "2024-01-01 02:00:00", 3, "view", 0.0),
+        # two-sided watermark heartbeats far in the future
+        (-1, "2024-01-02 00:00:00", -1, "view", 0.0),
+        (-2, "2024-01-02 00:00:00", -2, "purchase", 0.0),
+        (-1, "2024-01-03 00:00:00", -1, "view", 0.0),
+        (-2, "2024-01-03 00:00:00", -2, "purchase", 0.0),
+    ]
+    schema = "event_id long, ts string, user_id long, event_type string, value double"
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    from pyspark.sql import functions as F
+
+    # three event-time-ordered drains: real events, heartbeat 1, heartbeat 2
+    batches = [rows[:5], rows[5:7], rows[7:9]]
+    for batch in batches:
+        df = spark.createDataFrame(batch, schema).withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        ).parquet(src)
+        q = (
+            attributed_conversions(
+                stream.filter(F.col("event_type") == "view"),
+                stream.filter(F.col("event_type") == "purchase"),
+                how="leftOuter",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = {
+        (r.view_id, r.purchase_id, r.lag_seconds)
+        for r in spark.read.parquet(out).filter(F.col("user_id") >= 0).collect()
+    }
+    assert got == {(10, 11, 3600), (20, None, None), (30, None, None)}
