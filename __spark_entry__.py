@@ -57,12 +57,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # immediately so NO oracled query is ever left never-certified — the late
 # additions (sample_reservoir_topk, text_ngram_vocab_topk,
 # sample_weighted_by_length, sketch_cms_part_counts, ann_pq_topk,
-# join_lateral_top_customers, streaming_view_purchase_outer) take seats
-# yielded by sketch_hll_merge_equals_direct,
-# q6_median_acctbal_per_band_approx, ann_two_stage_rerank,
-# layout_compact_small_files, quality_table_checksum,
-# agg_histogram_totalprice, and schema_evolution_merge (all once-green
-# in r6; queued for r8 in ONCE_CERTIFIED_QUEUE with full local parity
+# join_lateral_top_customers, streaming_view_purchase_outer,
+# recursive_order_chain) take seats yielded by
+# sketch_hll_merge_equals_direct, q6_median_acctbal_per_band_approx,
+# ann_two_stage_rerank, layout_compact_small_files,
+# quality_table_checksum, agg_histogram_totalprice,
+# schema_evolution_merge, and join_asof_next_order (all once-green in
+# r6; queued for r8 in ONCE_CERTIFIED_QUEUE with full local parity
 # retained). The window stays at exactly 50 with ZERO
 # oracled-never-certified entries if the round is green.
 PRIORITY_WINDOW: tuple[str, ...] = (
@@ -88,6 +89,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "ann_pq_topk",
     "join_lateral_top_customers",
     "streaming_view_purchase_outer",
+    "recursive_order_chain",
     # queued since the r6 rotation - earn their second certification
     "clean_normalize_nulls_documents",
     "clean_parse_human_count_part",
@@ -117,7 +119,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "join_salted_skewed",
     "text_unigram_logprob",
     "csv_roundtrip_malformed",
-    "join_asof_next_order",
     "sketch_hll_distinct_parts",
     "sample_stratified_by_lang",
     "ann_ivf_topk",

@@ -769,6 +769,32 @@ oracle("join_lateral_top_customers")(
     """
 )
 
+oracle("recursive_order_chain")(
+    # Identical WITH RECURSIVE text; per-step round(2) keeps the running
+    # float chain bit-reproducible in both engines.
+    """
+    WITH RECURSIVE ordered AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS pos
+      FROM orders WHERE o_custkey % 10 = 0
+    ), walk AS (
+      SELECT o_custkey, pos, o_orderkey,
+             round(o_totalprice, 2) AS running_total
+      FROM ordered WHERE pos = 1
+      UNION ALL
+      SELECT o.o_custkey, o.pos, o.o_orderkey,
+             round(w.running_total + o.o_totalprice, 2)
+      FROM walk w
+      JOIN ordered o
+        ON o.o_custkey = w.o_custkey AND o.pos = w.pos + 1 AND o.pos <= 5
+    )
+    SELECT o_custkey, pos, o_orderkey, running_total FROM walk
+    ORDER BY o_custkey, pos
+    """
+)
+
 oracle("scalar_date_functions")(
     """
     SELECT o_orderkey,

@@ -134,6 +134,45 @@ def join_lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query
+def recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4 recursive CTE): walk each sampled
+    customer's orders in date order, carrying a running total along the
+    chain — an inherently sequential per-entity recursion Spark executes
+    as iterated joins against the previous frontier. The recursion is
+    acyclic (successor = next row_number) and depth-bounded in the join
+    condition (pos <= 5), so the frontier shrinks monotonically; DuckDB
+    runs the IDENTICAL text and per-step round(2) keeps the float chain
+    bit-reproducible across engines. For unbounded-depth graph closure
+    the iterative-DataFrame form (``dedup.cluster_pairs``) remains the
+    scale path; this pins the ANSI recursive surface itself.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE ordered AS (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ) AS pos
+          FROM orders WHERE o_custkey % 10 = 0
+        ), walk AS (
+          SELECT o_custkey, pos, o_orderkey,
+                 round(o_totalprice, 2) AS running_total
+          FROM ordered WHERE pos = 1
+          UNION ALL
+          SELECT o.o_custkey, o.pos, o.o_orderkey,
+                 round(w.running_total + o.o_totalprice, 2)
+          FROM walk w
+          JOIN ordered o
+            ON o.o_custkey = w.o_custkey AND o.pos = w.pos + 1 AND o.pos <= 5
+        )
+        SELECT o_custkey, pos, o_orderkey, running_total FROM walk
+        ORDER BY o_custkey, pos
+        """
+    )
+
+
 # ===========================================================================
 # Scalar-function suites (F-series breadth; all codegen'd built-ins)
 # ===========================================================================

@@ -55,7 +55,8 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
     # histogram (agg_histogram_totalprice) yielded its r7 seat to the
     # late-r7 additions: once-green, queued for r8, parity retained
     "csv_dlq": ("csv_roundtrip_malformed",),
-    "asof_forward": ("join_asof_next_order",),
+    # asof_forward (join_asof_next_order) yielded its r7 seat to the
+    # late-r7 additions: once-green, queued for r8, parity retained
     # math_battery (scalar_math_functions) yielded its seat to the r7
     # never-certified block: once-green, queued for r8 in
     # ONCE_CERTIFIED_QUEUE, full local parity retained
@@ -83,6 +84,7 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
     "pq_ann": ("ann_pq_topk",),
     "lateral_join": ("join_lateral_top_customers",),
     "stream_stream_outer": ("streaming_view_purchase_outer",),
+    "recursive_cte": ("recursive_order_chain",),
 }
 
 # Once-certified queries that yielded their window seat to a
@@ -103,6 +105,7 @@ ONCE_CERTIFIED_QUEUE: tuple[str, ...] = (
     "quality_table_checksum",
     "agg_histogram_totalprice",
     "schema_evolution_merge",
+    "join_asof_next_order",
 )
 
 # Families fully driver-certified (two green rounds for every listed member
