@@ -1116,6 +1116,41 @@ def streaming_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def streaming_cms_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained count-min sketch over events.user_id,
+    certified exactly: two availableNow drains maintain the 4x256 cell
+    table through update-mode streaming aggregation + the keyed upsert
+    sink (CMS cells merge by per-cell addition — precisely what
+    aggregation state computes), then the ten heaviest users are point-
+    estimated from the STREAMED cells. The oracle rebuilds the identical
+    sketch in SQL over the whole table, so a green row certifies
+    incremental == recompute bit-for-bit — the sketch twin of
+    ``streaming_incremental_rollup``, with state bounded at 1024 keys
+    however large the stream.
+    """
+    from ..operators import sketches
+    from ..streaming import pipeline as streaming_pipeline
+
+    cells = streaming_pipeline.availablenow_cms_rollup(
+        spark, sf_dir, _work_dir(sf_dir, "_streaming_cms")
+    )
+    events = load_table(spark, sf_dir, "events")
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    probes = exact.orderBy(F.desc("exact_count"), F.asc("user_id")).limit(10)
+    est = sketches.cms_point_estimates(probes, cells, "user_id", depth=4, width=256)
+    return (
+        probes.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") >= F.col("exact_count")).alias("overestimates"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query
 def streaming_view_purchase_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join, certified from the driver:
     the watermarked two-stream attribution join (purchase within 1 hour

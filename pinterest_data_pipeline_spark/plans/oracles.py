@@ -2557,6 +2557,49 @@ oracle("sketch_cms_part_counts")(
     """
 )
 
+oracle("streaming_cms_rollup")(
+    # Rebuilds the 4x256 user_id sketch over the WHOLE events table; the
+    # streamed cell table must equal it bit-for-bit (cells merge by
+    # addition — exactly what streaming aggregation state computes).
+    """
+    WITH exact AS (
+        SELECT user_id, count(*)::BIGINT AS exact_count
+        FROM events GROUP BY user_id
+    ), rows_ AS (
+        SELECT unnest(range(0, 4)) AS row_idx
+    ), cells AS (
+        SELECT row_idx, bucket, sum(exact_count)::BIGINT AS cell_count
+        FROM (
+            SELECT r.row_idx,
+                   CAST(('0x' || substring(
+                        md5(e.user_id::VARCHAR || 'cms' || r.row_idx::VARCHAR),
+                        1, 8)) AS UBIGINT) % 256 AS bucket,
+                   e.exact_count
+            FROM exact e CROSS JOIN rows_ r
+        )
+        GROUP BY row_idx, bucket
+    ), probes AS (
+        SELECT user_id, exact_count FROM exact
+        ORDER BY exact_count DESC, user_id ASC LIMIT 10
+    ), probe_cells AS (
+        SELECT p.user_id, r.row_idx,
+               CAST(('0x' || substring(
+                    md5(p.user_id::VARCHAR || 'cms' || r.row_idx::VARCHAR),
+                    1, 8)) AS UBIGINT) % 256 AS bucket
+        FROM probes p CROSS JOIN rows_ r
+    ), est AS (
+        SELECT k.user_id, min(c.cell_count)::BIGINT AS cms_estimate
+        FROM probe_cells k
+        JOIN cells c ON c.row_idx = k.row_idx AND c.bucket = k.bucket
+        GROUP BY k.user_id
+    )
+    SELECT p.user_id, p.exact_count, e.cms_estimate,
+           e.cms_estimate >= p.exact_count AS overestimates
+    FROM probes p JOIN est e USING (user_id)
+    ORDER BY user_id
+    """
+)
+
 oracle("sketch_mg_heavy_langs")(
     # Exact heavy set at the same n/(k+1) threshold (k=3); presence and
     # the n/(k+1) underestimate bound are the Misra-Gries guarantees the

@@ -850,3 +850,52 @@ def availablenow_attribution_outer(
         )
         query.awaitTermination()
     return spark.read.parquet(out_dir).filter(F.col("user_id") >= 0)
+
+
+def availablenow_cms_rollup(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """Incrementally-maintained count-min sketch, driven end-to-end bounded.
+
+    The sketch twin of :func:`availablenow_incremental_rollup`: events
+    arrive in two file batches and the CMS cell table (depth 4 x width
+    256 over ``user_id``) is maintained as an update-mode streaming
+    aggregation through the keyed upsert sink. Count-min cells merge by
+    per-cell ADDITION, which is exactly what streaming aggregation state
+    computes — so the incrementally-maintained sketch must equal the
+    batch-built sketch over all data, bit for bit (the oracle rebuilds
+    it in SQL). The aggregate runs WITHOUT a watermark deliberately: its
+    state domain is bounded at depth*width = 1024 keys by construction,
+    the one case where unbounded-lifetime streaming state is safe at any
+    volume. At 100 TB/day this maintains frequency estimates for an
+    unbounded key domain in constant state and constant sink size.
+    """
+    import shutil
+
+    from ..operators import sketches
+    from ..session import load_table
+
+    if os.path.exists(work_dir):
+        shutil.rmtree(work_dir)
+    src = os.path.join(work_dir, "src")
+    table_dir = os.path.join(work_dir, "state", "cms_cells")
+    ckpt_dir = os.path.join(work_dir, "checkpoints", "cms_cells")
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    mid = events.agg(F.max("event_id")).first()[0] // 2
+
+    for chunk in (
+        events.filter(F.col("event_id") <= mid),
+        events.filter(F.col("event_id") > mid),
+    ):
+        chunk.write.mode("append").parquet(src)
+        stream = spark.readStream.schema("event_id long, user_id long").parquet(src)
+        query = upsert_sink(
+            sketches.cms_cells(stream, "user_id", depth=4, width=256),
+            table_dir,
+            ckpt_dir,
+            keys=["row_idx", "bucket"],
+            available_now=True,
+        )
+        query.awaitTermination()
+    return spark.read.parquet(table_dir)

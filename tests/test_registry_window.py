@@ -51,7 +51,8 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
     "incremental_mv": ("streaming_incremental_rollup",),
     "column_profile": ("quality_column_profile",),
     "salted_join": ("join_salted_skewed",),
-    "unigram_scoring": ("text_unigram_logprob",),
+    # unigram_scoring (text_unigram_logprob) yielded its r7 seat to the
+    # late-r7 additions: once-green, queued for r8, parity retained
     # histogram (agg_histogram_totalprice) yielded its r7 seat to the
     # late-r7 additions: once-green, queued for r8, parity retained
     "csv_dlq": ("csv_roundtrip_malformed",),
@@ -85,6 +86,7 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
     "lateral_join": ("join_lateral_top_customers",),
     "stream_stream_outer": ("streaming_view_purchase_outer",),
     "recursive_cte": ("recursive_order_chain",),
+    "incremental_sketch": ("streaming_cms_rollup",),
 }
 
 # Once-certified queries that yielded their window seat to a
@@ -106,6 +108,7 @@ ONCE_CERTIFIED_QUEUE: tuple[str, ...] = (
     "agg_histogram_totalprice",
     "schema_evolution_merge",
     "join_asof_next_order",
+    "text_unigram_logprob",
 )
 
 # Families fully driver-certified (two green rounds for every listed member

@@ -764,3 +764,28 @@ def test_stream_outer_attribution_matches_batch_left_join(spark, tmp_path):
         for r in spark.read.parquet(out).filter(F.col("user_id") >= 0).collect()
     }
     assert got == {(10, 11, 3600), (20, None, None), (30, None, None)}
+
+
+def test_incremental_cms_equals_batch_sketch(spark, tmp_path):
+    """The incrementally-maintained CMS cell table must equal the
+    batch-built sketch over the same events, bit for bit — cells merge by
+    addition, which is exactly what streaming aggregation state computes."""
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline_spark.operators import sketches
+    from pinterest_data_pipeline_spark.session import load_table
+    from pinterest_data_pipeline_spark.streaming.pipeline import (
+        availablenow_cms_rollup,
+    )
+
+    streamed = availablenow_cms_rollup(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "cms")
+    ).select("row_idx", "bucket", "cell_count")
+    batch = sketches.cms_cells(
+        load_table(spark, "/root/testdata/sf0.001", "events"),
+        "user_id",
+        depth=4,
+        width=256,
+    )
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
