@@ -322,3 +322,64 @@ def test_asof_forward_is_backward_on_reversed_axis(spark, left_ts, right_ts):
         ).collect()
     }
     assert fwd == bwd
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=1, max_value=1_000_000),
+        ),
+        min_size=3,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=10),
+)
+@settings(**SETTINGS)
+def test_weighted_sample_is_nested_in_k(spark, rows, k):
+    """A-ES priorities are a fixed total order per (id, weight, salt), so
+    the top-k sample must be a SUBSET of the top-(k+1) sample — the
+    property that makes the draw stable when the budget grows."""
+    from pinterest_data_pipeline_spark.operators import sampling
+
+    df = spark.createDataFrame(rows, "id long, w long")
+    small = {r.id for r in sampling.weighted_sample(df, "id", "w", k=k).collect()}
+    big = {r.id for r in sampling.weighted_sample(df, "id", "w", k=k + 1).collect()}
+    assert small <= big
+    assert len(small) == min(k, len(rows))
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=60),
+    st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=60),
+)
+@settings(**SETTINGS)
+def test_cms_estimates_monotone_under_stream_growth(spark, part_a, part_b):
+    """Adding rows can only grow cell counts, so every point estimate is
+    monotone non-decreasing under stream growth — and always >= truth."""
+    from pinterest_data_pipeline_spark.operators import sketches
+
+    df_a = spark.createDataFrame([(x,) for x in part_a], "item long")
+    df_ab = spark.createDataFrame([(x,) for x in part_a + part_b], "item long")
+    probes = df_a.select("item").distinct()
+    est_a = {
+        r.item: r.cms_estimate
+        for r in sketches.cms_point_estimates(
+            probes, sketches.cms_cells(df_a, "item", depth=2, width=16), "item",
+            depth=2, width=16,
+        ).collect()
+    }
+    est_ab = {
+        r.item: r.cms_estimate
+        for r in sketches.cms_point_estimates(
+            probes, sketches.cms_cells(df_ab, "item", depth=2, width=16), "item",
+            depth=2, width=16,
+        ).collect()
+    }
+    from collections import Counter
+
+    truth_a = Counter(part_a)
+    for item, e in est_a.items():
+        assert e >= truth_a[item]
+        assert est_ab[item] >= e
