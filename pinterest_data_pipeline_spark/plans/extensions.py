@@ -1116,6 +1116,50 @@ def streaming_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed daily value per event type: a time-decayed
+    rollup (the trending/decayed-popularity metric of feed ranking and
+    ops dashboards), EWMA with alpha = 1/2 over a 20-day horizon.
+
+    alpha = 1/2 is chosen deliberately: the weights 2^-k are exact dyadic
+    doubles and the weighted sum of integer cents stays under 53 mantissa
+    bits, so the float arithmetic is BIT-EXACT in any IEEE engine — a
+    decayed aggregate with an exact oracle, no bound needed. The decayed
+    sum is a (day x day) band self-join on the tiny daily rollup
+    (days x types rows, broadcast), never on raw events: at 100 TB the
+    decay pass costs days^2 x types trivial rows after one partial-agg
+    shuffle of the events.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.withColumn("day", F.to_date(F.date_trunc("day", F.col("ts"))))
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+        )
+    )
+    a = daily.select(
+        F.col("event_type"), F.col("day").alias("day_a")
+    ).distinct()
+    b = daily.select(
+        F.col("event_type"), F.col("day").alias("day_b"), "cents"
+    )
+    diff = F.datediff(F.col("day_a"), F.col("day_b"))
+    return (
+        a.join(F.broadcast(b), "event_type")
+        .filter((diff >= 0) & (diff <= 19))
+        .groupBy("event_type", "day_a")
+        .agg(
+            F.round(
+                F.sum(F.col("cents") * F.pow(F.lit(0.5), diff)) / 100.0, 4
+            ).alias("ewma_value")
+        )
+        .select(F.col("event_type"), F.col("day_a").alias("day"), "ewma_value")
+        .orderBy("event_type", "day")
+    )
+
+
+@query
 def streaming_cms_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained count-min sketch over events.user_id,
     certified exactly: two availableNow drains maintain the 4x256 cell

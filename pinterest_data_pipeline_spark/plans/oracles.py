@@ -2557,6 +2557,30 @@ oracle("sketch_cms_part_counts")(
     """
 )
 
+oracle("events_ewma_daily")(
+    # alpha = 1/2: the 2^-k weights are exact dyadic doubles and the
+    # weighted integer-cent sum stays under 53 mantissa bits, so the
+    # decayed aggregate is bit-exact in both engines (one /100 + round(4)
+    # site at the edge).
+    """
+    WITH daily AS (
+        SELECT event_type,
+               date_trunc('day', ts)::DATE AS day,
+               sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+        FROM events GROUP BY event_type, date_trunc('day', ts)::DATE
+    )
+    SELECT a.event_type, a.day,
+           round(sum(b.cents * power(0.5, date_diff('day', b.day, a.day)))
+                 / 100.0, 4) AS ewma_value
+    FROM (SELECT DISTINCT event_type, day FROM daily) a
+    JOIN daily b
+      ON b.event_type = a.event_type
+     AND date_diff('day', b.day, a.day) BETWEEN 0 AND 19
+    GROUP BY a.event_type, a.day
+    ORDER BY a.event_type, a.day
+    """
+)
+
 oracle("streaming_cms_rollup")(
     # Rebuilds the 4x256 user_id sketch over the WHOLE events table; the
     # streamed cell table must equal it bit-for-bit (cells merge by

@@ -37,7 +37,8 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
     # hll merge-invariant twin yielded its r7 seat to the late-r7
     # additions (ONCE_CERTIFIED_QUEUE); the distinct-parts rep stays
     "sketches": ("sketch_hll_distinct_parts",),
-    "pii_redaction": ("text_pii_redaction",),
+    # pii_redaction (text_pii_redaction) yielded its r7 seat to the
+    # late-r7 additions: once-green, queued for r8, parity retained
     "repetition_filters": ("text_repetition_battery",),
     "decontamination": ("dedup_decontaminate_ngram",),
     # round-6 additions; the approx-median twin yielded its r7 seat to
@@ -87,6 +88,7 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
     "stream_stream_outer": ("streaming_view_purchase_outer",),
     "recursive_cte": ("recursive_order_chain",),
     "incremental_sketch": ("streaming_cms_rollup",),
+    "decayed_rollup": ("events_ewma_daily",),
 }
 
 # Once-certified queries that yielded their window seat to a
@@ -109,6 +111,7 @@ ONCE_CERTIFIED_QUEUE: tuple[str, ...] = (
     "schema_evolution_merge",
     "join_asof_next_order",
     "text_unigram_logprob",
+    "text_pii_redaction",
 )
 
 # Families fully driver-certified (two green rounds for every listed member
