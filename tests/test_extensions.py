@@ -603,3 +603,34 @@ def test_cms_cell_table_is_bounded_and_broadcast_probed(spark):
     )
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_ewma_daily_halves_per_day_gap(spark, tmp_path):
+    """Crafted decay check: a single 100.00-value day contributes exactly
+    100/2^k to the EWMA k days later, and days beyond the 20-day horizon
+    contribute nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline_spark.plans import analytics
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+
+    rows = [
+        (1, "2024-01-01 12:00:00", 1, "view", 100.0, "{}"),
+        (2, "2024-01-03 12:00:00", 1, "view", 0.0, "{}"),
+        (3, "2024-01-25 12:00:00", 1, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    df.write.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = {
+        str(r.day): r.ewma_value
+        for r in analytics.QUERIES["events_ewma_daily"](spark, sf_dir).collect()
+    }
+    assert out["2024-01-01"] == 100.0
+    assert out["2024-01-03"] == 25.0  # 100 / 2^2
+    assert out["2024-01-25"] == 0.0  # 24 days later: outside the horizon
