@@ -429,6 +429,67 @@ def probe_pq_topk(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
+def probe_recursive_chain(spark, mult: int) -> float:
+    """Recursive CTE at mult x orders: each iteration is one join of the
+    shrinking frontier against the ranked base — depth stays 5 regardless
+    of data size, so growth should track the base ranking cost."""
+    orders = multiply(
+        load_table(spark, SF, "orders"), mult, ["o_orderkey", "o_custkey"]
+    )
+    orders.createOrReplaceTempView("_probe_orders")
+    q = spark.sql(
+        """
+        WITH RECURSIVE ordered AS (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ) AS pos
+          FROM _probe_orders WHERE o_custkey % 10 = 0
+        ), walk AS (
+          SELECT o_custkey, pos, o_orderkey,
+                 round(o_totalprice, 2) AS running_total
+          FROM ordered WHERE pos = 1
+          UNION ALL
+          SELECT o.o_custkey, o.pos, o.o_orderkey,
+                 round(w.running_total + o.o_totalprice, 2)
+          FROM walk w
+          JOIN ordered o
+            ON o.o_custkey = w.o_custkey AND o.pos = w.pos + 1 AND o.pos <= 5
+        )
+        SELECT o_custkey, pos, o_orderkey, running_total FROM walk
+        """
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_ewma_daily(spark, mult: int) -> float:
+    """Decayed daily rollup at mult x events: the decay band-join runs on
+    the (days x types) rollup whose size is data-independent, so growth
+    should be purely the partial-agg scan."""
+    from pinterest_data_pipeline_spark.plans import analytics, extensions  # noqa: F401
+
+    events = multiply(load_table(spark, SF, "events"), mult, ["event_id", "user_id"])
+    daily = (
+        events.withColumn("day", F.to_date(F.date_trunc("day", F.col("ts"))))
+        .groupBy("day", "event_type")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    a = daily.select(F.col("event_type"), F.col("day").alias("day_a")).distinct()
+    b = daily.select(F.col("event_type"), F.col("day").alias("day_b"), "cents")
+    diff = F.datediff(F.col("day_a"), F.col("day_b"))
+    q = (
+        a.join(F.broadcast(b), "event_type")
+        .filter((diff >= 0) & (diff <= 19))
+        .groupBy("event_type", "day_a")
+        .agg(F.round(F.sum(F.col("cents") * F.pow(F.lit(0.5), diff)) / 100.0, 4).alias("ewma_value"))
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 PROBES = {
     "tpch_q5_6way_join": probe_tpch_q5,
     "simhash_near_dup": probe_simhash,
@@ -451,6 +512,8 @@ PROBES = {
     "cms_sketch": probe_cms,
     "weighted_sample": probe_weighted_sample,
     "pq_topk": probe_pq_topk,
+    "recursive_chain": probe_recursive_chain,
+    "ewma_daily": probe_ewma_daily,
 }
 
 
