@@ -137,17 +137,19 @@ HEADLINE = [
     "ann_lsh_topk",
     "sample_reservoir_topk",
     "text_ngram_vocab_topk",
-    # late-r7 growth (86 -> 92 queries; cross-round totals need the
+    # late-r7 growth (86 -> 94 queries; cross-round totals need the
     # shared-query diff, as before): weighted sampling, count-min sketch,
     # product-quantization ANN, ANSI lateral top-N, recursive CTE,
-    # decayed daily EWMA. Streaming queries stay out of the headline
-    # battery, as before.
+    # decayed daily EWMA, Arrow-native UDF stats, null-safe join.
+    # Streaming queries stay out of the headline battery, as before.
     "sample_weighted_by_length",
     "sketch_cms_part_counts",
     "ann_pq_topk",
     "join_lateral_top_customers",
     "recursive_order_chain",
     "events_ewma_daily",
+    "text_utf8_bytes_arrow",
+    "join_null_safe_keys",
 ]
 
 

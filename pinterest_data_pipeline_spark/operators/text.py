@@ -270,3 +270,36 @@ def duplicate_ngram_fraction(c: Column, n: int = 3) -> Column:
         total > 0,
         F.lit(1.0) - F.size(F.array_distinct(sh)) / total,
     ).otherwise(F.lit(0.0))
+
+
+def utf8_byte_stats_arrow(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document byte/char counts through ``mapInArrow`` — the
+    zero-copy Arrow-native UDF surface (one step below the pandas layer:
+    no Series materialization, ``pyarrow.compute`` kernels straight on
+    the RecordBatch buffers). Used here for a deliberately SQL-checkable
+    computation (octet/char length) so the Arrow path itself is
+    oracle-certified; the same shape is where a real pipeline puts
+    tokenizer/codec kernels that consume Arrow buffers natively.
+
+    Narrow projection, no shuffle; batch size follows
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            text = tbl.column(text_col)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    tbl.column(id_col).combine_chunks(),
+                    pc.cast(pc.binary_length(pc.cast(text, pa.binary())), pa.int64()).combine_chunks(),
+                    pc.cast(pc.utf8_length(text), pa.int64()).combine_chunks(),
+                ],
+                names=[id_col, "n_bytes", "n_chars_utf8"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(
+        kernel, schema=f"{id_col} long, n_bytes long, n_chars_utf8 long"
+    )

@@ -269,6 +269,44 @@ def sample_reservoir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def text_utf8_bytes_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document byte/char counts through ``mapInArrow`` — certifies
+    the zero-copy Arrow-native UDF surface (pyarrow.compute kernels on
+    RecordBatch buffers, no pandas materialization) against a plain SQL
+    dual (octet_length / length). The shape a real pipeline uses for
+    tokenizer/codec kernels that consume Arrow buffers natively.
+    """
+    docs = load_documents(spark, sf_dir)
+    return text.utf8_byte_stats_arrow(docs).orderBy("doc_id")
+
+
+@query
+def join_null_safe_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): lang keys with
+    'en' nulled out on both sides, so the null group must MATCH ITSELF
+    (unlike `=`, which drops every null row silently) — the semantic
+    corner that decides whether a dedup/enrichment join keyed on an
+    optional column loses its unknown-key rows. Spark plans <=> as an
+    ordinary hash join on the null-safe key, not a nested loop.
+    """
+    docs = load_documents(spark, sf_dir)
+    a = docs.select(
+        F.nullif(F.col("lang"), F.lit("en")).alias("k"),
+        F.col("doc_id").alias("id_a"),
+    )
+    b = docs.select(
+        F.nullif(F.col("lang"), F.lit("en")).alias("k"),
+        F.col("doc_id").alias("id_b"),
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k"]))
+        .groupBy(a["k"].alias("lang_key"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.col("lang_key").asc_nulls_first())
+    )
+
+
+@query
 def sample_weighted_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted sample without replacement: 100 docs drawn with
     probability proportional to n_chars (Efraimidis–Spirakis md5-seeded

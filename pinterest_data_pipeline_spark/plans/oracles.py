@@ -2406,6 +2406,27 @@ oracle("sample_reservoir_topk")(
     """
 )
 
+oracle("text_utf8_bytes_arrow")(
+    """
+    SELECT doc_id,
+           octet_length(text::BLOB)::BIGINT AS n_bytes,
+           length(text)::BIGINT AS n_chars_utf8
+    FROM documents ORDER BY doc_id
+    """
+)
+
+oracle("join_null_safe_keys")(
+    # IS NOT DISTINCT FROM: the null group must match itself, unlike `=`.
+    """
+    WITH a AS (SELECT nullif(lang, 'en') AS k, doc_id FROM documents),
+         b AS (SELECT nullif(lang, 'en') AS k, doc_id FROM documents)
+    SELECT a.k AS lang_key, count(*)::BIGINT AS n_pairs
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY a.k
+    ORDER BY a.k ASC NULLS FIRST
+    """
+)
+
 oracle("sample_weighted_by_length")(
     # Same A-ES priority as sampling.weighted_sample: ln((h+1)/2^32) /
     # greatest(n_chars, 1) with the md5-derived hash h. The key itself is

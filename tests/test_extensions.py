@@ -634,3 +634,19 @@ def test_ewma_daily_halves_per_day_gap(spark, tmp_path):
     assert out["2024-01-01"] == 100.0
     assert out["2024-01-03"] == 25.0  # 100 / 2^2
     assert out["2024-01-25"] == 0.0  # 24 days later: outside the horizon
+
+
+def test_arrow_byte_stats_diverge_on_multibyte_text(spark):
+    """octet vs utf8 length must diverge on non-ASCII text — the property
+    the mapInArrow kernel computes from raw buffers."""
+    from pinterest_data_pipeline_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "café"), (3, "日本語"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_bytes, r.n_chars_utf8) for r in text_ops.utf8_byte_stats_arrow(df).collect()}
+    assert out[1] == (3, 3)
+    assert out[2] == (5, 4)   # é is 2 bytes
+    assert out[3] == (9, 3)   # 3 CJK chars x 3 bytes
+    assert out[4] == (0, 0)

@@ -425,3 +425,12 @@ def test_cms_cells_keep_partial_aggregation(spark):
 def test_weighted_sample_uses_take_ordered(spark):
     plan = plan_of(spark, "sample_weighted_by_length")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_null_safe_join_is_hash_not_nested_loop(spark):
+    # <=> must plan as an ordinary hash join keyed on the null-safe key,
+    # never a BroadcastNestedLoopJoin over the whole corpus
+    plan = plan_of(spark, "join_null_safe_keys")
+    assert "HashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -40,10 +40,10 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
     # pii_redaction (text_pii_redaction) yielded its r7 seat to the
     # late-r7 additions: once-green, queued for r8, parity retained
     "repetition_filters": ("text_repetition_battery",),
-    "decontamination": ("dedup_decontaminate_ngram",),
-    # round-6 additions; the approx-median twin yielded its r7 seat to
-    # the late-r7 additions (ONCE_CERTIFIED_QUEUE), distinct rep stays
-    "approx_bound_oracles": ("agg_approx_distinct",),
+    # decontamination (dedup_decontaminate_ngram) and the approx
+    # bound-oracle family (agg_approx_distinct; its approx-median twin
+    # yielded earlier) yielded their r7 seats to the late-r7 additions:
+    # once-green, queued for r8, parity retained
     "vector_compression": ("embedding_quantize_int8",),
     # layout_compaction (layout_compact_small_files) yielded its r7 seat
     # to the late-r7 additions: once-green, queued for r8 in
@@ -89,6 +89,8 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
     "recursive_cte": ("recursive_order_chain",),
     "incremental_sketch": ("streaming_cms_rollup",),
     "decayed_rollup": ("events_ewma_daily",),
+    "arrow_native_udf": ("text_utf8_bytes_arrow",),
+    "null_safe_join": ("join_null_safe_keys",),
 }
 
 # Once-certified queries that yielded their window seat to a
@@ -112,6 +114,8 @@ ONCE_CERTIFIED_QUEUE: tuple[str, ...] = (
     "join_asof_next_order",
     "text_unigram_logprob",
     "text_pii_redaction",
+    "dedup_decontaminate_ngram",
+    "agg_approx_distinct",
 )
 
 # Families fully driver-certified (two green rounds for every listed member
