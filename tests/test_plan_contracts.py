@@ -434,3 +434,12 @@ def test_null_safe_join_is_hash_not_nested_loop(spark):
     assert "HashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ewma_decay_joins_broadcast_daily_rollup(spark):
+    # the decay band-join must run on the broadcast (days x types) rollup,
+    # with partial aggregation collapsing raw events map-side first
+    plan = plan_of(spark, "events_ewma_daily")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x (daily, decay)
+    assert "CartesianProduct" not in plan
