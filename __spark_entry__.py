@@ -59,13 +59,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # sample_weighted_by_length, sketch_cms_part_counts, ann_pq_topk,
 # join_lateral_top_customers, streaming_view_purchase_outer,
 # recursive_order_chain, streaming_cms_rollup, events_ewma_daily,
-# text_utf8_bytes_arrow, join_null_safe_keys) take seats yielded by
+# text_utf8_bytes_arrow, join_null_safe_keys, ann_binary_hamming_topk,
+# events_pattern_match, events_transition_matrix) take seats yielded by
 # sketch_hll_merge_equals_direct, q6_median_acctbal_per_band_approx,
 # ann_two_stage_rerank, layout_compact_small_files,
 # quality_table_checksum, agg_histogram_totalprice,
 # schema_evolution_merge, join_asof_next_order, text_unigram_logprob,
-# text_pii_redaction, dedup_decontaminate_ngram, and agg_approx_distinct
-# (all once-green in r6; queued for r8 in ONCE_CERTIFIED_QUEUE with full
+# text_pii_redaction, dedup_decontaminate_ngram, agg_approx_distinct,
+# embedding_quantize_int8, text_repetition_battery, and
+# quality_column_profile (all once-green in r6; queued for r8 in
+# ONCE_CERTIFIED_QUEUE with full
 # local parity retained). The window stays at exactly 50 with ZERO
 # oracled-never-certified entries if the round is green.
 PRIORITY_WINDOW: tuple[str, ...] = (
@@ -96,6 +99,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "events_ewma_daily",
     "text_utf8_bytes_arrow",
     "join_null_safe_keys",
+    "ann_binary_hamming_topk",
+    "events_pattern_match",
+    "events_transition_matrix",
     # queued since the r6 rotation - earn their second certification
     "clean_normalize_nulls_documents",
     "clean_parse_human_count_part",
@@ -113,12 +119,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "tpch_q19_disjunctive_predicates",
     # first-certified in r6 - earn their second driver certification
     "tpch_q12_priority_shipmode",
-    "text_repetition_battery",
-    "embedding_quantize_int8",
     "streaming_upsert_latest_events",
     "events_sessionize_gap",
     "streaming_incremental_rollup",
-    "quality_column_profile",
     "join_salted_skewed",
     "csv_roundtrip_malformed",
     "sketch_hll_distinct_parts",

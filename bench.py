@@ -137,10 +137,11 @@ HEADLINE = [
     "ann_lsh_topk",
     "sample_reservoir_topk",
     "text_ngram_vocab_topk",
-    # late-r7 growth (86 -> 94 queries; cross-round totals need the
+    # late-r7 growth (86 -> 97 queries; cross-round totals need the
     # shared-query diff, as before): weighted sampling, count-min sketch,
     # product-quantization ANN, ANSI lateral top-N, recursive CTE,
-    # decayed daily EWMA, Arrow-native UDF stats, null-safe join.
+    # decayed daily EWMA, Arrow-native UDF stats, null-safe join,
+    # binary-Hamming ANN, sequence pattern match, transition matrix.
     # Streaming queries stay out of the headline battery, as before.
     "sample_weighted_by_length",
     "sketch_cms_part_counts",
@@ -150,6 +151,9 @@ HEADLINE = [
     "events_ewma_daily",
     "text_utf8_bytes_arrow",
     "join_null_safe_keys",
+    "ann_binary_hamming_topk",
+    "events_pattern_match",
+    "events_transition_matrix",
 ]
 
 

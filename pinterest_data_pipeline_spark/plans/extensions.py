@@ -523,6 +523,20 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def ann_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized retrieval: sign-pack each 64-dim vector into two
+    32-bit words (32x compression) and rank by Hamming distance —
+    popcount over XOR, pure codegen integer arithmetic. Unlike the
+    LSH/IVF/PQ entries this needs NO recall floor: the whole ranking is
+    exact integers, so the DuckDB dual reproduces it bit-for-bit.
+    Completes the compression ladder: int8, MRL, PQ, binary.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vectors(spark, sf_dir)
+    return similarity.hamming_topk(emb, q, k=10).orderBy("query_id", "rank")
+
+
+@query
 def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via OR-amplified LSH + exact verify.
 
@@ -1194,6 +1208,54 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("event_type"), F.col("day_a").alias("day"), "ewma_value")
         .orderBy("event_type", "day")
+    )
+
+
+@query
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching (the MATCH_RECOGNIZE idiom
+    expressed relationally): each user's events collapse to an ordered
+    initial-letter string (deterministic (ts, event_id) order) and a
+    regex detects the ordered view->click->purchase journey — arbitrary
+    sequence patterns for the cost of ONE shuffle on user_id, with the
+    per-user string bounded by the user's event count. Emits one row per
+    user (sequence length + the match flag); the DuckDB dual is ordered
+    string_agg + the same regex.
+    """
+    events = load_table(spark, sf_dir, "events")
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+    )
+    seq = F.array_join(
+        F.transform(ordered, lambda s: F.substring(s["event_type"], 1, 1)), ""
+    )
+    return (
+        events.groupBy("user_id")
+        .agg(seq.alias("seq"))
+        .select(
+            "user_id",
+            F.length("seq").cast("long").alias("n_events"),
+            F.regexp_like(F.col("seq"), F.lit("v.*c.*p")).alias("converted"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types per user (ordered by ts with event_id tie-breaks) — the
+    user-journey transition matrix behind funnel design and anomaly
+    detection. One window pass + one bounded (types x types) aggregate.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
     )
 
 

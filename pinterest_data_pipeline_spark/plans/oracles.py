@@ -2499,6 +2499,38 @@ oracle("ann_pq_topk")(
     """
 )
 
+oracle("ann_binary_hamming_topk")(
+    # Sign-pack into the identical two 32-bit words, rank by popcount of
+    # XOR — pure integer arithmetic, so the whole ranking matches exactly.
+    """
+    WITH packed AS (
+        SELECT vec_id,
+               list_sum(list_transform(range(1, 33),
+                   i -> CASE WHEN embedding[i] >= 0
+                             THEN (1::BIGINT) << (32 - i) ELSE 0::BIGINT END))::BIGINT AS w0,
+               list_sum(list_transform(range(1, 33),
+                   i -> CASE WHEN embedding[32 + i] >= 0
+                             THEN (1::BIGINT) << (32 - i) ELSE 0::BIGINT END))::BIGINT AS w1
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, w0 AS qw0, w1 AS qw1 FROM packed WHERE vec_id < 3
+    ), scored AS (
+        SELECT q.query_id, p.vec_id,
+               (bit_count(xor(p.w0, q.qw0)) + bit_count(xor(p.w1, q.qw1)))::INT AS hamming
+        FROM packed p CROSS JOIN q
+        WHERE p.vec_id <> q.query_id
+    ), r AS (
+        SELECT query_id, vec_id, hamming,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY hamming ASC, vec_id ASC
+               ) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, hamming, rank::INT AS rank
+    FROM r WHERE rank <= 10 ORDER BY query_id, rank
+    """
+)
+
 oracle("pandas_grouped_agg_weighted_mean")(
     # Exact dual of the GROUPED_AGG pandas UDF: weighted mean =
     # sum(xw)/sum(w), with x quantized to integer cents on BOTH engines so
@@ -2599,6 +2631,36 @@ oracle("events_ewma_daily")(
      AND date_diff('day', b.day, a.day) BETWEEN 0 AND 19
     GROUP BY a.event_type, a.day
     ORDER BY a.event_type, a.day
+    """
+)
+
+oracle("events_pattern_match")(
+    """
+    SELECT user_id,
+           length(seq)::BIGINT AS n_events,
+           regexp_matches(seq, 'v.*c.*p') AS converted
+    FROM (
+        SELECT user_id,
+               string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id
+    )
+    ORDER BY user_id
+    """
+)
+
+oracle("events_transition_matrix")(
+    """
+    SELECT prev_type, next_type, count(*)::BIGINT AS n_transitions
+    FROM (
+        SELECT lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type,
+               event_type AS next_type
+        FROM events
+    )
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY prev_type, next_type
     """
 )
 

@@ -39,18 +39,22 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
     "sketches": ("sketch_hll_distinct_parts",),
     # pii_redaction (text_pii_redaction) yielded its r7 seat to the
     # late-r7 additions: once-green, queued for r8, parity retained
-    "repetition_filters": ("text_repetition_battery",),
+    # repetition_filters (text_repetition_battery) yielded its r7 seat to
+    # the late-r7 additions: once-green, queued for r8, parity retained
     # decontamination (dedup_decontaminate_ngram) and the approx
     # bound-oracle family (agg_approx_distinct; its approx-median twin
     # yielded earlier) yielded their r7 seats to the late-r7 additions:
     # once-green, queued for r8, parity retained
-    "vector_compression": ("embedding_quantize_int8",),
+    # vector_compression's int8 rep yielded its r7 seat (queued for r8);
+    # the family stays seated through the PQ and binary-Hamming entries
+    "vector_compression": ("ann_pq_topk", "ann_binary_hamming_topk"),
     # layout_compaction (layout_compact_small_files) yielded its r7 seat
     # to the late-r7 additions: once-green, queued for r8 in
     # ONCE_CERTIFIED_QUEUE, full local parity retained
     "sessionization_batch": ("events_sessionize_gap",),
     "incremental_mv": ("streaming_incremental_rollup",),
-    "column_profile": ("quality_column_profile",),
+    # column_profile (quality_column_profile) yielded its r7 seat to the
+    # late-r7 additions: once-green, queued for r8, parity retained
     "salted_join": ("join_salted_skewed",),
     # unigram_scoring (text_unigram_logprob) yielded its r7 seat to the
     # late-r7 additions: once-green, queued for r8, parity retained
@@ -91,6 +95,8 @@ FAMILY_REPRESENTATIVES: dict[str, tuple[str, ...]] = {
     "decayed_rollup": ("events_ewma_daily",),
     "arrow_native_udf": ("text_utf8_bytes_arrow",),
     "null_safe_join": ("join_null_safe_keys",),
+    "binary_quantization": ("ann_binary_hamming_topk",),
+    "sequence_patterns": ("events_pattern_match", "events_transition_matrix"),
 }
 
 # Once-certified queries that yielded their window seat to a
@@ -116,6 +122,9 @@ ONCE_CERTIFIED_QUEUE: tuple[str, ...] = (
     "text_pii_redaction",
     "dedup_decontaminate_ngram",
     "agg_approx_distinct",
+    "embedding_quantize_int8",
+    "text_repetition_battery",
+    "quality_column_profile",
 )
 
 # Families fully driver-certified (two green rounds for every listed member

@@ -159,3 +159,25 @@ def test_pq_recall_overlaps_pinned_at_sf001(spark):
         .collect()
     }
     assert ov == {0: 10, 1: 10, 2: 9}
+
+
+def test_hamming_topk_finds_sign_identical_neighbor(spark):
+    """A vector and its tiny perturbation share (almost) every sign bit,
+    so binary-quantized top-1 must find it at hamming ~0, while a
+    sign-flipped copy sits at the far end (hamming ~dim)."""
+    import random
+
+    rng = random.Random(11)
+    dim = 64
+    base = [rng.gauss(0, 1) for _ in range(dim)]
+    near = [v + 0.001 * rng.gauss(0, 1) for v in base]
+    anti = [-v for v in base]
+    rows = [(0, base), (1, near), (2, anti)] + [
+        (i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(3, 40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+    out = similarity.hamming_topk(df, q, k=39, dim=dim).collect()
+    by_id = {r.vec_id: (r.hamming, r.rank) for r in out}
+    assert by_id[1][1] == 1 and by_id[1][0] <= 2
+    assert by_id[2][0] >= 60  # sign-flip: nearly every bit differs
