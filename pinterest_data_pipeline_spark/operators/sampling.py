@@ -116,8 +116,10 @@ def weighted_sample(
     uniform u and weight w, and the k largest keys win — exactly weighted
     sampling without replacement. u is md5-derived (``uniform_hash``), so
     the draw is reproducible across runs, engines, partitionings, and row
-    orders; w <= 0 is clamped to 1. We compare ln(u)/w (monotone in
-    u^(1/w), numerically safer near u^tiny ≈ 1), u = (h+1)/2^32 ∈ (0, 1].
+    orders; only non-positive weights are clamped (w <= 0 -> 1.0, an
+    A-ES precondition) — fractional weights in (0, 1) are honored as
+    written. We compare ln(u)/w (monotone in u^(1/w), numerically safer
+    near u^tiny ≈ 1), u = (h+1)/2^32 ∈ (0, 1].
 
     Distributed shape is identical to ``reservoir_sample``:
     ``orderBy(key).limit(k)`` compiles to ``TakeOrderedAndProject`` — each
@@ -128,7 +130,9 @@ def weighted_sample(
     keys within ~1e-16 relative — vanishing, and far inside the repo's
     knife-edge budget for emitted values (which stay integer/string here).
     """
-    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    w = F.when(F.col(weight_col) <= 0, F.lit(1.0)).otherwise(
+        F.col(weight_col).cast("double")
+    )
     u = (uniform_hash(F.col(id_col), salt) + F.lit(1)).cast("double") / F.lit(
         4294967296.0
     )

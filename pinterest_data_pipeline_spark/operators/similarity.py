@@ -772,7 +772,15 @@ def sign_pack_words(vec: Column, dim: int = 64, word_bits: int = 32) -> list[Col
     32-bit words keep every value far inside BIGINT range in any engine
     (64-bit packing would hit signed-overflow semantics that differ
     between Java longs, which wrap, and DuckDB BIGINT, which errors).
+    ``dim`` must divide evenly into words — a trailing partial word would
+    silently rank by a truncated prefix, so it raises instead (the same
+    contract train_pq_codebooks enforces for dim % m).
     """
+    if dim % word_bits:
+        raise ValueError(
+            f"sign_pack_words: dim {dim} not divisible by word_bits={word_bits}"
+        )
+
     def word_folder(lo: int):
         # two-arg lambda via closure: a default-arg capture would change
         # the visible arity and trip Spark's lambda signature check

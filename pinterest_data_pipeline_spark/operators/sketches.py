@@ -45,6 +45,24 @@ def _shrink(counters: dict, k: int) -> None:
             del counters[item]
 
 
+def _merge_batch(counters: dict, batch_counts, k: int) -> int:
+    """Merge one Arrow batch's full ``value_counts`` into the counter dict,
+    then prune ONCE — the Mergeable-Summaries merge step (union-add two
+    summaries, one shrink back to <= k counters). Each shrink's per-item
+    decrement still removes >= k+1 units of total weight, so the summed
+    decrement — and hence the underestimate — stays <= n/(k+1) no matter
+    how the stream is batched. Returns the number of shrink passes (0 or
+    1), pinned by pytest so the per-item-insertion shrink regression
+    cannot silently return.
+    """
+    for item, cnt in batch_counts.items():
+        counters[item] = counters.get(item, 0) + int(cnt)
+    if len(counters) <= k:
+        return 0
+    _shrink(counters, k)
+    return 1
+
+
 def misra_gries_summary(df: DataFrame, item_col: str, k: int = 8) -> DataFrame:
     """Merged Misra-Gries summary: (item, est_count), at most k rows per
     input partition before the merge, estimates underestimating true
@@ -52,7 +70,10 @@ def misra_gries_summary(df: DataFrame, item_col: str, k: int = 8) -> DataFrame:
 
     NULL items are ignored (they are not frequency candidates). The result
     is a candidate SUPERSET for heavy hitters: filter/verify with an exact
-    count of just the candidates when exact values matter.
+    count of just the candidates when exact values matter. The per-batch
+    pass is vectorized: pandas ``value_counts`` merges into the dict in
+    one sweep with a SINGLE sort-based shrink per batch (O(batch +
+    k log k)), not one shrink per distinct item.
     """
     item_type = df.schema[item_col].dataType
     out_schema = T.StructType(
@@ -65,9 +86,7 @@ def misra_gries_summary(df: DataFrame, item_col: str, k: int = 8) -> DataFrame:
     def summarize(batches):
         counters: dict = {}
         for pdf in batches:
-            for item, cnt in pdf[item_col].value_counts(dropna=True).items():
-                counters[item] = counters.get(item, 0) + int(cnt)
-                _shrink(counters, k)
+            _merge_batch(counters, pdf[item_col].value_counts(dropna=True), k)
         if counters:
             yield pd.DataFrame(
                 {"item": list(counters), "est_count": list(counters.values())}

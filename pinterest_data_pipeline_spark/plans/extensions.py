@@ -1176,7 +1176,12 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha = 1/2 is chosen deliberately: the weights 2^-k are exact dyadic
     doubles and the weighted sum of integer cents stays under 53 mantissa
     bits, so the float arithmetic is BIT-EXACT in any IEEE engine — a
-    decayed aggregate with an exact oracle, no bound needed. The decayed
+    decayed aggregate with an exact oracle, no bound needed. Magnitude
+    precondition for that exactness: total cents per (event_type, 20-day
+    band) x 2^19 must stay under 2^53 (~$170M of value per window);
+    beyond it, double rounding makes the sum order-dependent and the
+    cross-engine hash could flicker — fold per-day partials in a
+    canonical order before dividing if a deployment ever nears that. The decayed
     sum is a (day x day) band self-join on the tiny daily rollup
     (days x types rows, broadcast), never on raw events: at 100 TB the
     decay pass costs days^2 x types trivial rows after one partial-agg
@@ -1211,34 +1216,66 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query
-def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pattern_match_journeys(events: DataFrame, cap: int = 512) -> DataFrame:
     """Event-sequence pattern matching (the MATCH_RECOGNIZE idiom
     expressed relationally): each user's events collapse to an ordered
     initial-letter string (deterministic (ts, event_id) order) and a
     regex detects the ordered view->click->purchase journey — arbitrary
-    sequence patterns for the cost of ONE shuffle on user_id, with the
-    per-user string bounded by the user's event count. Emits one row per
-    user (sequence length + the match flag); the DuckDB dual is ordered
-    string_agg + the same regex.
+    sequence patterns for the cost of ONE shuffle on user_id.
+
+    Per-key state is BOUNDED, part of the operator contract: only the
+    first ``cap`` events per user (in (ts, event_id) order) enter the
+    sequence, selected by a ``row_number`` window BEFORE any collection —
+    the window's sort-based shuffle spills to disk under skew, and the
+    downstream ``collect_list`` buffer holds at most ``cap`` single-char
+    entries per group, so a bot/power-user key with tens of millions of
+    events can no longer concentrate one task's memory (the classic
+    skewed collect_list failure). Users past the cap complete with
+    ``overflowed = true`` and the match evaluated on the capped prefix;
+    ``n_events`` stays the TRUE total. The window and the aggregate hash
+    on the same key, so Catalyst reuses one exchange. The DuckDB dual is
+    the identically-capped ordered string_agg + the same regex.
     """
-    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_all = Window.partitionBy("user_id")
+    capped = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_events", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("rn") <= cap)
+    )
     ordered = F.array_sort(
-        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+        F.collect_list(
+            F.struct(
+                F.col("ts"),
+                F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("c"),
+            )
+        )
     )
-    seq = F.array_join(
-        F.transform(ordered, lambda s: F.substring(s["event_type"], 1, 1)), ""
-    )
+    seq = F.array_join(F.transform(ordered, lambda s: s["c"]), "")
     return (
-        events.groupBy("user_id")
-        .agg(seq.alias("seq"))
+        capped.groupBy("user_id")
+        .agg(seq.alias("seq"), F.max("n_events").cast("long").alias("n_events"))
         .select(
             "user_id",
-            F.length("seq").cast("long").alias("n_events"),
+            "n_events",
             F.regexp_like(F.col("seq"), F.lit("v.*c.*p")).alias("converted"),
+            (F.col("n_events") > F.lit(cap)).alias("overflowed"),
         )
         .orderBy("user_id")
     )
+
+
+@query
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped relational MATCH_RECOGNIZE over events: one row per user
+    with the true event count, the view->click->purchase match flag on
+    the first-512-events prefix, and the overflow marker (false at every
+    test SF — max 99 events/user at sf0.1; the cap is the 100 TB
+    skew guard, pytest-planted past it). See ``pattern_match_journeys``.
+    """
+    return pattern_match_journeys(load_table(spark, sf_dir, "events"), cap=512)
 
 
 @query

@@ -2428,15 +2428,17 @@ oracle("join_null_safe_keys")(
 )
 
 oracle("sample_weighted_by_length")(
-    # Same A-ES priority as sampling.weighted_sample: ln((h+1)/2^32) /
-    # greatest(n_chars, 1) with the md5-derived hash h. The key itself is
-    # never emitted; only the k-th-vs-k+1-th boundary could feel a libm
-    # ulp, and two independent md5 keys within 1e-16 relative is vanishing.
+    # Same A-ES priority as sampling.weighted_sample: ln((h+1)/2^32) / w
+    # with the md5-derived hash h and only NON-POSITIVE weights clamped to
+    # 1 (fractional weights are honored; n_chars >= 1 here so the branch
+    # is dormant). The key itself is never emitted; only the
+    # k-th-vs-k+1-th boundary could feel a libm ulp, and two independent
+    # md5 keys within 1e-16 relative is vanishing.
     """
     SELECT doc_id, lang, n_chars FROM documents
     ORDER BY ln((CAST(('0x' || substring(md5(doc_id::VARCHAR || 'wsample'), 1, 8))
                       AS UBIGINT) + 1) / 4294967296.0)
-             / greatest(n_chars, 1) DESC,
+             / (CASE WHEN n_chars <= 0 THEN 1.0 ELSE n_chars::DOUBLE END) DESC,
              doc_id ASC
     LIMIT 100
     """
@@ -2634,15 +2636,29 @@ oracle("events_ewma_daily")(
     """
 )
 
+# capped prefix mirrors pattern_match_journeys(cap=512): string_agg skips
+# the NULLed-out rows past the cap, n_events stays the true total
 oracle("events_pattern_match")(
     """
     SELECT user_id,
-           length(seq)::BIGINT AS n_events,
-           regexp_matches(seq, 'v.*c.*p') AS converted
+           n_events,
+           regexp_matches(seq, 'v.*c.*p') AS converted,
+           n_events > 512 AS overflowed
     FROM (
         SELECT user_id,
-               string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
-        FROM events GROUP BY user_id
+               count(*)::BIGINT AS n_events,
+               string_agg(
+                   CASE WHEN rn <= 512 THEN substring(event_type, 1, 1) END,
+                   '' ORDER BY ts, event_id
+               ) AS seq
+        FROM (
+            SELECT user_id, ts, event_id, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM events
+        )
+        GROUP BY user_id
     )
     ORDER BY user_id
     """

@@ -650,3 +650,68 @@ def test_arrow_byte_stats_diverge_on_multibyte_text(spark):
     assert out[2] == (5, 4)   # é is 2 bytes
     assert out[3] == (9, 3)   # 3 CJK chars x 3 bytes
     assert out[4] == (0, 0)
+
+
+def test_pattern_match_cap_bounds_state_and_flags_overflow(spark):
+    """VERDICT r7 item 2: a user past the cap must COMPLETE (state bounded
+    by the pre-collection row_number filter), carry overflowed=true, keep
+    the TRUE n_events, and have the match evaluated on the capped prefix —
+    here the purchase lands past the cap, so converted flips to false."""
+    from pinterest_data_pipeline_spark.plans.extensions import pattern_match_journeys
+
+    rows = []
+    # user 1: 24 views then a purchase at position 25 — cap=10 hides it
+    for i in range(24):
+        rows.append((i, f"2024-01-01 00:00:{i:02d}", 1, "view", 1.0, "{}"))
+    rows.append((24, "2024-01-01 00:01:00", 1, "purchase", 1.0, "{}"))
+    # user 2: v -> c -> p inside the cap
+    rows.append((100, "2024-01-01 00:00:00", 2, "view", 1.0, "{}"))
+    rows.append((101, "2024-01-01 00:00:01", 2, "click", 1.0, "{}"))
+    rows.append((102, "2024-01-01 00:00:02", 2, "purchase", 1.0, "{}"))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r.user_id: r for r in pattern_match_journeys(events, cap=10).collect()}
+    assert out[1].n_events == 25 and out[1].overflowed and not out[1].converted
+    assert out[2].n_events == 3 and not out[2].overflowed and out[2].converted
+    # un-capped control: the same user 1 converts (v then p, no click needed
+    # for the 'v.*c.*p' regex? it IS needed — stays false, so probe with cap
+    # large enough to see the purchase and a planted click)
+    rows_click = rows + [(25, "2024-01-01 00:00:30", 1, "click", 1.0, "{}")]
+    events2 = spark.createDataFrame(
+        rows_click,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    full = {r.user_id: r for r in pattern_match_journeys(events2, cap=512).collect()}
+    assert full[1].converted and not full[1].overflowed
+
+
+def test_misra_gries_one_shrink_per_batch(spark):
+    """VERDICT r7 item 3: the batch merge is the Mergeable-Summaries shape —
+    the whole value_counts folds into the dict, then AT MOST ONE shrink per
+    batch, and the n/(k+1) underestimate bound survives the batching."""
+    import pandas as pd
+
+    from pinterest_data_pipeline_spark.operators import sketches
+
+    k = 5
+    counters: dict = {}
+    total = 0
+    truth: dict = {}
+    shrinks = []
+    # 6 batches, each with 30 distinct tail items + a persistent heavy item
+    for b in range(6):
+        items = ["hot"] * 50 + [f"t{b}_{i}" for i in range(30)]
+        s = pd.Series(items).value_counts(dropna=True)
+        shrinks.append(sketches._merge_batch(counters, s, k))
+        total += len(items)
+        for it in items:
+            truth[it] = truth.get(it, 0) + 1
+    assert all(n <= 1 for n in shrinks), shrinks
+    assert sum(shrinks) >= 1  # the decrement path actually ran
+    assert len(counters) <= k
+    # superset + bound: hot (300 of 480) is way above n/(k+1) = 80
+    assert "hot" in counters
+    assert counters["hot"] <= truth["hot"]
+    assert truth["hot"] - counters["hot"] <= total / (k + 1)
