@@ -168,3 +168,34 @@ def snapshot_diff(
             *[F.col(f"new_{c}") for c in compare],
         )
     )
+
+
+def apply_changelog(
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str,
+    order_cols: list[str],
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply an ordered insert/update/delete changelog to produce the
+    final table state: latest op per key wins; keys whose latest op is a
+    delete vanish. The CDC-consumer twin of :func:`snapshot_diff` (which
+    PRODUCES a change feed) — together they round-trip Debezium/CDC-shaped
+    pipelines without Delta: replaying the feed through this operator must
+    reproduce the source table.
+
+    One window pass partitioned by key (rank in DESCENDING change order,
+    keep rank 1) — Catalyst's WindowGroupLimit short-circuits rows past
+    rank 1 before the sort buffers them, so per-key cost is O(changes of
+    that key) with no unbounded state. ``n_changes`` (total ops applied
+    per surviving key) rides the same partitioning as a window count —
+    still the single key shuffle.
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+    w_all = Window.partitionBy(*keys)
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_changes", F.count(F.lit(1)).over(w_all).cast("long"))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("__rn")
+    )

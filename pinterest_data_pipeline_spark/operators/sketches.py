@@ -191,3 +191,57 @@ def cms_point_estimates(
         .groupBy(item_col)
         .agg(F.min("cell_count").alias("cms_estimate"))
     )
+
+
+# --- KMV (k-minimum-values) distinct sketch ---------------------------------
+#
+# Bar-Yossef et al. 2002 / Beyer et al. 2007: keep the k smallest hash
+# values of the distinct items; the k-th smallest U_(k) estimates the
+# distinct count as (k-1) / (U_(k) / 2^32). Sketches over arbitrary
+# corpora MERGE by "union hashes, keep k smallest" — which also gives
+# distinct counts of UNIONS without re-reading either side, the property
+# HLL shares but with an exactly-reproducible integer construction: the
+# hash is the repo's md5-derived uniform_hash, so sketch contents and the
+# estimate are bit-identical in any engine (exact DuckDB dual, no bound
+# oracle needed).
+#
+# 100 TB posture: orderBy(h).limit(k) compiles to TakeOrderedAndProject —
+# per-partition k-heaps merged on the driver, no global sort, sketch size
+# k rows forever.
+
+
+def kmv_sketch(df: DataFrame, item_col: str, k: int = 64, salt: str = "kmv") -> DataFrame:
+    """The k smallest md5-derived hash values over DISTINCT items: one
+    column ``h`` (long in [0, 2^32)), at most k rows."""
+    salted = F.concat(F.col(item_col).cast("string"), F.lit(salt))
+    h = F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long")
+    return (
+        df.select(h.alias("h")).distinct().orderBy(F.col("h").asc()).limit(k)
+    )
+
+
+def kmv_merge(*sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Union KMV sketches: distinct hashes, keep the k smallest — a valid
+    KMV sketch of the UNION of the underlying sets."""
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.distinct().orderBy(F.col("h").asc()).limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: one row, columns
+    (n_sketch, kmv_estimate).
+
+    If the sketch holds fewer than k hashes the set was smaller than k and
+    the count is EXACT (= n_sketch); otherwise (k-1) * 2^32 / h_(k) — one
+    float division from integers, rounded at this single site, so the
+    value is reproducible cross-engine.
+    """
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n_sketch"), F.max("h").alias("h_k")
+    )
+    est = F.when(F.col("n_sketch") < k, F.col("n_sketch").cast("double")).otherwise(
+        (F.lit(float(k - 1)) * F.lit(4294967296.0)) / F.col("h_k")
+    )
+    return agg.select("n_sketch", F.round(est, 4).alias("kmv_estimate"))

@@ -1693,3 +1693,272 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- round 8: bloom prefilter, KMV sketch, prefix clusters, CDC apply,
+# --- streaks, drift ---------------------------------------------------------
+
+
+@query
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered selective join, certified bit-for-bit: the
+    custkeys holding a 1-URGENT order build a 16384-bit / 3-hash Bloom
+    filter (md5-derived, engine-portable); every customer probes it
+    map-side via the collected <=512-long word literal. Per market
+    segment: customers, bloom passes, true members, false positives, and
+    ``n_missed`` — members the filter rejected, which the Bloom superset
+    guarantee pins at 0 (the oracle rebuilds the identical filter and
+    must agree on every verdict, false positives included).
+
+    The 100 TB story: the filter costs one bounded aggregate over the
+    small side, and at scale it drops non-matching big-side rows BEFORE
+    the join shuffle — the engine-portable twin of Spark's runtime bloom
+    pruning, with the membership check in whole-stage codegen.
+    """
+    from ..operators import bloom
+
+    m_bits, k_hashes = 16384, 3
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    dense = bloom.bloom_words_literal(
+        bloom.bloom_build(urgent, "o_custkey", m_bits, k_hashes), m_bits
+    )
+    flagged = customer.join(
+        F.broadcast(urgent.select(F.col("o_custkey").alias("c_custkey"))
+                    .withColumn("is_member", F.lit(True))),
+        "c_custkey",
+        "left",
+    ).select(
+        "c_mktsegment",
+        F.coalesce("is_member", F.lit(False)).alias("is_member"),
+        bloom.bloom_maybe_expr(F.col("c_custkey"), dense, m_bits, k_hashes).alias(
+            "bloom_maybe"
+        ),
+    )
+    as_int = lambda c: c.cast("int")  # noqa: E731
+    return (
+        flagged.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(as_int(F.col("bloom_maybe"))).alias("n_bloom_pass"),
+            F.sum(as_int(F.col("is_member"))).alias("n_members"),
+            F.sum(as_int(F.col("bloom_maybe") & ~F.col("is_member"))).alias(
+                "n_false_positives"
+            ),
+            F.sum(as_int(F.col("is_member") & ~F.col("bloom_maybe"))).alias(
+                "n_missed"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query
+def sketch_kmv_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketches with union merge,
+    certified EXACTLY: sketches over the two o_orderkey-parity halves of
+    orders estimate each half's distinct custkeys, their k-smallest union
+    estimates the union's distinct count without re-reading either side,
+    and every estimate is an integer-hash-derived value the oracle
+    reproduces bit-for-bit (no bound oracle needed — the md5 hash order
+    is the same in both engines). Three rows: half_even / half_odd /
+    union, each with the sketch estimate and the exact distinct count.
+    """
+    from ..operators import sketches
+
+    k = 64
+    orders = load_table(spark, sf_dir, "orders")
+    even = orders.filter(F.col("o_orderkey") % 2 == 0)
+    odd = orders.filter(F.col("o_orderkey") % 2 == 1)
+    sk_even = sketches.kmv_sketch(even, "o_custkey", k=k)
+    sk_odd = sketches.kmv_sketch(odd, "o_custkey", k=k)
+    sk_union = sketches.kmv_merge(sk_even, sk_odd, k=k)
+
+    def labeled(name: str, sketch, exact_src) -> DataFrame:
+        exact = exact_src.agg(
+            F.count_distinct(F.col("o_custkey")).alias("exact_distinct")
+        )
+        return (
+            sketches.kmv_estimate(sketch, k)
+            .crossJoin(exact)
+            .select(
+                F.lit(name).alias("half"),
+                "n_sketch",
+                "kmv_estimate",
+                F.col("exact_distinct").cast("long"),
+            )
+        )
+
+    return (
+        labeled("half_even", sk_even, even)
+        .unionByName(labeled("half_odd", sk_odd, odd))
+        .unionByName(labeled("union", sk_union, orders))
+        .orderBy("half")
+    )
+
+
+@query
+def dedup_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate detection by shared leading context: documents
+    whose first 20 whitespace tokens are identical cluster together (the
+    cheap first pass of near-dup mining — identical prefixes catch
+    mirrored/templated pages before any shingling). One hash aggregate on
+    the prefix string; emits clusters with >1 member as (canonical
+    doc_id, cluster size, prefix length). At 100 TB the prefix is a
+    20-token key — bounded bytes per row — so the shuffle carries short
+    keys, not documents.
+    """
+    docs = load_documents(spark, sf_dir)
+    pref = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 20), " ")
+    return (
+        docs.select(F.col("doc_id"), pref.alias("prefix"))
+        .groupBy("prefix")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(
+            "keep_doc_id", "n_docs", F.length("prefix").cast("long").alias("prefix_chars")
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+@query
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog application (the consumer half of the snapshot-diff
+    pair): orders replay as an ordered per-customer change feed —
+    (o_orderdate, o_orderkey) order, status 'F' meaning DELETE, anything
+    else an UPSERT of the order's total — and ``apply_changelog``
+    materializes the final keyed state: latest op wins, keys whose last
+    op deleted them vanish. WindowGroupLimit short-circuits everything
+    past rank 1, so per-key state is O(1) however hot the key.
+    """
+    from ..operators import merge as merge_ops
+
+    orders = load_table(spark, sf_dir, "orders")
+    changes = orders.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_totalprice"),
+    )
+    final = merge_ops.apply_changelog(
+        changes, ["o_custkey"], "op", ["o_orderdate", "o_orderkey"]
+    )
+    return final.select(
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("last_price"),
+        "n_changes",
+    ).orderBy("o_custkey")
+
+
+@query
+def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-active-day streaks (the
+    retention/engagement metric DAU systems compute). Distinct activity
+    days -> the date-minus-row_number island key -> island sizes; per
+    user: active days, streak count, longest streak. Two aggregates and
+    one window, ALL partitioned by user_id — a single key shuffle end to
+    end, no global ordering anywhere.
+    """
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "island", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    sizes = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_days")
+    )
+    return (
+        sizes.groupBy("user_id")
+        .agg(
+            F.sum("streak_days").alias("n_active_days"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("streak_days").alias("longest_streak"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query
+def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring: the Population Stability Index of
+    documents.n_chars between the two md5-hash halves of the corpus
+    (reference vs current), binned at 64 chars capped to 9 bins, with
+    add-one smoothing so empty bins stay finite. Emits PER-BIN terms —
+    integer counts plus one ln each, rounded at a single site — rather
+    than a cross-row float total, so no summation-order sensitivity
+    exists anywhere (the repo's knife-edge discipline). Identical-corpus
+    halves should sit near 0; a shifted ingest shows up as fat positive
+    terms in the moved bins. Cost: one map-side bucket + one 9-bin
+    aggregate per side.
+    """
+    from ..operators.sampling import uniform_hash
+
+    n_bins = 9
+    docs = load_documents(spark, sf_dir)
+    side = (uniform_hash(F.col("doc_id"), "psi") % 2).alias("side")
+    bin_ = F.least(F.floor(F.col("n_chars") / 64), F.lit(8)).cast("int").alias("bin")
+    counts = (
+        docs.select(side, bin_)
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("n_cur"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p = (F.col("n_ref") + 1).cast("double") / (F.col("t_ref") + n_bins)
+    q = (F.col("n_cur") + 1).cast("double") / (F.col("t_cur") + n_bins)
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session assembly certified against batch semantics: the
+    30-minute-gap ``session_window`` aggregate maintained across two
+    availableNow drains (sessions spanning the batch boundary must merge
+    in state) with append-mode exactly-once emission; the oracle is the
+    batch gaps-and-islands rewrite with the same half-open >= gap
+    boundary, so a green row certifies streaming sessionization ==
+    batch sessionization on identical events. Completes the stateful
+    streaming roster: rollup, funnel, CMS, stream-stream outer join,
+    upsert, and now session windows.
+    """
+    from ..streaming import pipeline as streaming_pipeline
+
+    out = streaming_pipeline.availablenow_session_rollup(
+        spark, sf_dir, _work_dir(sf_dir, "_streaming_sessions")
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_start_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        "n_events",
+        F.round(F.col("cents") / 100.0, 2).alias("session_value"),
+    ).orderBy("user_id", "session_start")

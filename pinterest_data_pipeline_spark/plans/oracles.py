@@ -2887,3 +2887,215 @@ oracle("events_retention_cohorts")(
     ORDER BY cohort_week, week_offset
     """
 )
+
+# --- round 8 additions ------------------------------------------------------
+
+# Rebuilds the IDENTICAL 16384-bit/3-hash Bloom filter (md5-derived bit
+# positions, 32-bit words via exact power-of-2 doubles) and must agree on
+# every membership verdict — false positives included; n_missed = 0 is the
+# superset guarantee stated as data.
+oracle("join_bloom_prefilter")(
+    """
+    WITH urgent AS (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    hashes AS (SELECT unnest([0, 1, 2]) AS j),
+    bits AS (
+        SELECT CAST(('0x' || substring(md5(o_custkey::VARCHAR || 'bloom' || j::VARCHAR), 1, 8))
+                    AS UBIGINT) % 16384 AS bit
+        FROM urgent CROSS JOIN hashes
+    ),
+    words AS (
+        SELECT CAST(bit // 32 AS INTEGER) AS word_idx,
+               bit_or(CAST(power(2, bit % 32) AS BIGINT)) AS word
+        FROM bits GROUP BY 1
+    ),
+    probes AS (
+        SELECT c.c_custkey, c.c_mktsegment,
+               CAST(('0x' || substring(md5(c.c_custkey::VARCHAR || 'bloom' || j::VARCHAR), 1, 8))
+                    AS UBIGINT) % 16384 AS bit
+        FROM customer c CROSS JOIN hashes
+    ),
+    verdicts AS (
+        SELECT p.c_custkey, p.c_mktsegment,
+               bool_and(coalesce((w.word & CAST(power(2, p.bit % 32) AS BIGINT)) <> 0,
+                                 false)) AS bloom_maybe
+        FROM probes p
+        LEFT JOIN words w ON w.word_idx = CAST(p.bit // 32 AS INTEGER)
+        GROUP BY 1, 2
+    ),
+    flagged AS (
+        SELECT v.c_mktsegment, v.bloom_maybe,
+               (u.o_custkey IS NOT NULL) AS is_member
+        FROM verdicts v LEFT JOIN urgent u ON u.o_custkey = v.c_custkey
+    )
+    SELECT c_mktsegment,
+           count(*)::BIGINT AS n_customers,
+           sum(bloom_maybe::INT)::BIGINT AS n_bloom_pass,
+           sum(is_member::INT)::BIGINT AS n_members,
+           sum((bloom_maybe AND NOT is_member)::INT)::BIGINT AS n_false_positives,
+           sum((is_member AND NOT bloom_maybe)::INT)::BIGINT AS n_missed
+    FROM flagged
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """
+)
+
+# Same md5 hash order in both engines, so sketch contents AND estimates
+# certify exactly; estimate = (k-1) * 2^32 / h_(k), exact count when the
+# sketch isn't full.
+oracle("sketch_kmv_distinct_union")(
+    """
+    WITH ev AS (SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0),
+         od AS (SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 1),
+    hash_ev AS (
+        SELECT DISTINCT CAST(('0x' || substring(md5(o_custkey::VARCHAR || 'kmv'), 1, 8))
+                             AS UBIGINT)::BIGINT AS h FROM ev
+    ),
+    hash_od AS (
+        SELECT DISTINCT CAST(('0x' || substring(md5(o_custkey::VARCHAR || 'kmv'), 1, 8))
+                             AS UBIGINT)::BIGINT AS h FROM od
+    ),
+    sk_ev AS (SELECT h FROM hash_ev ORDER BY h LIMIT 64),
+    sk_od AS (SELECT h FROM hash_od ORDER BY h LIMIT 64),
+    sk_un AS (
+        SELECT h FROM (SELECT h FROM sk_ev UNION SELECT h FROM sk_od)
+        ORDER BY h LIMIT 64
+    ),
+    est AS (
+        SELECT 'half_even' AS half, count(*)::BIGINT AS n_sketch,
+               round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                          ELSE 63.0 * 4294967296.0 / max(h) END, 4) AS kmv_estimate,
+               (SELECT count(DISTINCT o_custkey) FROM ev)::BIGINT AS exact_distinct
+        FROM sk_ev
+        UNION ALL
+        SELECT 'half_odd', count(*)::BIGINT,
+               round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                          ELSE 63.0 * 4294967296.0 / max(h) END, 4),
+               (SELECT count(DISTINCT o_custkey) FROM od)::BIGINT
+        FROM sk_od
+        UNION ALL
+        SELECT 'union', count(*)::BIGINT,
+               round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                          ELSE 63.0 * 4294967296.0 / max(h) END, 4),
+               (SELECT count(DISTINCT o_custkey) FROM orders)::BIGINT
+        FROM sk_un
+    )
+    SELECT half, n_sketch, kmv_estimate, exact_distinct FROM est ORDER BY half
+    """
+)
+
+oracle("dedup_prefix_clusters")(
+    """
+    SELECT min(doc_id)::BIGINT AS keep_doc_id,
+           count(*)::BIGINT AS n_docs,
+           length(prefix)::BIGINT AS prefix_chars
+    FROM (
+        SELECT doc_id,
+               array_to_string(list_slice(string_split(text, ' '), 1, 20), ' ') AS prefix
+        FROM documents
+    )
+    GROUP BY prefix
+    HAVING count(*) > 1
+    ORDER BY keep_doc_id
+    """
+)
+
+oracle("cdc_apply_changelog")(
+    """
+    WITH ranked AS (
+        SELECT o_custkey, o_totalprice, o_orderstatus,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC
+               ) AS rn,
+               count(*) OVER (PARTITION BY o_custkey) AS n_changes
+        FROM orders
+    )
+    SELECT o_custkey,
+           round(o_totalprice, 2) AS last_price,
+           n_changes::BIGINT AS n_changes
+    FROM ranked
+    WHERE rn = 1 AND o_orderstatus <> 'F'
+    ORDER BY o_custkey
+    """
+)
+
+oracle("events_user_streaks")(
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, day,
+               day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                          AS INTEGER) AS island
+        FROM days
+    ),
+    sizes AS (
+        SELECT user_id, island, count(*) AS streak_days
+        FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           sum(streak_days)::BIGINT AS n_active_days,
+           count(*)::BIGINT AS n_streaks,
+           max(streak_days)::BIGINT AS longest_streak
+    FROM sizes GROUP BY user_id
+    ORDER BY user_id
+    """
+)
+
+# Per-bin PSI terms from integer counts (+1 smoothing, fixed 9-bin domain
+# denominator) — one ln per bin rounded at a single site; no cross-row
+# float summation anywhere, per the repo's knife-edge discipline.
+oracle("quality_drift_psi")(
+    """
+    WITH sided AS (
+        SELECT CAST(('0x' || substring(md5(doc_id::VARCHAR || 'psi'), 1, 8))
+                    AS UBIGINT) % 2 AS side,
+               least(CAST(floor(n_chars / 64) AS INTEGER), 8) AS bin
+        FROM documents
+    ),
+    counts AS (
+        SELECT bin,
+               sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+               sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)::BIGINT AS n_cur
+        FROM sided GROUP BY bin
+    ),
+    tot AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM counts)
+    SELECT bin, n_ref, n_cur,
+           round(((n_ref + 1)::DOUBLE / (t_ref + 9) - (n_cur + 1)::DOUBLE / (t_cur + 9))
+                 * ln(((n_ref + 1)::DOUBLE / (t_ref + 9))
+                      / ((n_cur + 1)::DOUBLE / (t_cur + 9))), 6) AS psi_term
+    FROM counts CROSS JOIN tot
+    ORDER BY bin
+    """
+)
+
+# Batch gaps-and-islands dual of the STREAMING session_window aggregate:
+# same half-open >= 30 min boundary as events_session_window, value as
+# exact integer cents divided once at the read edge.
+oracle("streaming_session_window")(
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*)::BIGINT AS n_events,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS session_value
+    FROM numbered GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """
+)

@@ -899,3 +899,82 @@ def availablenow_cms_rollup(
         )
         query.awaitTermination()
     return spark.read.parquet(table_dir)
+
+
+def availablenow_session_rollup(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """Streaming session windows (built-in ``session_window`` state
+    merge), driven end-to-end bounded: events land in TWO event-time-
+    ordered file batches, the 30-minute-gap session aggregate maintains
+    per-user open sessions across the drains — a session SPANNING the
+    batch boundary must merge its two halves in state, which is the
+    load-bearing property — and append mode emits each session exactly
+    once, when the watermark passes its close. Two far-future sentinel
+    batches (negative user_id, filtered on read) push the watermark past
+    every real session's close, because batch N evicts with the watermark
+    computed at the end of batch N-1; on a live stream the next day's
+    traffic plays that role and state stays bounded at the open-session
+    frontier per user.
+
+    Session value accumulates as exact integer cents (the source values
+    are cent-quantized) because streaming state merges partials in a
+    different order than a batch sum — integer addition is the
+    order-insensitive formulation; the read edge divides once.
+    """
+    import shutil
+
+    from ..session import load_table
+
+    if os.path.exists(work_dir):
+        shutil.rmtree(work_dir)
+    src = os.path.join(work_dir, "src")
+    out_dir = os.path.join(work_dir, "out")
+    ckpt_dir = os.path.join(work_dir, "ckpt")
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    mid_ts = lo + (hi - lo) / 2
+    schema = "user_id long, ts timestamp, value double"
+
+    def sentinel(hours: int):
+        return spark.sql(
+            f"SELECT -1L AS user_id, timestamp'{hi}' + INTERVAL {hours} HOURS AS ts,"
+            " CAST(0.0 AS DOUBLE) AS value"
+        )
+
+    chunks = [
+        events.filter(F.col("ts") <= F.lit(mid_ts)),
+        events.filter(F.col("ts") > F.lit(mid_ts)),
+        sentinel(8),
+        sentinel(16),
+    ]
+    for chunk in chunks:
+        chunk.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        sessions = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(
+                F.session_window("ts", "30 minutes").alias("w"), "user_id"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            )
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start_ts"),
+                "n_events",
+                "cents",
+            )
+        )
+        query = (
+            sessions.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.read.parquet(out_dir).filter(F.col("user_id") >= 0)

@@ -1,0 +1,134 @@
+"""Certification ledger: (query -> rounds certified -> seat/queue status),
+derived from the ``CORRECTNESS_r*.json`` history instead of hand-grown
+prose comments (VERDICT r7 item 7).
+
+A query is *certified in round N* iff its row in ``CORRECTNESS_rN.json``
+has rows_match AND schema_match AND hash_match all true. Status given the
+current ``PRIORITY_WINDOW``:
+
+- ``seated``     — in the driver window this round
+- ``queued``     — oracled, 0 or 1 certifications, NOT seated (owed a row)
+- ``certified``  — >= 2 certifications, rotated out (parity still enforced
+                   locally by tools/check_parity.py over the FULL registry)
+- ``rows-only``  — registered without a DuckDB oracle (weaker driver check)
+
+Second-certification priority for queued entries (VERDICT r7 item 8):
+approximation/bound-certified oracles first — their cross-engine contract
+is structurally riskier than exact duals — then everything else in
+registry order. The constant below pins that order; ``queue`` output is
+sorted by it.
+
+Usage:
+    python tools/ledger.py            # table + queue to stdout
+    (tests import build_ledger/statuses and assert window invariants)
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from collections import defaultdict
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+# Bound/approx-oracle queries: certify these stragglers before exact-dual
+# ones when seats are scarce (structural risk order, VERDICT r7 item 8).
+BOUND_ORACLE_PRIORITY: tuple[str, ...] = (
+    "agg_approx_distinct",
+    "q6_median_acctbal_per_band_approx",
+    "sketch_hll_merge_equals_direct",
+)
+
+
+def build_ledger(repo: Path = REPO) -> dict[str, list[int]]:
+    """query -> sorted list of rounds with a fully-green driver row."""
+    certs: dict[str, list[int]] = defaultdict(list)
+    for f in sorted(repo.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", f.name)
+        if not m:
+            continue
+        n = int(m.group(1))
+        for q, v in json.loads(f.read_text()).items():
+            if v.get("rows_match") and v.get("schema_match") and v.get("hash_match"):
+                certs[q].append(n)
+    return {q: sorted(r) for q, r in certs.items()}
+
+
+def ever_driver_checked(repo: Path = REPO) -> set[str]:
+    """Every query name that has EVER appeared in a driver correctness file
+    (rotation must never delete one from the registry)."""
+    names: set[str] = set()
+    for f in sorted(repo.glob("CORRECTNESS_r*.json")):
+        names.update(json.loads(f.read_text()))
+    return names
+
+
+def statuses(
+    ledger: dict[str, list[int]],
+    window: tuple[str, ...],
+    registered: set[str],
+    oracled: set[str],
+) -> dict[str, dict]:
+    """Full status table for every registered query."""
+    seated = set(window)
+    out: dict[str, dict] = {}
+    for q in registered:
+        rounds = ledger.get(q, [])
+        if q not in oracled:
+            status = "rows-only"
+        elif q in seated:
+            status = "seated"
+        elif len(rounds) >= 2:
+            status = "certified"
+        else:
+            status = "queued"
+        out[q] = {"rounds": rounds, "n_certs": len(rounds), "status": status}
+    return out
+
+
+def queue(status_table: dict[str, dict], registry_order: list[str]) -> list[str]:
+    """Queued entries in second-certification priority order."""
+    queued = [q for q in registry_order if status_table[q]["status"] == "queued"]
+    prio = {q: i for i, q in enumerate(BOUND_ORACLE_PRIORITY)}
+    return sorted(queued, key=lambda q: (prio.get(q, len(prio)), registry_order.index(q)))
+
+
+def main() -> int:
+    import __spark_entry__ as entry
+    from pinterest_data_pipeline_spark.plans import oracles
+
+    ledger = build_ledger()
+    registry_order = list(entry.queries())
+    table = statuses(
+        ledger, entry.PRIORITY_WINDOW, set(registry_order), set(oracles.ORACLES)
+    )
+    width = max(len(q) for q in registry_order) + 2
+    for q in registry_order:
+        row = table[q]
+        rounds = ",".join(f"r{n}" for n in row["rounds"]) or "-"
+        print(f"{q:<{width}} {row['status']:<10} certs={row['n_certs']}  {rounds}")
+    qd = queue(table, registry_order)
+    print(f"\n{len(registry_order)} registered; "
+          f"{sum(1 for r in table.values() if r['status'] == 'seated')} seated; "
+          f"{len(qd)} queued; "
+          f"{sum(1 for r in table.values() if r['status'] == 'certified')} certified; "
+          f"{sum(1 for r in table.values() if r['status'] == 'rows-only')} rows-only")
+    if qd:
+        print("queue (second-certification priority):")
+        for q in qd:
+            print(f"  {q}")
+    never = [
+        q for q, r in table.items()
+        if r["n_certs"] == 0 and r["status"] not in ("seated", "rows-only")
+    ]
+    if never:
+        print(f"\nRED FLAG oracled-never-certified and unseated: {never}")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
