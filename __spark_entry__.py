@@ -33,52 +33,51 @@ def entry(spark: SparkSession) -> DataFrame:
     return analytics.q1_top_brand_per_nation(spark, SMOKE_SF_DIR)
 
 
-# The correctness driver evaluates the FIRST 50 registry entries, so the
-# window below is curated: one oracle-checked representative per operator
-# family (reference battery, events/streaming-time, joins, aggregates,
-# window functions, cleaning, set ops, text analysis, dedup, sampling, ANN,
-# subqueries, MERGE/SCD2, quality, TPC-H). Fused "battery" queries
-# (clean_part_battery, text_analysis_battery) certify several operators per
-# slot; their single-operator forms remain registered after the window for
-# focused debugging. tests/test_registry_window.py pins this invariant.
-# ROUND-7 ROTATION: the 25 r5-once-certified queries that earned their
-# second certification in r6 rotate out (oracle + tools/check_parity.py
-# coverage retained). In: the 5 oracled post-closure r6 additions that
-# never held a driver row (funnel, cohort retention, multi-table LSH,
-# simhash exact recall — now a positive assertion, weighted-mean grouped
-# agg — now integer-cent exact), the 7 round-7 additions (seed-robust
-# LSH recall twin, streaming funnel, containment dedup, CDC snapshot
-# diff, DPP join, Misra-Gries heavy hitters, Matryoshka truncation), the
-# 14 queries queued in ONCE_CERTIFIED_QUEUE since r6, and 24 of the 25
-# r6-first-certified queries earning their second row
-# (scalar_math_functions yields its seat and queues for r8 — the least
-# at-risk member: pure scalar battery, once-green, full local parity).
-# LATE-R7 RESHAPE: every query added after the rotation froze is seated
-# immediately so NO oracled query is ever left never-certified — the late
-# additions (sample_reservoir_topk, text_ngram_vocab_topk,
-# sample_weighted_by_length, sketch_cms_part_counts, ann_pq_topk,
-# join_lateral_top_customers, streaming_view_purchase_outer,
-# recursive_order_chain, streaming_cms_rollup, events_ewma_daily,
-# text_utf8_bytes_arrow, join_null_safe_keys, ann_binary_hamming_topk,
-# events_pattern_match, events_transition_matrix) take seats yielded by
-# sketch_hll_merge_equals_direct, q6_median_acctbal_per_band_approx,
-# ann_two_stage_rerank, layout_compact_small_files,
-# quality_table_checksum, agg_histogram_totalprice,
-# schema_evolution_merge, join_asof_next_order, text_unigram_logprob,
-# text_pii_redaction, dedup_decontaminate_ngram, agg_approx_distinct,
-# embedding_quantize_int8, text_repetition_battery, and
-# quality_column_profile (all once-green in r6; queued for r8 in
-# ONCE_CERTIFIED_QUEUE with full
-# local parity retained). The window stays at exactly 50 with ZERO
-# oracled-never-certified entries if the round is green.
+# The correctness driver evaluates the FIRST 50 registry entries. The
+# window's composition is DATA-DRIVEN: tools/ledger.py derives each
+# query's certification history from CORRECTNESS_r*.json, and
+# tests/test_registry_window.py asserts the seating invariants against it
+# (every oracled-never-certified query seated; no twice-certified query
+# holding a seat while an under-certified one waits; rotation never
+# deletes a query — full-registry parity stays enforced locally by
+# tools/check_parity.py). Run `python tools/ledger.py` for the ledger.
+# ROUND-8 ROTATION: the 23 queries that earned their second green row in
+# r7 rotate out; in come the 16 once-certified queries queued since the
+# r7 reshape, the 27 r7-first-certified queries earning their second row,
+# and the 7 round-8 additions seated at birth — exactly 50.
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # never-certified oracled queries (post-closure r6 additions)
+    # round-8 additions, seated at birth (never certified yet)
+    "join_bloom_prefilter",
+    "sketch_kmv_distinct_union",
+    "dedup_prefix_clusters",
+    "cdc_apply_changelog",
+    "events_user_streaks",
+    "quality_drift_psi",
+    "streaming_session_window",
+    # once-certified queue (r6 green; yielded r7 seats) — second row.
+    # Bound/approx-oracle members lead (structural-risk priority).
+    "agg_approx_distinct",
+    "q6_median_acctbal_per_band_approx",
+    "sketch_hll_merge_equals_direct",
+    "scalar_math_functions",
+    "ann_two_stage_rerank",
+    "layout_compact_small_files",
+    "quality_table_checksum",
+    "agg_histogram_totalprice",
+    "schema_evolution_merge",
+    "join_asof_next_order",
+    "text_unigram_logprob",
+    "text_pii_redaction",
+    "dedup_decontaminate_ngram",
+    "embedding_quantize_int8",
+    "text_repetition_battery",
+    "quality_column_profile",
+    # r7-first-certified — second row
     "events_funnel_steps",
     "events_retention_cohorts",
     "ann_lsh_multitable_topk",
     "dedup_simhash_exact_recall",
     "pandas_grouped_agg_weighted_mean",
-    # never-certified round-7 additions
     "ann_lsh_topk",
     "streaming_funnel_steps",
     "dedup_containment_adjacent",
@@ -86,7 +85,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "join_dpp_partition_pruned",
     "sketch_mg_heavy_langs",
     "embedding_truncate_renormalize",
-    # never-certified late-r7 additions (seated at birth, see reshape note)
     "sample_reservoir_topk",
     "text_ngram_vocab_topk",
     "sample_weighted_by_length",
@@ -102,31 +100,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "ann_binary_hamming_topk",
     "events_pattern_match",
     "events_transition_matrix",
-    # queued since the r6 rotation - earn their second certification
-    "clean_normalize_nulls_documents",
-    "clean_parse_human_count_part",
-    "clean_strip_prefix_part",
-    "clean_distinct_flag_status",
-    "window_running_revenue",
-    "join_anti_customers_without_orders",
-    "text_token_stats",
-    "text_lang_id",
-    "text_quality_scores",
-    "text_fingerprints",
-    "dedup_ngram_jaccard_adjacent",
-    "tpch_q6_forecast_revenue",
-    "tpch_q14_promo_revenue_share",
-    "tpch_q19_disjunctive_predicates",
-    # first-certified in r6 - earn their second driver certification
-    "tpch_q12_priority_shipmode",
-    "streaming_upsert_latest_events",
-    "events_sessionize_gap",
-    "streaming_incremental_rollup",
-    "join_salted_skewed",
-    "csv_roundtrip_malformed",
-    "sketch_hll_distinct_parts",
-    "sample_stratified_by_lang",
-    "ann_ivf_topk",
 )
 
 
