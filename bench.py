@@ -154,6 +154,16 @@ HEADLINE = [
     "ann_binary_hamming_topk",
     "events_pattern_match",
     "events_transition_matrix",
+    # round-8 growth (97 -> 103 queries; cross-round totals need the
+    # shared-query diff, as before): bloom prefilter join, KMV distinct
+    # sketch, prefix-template clustering, CDC changelog apply, activity
+    # streaks, PSI drift. Streaming queries stay out, as before.
+    "join_bloom_prefilter",
+    "sketch_kmv_distinct_union",
+    "dedup_prefix_clusters",
+    "cdc_apply_changelog",
+    "events_user_streaks",
+    "quality_drift_psi",
 ]
 
 
@@ -190,14 +200,62 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
     }
-    # Per-query timings always land in a standalone artifact: the driver's
+    # Per-query timings always land in standalone artifacts: the driver's
     # tail capture truncates long stdout (round 5's 61-query line overflowed
     # its 2000-char window and published `parsed: null`), so the final stdout
     # line must stay compact. Include the full per-query dict inline only
     # when it still fits comfortably inside that window.
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    #
+    # Two artifacts with DISTINCT methodologies (VERDICT r7 item 4 — don't
+    # mix them when computing round-over-round deltas):
+    # - BENCH_QUERIES_r{N}.json: THIS invocation's timings verbatim — the
+    #   same methodology as the driver's BENCH_r{N}.json, so per-query
+    #   cross-round deltas compare like with like. N is inferred from the
+    #   committed BENCH_r*.json history (current round = last + 1); later
+    #   invocations in the same round overwrite, leaving the final
+    #   (driver-adjacent) run canonical.
+    # - BENCH_DETAIL.json: per-query MIN accumulated across this round's
+    #   invocations — filters the documented ±40% box variance for plan
+    #   work, resets automatically when the round rolls.
+    here = os.path.dirname(os.path.abspath(__file__))
+    import re as _re
+
+    seen_rounds = [
+        int(m.group(1))
+        for f in os.listdir(here)
+        if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
+    ]
+    round_n = (max(seen_rounds) if seen_rounds else 0) + 1
+    single_run = {
+        **summary,
+        "round": round_n,
+        "method": f"single bench.py invocation, min of REPEAT={REPEAT} per query",
+        "queries": timings,
+    }
+    with open(os.path.join(here, f"BENCH_QUERIES_r{round_n:02d}.json"), "w") as f:
+        json.dump(single_run, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+    detail_path = os.path.join(here, "BENCH_DETAIL.json")
+    merged = dict(timings)
+    try:
+        with open(detail_path) as f:
+            prior = json.load(f)
+        if prior.get("round") == round_n:
+            for q, t in prior.get("queries", {}).items():
+                if q in merged:
+                    merged[q] = min(merged[q], t)
+    except (OSError, ValueError):
+        pass
+    detail = {
+        **summary,
+        "round": round_n,
+        "method": "per-query min across same-round bench.py invocations",
+        "value": round(sum(merged.values()), 4),
+        "queries": merged,
+    }
     with open(detail_path, "w") as f:
-        json.dump({**summary, "queries": timings}, f, indent=1, sort_keys=True)
+        json.dump(detail, f, indent=1, sort_keys=True)
         f.write("\n")
     full_line = json.dumps({**summary, "queries": timings})
     print(full_line if len(full_line) <= 1500 else json.dumps(summary))
