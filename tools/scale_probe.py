@@ -490,6 +490,250 @@ def probe_ewma_daily(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
+
+
+def probe_lateral_join(spark, mult: int) -> float:
+    """ANSI LATERAL top-3-per-nation at mult x customers: Catalyst
+    decorrelates to WindowGroupLimit + broadcast join, so growth should
+    track the customer scan, never a nested loop."""
+    customer = multiply(load_table(spark, SF, "customer"), mult, ["c_custkey"])
+    customer.createOrReplaceTempView("_probe_customer")
+    nation = load_table(spark, SF, "nation")
+    nation.createOrReplaceTempView("_probe_nation")
+    q = spark.sql(
+        """
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM _probe_nation n,
+        LATERAL (
+            SELECT c_name, round(c_acctbal, 2) AS c_acctbal FROM _probe_customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name LIMIT 3
+        ) c
+        """
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_null_safe_join(spark, mult: int) -> float:
+    """Null-safe self-join at mult x documents: <=> plans as a hash join
+    on the null-safe key; the null group grows quadratically in PAIRS but
+    the join itself stays a key-shuffle (the aggregate collapses pairs)."""
+    docs = multiply(load_table(spark, SF, "documents"), mult, ["doc_id"])
+    a = docs.select(F.nullif(F.col("lang"), F.lit("en")).alias("k"),
+                    F.col("doc_id").alias("id_a"))
+    b = docs.select(F.nullif(F.col("lang"), F.lit("en")).alias("k"),
+                    F.col("doc_id").alias("id_b"))
+    q = (a.join(b, a["k"].eqNullSafe(b["k"]))
+         .groupBy(a["k"].alias("lang_key"))
+         .agg(F.count(F.lit(1)).alias("n_pairs")))
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_binary_hamming(spark, mult: int) -> float:
+    """Sign-packed Hamming top-k at mult x corpus: packing is a narrow
+    map, distance is codegen XOR/popcount, ranking is
+    TakeOrderedAndProject per query — scan-bound."""
+    from pinterest_data_pipeline_spark.operators import similarity
+
+    emb = multiply(load_table(spark, SF, "embeddings"), mult, ["vec_id"])
+    queries = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 3)
+    q = similarity.hamming_topk(emb, queries, k=10)
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_pattern_match(spark, mult: int) -> float:
+    """Capped relational MATCH_RECOGNIZE at mult x events (post-r7-fix
+    shape): row_number cap before any collection bounds per-key state at
+    512 single-char entries however hot the key."""
+    from pinterest_data_pipeline_spark.plans.extensions import pattern_match_journeys
+
+    events = multiply(load_table(spark, SF, "events"), mult, ["event_id", "user_id"])
+    q = pattern_match_journeys(events, cap=512)
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_transition_matrix(spark, mult: int) -> float:
+    """First-order transition counts at mult x events: one window pass +
+    a (types x types)-bounded aggregate."""
+    from pyspark.sql import Window
+
+    events = multiply(load_table(spark, SF, "events"), mult, ["event_id", "user_id"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    q = (events.withColumn("prev_type", F.lag("event_type").over(w))
+         .filter(F.col("prev_type").isNotNull())
+         .groupBy("prev_type", F.col("event_type").alias("next_type"))
+         .agg(F.count(F.lit(1)).alias("n_transitions")))
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def _multiplied_events_dir(spark, mult: int, name: str) -> str:
+    """Write mult x events as an sf-shaped dir for the streaming helpers."""
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "spark-warehouse", f"_probe_{name}_{mult}x")
+    events = multiply(load_table(spark, SF, "events"), mult, ["event_id", "user_id"])
+    events.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    return out
+
+
+def probe_streaming_outer(spark, mult: int) -> float:
+    """Stream-stream LEFT OUTER interval join at mult x events, full
+    bounded drive (two data drains + two heartbeat drains). State stays
+    at horizon + watermark per side regardless of mult."""
+    import shutil
+
+    from pinterest_data_pipeline_spark.streaming.pipeline import (
+        availablenow_attribution_outer,
+    )
+
+    sf_dir = _multiplied_events_dir(spark, mult, "outer")
+    work = os.path.join(sf_dir, "work")
+    t0 = time.perf_counter()
+    availablenow_attribution_outer(spark, sf_dir, work).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    secs = time.perf_counter() - t0
+    shutil.rmtree(sf_dir, ignore_errors=True)
+    return secs
+
+
+def probe_streaming_sessions(spark, mult: int) -> float:
+    """Streaming session_window at mult x events, full bounded drive:
+    state is the open-session frontier per user."""
+    import shutil
+
+    from pinterest_data_pipeline_spark.streaming.pipeline import (
+        availablenow_session_rollup,
+    )
+
+    sf_dir = _multiplied_events_dir(spark, mult, "sessions")
+    work = os.path.join(sf_dir, "work")
+    t0 = time.perf_counter()
+    availablenow_session_rollup(spark, sf_dir, work).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    secs = time.perf_counter() - t0
+    shutil.rmtree(sf_dir, ignore_errors=True)
+    return secs
+
+
+def probe_bloom_prefilter(spark, mult: int) -> float:
+    """Bloom build + literal-probe at mult x orders/customers: build is a
+    bounded aggregate, probe is whole-stage codegen — scan-bound both
+    sides."""
+    from pinterest_data_pipeline_spark.operators import bloom
+
+    m_bits, k_hashes = 16384, 3
+    orders = multiply(load_table(spark, SF, "orders"), mult, ["o_orderkey", "o_custkey"])
+    customer = multiply(load_table(spark, SF, "customer"), mult, ["c_custkey"])
+    urgent = (orders.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey").distinct())
+    t0 = time.perf_counter()
+    dense = bloom.bloom_words_literal(
+        bloom.bloom_build(urgent, "o_custkey", m_bits, k_hashes), m_bits
+    )
+    q = customer.select(
+        "c_mktsegment",
+        bloom.bloom_maybe_expr(F.col("c_custkey"), dense, m_bits, k_hashes).alias("m"),
+    ).groupBy("c_mktsegment").agg(F.sum(F.col("m").cast("int")).alias("n_pass"))
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_kmv_union(spark, mult: int) -> float:
+    """KMV sketch + union merge at mult x orders: distinct + k-heap
+    TakeOrderedAndProject per half."""
+    from pinterest_data_pipeline_spark.operators import sketches
+
+    orders = multiply(load_table(spark, SF, "orders"), mult, ["o_orderkey", "o_custkey"])
+    even = orders.filter(F.col("o_orderkey") % 2 == 0)
+    odd = orders.filter(F.col("o_orderkey") % 2 == 1)
+    q = sketches.kmv_estimate(
+        sketches.kmv_merge(sketches.kmv_sketch(even, "o_custkey"),
+                           sketches.kmv_sketch(odd, "o_custkey")), 64
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_prefix_clusters(spark, mult: int) -> float:
+    """Prefix-template clustering at mult x documents: one hash aggregate
+    on a 20-token key."""
+    docs = multiply(load_table(spark, SF, "documents"), mult, ["doc_id"])
+    pref = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 20), " ")
+    q = (docs.select(F.col("doc_id"), pref.alias("prefix"))
+         .groupBy("prefix")
+         .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+         .filter(F.col("n_docs") > 1))
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_cdc_apply(spark, mult: int) -> float:
+    """Changelog application at mult x orders: WindowGroupLimit rank-1 +
+    window count on one key shuffle."""
+    from pinterest_data_pipeline_spark.operators import merge as merge_ops
+
+    orders = multiply(load_table(spark, SF, "orders"), mult, ["o_orderkey", "o_custkey"])
+    changes = orders.select(
+        "o_custkey", "o_orderdate", "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "o_totalprice",
+    )
+    q = merge_ops.apply_changelog(changes, ["o_custkey"], "op",
+                                  ["o_orderdate", "o_orderkey"])
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_user_streaks(spark, mult: int) -> float:
+    """Gaps-and-islands streaks at mult x events: distinct days + window
+    + two aggregates, all on the user key."""
+    from pyspark.sql import Window
+
+    events = multiply(load_table(spark, SF, "events"), mult, ["event_id", "user_id"])
+    days = events.select("user_id",
+                         F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    sizes = (days.withColumn("island", F.date_sub(F.col("day"), F.row_number().over(w)))
+             .groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("streak_days")))
+    q = sizes.groupBy("user_id").agg(
+        F.sum("streak_days").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("streak_days").alias("longest_streak"),
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_drift_psi(spark, mult: int) -> float:
+    """PSI drift at mult x documents: map-side bucket + 9-bin aggregate."""
+    from pinterest_data_pipeline_spark.operators.sampling import uniform_hash
+
+    docs = multiply(load_table(spark, SF, "documents"), mult, ["doc_id"])
+    side = (uniform_hash(F.col("doc_id"), "psi") % 2).alias("side")
+    bin_ = F.least(F.floor(F.col("n_chars") / 64), F.lit(8)).cast("int").alias("bin")
+    counts = (docs.select(side, bin_).groupBy("bin")
+              .agg(F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("n_ref"),
+                   F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("n_cur")))
+    t0 = time.perf_counter()
+    counts.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 PROBES = {
     "tpch_q5_6way_join": probe_tpch_q5,
     "simhash_near_dup": probe_simhash,
@@ -514,6 +758,20 @@ PROBES = {
     "pq_topk": probe_pq_topk,
     "recursive_chain": probe_recursive_chain,
     "ewma_daily": probe_ewma_daily,
+    # round-8 additions (VERDICT r7 item 6 roster + the r8 operators)
+    "lateral_join": probe_lateral_join,
+    "null_safe_join": probe_null_safe_join,
+    "binary_hamming": probe_binary_hamming,
+    "pattern_match": probe_pattern_match,
+    "transition_matrix": probe_transition_matrix,
+    "streaming_outer": probe_streaming_outer,
+    "streaming_sessions": probe_streaming_sessions,
+    "bloom_prefilter": probe_bloom_prefilter,
+    "kmv_union": probe_kmv_union,
+    "prefix_clusters": probe_prefix_clusters,
+    "cdc_apply": probe_cdc_apply,
+    "user_streaks": probe_user_streaks,
+    "drift_psi": probe_drift_psi,
 }
 
 
