@@ -193,9 +193,12 @@ def apply_changelog(
     """
     w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
     w_all = Window.partitionBy(*keys)
+    # n_changes BEFORE the rank: the rank window must sit directly under
+    # the rank=1 filter or Catalyst cannot insert its WindowGroupLimit
+    # short-circuit (plan-contract pinned by tests/test_round8_ops.py)
     return (
-        changes.withColumn("__rn", F.row_number().over(w))
-        .withColumn("n_changes", F.count(F.lit(1)).over(w_all).cast("long"))
+        changes.withColumn("n_changes", F.count(F.lit(1)).over(w_all).cast("long"))
+        .withColumn("__rn", F.row_number().over(w))
         .filter((F.col("__rn") == 1) & (F.col(op_col) != delete_op))
         .drop("__rn")
     )
