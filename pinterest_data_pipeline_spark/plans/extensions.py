@@ -1238,10 +1238,13 @@ def pattern_match_journeys(events: DataFrame, cap: int = 512) -> DataFrame:
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_all = Window.partitionBy("user_id")
+    # n_events BEFORE the rank so the rn <= cap filter sits directly above
+    # the row_number window — Catalyst then inserts WindowGroupLimit(cap)
+    # and rows past the cap drop before the rank window buffers them
     capped = (
         events.select("user_id", "ts", "event_id", "event_type")
-        .withColumn("rn", F.row_number().over(w))
         .withColumn("n_events", F.count(F.lit(1)).over(w_all))
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= cap)
     )
     ordered = F.array_sort(

@@ -672,7 +672,11 @@ def test_pattern_match_cap_bounds_state_and_flags_overflow(spark):
         rows,
         "event_id long, ts string, user_id long, event_type string, value double, props string",
     ).withColumn("ts", F.to_timestamp("ts"))
-    out = {r.user_id: r for r in pattern_match_journeys(events, cap=10).collect()}
+    capped = pattern_match_journeys(events, cap=10)
+    # the rn <= cap filter must short-circuit via WindowGroupLimit — rows
+    # past the cap drop before the rank window buffers them
+    assert "WindowGroupLimit" in capped._jdf.queryExecution().executedPlan().toString()
+    out = {r.user_id: r for r in capped.collect()}
     assert out[1].n_events == 25 and out[1].overflowed and not out[1].converted
     assert out[2].n_events == 3 and not out[2].overflowed and out[2].converted
     # un-capped control: the same user 1 converts (v then p, no click needed
