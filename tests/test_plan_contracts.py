@@ -32,6 +32,16 @@ def plan_of(spark, name: str) -> str:
         "join_range_ship_window",
         "dedup_exact_documents",
         "events_session_window",
+        # round-8 batch additions: the bloom probe must stay a literal
+        # expression, CDC apply a single-key window, streaks pure
+        # aggregates — none may degenerate to a nested loop or Python
+        # UDF. (kmv/psi attach a SINGLE-ROW scalar aggregate via
+        # crossJoin(broadcast(...)) — the legitimate BNLJ, covered by
+        # test_scalar_attach_bnlj_build_side_is_single_row instead.)
+        "join_bloom_prefilter",
+        "dedup_prefix_clusters",
+        "cdc_apply_changelog",
+        "events_user_streaks",
     ],
 )
 def test_no_cartesian_or_python_udf_in_core_plans(spark, name):
@@ -443,3 +453,27 @@ def test_ewma_decay_joins_broadcast_daily_rollup(spark):
     assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 4  # partial+final x (daily, decay)
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["sketch_kmv_distinct_union", "quality_drift_psi"])
+def test_scalar_attach_bnlj_build_side_is_single_row(spark, name):
+    """kmv/psi attach a scalar total with crossJoin(broadcast(agg)) — the
+    one BroadcastNestedLoopJoin this engine permits, because its build
+    side is an ungrouped aggregate (exactly ONE row: the same shape a
+    scalar subquery compiles to). A grouped/unbounded build side here
+    would be a real cartesian regression, so pin the structure: every
+    BNLJ in these plans must sit above an ungrouped HashAggregate whose
+    grouping key list is empty."""
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # every BNLJ build side is a broadcast of a keys=[] aggregate
+    import re
+
+    assert "BroadcastNestedLoopJoin" in plan
+    # the only BroadcastExchanges feeding a BNLJ carry IdentityBroadcastMode
+    # (scalar row), never a keyed HashedRelation
+    for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
+        assert "IdentityBroadcastMode" in frag.split("BroadcastHashJoin")[0]
+    # and the aggregate under each broadcast groups by NOTHING
+    assert re.search(r"HashAggregate\(keys=\[\]", plan)
