@@ -43,8 +43,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/check_parity.py). Run `python tools/ledger.py` for the ledger.
 # ROUND-8 ROTATION: the 23 queries that earned their second green row in
 # r7 rotate out; in come the 16 once-certified queries queued since the
-# r7 reshape, the 27 r7-first-certified queries earning their second row,
-# and the 7 round-8 additions seated at birth — exactly 50.
+# r7 reshape, 24 of the 27 r7-first-certified queries earning their
+# second row, and the 10 round-8 additions seated at birth — exactly 50.
+# Three r7-once-certified members yield their seats to the late-r8
+# additions (ann_lsh_topk — its multitable twin stays seated;
+# events_transition_matrix — its pattern-match twin stays seated;
+# text_utf8_bytes_arrow — exact octet dual, lowest re-cert risk) and
+# queue for r9 in EXPECTED_QUEUE with full local parity retained.
 PRIORITY_WINDOW: tuple[str, ...] = (
     # round-8 additions, seated at birth (never certified yet)
     "join_bloom_prefilter",
@@ -54,6 +59,10 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "events_user_streaks",
     "quality_drift_psi",
     "streaming_session_window",
+    # late-r8 additions, seated at birth
+    "ann_ivf_pq_topk",
+    "anomaly_mad_events",
+    "text_boilerplate_ngrams",
     # once-certified queue (r6 green; yielded r7 seats) — second row.
     # Bound/approx-oracle members lead (structural-risk priority).
     "agg_approx_distinct",
@@ -78,7 +87,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "ann_lsh_multitable_topk",
     "dedup_simhash_exact_recall",
     "pandas_grouped_agg_weighted_mean",
-    "ann_lsh_topk",
     "streaming_funnel_steps",
     "dedup_containment_adjacent",
     "cdc_snapshot_diff",
@@ -95,11 +103,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "recursive_order_chain",
     "streaming_cms_rollup",
     "events_ewma_daily",
-    "text_utf8_bytes_arrow",
     "join_null_safe_keys",
     "ann_binary_hamming_topk",
     "events_pattern_match",
-    "events_transition_matrix",
 )
 
 

@@ -164,6 +164,10 @@ HEADLINE = [
     "cdc_apply_changelog",
     "events_user_streaks",
     "quality_drift_psi",
+    # late-r8 growth (103 -> 106): IVFADC, MAD anomaly, boilerplate n-grams
+    "ann_ivf_pq_topk",
+    "anomaly_mad_events",
+    "text_boilerplate_ngrams",
 ]
 
 

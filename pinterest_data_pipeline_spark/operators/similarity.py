@@ -750,6 +750,120 @@ def pq_topk_rerank(
     )
 
 
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    k_coarse: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011, §IV): the composed production index —
+    IVF coarse cells restrict the scan, PQ-ADC scores the survivors from
+    codes, and full-precision rerank finishes the shortlist. This is the
+    FAISS ``IVFx,PQy`` / ScaNN shape: at 100 TB the corpus is written
+    once partitioned by cell carrying only (id, codes) — 16x smaller
+    than the vectors — each query batch prunes to its n_probe partitions,
+    ADC scans them from lookup tables inside whole-stage codegen, and
+    only queries x k_coarse rows ever touch a full-precision vector.
+
+    One pass builds both index artifacts (cell assignment + PQ codes);
+    the query side ships as ONE broadcast frame of (query, probed cell,
+    LUT) rows, so candidate generation is a broadcast hash join on cell
+    — never a cross join against the whole corpus (the structural
+    advantage over flat PQ, which must touch every code).
+    """
+    import numpy as np
+
+    m = len(codebooks)
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    sub = cbs[0].shape[1]
+
+    assign1 = nearest_cells_pandas(centroids, 1)
+    assignp = nearest_cells_pandas(centroids, n_probe)
+    # index pass: cell + codes in one narrow projection (vec kept only
+    # for the final bounded rerank join)
+    encoded = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        assign1(F.col(vec_col))[0].alias("cell"),
+        pq_encode_pandas(codebooks)(F.col(vec_col)).alias("codes"),
+    )
+    # query side: bounded driver fetch (same sanctioned edge as training)
+    # -> per-query ADC lookup tables + probed cells as one broadcast frame
+    qrows = queries.select(F.col(id_col), as_double(F.col(vec_col))).collect()
+    lut_rows = []
+    for r in qrows:
+        qv = np.asarray(list(map(float, r[1])), dtype=np.float64)
+        lut = [
+            [
+                float(np.dot(qv[j * sub : (j + 1) * sub], cbs[j][c]))
+                for c in range(len(cbs[j]))
+            ]
+            for j in range(m)
+        ]
+        lut_rows.append((int(r[0]), lut))
+    spark = corpus.sparkSession
+    luts = spark.createDataFrame(
+        lut_rows, f"{query_id_col} long, lut array<array<double>>"
+    )
+    qcells = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.explode(assignp(F.col(vec_col))).alias("cell"),
+    )
+    probe = qcells.join(luts, query_id_col)
+
+    cands = encoded.join(F.broadcast(probe), "cell").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = cands.withColumn(
+        "adc_score",
+        F.round(
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, j: acc
+                + F.element_at(
+                    F.element_at(F.col("lut"), j + 1),
+                    F.element_at(F.col("codes"), j + 1) + 1,
+                ),
+            ),
+            6,
+        ),
+    )
+    w_c = Window.partitionBy(query_id_col).orderBy(
+        F.desc("adc_score"), F.asc(id_col)
+    )
+    shortlist = (
+        scored.withColumn("rk", F.row_number().over(w_c))
+        .filter(F.col("rk") <= k_coarse)
+        .select(query_id_col, id_col)
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        as_double(F.col(vec_col)).alias("query_vec"),
+    )
+    rescored = (
+        shortlist.join(corpus.select(id_col, vec_col), id_col)
+        .join(F.broadcast(q), query_id_col)
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine(as_double(F.col(vec_col)), F.col("query_vec")), 6),
+        )
+        .select(query_id_col, id_col, "cosine_sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        rescored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, id_col, "cosine_sim", F.col("rk").alias("rank"))
+    )
+
+
 # --- binary (1-bit) quantization --------------------------------------------
 #
 # The fourth compression tier (int8 -> MRL -> PQ -> binary): keep only the

@@ -1965,3 +1965,96 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("cents") / 100.0, 2).alias("session_value"),
     ).orderBy("user_id", "session_start")
+
+
+@query
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the composed production vector index (FAISS ``IVF16,PQ8``
+    shape): IVF coarse cells prune the scan to 4-of-16 cells, PQ-ADC
+    scores the survivors from 8x64-code lookup tables inside whole-stage
+    codegen, and only the 200-row-per-query shortlist touches a
+    full-precision vector for the exact rerank. Certified through the
+    shared recall edge at the IVF floor (>= 2 of 10 — the composition
+    cannot beat its coarse stage on these near-orthogonal synthetic
+    vectors; exact per-dataset overlaps pinned by pytest). At 100 TB the
+    index artifact is (id, cell, 8 codes) — 16x smaller than the
+    vectors — written partitioned by cell so query batches prune
+    partitions.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vectors(spark, sf_dir)
+    centroids = similarity.train_ivf_centroids(emb, n_cells=16)
+    books = similarity.train_pq_codebooks(emb, n_codes=64)
+    ann = similarity.ivf_pq_topk(
+        emb, q, centroids, books, k=10, n_probe=4, k_coarse=200
+    )
+    return _certify_recall(emb, q, ann, floor=2)
+
+
+@query
+def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by median absolute deviation — the
+    heavy-tail-safe twin of ``anomaly_zscore_events`` (mean/stddev are
+    themselves dragged by the outliers they hunt; median/MAD have a 50%
+    breakdown point). Per event type: median, MAD, and the count of
+    values outside median +/- 3 * 1.4826 * MAD (the normal-consistency
+    constant). Exact medians via the percentile/quantile_cont pair the
+    engine already certifies; two type-key aggregates + one broadcast
+    join back — types are tiny, values never leave their partitions
+    twice.
+    """
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("absdev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.max("med"), 4).alias("median_value"),
+            F.round(F.max("mad"), 4).alias("mad"),
+            F.sum(
+                (F.col("absdev") > F.lit(4.4478) * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection: 8-token shingles that appear
+    in MORE THAN ONE document, ranked by document frequency — the
+    template/navigation/licence-text finder that runs before near-dedup
+    in web-scale curation (C4/RefinedWeb-style). explode -> one hash
+    aggregate; the shuffle carries 8-token keys, doc frequency via
+    count_distinct inside the same aggregate. Top 50.
+    """
+    docs = load_documents(spark, sf_dir)
+    n = 8
+    grams = F.expr(
+        f"transform(slice(split(text, ' '), 1, size(split(text, ' ')) - {n - 1}),"
+        f" (x, i) -> array_join(slice(split(text, ' '), i + 1, {n}), ' '))"
+    )
+    counts = (
+        docs.filter(F.size(F.split(F.col("text"), " ")) >= n)
+        .select("doc_id", F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(
+            F.count_distinct("doc_id").alias("doc_freq"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("doc_freq") > 1)
+    )
+    return (
+        counts.orderBy(F.desc("doc_freq"), F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(50)
+        .select("ngram", F.col("doc_freq").cast("long"), F.col("n_occurrences").cast("long"))
+    )

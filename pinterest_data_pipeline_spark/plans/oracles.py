@@ -3099,3 +3099,70 @@ oracle("streaming_session_window")(
     ORDER BY user_id, session_start
     """
 )
+
+# IVFADC recall dual: same derived-n/literal-TRUE pattern as ann_ivf_topk,
+# same n_probe=4-of-16 precondition (probed cells hold >= k non-query
+# vectors from sf0.001 up); the shared floor is the IVF stage's (>= 2/10),
+# since ADC + exact rerank cannot beat the coarse pruning on these
+# near-orthogonal vectors. Per-dataset overlaps pinned by pytest.
+oracle("ann_ivf_pq_topk")(
+    """
+    SELECT vec_id AS query_id,
+           least(10, (SELECT count(*) - 1 FROM embeddings))::BIGINT AS n_returned,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 3 ORDER BY query_id
+    """
+)
+
+# Median/MAD via the quantile_cont/percentile pair the engine already
+# certifies (q6/q8); 4.4478 = 3 * 1.4826 written as the same decimal
+# literal in both engines so the threshold folds to the identical double.
+oracle("anomaly_mad_events")(
+    """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS absdev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           count(*)::BIGINT AS n_events,
+           round(max(d.med), 4) AS median_value,
+           round(max(m.mad), 4) AS mad,
+           sum(CASE WHEN d.absdev > 4.4478 * m.mad THEN 1 ELSE 0 END)::BIGINT
+               AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """
+)
+
+oracle("text_boilerplate_ngrams")(
+    f"""
+    WITH g AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len({_TOKS}) - 6),
+                   i -> array_to_string(list_slice({_TOKS}, i, i + 7), ' ')
+               )) AS ngram
+        FROM documents
+        WHERE len({_TOKS}) >= 8
+    ),
+    counts AS (
+        SELECT ngram,
+               count(DISTINCT doc_id)::BIGINT AS doc_freq,
+               count(*)::BIGINT AS n_occurrences
+        FROM g GROUP BY ngram HAVING count(DISTINCT doc_id) > 1
+    )
+    SELECT ngram, doc_freq, n_occurrences
+    FROM counts
+    ORDER BY doc_freq DESC, n_occurrences DESC, ngram ASC
+    LIMIT 50
+    """
+)

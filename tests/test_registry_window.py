@@ -35,8 +35,16 @@ from tools import ledger
 DRIVER_WINDOW = 50
 
 # Once-certified queries expected to miss a seat this round (see module
-# docstring). r8: empty — everything owed a row is seated.
-EXPECTED_QUEUE: tuple[str, ...] = ()
+# docstring). r8: the three r7-once-certified members that yielded their
+# seats to the late-r8 additions (IVFADC, MAD anomaly, boilerplate
+# n-grams) — each keeps a seated family twin or an exact low-risk dual,
+# and queues for its second row in r9. Order = ledger.queue() (registry
+# order; none is a bound-oracle entry).
+EXPECTED_QUEUE: tuple[str, ...] = (
+    "text_utf8_bytes_arrow",
+    "ann_lsh_topk",
+    "events_transition_matrix",
+)
 
 
 def _table():

@@ -181,3 +181,48 @@ def test_hamming_topk_finds_sign_identical_neighbor(spark):
     by_id = {r.vec_id: (r.hamming, r.rank) for r in out}
     assert by_id[1][1] == 1 and by_id[1][0] <= 2
     assert by_id[2][0] >= 60  # sign-flip: nearly every bit differs
+
+
+def test_ivf_pq_recall_overlaps_pinned_at_sf001(spark):
+    """Pin the exact per-query overlap of the registered ann_ivf_pq_topk
+    configuration (IVFADC: 4-of-16-cell probe -> 8x64-code ADC shortlist
+    of 200 -> exact rerank) against the quantized brute-force top-10:
+    4/10, 5/10, 4/10 at sf0.001 — the IVF coarse stage's range (the
+    composition cannot beat its pruning), all above the oracle's
+    literal-TRUE floor of 2."""
+    from pinterest_data_pipeline_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    cent = similarity.train_ivf_centroids(emb, n_cells=16)
+    books = similarity.train_pq_codebooks(emb, n_codes=64)
+    ann = similarity.ivf_pq_topk(emb, q, cent, books, k=10, n_probe=4, k_coarse=200)
+    exact = similarity.cosine_topk_quantized(emb, q, k=10).select("query_id", "vec_id")
+    ov = {
+        r.query_id: r.n
+        for r in ann.select("query_id", "vec_id")
+        .join(exact, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert ov == {0: 4, 1: 5, 2: 4}
+
+
+def test_ivf_pq_full_shortlist_equals_ivf_exact(spark):
+    """With the shortlist covering every probed candidate, IVFADC's exact
+    rerank must return exactly what IVF-with-exact-rerank returns — the
+    ADC stage is then a no-op reordering of the same candidate set."""
+    from pinterest_data_pipeline_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    cent = similarity.train_ivf_centroids(emb, n_cells=16)
+    books = similarity.train_pq_codebooks(emb, n_codes=64)
+    ivfadc = similarity.ivf_pq_topk(
+        emb, q, cent, books, k=10, n_probe=4, k_coarse=10**6
+    )
+    ivf = similarity.ivf_topk(emb, q, cent, k=10, n_probe=4)
+    a = {(r.query_id, r.vec_id) for r in ivfadc.collect()}
+    b = {(r.query_id, r.vec_id) for r in ivf.collect()}
+    assert a == b
