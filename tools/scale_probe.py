@@ -734,6 +734,59 @@ def probe_drift_psi(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
+
+
+def probe_ivf_pq(spark, mult: int) -> float:
+    """IVFADC at mult x corpus: cell probe prunes to 4/16 of the codes,
+    ADC is codegen table lookups, rerank bounded at 200/query."""
+    from pinterest_data_pipeline_spark.operators import similarity
+
+    emb = multiply(load_table(spark, SF, "embeddings"), mult, ["vec_id"])
+    queries = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 3)
+    cent = similarity.train_ivf_centroids(emb, n_cells=16)
+    books = similarity.train_pq_codebooks(emb, n_codes=64)
+    q = similarity.ivf_pq_topk(emb, queries, cent, books, k=10, n_probe=4, k_coarse=200)
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_mad_events(spark, mult: int) -> float:
+    """Median/MAD outliers at mult x events: two exact-percentile
+    aggregates on the type key + broadcast joins."""
+    events = multiply(load_table(spark, SF, "events"), mult, ["event_id", "user_id"])
+    med = events.groupBy("event_type").agg(F.percentile("value", F.lit(0.5)).alias("med"))
+    dev = events.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med")))
+    mad = dev.groupBy("event_type").agg(F.percentile("absdev", F.lit(0.5)).alias("mad"))
+    q = (dev.join(F.broadcast(mad), "event_type").groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum((F.col("absdev") > F.lit(4.4478) * F.col("mad")).cast("long")).alias("n_outliers")))
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_boilerplate(spark, mult: int) -> float:
+    """8-gram boilerplate mining at mult x documents: explode + one hash
+    aggregate on short shingle keys."""
+    docs = multiply(load_table(spark, SF, "documents"), mult, ["doc_id"])
+    n = 8
+    grams = F.expr(
+        f"transform(slice(split(text, ' '), 1, size(split(text, ' ')) - {n - 1}),"
+        f" (x, i) -> array_join(slice(split(text, ' '), i + 1, {n}), ' '))"
+    )
+    q = (docs.filter(F.size(F.split(F.col("text"), " ")) >= n)
+         .select("doc_id", F.explode(grams).alias("ngram"))
+         .groupBy("ngram")
+         .agg(F.count_distinct("doc_id").alias("doc_freq"), F.count(F.lit(1)).alias("n_occ"))
+         .filter(F.col("doc_freq") > 1)
+         .orderBy(F.desc("doc_freq"), F.desc("n_occ"), F.asc("ngram")).limit(50))
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 PROBES = {
     "tpch_q5_6way_join": probe_tpch_q5,
     "simhash_near_dup": probe_simhash,
@@ -772,6 +825,9 @@ PROBES = {
     "cdc_apply": probe_cdc_apply,
     "user_streaks": probe_user_streaks,
     "drift_psi": probe_drift_psi,
+    "ivf_pq": probe_ivf_pq,
+    "mad_events": probe_mad_events,
+    "boilerplate": probe_boilerplate,
 }
 
 
