@@ -383,3 +383,77 @@ def test_cms_estimates_monotone_under_stream_growth(spark, part_a, part_b):
     for item, e in est_a.items():
         assert e >= truth_a[item]
         assert est_ab[item] >= e
+
+
+# --- round-8 operators vs Python reference models ---------------------------
+
+_changelog = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),    # key
+        st.integers(min_value=0, max_value=50),   # seq (deduped below)
+        st.sampled_from(["U", "U", "U", "D"]),    # op, delete-biased tail
+        st.integers(min_value=0, max_value=99),   # value
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=_changelog)
+@settings(**SETTINGS)
+def test_apply_changelog_matches_replay_model(spark, rows):
+    """apply_changelog == literally replaying the ordered feed into a
+    dict and dropping deleted keys, for ANY interleaving of upserts and
+    deletes. Seq deduped per key (the operator contract: the order
+    columns totally order each key's changes)."""
+    from pinterest_data_pipeline_spark.operators.merge import apply_changelog
+
+    seen: dict = {}
+    for k, seq, op, v in rows:
+        seen[(k, seq)] = (op, v)  # last generated wins, dedupe (k, seq)
+    feed = [(k, seq, op, v) for (k, seq), (op, v) in seen.items()]
+
+    state: dict = {}
+    counts: dict = {}
+    for k, seq, op, v in sorted(feed):
+        state[k] = (op, v)
+    for k, seq, op, v in feed:
+        counts[k] = counts.get(k, 0) + 1
+    expect = {
+        k: (float(v), counts[k])
+        for k, (op, v) in state.items()
+        if op != "D"
+    }
+
+    df = spark.createDataFrame(feed, "k long, seq long, op string, v long").withColumn(
+        "v", F.col("v").cast("double")
+    )
+    got = {
+        r.k: (r.v, r.n_changes)
+        for r in apply_changelog(df, ["k"], "op", ["seq"]).collect()
+    }
+    assert got == expect
+
+
+@given(
+    members=st.sets(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40),
+    extras=st.sets(st.integers(min_value=0, max_value=10_000), min_size=0, max_size=40),
+)
+@settings(**SETTINGS)
+def test_bloom_never_false_negative(spark, members, extras):
+    """For ANY member set, every member probes true — the property that
+    makes Bloom prefiltering semantics-preserving before a join."""
+    from pinterest_data_pipeline_spark.operators import bloom
+
+    m_bits, k = 1024, 3
+    mdf = spark.createDataFrame([(x,) for x in members], "key long")
+    dense = bloom.bloom_words_literal(bloom.bloom_build(mdf, "key", m_bits, k), m_bits)
+    probe_keys = sorted(members | extras)
+    pdf = spark.createDataFrame([(x,) for x in probe_keys], "key long")
+    got = {
+        r.key: r.m
+        for r in pdf.select(
+            "key", bloom.bloom_maybe_expr(F.col("key"), dense, m_bits, k).alias("m")
+        ).collect()
+    }
+    assert all(got[x] for x in members)
