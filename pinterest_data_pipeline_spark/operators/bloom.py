@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .litutil import fast_array_literal
+
 
 def _bit_position(c: Column, j: int, m_bits: int, salt: str) -> Column:
     """Bit index of key ``c`` under hash ``j``: md5-derived, engine-portable.
@@ -109,7 +111,7 @@ def bloom_maybe_expr(
     (rate ~ (1 - e^{-kn/m})^k). Compiles to k md5 hashes + k element_at
     + bitwise ANDs inside whole-stage codegen — a pure map-side filter.
     """
-    words_lit = F.lit(dense_words)
+    words_lit = fast_array_literal([int(w) for w in dense_words])
     verdict = F.lit(True)
     for j in range(k_hashes):
         bit = _bit_position(key, j, m_bits, salt)

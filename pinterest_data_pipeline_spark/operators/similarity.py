@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .litutil import fast_array_literal
+
 
 def _stack_vectors(series: pd.Series, dim: int | None, ctx: str):
     """np.vstack an Arrow batch of embeddings with a descriptive failure.
@@ -285,7 +287,12 @@ def lsh_topk_multitable(
     # query with BIT-IDENTICAL results (same dot fold order, same plane
     # doubles, same bucket strings; the certification floor and oracle are
     # untouched).
-    planes_lit = F.lit([[list(map(float, p)) for p in tbl] for tbl in all_planes])
+    # fast_array_literal: F.lit on this 16x3x64 nested list costs ~3 s of
+    # py4j round trips (it WAS the query's warm build cost); the SQL-text
+    # construction lands on the bit-identical Literal in ~10 ms
+    planes_lit = fast_array_literal(
+        [[list(map(float, p)) for p in tbl] for tbl in all_planes]
+    )
 
     def table_keys(vec: Column) -> Column:
         return F.transform(

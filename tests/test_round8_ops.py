@@ -172,3 +172,31 @@ def test_user_streaks_planted_islands(spark):
         }
     assert out[1] == (5, 2, 3)  # days {1,2,3} + {10,11}
     assert out[2] == (1, 1, 1)
+
+
+def test_fast_array_literal_bit_identical_to_flit(spark):
+    """The SQL-text literal construction must land on the bit-identical
+    value as element-wise F.lit — including awkward doubles (shortest
+    repr + correctly-rounded parse is a round trip)."""
+    from pinterest_data_pipeline_spark.operators.litutil import fast_array_literal
+
+    nested = [
+        [0.1, -1.5e-300, 3.141592653589793, 1e308],
+        [2.0 ** -52, -0.0, 7.0, 123456789.123456789],
+    ]
+    ints = [0, 1, -(2**31), 2**62, 4294967296]
+    row = spark.range(1).select(
+        F.lit(nested).alias("a"),
+        fast_array_literal(nested).alias("b"),
+        F.lit(ints).alias("c"),
+        fast_array_literal(ints).alias("d"),
+    ).first()
+    import math
+
+    flat_a = [x for sub in row.a for x in sub]
+    flat_b = [x for sub in row.b for x in sub]
+    assert all(
+        (math.copysign(1, x) == math.copysign(1, y) and x == y)
+        for x, y in zip(flat_a, flat_b)
+    )
+    assert row.c == row.d
