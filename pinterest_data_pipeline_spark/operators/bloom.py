@@ -64,7 +64,12 @@ def bloom_build(
     Output is <= m_bits/32 rows regardless of input size; word is the
     bitwise OR of 2^(bit % 32) over every (key, hash) landing in that
     32-bit word. Filters over disjoint corpora merge by per-word OR.
+    NULL keys are not members (md5(NULL) is NULL in both engines, so a
+    NULL would otherwise produce a NULL word_idx group); ``m_bits`` must
+    be word-aligned or trailing bits would silently vanish.
     """
+    if m_bits % 32:
+        raise ValueError(f"bloom_build: m_bits {m_bits} not divisible by 32")
     bits = F.explode(
         F.array(
             *[
@@ -74,7 +79,8 @@ def bloom_build(
         )
     ).alias("bit")
     return (
-        keys.select(bits)
+        keys.filter(F.col(key_col).isNotNull())
+        .select(bits)
         .select(
             (F.col("bit") / 32).cast("int").alias("word_idx"),
             _pow2(F.col("bit") % 32).alias("mask"),
@@ -117,4 +123,7 @@ def bloom_maybe_expr(
         bit = _bit_position(key, j, m_bits, salt)
         word = F.element_at(words_lit, ((bit / 32).cast("int") + F.lit(1)))
         verdict = verdict & (word.bitwiseAND(_pow2(bit % 32)) != 0)
-    return verdict
+    # NULL keys hash to NULL -> three-valued logic would return NULL;
+    # pin the contract to "NULL is not a member" (matches bloom_build,
+    # which never inserts NULLs)
+    return F.coalesce(verdict, F.lit(False))

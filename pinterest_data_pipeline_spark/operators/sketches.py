@@ -212,11 +212,22 @@ def cms_point_estimates(
 
 def kmv_sketch(df: DataFrame, item_col: str, k: int = 64, salt: str = "kmv") -> DataFrame:
     """The k smallest md5-derived hash values over DISTINCT items: one
-    column ``h`` (long in [0, 2^32)), at most k rows."""
+    column ``h`` (long in [0, 2^32)), at most k rows.
+
+    NULL items are ignored (consistent with ``misra_gries_summary``) —
+    load-bearing, not cosmetic: md5(NULL) is NULL in both engines, and
+    an un-filtered NULL hash would sort FIRST in Spark's ascending order
+    but LAST in DuckDB's, silently poisoning the k-smallest set with a
+    cross-engine divergence.
+    """
     salted = F.concat(F.col(item_col).cast("string"), F.lit(salt))
     h = F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long")
     return (
-        df.select(h.alias("h")).distinct().orderBy(F.col("h").asc()).limit(k)
+        df.filter(F.col(item_col).isNotNull())
+        .select(h.alias("h"))
+        .distinct()
+        .orderBy(F.col("h").asc())
+        .limit(k)
     )
 
 

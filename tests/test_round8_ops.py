@@ -200,3 +200,26 @@ def test_fast_array_literal_bit_identical_to_flit(spark):
         for x, y in zip(flat_a, flat_b)
     )
     assert row.c == row.d
+
+
+def test_bloom_and_kmv_null_key_contracts(spark):
+    """NULL keys: never bloom members (probe returns false, not NULL),
+    never KMV hashes (an unfiltered NULL would sort first in Spark but
+    last in DuckDB — a silent cross-engine divergence)."""
+    rows = spark.createDataFrame([(1,), (None,), (2,)], "key long")
+    dense = bloom.bloom_words_literal(bloom.bloom_build(rows, "key", 1024, 3), 1024)
+    out = rows.select(
+        "key", bloom.bloom_maybe_expr(F.col("key"), dense, 1024, 3).alias("m")
+    ).collect()
+    verdicts = {r.key: r.m for r in out}
+    assert verdicts[1] is True and verdicts[2] is True
+    assert verdicts[None] is False  # not NULL, not True
+    sk = sketches.kmv_sketch(rows, "key", k=8).collect()
+    assert len(sk) == 2 and all(r.h is not None for r in sk)
+
+
+def test_bloom_build_rejects_unaligned_bits(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bloom.bloom_build(spark.range(1).select(F.col("id").alias("k")), "k", 1000, 3)
