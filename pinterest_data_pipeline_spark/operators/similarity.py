@@ -350,7 +350,7 @@ def _hyperplanes(n_planes: int, dim: int, seed: int = 1234) -> list[list[float]]
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket key: one char per hyperplane ('1' if dot >= 0)."""
     bits = [
-        F.when(dot(vec, F.array(*[F.lit(w) for w in plane])) >= 0, "1").otherwise("0")
+        F.when(dot(vec, fast_array_literal([float(w) for w in plane])) >= 0, "1").otherwise("0")
         for plane in planes
     ]
     return F.concat(*bits)
@@ -486,7 +486,7 @@ def nearest_cells(vec: Column, centroids: list[list[float]], n: int = 1) -> Colu
     scored = F.array(
         *[
             F.struct(
-                dot(vec, F.array(*[F.lit(w) for w in c])).alias("score"),
+                dot(vec, fast_array_literal([float(w) for w in c])).alias("score"),
                 F.lit(i).alias("cell"),
             )
             for i, c in enumerate(centroids)
