@@ -457,3 +457,30 @@ def test_bloom_never_false_negative(spark, members, extras):
         ).collect()
     }
     assert all(got[x] for x in members)
+
+
+@given(
+    a=st.sets(st.integers(min_value=0, max_value=100_000), min_size=1, max_size=60),
+    b=st.sets(st.integers(min_value=0, max_value=100_000), min_size=1, max_size=60),
+)
+@settings(**SETTINGS)
+def test_kmv_merge_equals_union_sketch(spark, a, b):
+    """KMV mergeability for ANY two sets: the k-smallest of the sketch
+    union == the sketch of the set union — the property that lets
+    distinct counts fold across corpora/executors without re-reading."""
+    from pinterest_data_pipeline_spark.operators import sketches
+
+    k = 16
+    adf = spark.createDataFrame([(x,) for x in a], "v long")
+    bdf = spark.createDataFrame([(x,) for x in b], "v long")
+    udf_ = spark.createDataFrame([(x,) for x in (a | b)], "v long")
+    merged = sorted(
+        r.h
+        for r in sketches.kmv_merge(
+            sketches.kmv_sketch(adf, "v", k=k),
+            sketches.kmv_sketch(bdf, "v", k=k),
+            k=k,
+        ).collect()
+    )
+    direct = sorted(r.h for r in sketches.kmv_sketch(udf_, "v", k=k).collect())
+    assert merged == direct
