@@ -45,11 +45,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # r7 rotate out; in come the 16 once-certified queries queued since the
 # r7 reshape, 24 of the 27 r7-first-certified queries earning their
 # second row, and the 10 round-8 additions seated at birth — exactly 50.
-# Three r7-once-certified members yield their seats to the late-r8
-# additions (ann_lsh_topk — its multitable twin stays seated;
-# events_transition_matrix — its pattern-match twin stays seated;
-# text_utf8_bytes_arrow — exact octet dual, lowest re-cert risk) and
-# queue for r9 in EXPECTED_QUEUE with full local parity retained.
+# Six r7-once-certified members yield their seats to the late-r8
+# additions (ann_lsh_topk — multitable twin seated; events_transition_
+# matrix — pattern-match twin seated; text_utf8_bytes_arrow — exact
+# octet dual; join_null_safe_keys — exact hash-join dual;
+# sample_reservoir_topk — weighted-sample twin seated;
+# sketch_cms_part_counts — identical cell construction certified via
+# the seated streaming_cms_rollup twin) and queue for r9 in
+# EXPECTED_QUEUE with full local parity retained.
 PRIORITY_WINDOW: tuple[str, ...] = (
     # round-8 additions, seated at birth (never certified yet)
     "join_bloom_prefilter",
@@ -63,6 +66,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "ann_ivf_pq_topk",
     "anomaly_mad_events",
     "text_boilerplate_ngrams",
+    "agg_mode_deterministic",
+    "events_rolling_active_users",
+    "join_asof_tolerance",
     # once-certified queue (r6 green; yielded r7 seats) — second row.
     # Bound/approx-oracle members lead (structural-risk priority).
     "agg_approx_distinct",
@@ -93,17 +99,14 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "join_dpp_partition_pruned",
     "sketch_mg_heavy_langs",
     "embedding_truncate_renormalize",
-    "sample_reservoir_topk",
     "text_ngram_vocab_topk",
     "sample_weighted_by_length",
-    "sketch_cms_part_counts",
     "ann_pq_topk",
     "join_lateral_top_customers",
     "streaming_view_purchase_outer",
     "recursive_order_chain",
     "streaming_cms_rollup",
     "events_ewma_daily",
-    "join_null_safe_keys",
     "ann_binary_hamming_topk",
     "events_pattern_match",
 )

@@ -164,10 +164,14 @@ HEADLINE = [
     "cdc_apply_changelog",
     "events_user_streaks",
     "quality_drift_psi",
-    # late-r8 growth (103 -> 106): IVFADC, MAD anomaly, boilerplate n-grams
+    # late-r8 growth (103 -> 109): IVFADC, MAD anomaly, boilerplate
+    # n-grams, deterministic mode, rolling DAU/WAU, tolerance as-of
     "ann_ivf_pq_topk",
     "anomaly_mad_events",
     "text_boilerplate_ngrams",
+    "agg_mode_deterministic",
+    "events_rolling_active_users",
+    "join_asof_tolerance",
 ]
 
 

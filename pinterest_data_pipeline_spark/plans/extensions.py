@@ -2058,3 +2058,98 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("ngram", F.col("doc_freq").cast("long"), F.col("n_occurrences").cast("long"))
     )
+
+
+@query
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with a DETERMINISTIC tie-break (highest count, then
+    smallest value) — the reproducible form of the mode() aggregate,
+    whose native implementations are tie-nondeterministic in both
+    engines and therefore uncertifiable. count-aggregate + rank=1
+    (WindowGroupLimit short-circuit), two partial-agg-friendly shuffles.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("n"), F.asc("o_orderstatus")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("modal_status"),
+            F.col("n").alias("n_modal"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU and rolling 7-day WAU per day — the engagement metrics pair.
+    Rolling DISTINCT defeats window frames (distinct doesn't decompose
+    over sliding windows), so the scale shape is: collapse events to
+    distinct (day, user) pairs FIRST (one partial-agg shuffle — at
+    100 TB this is the only pass over raw events), then a band join of
+    the tiny day list against the pairs with a 7-day trailing range,
+    then count_distinct per anchor day. Cost after the collapse is
+    days x active-users, data-size-independent.
+    """
+    events = load_table(spark, sf_dir, "events")
+    pairs = events.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"), "user_id"
+    ).distinct()
+    dau = pairs.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    anchors = pairs.select(F.col("day").alias("anchor")).distinct()
+    gap = F.datediff(F.col("anchor"), F.col("day"))
+    wau = (
+        F.broadcast(anchors)
+        .join(pairs, (gap >= 0) & (gap <= 6))
+        .groupBy("anchor")
+        .agg(F.count_distinct("user_id").alias("wau_7d"))
+    )
+    return (
+        dau.join(wau, dau["day"] == wau["anchor"])
+        .select("day", F.col("dau").cast("long"), F.col("wau_7d").cast("long"))
+        .orderBy("day")
+    )
+
+
+@query
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a staleness tolerance: each event picks
+    the user's latest order on/before it, but matches older than 7 days
+    are NULLED — the feature-store point-in-time lookup with a max-age
+    guard (stale features are worse than missing ones). Same single
+    union + per-key window shuffle as the unbounded as-of; the tolerance
+    is a pure post-projection, costing nothing.
+    """
+    from ..operators.joins import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    obs = events.select("event_id", "user_id", F.to_date("ts").alias("obs_date"))
+    daily = (
+        orders.withColumn("obs_date", F.to_date("o_orderdate"))
+        .groupBy("o_custkey", "obs_date")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_spend"))
+        .withColumn("order_date", F.col("obs_date"))
+    )
+    out = asof_join(
+        obs,
+        daily,
+        on="obs_date",
+        by=("user_id", "o_custkey"),
+        value_cols=["order_date", "day_spend"],
+    )
+    fresh = F.datediff(F.col("obs_date"), F.col("order_date_asof")) <= 7
+    return out.select(
+        "event_id",
+        "user_id",
+        "obs_date",
+        F.when(fresh, F.col("order_date_asof")).alias("order_date_recent"),
+        F.when(fresh, F.col("day_spend_asof")).alias("day_spend_recent"),
+    ).orderBy("event_id")

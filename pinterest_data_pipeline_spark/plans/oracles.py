@@ -3166,3 +3166,63 @@ oracle("text_boilerplate_ngrams")(
     LIMIT 50
     """
 )
+
+oracle("agg_mode_deterministic")(
+    """
+    SELECT o_orderpriority, o_orderstatus AS modal_status, n AS n_modal
+    FROM (
+        SELECT o_orderpriority, o_orderstatus, count(*)::BIGINT AS n,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY count(*) DESC, o_orderstatus ASC
+               ) AS rk
+        FROM orders GROUP BY o_orderpriority, o_orderstatus
+    )
+    WHERE rk = 1
+    ORDER BY o_orderpriority
+    """
+)
+
+oracle("events_rolling_active_users")(
+    """
+    WITH pairs AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        FROM events
+    ),
+    dau AS (SELECT day, count(DISTINCT user_id)::BIGINT AS dau FROM pairs GROUP BY day),
+    anchors AS (SELECT DISTINCT day AS anchor FROM pairs),
+    wau AS (
+        SELECT a.anchor, count(DISTINCT p.user_id)::BIGINT AS wau_7d
+        FROM anchors a
+        JOIN pairs p
+          ON date_diff('day', p.day, a.anchor) BETWEEN 0 AND 6
+        GROUP BY a.anchor
+    )
+    SELECT d.day, d.dau, w.wau_7d
+    FROM dau d JOIN wau w ON w.anchor = d.day
+    ORDER BY d.day
+    """
+)
+
+# Same ASOF LEFT JOIN dual as join_asof_latest_order, with the 7-day
+# staleness guard as a CASE post-projection in both engines.
+oracle("join_asof_tolerance")(
+    """
+    WITH daily AS (
+        SELECT o_custkey, o_orderdate::date AS obs_date,
+               o_orderdate::date AS order_date,
+               round(sum(o_totalprice), 2) AS day_spend
+        FROM orders GROUP BY o_custkey, o_orderdate::date
+    ), ev AS (
+        SELECT event_id, user_id, ts::date AS obs_date FROM events
+    )
+    SELECT ev.event_id, ev.user_id, ev.obs_date,
+           CASE WHEN date_diff('day', d.order_date, ev.obs_date) <= 7
+                THEN d.order_date END AS order_date_recent,
+           CASE WHEN date_diff('day', d.order_date, ev.obs_date) <= 7
+                THEN d.day_spend END AS day_spend_recent
+    FROM ev ASOF LEFT JOIN daily d
+      ON ev.user_id = d.o_custkey AND ev.obs_date >= d.obs_date
+    ORDER BY ev.event_id
+    """
+)

@@ -35,15 +35,19 @@ from tools import ledger
 DRIVER_WINDOW = 50
 
 # Once-certified queries expected to miss a seat this round (see module
-# docstring). r8: the three r7-once-certified members that yielded their
+# docstring). r8: the six r7-once-certified members that yielded their
 # seats to the late-r8 additions (IVFADC, MAD anomaly, boilerplate
-# n-grams) — each keeps a seated family twin or an exact low-risk dual,
-# and queues for its second row in r9. Order = ledger.queue() (registry
-# order; none is a bound-oracle entry).
+# n-grams, deterministic mode, rolling DAU/WAU, tolerance as-of) — each
+# keeps a seated family twin or an exact low-risk dual, and queues for
+# its second row in r9. Order = ledger.queue() (registry order; none is
+# a bound-oracle entry).
 EXPECTED_QUEUE: tuple[str, ...] = (
+    "sample_reservoir_topk",
     "text_utf8_bytes_arrow",
+    "join_null_safe_keys",
     "ann_lsh_topk",
     "events_transition_matrix",
+    "sketch_cms_part_counts",
 )
 
 
