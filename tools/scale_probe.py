@@ -787,6 +787,25 @@ def probe_boilerplate(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
+
+
+def probe_rolling_wau(spark, mult: int) -> float:
+    """Rolling 7-day WAU at mult x events: the distinct (day, user)
+    collapse is the only raw-events pass; the band join runs on the
+    collapsed pairs against the tiny broadcast day list."""
+    events = multiply(load_table(spark, SF, "events"), mult, ["event_id", "user_id"])
+    pairs = events.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"), "user_id"
+    ).distinct()
+    anchors = pairs.select(F.col("day").alias("anchor")).distinct()
+    gap = F.datediff(F.col("anchor"), F.col("day"))
+    q = (F.broadcast(anchors).join(pairs, (gap >= 0) & (gap <= 6))
+         .groupBy("anchor").agg(F.count_distinct("user_id").alias("wau_7d")))
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 PROBES = {
     "tpch_q5_6way_join": probe_tpch_q5,
     "simhash_near_dup": probe_simhash,
@@ -828,6 +847,7 @@ PROBES = {
     "ivf_pq": probe_ivf_pq,
     "mad_events": probe_mad_events,
     "boilerplate": probe_boilerplate,
+    "rolling_wau": probe_rolling_wau,
 }
 
 
