@@ -40,21 +40,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # (every oracled-never-certified query seated; no twice-certified query
 # holding a seat while an under-certified one waits; rotation never
 # deletes a query — full-registry parity stays enforced locally by
-# tools/check_parity.py). Run `python tools/ledger.py` for the ledger.
-# ROUND-8 ROTATION: the 23 queries that earned their second green row in
-# r7 rotate out; in come the 16 once-certified queries queued since the
-# r7 reshape, 24 of the 27 r7-first-certified queries earning their
-# second row, and the 10 round-8 additions seated at birth — exactly 50.
-# Six r7-once-certified members yield their seats to the late-r8
-# additions (ann_lsh_topk — multitable twin seated; events_transition_
-# matrix — pattern-match twin seated; text_utf8_bytes_arrow — exact
-# octet dual; join_null_safe_keys — exact hash-join dual;
-# sample_reservoir_topk — weighted-sample twin seated;
-# sketch_cms_part_counts — identical cell construction certified via
-# the seated streaming_cms_rollup twin) and queue for r9 in
-# EXPECTED_QUEUE with full local parity retained.
+# tools/check_parity.py). Run `python tools/ledger.py` for the ledger,
+# and `python tools/ledger.py --propose-window` to GENERATE the rotation
+# below (VERDICT r8 item 7 — this window is that tool's output).
+# ROUND-9 ROTATION (tool-proposed): the 13 round-8 births and the six
+# r8 EXPECTED_QUEUE members take the owed seats; the round-9 births are
+# seated at birth; the remaining seats back-fill with the STALEST
+# twice-certified queries (last certified r1-r4) for re-verification.
+SEATING_ROUND = 9  # invariant tests evaluate the ledger as of SEATING_ROUND-1
+
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # round-8 additions, seated at birth (never certified yet)
+    # round-9 additions, seated at birth (never certified yet)
+    "sketch_tdigest_quantile_bounds",
+    "agg_tdigest_grouped_p95",
+    "ann_ivf_pq_recall_sweep",
+    "sample_weighted_multi_draw",
+    # round-8 births — second row
     "join_bloom_prefilter",
     "sketch_kmv_distinct_union",
     "dedup_prefix_clusters",
@@ -62,53 +63,47 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "events_user_streaks",
     "quality_drift_psi",
     "streaming_session_window",
-    # late-r8 additions, seated at birth
     "ann_ivf_pq_topk",
     "anomaly_mad_events",
     "text_boilerplate_ngrams",
     "agg_mode_deterministic",
     "events_rolling_active_users",
     "join_asof_tolerance",
-    # once-certified queue (r6 green; yielded r7 seats) — second row.
-    # Bound/approx-oracle members lead (structural-risk priority).
-    "agg_approx_distinct",
-    "q6_median_acctbal_per_band_approx",
-    "sketch_hll_merge_equals_direct",
-    "scalar_math_functions",
-    "ann_two_stage_rerank",
-    "layout_compact_small_files",
-    "quality_table_checksum",
-    "agg_histogram_totalprice",
-    "schema_evolution_merge",
-    "join_asof_next_order",
-    "text_unigram_logprob",
-    "text_pii_redaction",
-    "dedup_decontaminate_ngram",
-    "embedding_quantize_int8",
-    "text_repetition_battery",
-    "quality_column_profile",
-    # r7-first-certified — second row
-    "events_funnel_steps",
-    "events_retention_cohorts",
-    "ann_lsh_multitable_topk",
-    "dedup_simhash_exact_recall",
-    "pandas_grouped_agg_weighted_mean",
-    "streaming_funnel_steps",
-    "dedup_containment_adjacent",
-    "cdc_snapshot_diff",
-    "join_dpp_partition_pruned",
-    "sketch_mg_heavy_langs",
-    "embedding_truncate_renormalize",
-    "text_ngram_vocab_topk",
-    "sample_weighted_by_length",
-    "ann_pq_topk",
-    "join_lateral_top_customers",
-    "streaming_view_purchase_outer",
-    "recursive_order_chain",
-    "streaming_cms_rollup",
-    "events_ewma_daily",
-    "ann_binary_hamming_topk",
-    "events_pattern_match",
+    # r8 EXPECTED_QUEUE (once-certified r7) — second row
+    "sample_reservoir_topk",
+    "text_utf8_bytes_arrow",
+    "join_null_safe_keys",
+    "ann_lsh_topk",
+    "events_transition_matrix",
+    "sketch_cms_part_counts",
+    # stalest twice-certified back-fill (ledger order: last cert round)
+    "q2_orders_per_brand_year",
+    "q3_top_supplier_per_nation",
+    "q4_nation_with_top_supplier",
+    "q5_top_segment_per_balance_band",
+    "q6_median_acctbal_per_band",
+    "q7_orders_per_year",
+    "q8_median_price_by_year",
+    "q9_median_price_by_year_priority",
+    "clean_age_group_customers",
+    "clean_scalar_functions",
+    "set_ops_customers",
+    "join_semi_customers_with_orders",
+    "join_outer_order_counts",
+    "agg_rollup_region_nation",
+    "agg_stats_suite",
+    "explode_document_tokens",
+    "json_extract_event_props",
+    "events_daily_rollup",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "reshape_unpivot_part_sizes",
+    "embedding_near_duplicates_exact",
+    "multimodal_image_features",
+    "subquery_correlated_above_nation_avg",
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier_volume",
+    "quality_expectations_orders",
 )
 
 

@@ -116,9 +116,11 @@ def weighted_sample(
     uniform u and weight w, and the k largest keys win — exactly weighted
     sampling without replacement. u is md5-derived (``uniform_hash``), so
     the draw is reproducible across runs, engines, partitionings, and row
-    orders; only non-positive weights are clamped (w <= 0 -> 1.0, an
-    A-ES precondition) — fractional weights in (0, 1) are honored as
-    written. We compare ln(u)/w (monotone in u^(1/w), numerically safer
+    orders; NULL and non-positive weights are clamped to 1.0 (an A-ES
+    precondition — and NULL must be coalesced EXPLICITLY: under
+    three-valued logic ``when(w <= 0, ...)`` passes NULL through to the
+    key, silently un-sampling those rows, ADVICE r8) — fractional
+    weights in (0, 1) are honored as written. We compare ln(u)/w (monotone in u^(1/w), numerically safer
     near u^tiny ≈ 1), u = (h+1)/2^32 ∈ (0, 1].
 
     Distributed shape is identical to ``reservoir_sample``:
@@ -130,14 +132,55 @@ def weighted_sample(
     keys within ~1e-16 relative — vanishing, and far inside the repo's
     knife-edge budget for emitted values (which stay integer/string here).
     """
-    w = F.when(F.col(weight_col) <= 0, F.lit(1.0)).otherwise(
-        F.col(weight_col).cast("double")
-    )
+    w = F.coalesce(F.col(weight_col).cast("double"), F.lit(1.0))
+    w = F.when(w <= 0, F.lit(1.0)).otherwise(w)
     u = (uniform_hash(F.col(id_col), salt) + F.lit(1)).cast("double") / F.lit(
         4294967296.0
     )
     key = F.log(u) / w
     return df.orderBy(key.desc(), F.col(id_col).asc()).limit(k)
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "wgroup",
+) -> DataFrame:
+    """k-per-group weighted sample without replacement, deterministic
+    (the multi-draw twin of ``weighted_sample``, VERDICT r8 item 8).
+
+    One Efraimidis–Spirakis draw PER GROUP: within each group the n rows
+    with the largest A-ES priority ln(u)/w survive — an exact weighted
+    without-replacement sample of that group. This is the quota shape a
+    training-data mixer needs (per-language / per-source caps where
+    longer or higher-quality documents should win proportionally more
+    seats than a uniform cap gives them), which neither ``weighted_sample``
+    (one global draw) nor ``per_group_sample`` (uniform within group)
+    expresses.
+
+    u is md5-derived as in ``weighted_sample`` so the draw is exactly
+    reproducible cross-engine (row_number over the same key in any SQL
+    dialect); NULL/non-positive weights clamp to 1.0 the same way.
+
+    Distributed shape: ONE shuffle on the group key; the rank filter sits
+    directly on the row_number window, so ``WindowGroupLimit`` discards
+    rows past rank n before the filter — per-group state is an n-heap, no
+    global sort, no skew beyond the group key itself.
+    """
+    w = F.coalesce(F.col(weight_col).cast("double"), F.lit(1.0))
+    w = F.when(w <= 0, F.lit(1.0)).otherwise(w)
+    u = (uniform_hash(F.col(id_col), salt) + F.lit(1)).cast("double") / F.lit(
+        4294967296.0
+    )
+    key = F.log(u) / w
+    win = Window.partitionBy(group_col).orderBy(key.desc(), F.col(id_col).asc())
+    return (
+        df.withColumn("draw_rank", F.row_number().over(win))
+        .filter(F.col("draw_rank") <= n)
+    )
 
 
 def reservoir_sample(df: DataFrame, id_col: str, k: int, salt: str = "reservoir") -> DataFrame:

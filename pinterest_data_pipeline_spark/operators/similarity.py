@@ -792,11 +792,13 @@ def ivf_pq_topk(
 
     assign1 = nearest_cells_pandas(centroids, 1)
     assignp = nearest_cells_pandas(centroids, n_probe)
-    # index pass: cell + codes in one narrow projection (vec kept only
-    # for the final bounded rerank join)
+    # index pass: the artifact is EXACTLY (id, cell, codes) — the
+    # full-precision vector must NOT ride along, or the candidate
+    # broadcast join ships every candidate's embedding through ADC
+    # scoring and the 16x size advantage evaporates (ADVICE r8); the
+    # rerank re-joins corpus for the k_coarse vectors it needs.
     encoded = corpus.select(
         F.col(id_col),
-        F.col(vec_col),
         assign1(F.col(vec_col))[0].alias("cell"),
         pq_encode_pandas(codebooks)(F.col(vec_col)).alias("codes"),
     )

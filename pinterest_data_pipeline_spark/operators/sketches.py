@@ -21,6 +21,9 @@ the Python path batch-shaped.
 
 from __future__ import annotations
 
+import bisect
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -229,6 +232,231 @@ def kmv_sketch(df: DataFrame, item_col: str, k: int = 64, salt: str = "kmv") -> 
         .orderBy(F.col("h").asc())
         .limit(k)
     )
+
+
+# --- t-digest mergeable quantile sketch -------------------------------------
+#
+# Dunning & Ertl 2019 ("Computing extremely accurate quantiles using
+# t-digests"), the MERGING-digest variant: a digest is a sorted list of
+# (mean, weight) centroids whose sizes are capped by the k1 scale function
+# k1(q) = (delta / 2pi) * asin(2q - 1) — fine centroids at the tails,
+# coarse in the middle, so tail quantiles (p95/p99) keep high resolution
+# at a fixed <= ~2*delta centroid budget. This is the sketch family the
+# VERDICT r8 roster was missing next to HLL (distinct), CMS (frequency),
+# KMV (distinct-exact-dual), and MG (heavy hitters): the 100 TB answer to
+# "exact percentile needs every value in one partition".
+#
+# Distributed shape: one ``mapInPandas`` pass builds a <= ~2*delta-centroid
+# digest PER PARTITION (constant state per task, buffered compress —
+# values are never globally sorted and never leave their partition), then
+# digests MERGE by concatenating centroid lists and re-compressing: a few
+# hundred rows per partition into one tiny aggregate. Merging is
+# associative in rank-error terms (the bound below is preserved under any
+# merge tree), which is what makes pre-aggregated rollups composable —
+# the property ``sketch_tdigest_quantile_bounds`` certifies and the
+# pytest mergeability test pins.
+#
+# Determinism: compression is a pure function of the sorted centroid
+# multiset (the merge pass sorts by (mean, weight) first), so any merge
+# order yields the same digest; per-partition digests depend only on the
+# partition's row order (stable parquet scans). The certification query
+# emits only cross-engine-exact values (exact quantiles) plus rank-space
+# bound booleans, so driver hashes never see a sketch-dependent float.
+
+
+def _k1(q: float, delta: float) -> float:
+    return delta / (2.0 * math.pi) * math.asin(max(-1.0, min(1.0, 2.0 * q - 1.0)))
+
+
+def _k1_inv(k: float, delta: float) -> float:
+    return (math.sin(max(-delta / 4.0, min(delta / 4.0, k)) * 2.0 * math.pi / delta) + 1.0) / 2.0
+
+
+def tdigest_compress(
+    pairs: list[tuple[float, float]], delta: float = 100.0
+) -> list[tuple[float, float]]:
+    """One merging-digest compression pass: sorted (mean, weight) pairs in,
+    <= ~2*delta centroids out, each centroid spanning at most one unit of
+    the k1 scale function.
+
+    Pure function of the input MULTISET (sorts internally), so repeated
+    compression and any merge order converge to the same digest.
+    """
+    if not pairs:
+        return []
+    pairs = sorted(pairs)
+    total = float(sum(w for _, w in pairs))
+    out: list[tuple[float, float]] = []
+    cur_m, cur_w = pairs[0]
+    emitted = 0.0
+    q_limit = _k1_inv(_k1(0.0, delta) + 1.0, delta)
+    for m, w in pairs[1:]:
+        q = (emitted + cur_w + w) / total
+        if q <= q_limit:
+            cur_w += w
+            cur_m += (m - cur_m) * (w / cur_w)
+        else:
+            out.append((cur_m, cur_w))
+            emitted += cur_w
+            q_limit = _k1_inv(_k1(emitted / total, delta) + 1.0, delta)
+            cur_m, cur_w = m, w
+    out.append((cur_m, cur_w))
+    return out
+
+
+def tdigest_quantile(pairs: list[tuple[float, float]], q: float) -> float:
+    """Quantile estimate from a digest: linear interpolation between
+    centroid midpoints in cumulative-weight space (Dunning 2019 §2.9)."""
+    if not pairs:
+        return float("nan")
+    pairs = sorted(pairs)
+    if len(pairs) == 1:
+        return pairs[0][0]
+    total = sum(w for _, w in pairs)
+    target = q * total
+    mids: list[float] = []
+    cum = 0.0
+    for m, w in pairs:
+        mids.append(cum + w / 2.0)
+        cum += w
+    if target <= mids[0]:
+        return pairs[0][0]
+    if target >= mids[-1]:
+        return pairs[-1][0]
+    i = bisect.bisect_right(mids, target) - 1
+    frac = (target - mids[i]) / (mids[i + 1] - mids[i])
+    return pairs[i][0] + frac * (pairs[i + 1][0] - pairs[i][0])
+
+
+_TDIGEST_BUFFER = 4096
+
+
+def tdigest_partials(
+    df: DataFrame, value_col: str, delta: float = 100.0
+) -> DataFrame:
+    """Per-partition t-digest centroids: (mean double, weight double) rows,
+    <= ~2*delta per input partition.
+
+    Buffered construction: raw values accumulate to ``_TDIGEST_BUFFER``
+    then fold into the running centroid list with one compression pass —
+    per-task memory is O(delta + buffer) regardless of partition size,
+    and nothing is globally sorted. NULLs are ignored (not rank mass),
+    matching the other sketches.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("mean", T.DoubleType()),
+            T.StructField("weight", T.DoubleType()),
+        ]
+    )
+
+    def digest(batches):
+        centroids: list[tuple[float, float]] = []
+        buf: list[tuple[float, float]] = []
+        for pdf in batches:
+            vals = pdf[value_col].dropna()
+            buf.extend((float(v), 1.0) for v in vals)
+            if len(buf) >= _TDIGEST_BUFFER:
+                centroids = tdigest_compress(centroids + buf, delta)
+                buf = []
+        if buf:
+            centroids = tdigest_compress(centroids + buf, delta)
+        if centroids:
+            yield pd.DataFrame(
+                {"mean": [m for m, _ in centroids], "weight": [w for _, w in centroids]}
+            )
+
+    return df.select(value_col).mapInPandas(digest, schema=schema)
+
+
+def tdigest_grouped_partials(
+    df: DataFrame, group_col: str, value_col: str, delta: float = 100.0
+) -> DataFrame:
+    """Per-(partition, group) t-digest centroids: (group, mean, weight).
+
+    The two-level grouped-percentile shape for skewed keys at 100 TB: the
+    full value stream is digested map-side (state = groups-per-partition
+    x ~2*delta centroids), so the ONE shuffle on the group key carries
+    centroids, not values — a hot key ships a few hundred rows per
+    partition instead of its entire value mass, which is the whole
+    difference between p95-per-key working and one reducer dying.
+    """
+    schema = T.StructType(
+        [
+            T.StructField(group_col, df.schema[group_col].dataType),
+            T.StructField("mean", T.DoubleType()),
+            T.StructField("weight", T.DoubleType()),
+        ]
+    )
+
+    def digest(batches):
+        state: dict = {}
+        for pdf in batches:
+            for g, vals in pdf.dropna(subset=[value_col]).groupby(group_col)[value_col]:
+                centroids, buf = state.get(g, ([], []))
+                buf = buf + [(float(v), 1.0) for v in vals]
+                if len(buf) >= _TDIGEST_BUFFER:
+                    centroids = tdigest_compress(centroids + buf, delta)
+                    buf = []
+                state[g] = (centroids, buf)
+        rows = {group_col: [], "mean": [], "weight": []}
+        for g, (centroids, buf) in state.items():
+            if buf:
+                centroids = tdigest_compress(centroids + buf, delta)
+            for m, w in centroids:
+                rows[group_col].append(g)
+                rows["mean"].append(m)
+                rows["weight"].append(w)
+        if rows["mean"]:
+            yield pd.DataFrame(rows)
+
+    return df.select(group_col, value_col).mapInPandas(digest, schema=schema)
+
+
+def tdigest_merged_quantiles(
+    partials: DataFrame, qs: list[float], delta: float = 100.0
+) -> DataFrame:
+    """Merge a centroid frame into ONE digest and estimate each quantile:
+    (q double, est double) rows.
+
+    The input is <= partitions x ~2*delta rows by construction, so the
+    single-group shuffle is a few kilobytes at any corpus size.
+    """
+    schema = T.StructType(
+        [T.StructField("q", T.DoubleType()), T.StructField("est", T.DoubleType())]
+    )
+
+    def merge(_key, pdf):
+        pairs = list(zip(pdf["mean"].astype(float), pdf["weight"].astype(float)))
+        digest = tdigest_compress(pairs, delta)
+        return pd.DataFrame(
+            {"q": qs, "est": [tdigest_quantile(digest, q) for q in qs]}
+        )
+
+    return (
+        partials.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(merge, schema=schema)
+    )
+
+
+def tdigest_grouped_quantile(
+    partials: DataFrame, group_col: str, q: float, delta: float = 100.0
+) -> DataFrame:
+    """Merge per-group centroids and estimate one quantile per group:
+    (group, est) rows — the reduce side of ``tdigest_grouped_partials``."""
+    schema = T.StructType(
+        [
+            T.StructField(group_col, partials.schema[group_col].dataType),
+            T.StructField("est", T.DoubleType()),
+        ]
+    )
+
+    def merge(key, pdf):
+        pairs = list(zip(pdf["mean"].astype(float), pdf["weight"].astype(float)))
+        digest = tdigest_compress(pairs, delta)
+        return pd.DataFrame({group_col: [key[0]], "est": [tdigest_quantile(digest, q)]})
+
+    return partials.groupBy(group_col).applyInPandas(merge, schema=schema)
 
 
 def kmv_merge(*sketches: DataFrame, k: int = 64) -> DataFrame:

@@ -3226,3 +3226,72 @@ oracle("join_asof_tolerance")(
     ORDER BY ev.event_id
     """
 )
+
+# --- round 9 ----------------------------------------------------------------
+
+# t-digest certification duals: the sketch side is bound-certified (rank-
+# space booleans the dual states as literal TRUE); the cross-engine-exact
+# payload is the exact quantile via the quantile_cont/percentile pair the
+# engine already certifies (q6/q8/anomaly_mad), rounded at one site.
+oracle("sketch_tdigest_quantile_bounds")(
+    """
+    WITH p AS (
+        SELECT quantile_cont(l_extendedprice, [0.1, 0.5, 0.9, 0.99]) AS v
+        FROM lineitem
+    )
+    SELECT t.q, round(t.e, 2) AS exact_q,
+           TRUE AS direct_rank_ok, TRUE AS merged_rank_ok, TRUE AS merge_agrees
+    FROM (
+        -- cast: a bare decimal list unnests as DECIMAL(3,2), which the
+        -- driver hash renders '0.10' vs Spark's double 0.1
+        SELECT unnest([0.1::DOUBLE, 0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q,
+               unnest(v) AS e
+        FROM p
+    ) t
+    ORDER BY t.q
+    """
+)
+
+oracle("agg_tdigest_grouped_p95")(
+    """
+    SELECT event_type, count(*)::BIGINT AS n_events,
+           round(quantile_cont(value, 0.95), 4) AS exact_p95,
+           TRUE AS rank_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """
+)
+
+# IVFADC sweep dual: derived-n/literal-TRUE, same shape and n_probe>=4
+# precondition lineage as ann_ivf_pq_topk (8-of-16 probed cells hold a
+# full top-10 from sf0.001 up; the 2-cell floor is deliberately low).
+oracle("ann_ivf_pq_recall_sweep")(
+    """
+    SELECT vec_id AS query_id,
+           least(10, (SELECT count(*) - 1 FROM embeddings))::BIGINT AS n_hi,
+           TRUE AS recall_lo_ok, TRUE AS recall_hi_ok
+    FROM embeddings WHERE vec_id < 3 ORDER BY query_id
+    """
+)
+
+oracle("sample_weighted_multi_draw")(
+    # Same A-ES priority as sampling.weighted_sample_per_group: one draw
+    # per lang, ln((h+1)/2^32) / w priority with the md5-derived hash and
+    # NULL/non-positive weights clamped to 1 (n_chars >= 1 here, dormant).
+    """
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY ln((CAST(('0x' || substring(md5(doc_id::VARCHAR || 'wgroup'), 1, 8))
+                                     AS UBIGINT) + 1) / 4294967296.0)
+                            / (CASE WHEN n_chars IS NULL OR n_chars <= 0
+                                    THEN 1.0 ELSE n_chars::DOUBLE END) DESC,
+                            doc_id ASC
+               ) AS draw_rank
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars, draw_rank::INT AS draw_rank
+    FROM keyed WHERE draw_rank <= 20
+    ORDER BY lang, draw_rank
+    """
+)

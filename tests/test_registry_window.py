@@ -20,10 +20,18 @@ discipline against that data:
    the full registry locally.
 
 ``EXPECTED_QUEUE`` is the one piece of per-round data: the once-certified
-queries expected to wait outside the window this round (none in r8 — the
-16 r7-queued entries plus all 27 r7-first-certified fit alongside the 7
-round-8 births). Update it when a rotation genuinely leaves stragglers;
-the ledger's ``queue()`` orders them bound/approx-oracle first.
+queries expected to wait outside the window this round (none in r9 — the
+13 r8 births, the six r8-queued entries, and the r9 births all fit with
+27 back-fill seats to spare). Update it when a rotation genuinely leaves
+stragglers; the ledger's ``queue()`` orders them bound/approx-oracle
+first.
+
+The invariants are evaluated against the ledger AS OF the rotation
+(``build_ledger(max_round=SEATING_ROUND - 1)``): once the driver drops
+the current round's ``CORRECTNESS_r{N}.json`` mid-round, every seated
+query gains a cert, which — uncapped — flipped the no-wasted-seats
+invariant red the moment the results landed (ADVICE r8). The cap makes
+"was this rotation correct when made?" a stable fact.
 """
 
 from __future__ import annotations
@@ -35,24 +43,12 @@ from tools import ledger
 DRIVER_WINDOW = 50
 
 # Once-certified queries expected to miss a seat this round (see module
-# docstring). r8: the six r7-once-certified members that yielded their
-# seats to the late-r8 additions (IVFADC, MAD anomaly, boilerplate
-# n-grams, deterministic mode, rolling DAU/WAU, tolerance as-of) — each
-# keeps a seated family twin or an exact low-risk dual, and queues for
-# its second row in r9. Order = ledger.queue() (registry order; none is
-# a bound-oracle entry).
-EXPECTED_QUEUE: tuple[str, ...] = (
-    "sample_reservoir_topk",
-    "text_utf8_bytes_arrow",
-    "join_null_safe_keys",
-    "ann_lsh_topk",
-    "events_transition_matrix",
-    "sketch_cms_part_counts",
-)
+# docstring). r9: none — every under-certified query is seated.
+EXPECTED_QUEUE: tuple[str, ...] = ()
 
 
 def _table():
-    led = ledger.build_ledger()
+    led = ledger.build_ledger(max_round=entry.SEATING_ROUND - 1)
     registry_order = list(entry.queries())
     return led, registry_order, ledger.statuses(
         led, entry.PRIORITY_WINDOW, set(registry_order), set(oracles.ORACLES)
@@ -120,6 +116,20 @@ def test_queue_matches_expected():
         f"queued-now: {derived}; update EXPECTED_QUEUE deliberately "
         "(bound/approx-oracle entries certify first)"
     )
+
+
+def test_window_is_the_tool_proposal():
+    """The committed rotation must be exactly what
+    ``tools/ledger.py --propose-window`` derives from the rotation-time
+    ledger (VERDICT r8 item 7: rotations are tool output, not comment
+    surgery). Deterministic: births in registry order, owed seconds in
+    bound-oracle-then-registry order, back-fill stalest-first."""
+    led, registry_order, _ = _table()
+    window, queued = ledger.propose_window(
+        led, registry_order, set(oracles.ORACLES), DRIVER_WINDOW
+    )
+    assert tuple(window) == entry.PRIORITY_WINDOW
+    assert tuple(queued) == EXPECTED_QUEUE
 
 
 def test_ledger_main_reports_no_red_flags(capsys):

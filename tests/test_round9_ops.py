@@ -1,0 +1,217 @@
+"""Round-9 operators: t-digest quantile sketch, per-group weighted draws,
+IVFADC recall sweep, and the ADVICE-r8 sampling NULL-weight contract.
+
+The t-digest tests pin the three properties the certification query's
+bound oracle cannot distinguish from luck: the centroid budget, the
+merge-order invariance that makes the sketch a pure function of the value
+multiset, and a rank-error margin far tighter than the certified 0.05.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.operators import sampling, sketches
+from pinterest_data_pipeline_spark.plans import analytics, extensions  # noqa: F401
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- t-digest pure-function layer (no Spark) --------------------------------
+
+
+def _rank_of(values, x):
+    return sum(1 for v in values if v <= x) / len(values)
+
+
+def test_tdigest_centroid_budget_and_weight_conservation():
+    rng = random.Random(7)
+    pairs = [(rng.lognormvariate(0, 2), 1.0) for _ in range(50_000)]
+    digest = sketches.tdigest_compress(pairs, delta=100.0)
+    # k1 scale function caps the digest at ~2*delta centroids
+    assert len(digest) <= 220
+    assert math.isclose(sum(w for _, w in digest), 50_000.0, rel_tol=1e-9)
+    means = [m for m, _ in digest]
+    assert means == sorted(means)
+
+
+def test_tdigest_is_pure_function_of_the_multiset():
+    """Merge-order invariance: any permutation of the centroid multiset
+    compresses to the identical digest — the property that makes merging
+    associative and the certification's two merge trees comparable."""
+    rng = random.Random(11)
+    pairs = [(rng.gauss(0, 1), 1.0) for _ in range(10_000)]
+    a = sketches.tdigest_compress(pairs, delta=100.0)
+    shuffled = list(pairs)
+    rng.shuffle(shuffled)
+    b = sketches.tdigest_compress(shuffled, delta=100.0)
+    assert a == b
+
+
+def test_tdigest_merge_of_split_matches_direct_within_rank_bound():
+    """The mergeability property, pinned tighter than the certified 0.05:
+    digest(A ∪ B) vs merge(digest(A), digest(B)) must both estimate every
+    decile within 0.01 rank error on 40k lognormal values, and within
+    0.005 rank of each other."""
+    rng = random.Random(13)
+    values = [rng.lognormvariate(0, 1.5) for _ in range(40_000)]
+    half = len(values) // 2
+    direct = sketches.tdigest_compress([(v, 1.0) for v in values], delta=100.0)
+    d_a = sketches.tdigest_compress([(v, 1.0) for v in values[:half]], delta=100.0)
+    d_b = sketches.tdigest_compress([(v, 1.0) for v in values[half:]], delta=100.0)
+    merged = sketches.tdigest_compress(d_a + d_b, delta=100.0)
+    for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99):
+        r_direct = _rank_of(values, sketches.tdigest_quantile(direct, q))
+        r_merged = _rank_of(values, sketches.tdigest_quantile(merged, q))
+        assert abs(r_direct - q) <= 0.01, (q, r_direct)
+        assert abs(r_merged - q) <= 0.01, (q, r_merged)
+        assert abs(r_direct - r_merged) <= 0.005, (q, r_direct, r_merged)
+
+
+def test_tdigest_quantile_edge_cases():
+    assert math.isnan(sketches.tdigest_quantile([], 0.5))
+    assert sketches.tdigest_quantile([(42.0, 3.0)], 0.99) == 42.0
+    # two centroids: extremes clamp to the boundary means
+    two = [(0.0, 1.0), (10.0, 1.0)]
+    assert sketches.tdigest_quantile(two, 0.0) == 0.0
+    assert sketches.tdigest_quantile(two, 1.0) == 10.0
+    assert sketches.tdigest_quantile(two, 0.5) == 5.0
+
+
+# --- t-digest Spark layer ---------------------------------------------------
+
+
+def test_tdigest_partials_bounded_and_accurate(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    vals = li.select(F.col("l_extendedprice").cast("double").alias("v"))
+    partials = sketches.tdigest_partials(vals, "v")
+    n_parts = vals.rdd.getNumPartitions()
+    assert partials.count() <= 220 * n_parts
+    est = {
+        r.q: r.est
+        for r in sketches.tdigest_merged_quantiles(partials, [0.5, 0.95]).collect()
+    }
+    values = [r.v for r in vals.collect()]
+    for q, e in est.items():
+        assert abs(_rank_of(values, e) - q) <= 0.02, (q, e)
+
+
+def test_tdigest_grouped_quantile_per_group_rank(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    src = ev.select("event_type", F.col("value").cast("double").alias("v"))
+    parts = sketches.tdigest_grouped_partials(src, "event_type", "v")
+    est = {
+        r.event_type: r.est
+        for r in sketches.tdigest_grouped_quantile(parts, "event_type", 0.95).collect()
+    }
+    rows = src.collect()
+    by_group: dict = {}
+    for r in rows:
+        by_group.setdefault(r.event_type, []).append(r.v)
+    assert set(est) == set(by_group)
+    for g, values in by_group.items():
+        assert abs(_rank_of(values, est[g]) - 0.95) <= 0.02, g
+
+
+# --- sampling: NULL-weight contract + per-group multi-draw ------------------
+
+
+def test_weighted_sample_null_weights_are_sampleable(spark):
+    """ADVICE r8: under three-valued logic a bare when(w <= 0) passed NULL
+    weights through to a NULL sort key, silently un-sampling those rows.
+    The contract is NULL -> weight 1.0: a NULL-weight row must win a seat
+    exactly as often as an explicit weight-1.0 row with the same id."""
+    rows = [(i, None if i % 2 == 0 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = sampling.weighted_sample(df, "id", "w", k=40)
+    ids = [r.id for r in got.collect()]
+    assert len(ids) == 40
+    # NULL-weight (even) ids must appear — before the fix they never could
+    assert sum(1 for i in ids if i % 2 == 0) > 0
+    # and the draw must be IDENTICAL to explicit weight 1.0 everywhere
+    all_ones = spark.createDataFrame(
+        [(i, 1.0) for i in range(100)], "id long, w double"
+    )
+    expect = [r.id for r in sampling.weighted_sample(all_ones, "id", "w", k=40).collect()]
+    assert ids == expect
+
+
+def test_weighted_sample_per_group_counts_and_determinism(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = sampling.weighted_sample_per_group(docs, "lang", "doc_id", "n_chars", n=20)
+    got = out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    sizes = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    for r in got:
+        assert r.n == min(20, sizes[r.lang])
+    a = sorted((r.lang, r.doc_id, r.draw_rank) for r in out.collect())
+    b = sorted(
+        (r.lang, r.doc_id, r.draw_rank)
+        for r in sampling.weighted_sample_per_group(
+            docs, "lang", "doc_id", "n_chars", n=20
+        ).collect()
+    )
+    assert a == b
+
+
+def test_weighted_sample_per_group_weights_shift_the_draw(spark):
+    """The draw must actually be weighted: with weights proportional to id
+    (heavily favoring high ids) the winners' mean id must exceed the
+    uniform draw's by a wide margin."""
+    df = spark.createDataFrame([(i, g) for i in range(1000) for g in ("a",)], "id long, g string")
+    heavy = df.withColumn("w", (F.col("id") * F.col("id") + 1).cast("double"))
+    weighted = sampling.weighted_sample_per_group(heavy, "g", "id", "w", n=50)
+    uniform = sampling.per_group_sample(heavy, "g", "id", n=50)
+    mean_w = weighted.agg(F.avg("id")).first()[0]
+    mean_u = uniform.agg(F.avg("id")).first()[0]
+    assert mean_w > mean_u + 150, (mean_w, mean_u)
+
+
+def test_multi_draw_plan_uses_window_group_limit(spark):
+    df = analytics.QUERIES["sample_weighted_multi_draw"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan
+
+
+# --- IVFADC recall sweep ----------------------------------------------------
+
+
+def test_recall_sweep_overlaps_pinned(spark):
+    """Exact per-query overlaps at sf0.001 (deterministic: seeded training
+    sample + md5 ordering). The sweep's certified floors are 1 (n_probe=2)
+    and 4 (n_probe=8); observed values sit well above across every SF
+    (lo 1-7, hi 6-9)."""
+    df = analytics.QUERIES["ann_ivf_pq_recall_sweep"](spark, SF)
+    rows = {r.query_id: r for r in df.collect()}
+    assert set(rows) == {0, 1, 2}
+    for r in rows.values():
+        assert r.n_hi == 10
+        assert r.recall_lo_ok and r.recall_hi_ok
+
+
+def test_rolling_wau_has_no_nested_loop_join(spark):
+    """VERDICT r8 item 2: the 7-day WAU expansion must be the constant
+    explode(sequence) fan-out, never a BroadcastNestedLoopJoin of anchors
+    x pairs (which degrades with the day horizon)."""
+    df = analytics.QUERIES["events_rolling_active_users"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Explode" in plan or "Generate" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_tdigest_queries_have_no_scale_killers(spark):
+    """The only nested-loop shape allowed in the tdigest certification is
+    the bounded crossJoin(broadcast(4-row estimates)) used to measure rank
+    — build side |qs| rows by construction. No Python row UDFs (the digest
+    rides mapInPandas/applyInPandas)."""
+    for name in ("sketch_tdigest_quantile_bounds", "agg_tdigest_grouped_p95"):
+        df = analytics.QUERIES[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name

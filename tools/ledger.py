@@ -20,7 +20,17 @@ sorted by it.
 
 Usage:
     python tools/ledger.py            # table + queue to stdout
+    python tools/ledger.py --propose-window [N]
+        # emit the next N-seat PRIORITY_WINDOW + EXPECTED_QUEUE as
+        # copy-pasteable Python (VERDICT r8 item 7) — rotation becomes a
+        # tool output, not comment surgery.
     (tests import build_ledger/statuses and assert window invariants)
+
+``build_ledger(max_round=...)`` caps the scan at a round so the seating
+invariants can be evaluated against rotation-time data even after the
+driver drops a newer ``CORRECTNESS_r{N}.json`` mid-round (ADVICE r8:
+without the cap, the no-wasted-seats invariant goes red the moment the
+current round's results land and every seated query gains a cert).
 """
 
 from __future__ import annotations
@@ -43,14 +53,23 @@ BOUND_ORACLE_PRIORITY: tuple[str, ...] = (
 )
 
 
-def build_ledger(repo: Path = REPO) -> dict[str, list[int]]:
-    """query -> sorted list of rounds with a fully-green driver row."""
+def build_ledger(
+    repo: Path = REPO, max_round: int | None = None
+) -> dict[str, list[int]]:
+    """query -> sorted list of rounds with a fully-green driver row.
+
+    ``max_round`` (inclusive) pins the ledger to what was committed when
+    the current window was seated, so mid-round driver artifacts don't
+    retroactively change seating invariants (ADVICE r8).
+    """
     certs: dict[str, list[int]] = defaultdict(list)
     for f in sorted(repo.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", f.name)
         if not m:
             continue
         n = int(m.group(1))
+        if max_round is not None and n > max_round:
+            continue
         for q, v in json.loads(f.read_text()).items():
             if v.get("rows_match") and v.get("schema_match") and v.get("hash_match"):
                 certs[q].append(n)
@@ -96,12 +115,65 @@ def queue(status_table: dict[str, dict], registry_order: list[str]) -> list[str]
     return sorted(queued, key=lambda q: (prio.get(q, len(prio)), registry_order.index(q)))
 
 
+def propose_window(
+    ledger: dict[str, list[int]],
+    registry_order: list[str],
+    oracled: set[str],
+    size: int = 50,
+) -> tuple[list[str], list[str]]:
+    """Derive the next window + queue from the invariants alone.
+
+    Seat priority:
+      1. oracled, never certified (seat-at-birth is mandatory);
+      2. once-certified, bound/approx oracles first then registry order
+         (owed their second row — the no-wasted-seats invariant);
+      3. back-fill with twice-certified seats, STALEST last-certification
+         first (keeps rotating re-verification through the registry).
+    Whatever under-certified queries don't fit become EXPECTED_QUEUE, in
+    ``queue()`` order.
+    """
+    prio = {q: i for i, q in enumerate(BOUND_ORACLE_PRIORITY)}
+    reg_idx = {q: i for i, q in enumerate(registry_order)}
+    births = [q for q in registry_order if q in oracled and not ledger.get(q)]
+    once = sorted(
+        (q for q in registry_order if q in oracled and len(ledger.get(q, [])) == 1),
+        key=lambda q: (prio.get(q, len(prio)), reg_idx[q]),
+    )
+    owed = births + once
+    window = owed[:size]
+    queued = [q for q in owed[size:]]
+    if len(window) < size:
+        done = sorted(
+            (q for q in registry_order if q in oracled and len(ledger.get(q, [])) >= 2),
+            key=lambda q: (ledger[q][-1], reg_idx[q]),
+        )
+        window += done[: size - len(window)]
+    return window, queued
+
+
 def main() -> int:
     import __spark_entry__ as entry
     from pinterest_data_pipeline_spark.plans import oracles
 
     ledger = build_ledger()
     registry_order = list(entry.queries())
+
+    if "--propose-window" in sys.argv:
+        idx = sys.argv.index("--propose-window")
+        size = int(sys.argv[idx + 1]) if len(sys.argv) > idx + 1 else 50
+        window, queued = propose_window(
+            ledger, registry_order, set(oracles.ORACLES), size
+        )
+        print("PRIORITY_WINDOW: tuple[str, ...] = (")
+        for q in window:
+            certs = ",".join(f"r{n}" for n in ledger.get(q, [])) or "birth"
+            print(f'    "{q}",  # {certs}')
+        print(")")
+        print("\nEXPECTED_QUEUE: tuple[str, ...] = (")
+        for q in queued:
+            print(f'    "{q}",')
+        print(")")
+        return 0
     table = statuses(
         ledger, entry.PRIORITY_WINDOW, set(registry_order), set(oracles.ORACLES)
     )

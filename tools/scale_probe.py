@@ -789,18 +789,143 @@ def probe_boilerplate(spark, mult: int) -> float:
 
 
 
+def _wau_query(pairs: DataFrame) -> DataFrame:
+    """The r9 explode-expand WAU shape (VERDICT r8 item 2): exactly 7
+    anchor rows per distinct (day, user) pair into one hash aggregate —
+    horizon-independent, no BroadcastNestedLoopJoin."""
+    return (
+        pairs.select(
+            F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("anchor"),
+            "user_id",
+        )
+        .groupBy("anchor")
+        .agg(F.count_distinct("user_id").alias("wau_7d"))
+    )
+
+
 def probe_rolling_wau(spark, mult: int) -> float:
-    """Rolling 7-day WAU at mult x events: the distinct (day, user)
-    collapse is the only raw-events pass; the band join runs on the
-    collapsed pairs against the tiny broadcast day list."""
+    """Rolling 7-day WAU at mult x events (day horizon FIXED): the
+    distinct (day, user) collapse is the only raw-events pass; the
+    explode-expand emits 7 rows per pair regardless of horizon."""
     events = multiply(load_table(spark, SF, "events"), mult, ["event_id", "user_id"])
     pairs = events.select(
         F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"), "user_id"
     ).distinct()
-    anchors = pairs.select(F.col("day").alias("anchor")).distinct()
-    gap = F.datediff(F.col("anchor"), F.col("day"))
-    q = (F.broadcast(anchors).join(pairs, (gap >= 0) & (gap <= 6))
-         .groupBy("anchor").agg(F.count_distinct("user_id").alias("wau_7d")))
+    q = _wau_query(pairs)
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_rolling_wau_horizon(spark, mult: int) -> float:
+    """Rolling WAU on the HORIZON axis: mult x rows spread over mult x the
+    day span (each copy shifted 45 days), the axis the old band join
+    degraded on (D x |pairs| predicate evaluations) and the r8 64x probe
+    deliberately held fixed. The explode plan's per-row cost is a
+    constant 7, so this must scale like probe_rolling_wau at the same
+    mult — flat on the horizon, linear only in rows."""
+    base = load_table(spark, SF, "events")
+    parts = [base]
+    for i in range(1, mult):
+        parts.append(
+            base.withColumn("user_id", F.col("user_id") + i * KEY_STRIDE)
+            .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i * 45} DAYS"))
+        )
+    events = parts[0]
+    for p in parts[1:]:
+        events = events.unionByName(p)
+    pairs = events.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"), "user_id"
+    ).distinct()
+    q = _wau_query(pairs)
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_mode_deterministic(spark, mult: int) -> float:
+    """Deterministic grouped mode at mult x orders: count aggregate (tiny
+    grouping domain, map-side collapse) + WindowGroupLimit rank-1."""
+    from pyspark.sql import Window
+
+    orders = multiply(load_table(spark, SF, "orders"), mult, ["o_orderkey", "o_custkey"])
+    counts = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("n"), F.asc("o_orderstatus"))
+    q = counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_asof_tolerance(spark, mult: int) -> float:
+    """Tolerance-bounded as-of join at mult x (events + orders): one
+    union + per-key window shuffle; the staleness guard is a free
+    post-projection."""
+    from pinterest_data_pipeline_spark.operators.joins import asof_join
+
+    events = multiply(load_table(spark, SF, "events"), mult, ["event_id", "user_id"])
+    orders = multiply(load_table(spark, SF, "orders"), mult, ["o_orderkey", "o_custkey"])
+    obs = events.select("event_id", "user_id", F.to_date("ts").alias("obs_date"))
+    daily = (
+        orders.withColumn("obs_date", F.to_date("o_orderdate"))
+        .groupBy("o_custkey", "obs_date")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_spend"))
+        .withColumn("order_date", F.col("obs_date"))
+    )
+    out = asof_join(
+        obs, daily, on="obs_date", by=("user_id", "o_custkey"),
+        value_cols=["order_date", "day_spend"],
+    )
+    fresh = F.datediff(F.col("obs_date"), F.col("order_date_asof")) <= 7
+    q = out.select(
+        "event_id",
+        F.when(fresh, F.col("day_spend_asof")).alias("day_spend_recent"),
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_tdigest(spark, mult: int) -> float:
+    """Global t-digest quantiles at mult x lineitem: per-partition
+    digests (constant state per task) -> one tiny merge group."""
+    from pinterest_data_pipeline_spark.operators import sketches
+
+    li = multiply(load_table(spark, SF, "lineitem"), mult, ["l_orderkey"])
+    vals = li.select(F.col("l_extendedprice").cast("double").alias("v"))
+    q = sketches.tdigest_merged_quantiles(
+        sketches.tdigest_partials(vals, "v"), [0.5, 0.95, 0.99]
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_tdigest_grouped(spark, mult: int) -> float:
+    """Grouped p95 via two-level t-digest at mult x events: map-side
+    digests per (partition, type); the type-key shuffle carries
+    centroids, not values."""
+    from pinterest_data_pipeline_spark.operators import sketches
+
+    ev = multiply(load_table(spark, SF, "events"), mult, ["event_id", "user_id"])
+    src = ev.select("event_type", F.col("value").cast("double").alias("v"))
+    q = sketches.tdigest_grouped_quantile(
+        sketches.tdigest_grouped_partials(src, "event_type", "v"), "event_type", 0.95
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_multi_draw(spark, mult: int) -> float:
+    """Per-group weighted draw at mult x documents: one group-key shuffle
+    with WindowGroupLimit capping at rank 20."""
+    from pinterest_data_pipeline_spark.operators import sampling
+
+    docs = multiply(load_table(spark, SF, "documents"), mult, ["doc_id"])
+    q = sampling.weighted_sample_per_group(docs, "lang", "doc_id", "n_chars", n=20)
     t0 = time.perf_counter()
     q.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
@@ -848,6 +973,13 @@ PROBES = {
     "mad_events": probe_mad_events,
     "boilerplate": probe_boilerplate,
     "rolling_wau": probe_rolling_wau,
+    # round-9 additions (VERDICT r8 items 2/4 + the r9 operators)
+    "rolling_wau_horizon": probe_rolling_wau_horizon,
+    "mode_deterministic": probe_mode_deterministic,
+    "asof_tolerance": probe_asof_tolerance,
+    "tdigest": probe_tdigest,
+    "tdigest_grouped": probe_tdigest_grouped,
+    "multi_draw": probe_multi_draw,
 }
 
 
