@@ -1865,16 +1865,19 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_custkey")
 
 
-@query
-def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gaps-and-islands: per-user consecutive-active-day streaks (the
-    retention/engagement metric DAU systems compute). Distinct activity
-    days -> the date-minus-row_number island key -> island sizes; per
-    user: active days, streak count, longest streak. Two aggregates and
-    one window, ALL partitioned by user_id — a single key shuffle end to
-    end, no global ordering anywhere.
+def user_streaks(events: DataFrame) -> DataFrame:
+    """Gaps-and-islands core over any (user_id, ts) frame: distinct
+    activity days -> the date-minus-row_number island key -> island
+    sizes; per user: active days, streak count, longest streak.
+    Module-level so the hot-key stress can drive it on a synthetic bot
+    partition (VERDICT r8 item 5), mirroring pattern_match_journeys.
+
+    The per-user window has unbounded-but-SPILLABLE sort state (unlike
+    the r7 collect_list pattern-match shape, there is no array
+    aggregation state — row_number streams through the sorted
+    partition), so a multi-million-day hot key completes; the stress
+    test pins that.
     """
-    events = load_table(spark, sf_dir, "events")
     days = events.select(
         "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
     ).distinct()
@@ -1885,15 +1888,21 @@ def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = islands.groupBy("user_id", "island").agg(
         F.count(F.lit(1)).alias("streak_days")
     )
-    return (
-        sizes.groupBy("user_id")
-        .agg(
-            F.sum("streak_days").alias("n_active_days"),
-            F.count(F.lit(1)).alias("n_streaks"),
-            F.max("streak_days").alias("longest_streak"),
-        )
-        .orderBy("user_id")
+    return sizes.groupBy("user_id").agg(
+        F.sum("streak_days").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("streak_days").alias("longest_streak"),
     )
+
+
+@query
+def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive-active-day streaks (the retention/engagement
+    metric DAU systems compute). Two aggregates and one window, ALL
+    partitioned by user_id — a single key shuffle end to end, no global
+    ordering anywhere. Core in :func:`user_streaks`.
+    """
+    return user_streaks(load_table(spark, sf_dir, "events")).orderBy("user_id")
 
 
 @query

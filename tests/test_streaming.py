@@ -41,6 +41,21 @@ def _rows(df, key="ind"):
     return sorted([tuple(r) for r in df.collect()], key=lambda t: (t[0] is None, t))
 
 
+def _state_rows_total(q) -> int:
+    """Sum of ``stateOperators[*].numRowsTotal`` from the query's LAST
+    progress event — the engine's own report of rows held in state stores
+    (VERDICT r8 item 6: assert state bounds directly, not via timing or
+    output size). Works on both dict- and object-shaped progress."""
+    p = q.lastProgress
+    if p is None:
+        return 0
+    ops = p["stateOperators"] if isinstance(p, dict) else p.stateOperators
+    total = 0
+    for op in ops:
+        total += op["numRowsTotal"] if isinstance(op, dict) else op.numRowsTotal
+    return total
+
+
 @pytest.mark.parametrize("entity", ["pin", "geo", "user"])
 def test_stream_matches_batch_clean(spark, streamed_outputs, entity):
     """Batch/stream parity: same cleaning module, identical output rows."""
@@ -237,6 +252,11 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
         map(tuple, streaming.session_event_counts(events, gap="30 minutes").collect())
     )
     assert got == want and len(got) > 0
+    # direct state bound: complete-mode session state holds exactly the
+    # merged sessions — one state row per emitted session, never the raw
+    # event count (the merge happened IN state)
+    assert _state_rows_total(q) == len(got)
+    assert len(got) < events.count()
 
 
 def test_stateful_running_totals_accumulate_across_batches(spark, tmp_path):
@@ -764,6 +784,13 @@ def test_stream_outer_attribution_matches_batch_left_join(spark, tmp_path):
         for r in spark.read.parquet(out).filter(F.col("user_id") >= 0).collect()
     }
     assert got == {(10, 11, 3600), (20, None, None), (30, None, None)}
+    # direct state bound: the symmetric-hash join may hold at most the
+    # horizon+watermark-live rows — never more than the 9 distinct input
+    # rows across all drains (no re-buffering of already-drained files),
+    # and after the final heartbeat the day-1 real events are evicted,
+    # so state is strictly below the input total
+    final_state = _state_rows_total(q)
+    assert 0 < final_state < 9, final_state
 
 
 def test_incremental_cms_equals_batch_sketch(spark, tmp_path):
@@ -830,6 +857,10 @@ def test_cms_soak_twenty_drains_bounded_state_and_exact(spark, tmp_path):
         )
         q.awaitTermination()
         assert spark.read.parquet(table_dir).count() <= 4 * 256
+        # direct state bound (VERDICT r8 item 6): the streaming aggregate's
+        # OWN state store — not just the materialized table — must stay
+        # inside the depth*width construction bound at every drain
+        assert _state_rows_total(q) <= 4 * 256
 
     streamed = spark.read.parquet(table_dir).select(
         "row_idx", "bucket", "cell_count"
