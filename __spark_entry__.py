@@ -55,6 +55,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "agg_tdigest_grouped_p95",
     "ann_ivf_pq_recall_sweep",
     "sample_weighted_multi_draw",
+    # late-r9 additions, seated at birth
+    "events_rolling_p95_tdigest",
+    "sample_token_budget_mix",
     # round-8 births — second row
     "join_bloom_prefilter",
     "sketch_kmv_distinct_union",
@@ -102,8 +105,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "multimodal_image_features",
     "subquery_correlated_above_nation_avg",
     "tpch_q1_pricing_summary",
-    "tpch_q5_local_supplier_volume",
-    "quality_expectations_orders",
 )
 
 

@@ -172,6 +172,15 @@ HEADLINE = [
     "agg_mode_deterministic",
     "events_rolling_active_users",
     "join_asof_tolerance",
+    # round-9 growth (109 -> 115): t-digest quantile sketch (global +
+    # grouped p95 + rolling p95), IVFADC recall sweep, per-group weighted
+    # multi-draw, token-budget mixing
+    "sketch_tdigest_quantile_bounds",
+    "agg_tdigest_grouped_p95",
+    "ann_ivf_pq_recall_sweep",
+    "sample_weighted_multi_draw",
+    "events_rolling_p95_tdigest",
+    "sample_token_budget_mix",
 ]
 
 

@@ -2327,6 +2327,100 @@ def ann_ivf_pq_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def events_rolling_p95_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling trailing-7-day p95 of event values per day, computed the
+    way a 100 TB metrics store must: ONE pass builds a t-digest PER DAY
+    (map-side, centroids only), each day's digest is explode-expanded to
+    the 7 anchor days it contributes to (the WAU trick applied to sketch
+    rows — ~200 centroids x 7, data-size-independent), and the per-anchor
+    merge + quantile estimate runs over centroid rows, never raw values.
+    Rolling quantiles DON'T decompose over sliding windows (same reason
+    rolling distinct doesn't); mergeable digests are the standard answer,
+    and this query is the round's two new primitives composed.
+
+    Certified rank-space per anchor: the digest p95 must sit within 0.03
+    rank of 0.95 of that anchor's exact trailing-window values; the
+    oracle emits the exact trailing p95 (quantile_cont over the windowed
+    self-join) + literal TRUE. The exact side is the certification edge.
+    """
+    from ..operators import sketches
+
+    events = load_table(spark, sf_dir, "events")
+    src = events.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        F.col("value").cast("double").alias("v"),
+    )
+    daily = sketches.tdigest_grouped_partials(src, "day", "v")
+    expanded = daily.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("anchor"),
+        "mean",
+        "weight",
+    )
+    est = sketches.tdigest_grouped_quantile(expanded, "anchor", 0.95)
+    # certification edge: exact trailing p95 + rank of the estimate,
+    # via the same explode expansion on raw values (test-SF cost only)
+    vals7 = src.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("anchor"),
+        "v",
+    )
+    days = src.select("day").distinct()
+    return (
+        vals7.join(F.broadcast(est), "anchor")
+        .join(
+            F.broadcast(days), vals7["anchor"] == days["day"], "leftsemi"
+        )  # anchors past the horizon have no same-day activity: drop, as WAU does
+        .groupBy("anchor")
+        .agg(
+            F.count(F.lit(1)).alias("n_window_values"),
+            F.round(F.percentile(F.col("v"), F.lit(0.95)), 4).alias("exact_p95"),
+            (
+                F.abs(
+                    F.sum((F.col("v") <= F.col("est")).cast("long"))
+                    / F.count(F.lit(1))
+                    - 0.95
+                )
+                <= 0.03
+            ).alias("rank_ok"),
+        )
+        .orderBy("anchor")
+    )
+
+
+@query
+def sample_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing — the draw a training-data mixer makes:
+    fill each language's character budget (here 30k chars per lang) by
+    taking documents in deterministic md5-hash order until the budget is
+    crossed (the first crossing doc is INCLUDED, so every budget is met
+    or the language exhausted). Selection is a pure function of
+    (doc_id, salt): re-runs, engines, and re-partitionings take the
+    identical corpus slice — the reproducibility contract of a dataset
+    card. One shuffle on the group key; the cumulative sum is a per-group
+    window over hash order, and rows past the crossing are dropped
+    before any further processing.
+    """
+    docs = load_documents(spark, sf_dir)
+    budget = 30_000
+    h = sampling.uniform_hash(F.col("doc_id"), "mix")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(h.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col("n_chars")).over(w)
+    return (
+        docs.withColumn("cum_chars", cum)
+        .filter(F.col("cum_chars") - F.col("n_chars") < budget)
+        .select("doc_id", "lang", "n_chars", F.col("cum_chars").cast("long"))
+        .orderBy("lang", "cum_chars")
+    )
+
+
+@query
 def sample_weighted_multi_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language weighted sample without replacement: 20 docs PER LANG
     drawn with probability proportional to n_chars (one Efraimidis–

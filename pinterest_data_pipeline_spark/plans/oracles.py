@@ -3295,3 +3295,44 @@ oracle("sample_weighted_multi_draw")(
     ORDER BY lang, draw_rank
     """
 )
+
+# Rolling trailing-7-day p95 dual: the digest side is bound-certified
+# (rank_ok TRUE); the cross-engine payload is the exact windowed p95 via
+# the certified quantile_cont/percentile pair, plus integer window counts.
+oracle("events_rolling_p95_tdigest")(
+    """
+    WITH src AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, value::DOUBLE AS v
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM src),
+    vals7 AS (
+        SELECT d.day AS anchor, s.v
+        FROM days d JOIN src s ON s.day BETWEEN d.day - 6 AND d.day
+    )
+    SELECT anchor, count(*)::BIGINT AS n_window_values,
+           round(quantile_cont(v, 0.95), 4) AS exact_p95, TRUE AS rank_ok
+    FROM vals7 GROUP BY anchor ORDER BY anchor
+    """
+)
+
+oracle("sample_token_budget_mix")(
+    # Same md5 hash order as sampling.uniform_hash(doc_id, 'mix'); integer
+    # cumulative sums are exact in both engines (::BIGINT pins DuckDB's
+    # HUGEINT sum). "cum - n_chars < budget" keeps the budget-crossing doc.
+    """
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               sum(n_chars) OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(('0x' || substring(md5(doc_id::VARCHAR || 'mix'), 1, 8))
+                                 AS UBIGINT) ASC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_chars
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars, cum_chars::BIGINT AS cum_chars
+    FROM keyed WHERE cum_chars - n_chars < 30000
+    ORDER BY lang, cum_chars
+    """
+)

@@ -205,6 +205,56 @@ def test_rolling_wau_has_no_nested_loop_join(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_token_budget_mix_crossing_and_minimality(spark):
+    """Budget filling: per lang, the selected docs must REACH the 30k
+    budget (or exhaust the language), and the selection must be minimal —
+    dropping the last-taken doc falls back below budget. Selection order
+    is the deterministic md5 hash order, so two runs take the identical
+    slice."""
+    df = analytics.QUERIES["sample_token_budget_mix"](spark, SF)
+    rows = df.collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    totals = {r.lang: r.total for r in docs.groupBy("lang").agg(F.sum("n_chars").alias("total")).collect()}
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert set(by_lang) == set(totals)
+    for lang, taken in by_lang.items():
+        got = sum(r.n_chars for r in taken)
+        assert got >= min(30_000, totals[lang])
+        if got >= 30_000 and len(taken) > 1:
+            # minimality: without the budget-crossing doc we are short
+            last = max(taken, key=lambda r: r.cum_chars)
+            assert got - last.n_chars < 30_000
+    again = analytics.QUERIES["sample_token_budget_mix"](spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_rolling_p95_tdigest_ranks_hold(spark):
+    """Every anchor's digest p95 must sit within the certified rank bound
+    of its exact trailing-7-day window, and the window memberships must
+    match a direct recomputation."""
+    df = analytics.QUERIES["events_rolling_p95_tdigest"](spark, SF)
+    rows = df.collect()
+    assert rows and all(r.rank_ok for r in rows)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    pairs = [
+        (r.day, float(r.v))
+        for r in ev.select(
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+            F.col("value").alias("v"),
+        ).collect()
+    ]
+    import datetime
+
+    for r in rows[:5]:
+        lo = r.anchor - datetime.timedelta(days=6)
+        n = sum(1 for d, _ in pairs if lo <= d <= r.anchor)
+        assert n == r.n_window_values, (r.anchor, n, r.n_window_values)
+
+
 # --- hot-key stress (VERDICT r8 item 5) -------------------------------------
 
 

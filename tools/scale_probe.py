@@ -919,6 +919,54 @@ def probe_tdigest_grouped(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
+def probe_rolling_p95(spark, mult: int) -> float:
+    """Rolling trailing-7-day p95 from merged daily t-digests at mult x
+    events — the OPERATOR path only (daily digests -> explode-expand
+    centroids -> per-anchor merge+estimate); the exact certification edge
+    is excluded, as it would be at 100 TB."""
+    from pinterest_data_pipeline_spark.operators import sketches
+
+    ev = multiply(load_table(spark, SF, "events"), mult, ["event_id", "user_id"])
+    src = ev.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        F.col("value").cast("double").alias("v"),
+    )
+    daily = sketches.tdigest_grouped_partials(src, "day", "v")
+    expanded = daily.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("anchor"),
+        "mean",
+        "weight",
+    )
+    q = sketches.tdigest_grouped_quantile(expanded, "anchor", 0.95)
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_budget_mix(spark, mult: int) -> float:
+    """Token-budget mixing at mult x documents: per-group window cumsum
+    over hash order + crossing filter — one group-key shuffle."""
+    from pyspark.sql import Window
+
+    from pinterest_data_pipeline_spark.operators.sampling import uniform_hash
+
+    docs = multiply(load_table(spark, SF, "documents"), mult, ["doc_id"])
+    h = uniform_hash(F.col("doc_id"), "mix")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(h.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    q = (
+        docs.withColumn("cum_chars", F.sum(F.col("n_chars")).over(w))
+        .filter(F.col("cum_chars") - F.col("n_chars") < 30_000)
+        .select("doc_id", "lang", "cum_chars")
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 def probe_multi_draw(spark, mult: int) -> float:
     """Per-group weighted draw at mult x documents: one group-key shuffle
     with WindowGroupLimit capping at rank 20."""
@@ -980,6 +1028,8 @@ PROBES = {
     "tdigest": probe_tdigest,
     "tdigest_grouped": probe_tdigest_grouped,
     "multi_draw": probe_multi_draw,
+    "rolling_p95": probe_rolling_p95,
+    "budget_mix": probe_budget_mix,
 }
 
 
