@@ -58,6 +58,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     # late-r9 additions, seated at birth
     "events_rolling_p95_tdigest",
     "sample_token_budget_mix",
+    "events_rolling_wau_kmv",
     # round-8 births — second row
     "join_bloom_prefilter",
     "sketch_kmv_distinct_union",
@@ -104,7 +105,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "embedding_near_duplicates_exact",
     "multimodal_image_features",
     "subquery_correlated_above_nation_avg",
-    "tpch_q1_pricing_summary",
 )
 
 

@@ -181,6 +181,8 @@ HEADLINE = [
     "sample_weighted_multi_draw",
     "events_rolling_p95_tdigest",
     "sample_token_budget_mix",
+    # 115 -> 116: rolling WAU estimated from merged daily KMV sketches
+    "events_rolling_wau_kmv",
 ]
 
 

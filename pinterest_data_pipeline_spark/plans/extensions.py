@@ -2391,6 +2391,87 @@ def events_rolling_p95_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def events_rolling_wau_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day WAU ESTIMATED from mergeable daily KMV sketches —
+    the sketch answer to rolling distinct. The exact rolling WAU re-scans
+    every (day, user) pair 7 times; at 100 TB the pre-aggregated form
+    keeps ONE k-row sketch per day (k=256 here) and answers any trailing
+    window by merging sketches: daily k-smallest user hashes are
+    explode-expanded to their 7 anchors (k x 7 rows per day,
+    data-size-independent — the WAU trick applied to sketch rows, as the
+    t-digest twin does for quantiles), and the per-anchor k-smallest of
+    the union IS the window's KMV sketch.
+
+    Everything is md5-integer arithmetic, so unlike HLL the merged
+    estimate is bit-reproducible cross-engine: the oracle rebuilds the
+    sketches and the driver hash certifies the ESTIMATES exactly, not
+    just a bound. The emitted bound (within 15% of exact) documents the
+    accuracy contract as data: rse ~ 1/sqrt(k-2) = 6.3% at k=256;
+    observed max deviation 9.2% at sf0.1 (1.5 sigma — deterministic per
+    dataset, since the hashes are), exact below k actives (sf <= 0.01
+    windows all sit under 256, where the sketch IS the distinct set).
+    Two WindowGroupLimit rank filters, no UDFs.
+    """
+    events = load_table(spark, sf_dir, "events")
+    k = 256
+    pairs = events.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"), "user_id"
+    ).distinct()
+    hashes = pairs.select(
+        "day", sampling.uniform_hash(F.col("user_id"), "kmvwau").alias("h")
+    ).distinct()
+    w_day = Window.partitionBy("day").orderBy(F.col("h").asc())
+    daily = (
+        hashes.withColumn("rk", F.row_number().over(w_day))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+    expanded = daily.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("anchor"),
+        "h",
+    ).distinct()  # same user hash may enter via several days of the window
+    w_anchor = Window.partitionBy("anchor").orderBy(F.col("h").asc())
+    window_sketch = (
+        expanded.withColumn("rk", F.row_number().over(w_anchor))
+        .filter(F.col("rk") <= k)
+    )
+    est = window_sketch.groupBy("anchor").agg(
+        F.count(F.lit(1)).alias("n_sketch"), F.max("h").alias("h_k")
+    )
+    kmv = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+    ).otherwise((F.lit(float(k - 1)) * F.lit(4294967296.0)) / F.col("h_k"))
+    est = est.select("anchor", F.round(kmv, 4).alias("wau_kmv"))
+    exact = (
+        pairs.select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("anchor"),
+            "user_id",
+        )
+        .groupBy("anchor")
+        .agg(F.count_distinct("user_id").alias("wau_exact"))
+    )
+    days = pairs.select("day").distinct()
+    return (
+        exact.join(est, "anchor")
+        .join(days, exact["anchor"] == days["day"], "leftsemi")
+        .select(
+            "anchor",
+            F.col("wau_exact").cast("long"),
+            "wau_kmv",
+            (
+                F.abs(F.col("wau_kmv") - F.col("wau_exact"))
+                <= 0.15 * F.col("wau_exact")
+            ).alias("within_bound"),
+        )
+        .orderBy("anchor")
+    )
+
+
+@query
 def sample_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget corpus mixing — the draw a training-data mixer makes:
     fill each language's character budget (here 30k chars per lang) by

@@ -3336,3 +3336,59 @@ oracle("sample_token_budget_mix")(
     ORDER BY lang, cum_chars
     """
 )
+
+# KMV rolling-WAU dual: the sketch is md5-integer arithmetic end to end,
+# so the dual REBUILDS it and the driver hash certifies the merged
+# ESTIMATES bit-for-bit (one rounded double division, same numerator both
+# engines) — unlike HLL, no bound-only oracle needed. within_bound
+# restates the k=256 accuracy contract (rse ~ 6.3%; observed <= 6%).
+oracle("events_rolling_wau_kmv")(
+    """
+    WITH pairs AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        FROM events
+    ),
+    hashes AS (
+        SELECT DISTINCT day,
+               CAST(('0x' || substring(md5(user_id::VARCHAR || 'kmvwau'), 1, 8))
+                    AS UBIGINT) AS h
+        FROM pairs
+    ),
+    daily AS (
+        SELECT day, h FROM (
+            SELECT day, h,
+                   row_number() OVER (PARTITION BY day ORDER BY h ASC) AS rk
+            FROM hashes
+        ) WHERE rk <= 256
+    ),
+    expanded AS (
+        SELECT DISTINCT d.day + t.i::INTEGER AS anchor, d.h
+        FROM daily d, range(0, 7) t(i)
+    ),
+    wsk AS (
+        SELECT anchor, h,
+               row_number() OVER (PARTITION BY anchor ORDER BY h ASC) AS rk
+        FROM expanded
+    ),
+    est AS (
+        SELECT anchor, count(*)::BIGINT AS n_sketch, max(h) AS h_k
+        FROM wsk WHERE rk <= 256 GROUP BY anchor
+    ),
+    kmv AS (
+        SELECT anchor,
+               round(CASE WHEN n_sketch < 256 THEN n_sketch::DOUBLE
+                          ELSE 255.0 * 4294967296.0 / h_k END, 4) AS wau_kmv
+        FROM est
+    ),
+    exact AS (
+        SELECT p.day + t.i::INTEGER AS anchor, count(DISTINCT p.user_id)::BIGINT AS wau_exact
+        FROM pairs p, range(0, 7) t(i)
+        GROUP BY 1
+    )
+    SELECT e.anchor, e.wau_exact, k.wau_kmv,
+           abs(k.wau_kmv - e.wau_exact) <= 0.15 * e.wau_exact AS within_bound
+    FROM exact e JOIN kmv k USING (anchor)
+    WHERE e.anchor IN (SELECT day FROM pairs)
+    ORDER BY e.anchor
+    """
+)

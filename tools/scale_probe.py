@@ -943,6 +943,45 @@ def probe_rolling_p95(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
+def probe_wau_kmv(spark, mult: int) -> float:
+    """Rolling WAU from merged daily KMV sketches at mult x events —
+    sketch path only (daily k-smallest -> explode-expand -> per-anchor
+    k-smallest -> estimate); the exact count_distinct edge is excluded,
+    as it would be at 100 TB. Post-collapse cost is days x k rows."""
+    from pyspark.sql import Window
+
+    from pinterest_data_pipeline_spark.operators.sampling import uniform_hash
+
+    k = 256
+    events = multiply(load_table(spark, SF, "events"), mult, ["event_id", "user_id"])
+    pairs = events.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"), "user_id"
+    ).distinct()
+    hashes = pairs.select(
+        "day", uniform_hash(F.col("user_id"), "kmvwau").alias("h")
+    ).distinct()
+    w_day = Window.partitionBy("day").orderBy(F.col("h").asc())
+    daily = (
+        hashes.withColumn("rk", F.row_number().over(w_day))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+    expanded = daily.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("anchor"),
+        "h",
+    ).distinct()
+    w_anchor = Window.partitionBy("anchor").orderBy(F.col("h").asc())
+    q = (
+        expanded.withColumn("rk", F.row_number().over(w_anchor))
+        .filter(F.col("rk") <= k)
+        .groupBy("anchor")
+        .agg(F.count(F.lit(1)).alias("n_sketch"), F.max("h").alias("h_k"))
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 def probe_budget_mix(spark, mult: int) -> float:
     """Token-budget mixing at mult x documents: per-group window cumsum
     over hash order + crossing filter — one group-key shuffle."""
@@ -1030,6 +1069,7 @@ PROBES = {
     "multi_draw": probe_multi_draw,
     "rolling_p95": probe_rolling_p95,
     "budget_mix": probe_budget_mix,
+    "wau_kmv": probe_wau_kmv,
 }
 
 
