@@ -59,6 +59,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "events_rolling_p95_tdigest",
     "sample_token_budget_mix",
     "events_rolling_wau_kmv",
+    "clean_impute_median_by_group",
     # round-8 births — second row
     "join_bloom_prefilter",
     "sketch_kmv_distinct_union",
@@ -104,7 +105,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "reshape_unpivot_part_sizes",
     "embedding_near_duplicates_exact",
     "multimodal_image_features",
-    "subquery_correlated_above_nation_avg",
 )
 
 

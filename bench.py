@@ -181,8 +181,10 @@ HEADLINE = [
     "sample_weighted_multi_draw",
     "events_rolling_p95_tdigest",
     "sample_token_budget_mix",
-    # 115 -> 116: rolling WAU estimated from merged daily KMV sketches
+    # 115 -> 117: rolling WAU from merged daily KMV sketches; grouped
+    # median imputation
     "events_rolling_wau_kmv",
+    "clean_impute_median_by_group",
 ]
 
 

@@ -2391,6 +2391,43 @@ def events_rolling_p95_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def clean_impute_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median imputation — the robust missing-value repair of a feature
+    pipeline: a deterministic 10% md5-holdout of event values plays the
+    missing-sensor role (reproducible in any engine, like the cleaning
+    battery's sentinels), and each hole is filled with its event type's
+    exact median of the SURVIVING values. Extends the P-series cleaning
+    family with the one statistical repair it lacked; at 100 TB the
+    median comes from the t-digest the engine already certifies — here
+    the exact percentile IS the point, as the oracle edge.
+
+    One type-key aggregate + a broadcast join back: medians are
+    |event types| rows. Imputed medians round at one site; surviving
+    values pass through bit-identical from the shared parquet source.
+    """
+    events = load_table(spark, sf_dir, "events")
+    holdout = sampling.uniform_hash(F.col("event_id"), "impute") % 10 == 0
+    base = events.select(
+        "event_id",
+        "event_type",
+        F.when(~holdout, F.col("value")).alias("v"),
+    )
+    med = base.groupBy("event_type").agg(
+        F.percentile(F.col("v"), F.lit(0.5)).alias("med")
+    )
+    return (
+        base.join(F.broadcast(med), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.coalesce(F.col("v"), F.round(F.col("med"), 4)).alias("value_imputed"),
+            F.col("v").isNull().alias("was_imputed"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query
 def events_rolling_wau_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day WAU ESTIMATED from mergeable daily KMV sketches —
     the sketch answer to rolling distinct. The exact rolling WAU re-scans

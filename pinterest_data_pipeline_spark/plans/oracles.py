@@ -3392,3 +3392,26 @@ oracle("events_rolling_wau_kmv")(
     ORDER BY e.anchor
     """
 )
+
+oracle("clean_impute_median_by_group")(
+    # Same md5 holdout as the Spark side; medians via the certified
+    # quantile_cont/percentile pair, rounded at the single imputation
+    # site; surviving values pass through bit-identical.
+    """
+    WITH base AS (
+        SELECT event_id, event_type,
+               CASE WHEN CAST(('0x' || substring(md5(event_id::VARCHAR || 'impute'), 1, 8))
+                              AS UBIGINT) % 10 = 0
+                    THEN NULL ELSE value END AS v
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(v, 0.5) AS med FROM base GROUP BY event_type
+    )
+    SELECT b.event_id, b.event_type,
+           coalesce(b.v, round(m.med, 4)) AS value_imputed,
+           b.v IS NULL AS was_imputed
+    FROM base b JOIN med m USING (event_type)
+    ORDER BY b.event_id
+    """
+)

@@ -255,6 +255,29 @@ def test_rolling_p95_tdigest_ranks_hold(spark):
         assert n == r.n_window_values, (r.anchor, n, r.n_window_values)
 
 
+def test_impute_median_fills_exactly_the_holdout(spark):
+    """Every md5-holdout row must be imputed with its type's median of
+    the surviving values; every surviving row must pass through
+    BIT-IDENTICAL to the source (no rounding on the passthrough path).
+    The holdout is ~10% by construction."""
+    df = analytics.QUERIES["clean_impute_median_by_group"](spark, SF)
+    rows = df.collect()
+    ev = {r.event_id: r.value for r in spark.read.parquet(f"{SF}/events.parquet").collect()}
+    n_imputed = sum(1 for r in rows if r.was_imputed)
+    assert 0.05 * len(rows) < n_imputed < 0.15 * len(rows)
+    by_type: dict = {}
+    for r in rows:
+        if not r.was_imputed:
+            assert r.value_imputed == ev[r.event_id], r.event_id
+            by_type.setdefault(r.event_type, []).append(r.value_imputed)
+    import statistics
+
+    for r in rows:
+        if r.was_imputed:
+            want = round(statistics.median(by_type[r.event_type]), 4)
+            assert abs(r.value_imputed - want) < 1e-9, (r.event_id, r.value_imputed, want)
+
+
 def test_rolling_wau_kmv_exact_below_k_and_window_algebra(spark):
     """At sf0.001 every 7-day window holds < 256 active users, so the
     merged sketch IS the distinct set: wau_kmv must equal wau_exact on
