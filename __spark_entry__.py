@@ -60,6 +60,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "sample_token_budget_mix",
     "events_rolling_wau_kmv",
     "clean_impute_median_by_group",
+    "streaming_tdigest_daily_p95",
     # round-8 births — second row
     "join_bloom_prefilter",
     "sketch_kmv_distinct_union",
@@ -104,7 +105,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "events_sliding_window",
     "reshape_unpivot_part_sizes",
     "embedding_near_duplicates_exact",
-    "multimodal_image_features",
 )
 
 

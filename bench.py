@@ -186,6 +186,8 @@ HEADLINE = [
     "events_rolling_wau_kmv",
     "clean_impute_median_by_group",
 ]
+# (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
+# headline battery — trigger overhead, not operator cost, dominates them)
 
 
 REPEAT = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))

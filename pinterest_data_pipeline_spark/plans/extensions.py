@@ -2391,6 +2391,58 @@ def events_rolling_p95_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def streaming_tdigest_daily_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-day quantile monitoring certified against batch
+    semantics: the custom stateful t-digest operator
+    (``applyInPandasWithState`` holding centroid arrays per day)
+    maintained across two availableNow drains must count every value
+    exactly and estimate p50/p95 within 0.05 rank of each day's exact
+    quantiles (0.05, not tighter: an sf0.001 day holds ~30 values, one
+    rank step ~0.03 — the pytest applies the +1/n-aware tight bound). The oracle emits the exact per-day count + p95
+    (quantile_cont) + literal TRUE bounds. Completes the incremental-
+    sketch pair: CMS cells (algebraic, built-in aggregate state) and now
+    quantile digests (non-algebraic, custom state) — the two shapes a
+    streaming metrics store needs.
+    """
+    from ..streaming import pipeline as streaming_pipeline
+
+    digests = streaming_pipeline.availablenow_tdigest_daily(
+        spark, sf_dir, _work_dir(sf_dir, "_streaming_tdigest")
+    )
+    events = load_table(spark, sf_dir, "events")
+    src = events.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        F.col("value").cast("double").alias("v"),
+    )
+    return (
+        src.join(F.broadcast(digests), "day")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.percentile(F.col("v"), F.lit(0.95)), 4).alias("exact_p95"),
+            (F.max("n_values") == F.count(F.lit(1))).alias("counts_match"),
+            (
+                F.abs(
+                    F.sum((F.col("v") <= F.col("p50")).cast("long"))
+                    / F.count(F.lit(1))
+                    - 0.5
+                )
+                <= 0.05
+            ).alias("p50_rank_ok"),
+            (
+                F.abs(
+                    F.sum((F.col("v") <= F.col("p95")).cast("long"))
+                    / F.count(F.lit(1))
+                    - 0.95
+                )
+                <= 0.05
+            ).alias("p95_rank_ok"),
+        )
+        .orderBy("day")
+    )
+
+
+@query
 def clean_impute_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median imputation — the robust missing-value repair of a feature
     pipeline: a deterministic 10% md5-holdout of event values plays the

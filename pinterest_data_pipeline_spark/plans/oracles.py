@@ -3415,3 +3415,15 @@ oracle("clean_impute_median_by_group")(
     ORDER BY b.event_id
     """
 )
+
+oracle("streaming_tdigest_daily_p95")(
+    # Streaming-digest bounds are stated as literal TRUE (rank-space
+    # certification); exact per-day count + p95 via quantile_cont.
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(*)::BIGINT AS n_events,
+           round(quantile_cont(value::DOUBLE, 0.95), 4) AS exact_p95,
+           TRUE AS counts_match, TRUE AS p50_rank_ok, TRUE AS p95_rank_ok
+    FROM events GROUP BY 1 ORDER BY day
+    """
+)

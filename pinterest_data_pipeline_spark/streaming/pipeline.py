@@ -901,6 +901,55 @@ def availablenow_cms_rollup(
     return spark.read.parquet(table_dir)
 
 
+def availablenow_tdigest_daily(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """Incrementally-maintained per-day t-digest quantiles, driven
+    end-to-end bounded: events arrive in two file batches and the custom
+    stateful operator (:func:`..streaming.stateful.daily_quantile_digests`)
+    folds each batch into the per-day centroid state; the keyed upsert
+    sink keeps the latest (day, n, p50, p95) row per day (``n_values``
+    is monotone, so it is the order column). The non-algebraic sketch
+    twin of :func:`availablenow_cms_rollup`: CMS cells merge by
+    addition inside a built-in aggregate, quantile digests need
+    ``applyInPandasWithState`` — together they cover both halves of the
+    incremental-sketch story. Per-key state <= ~2*delta centroids.
+    """
+    import shutil
+
+    from ..session import load_table
+    from .stateful import daily_quantile_digests
+
+    if os.path.exists(work_dir):
+        shutil.rmtree(work_dir)
+    src = os.path.join(work_dir, "src")
+    table_dir = os.path.join(work_dir, "state", "daily_digests")
+    ckpt_dir = os.path.join(work_dir, "checkpoints", "daily_digests")
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"), "value"
+    )
+    mid = events.agg(F.max("event_id")).first()[0] // 2
+    schema = "event_id long, day date, value double"
+
+    for chunk in (
+        events.filter(F.col("event_id") <= mid),
+        events.filter(F.col("event_id") > mid),
+    ):
+        chunk.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        query = upsert_sink(
+            daily_quantile_digests(stream.drop("event_id")),
+            table_dir,
+            ckpt_dir,
+            keys=["day"],
+            available_now=True,
+            order_col="n_values",
+        )
+        query.awaitTermination()
+    return spark.read.parquet(table_dir)
+
+
 def availablenow_session_rollup(
     spark: SparkSession, sf_dir: str, work_dir: str
 ) -> DataFrame:

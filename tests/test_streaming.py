@@ -793,6 +793,40 @@ def test_stream_outer_attribution_matches_batch_left_join(spark, tmp_path):
     assert 0 < final_state < 9, final_state
 
 
+def test_incremental_tdigest_matches_batch_ranks(spark, tmp_path):
+    """The custom stateful per-day t-digest (applyInPandasWithState with
+    centroid-array state) maintained across two drains must count every
+    value exactly and land p50/p95 within 0.02 rank of each day's exact
+    quantiles; the state store must hold exactly one row per day."""
+    import os
+
+    from pinterest_data_pipeline_spark.streaming.pipeline import (
+        availablenow_tdigest_daily,
+    )
+
+    out = availablenow_tdigest_daily(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "td")
+    )
+    got = {r.day: r for r in out.collect()}
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    by_day: dict = {}
+    for r in ev.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"), "value"
+    ).collect():
+        by_day.setdefault(r.day, []).append(float(r.value))
+    assert set(got) == set(by_day)
+    for day, vals in by_day.items():
+        row = got[day]
+        assert row.n_values == len(vals), day
+        for q, est in ((0.5, row.p50), (0.95, row.p95)):
+            frac = sum(1 for v in vals if v <= est) / len(vals)
+            # + 1/n: a day with ~25 values cannot place an estimate
+            # closer than one rank step to the target
+            assert abs(frac - q) <= 0.02 + 1.0 / len(vals), (day, q, frac)
+
+
 def test_incremental_cms_equals_batch_sketch(spark, tmp_path):
     """The incrementally-maintained CMS cell table must equal the
     batch-built sketch over the same events, bit for bit — cells merge by
