@@ -757,6 +757,29 @@ def pq_topk_rerank(
     )
 
 
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVFADC index artifact: EXACTLY ``(id, cell, codes)`` in one
+    corpus pass — the frame a 100 TB deployment writes partitioned by
+    cell. The full-precision vector must NOT ride along, or the
+    candidate broadcast join ships every candidate's embedding through
+    ADC scoring and the 16x size advantage evaporates (ADVICE r8; the
+    rerank re-joins corpus for only the k_coarse vectors it needs).
+    Pinned by pytest on the exact three-column schema.
+    """
+    assign1 = nearest_cells_pandas(centroids, 1)
+    return corpus.select(
+        F.col(id_col),
+        assign1(F.col(vec_col))[0].alias("cell"),
+        pq_encode_pandas(codebooks)(F.col(vec_col)).alias("codes"),
+    )
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -790,17 +813,9 @@ def ivf_pq_topk(
     cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
     sub = cbs[0].shape[1]
 
-    assign1 = nearest_cells_pandas(centroids, 1)
     assignp = nearest_cells_pandas(centroids, n_probe)
-    # index pass: the artifact is EXACTLY (id, cell, codes) — the
-    # full-precision vector must NOT ride along, or the candidate
-    # broadcast join ships every candidate's embedding through ADC
-    # scoring and the 16x size advantage evaporates (ADVICE r8); the
-    # rerank re-joins corpus for the k_coarse vectors it needs.
-    encoded = corpus.select(
-        F.col(id_col),
-        assign1(F.col(vec_col))[0].alias("cell"),
-        pq_encode_pandas(codebooks)(F.col(vec_col)).alias("codes"),
+    encoded = build_ivf_pq_index(
+        corpus, centroids, codebooks, id_col=id_col, vec_col=vec_col
     )
     # query side: bounded driver fetch (same sanctioned edge as training)
     # -> per-query ADC lookup tables + probed cells as one broadcast frame

@@ -255,6 +255,21 @@ def test_rolling_p95_tdigest_ranks_hold(spark):
         assert n == r.n_window_values, (r.anchor, n, r.n_window_values)
 
 
+def test_ivf_pq_index_artifact_is_exactly_id_cell_codes(spark):
+    """ADVICE r8: the IVFADC index frame must be strictly (id, cell,
+    codes) — a full-precision vector column riding the index would ship
+    every candidate's embedding through the ADC broadcast join at scale."""
+    from pinterest_data_pipeline_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    centroids = similarity.train_ivf_centroids(emb, n_cells=16)
+    books = similarity.train_pq_codebooks(emb, n_codes=64)
+    idx = similarity.build_ivf_pq_index(emb, centroids, books)
+    assert idx.columns == ["vec_id", "cell", "codes"]
+    row = idx.first()
+    assert len(row.codes) == len(books)
+
+
 def test_impute_median_fills_exactly_the_holdout(spark):
     """Every md5-holdout row must be imputed with its type's median of
     the surviving values; every surviving row must pass through
