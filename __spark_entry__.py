@@ -61,6 +61,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "events_rolling_wau_kmv",
     "clean_impute_median_by_group",
     "streaming_tdigest_daily_p95",
+    "dedup_jaccard_prefix_join",
     # round-8 births — second row
     "join_bloom_prefilter",
     "sketch_kmv_distinct_union",
@@ -104,7 +105,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "events_tumbling_window",
     "events_sliding_window",
     "reshape_unpivot_part_sizes",
-    "embedding_near_duplicates_exact",
 )
 
 

@@ -2391,6 +2391,23 @@ def events_rolling_p95_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs token-Jaccard >= 0.6 via prefix filtering — the
+    deterministic production counterpart of MinHash-LSH (no false
+    negatives by the pigeonhole theorem, no false positives by
+    verification, no recall bound to certify). The oracle recomputes
+    every qualifying pair from the shared-token join, so a green row
+    proves the prefix filter dropped NOTHING. Candidate volume tracks
+    the true-pair count because prefixes hold each document's RAREST
+    tokens; the hot tokens thousands of docs share never enter a prefix.
+    """
+    docs = load_documents(spark, sf_dir)
+    return dedup.jaccard_threshold_join(docs, "doc_id", "text", threshold=0.6).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query
 def streaming_tdigest_daily_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-day quantile monitoring certified against batch
     semantics: the custom stateful t-digest operator

@@ -3427,3 +3427,28 @@ oracle("streaming_tdigest_daily_p95")(
     FROM events GROUP BY 1 ORDER BY day
     """
 )
+
+oracle("dedup_jaccard_prefix_join")(
+    # Exhaustive dual: every pair sharing >= 1 token (a superset of every
+    # pair with Jaccard > 0), exact intersection counts, threshold 0.6.
+    # A hash match proves the Spark side's prefix filter is lossless.
+    """
+    WITH t AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    s AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM pairs
+    JOIN s sa ON sa.doc_id = id_a
+    JOIN s sb ON sb.doc_id = id_b
+    WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.6
+    ORDER BY id_a, id_b
+    """
+)

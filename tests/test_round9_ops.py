@@ -255,6 +255,36 @@ def test_rolling_p95_tdigest_ranks_hold(spark):
         assert n == r.n_window_values, (r.anchor, n, r.n_window_values)
 
 
+def test_jaccard_prefix_join_is_lossless_vs_brute_force(spark):
+    """Prefix filtering must find EXACTLY the brute-force qualifying
+    pairs on a planted corpus: two near-duplicate families above the
+    0.6 threshold, one decoy pair just below it, unrelated chaff."""
+    from itertools import combinations
+
+    from pinterest_data_pipeline_spark.operators import dedup
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),      # J(1,2)=5/7
+        (3, "alpha beta gamma delta theta iota"),       # J(1,3)=4/8=0.5 (below)
+        (4, "one two three four five six seven eight"),
+        (5, "one two three four five six seven nine"),  # J(4,5)=7/9
+        (6, "totally unrelated words here now"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_threshold_join(df, "doc_id", "text", 0.6).collect()
+    }
+    sets = {i: set(t.split()) for i, t in docs}
+    want = {}
+    for a, b in combinations(sorted(sets), 2):
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if j >= 0.6:
+            want[(a, b)] = round(j, 6)
+    assert got == want and (1, 2) in got and (4, 5) in got and (1, 3) not in got
+
+
 def test_ivf_pq_index_artifact_is_exactly_id_cell_codes(spark):
     """ADVICE r8: the IVFADC index frame must be strictly (id, cell,
     codes) — a full-precision vector column riding the index would ship

@@ -943,6 +943,35 @@ def probe_rolling_p95(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
+def probe_jaccard_prefix(spark, mult: int) -> float:
+    """Exact prefix-filtered Jaccard join at mult x documents. Plain
+    ``multiply`` would copy IDENTICAL text, merging every duplicate
+    family across copies and growing the qualifying-pair set
+    QUADRATICALLY in mult — that models re-crawling the same corpus, not
+    corpus growth. Tagging every token with its copy index gives each
+    copy a disjoint token universe: families stay within-copy, true
+    pairs grow linearly, and the probe measures the operator (whose
+    candidate volume tracks true pairs), not the output explosion."""
+    from pinterest_data_pipeline_spark.operators import dedup
+
+    base = load_table(spark, SF, "documents").select("doc_id", "text")
+    parts = []
+    for i in range(mult):
+        parts.append(
+            base.select(
+                (F.col("doc_id") + i * KEY_STRIDE).alias("doc_id"),
+                F.regexp_replace(F.col("text"), r"(\S+)", f"c{i}_$1").alias("text"),
+            )
+        )
+    docs = parts[0]
+    for p in parts[1:]:
+        docs = docs.unionByName(p)
+    q = dedup.jaccard_threshold_join(docs, "doc_id", "text", threshold=0.6)
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 def probe_wau_kmv(spark, mult: int) -> float:
     """Rolling WAU from merged daily KMV sketches at mult x events —
     sketch path only (daily k-smallest -> explode-expand -> per-anchor
@@ -1070,6 +1099,7 @@ PROBES = {
     "rolling_p95": probe_rolling_p95,
     "budget_mix": probe_budget_mix,
     "wau_kmv": probe_wau_kmv,
+    "jaccard_prefix": probe_jaccard_prefix,
 }
 
 
