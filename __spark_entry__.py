@@ -62,6 +62,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "clean_impute_median_by_group",
     "streaming_tdigest_daily_p95",
     "dedup_jaccard_prefix_join",
+    "dedup_winnow_shared_fingerprints",
     # round-8 births — second row
     "join_bloom_prefilter",
     "sketch_kmv_distinct_union",
@@ -104,7 +105,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "events_daily_rollup",
     "events_tumbling_window",
     "events_sliding_window",
-    "reshape_unpivot_part_sizes",
 )
 
 

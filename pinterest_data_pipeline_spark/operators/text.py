@@ -303,3 +303,59 @@ def utf8_byte_stats_arrow(df, id_col: str = "doc_id", text_col: str = "text"):
     return df.select(id_col, text_col).mapInArrow(
         kernel, schema=f"{id_col} long, n_bytes long, n_chars_utf8 long"
     )
+
+
+def winnowing_fingerprints(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    salt: str = "winnow",
+):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
+    — the MOSS local-fingerprinting algorithm): hash every k-token
+    shingle, slide a w-position window over the hash sequence, and keep
+    each window's MINIMUM hash. The selection guarantee is the point:
+    any shared run of >= w + k - 1 tokens between two documents shares
+    at least one selected fingerprint — detection of long verbatim
+    overlap without comparing full texts, at a ~2/(w+1) sampling rate.
+
+    Fully relational: posexplode of the k-gram hashes, one per-document
+    sliding-min window (rowsBetween 0..w-1), distinct. Hashes are the
+    repo's md5-derived ``uniform_hash``, so the fingerprint sets — and
+    any join built on them — carry an exact cross-engine dual. One
+    shuffle on the document key; rows ~ tokens per doc.
+
+    Returns (id_col, fingerprint) distinct rows.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .sampling import uniform_hash
+
+    grams = F.expr(
+        f"transform(slice(split({text_col}, ' '), 1,"
+        f" greatest(size(split({text_col}, ' ')) - {k - 1}, 0)),"
+        f" (x, i) -> array_join(slice(split({text_col}, ' '), i + 1, {k}), ' '))"
+    )
+    pos = df.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
+    ).select(
+        id_col, "pos", uniform_hash(F.col("gram"), salt).alias("h")
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        pos.withColumn("n_pos", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+        .withColumn("fp", F.min("h").over(win))
+        # windows that would extend past the last position are suffixes of
+        # the final full window — dropping them keeps the guarantee and the
+        # DuckDB dual identical (its ROWS frame would silently shrink)
+        .filter(F.col("pos") <= F.col("n_pos") - w)
+        .select(id_col, F.col("fp").alias("fingerprint"))
+        .distinct()
+    )

@@ -2408,6 +2408,37 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def dedup_winnow_shared_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) overlap detection: each document keeps the
+    per-window MINIMUM of its 5-token shingle hashes (window 4 — any
+    shared verbatim run of >= 8 tokens shares a fingerprint, the
+    algorithm's selection guarantee), ubiquitous fingerprints (> 50
+    docs — boilerplate carrying no discriminative signal, the standard
+    stop-fingerprint drop) are discarded, and pairs sharing >= 3
+    fingerprints are reported with their shared count. The exact
+    copy-localization complement to the similarity family: Jaccard says
+    HOW ALIKE two docs are, winnowing says they share LONG VERBATIM
+    RUNS. md5-integer hashes end to end — exact cross-engine dual.
+    """
+    docs = load_documents(spark, sf_dir)
+    fps = text.winnowing_fingerprints(docs, "doc_id", "text", k=5, w=4)
+    rare = fps.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).filter(F.col("n_docs") <= 50)
+    kept = fps.join(rare.select("fingerprint"), "fingerprint")
+    a = kept.select(F.col("doc_id").alias("id_a"), "fingerprint")
+    b = kept.select(F.col("doc_id").alias("id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query
 def streaming_tdigest_daily_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-day quantile monitoring certified against batch
     semantics: the custom stateful t-digest operator

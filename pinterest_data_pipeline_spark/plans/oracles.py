@@ -3452,3 +3452,49 @@ oracle("dedup_jaccard_prefix_join")(
     ORDER BY id_a, id_b
     """
 )
+
+oracle("dedup_winnow_shared_fingerprints")(
+    # Winnowing dual: identical 5-gram md5 hashes, min over the SAME
+    # full 4-position frames (positions past n-w dropped on both sides —
+    # DuckDB's ROWS frame would silently shrink at the tail), identical
+    # stop-fingerprint (>50 docs) and >=3-shared thresholds.
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(ts) - 4, 0) + 1),
+                   i -> array_to_string(list_slice(ts, i, i + 4), ' ')
+               )) AS gram,
+               unnest(range(1, greatest(len(ts) - 4, 0) + 1)) AS pos
+        FROM toks
+    ),
+    hashes AS (
+        SELECT doc_id, pos,
+               CAST(('0x' || substring(md5(gram || 'winnow'), 1, 8)) AS UBIGINT) AS h,
+               count(*) OVER (PARTITION BY doc_id) AS n_pos
+        FROM grams
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, fp FROM (
+            SELECT doc_id, pos, n_pos,
+                   min(h) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+                   ) AS fp
+            FROM hashes
+        ) WHERE pos <= n_pos - 3  -- 1-based twin of Spark's 0-based pos <= n_pos - 4
+    ),
+    rare AS (
+        SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50
+    ),
+    kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    ORDER BY id_a, id_b
+    """
+)

@@ -285,6 +285,30 @@ def test_jaccard_prefix_join_is_lossless_vs_brute_force(spark):
     assert got == want and (1, 2) in got and (4, 5) in got and (1, 3) not in got
 
 
+def test_winnowing_guarantee_detects_long_shared_run(spark):
+    """The selection guarantee (k=5, w=4): two documents sharing a
+    verbatim run of >= w + k - 1 = 8 tokens MUST share at least one
+    fingerprint; documents with no 5-token overlap share none."""
+    from pinterest_data_pipeline_spark.operators import text as text_ops
+
+    shared = "the quick brown fox jumps over the lazy dog today"  # 10 tokens
+    docs = [
+        (1, "aa bb cc dd " + shared + " ee ff gg hh"),
+        (2, "zz yy xx ww " + shared + " vv uu tt ss"),
+        (3, "completely different words with no overlap at all in this one"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = text_ops.winnowing_fingerprints(df, "doc_id", "text", k=5, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "8+-token shared run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    # sampling economy: fingerprints per doc well below gram count
+    n_grams_1 = len(docs[0][1].split()) - 4
+    assert len(by_doc[1]) < n_grams_1
+
+
 def test_ivf_pq_index_artifact_is_exactly_id_cell_codes(spark):
     """ADVICE r8: the IVFADC index frame must be strictly (id, cell,
     codes) — a full-precision vector column riding the index would ship

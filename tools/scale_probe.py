@@ -972,6 +972,43 @@ def probe_jaccard_prefix(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
+def probe_winnow(spark, mult: int) -> float:
+    """Winnowing fingerprint extraction + stop-filter + pair join at
+    mult x documents (copy-tagged tokens, same rationale as
+    probe_jaccard_prefix: corpus growth, not a re-crawl)."""
+    from pinterest_data_pipeline_spark.operators import text as text_ops
+
+    base = load_table(spark, SF, "documents").select("doc_id", "text")
+    parts = []
+    for i in range(mult):
+        parts.append(
+            base.select(
+                (F.col("doc_id") + i * KEY_STRIDE).alias("doc_id"),
+                F.regexp_replace(F.col("text"), r"(\S+)", f"c{i}_$1").alias("text"),
+            )
+        )
+    docs = parts[0]
+    for p in parts[1:]:
+        docs = docs.unionByName(p)
+    fps = text_ops.winnowing_fingerprints(docs, "doc_id", "text", k=5, w=4)
+    rare = fps.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") <= 50
+    )
+    kept = fps.join(rare.select("fingerprint"), "fingerprint")
+    a = kept.select(F.col("doc_id").alias("id_a"), "fingerprint")
+    b = kept.select(F.col("doc_id").alias("id_b"), "fingerprint")
+    q = (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 def probe_wau_kmv(spark, mult: int) -> float:
     """Rolling WAU from merged daily KMV sketches at mult x events —
     sketch path only (daily k-smallest -> explode-expand -> per-anchor
@@ -1100,6 +1137,7 @@ PROBES = {
     "budget_mix": probe_budget_mix,
     "wau_kmv": probe_wau_kmv,
     "jaccard_prefix": probe_jaccard_prefix,
+    "winnow": probe_winnow,
 }
 
 
