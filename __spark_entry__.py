@@ -63,6 +63,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "streaming_tdigest_daily_p95",
     "dedup_jaccard_prefix_join",
     "dedup_winnow_shared_fingerprints",
+    "scd2_asof_segments",
     # round-8 births — second row
     "join_bloom_prefilter",
     "sketch_kmv_distinct_union",
@@ -104,7 +105,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "json_extract_event_props",
     "events_daily_rollup",
     "events_tumbling_window",
-    "events_sliding_window",
 )
 
 

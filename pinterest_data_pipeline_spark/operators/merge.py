@@ -117,6 +117,23 @@ def scd2_history(
     )
 
 
+def scd2_asof(history: DataFrame, ts) -> DataFrame:
+    """Point-in-time (AS OF) read over an SCD2 history: the state of
+    every key at timestamp ``ts`` under the half-open interval contract
+    ``[valid_from, valid_to)`` that :func:`scd2_history` emits — a key's
+    new version takes effect AT its snapshot instant, and keys born
+    after ``ts`` don't exist yet. This is the "time travel" query every
+    history table exists to answer (feature-store training-set
+    reconstruction, audit reads), and it is a pure filter: partition
+    pruning and predicate pushdown reach the scan, no join, no window.
+    """
+    t = F.lit(ts)
+    return history.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -3498,3 +3498,35 @@ oracle("dedup_winnow_shared_fingerprints")(
     ORDER BY id_a, id_b
     """
 )
+
+oracle("scd2_asof_segments")(
+    # Same history construction as scd2_customer_segments, then the
+    # half-open AS-OF filter at 2020-08-15.
+    """
+    WITH snaps AS (
+        SELECT c_custkey, c_mktsegment, DATE '2020-01-01' AS snap_ts FROM customer
+        UNION ALL
+        SELECT c_custkey, 'NEW-' || c_mktsegment, DATE '2020-06-01'
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, 'NEW-' || c_mktsegment, DATE '2021-01-01'
+        FROM customer WHERE c_custkey % 3 = 0
+    ), flagged AS (
+        SELECT *, lag(c_mktsegment) OVER (PARTITION BY c_custkey ORDER BY snap_ts) AS prev
+        FROM snaps
+    ), changes AS (
+        SELECT c_custkey, c_mktsegment, snap_ts
+        FROM flagged WHERE prev IS NULL OR prev <> c_mktsegment
+    ), hist AS (
+        SELECT c_custkey, c_mktsegment,
+               snap_ts AS valid_from,
+               lead(snap_ts) OVER (PARTITION BY c_custkey ORDER BY snap_ts) AS valid_to
+        FROM changes
+    )
+    SELECT c_custkey, c_mktsegment, valid_from
+    FROM hist
+    WHERE valid_from <= DATE '2020-08-15'
+      AND (valid_to IS NULL OR valid_to > DATE '2020-08-15')
+    ORDER BY c_custkey
+    """
+)

@@ -453,6 +453,40 @@ def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey", "valid_from")
 
 
+@query
+def scd2_asof_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the SCD2 history: every customer's segment AS OF
+    2020-08-15 — after the v2 re-segmentation, before the (collapsed) v3
+    re-observation — under the half-open ``[valid_from, valid_to)``
+    contract. Re-segmented customers must read their NEW- version,
+    everyone else their original; a date before v1 would return nothing.
+    The read is a pure filter over the history (pushdown-eligible at a
+    real lakehouse table); the oracle rebuilds history + filter in SQL.
+    """
+    from ..operators.merge import scd2_asof, scd2_history
+
+    customer = load_table(spark, sf_dir, "customer")
+    v1 = customer.select(
+        "c_custkey", "c_mktsegment", F.lit("2020-01-01").cast("date").alias("snap_ts")
+    )
+    changed = customer.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("NEW-"), F.col("c_mktsegment")).alias("c_mktsegment"),
+    )
+    v2 = changed.withColumn("snap_ts", F.lit("2020-06-01").cast("date"))
+    v3 = changed.withColumn("snap_ts", F.lit("2021-01-01").cast("date"))
+    history = scd2_history(
+        v1.unionByName(v2).unionByName(v3), "c_custkey", "snap_ts", ["c_mktsegment"]
+    )
+    import datetime
+
+    return (
+        scd2_asof(history, datetime.date(2020, 8, 15))
+        .select("c_custkey", "c_mktsegment", "valid_from")
+        .orderBy("c_custkey")
+    )
+
+
 # ===========================================================================
 # Mergeable sketches (Spark 4 Datasketches HLL) — the 100 TB pre-aggregation
 # pattern: store tiny per-partition sketches, answer distinct-counts over any

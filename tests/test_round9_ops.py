@@ -285,6 +285,33 @@ def test_jaccard_prefix_join_is_lossless_vs_brute_force(spark):
     assert got == want and (1, 2) in got and (4, 5) in got and (1, 3) not in got
 
 
+def test_scd2_asof_halfopen_boundary_semantics(spark):
+    """AS-OF corners over a two-version history: before the first
+    version nothing exists, AT a change instant the NEW version is
+    already visible (half-open [from, to)), between changes the prior
+    version holds."""
+    import datetime
+
+    from pinterest_data_pipeline_spark.operators.merge import scd2_asof, scd2_history
+
+    rows = [
+        (1, "A", datetime.date(2020, 1, 1)),
+        (1, "B", datetime.date(2020, 6, 1)),
+        (2, "X", datetime.date(2020, 3, 1)),
+    ]
+    snaps = spark.createDataFrame(rows, "k long, attr string, ts date")
+    hist = scd2_history(snaps, "k", "ts", ["attr"])
+
+    def state(d):
+        return {r.k: r.attr for r in scd2_asof(hist, d).collect()}
+
+    assert state(datetime.date(2019, 12, 31)) == {}
+    assert state(datetime.date(2020, 1, 1)) == {1: "A"}
+    assert state(datetime.date(2020, 5, 31)) == {1: "A", 2: "X"}
+    assert state(datetime.date(2020, 6, 1)) == {1: "B", 2: "X"}  # half-open
+    assert state(datetime.date(2021, 1, 1)) == {1: "B", 2: "X"}
+
+
 def test_winnowing_guarantee_detects_long_shared_run(spark):
     """The selection guarantee (k=5, w=4): two documents sharing a
     verbatim run of >= w + k - 1 = 8 tokens MUST share at least one
