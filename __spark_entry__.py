@@ -64,6 +64,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_jaccard_prefix_join",
     "dedup_winnow_shared_fingerprints",
     "scd2_asof_segments",
+    "agg_weighted_median_price",
     # round-8 births — second row
     "join_bloom_prefilter",
     "sketch_kmv_distinct_union",
@@ -104,7 +105,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "explode_document_tokens",
     "json_extract_event_props",
     "events_daily_rollup",
-    "events_tumbling_window",
 )
 
 

@@ -185,8 +185,9 @@ HEADLINE = [
     # median imputation
     "events_rolling_wau_kmv",
     "clean_impute_median_by_group",
-    # 117 -> 118: SCD2 point-in-time read
+    # 117 -> 119: SCD2 point-in-time read; exact weighted median
     "scd2_asof_segments",
+    "agg_weighted_median_price",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

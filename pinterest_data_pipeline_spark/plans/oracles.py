@@ -3530,3 +3530,32 @@ oracle("scd2_asof_segments")(
     ORDER BY c_custkey
     """
 )
+
+oracle("agg_weighted_median_price")(
+    # Lower weighted median via cumulative weights — integer comparisons
+    # only; the emitted price is a raw parquet double on both sides.
+    """
+    WITH t AS (
+        SELECT l_returnflag, l_extendedprice,
+               CAST(l_quantity AS BIGINT) AS qty, l_orderkey, l_linenumber,
+               sum(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum,
+               sum(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag
+               ) AS tot
+        FROM lineitem
+    ), c AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ) AS rk
+        FROM t WHERE 2 * cum >= tot
+    )
+    SELECT l_returnflag, l_extendedprice AS weighted_median_price,
+           tot AS total_qty
+    FROM c WHERE rk = 1 ORDER BY l_returnflag
+    """
+)

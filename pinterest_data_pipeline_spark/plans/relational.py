@@ -454,6 +454,55 @@ def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def agg_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median: the midpoint price of the shipped VOLUME
+    (l_extendedprice weighted by l_quantity) per return flag — "half the
+    quantity shipped cost less than this", which an unweighted median
+    cannot say. No engine has a weighted percentile aggregate; the
+    relational form is a per-key cumulative-weight window and the first
+    row where 2*cum >= total (lower weighted median, deterministic
+    (price, orderkey, linenumber) tie-break — all integer comparisons,
+    so the dual is exact and the emitted price is a raw parquet double).
+
+    Scale: one partition-key shuffle with a per-key sort — the exact-
+    median reality (A5's imperative cousin); the t-digest family is the
+    sketch path (centroid weights are native), this is the exact one.
+    The crossing filter sits directly under row_number, so
+    WindowGroupLimit short-circuits the rank.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    order = [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")]
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    crossed = (
+        li.withColumn("cum", F.sum("qty").over(w_cum))
+        .withColumn("tot", F.sum("qty").over(w_tot))
+        .filter(2 * F.col("cum") >= F.col("tot"))
+    )
+    w_rank = Window.partitionBy("l_returnflag").orderBy(*order)
+    return (
+        crossed.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_extendedprice").alias("weighted_median_price"),
+            F.col("tot").alias("total_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query
 def scd2_asof_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel over the SCD2 history: every customer's segment AS OF
     2020-08-15 — after the v2 re-segmentation, before the (collapsed) v3

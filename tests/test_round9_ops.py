@@ -285,6 +285,41 @@ def test_jaccard_prefix_join_is_lossless_vs_brute_force(spark):
     assert got == want and (1, 2) in got and (4, 5) in got and (1, 3) not in got
 
 
+def test_weighted_median_crossing_semantics(spark):
+    """Lower weighted median on a planted frame: the result is the first
+    value (in sort order) whose cumulative weight reaches half the
+    total — verified against an expanded brute force."""
+    from pinterest_data_pipeline_spark.plans.relational import (  # noqa: F401
+        agg_weighted_median_price,
+    )
+    from pyspark.sql import Window
+
+    rows = [("g", 10.0, 1), ("g", 20.0, 2), ("g", 30.0, 7), ("h", 5.0, 3), ("h", 6.0, 1)]
+    df = spark.createDataFrame(rows, "k string, v double, qty long")
+    order = [F.col("v")]
+    w_cum = Window.partitionBy("k").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    crossed = (
+        df.withColumn("cum", F.sum("qty").over(w_cum))
+        .withColumn("tot", F.sum("qty").over(Window.partitionBy("k")))
+        .filter(2 * F.col("cum") >= F.col("tot"))
+        .withColumn("rk", F.row_number().over(Window.partitionBy("k").orderBy(*order)))
+        .filter(F.col("rk") == 1)
+    )
+    got = {r.k: r.v for r in crossed.collect()}
+    # brute force: expand by weight, pick element at position ceil(n/2)
+    import math
+
+    want = {}
+    for k in ("g", "h"):
+        expanded = sorted(
+            v for kk, v, q in rows if kk == k for _ in range(q)
+        )
+        want[k] = expanded[math.ceil(len(expanded) / 2) - 1]
+    assert got == want  # g: pos 5 of [10,20,20,30x7] = 30; h: pos 2 of [5,5,5,6] = 5
+
+
 def test_scd2_asof_halfopen_boundary_semantics(spark):
     """AS-OF corners over a two-version history: before the first
     version nothing exists, AT a change instant the NEW version is
