@@ -3555,7 +3555,7 @@ oracle("agg_weighted_median_price")(
         FROM t WHERE 2 * cum >= tot
     )
     SELECT l_returnflag, l_extendedprice AS weighted_median_price,
-           tot AS total_qty
+           tot::BIGINT AS total_qty
     FROM c WHERE rk = 1 ORDER BY l_returnflag
     """
 )

@@ -972,6 +972,39 @@ def probe_jaccard_prefix(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
+def probe_weighted_median(spark, mult: int) -> float:
+    """Exact weighted median at mult x lineitem: the honest cost of
+    exactness — a per-key window sort whose parallelism is the KEY
+    cardinality (3 return flags), each task sorting (and spilling) its
+    key's full row set. The t-digest probes measure the sketch path that
+    removes this sort; this one documents what it replaces."""
+    from pyspark.sql import Window
+
+    li = multiply(load_table(spark, SF, "lineitem"), mult, ["l_orderkey"]).select(
+        "l_returnflag", "l_extendedprice",
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_orderkey", "l_linenumber",
+    )
+    order = [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")]
+    w_cum = (
+        Window.partitionBy("l_returnflag").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    q = (
+        li.withColumn("cum", F.sum("qty").over(w_cum))
+        .withColumn("tot", F.sum("qty").over(Window.partitionBy("l_returnflag")))
+        .filter(2 * F.col("cum") >= F.col("tot"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("l_returnflag").orderBy(*order)),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 def probe_winnow(spark, mult: int) -> float:
     """Winnowing fingerprint extraction + stop-filter + pair join at
     mult x documents (copy-tagged tokens, same rationale as
@@ -1138,6 +1171,7 @@ PROBES = {
     "wau_kmv": probe_wau_kmv,
     "jaccard_prefix": probe_jaccard_prefix,
     "winnow": probe_winnow,
+    "weighted_median": probe_weighted_median,
 }
 
 
