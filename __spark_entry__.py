@@ -43,19 +43,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/check_parity.py). Run `python tools/ledger.py` for the ledger,
 # and `python tools/ledger.py --propose-window` to GENERATE the rotation
 # below (VERDICT r8 item 7 — this window is that tool's output).
-# ROUND-9 ROTATION (tool-proposed): the 13 round-8 births and the six
-# r8 EXPECTED_QUEUE members take the owed seats; the round-9 births are
-# seated at birth; the remaining seats back-fill with the STALEST
-# twice-certified queries (last certified r1-r4) for re-verification.
-SEATING_ROUND = 9  # invariant tests evaluate the ledger as of SEATING_ROUND-1
+# ROUND-10 ROTATION (tool-proposed): the 13 round-9 births take the
+# owed second-certification seats; round-10 births are seated at birth;
+# the remaining seats back-fill with the STALEST twice-certified queries
+# (last certified r1-r4) for re-verification.
+SEATING_ROUND = 10  # invariant tests evaluate the ledger as of SEATING_ROUND-1
 
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # round-9 additions, seated at birth (never certified yet)
+    # round-10 births, seated at birth (never certified yet)
+    "sketch_tdigest_weighted_median",
+    "ann_ivf_filtered_topk",
+    "cdc_scd2_roundtrip",
+    # round-9 births (once-certified r9) — owed second row
     "sketch_tdigest_quantile_bounds",
     "agg_tdigest_grouped_p95",
     "ann_ivf_pq_recall_sweep",
     "sample_weighted_multi_draw",
-    # late-r9 additions, seated at birth
     "events_rolling_p95_tdigest",
     "sample_token_budget_mix",
     "events_rolling_wau_kmv",
@@ -65,46 +68,41 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_winnow_shared_fingerprints",
     "scd2_asof_segments",
     "agg_weighted_median_price",
-    # round-8 births — second row
-    "join_bloom_prefilter",
-    "sketch_kmv_distinct_union",
-    "dedup_prefix_clusters",
-    "cdc_apply_changelog",
-    "events_user_streaks",
-    "quality_drift_psi",
-    "streaming_session_window",
-    "ann_ivf_pq_topk",
-    "anomaly_mad_events",
-    "text_boilerplate_ngrams",
-    "agg_mode_deterministic",
-    "events_rolling_active_users",
-    "join_asof_tolerance",
-    # r8 EXPECTED_QUEUE (once-certified r7) — second row
-    "sample_reservoir_topk",
-    "text_utf8_bytes_arrow",
-    "join_null_safe_keys",
-    "ann_lsh_topk",
-    "events_transition_matrix",
-    "sketch_cms_part_counts",
     # stalest twice-certified back-fill (ledger order: last cert round)
-    "q2_orders_per_brand_year",
-    "q3_top_supplier_per_nation",
-    "q4_nation_with_top_supplier",
-    "q5_top_segment_per_balance_band",
-    "q6_median_acctbal_per_band",
-    "q7_orders_per_year",
-    "q8_median_price_by_year",
-    "q9_median_price_by_year_priority",
-    "clean_age_group_customers",
-    "clean_scalar_functions",
-    "set_ops_customers",
-    "join_semi_customers_with_orders",
-    "join_outer_order_counts",
-    "agg_rollup_region_nation",
-    "agg_stats_suite",
-    "explode_document_tokens",
-    "json_extract_event_props",
-    "events_daily_rollup",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "reshape_unpivot_part_sizes",
+    "embedding_near_duplicates_exact",
+    "multimodal_image_features",
+    "subquery_correlated_above_nation_avg",
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier_volume",
+    "quality_expectations_orders",
+    "q1_top_brand_per_nation",
+    "clean_part_battery",
+    "window_order_sequence",
+    "window_analytics_battery",
+    "set_ops_intersect",
+    "agg_cube_flag_status",
+    "agg_pivot_status_revenue",
+    "agg_count_distinct",
+    "events_session_window",
+    "join_asof_latest_order",
+    "join_range_ship_window",
+    "agg_grouping_sets",
+    "agg_salted_returnflag",
+    "scalar_map_functions",
+    "top_k_orders",
+    "text_analysis_battery",
+    "text_bpe_token_counts",
+    "dedup_exact_documents",
+    "dedup_minhash_near_duplicates",
+    "dedup_simhash_near_duplicates_stable",
+    "dedup_near_duplicate_clusters",
+    "ann_topk_quantized",
+    "text_sentence_split_udtf",
+    "pipeline_curate_documents",
+    "events_user_value_trend",
 )
 
 

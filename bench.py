@@ -188,6 +188,13 @@ HEADLINE = [
     # 117 -> 119: SCD2 point-in-time read; exact weighted median
     "scd2_asof_segments",
     "agg_weighted_median_price",
+    # round-10 growth (119 -> 122): weighted t-digest (sketch twin of the
+    # exact weighted median, certified in weighted rank space), filtered
+    # ANN (predicate pushed into the IVF candidate stage), CDC -> SCD2
+    # composition roundtrip
+    "sketch_tdigest_weighted_median",
+    "ann_ivf_filtered_topk",
+    "cdc_scd2_roundtrip",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)
@@ -203,10 +210,53 @@ def run_once(spark, name: str) -> float:
     return time.perf_counter() - t0
 
 
+def _calibration(spark) -> dict[str, float]:
+    """Fixed synthetic workload timed at bench start (VERDICT r9 item 4).
+
+    Three canonical shapes over ``spark.range`` — hash aggregate, shuffle
+    join, global sort — with NO parquet input and no repo query code, so
+    their timings vary only with the box, never with the round's commits.
+    Round-over-round bench deltas can be normalized by the calibration
+    ratio to separate the documented ±40% same-day box variance from real
+    plan regressions. Sizes are fixed forever; do not retune them.
+    """
+    from pyspark.sql import functions as F
+
+    def timed(df) -> float:
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    r = spark.range
+    shapes = {
+        "calib_agg": lambda: r(0, 50_000_000, 1, 32)
+        .groupBy((F.col("id") % 1000).alias("k"))
+        .agg(F.sum("id").alias("s"), F.count(F.lit(1)).alias("c")),
+        "calib_join": lambda: r(0, 4_000_000, 1, 32)
+        .alias("a")
+        .join(
+            r(0, 4_000_000, 1, 32).alias("b"),
+            F.col("a.id") == (F.col("b.id") * 7) % 4_000_000,
+        )
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("c")),
+        "calib_sort": lambda: r(0, 10_000_000, 1, 32).orderBy(
+            F.xxhash64("id").alias("h")
+        ),
+    }
+    out = {
+        name: round(min(timed(build()) for _ in range(REPEAT)), 4)
+        for name, build in shapes.items()
+    }
+    out["calib_total"] = round(sum(out.values()), 4)
+    return out
+
+
 def main() -> None:
     spark = get_spark("bench")
     # Warm-up: JIT/codegen + parquet footer caches, not counted.
     run_once(spark, "q1_top_brand_per_nation")
+    calibration = _calibration(spark)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -225,6 +275,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
+        "calibration": calibration,
     }
     # Per-query timings always land in standalone artifacts: the driver's
     # tail capture truncates long stdout (round 5's 61-query line overflowed

@@ -576,6 +576,52 @@ def simhash_near_duplicates(
 # --- benchmark decontamination ----------------------------------------------
 
 
+def _distinct_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_id, tok): each document's distinct whitespace tokens, exploded."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    )
+
+
+def jaccard_prefix_candidates(
+    df: DataFrame, id_col: str, text_col: str, threshold: float
+) -> DataFrame:
+    """PPJoin candidate stage of :func:`jaccard_threshold_join`, exposed
+    so tests can assert the candidate-volume bounds directly (hot-token
+    stress): (id_a, id_b) pairs sharing >= 1 rarity-ordered prefix token
+    AND passing the length filter ``t*|A| <= |B| <= |A|/t``. Every pair
+    with Jaccard >= t is here (no false negatives by theorem); anything
+    else is noise the verification join removes.
+    """
+    toks = _distinct_tokens(df, id_col, text_col)
+    sizes = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("_id").orderBy(F.asc("df"), F.asc("tok"))
+    ranked = (
+        toks.join(freq, "tok")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, "_id")
+    )
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)) + 1
+    ).select("_id", "tok", "sz")
+    return (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "tok")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .filter(
+            F.col("b.sz").between(
+                F.ceil(F.lit(threshold) * F.col("a.sz") - F.lit(1e-9)),
+                F.floor(F.col("a.sz") / F.lit(threshold) + F.lit(1e-9)),
+            )
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
 def jaccard_threshold_join(
     df: DataFrame,
     id_col: str,
@@ -600,40 +646,26 @@ def jaccard_threshold_join(
 
     Shapes at 100 TB: two explode + hash-aggregate passes (token
     frequency, per-doc ordering), a candidate self-join keyed on rare
-    prefix tokens, and one verification join computing exact
-    |A∩B| by counting shared tokens per candidate pair. Every shuffle is
-    keyed on tokens or pair ids; nothing is quadratic in the corpus.
+    prefix tokens with PPJoin's LENGTH filter applied at the candidate
+    stage (Jaccard >= t forces ``t*|A| <= |B| <= |A|/t``, so every
+    size-mismatched pair dies before the verification join touches full
+    token lists), and one verification join computing exact |A∩B| by
+    counting shared tokens per candidate pair. Every shuffle is keyed
+    on tokens or pair ids; nothing is quadratic in the corpus.
+
+    Float hardening: the prefix length and size band use a 1e-9 epsilon
+    on the ``ceil``/``floor`` so a float rounding ABOVE an exact integer
+    boundary can only lengthen the prefix / widen the band — extra
+    candidates, never a missed pair (the verification join is exact
+    either way).
 
     Returns (id_a, id_b, jaccard) for id_a < id_b, jaccard rounded at
     this single site (one integer division per pair — cross-engine
     exact).
     """
-    import math  # noqa: F401  (documented prefix formula below uses ceil)
-
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
-    )
+    toks = _distinct_tokens(df, id_col, text_col)
     sizes = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("_id").orderBy(F.asc("df"), F.asc("tok"))
-    ranked = (
-        toks.join(freq, "tok")
-        .withColumn("pos", F.row_number().over(w))
-        .join(sizes, "_id")
-    )
-    prefix = ranked.filter(
-        F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select("_id", "tok")
-    cands = (
-        prefix.alias("a")
-        .join(prefix.alias("b"), "tok")
-        .filter(F.col("a._id") < F.col("b._id"))
-        .select(
-            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
-        )
-        .distinct()
-    )
+    cands = jaccard_prefix_candidates(df, id_col, text_col, threshold)
     ta = toks.select(F.col("_id").alias("id_a"), "tok")
     tb = toks.select(F.col("_id").alias("id_b"), "tok")
     inter = (

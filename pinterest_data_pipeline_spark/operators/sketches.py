@@ -332,7 +332,7 @@ _TDIGEST_BUFFER = 4096
 
 
 def tdigest_partials(
-    df: DataFrame, value_col: str, delta: float = 100.0
+    df: DataFrame, value_col: str, delta: float = 100.0, weight_col: str | None = None
 ) -> DataFrame:
     """Per-partition t-digest centroids: (mean double, weight double) rows,
     <= ~2*delta per input partition.
@@ -342,6 +342,12 @@ def tdigest_partials(
     per-task memory is O(delta + buffer) regardless of partition size,
     and nothing is globally sorted. NULLs are ignored (not rank mass),
     matching the other sketches.
+
+    ``weight_col`` makes the digest WEIGHTED (each row contributes
+    ``weight`` units of rank mass, e.g. qty-weighted price quantiles) —
+    centroid weights are native to the t-digest, so the sketch algebra is
+    unchanged; rows with NULL or non-positive weight carry no rank mass
+    and are dropped, mirroring the NULL-value rule.
     """
     schema = T.StructType(
         [
@@ -354,8 +360,16 @@ def tdigest_partials(
         centroids: list[tuple[float, float]] = []
         buf: list[tuple[float, float]] = []
         for pdf in batches:
-            vals = pdf[value_col].dropna()
-            buf.extend((float(v), 1.0) for v in vals)
+            if weight_col is None:
+                vals = pdf[value_col].dropna()
+                buf.extend((float(v), 1.0) for v in vals)
+            else:
+                sub = pdf.dropna(subset=[value_col, weight_col])
+                buf.extend(
+                    (float(v), float(w))
+                    for v, w in zip(sub[value_col], sub[weight_col])
+                    if w > 0
+                )
             if len(buf) >= _TDIGEST_BUFFER:
                 centroids = tdigest_compress(centroids + buf, delta)
                 buf = []
@@ -366,11 +380,16 @@ def tdigest_partials(
                 {"mean": [m for m, _ in centroids], "weight": [w for _, w in centroids]}
             )
 
-    return df.select(value_col).mapInPandas(digest, schema=schema)
+    cols = [value_col] if weight_col is None else [value_col, weight_col]
+    return df.select(*cols).mapInPandas(digest, schema=schema)
 
 
 def tdigest_grouped_partials(
-    df: DataFrame, group_col: str, value_col: str, delta: float = 100.0
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    delta: float = 100.0,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-(partition, group) t-digest centroids: (group, mean, weight).
 
@@ -380,6 +399,9 @@ def tdigest_grouped_partials(
     centroids, not values — a hot key ships a few hundred rows per
     partition instead of its entire value mass, which is the whole
     difference between p95-per-key working and one reducer dying.
+
+    ``weight_col``: weighted digests per group (see
+    :func:`tdigest_partials`) — NULL/non-positive weights carry no mass.
     """
     schema = T.StructType(
         [
@@ -392,9 +414,21 @@ def tdigest_grouped_partials(
     def digest(batches):
         state: dict = {}
         for pdf in batches:
-            for g, vals in pdf.dropna(subset=[value_col]).groupby(group_col)[value_col]:
+            # dropna=False: NULL group keys are real groups (the exact
+            # Spark/DuckDB sides keep them); only NULL VALUES are dropped.
+            sub_cols = [value_col] if weight_col is None else [value_col, weight_col]
+            for g, sub in pdf.dropna(subset=sub_cols).groupby(
+                group_col, dropna=False
+            ):
                 centroids, buf = state.get(g, ([], []))
-                buf = buf + [(float(v), 1.0) for v in vals]
+                if weight_col is None:
+                    buf = buf + [(float(v), 1.0) for v in sub[value_col]]
+                else:
+                    buf = buf + [
+                        (float(v), float(w))
+                        for v, w in zip(sub[value_col], sub[weight_col])
+                        if w > 0
+                    ]
                 if len(buf) >= _TDIGEST_BUFFER:
                     centroids = tdigest_compress(centroids + buf, delta)
                     buf = []
@@ -410,7 +444,8 @@ def tdigest_grouped_partials(
         if rows["mean"]:
             yield pd.DataFrame(rows)
 
-    return df.select(group_col, value_col).mapInPandas(digest, schema=schema)
+    cols = [group_col, value_col] + ([] if weight_col is None else [weight_col])
+    return df.select(*cols).mapInPandas(digest, schema=schema)
 
 
 def tdigest_merged_quantiles(

@@ -501,6 +501,43 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
+def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN (VERDICT r9 item 8): top-10 nearest under a metadata
+    predicate (label % 2 = 0) — the common production retrieval shape
+    ("nearest products in THIS category"). The predicate is pushed into
+    the IVF candidate stage: the corpus is filtered BEFORE cell
+    assignment and the probe join, so at 100 TB (cell-partitioned index
+    layout) the filter rides partition pruning + parquet predicate
+    pushdown and the probe scans only eligible vectors. PRE-filtering on
+    purpose: POST-filtering an unfiltered top-k returns < k (or zero)
+    results whenever the filter is selective — the classic filtered-ANN
+    failure this shape avoids.
+
+    Certified two ways per query: recall >= 2/10 against the exact
+    brute-force top-10 OF THE FILTERED CORPUS (the same 4-of-16-probe
+    floor lineage as ann_ivf_topk; observed overlaps pinned by pytest),
+    and filter_ok — every returned neighbor satisfies the predicate
+    (vacuous under pre-filtering BY CONSTRUCTION, which is the point).
+    Index centroids are trained on the FULL corpus: production indexes
+    are built once and queried under many filters.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vectors(spark, sf_dir)
+    pred = F.col("label") % 2 == 0
+    filtered = emb.filter(pred)
+    centroids = similarity.train_ivf_centroids(emb, n_cells=16)
+    ann = similarity.ivf_topk(filtered, q, centroids, k=10, n_probe=4)
+    recall = _certify_recall(filtered, q, ann, floor=2)
+    labels = emb.select("vec_id", "label")
+    filter_ok = (
+        ann.join(F.broadcast(labels), "vec_id")
+        .groupBy("query_id")
+        .agg((F.sum((~pred).cast("long")) == 0).alias("filter_ok"))
+    )
+    return recall.join(filter_ok, "query_id").orderBy("query_id")
+
+
+@query
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011) with recall
     certification: per-subspace codebooks (8 x 64 codes) trained on a
@@ -2289,6 +2326,108 @@ def agg_tdigest_grouped_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank_ok"),
         )
         .orderBy("event_type")
+    )
+
+
+@query
+def sketch_tdigest_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED t-digest (VERDICT r9 item 6): the sketch twin of
+    ``agg_weighted_median_price`` — centroid weights are native to the
+    digest, so qty-weighted price quantiles cost the same mergeable
+    one-pass sketch as unweighted ones, and this is the shape that
+    answers "median price of the shipped VOLUME" at 100 TB without the
+    exact operator's per-key sort. Certified both ways per return flag,
+    the ``sketch_tdigest_quantile_bounds`` pattern in WEIGHTED rank
+    space: the direct digest AND an independent 4-bucket merge tree must
+    each land within 0.05 weighted rank of 0.5 against the exact
+    weighted median's mass distribution, and within 0.02 of each other
+    (mergeability). The emitted price/total are the EXACT operator's
+    values (raw parquet double + integer sum) — sketch floats never
+    reach the driver hash; exact error is pinned tighter by pytest.
+    """
+    from ..operators import sketches
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("v"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    direct = sketches.tdigest_grouped_quantile(
+        sketches.tdigest_grouped_partials(li, "l_returnflag", "v", weight_col="qty"),
+        "l_returnflag",
+        0.5,
+    ).withColumnRenamed("est", "est_direct")
+    # independent merge tree: 4 deterministic hash buckets digested
+    # separately per flag, then merged per flag — a different composition
+    # over the same weighted multiset (what mergeability promises agrees)
+    bucketed = li.withColumn(
+        "_fb",
+        F.concat_ws(
+            "#",
+            F.col("l_returnflag"),
+            (sampling.uniform_hash(F.col("v"), "tdwsplit") % 4).cast("string"),
+        ),
+    )
+    merged = (
+        sketches.tdigest_grouped_quantile(
+            sketches.tdigest_grouped_partials(bucketed, "_fb", "v", weight_col="qty")
+            .withColumn("l_returnflag", F.split(F.col("_fb"), "#").getItem(0))
+            .drop("_fb"),
+            "l_returnflag",
+            0.5,
+        )
+    ).withColumnRenamed("est", "est_merged")
+    ests = direct.join(merged, "l_returnflag")
+    fracs = (
+        li.join(F.broadcast(ests), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            (
+                F.sum(F.when(F.col("v") <= F.col("est_direct"), F.col("qty")).otherwise(0))
+                / F.sum("qty")
+            ).alias("frac_direct"),
+            (
+                F.sum(F.when(F.col("v") <= F.col("est_merged"), F.col("qty")).otherwise(0))
+                / F.sum("qty")
+            ).alias("frac_merged"),
+        )
+    )
+    # exact weighted median, the reshaped agg_weighted_median_price plan:
+    # distinct-price pre-aggregation, then the cumulative-weight window
+    pre = li.groupBy("l_returnflag", "v").agg(F.sum("qty").alias("qty"))
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    exact = (
+        pre.withColumn("cum", F.sum("qty").over(w_cum))
+        .withColumn("tot", F.sum("qty").over(Window.partitionBy("l_returnflag")))
+        .filter(2 * F.col("cum") >= F.col("tot"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("l_returnflag").orderBy("v")),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("v").alias("weighted_median_price"),
+            F.col("tot").alias("total_qty"),
+        )
+    )
+    return (
+        exact.join(fracs, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "weighted_median_price",
+            "total_qty",
+            (F.abs(F.col("frac_direct") - 0.5) <= 0.05).alias("direct_rank_ok"),
+            (F.abs(F.col("frac_merged") - 0.5) <= 0.05).alias("merged_rank_ok"),
+            (F.abs(F.col("frac_direct") - F.col("frac_merged")) <= 0.02).alias(
+                "merge_agrees"
+            ),
+        )
+        .orderBy("l_returnflag")
     )
 
 

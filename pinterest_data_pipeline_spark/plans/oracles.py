@@ -3531,6 +3531,70 @@ oracle("scd2_asof_segments")(
     """
 )
 
+oracle("ann_ivf_filtered_topk")(
+    # Derived-n/literal-TRUE, same lineage as ann_ivf_topk. PRECONDITION
+    # for n_returned = k: the 4-of-16 probed cells must together hold
+    # >= 10 non-query vectors with even label — labels are uncorrelated
+    # with k-means cells, so ~half of each probed cell qualifies (true
+    # from sf0.001 upward: >= 250 eligible vectors, ~60 in the probe
+    # set at worst); pytest pins the per-dataset overlaps.
+    """
+    SELECT e1.vec_id AS query_id,
+           least(10, (SELECT count(*) FROM embeddings e2
+                      WHERE e2.label % 2 = 0 AND e2.vec_id <> e1.vec_id))::BIGINT
+               AS n_returned,
+           TRUE AS recall_ok, TRUE AS filter_ok
+    FROM embeddings e1 WHERE e1.vec_id < 3 ORDER BY query_id
+    """
+)
+
+oracle("cdc_scd2_roundtrip")(
+    # Ground truth in closed form: every third customer re-segmented at
+    # the v2 snapshot, everyone else current since v1; the v3
+    # re-observation collapses on both paths. paths_agree TRUE certifies
+    # produce(diff) -> consume(replay) == scd2_history cross-engine.
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 3 = 0 THEN 'NEW-' || c_mktsegment
+                ELSE c_mktsegment END AS current_segment,
+           CASE WHEN c_custkey % 3 = 0 THEN DATE '2020-06-01'
+                ELSE DATE '2020-01-01' END AS current_since,
+           TRUE AS paths_agree
+    FROM customer ORDER BY c_custkey
+    """
+)
+
+oracle("sketch_tdigest_weighted_median")(
+    # Exact weighted median dual (same cumulative form as
+    # agg_weighted_median_price) + literal TRUE for the weighted-rank
+    # bounds — a green row certifies the weighted digest's 0.05/0.02
+    # rank-space contract cross-engine; sketch floats never reach the
+    # driver hash.
+    """
+    WITH t AS (
+        SELECT l_returnflag, l_extendedprice,
+               sum(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum,
+               sum(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag
+               ) AS tot
+        FROM lineitem
+    ), c AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY l_returnflag ORDER BY l_extendedprice
+               ) AS rk
+        FROM t WHERE 2 * cum >= tot
+    )
+    SELECT l_returnflag, l_extendedprice AS weighted_median_price,
+           tot::BIGINT AS total_qty,
+           TRUE AS direct_rank_ok, TRUE AS merged_rank_ok, TRUE AS merge_agrees
+    FROM c WHERE rk = 1 ORDER BY l_returnflag
+    """
+)
+
 oracle("agg_weighted_median_price")(
     # Lower weighted median via cumulative weights — integer comparisons
     # only; the emitted price is a raw parquet double on both sides.

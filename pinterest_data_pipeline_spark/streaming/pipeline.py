@@ -691,7 +691,7 @@ def availablenow_incremental_rollup(
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", "value"
     )
-    mid = events.agg(F.max("event_id")).first()[0] // 2
+    mid = (events.agg(F.max("event_id")).first()[0] or 0) // 2
 
     def rollup(df: DataFrame) -> DataFrame:
         # value accumulates as exact integer cents: streaming state adds
@@ -882,7 +882,7 @@ def availablenow_cms_rollup(
     ckpt_dir = os.path.join(work_dir, "checkpoints", "cms_cells")
 
     events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
-    mid = events.agg(F.max("event_id")).first()[0] // 2
+    mid = (events.agg(F.max("event_id")).first()[0] or 0) // 2
 
     for chunk in (
         events.filter(F.col("event_id") <= mid),
@@ -929,7 +929,7 @@ def availablenow_tdigest_daily(
     events = load_table(spark, sf_dir, "events").select(
         "event_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"), "value"
     )
-    mid = events.agg(F.max("event_id")).first()[0] // 2
+    mid = (events.agg(F.max("event_id")).first()[0] or 0) // 2
     schema = "event_id long, day date, value double"
 
     for chunk in (

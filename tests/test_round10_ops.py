@@ -1,0 +1,296 @@
+"""Round-10 operators: weighted t-digest, the reshaped exact weighted
+median, and the PPJoin length filter.
+
+The weighted-digest tests pin the properties the certification query's
+bound oracle cannot distinguish from luck: weighted-rank accuracy far
+tighter than the certified 0.05, merge-order invariance with non-unit
+weights, and the NULL/non-positive-weight no-mass contract. The PPJoin
+tests pin that the new length filter changes CANDIDATES only — the exact
+output is invariant.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.operators import dedup, sketches
+
+SF = "/root/testdata/sf0.001"
+
+
+def _wrank(pairs, x):
+    """Weighted rank of x in [(value, weight)]: mass at or below x."""
+    total = sum(w for _, w in pairs)
+    return sum(w for v, w in pairs if v <= x) / total
+
+
+def _exact_weighted_median(pairs):
+    """Lower weighted median: smallest v with 2*cum(v) >= total."""
+    total = sum(w for _, w in pairs)
+    cum = 0.0
+    for v, w in sorted(pairs):
+        cum += w
+        if 2 * cum >= total:
+            return v
+    raise AssertionError("empty input")
+
+
+# --- weighted t-digest, pure-function layer ---------------------------------
+
+
+def test_weighted_tdigest_quantile_in_weighted_rank_space():
+    """A digest built from (value, weight) pairs estimates the weighted
+    median within 0.01 WEIGHTED rank on skewed weights — the property the
+    sketch_tdigest_weighted_median bound oracle certifies at 0.05."""
+    rng = random.Random(17)
+    pairs = [
+        (rng.lognormvariate(0, 1.5), float(rng.randint(1, 50)))
+        for _ in range(30_000)
+    ]
+    digest = sketches.tdigest_compress(pairs, delta=100.0)
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9):
+        est = sketches.tdigest_quantile(digest, q)
+        assert abs(_wrank(pairs, est) - q) <= 0.01, (q, est)
+
+
+def test_weighted_tdigest_mergeability():
+    """merge(digest(A), digest(B)) vs digest(A ∪ B) with non-unit weights:
+    both within 0.01 weighted rank of each decile, within 0.005 of each
+    other — weights ride the same centroid algebra as counts."""
+    rng = random.Random(19)
+    pairs = [
+        (rng.gauss(100, 30), float(rng.randint(1, 20))) for _ in range(20_000)
+    ]
+    half = len(pairs) // 2
+    direct = sketches.tdigest_compress(pairs, delta=100.0)
+    merged = sketches.tdigest_compress(
+        sketches.tdigest_compress(pairs[:half], delta=100.0)
+        + sketches.tdigest_compress(pairs[half:], delta=100.0),
+        delta=100.0,
+    )
+    for q in (0.1, 0.5, 0.9):
+        r_d = _wrank(pairs, sketches.tdigest_quantile(direct, q))
+        r_m = _wrank(pairs, sketches.tdigest_quantile(merged, q))
+        assert abs(r_d - q) <= 0.01, (q, r_d)
+        assert abs(r_m - q) <= 0.01, (q, r_m)
+        assert abs(r_d - r_m) <= 0.005, (q, r_d, r_m)
+
+
+# --- weighted t-digest, Spark layer -----------------------------------------
+
+
+def test_tdigest_weighted_partials_drop_null_and_nonpositive_weights(spark):
+    """NULL and non-positive weights carry no rank mass: the digest of
+    {1 (w=1), 2 (w=NULL), 3 (w=0), 4 (w=-5), 100 (w=3)} has total weight
+    4 and its p50 sits at 100 (3 of 4 units of mass)."""
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, None), (3.0, 0.0), (4.0, -5.0), (100.0, 3.0)],
+        "v double, w double",
+    )
+    partials = sketches.tdigest_partials(df, "v", weight_col="w").collect()
+    assert sum(r.weight for r in partials) == pytest.approx(4.0)
+    est = sketches.tdigest_merged_quantiles(
+        sketches.tdigest_partials(df, "v", weight_col="w"), [0.9]
+    ).collect()[0].est
+    assert est == pytest.approx(100.0)
+
+
+def test_tdigest_weighted_partials_match_exact_weighted_median(spark):
+    """qty-weighted price digest vs the exact weighted median on real
+    lineitem data: within 0.02 weighted rank (certified at 0.05)."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        F.col("l_extendedprice").cast("double").alias("v"),
+        F.col("l_quantity").cast("double").alias("w"),
+    )
+    est = sketches.tdigest_merged_quantiles(
+        sketches.tdigest_partials(li, "v", weight_col="w"), [0.5]
+    ).collect()[0].est
+    pairs = [(r.v, r.w) for r in li.collect()]
+    assert abs(_wrank(pairs, est) - 0.5) <= 0.02
+    # and the exact operator's answer has weighted rank ~0.5 by definition
+    exact = _exact_weighted_median(pairs)
+    assert _wrank(pairs, exact) >= 0.5
+
+
+def test_tdigest_grouped_weighted_partials_keep_null_groups(spark):
+    """ADVICE r9: NULL group keys are real groups on the exact sides —
+    the sketch side must keep them too (groupby dropna=False)."""
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.0), (None, 2.0, 1.0), (None, 4.0, 3.0)],
+        "g string, v double, w double",
+    )
+    parts = sketches.tdigest_grouped_partials(df, "g", "v", weight_col="w")
+    rows = parts.collect()
+    groups = {r.g for r in rows}
+    assert groups == {"a", None}
+    null_mass = sum(r.weight for r in rows if r.g is None)
+    assert null_mass == pytest.approx(4.0)
+
+
+# --- PPJoin length filter ----------------------------------------------------
+
+
+def _mkdocs(spark, docs):
+    return spark.createDataFrame(docs, "doc_id long, text string")
+
+
+def test_jaccard_join_output_invariant_under_length_filter(spark):
+    """The length filter prunes candidates only — planted pairs at known
+    Jaccard values are returned iff >= threshold, exactly as before."""
+    docs = _mkdocs(
+        spark,
+        [
+            (1, "a b c d e f g h"),          # |1∩2|=8,|1∪2|=8 -> 1.0 with 2
+            (2, "a b c d e f g h"),
+            (3, "a b c d e f x y"),          # J(1,3) = 6/10 = 0.6
+            (4, "a b x1 x2 x3 x4 x5 x6"),    # J(1,4) = 2/14 < 0.6
+            (5, "z1 z2 z3"),                 # J=0 with all
+        ],
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_threshold_join(docs, "doc_id", "text", 0.6).collect()
+    }
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    assert got[(1, 2)] == pytest.approx(1.0)
+    assert got[(1, 3)] == pytest.approx(0.6)
+
+
+def test_jaccard_join_length_filter_prunes_size_mismatches(spark):
+    """t=0.8 and sizes 4 vs 16: Jaccard can be at most 4/16=0.25, so the
+    size band must kill the pair at the CANDIDATE stage even though the
+    small doc's tokens are all shared (prefix tokens collide)."""
+    shared = "a b c d"
+    big = shared + " " + " ".join(f"u{i}" for i in range(12))
+    docs = _mkdocs(spark, [(1, shared), (2, big), (3, shared)])
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_threshold_join(docs, "doc_id", "text", 0.8).collect()
+    }
+    assert got == {(1, 3)}
+
+
+def test_jaccard_prefix_epsilon_boundary():
+    """ADVICE r9: ceil(t*sz) at an exact integer boundary must not round
+    UP through float error. t=0.75, sz=8: t*sz = 6.0 exactly; the prefix
+    keep-count is sz - ceil(t*sz) + 1 = 3. The epsilon form preserves
+    this for every (t, sz) where t*sz is integral."""
+    import math
+
+    for t, sz in [(0.75, 8), (0.5, 10), (0.9, 20), (0.6, 5), (0.8, 25)]:
+        exact = sz - math.ceil(round(t * sz, 9)) + 1
+        eps = sz - math.ceil(t * sz - 1e-9) + 1
+        assert eps == exact, (t, sz)
+
+
+# --- hot-key stresses (VERDICT r9 item 7) -----------------------------------
+
+
+def test_jaccard_hot_token_candidates_bounded(spark):
+    """A token present in 50% of docs must be absorbed by the rarity
+    ordering: it never enters a prefix, so candidate volume tracks the
+    planted duplicates, not the quadratic hot-token pair count
+    (~125k pairs for 500 sharers). Asserted at the CANDIDATE stage via
+    the exposed jaccard_prefix_candidates."""
+    docs = []
+    for i in range(1000):
+        toks = [f"t{i}_{j}" for j in range(8)]
+        if i % 2 == 0:
+            toks.append("hot")
+        docs.append((i, " ".join(toks)))
+    for i in range(5):  # planted exact duplicates
+        docs.append((2000 + i, docs[i][1]))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    n_cands = dedup.jaccard_prefix_candidates(df, "doc_id", "text", 0.6).count()
+    # 5 planted pairs + incidental prefix collisions; the hot token alone
+    # would contribute ~125k pairs if it ever reached a prefix
+    assert n_cands <= 100, n_cands
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_threshold_join(df, "doc_id", "text", 0.6).collect()
+    }
+    assert got == {(i, 2000 + i) for i in range(5)}
+
+
+def test_winnow_hot_fingerprint_absorbed_by_stop_filter(spark):
+    """One verbatim 8-token run shared by ALL docs (a planted ubiquitous
+    fingerprint) must be dropped by the >50-docs stop filter, so the pair
+    join sees only the planted duplicate pairs — not the ~2M pairs the
+    hot fingerprint would otherwise produce across 2000 docs."""
+    from pinterest_data_pipeline_spark.operators import text as text_ops
+
+    boiler = " ".join(f"b{j}" for j in range(8))  # >= w+k-1 = 8 tokens
+    docs = []
+    for i in range(2000):
+        body = " ".join(f"d{i}_{j}" for j in range(20))
+        docs.append((i, boiler + " " + body))
+    for i in range(3):  # planted exact duplicates
+        docs.append((5000 + i, docs[i][1]))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = text_ops.winnowing_fingerprints(df, "doc_id", "text", k=5, w=4)
+    rare = (
+        fps.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") <= 50)
+    )
+    kept = fps.join(rare.select("fingerprint"), "fingerprint")
+    a = kept.select(F.col("doc_id").alias("id_a"), "fingerprint")
+    b = kept.select(F.col("doc_id").alias("id_b"), "fingerprint")
+    pairs = (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(i, 5000 + i) for i in range(3)}
+    # the boilerplate run's fingerprints are in >50 docs -> all dropped;
+    # every kept fingerprint is in at most the 2 copies of a planted dup
+    max_df = kept.groupBy("fingerprint").count().agg(F.max("count")).first()[0]
+    assert max_df <= 2, max_df
+
+
+# --- new-query pins ----------------------------------------------------------
+
+
+def test_ann_ivf_filtered_all_results_satisfy_predicate(spark):
+    """Pre-filtered IVF: full k returned from the filtered corpus, recall
+    floor met, and every neighbor satisfies the predicate (vacuous by
+    construction — pinned so a refactor to post-filtering fails here)."""
+    from pinterest_data_pipeline_spark.plans import extensions
+
+    rows = extensions.ann_ivf_filtered_topk(spark, SF).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.n_returned == 10
+        assert r.recall_ok and r.filter_ok
+
+
+def test_cdc_scd2_roundtrip_paths_agree(spark):
+    from pinterest_data_pipeline_spark.plans import relational
+
+    rows = relational.cdc_scd2_roundtrip(spark, SF).collect()
+    assert len(rows) == 150  # every customer survives the replay
+    assert all(r.paths_agree for r in rows)
+    changed = [r for r in rows if r.c_custkey % 3 == 0]
+    assert all(r.current_segment.startswith("NEW-") for r in changed)
+    assert all(str(r.current_since) == "2020-06-01" for r in changed)
+    kept = [r for r in rows if r.c_custkey % 3 != 0]
+    assert all(str(r.current_since) == "2020-01-01" for r in kept)
+
+
+def test_availablenow_tdigest_daily_empty_events(spark, tmp_path):
+    """ADVICE r9: an empty events table must yield an empty digest table,
+    not TypeError(None // 2) from max(event_id) on zero rows."""
+    from pinterest_data_pipeline_spark.streaming import pipeline as sp
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").limit(0)
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    out = sp.availablenow_tdigest_daily(
+        spark, str(tmp_path), str(tmp_path / "_work")
+    )
+    assert out.count() == 0

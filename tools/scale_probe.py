@@ -973,19 +973,26 @@ def probe_jaccard_prefix(spark, mult: int) -> float:
 
 
 def probe_weighted_median(spark, mult: int) -> float:
-    """Exact weighted median at mult x lineitem: the honest cost of
-    exactness — a per-key window sort whose parallelism is the KEY
-    cardinality (3 return flags), each task sorting (and spilling) its
-    key's full row set. The t-digest probes measure the sketch path that
-    removes this sort; this one documents what it replaces."""
+    """Exact weighted median at mult x lineitem — RESHAPED (r10): a
+    fully-parallel map-side-combinable groupBy(key, price) collapses the
+    row volume BEFORE the cumulative window, so the single-task per-key
+    sort covers distinct prices (fixed domain, ~130k/flag) while rows
+    grow mult x. The r9 shape sorted every ROW in one task per flag
+    (93x wall at 256x); this shape's window input is scale-invariant —
+    only the pre-aggregation grows, and it parallelizes."""
     from pyspark.sql import Window
 
-    li = multiply(load_table(spark, SF, "lineitem"), mult, ["l_orderkey"]).select(
-        "l_returnflag", "l_extendedprice",
-        F.col("l_quantity").cast("long").alias("qty"),
-        "l_orderkey", "l_linenumber",
+    li = (
+        multiply(load_table(spark, SF, "lineitem"), mult, ["l_orderkey"])
+        .select(
+            "l_returnflag",
+            "l_extendedprice",
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        .groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.sum("qty").alias("qty"))
     )
-    order = [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")]
+    order = [F.col("l_extendedprice")]
     w_cum = (
         Window.partitionBy("l_returnflag").orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
