@@ -1124,6 +1124,93 @@ def probe_multi_draw(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
+def probe_weighted_tdigest(spark, mult: int) -> float:
+    """Weighted t-digest p50 of price (qty mass) at mult x lineitem: the
+    sketch twin of probe_weighted_median — per-partition weighted digests
+    (fully parallel mapInPandas), one centroid-only merge. Wall-clock
+    should track the scan, never a sort."""
+    from pinterest_data_pipeline_spark.operators import sketches
+
+    li = multiply(load_table(spark, SF, "lineitem"), mult, ["l_orderkey"]).select(
+        F.col("l_extendedprice").cast("double").alias("v"),
+        F.col("l_quantity").cast("double").alias("w"),
+    )
+    q = sketches.tdigest_merged_quantiles(
+        sketches.tdigest_partials(li, "v", weight_col="w"), [0.5]
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_filtered_ann(spark, mult: int) -> float:
+    """Filtered IVF at mult x corpus: the label predicate lands BEFORE
+    cell assignment, so the probe cost scales with the FILTERED corpus —
+    the pre-filter shape's whole point."""
+    from pinterest_data_pipeline_spark.operators import similarity
+
+    emb = multiply(load_table(spark, SF, "embeddings"), mult, ["vec_id"])
+    queries = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 3)
+    cent = similarity.train_ivf_centroids(emb, n_cells=16)
+    filtered = emb.filter(F.col("label") % 2 == 0)
+    q = similarity.ivf_topk(filtered, queries, cent, k=10, n_probe=4)
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_cdc_scd2(spark, mult: int) -> float:
+    """CDC -> SCD2 roundtrip at mult x customer: two key-partitioned
+    full-outer diffs + replay window + history window, all on c_custkey."""
+    from pinterest_data_pipeline_spark.operators.merge import (
+        apply_changelog,
+        scd2_history,
+        snapshot_diff,
+    )
+
+    customer = multiply(load_table(spark, SF, "customer"), mult, ["c_custkey"])
+    s1 = customer.select("c_custkey", "c_mktsegment")
+    s2 = customer.select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.lit("NEW-"), F.col("c_mktsegment")),
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    cl1 = s1.select(
+        "c_custkey",
+        F.lit("I").alias("op"),
+        F.lit("2020-01-01").cast("date").alias("ts"),
+        "c_mktsegment",
+    )
+    diff = snapshot_diff(s1, s2, ["c_custkey"]).select(
+        "c_custkey",
+        F.lit("U").alias("op"),
+        F.lit("2020-06-01").cast("date").alias("ts"),
+        F.col("new_c_mktsegment").alias("c_mktsegment"),
+    )
+    feed = cl1.unionByName(diff)
+    replayed = apply_changelog(feed, ["c_custkey"], "op", ["ts"]).select(
+        "c_custkey", F.col("c_mktsegment").alias("segment_replayed")
+    )
+    versions = s1.withColumn("snap_ts", F.lit("2020-01-01").cast("date")).unionByName(
+        s2.withColumn("snap_ts", F.lit("2020-06-01").cast("date"))
+    )
+    current = (
+        scd2_history(versions, "c_custkey", "snap_ts", ["c_mktsegment"])
+        .filter(F.col("is_current"))
+        .select("c_custkey", F.col("c_mktsegment").alias("segment_direct"))
+    )
+    q = replayed.join(current, "c_custkey").filter(
+        ~F.col("segment_replayed").eqNullSafe(F.col("segment_direct"))
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 PROBES = {
     "tpch_q5_6way_join": probe_tpch_q5,
     "simhash_near_dup": probe_simhash,
@@ -1179,6 +1266,10 @@ PROBES = {
     "jaccard_prefix": probe_jaccard_prefix,
     "winnow": probe_winnow,
     "weighted_median": probe_weighted_median,
+    # round-10 additions
+    "weighted_tdigest": probe_weighted_tdigest,
+    "filtered_ann": probe_filtered_ann,
+    "cdc_scd2": probe_cdc_scd2,
 }
 
 
@@ -1187,7 +1278,14 @@ def main() -> None:
     mults = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 8]
     names = [a for a in sys.argv[1:] if not a.isdigit()]
     probes = {n: PROBES[n] for n in names} if names else PROBES
-    spark = get_spark("scale_probe")
+    # big-mult text-similarity probes need wider shuffles than the core
+    # count (partition row volume, not parallelism, is the constraint)
+    extra = {}
+    if os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"):
+        extra["spark.sql.shuffle.partitions"] = os.environ[
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS"
+        ]
+    spark = get_spark("scale_probe", extra_conf=extra or None)
     probe_groupagg(spark, 1)  # warm-up
     for name, fn in probes.items():
         for m in mults:
