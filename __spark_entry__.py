@@ -50,59 +50,56 @@ def entry(spark: SparkSession) -> DataFrame:
 SEATING_ROUND = 10  # invariant tests evaluate the ledger as of SEATING_ROUND-1
 
 PRIORITY_WINDOW: tuple[str, ...] = (
-    # round-10 births, seated at birth (never certified yet)
-    "sketch_tdigest_weighted_median",
-    "ann_ivf_filtered_topk",
-    "cdc_scd2_roundtrip",
-    # round-9 births (once-certified r9) — owed second row
-    "sketch_tdigest_quantile_bounds",
-    "agg_tdigest_grouped_p95",
-    "ann_ivf_pq_recall_sweep",
-    "sample_weighted_multi_draw",
-    "events_rolling_p95_tdigest",
-    "sample_token_budget_mix",
-    "events_rolling_wau_kmv",
-    "clean_impute_median_by_group",
-    "streaming_tdigest_daily_p95",
-    "dedup_jaccard_prefix_join",
-    "dedup_winnow_shared_fingerprints",
-    "scd2_asof_segments",
-    "agg_weighted_median_price",
-    # stalest twice-certified back-fill (ledger order: last cert round)
-    "events_tumbling_window",
-    "events_sliding_window",
-    "reshape_unpivot_part_sizes",
-    "embedding_near_duplicates_exact",
-    "multimodal_image_features",
-    "subquery_correlated_above_nation_avg",
-    "tpch_q1_pricing_summary",
-    "tpch_q5_local_supplier_volume",
-    "quality_expectations_orders",
-    "q1_top_brand_per_nation",
-    "clean_part_battery",
-    "window_order_sequence",
-    "window_analytics_battery",
-    "set_ops_intersect",
-    "agg_cube_flag_status",
-    "agg_pivot_status_revenue",
-    "agg_count_distinct",
-    "events_session_window",
-    "join_asof_latest_order",
-    "join_range_ship_window",
-    "agg_grouping_sets",
-    "agg_salted_returnflag",
-    "scalar_map_functions",
-    "top_k_orders",
-    "text_analysis_battery",
-    "text_bpe_token_counts",
-    "dedup_exact_documents",
-    "dedup_minhash_near_duplicates",
-    "dedup_simhash_near_duplicates_stable",
-    "dedup_near_duplicate_clusters",
-    "ann_topk_quantized",
-    "text_sentence_split_udtf",
-    "pipeline_curate_documents",
-    "events_user_value_trend",
+    "sketch_tdigest_weighted_median",  # birth
+    "ann_ivf_filtered_topk",  # birth
+    "cdc_scd2_roundtrip",  # birth
+    "sketch_kmv_set_overlap",  # birth
+    "text_sparse_cosine_pairs",  # birth
+    "events_market_basket_pairs",  # birth
+    "sketch_tdigest_quantile_bounds",  # r9
+    "agg_tdigest_grouped_p95",  # r9
+    "ann_ivf_pq_recall_sweep",  # r9
+    "sample_weighted_multi_draw",  # r9
+    "events_rolling_p95_tdigest",  # r9
+    "sample_token_budget_mix",  # r9
+    "events_rolling_wau_kmv",  # r9
+    "clean_impute_median_by_group",  # r9
+    "streaming_tdigest_daily_p95",  # r9
+    "dedup_jaccard_prefix_join",  # r9
+    "dedup_winnow_shared_fingerprints",  # r9
+    "scd2_asof_segments",  # r9
+    "agg_weighted_median_price",  # r9
+    "events_tumbling_window",  # r2,r3
+    "events_sliding_window",  # r2,r3
+    "reshape_unpivot_part_sizes",  # r1,r2,r3
+    "embedding_near_duplicates_exact",  # r2,r3
+    "multimodal_image_features",  # r2,r3
+    "subquery_correlated_above_nation_avg",  # r2,r3
+    "tpch_q1_pricing_summary",  # r2,r3
+    "tpch_q5_local_supplier_volume",  # r2,r3
+    "quality_expectations_orders",  # r2,r3
+    "q1_top_brand_per_nation",  # r1,r2,r3,r4
+    "clean_part_battery",  # r2,r3,r4
+    "window_order_sequence",  # r1,r4
+    "window_analytics_battery",  # r2,r3,r4
+    "set_ops_intersect",  # r1,r4
+    "agg_cube_flag_status",  # r1,r4
+    "agg_pivot_status_revenue",  # r1,r2,r3,r4
+    "agg_count_distinct",  # r1,r4
+    "events_session_window",  # r2,r3,r4
+    "join_asof_latest_order",  # r2,r3,r4
+    "join_range_ship_window",  # r1,r2,r3,r4
+    "agg_grouping_sets",  # r2,r3,r4
+    "agg_salted_returnflag",  # r1,r2,r3,r4
+    "scalar_map_functions",  # r1,r4
+    "top_k_orders",  # r1,r2,r3,r4
+    "text_analysis_battery",  # r2,r3,r4
+    "text_bpe_token_counts",  # r2,r3,r4
+    "dedup_exact_documents",  # r1,r2,r3,r4
+    "dedup_minhash_near_duplicates",  # r2,r3,r4
+    "dedup_simhash_near_duplicates_stable",  # r2,r3,r4
+    "dedup_near_duplicate_clusters",  # r2,r3,r4
+    "ann_topk_quantized",  # r2,r3,r4
 )
 
 

@@ -1142,3 +1142,100 @@ def cosine_all_pairs_above(
             lambda l, r: score(l, r), "id_a long, id_b long, cosine_sim double"
         )
     )
+
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    max_df: int = 50,
+    ngram: int = 1,
+) -> DataFrame:
+    """EXACT cosine-similarity join over sparse integer term-frequency
+    vectors via an inverted-index join — the weighted-bag counterpart of
+    :func:`~..operators.dedup.jaccard_threshold_join` (sets) and the
+    sparse counterpart of the dense ``embedding_near_duplicates`` family.
+
+    Terms are whitespace tokens (``ngram=1``) or ``ngram``-token shingles
+    (the right unit when the word vocabulary is tiny but word ORDER
+    carries the signal — shingles recover sparsity the way winnowing's
+    k-grams do). Terms appearing in more than ``max_df`` documents are
+    STOP-FILTERED before any pairing (the same economy as the winnowing
+    stop-fingerprint filter — a term shared by half the corpus carries
+    no discriminative mass but would dominate the join). Cosine is
+    computed over that pruned vocabulary on BOTH the dot product and the
+    norms, so the score is exactly the cosine of the stop-filtered
+    vectors — a well-defined, engine-reproducible contract (integer dot
+    and norm sums; ONE float site ``dot / sqrt(na * nb)``).
+
+    Distributed shape at 100 TB: two explode + hash-aggregate passes
+    (per-doc TF, per-term DF), an inverted-index self-join keyed on the
+    surviving terms (per-term pair fan-out bounded by ``max_df**2``),
+    one pair-key aggregate for the dot product, and two id-keyed joins
+    to attach norms. Nothing is quadratic in the corpus; every shuffle
+    is keyed on terms or pair ids. ``max_df`` is an absolute count here
+    (right for a bounded test corpus); at production scale express it as
+    a corpus fraction computed from the same DF aggregate.
+
+    Returns (id_a, id_b, dot, cosine) for pairs with cosine >= threshold,
+    id_a < id_b; ``dot``/``cosine`` certify exactly cross-engine.
+    """
+    if ngram > 1:
+        grams = F.expr(
+            f"transform(slice(split({text_col}, ' '), 1,"
+            f" size(split({text_col}, ' ')) - {ngram - 1}),"
+            f" (x, i) -> array_join(slice(split({text_col}, ' '), i + 1,"
+            f" {ngram}), ' '))"
+        )
+        toks = (
+            df.filter(F.size(F.split(F.col(text_col), " ")) >= ngram)
+            .select(F.col(id_col).alias("_id"), F.explode(grams).alias("tok"))
+        )
+    else:
+        toks = df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        ).filter(F.col("tok") != "")
+    tf = toks.groupBy("_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    rare = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("tok")
+    )
+    kept = tf.join(rare, "tok")
+    norms = kept.groupBy("_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("norm_sq")
+    )
+    dots = (
+        kept.select(F.col("_id").alias("id_a"), "tok", F.col("tf").alias("tf_a"))
+        .join(
+            kept.select(
+                F.col("_id").alias("id_b"), "tok", F.col("tf").alias("tf_b")
+            ),
+            "tok",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    return (
+        dots.join(
+            norms.select(F.col("_id").alias("id_a"), F.col("norm_sq").alias("na")),
+            "id_a",
+        )
+        .join(
+            norms.select(F.col("_id").alias("id_b"), F.col("norm_sq").alias("nb")),
+            "id_b",
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                F.col("dot") / F.sqrt((F.col("na") * F.col("nb")).cast("double")),
+                4,
+            ),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", F.col("dot").cast("long").alias("dot"), "cosine")
+    )

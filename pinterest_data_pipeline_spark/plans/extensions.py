@@ -2795,3 +2795,181 @@ def sample_weighted_multi_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "lang", "n_chars", F.col("draw_rank").cast("int").alias("draw_rank")
     ).orderBy("lang", "draw_rank")
+
+
+# --- round-10 additions: set-overlap sketches, sparse cosine, co-occurrence --
+
+
+@query
+def sketch_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-INTERSECTION / Jaccard estimate between two distinct-user
+    sets without holding either set (Beyer et al. 2007): the audience-
+    overlap question ("how many customers ordered in BOTH years?") asked
+    of two mergeable k-minimum-values sketches. With S the k smallest
+    hashes of the union, every member of S that belongs to both sets is
+    necessarily in both per-set sketches (it is among the k smallest of
+    each set it belongs to), so rho = |S ∩ KMV(A) ∩ KMV(B)| / |S|
+    estimates Jaccard and rho * union_estimate the intersection size.
+    All integer md5 arithmetic until two float division sites — the
+    DuckDB oracle rebuilds the sketches and the estimates certify
+    bit-for-bit (the same exact-dual property as
+    ``sketch_kmv_distinct_union``; below k the sketches hold the whole
+    sets and the estimates are EXACT, which sf0.001 exercises).
+
+    100 TB shape: each side is one distinct + k-heap TakeOrdered pass;
+    the overlap math touches only 3k sketch rows. Exact comparison
+    columns are computed alongside from the full data (distinct +
+    joins) to state the estimator's error as data.
+    """
+    from ..operators import sketches
+
+    k = 256
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.year("o_orderdate") == 1995)
+    b = orders.filter(F.year("o_orderdate") == 1996)
+    ska = sketches.kmv_sketch(a, "o_custkey", k=k, salt="kmvov")
+    skb = sketches.kmv_sketch(b, "o_custkey", k=k, salt="kmvov")
+    sku = sketches.kmv_merge(ska, skb, k=k)
+
+    stats = sku.agg(
+        F.count(F.lit(1)).alias("n_union_sketch"), F.max("h").alias("h_k")
+    )
+    m = sku.join(ska, "h").join(skb, "h").agg(F.count(F.lit(1)).alias("n_both"))
+    da = a.select("o_custkey").distinct()
+    db = b.select("o_custkey").distinct()
+    inter = da.join(db, "o_custkey").agg(F.count(F.lit(1)).alias("inter_exact"))
+    union = (
+        da.unionByName(db)
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("union_exact"))
+    )
+
+    est_u = F.when(
+        F.col("n_union_sketch") < k, F.col("n_union_sketch").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(4294967296.0) / F.col("h_k"))
+    return (
+        stats.crossJoin(m)
+        .crossJoin(inter)
+        .crossJoin(union)
+        .select(
+            F.col("n_union_sketch").cast("long"),
+            F.col("n_both").cast("long"),
+            F.round(F.col("n_both") / F.col("n_union_sketch"), 4).alias(
+                "jaccard_kmv"
+            ),
+            F.round(est_u * F.col("n_both") / F.col("n_union_sketch"), 4).alias(
+                "inter_kmv"
+            ),
+            F.round(F.col("inter_exact") / F.col("union_exact"), 4).alias(
+                "jaccard_exact"
+            ),
+            F.col("inter_exact").cast("long"),
+            F.col("union_exact").cast("long"),
+        )
+    )
+
+
+@query
+def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-TF cosine similarity join over the document corpus
+    (inverted index + stop-term DF pruning,
+    :func:`~..operators.similarity.sparse_cosine_pairs`), reported as a
+    bounded per-bucket rollup: pairs with cosine >= 0.1 grouped into
+    tenth-wide buckets with pair counts and the integer dot-product sum
+    — the full pair computation certifies (every pair lands in exactly
+    one bucket and contributes its exact integer dot) while the output
+    stays O(10) rows regardless of corpus size. Terms are 3-token
+    shingles: the synthetic corpus has a ~31-word vocabulary (every word
+    is a stop word by any DF measure), so word ORDER is where document
+    identity lives — shingling recovers a sparse, prunable term space
+    (~16k trigram terms at sf0.01, max DF ~20) exactly as winnowing's
+    k-grams do. The corpus pair population is bimodal (template near-dups
+    at cosine ~0.9, incidental shingle sharing below 0.2), so the rollup
+    certifies both modes.
+    """
+    from ..operators import similarity
+
+    docs = load_documents(spark, sf_dir)
+    pairs = similarity.sparse_cosine_pairs(
+        docs, "doc_id", "text", threshold=0.1, max_df=50, ngram=3
+    )
+    bucket = F.floor(F.col("cosine") * F.lit(10)).cast("int")
+    return (
+        pairs.groupBy(bucket.alias("cos_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("dot").cast("long").alias("sum_dot"),
+        )
+        .orderBy("cos_bucket")
+    )
+
+
+@query
+def events_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift: pairs of parts appearing in
+    the same order, min support 2 orders, top 20 by lift — the
+    recommendation / complements miner. The pair explosion is bounded by
+    the per-order basket size (TPC-H: <= 7 line items), so the self-join
+    on the order key fans out O(basket^2) per order, never corpus-
+    quadratic; pair counts aggregate on wide two-part keys (no hot key),
+    item counts are a broadcast-sized dimension, and the grand total
+    attaches via the sanctioned single-row crossJoin. lift =
+    (c_pair * n_orders) / (c_a * c_b): exact integers into ONE float
+    division, rounded at one site, ties broken by the pair key — the
+    top-20 cut is total-ordered and engine-reproducible.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    totals = baskets.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c_item"))
+    # a-priori pruning: pair support <= min(item supports), so an item in
+    # fewer than min_support orders cannot appear in ANY qualifying pair —
+    # drop it before the self-join (output-invariant candidate reduction,
+    # the first level of the classic frequent-itemset lattice prune)
+    frequent = baskets.join(
+        item.filter(F.col("c_item") >= 2).select("l_partkey"), "l_partkey"
+    )
+    pairs = (
+        frequent.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+        .join(
+            frequent.select("l_orderkey", F.col("l_partkey").alias("part_b")),
+            "l_orderkey",
+        )
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+        .filter(F.col("c_pair") >= 2)
+    )
+    return (
+        pairs.join(
+            item.select(
+                F.col("l_partkey").alias("part_a"), F.col("c_item").alias("c_a")
+            ),
+            "part_a",
+        )
+        .join(
+            item.select(
+                F.col("l_partkey").alias("part_b"), F.col("c_item").alias("c_b")
+            ),
+            "part_b",
+        )
+        .crossJoin(totals)
+        .withColumn(
+            "lift",
+            F.round(
+                (F.col("c_pair") * F.col("n_orders")).cast("double")
+                / (F.col("c_a") * F.col("c_b")),
+                4,
+            ),
+        )
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+        .select(
+            "part_a",
+            "part_b",
+            F.col("c_pair").cast("long"),
+            F.col("c_a").cast("long"),
+            F.col("c_b").cast("long"),
+            "lift",
+        )
+    )

@@ -3623,3 +3623,129 @@ oracle("agg_weighted_median_price")(
     FROM c WHERE rk = 1 ORDER BY l_returnflag
     """
 )
+
+# Same md5 hash order in both engines: the per-set and union sketches
+# rebuild identically, so rho = |S ∩ KMV(A) ∩ KMV(B)| / |S| and the
+# intersection estimate certify bit-for-bit (exact below k). Float sites
+# mirror the Spark expression order: (est_u * n_both) / n_union.
+oracle("sketch_kmv_set_overlap")(
+    """
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE year(o_orderdate) = 1995),
+         b AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE year(o_orderdate) = 1996),
+    ha AS (
+        SELECT DISTINCT CAST(('0x' || substring(md5(o_custkey::VARCHAR || 'kmvov'), 1, 8))
+                             AS UBIGINT)::BIGINT AS h FROM a
+    ),
+    hb AS (
+        SELECT DISTINCT CAST(('0x' || substring(md5(o_custkey::VARCHAR || 'kmvov'), 1, 8))
+                             AS UBIGINT)::BIGINT AS h FROM b
+    ),
+    ska AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+    skb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+    sku AS (
+        SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+        ORDER BY h LIMIT 256
+    ),
+    stats AS (
+        SELECT count(*)::BIGINT AS n_union_sketch, max(h) AS h_k FROM sku
+    ),
+    m AS (
+        SELECT count(*)::BIGINT AS n_both
+        FROM sku JOIN ska USING (h) JOIN skb USING (h)
+    ),
+    ex AS (
+        SELECT (SELECT count(*) FROM a JOIN b USING (o_custkey))::BIGINT
+                   AS inter_exact,
+               (SELECT count(*) FROM
+                   (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)
+               )::BIGINT AS union_exact
+    )
+    SELECT n_union_sketch, n_both,
+           round(n_both / n_union_sketch, 4) AS jaccard_kmv,
+           round((CASE WHEN n_union_sketch < 256 THEN n_union_sketch::DOUBLE
+                       ELSE 255.0 * 4294967296.0 / h_k END)
+                 * n_both / n_union_sketch, 4) AS inter_kmv,
+           round(inter_exact / union_exact, 4) AS jaccard_exact,
+           inter_exact, union_exact
+    FROM stats, m, ex
+    """
+)
+
+# Integer TF vectors over the stop-filtered vocabulary; one float site
+# (dot / sqrt(na*nb)) from exact integers, bucketed AFTER the single
+# 4dp rounding site — every pair's bucket and integer dot certify.
+oracle("text_sparse_cosine_pairs")(
+    """
+    WITH toks AS (
+        SELECT doc_id AS _id,
+               unnest(list_transform(
+                   range(1, len(string_split(text, ' ')) - 1),
+                   i -> array_to_string(
+                       list_slice(string_split(text, ' '), i, i + 2), ' ')
+               )) AS tok
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    tf AS (
+        SELECT _id, tok, count(*)::BIGINT AS tf FROM toks GROUP BY _id, tok
+    ),
+    rare AS (SELECT tok FROM tf GROUP BY tok HAVING count(*) <= 50),
+    kept AS (SELECT tf.* FROM tf JOIN rare USING (tok)),
+    norms AS (
+        SELECT _id, sum(tf * tf)::BIGINT AS norm_sq FROM kept GROUP BY _id
+    ),
+    dots AS (
+        SELECT a._id AS id_a, b._id AS id_b, sum(a.tf * b.tf)::BIGINT AS dot
+        FROM kept a JOIN kept b ON a.tok = b.tok AND a._id < b._id
+        GROUP BY a._id, b._id
+    ),
+    pairs AS (
+        SELECT id_a, id_b, dot,
+               round(dot / sqrt((na.norm_sq * nb.norm_sq)::DOUBLE), 4) AS cosine
+        FROM dots
+        JOIN norms na ON na._id = id_a
+        JOIN norms nb ON nb._id = id_b
+    )
+    SELECT floor(cosine * 10)::INT AS cos_bucket,
+           count(*)::BIGINT AS n_pairs,
+           sum(dot)::BIGINT AS sum_dot
+    FROM pairs WHERE cosine >= 0.1
+    GROUP BY cos_bucket ORDER BY cos_bucket
+    """
+)
+
+# Exact integers into one float division; rounded lift ties broken by the
+# pair key, so the top-20 cut is a total order in both engines.
+oracle("events_market_basket_pairs")(
+    """
+    WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    totals AS (
+        SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM baskets
+    ),
+    item AS (
+        SELECT l_partkey, count(*)::BIGINT AS c_item FROM baskets
+        GROUP BY l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*)::BIGINT AS c_pair
+        FROM baskets a
+        JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    )
+    SELECT part_a, part_b, c_pair,
+           ia.c_item AS c_a, ib.c_item AS c_b,
+           round((c_pair * n_orders)::DOUBLE / (ia.c_item * ib.c_item), 4)
+               AS lift
+    FROM pairs
+    JOIN item ia ON ia.l_partkey = part_a
+    JOIN item ib ON ib.l_partkey = part_b
+    CROSS JOIN totals
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 20
+    """
+)

@@ -294,3 +294,166 @@ def test_availablenow_tdigest_daily_empty_events(spark, tmp_path):
         spark, str(tmp_path), str(tmp_path / "_work")
     )
     assert out.count() == 0
+
+
+# --- sparse cosine pairs ----------------------------------------------------
+
+
+def _brute_cosine_pairs(rows, max_df, ngram=1):
+    """Reference: stop-filtered integer-TF cosine over a tiny corpus."""
+    import math
+    from collections import Counter
+
+    tfs = {}
+    for doc_id, text in rows:
+        toks = [t for t in text.split(" ") if t != ""] if ngram == 1 else None
+        if ngram > 1:
+            words = text.split(" ")
+            if len(words) < ngram:
+                continue
+            toks = [
+                " ".join(words[i : i + ngram])
+                for i in range(len(words) - ngram + 1)
+            ]
+        tfs[doc_id] = Counter(toks)
+    df_counts = Counter(t for c in tfs.values() for t in c)
+    kept = {
+        d: {t: n for t, n in c.items() if df_counts[t] <= max_df}
+        for d, c in tfs.items()
+    }
+    out = {}
+    ids = sorted(kept)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            dot = sum(kept[a][t] * kept[b].get(t, 0) for t in kept[a])
+            na = sum(v * v for v in kept[a].values())
+            nb = sum(v * v for v in kept[b].values())
+            if dot and na and nb:
+                out[(a, b)] = (dot, round(dot / math.sqrt(na * nb), 4))
+    return out
+
+
+def test_sparse_cosine_matches_bruteforce_word_terms(spark):
+    """Word-term path vs a driver-side brute force on a planted corpus:
+    every pair's integer dot and rounded cosine match exactly."""
+    from pinterest_data_pipeline_spark.operators import similarity
+
+    rows = [
+        (1, "red fish blue fish old fish"),
+        (2, "red fish blue fish"),
+        (3, "one fish two fish red fish blue fish"),
+        (4, "entirely different words here"),
+        (5, "different words again here here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): (r.dot, r.cosine)
+        for r in similarity.sparse_cosine_pairs(
+            df, "doc_id", "text", threshold=0.0, max_df=50
+        ).collect()
+    }
+    want = _brute_cosine_pairs(rows, max_df=50)
+    assert got == want
+    # sanity: the near-identical pair scores high, the unrelated pair low
+    assert got[(1, 2)][1] > 0.8 > got.get((1, 4), (0, 0.0))[1]
+
+
+def test_sparse_cosine_ngram_terms_and_stop_filter(spark):
+    """Shingle terms recover order sensitivity, and a term above max_df
+    carries no mass: docs sharing ONLY the hot shingle never pair."""
+    from pinterest_data_pipeline_spark.operators import similarity
+
+    hot = "lorem ipsum dolor"
+    rows = [(i, f"{hot} tail{i} x y") for i in range(1, 9)]
+    rows += [(100, "alpha beta gamma delta"), (101, "alpha beta gamma delta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): (r.dot, r.cosine)
+        for r in similarity.sparse_cosine_pairs(
+            df, "doc_id", "text", threshold=0.0, max_df=5, ngram=3
+        ).collect()
+    }
+    want = _brute_cosine_pairs(rows, max_df=5, ngram=3)
+    assert got == want
+    # the 8 hot-shingle docs pair only through sub-max_df shingles
+    # ("ipsum dolor tailN" is unique per doc) — so no hot-only pairs
+    assert all(not (a < 100 and b < 100) for a, b in got), got
+    assert got[(100, 101)][1] == 1.0
+
+
+# --- KMV set overlap --------------------------------------------------------
+
+
+def _kmv_overlap(spark, a_vals, b_vals, k):
+    from pinterest_data_pipeline_spark.operators import sketches
+
+    a = spark.createDataFrame([(v,) for v in a_vals], "v long")
+    b = spark.createDataFrame([(v,) for v in b_vals], "v long")
+    ska = sketches.kmv_sketch(a, "v", k=k, salt="t")
+    skb = sketches.kmv_sketch(b, "v", k=k, salt="t")
+    sku = sketches.kmv_merge(ska, skb, k=k)
+    n_union = sku.count()
+    h_k = sku.agg(F.max("h")).first()[0]
+    m = sku.join(ska, "h").join(skb, "h").count()
+    est_u = (
+        float(n_union)
+        if n_union < k
+        else (k - 1) * 4294967296.0 / h_k
+    )
+    return m / n_union, est_u * m / n_union
+
+
+def test_kmv_overlap_exact_below_k(spark):
+    """Sketches below capacity hold the whole sets: rho IS the Jaccard
+    and the intersection estimate IS the intersection size."""
+    a_vals = list(range(0, 60))
+    b_vals = list(range(40, 100))  # |A∩B| = 20, |A∪B| = 100
+    jac, inter = _kmv_overlap(spark, a_vals, b_vals, k=256)
+    assert jac == 20 / 100
+    assert inter == 20.0
+
+
+def test_kmv_overlap_estimates_within_tolerance(spark):
+    """Full sketches (k=64 over 3000-element sets, |A∩B|/|A∪B| = 1/3):
+    the estimator lands within a loose 3-sigma-ish band (seeded md5
+    hashes — deterministic, so this is a fixed-value regression too)."""
+    a_vals = list(range(0, 2000))
+    b_vals = list(range(1000, 3000))  # jaccard = 1000/3000
+    jac, inter = _kmv_overlap(spark, a_vals, b_vals, k=64)
+    assert abs(jac - 1 / 3) <= 0.18, jac
+    assert abs(inter - 1000) <= 550, inter
+
+
+# --- market-basket pairs ----------------------------------------------------
+
+
+def test_market_basket_pair_counts_and_lift(spark):
+    """Planted baskets with a known co-occurrence: counts and lift are
+    the textbook values, support-1 pairs are dropped."""
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+    import tempfile, os
+
+    # orders: {A,B} x3, {A,C} x1, {B,C} x1, {D} x1  -> 6 orders
+    baskets = {
+        1: ["A", "B"], 2: ["A", "B"], 3: ["A", "B"],
+        4: ["A", "C"], 5: ["B", "C"], 6: ["D"],
+    }
+    part_ids = {"A": 1, "B": 2, "C": 3, "D": 4}
+    rows = [
+        (o, part_ids[p], i)
+        for o, parts in baskets.items()
+        for i, p in enumerate(parts)
+    ]
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_linenumber long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        out = {
+            (r.part_a, r.part_b): (r.c_pair, r.lift)
+            for r in QUERIES["events_market_basket_pairs"](spark, d).collect()
+        }
+    # A in 4 orders, B in 4, C in 2; N=6. AB: c=3 lift=3*6/16; support-1
+    # pairs AC and BC are dropped.
+    assert out == {(1, 2): (3, round(18 / 16, 4))}

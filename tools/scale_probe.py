@@ -1211,6 +1211,111 @@ def probe_cdc_scd2(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
+
+
+def probe_sparse_cosine(spark, mult: int) -> float:
+    """Sparse shingle-TF cosine join at mult x documents (copy-tagged
+    tokens, same rationale as probe_jaccard_prefix: corpus growth, not a
+    re-crawl — each copy gets a disjoint shingle universe so true pairs
+    grow linearly and the inverted-index join is what's measured)."""
+    from pinterest_data_pipeline_spark.operators import similarity
+
+    base = load_table(spark, SF, "documents").select("doc_id", "text")
+    parts = []
+    for i in range(mult):
+        parts.append(
+            base.select(
+                (F.col("doc_id") + i * KEY_STRIDE).alias("doc_id"),
+                F.regexp_replace(F.col("text"), r"(\S+)", f"c{i}_$1").alias("text"),
+            )
+        )
+    docs = parts[0]
+    for p in parts[1:]:
+        docs = docs.unionByName(p)
+    pairs = similarity.sparse_cosine_pairs(
+        docs, "doc_id", "text", threshold=0.1, max_df=50, ngram=3
+    )
+    q = pairs.groupBy((F.floor(F.col("cosine") * 10)).alias("b")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dot").alias("s")
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_market_basket(spark, mult: int) -> float:
+    """Market-basket pair mining at mult x lineitem (orders multiplied on
+    the order key: MORE baskets of the same size — the per-order pair
+    fan-out stays O(basket^2) while pair-count aggregation scales)."""
+    li = multiply(
+        load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey"),
+        mult,
+        ["l_orderkey"],
+    )
+    baskets = li.distinct()
+    totals = baskets.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c_item"))
+    pairs = (
+        baskets.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+        .join(
+            baskets.select("l_orderkey", F.col("l_partkey").alias("part_b")),
+            "l_orderkey",
+        )
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+        .filter(F.col("c_pair") >= 2)
+    )
+    q = (
+        pairs.join(
+            item.select(F.col("l_partkey").alias("part_a"), F.col("c_item").alias("c_a")),
+            "part_a",
+        )
+        .join(
+            item.select(F.col("l_partkey").alias("part_b"), F.col("c_item").alias("c_b")),
+            "part_b",
+        )
+        .crossJoin(totals)
+        .withColumn(
+            "lift",
+            F.round(
+                (F.col("c_pair") * F.col("n_orders")).cast("double")
+                / (F.col("c_a") * F.col("c_b")),
+                4,
+            ),
+        )
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_kmv_overlap(spark, mult: int) -> float:
+    """KMV set-overlap at mult x orders (custkeys multiplied: the distinct
+    sets grow with data; the sketch math stays 3k rows regardless)."""
+    from pinterest_data_pipeline_spark.operators import sketches
+
+    k = 256
+    orders = multiply(
+        load_table(spark, SF, "orders").select("o_custkey", "o_orderdate"),
+        mult,
+        ["o_custkey"],
+    )
+    a = orders.filter(F.year("o_orderdate") == 1995)
+    b = orders.filter(F.year("o_orderdate") == 1996)
+    ska = sketches.kmv_sketch(a, "o_custkey", k=k, salt="kmvov")
+    skb = sketches.kmv_sketch(b, "o_custkey", k=k, salt="kmvov")
+    sku = sketches.kmv_merge(ska, skb, k=k)
+    stats = sku.agg(F.count(F.lit(1)).alias("n_u"), F.max("h").alias("h_k"))
+    m = sku.join(ska, "h").join(skb, "h").agg(F.count(F.lit(1)).alias("m"))
+    q = stats.crossJoin(m)
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 PROBES = {
     "tpch_q5_6way_join": probe_tpch_q5,
     "simhash_near_dup": probe_simhash,
@@ -1270,6 +1375,9 @@ PROBES = {
     "weighted_tdigest": probe_weighted_tdigest,
     "filtered_ann": probe_filtered_ann,
     "cdc_scd2": probe_cdc_scd2,
+    "sparse_cosine": probe_sparse_cosine,
+    "market_basket": probe_market_basket,
+    "kmv_overlap": probe_kmv_overlap,
 }
 
 
