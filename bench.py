@@ -195,6 +195,11 @@ HEADLINE = [
     "sketch_tdigest_weighted_median",
     "ann_ivf_filtered_topk",
     "cdc_scd2_roundtrip",
+    # 122 -> 125: KMV set-overlap estimate, sparse shingle-TF cosine join,
+    # market-basket lift mining (a-priori pruned)
+    "sketch_kmv_set_overlap",
+    "text_sparse_cosine_pairs",
+    "events_market_basket_pairs",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)
