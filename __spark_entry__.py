@@ -56,6 +56,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "sketch_kmv_set_overlap",  # birth
     "text_sparse_cosine_pairs",  # birth
     "events_market_basket_pairs",  # birth
+    "embedding_jl_projection",  # birth
+    "window_global_percent_rank",  # birth
     "sketch_tdigest_quantile_bounds",  # r9
     "agg_tdigest_grouped_p95",  # r9
     "ann_ivf_pq_recall_sweep",  # r9
@@ -98,8 +100,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_exact_documents",  # r1,r2,r3,r4
     "dedup_minhash_near_duplicates",  # r2,r3,r4
     "dedup_simhash_near_duplicates_stable",  # r2,r3,r4
-    "dedup_near_duplicate_clusters",  # r2,r3,r4
-    "ann_topk_quantized",  # r2,r3,r4
 )
 
 

@@ -200,6 +200,10 @@ HEADLINE = [
     "sketch_kmv_set_overlap",
     "text_sparse_cosine_pairs",
     "events_market_basket_pairs",
+    # 125 -> 127: JL random projection; global percent rank reshaped off
+    # the single-partition window
+    "embedding_jl_projection",
+    "window_global_percent_rank",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

@@ -1239,3 +1239,72 @@ def sparse_cosine_pairs(
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", F.col("dot").cast("long").alias("dot"), "cosine")
     )
+
+
+def jl_projection_rows(
+    seed: int = 41, out_dim: int = 16, in_dim: int = 64
+) -> list[tuple[int, int, int]]:
+    """Achlioptas (2003) sparse random-projection matrix as nonzero
+    (out_pos, in_pos, value) triples, value in {-1, +1}, each cell ±1
+    with probability 1/6 each and 0 with probability 2/3. Seeded and
+    plan-build-time deterministic — both the Spark operator and the
+    DuckDB oracle rebuild the IDENTICAL matrix from this function, the
+    same contract as the LSH hyperplane literals. (The 1/sqrt(k/3)
+    scale factor that makes it distance-preserving in expectation is
+    applied by CONSUMERS in float space; the operator keeps raw integer
+    sums so the dual certifies exactly.)"""
+    rng = random.Random(seed)
+    rows = []
+    for j in range(out_dim):
+        for d in range(in_dim):
+            u = rng.random()
+            if u < 1 / 6:
+                rows.append((j, d, 1))
+            elif u < 1 / 3:
+                rows.append((j, d, -1))
+    return rows
+
+
+def jl_project_quantized(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 41,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection of an embedding column to
+    ``out_dim`` integer components — the dimensionality reduction an
+    embedding pipeline applies before ANN sharding (JL lemma: pairwise
+    distances survive within (1±eps) for k = O(log n / eps^2); the
+    sparse Achlioptas matrix makes each output component a ±1 signed sum
+    of ~1/3 of the inputs).
+
+    Components are quantized ``round(v * scale)`` BIGINTs first (the
+    certified round-half-away idiom of ``quantize_int8_longform``), so
+    every projected component is an EXACT integer dot product — map-side
+    only, no shuffle, no UDF, whole-stage codegen; the matrix is inlined
+    as plan literals.
+
+    Adds a ``proj`` column (``array<long>`` of length ``out_dim``) to the
+    input frame, all other columns preserved.
+    """
+    q = quantize(F.col(vec_col), scale)
+    rows = jl_projection_rows(seed, out_dim, in_dim)
+    comps = []
+    for j in range(out_dim):
+        terms = [
+            F.element_at(F.col("_q"), d + 1) * F.lit(val)
+            for (jj, d, val) in rows
+            if jj == j
+        ]
+        comp = terms[0]
+        for t in terms[1:]:
+            comp = comp + t
+        comps.append(comp)
+    return (
+        df.withColumn("_q", q)
+        .withColumn("proj", F.array(*comps))
+        .drop("_q")
+    )

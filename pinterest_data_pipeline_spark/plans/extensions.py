@@ -2973,3 +2973,86 @@ def events_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lift",
         )
     )
+
+
+@query
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sparse random projection of the embedding
+    store (64 -> 16 dims, Achlioptas ±1 matrix,
+    :func:`~..operators.similarity.jl_project_quantized`) — the
+    dimensionality reduction that runs before ANN index sharding at
+    100 TB (JL: pairwise distances survive within (1±eps) at
+    k = O(log n / eps^2) target dims; the pytest pins the preservation
+    empirically). Components quantized to integers first, so every
+    projected value is an exact integer dot product in whole-stage
+    codegen — no shuffle, no UDF, matrix inlined as plan literals.
+    Output: per (label, out position) integer sums of the projected
+    components over the whole store plus vector counts — every vector's
+    full projection certifies through the aggregate.
+    """
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = similarity.jl_project_quantized(
+        emb.select("vec_id", "embedding", "label"),
+        id_col="vec_id",
+        vec_col="embedding",
+    )
+    return (
+        proj.select("label", F.posexplode("proj").alias("pos", "comp"))
+        .groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("comp").cast("long").alias("sum_comp"),
+            F.sum(F.abs(F.col("comp"))).cast("long").alias("sum_abs_comp"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+@query
+def window_global_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL percent_rank of every lineitem price WITHOUT the global
+    single-partition window — the CDF / quantile-rank feature transform
+    of ML preprocessing, reshaped for scale exactly like the weighted
+    median: ``percent_rank() OVER (ORDER BY price)`` moves every row
+    through ONE task, so instead aggregate to DISTINCT prices (fully
+    parallel, map-side combinable), run the cumulative count over the
+    bounded distinct-value domain (the only serial step — domain-sized,
+    not data-sized), and hash-join the per-value rank back to rows.
+    rank_lt (rows strictly below this price) is exact integer; the
+    certification aggregates per return flag with integer rank sums and
+    ONE float division site for the mean percent rank.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    counts = li.groupBy("l_extendedprice").agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.orderBy(F.col("l_extendedprice").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = counts.withColumn(
+        "rank_lt", F.sum("cnt").over(w) - F.col("cnt")
+    ).select("l_extendedprice", "rank_lt")
+    total = li.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        li.join(ranked, "l_extendedprice")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("rank_lt").cast("long").alias("sum_rank_lt"),
+        )
+        .crossJoin(total)
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "sum_rank_lt",
+            F.round(
+                F.col("sum_rank_lt")
+                / (F.col("n_rows") * (F.col("n_total") - 1)),
+                4,
+            ).alias("mean_pct_rank"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -3749,3 +3749,66 @@ oracle("events_market_basket_pairs")(
     LIMIT 20
     """
 )
+
+# The projection matrix is rebuilt from the SAME seeded generator the Spark
+# operator uses (the LSH-hyperplane contract); quantized components make
+# every projected value an exact integer dot product, so the per-label
+# integer sums certify bit-for-bit. DuckDB's paired unnest zips the value
+# list with its 1-based position list.
+from ..operators.similarity import jl_projection_rows as _jl_rows
+
+_JL_VALUES = ", ".join(f"({j}, {d + 1}, {v})" for j, d, v in _jl_rows())
+
+oracle("embedding_jl_projection")(
+    f"""
+    WITH m(j, d, r) AS (VALUES {_JL_VALUES}),
+    q AS (
+        SELECT vec_id, label,
+               unnest(generate_series(1, len(qe))) AS d,
+               unnest(qe) AS qv
+        FROM (
+            SELECT vec_id, label,
+                   list_transform(embedding,
+                                  v -> round(v::DOUBLE * 1000)::BIGINT) AS qe
+            FROM embeddings
+        )
+    ),
+    proj AS (
+        SELECT vec_id, label, m.j AS pos, sum(qv * m.r)::BIGINT AS comp
+        FROM q JOIN m ON m.d = q.d
+        GROUP BY vec_id, label, m.j
+    )
+    SELECT label, pos,
+           count(*)::BIGINT AS n_vectors,
+           sum(comp)::BIGINT AS sum_comp,
+           sum(abs(comp))::BIGINT AS sum_abs_comp
+    FROM proj GROUP BY label, pos ORDER BY label, pos
+    """
+)
+
+# Integer rank sums end to end; ONE float division site for the mean
+# percent rank, mirrored expression shape in both engines.
+oracle("window_global_percent_rank")(
+    """
+    WITH counts AS (
+        SELECT l_extendedprice, count(*)::BIGINT AS cnt
+        FROM lineitem GROUP BY l_extendedprice
+    ),
+    ranked AS (
+        SELECT l_extendedprice,
+               (sum(cnt) OVER (ORDER BY l_extendedprice ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - cnt)::BIGINT AS rank_lt
+        FROM counts
+    ),
+    total AS (SELECT count(*)::BIGINT AS n_total FROM lineitem)
+    SELECT l_returnflag,
+           count(*)::BIGINT AS n_rows,
+           sum(rank_lt)::BIGINT AS sum_rank_lt,
+           round(sum(rank_lt)::BIGINT / (count(*) * (n_total - 1)), 4)
+               AS mean_pct_rank
+    FROM lineitem JOIN ranked USING (l_extendedprice) CROSS JOIN total
+    GROUP BY l_returnflag, n_total
+    ORDER BY l_returnflag
+    """
+)

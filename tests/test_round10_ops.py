@@ -457,3 +457,94 @@ def test_market_basket_pair_counts_and_lift(spark):
     # A in 4 orders, B in 4, C in 2; N=6. AB: c=3 lift=3*6/16; support-1
     # pairs AC and BC are dropped.
     assert out == {(1, 2): (3, round(18 / 16, 4))}
+
+
+# --- JL random projection ---------------------------------------------------
+
+
+def test_jl_projection_matches_numpy_and_preserves_distances(spark):
+    """Projected components are the exact integer matrix-vector products,
+    and scaled pairwise distances land within the JL band on a planted
+    set (sqrt(3/k) scale for the sparse ±1 matrix)."""
+    import math
+    import numpy as np
+
+    from pinterest_data_pipeline_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(12, 64)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r.vec_id: list(r.proj)
+        for r in similarity.jl_project_quantized(df).collect()
+    }
+    # exact integer reference
+    q = np.round(vecs.astype("float64") * 1000)
+    R = np.zeros((16, 64))
+    for j, d, v in similarity.jl_projection_rows():
+        R[j, d] = v
+    for i in range(12):
+        assert out[i] == [int(x) for x in (R @ q[i])], i
+    # JL distance preservation: sqrt(3/16)-scaled projected distances
+    # within a loose (1 ± 0.6) band of the originals (k=16 is tiny)
+    scale = math.sqrt(3.0 / 16.0) / 1000.0
+    for i in range(12):
+        for j in range(i + 1, 12):
+            orig = float(np.linalg.norm(q[i] - q[j])) / 1000.0
+            prj = (
+                float(np.linalg.norm((R @ q[i]) - (R @ q[j]))) * scale
+            )
+            assert 0.4 * orig <= prj <= 1.6 * orig, (i, j, orig, prj)
+
+
+def test_jl_projection_matrix_every_output_dim_populated():
+    from pinterest_data_pipeline_spark.operators import similarity
+
+    rows = similarity.jl_projection_rows()
+    used = {j for j, _, _ in rows}
+    assert used == set(range(16))
+    # Achlioptas density ~1/3 of 1024 cells
+    assert 250 <= len(rows) <= 430, len(rows)
+
+
+# --- global percent rank without a global window ----------------------------
+
+
+def test_global_percent_rank_matches_window_function(spark):
+    """The distinct-value reshape reproduces percent_rank() semantics
+    exactly: mean_pct_rank per group == avg of the window function
+    (ties share the first row's rank in BOTH formulations)."""
+    import random as _random
+
+    from pyspark.sql import Window as W
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+    import tempfile, os
+
+    rng = _random.Random(3)
+    rows = [
+        (rng.choice("ABC"), float(rng.choice([10, 10, 20, 30, 30, 30, 40])))
+        for _ in range(500)
+    ]
+    li = spark.createDataFrame(rows, "l_returnflag string, l_extendedprice double")
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        got = {
+            r.l_returnflag: (r.n_rows, r.sum_rank_lt, r.mean_pct_rank)
+            for r in QUERIES["window_global_percent_rank"](spark, d).collect()
+        }
+    pr = li.withColumn(
+        "pr", F.percent_rank().over(W.orderBy("l_extendedprice"))
+    )
+    want = {
+        r.l_returnflag: (r.n, round(r.m, 4))
+        for r in pr.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("pr").alias("m"))
+        .collect()
+    }
+    for flag, (n_rows, _, mean_pr) in got.items():
+        assert (n_rows, mean_pr) == want[flag], flag

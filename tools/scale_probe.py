@@ -1316,6 +1316,52 @@ def probe_kmv_overlap(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
+
+def probe_jl_projection(spark, mult: int) -> float:
+    """JL projection at mult x embeddings: pure map-side integer
+    arithmetic — wall should track the scan exactly."""
+    from pinterest_data_pipeline_spark.operators import similarity
+
+    emb = multiply(load_table(spark, SF, "embeddings"), mult, ["vec_id"])
+    proj = similarity.jl_project_quantized(emb.select("vec_id", "embedding", "label"))
+    q = proj.select("label", F.posexplode("proj").alias("pos", "comp")).groupBy(
+        "label", "pos"
+    ).agg(F.sum("comp").alias("s"), F.count(F.lit(1)).alias("n"))
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_percent_rank(spark, mult: int) -> float:
+    """Global percent rank at mult x lineitem: the distinct-price window
+    input is CONSTANT while row volume grows — the whole point of the
+    reshape (the serial step is domain-sized, not data-sized)."""
+    from pyspark.sql import Window as SqlWindow
+
+    li = multiply(
+        load_table(spark, SF, "lineitem").select("l_returnflag", "l_extendedprice", "l_orderkey"),
+        mult,
+        ["l_orderkey"],
+    ).select("l_returnflag", "l_extendedprice")
+    counts = li.groupBy("l_extendedprice").agg(F.count(F.lit(1)).alias("cnt"))
+    w = SqlWindow.orderBy(F.col("l_extendedprice").asc()).rowsBetween(
+        SqlWindow.unboundedPreceding, SqlWindow.currentRow
+    )
+    ranked = counts.withColumn("rank_lt", F.sum("cnt").over(w) - F.col("cnt")).select(
+        "l_extendedprice", "rank_lt"
+    )
+    total = li.agg(F.count(F.lit(1)).alias("n_total"))
+    q = (
+        li.join(ranked, "l_extendedprice")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("rank_lt").alias("s"))
+        .crossJoin(total)
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 PROBES = {
     "tpch_q5_6way_join": probe_tpch_q5,
     "simhash_near_dup": probe_simhash,
@@ -1378,6 +1424,8 @@ PROBES = {
     "sparse_cosine": probe_sparse_cosine,
     "market_basket": probe_market_basket,
     "kmv_overlap": probe_kmv_overlap,
+    "jl_projection": probe_jl_projection,
+    "percent_rank": probe_percent_rank,
 }
 
 
