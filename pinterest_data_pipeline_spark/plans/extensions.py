@@ -3056,3 +3056,23 @@ def window_global_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query
+def streaming_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once counts over an at-least-once source, certified from
+    the driver: two event-time-ordered file batches with planted replays
+    (every fifth event delivered twice) stream through
+    ``dropDuplicatesWithinWatermark`` + update-mode counting aggregate +
+    keyed upsert sink; the maintained table must equal the oracle's
+    batch rollup over DISTINCT events — the streaming-T2 twin the
+    roster's pytest covers, promoted to a driver-certified query.
+    """
+    from ..streaming import pipeline as streaming_pipeline
+
+    out = streaming_pipeline.availablenow_dedup_rollup(
+        spark, sf_dir, _work_dir(sf_dir, "_streaming_dedup")
+    )
+    return out.select(
+        "day", "event_type", F.col("event_count").cast("long")
+    ).orderBy("day", "event_type")

@@ -3812,3 +3812,17 @@ oracle("window_global_percent_rank")(
     ORDER BY l_returnflag
     """
 )
+
+# The stream plants each event_id % 5 == 0 row twice per batch; exactly-once
+# dedup means the maintained table equals the rollup over the ORIGINAL
+# events (count(*) of distinct event rows — event_id is unique in source).
+oracle("streaming_dedup_rollup")(
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           count(*)::BIGINT AS event_count
+    FROM events
+    GROUP BY day, event_type
+    ORDER BY day, event_type
+    """
+)

@@ -1027,3 +1027,70 @@ def availablenow_session_rollup(
         )
         query.awaitTermination()
     return spark.read.parquet(out_dir).filter(F.col("user_id") >= 0)
+
+
+def availablenow_dedup_rollup(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """Exactly-once rollup over an AT-LEAST-ONCE source, driven end-to-end
+    as a bounded run: events arrive in two event-time-ordered file
+    batches, each polluted with planted replays (every event_id % 5 == 0
+    row appears twice in its batch — the duplicate delivery a Kinesis/
+    Kafka consumer contract allows), pass through
+    ``dropDuplicatesWithinWatermark`` keyed on event_id, and feed the
+    update-mode day x type counting aggregate through the keyed upsert
+    sink. The final table must equal the batch DISTINCT-event rollup —
+    a green row certifies the dedup absorbed every replay and dropped
+    nothing real.
+
+    100 TB posture: dedup state holds only event_ids younger than the
+    watermark delay (eviction is the operator's whole point — unlike
+    plain streaming ``dropDuplicates``, whose state grows forever); the
+    time-ordered batch split keeps every replay inside the watermark so
+    nothing is late-dropped, which is exactly the delivery guarantee a
+    log-ordered source provides. Downstream the upsert rewrites only the
+    keys the new files touched, as in ``availablenow_incremental_rollup``.
+    """
+    import shutil
+
+    from ..session import load_table
+
+    if os.path.exists(work_dir):
+        shutil.rmtree(work_dir)
+    src = os.path.join(work_dir, "src")
+    table_dir = os.path.join(work_dir, "state", "dedup_rollup")
+    ckpt_dir = os.path.join(work_dir, "checkpoints", "dedup_rollup")
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    if lo is None:
+        return events.select(
+            F.to_date("ts").alias("day"), "event_type"
+        ).groupBy("day", "event_type").agg(F.count(F.lit(1)).alias("event_count"))
+    mid_ts = lo + (hi - lo) / 2
+    for chunk in (
+        events.filter(F.col("ts") <= F.lit(mid_ts)),
+        events.filter(F.col("ts") > F.lit(mid_ts)),
+    ):
+        noisy = chunk.unionByName(chunk.filter(F.col("event_id") % 5 == 0))
+        noisy.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        deduped = stream.withWatermark("ts", "7 days").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        rollup = (
+            deduped.withColumn("day", F.to_date(F.date_trunc("day", F.col("ts"))))
+            .groupBy("day", "event_type")
+            .agg(F.count(F.lit(1)).alias("event_count"))
+        )
+        query = upsert_sink(
+            rollup,
+            table_dir,
+            ckpt_dir,
+            keys=["day", "event_type"],
+            available_now=True,
+        )
+        query.awaitTermination()
+    return spark.read.parquet(table_dir)

@@ -548,3 +548,42 @@ def test_global_percent_rank_matches_window_function(spark):
     }
     for flag, (n_rows, _, mean_pr) in got.items():
         assert (n_rows, mean_pr) == want[flag], flag
+
+
+# --- streaming exactly-once dedup -------------------------------------------
+
+
+def test_streaming_dedup_rollup_absorbs_replays(spark, tmp_path):
+    """The at-least-once drive really delivers duplicates (raw source rows
+    > distinct events), yet the maintained table equals the batch rollup
+    over the ORIGINAL events — exactly-once end to end."""
+    import os
+
+    from pinterest_data_pipeline_spark.streaming.pipeline import (
+        availablenow_dedup_rollup,
+    )
+    from pinterest_data_pipeline_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    work = str(tmp_path / "dedup_rollup")
+    out = availablenow_dedup_rollup(spark, sf, work)
+
+    events = load_table(spark, sf, "events").select("event_id", "ts", "event_type")
+    n_events = events.count()
+    raw = spark.read.parquet(os.path.join(work, "src"))
+    assert raw.count() > n_events  # replays were actually delivered
+    assert raw.count() == n_events + events.filter(F.col("event_id") % 5 == 0).count()
+
+    want = {
+        (str(r.day), r.event_type): r.n
+        for r in events.selectExpr(
+            "cast(date_trunc('day', ts) as date) as day", "event_type"
+        )
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {
+        (str(r.day), r.event_type): r.event_count for r in out.collect()
+    }
+    assert got == want
