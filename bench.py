@@ -204,6 +204,8 @@ HEADLINE = [
     # the single-partition window
     "embedding_jl_projection",
     "window_global_percent_rank",
+    # 127 -> 128: FastSS deletion-neighborhood fuzzy join
+    "join_fuzzy_deletion_neighbors",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

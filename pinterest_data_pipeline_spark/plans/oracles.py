@@ -3826,3 +3826,26 @@ oracle("streaming_dedup_rollup")(
     ORDER BY day, event_type
     """
 )
+
+# Exhaustive dual (length-filtered brute force — |len diff| > 1 implies
+# d > 1, so the filter is lossless): a hash match proves the deletion-
+# neighborhood candidate index missed no pair at d <= 1.
+oracle("join_fuzzy_deletion_neighbors")(
+    """
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+    typos AS (
+        SELECT name || 'x' AS name FROM names
+        WHERE CAST(('0x' || substring(md5(name || 'typo'), 1, 8)) AS UBIGINT)
+              % 8 = 0
+    ),
+    corpus AS (SELECT DISTINCT name FROM
+               (SELECT name FROM names UNION ALL SELECT name FROM typos))
+    SELECT a.name AS val_a, b.name AS val_b,
+           levenshtein(a.name, b.name)::INT AS edit_distance
+    FROM corpus a JOIN corpus b
+      ON a.name < b.name
+     AND abs(len(a.name) - len(b.name)) <= 1
+     AND levenshtein(a.name, b.name) <= 1
+    ORDER BY val_a, val_b
+    """
+)

@@ -1823,3 +1823,32 @@ def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+@query
+def join_fuzzy_deletion_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spelling-variant entity resolution at edit distance 1 via FastSS
+    deletion neighborhoods (:func:`~..operators.joins.
+    deletion_neighborhood_join`) — the exact, candidate-bounded twin of
+    the length-blocked ``join_fuzzy_part_names``: candidates arise only
+    from actual shared deletion variants, so the join scales with true
+    near-matches instead of the length histogram. The corpus is the
+    distinct part names plus DETERMINISTIC planted typos (names whose
+    md5 lands in a 1-in-8 bucket get a trailing 'x' variant — the
+    SKU-typo population an entity-resolution pass exists to catch);
+    the oracle finds every pair by length-filtered brute force, so the
+    hash match PROVES the neighborhood index lossless at d <= 1.
+    """
+    from ..operators.joins import deletion_neighborhood_join
+    from ..operators.sampling import uniform_hash
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    bucket = uniform_hash(F.col("name"), "typo") % 8
+    typos = names.filter(bucket == 0).select(
+        F.concat(F.col("name"), F.lit("x")).alias("name")
+    )
+    corpus = names.unionByName(typos).distinct()
+    return deletion_neighborhood_join(corpus, "name").orderBy(
+        "val_a", "val_b"
+    )

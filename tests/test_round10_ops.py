@@ -587,3 +587,78 @@ def test_streaming_dedup_rollup_absorbs_replays(spark, tmp_path):
         (str(r.day), r.event_type): r.event_count for r in out.collect()
     }
     assert got == want
+
+
+def test_market_basket_hot_basket_stress(spark):
+    """The family's adversary is one enormous basket: a 2000-item order
+    fans out ~2M pair rows (O(basket^2) is the documented contract —
+    production caps basket size upstream). It must complete with exact
+    counts: the planted pair that co-occurs elsewhere keeps its exact
+    support, and hot-basket-only pairs die at the support filter when
+    they appear once."""
+    import tempfile, os
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    hot = [(1, p, 0) for p in range(1, 2001)]  # one 2000-item basket
+    # parts 1 and 2 also co-occur in two small orders -> c_pair(1,2) = 3
+    rows = hot + [(2, 1, 0), (2, 2, 0), (3, 1, 0), (3, 2, 0)]
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_linenumber long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        out = {
+            (r.part_a, r.part_b): r.c_pair
+            for r in QUERIES["events_market_basket_pairs"](spark, d).collect()
+        }
+    assert out[(1, 2)] == 3
+    # every returned pair has support >= 2; hot-only pairs (support 1) gone
+    assert all(c >= 2 for c in out.values())
+    assert (3, 4) not in out
+
+
+# --- FastSS deletion-neighborhood join ---------------------------------------
+
+
+def test_deletion_neighborhood_join_complete_at_d1(spark):
+    """All three edit kinds are caught (insertion, deletion, substitution
+    — the completeness cases of the FastSS construction), d=2 pairs are
+    rejected by the verify, and the result equals brute force."""
+    from pinterest_data_pipeline_spark.operators.joins import (
+        deletion_neighborhood_join,
+    )
+
+    vals = [
+        "kettle", "kettles",   # insertion
+        "kettl",               # deletion
+        "kattle",              # substitution
+        "cattle",              # substitution of kattle; d2 from kettle
+        "zebra",               # unrelated
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "name string")
+    got = {
+        (r.val_a, r.val_b): r.edit_distance
+        for r in deletion_neighborhood_join(df, "name").collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {
+        (a, b): 1
+        for a, b in itertools.combinations(sorted(vals), 2)
+        if lev(a, b) <= 1
+    }
+    assert got == want
+    assert ("kettle", "kettles") in got and ("kattle", "kettle") in got
+    assert ("cattle", "kettle") not in got  # d=2 rejected

@@ -1362,6 +1362,35 @@ def probe_percent_rank(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
+
+def probe_deletion_join(spark, mult: int) -> float:
+    """FastSS deletion-neighborhood join at mult x distinct part names
+    (copy-tagged prefixes keep families within-copy; every copy plants
+    its own typo population, so true pairs grow linearly)."""
+    from pinterest_data_pipeline_spark.operators.joins import (
+        deletion_neighborhood_join,
+    )
+    from pinterest_data_pipeline_spark.operators.sampling import uniform_hash
+
+    base = load_table(spark, SF, "part").select(
+        F.col("p_name").alias("name")
+    ).distinct()
+    parts = []
+    for i in range(mult):
+        parts.append(base.select(F.concat(F.lit(f"c{i}_"), F.col("name")).alias("name")))
+    names = parts[0]
+    for q in parts[1:]:
+        names = names.unionByName(q)
+    typos = names.filter(uniform_hash(F.col("name"), "typo") % 8 == 0).select(
+        F.concat(F.col("name"), F.lit("x")).alias("name")
+    )
+    corpus = names.unionByName(typos).distinct()
+    q = deletion_neighborhood_join(corpus, "name")
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 PROBES = {
     "tpch_q5_6way_join": probe_tpch_q5,
     "simhash_near_dup": probe_simhash,
@@ -1426,6 +1455,7 @@ PROBES = {
     "kmv_overlap": probe_kmv_overlap,
     "jl_projection": probe_jl_projection,
     "percent_rank": probe_percent_rank,
+    "deletion_join": probe_deletion_join,
 }
 
 
