@@ -1198,11 +1198,17 @@ def sparse_cosine_pairs(
             F.explode(F.split(F.col(text_col), " ")).alias("tok"),
         ).filter(F.col("tok") != "")
     tf = toks.groupBy("_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # shuffle_hash, never broadcast: the surviving-term list grows WITH the
+    # vocabulary (data-sized, not dimension-sized), so letting the planner
+    # broadcast it works at test scale and kills the driver at corpus scale
+    # (measured: the 128x probe OOM'd the broadcast build before this hint).
+    # The tok-keyed shuffle also co-partitions `kept` for the self-join below.
     rare = (
         tf.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= max_df)
         .select("tok")
+        .hint("shuffle_hash")
     )
     kept = tf.join(rare, "tok")
     norms = kept.groupBy("_id").agg(
@@ -1220,13 +1226,18 @@ def sparse_cosine_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
     )
+    # norms is one row per document — corpus-sized, same no-broadcast rule
     return (
         dots.join(
-            norms.select(F.col("_id").alias("id_a"), F.col("norm_sq").alias("na")),
+            norms.select(
+                F.col("_id").alias("id_a"), F.col("norm_sq").alias("na")
+            ).hint("shuffle_hash"),
             "id_a",
         )
         .join(
-            norms.select(F.col("_id").alias("id_b"), F.col("norm_sq").alias("nb")),
+            norms.select(
+                F.col("_id").alias("id_b"), F.col("norm_sq").alias("nb")
+            ).hint("shuffle_hash"),
             "id_b",
         )
         .withColumn(
