@@ -60,6 +60,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "window_global_percent_rank",  # birth
     "streaming_dedup_rollup",  # birth
     "join_fuzzy_deletion_neighbors",  # birth
+    "scd2_temporal_fact_join",  # birth
     "sketch_tdigest_quantile_bounds",  # r9
     "agg_tdigest_grouped_p95",  # r9
     "ann_ivf_pq_recall_sweep",  # r9
@@ -99,7 +100,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "top_k_orders",  # r1,r2,r3,r4
     "text_analysis_battery",  # r2,r3,r4
     "text_bpe_token_counts",  # r2,r3,r4
-    "dedup_exact_documents",  # r1,r2,r3,r4
 )
 
 

@@ -206,6 +206,8 @@ HEADLINE = [
     "window_global_percent_rank",
     # 127 -> 128: FastSS deletion-neighborhood fuzzy join
     "join_fuzzy_deletion_neighbors",
+    # 128 -> 129: fact-to-SCD2 temporal join
+    "scd2_temporal_fact_join",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

@@ -3849,3 +3849,44 @@ oracle("join_fuzzy_deletion_neighbors")(
     ORDER BY val_a, val_b
     """
 )
+
+# Fact-to-SCD2 temporal join: history rebuilt via the change-point CTE
+# (identical re-observations collapse), half-open containment, integer
+# cents divided at one site.
+oracle("scd2_temporal_fact_join")(
+    """
+    WITH snaps AS (
+        SELECT c_custkey, c_mktsegment, DATE '1990-01-01' AS snap_ts FROM customer
+        UNION ALL
+        SELECT c_custkey, 'NEW-' || c_mktsegment, DATE '1997-01-01'
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, 'NEW-' || c_mktsegment, DATE '1999-01-01'
+        FROM customer WHERE c_custkey % 3 = 0
+    ), flagged AS (
+        SELECT *, lag(c_mktsegment) OVER (PARTITION BY c_custkey ORDER BY snap_ts) AS prev
+        FROM snaps
+    ), changes AS (
+        SELECT c_custkey, c_mktsegment, snap_ts
+        FROM flagged WHERE prev IS NULL OR prev <> c_mktsegment
+    ), hist AS (
+        SELECT c_custkey, c_mktsegment,
+               snap_ts AS valid_from,
+               coalesce(lead(snap_ts) OVER (PARTITION BY c_custkey ORDER BY snap_ts),
+                        DATE '9999-12-31') AS valid_to
+        FROM changes
+    )
+    SELECT h.c_mktsegment,
+           year(o.o_orderdate)::INT AS order_year,
+           count(*)::BIGINT AS n_orders,
+           round(sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT / 100.0, 2)
+               AS revenue
+    FROM orders o
+    JOIN hist h
+      ON o.o_custkey = h.c_custkey
+     AND o.o_orderdate::DATE >= h.valid_from
+     AND o.o_orderdate::DATE <  h.valid_to
+    GROUP BY h.c_mktsegment, order_year
+    ORDER BY h.c_mktsegment, order_year
+    """
+)

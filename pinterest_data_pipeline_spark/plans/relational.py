@@ -1852,3 +1852,75 @@ def join_fuzzy_deletion_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame
     return deletion_neighborhood_join(corpus, "name").orderBy(
         "val_a", "val_b"
     )
+
+
+@query
+def scd2_temporal_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-SCD2 temporal join — the warehouse pattern behind every
+    "metric by attribute AS OF the event" readout: each order joins the
+    customer-segment version valid AT ITS ORDER DATE (equi-key on
+    custkey + half-open [valid_from, valid_to) containment — the same
+    convention ``scd2_asof_segments`` pins: an order ON the change
+    instant reads the NEW version). Dimension history: v1 1990-01-01
+    (every customer), v2 1997-01-01 (every third re-segmented — mid
+    order range, so both versions receive facts), v3 1999-01-01
+    identical re-observation (must collapse, proving the join never
+    double-matches). Physical shape: hash join on the key with the
+    interval predicate as a join filter; revenue accumulates as integer
+    cents, divided back at one site.
+    """
+    from ..operators.merge import scd2_history
+
+    customer = load_table(spark, sf_dir, "customer")
+    v1 = customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1990-01-01").cast("date").alias("snap_ts"),
+    )
+    changed = customer.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("NEW-"), F.col("c_mktsegment")).alias("c_mktsegment"),
+    )
+    v2 = changed.withColumn("snap_ts", F.lit("1997-01-01").cast("date"))
+    v3 = changed.withColumn("snap_ts", F.lit("1999-01-01").cast("date"))
+    hist = scd2_history(
+        v1.unionByName(v2).unionByName(v3),
+        "c_custkey",
+        "snap_ts",
+        ["c_mktsegment"],
+    )
+    dim = hist.select(
+        "c_custkey",
+        "c_mktsegment",
+        "valid_from",
+        F.coalesce(
+            F.col("valid_to"), F.lit("9999-12-31").cast("date")
+        ).alias("valid_to"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("order_date"), "o_totalprice"
+    )
+    joined = orders.join(
+        dim,
+        (orders["o_custkey"] == dim["c_custkey"])
+        & (F.col("order_date") >= F.col("valid_from"))
+        & (F.col("order_date") < F.col("valid_to")),
+    )
+    return (
+        joined.groupBy(
+            "c_mktsegment", F.year("order_date").alias("order_year")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+        .select(
+            "c_mktsegment",
+            "order_year",
+            F.col("n_orders").cast("long"),
+            F.round(F.col("revenue_cents") / 100.0, 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment", "order_year")
+    )

@@ -662,3 +662,44 @@ def test_deletion_neighborhood_join_complete_at_d1(spark):
     assert got == want
     assert ("kettle", "kettles") in got and ("kattle", "kettle") in got
     assert ("cattle", "kettle") not in got  # d=2 rejected
+
+
+# --- fact-to-SCD2 temporal join ----------------------------------------------
+
+
+def test_scd2_temporal_join_partitions_facts_exactly_once(spark):
+    """Every fact matches EXACTLY one dimension interval (intervals
+    partition the axis from v1 on), the at-change-instant order reads
+    the NEW version, and the identical v3 re-observation creates no
+    interval (no double matches)."""
+    from pinterest_data_pipeline_spark.operators.merge import scd2_history
+
+    v = [
+        (1, "A", "1990-01-01"), (1, "NEW-A", "1997-01-01"),
+        (1, "NEW-A", "1999-01-01"),  # identical re-observation
+        (2, "B", "1990-01-01"),
+    ]
+    snaps = spark.createDataFrame(
+        v, "c_custkey long, c_mktsegment string, snap_ts string"
+    ).withColumn("snap_ts", F.col("snap_ts").cast("date"))
+    hist = scd2_history(snaps, "c_custkey", "snap_ts", ["c_mktsegment"])
+    dim = hist.select(
+        "c_custkey", "c_mktsegment", "valid_from",
+        F.coalesce(F.col("valid_to"), F.lit("9999-12-31").cast("date")).alias("valid_to"),
+    )
+    facts = spark.createDataFrame(
+        [(1, "1996-12-31"), (1, "1997-01-01"), (1, "2000-06-01"), (2, "1995-01-01")],
+        "o_custkey long, d string",
+    ).withColumn("d", F.col("d").cast("date"))
+    j = facts.join(
+        dim,
+        (facts["o_custkey"] == dim["c_custkey"])
+        & (F.col("d") >= F.col("valid_from"))
+        & (F.col("d") < F.col("valid_to")),
+    )
+    rows = {(r.o_custkey, str(r.d)): r.c_mktsegment for r in j.collect()}
+    assert j.count() == facts.count()  # exactly-once: no loss, no dup
+    assert rows[(1, "1996-12-31")] == "A"
+    assert rows[(1, "1997-01-01")] == "NEW-A"   # at-instant reads NEW
+    assert rows[(1, "2000-06-01")] == "NEW-A"   # v3 collapsed, still one row
+    assert rows[(2, "1995-01-01")] == "B"
