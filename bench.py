@@ -208,6 +208,8 @@ HEADLINE = [
     "join_fuzzy_deletion_neighbors",
     # 128 -> 129: fact-to-SCD2 temporal join
     "scd2_temporal_fact_join",
+    # 129 -> 130: Pareto skyline
+    "agg_pareto_skyline",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

@@ -3890,3 +3890,28 @@ oracle("scd2_temporal_fact_join")(
     ORDER BY h.c_mktsegment, order_year
     """
 )
+
+# Independent dual: dominance stated directly (NOT EXISTS a strictly
+# better point) over the same per-price collapse — certifies the Spark
+# side's sort-based window formulation against the DEFINITION.
+oracle("agg_pareto_skyline")(
+    """
+    WITH pts AS (
+        SELECT p_retailprice AS price, max(p_size) AS size
+        FROM part GROUP BY p_retailprice
+    ),
+    sky AS (
+        SELECT price, size FROM pts b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pts a
+            WHERE a.price <= b.price AND a.size >= b.size
+              AND (a.price < b.price OR a.size > b.size)
+        )
+    )
+    SELECT s.price, s.size::INT AS size, count(*)::BIGINT AS n_parts
+    FROM sky s JOIN part p
+      ON p.p_retailprice = s.price AND p.p_size = s.size
+    GROUP BY s.price, s.size
+    ORDER BY s.price
+    """
+)

@@ -1924,3 +1924,44 @@ def scd2_temporal_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "order_year")
     )
+
+
+@query
+def agg_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline (non-dominated frontier) of parts on (minimize
+    retail price, maximize size) — the multi-objective shortlist query
+    (BNL/skyline operator of the classic literature), reshaped for scale
+    like the percent-rank transform: collapse to one candidate per price
+    (same-price smaller sizes are strictly dominated, so
+    ``groupBy(price).max(size)`` is a lossless, fully parallel
+    pre-filter), then one cumulative-max window over the DISTINCT-price
+    domain (bounded, not data-sized) keeps exactly the points whose size
+    strictly exceeds every cheaper point's best — the textbook sort-
+    based skyline, with dominance proven by the oracle's independent
+    NOT-EXISTS formulation rather than mirrored construction. A final
+    join counts the parts sitting ON each frontier point.
+    """
+    part = load_table(spark, sf_dir, "part")
+    pts = part.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("size")
+    )
+    w = (
+        Window.orderBy(F.col("price").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky = (
+        pts.withColumn("best_prev", F.max("size").over(w))
+        .filter(F.col("best_prev").isNull() | (F.col("size") > F.col("best_prev")))
+        .select("price", "size")
+    )
+    return (
+        sky.join(
+            part,
+            (sky["price"] == part["p_retailprice"])
+            & (sky["size"] == part["p_size"]),
+        )
+        .groupBy("price", "size")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .select("price", F.col("size").cast("int"), F.col("n_parts").cast("long"))
+        .orderBy("price")
+    )

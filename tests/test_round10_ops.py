@@ -703,3 +703,35 @@ def test_scd2_temporal_join_partitions_facts_exactly_once(spark):
     assert rows[(1, "1997-01-01")] == "NEW-A"   # at-instant reads NEW
     assert rows[(1, "2000-06-01")] == "NEW-A"   # v3 collapsed, still one row
     assert rows[(2, "1995-01-01")] == "B"
+
+
+# --- Pareto skyline -----------------------------------------------------------
+
+
+def test_pareto_skyline_matches_bruteforce(spark):
+    """Window-formulated skyline == brute-force dominance on a planted
+    frontier with ties at a point, a same-price dominated row, and an
+    interior dominated point."""
+    import tempfile, os
+
+    from pinterest_data_pipeline_spark.plans import relational  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rows = [  # (price, size)
+        (1.0, 5), (1.0, 3),       # (1,3) dominated by same-price (1,5)
+        (2.0, 7), (2.0, 7),       # frontier point with 2 parts
+        (3.0, 6),                 # interior: pricier AND smaller than (2,7)
+        (4.0, 9),
+        (5.0, 9),                 # dominated: same size, pricier
+    ]
+    part = spark.createDataFrame(
+        [(i, p, s) for i, (p, s) in enumerate(rows)],
+        "p_partkey long, p_retailprice double, p_size int",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        part.write.parquet(os.path.join(d, "part.parquet"))
+        got = {
+            (r.price, r.size): r.n_parts
+            for r in QUERIES["agg_pareto_skyline"](spark, d).collect()
+        }
+    assert got == {(1.0, 5): 1, (2.0, 7): 2, (4.0, 9): 1}
