@@ -210,6 +210,8 @@ HEADLINE = [
     "scd2_temporal_fact_join",
     # 129 -> 130: Pareto skyline
     "agg_pareto_skyline",
+    # 130 -> 131: degree-oriented triangle counting
+    "graph_triangle_count",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

@@ -3915,3 +3915,41 @@ oracle("agg_pareto_skyline")(
     ORDER BY s.price
     """
 )
+
+# Independent dual: triangles counted on the UNDIRECTED a<b edge list by
+# the canonical x<y<z triple join (no orientation machinery) — certifies
+# the degree-oriented wedge-closing count against the definition.
+oracle("graph_triangle_count")(
+    """
+    WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT a.l_partkey AS a, b.l_partkey AS b
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    ),
+    deg AS (
+        SELECT n, count(*)::BIGINT AS deg FROM (
+            SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e
+        ) GROUP BY n
+    ),
+    tri AS (
+        SELECT count(*)::BIGINT AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    agg AS (
+        SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+               (SELECT count(*) FROM e)::BIGINT AS n_edges,
+               (SELECT sum(deg * (deg - 1))::BIGINT // 2 FROM deg)::BIGINT
+                   AS n_wedges
+    )
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges > 0
+                THEN round(3.0 * n_triangles / n_wedges, 4)
+                ELSE 0.0 END AS clustering_coef
+    FROM agg, tri
+    """
+)

@@ -735,3 +735,37 @@ def test_pareto_skyline_matches_bruteforce(spark):
             for r in QUERIES["agg_pareto_skyline"](spark, d).collect()
         }
     assert got == {(1.0, 5): 1, (2.0, 7): 2, (4.0, 9): 1}
+
+
+# --- triangle counting --------------------------------------------------------
+
+
+def test_triangle_count_planted_graph(spark):
+    """Degree-oriented wedge closing counts each triangle exactly once:
+    K4 (4 triangles) + a pendant path (0) + a separate triangle = 5,
+    wedges and clustering coefficient exact."""
+    import tempfile, os
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    # co-occurrence >= 2 makes an edge: emit each desired edge in TWO orders
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    extra = [(5, 6), (6, 7), (7, 8), (8, 9), (9, 7)]  # path + triangle {7,8,9}
+    rows = []
+    order = 0
+    for (a, b) in k4 + extra:
+        for _ in range(2):  # two co-orders -> support 2
+            order += 1
+            rows += [(order, a, 0), (order, b, 1)]
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_linenumber long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        r = QUERIES["graph_triangle_count"](spark, d).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (9, 11, 5)
+    # wedges: K4 nodes deg3 -> 4*3 = 12; path/tri degs: 5:1,6:2,7:3,8:2,9:2
+    # -> 0+1+3+1+1 = 6; total 18
+    assert r.n_wedges == 18
+    assert r.clustering_coef == round(3.0 * 5 / 18, 4)
