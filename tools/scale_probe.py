@@ -1391,6 +1391,52 @@ def probe_deletion_join(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
+
+def probe_triangles(spark, mult: int) -> float:
+    """Degree-oriented triangle count at mult x lineitem (orders axis:
+    more baskets -> denser support-2 co-occurrence graph; the oriented
+    wedge join's fan-out stays bounded by out-degree)."""
+    li = multiply(
+        load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey"),
+        mult,
+        ["l_orderkey"],
+    )
+    baskets = li.distinct()
+    edges = (
+        baskets.select("l_orderkey", F.col("l_partkey").alias("a"))
+        .join(baskets.select("l_orderkey", F.col("l_partkey").alias("b")), "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("a", "b")
+    )
+    deg = (
+        edges.select(F.col("a").alias("n"))
+        .unionByName(edges.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    keyed = deg.select("n", (F.col("deg") * F.lit(1 << 40) + F.col("n")).alias("okey"))
+    ek = (
+        edges.join(keyed.withColumnRenamed("n", "a").withColumnRenamed("okey", "ka"), "a")
+        .join(keyed.withColumnRenamed("n", "b").withColumnRenamed("okey", "kb"), "b")
+        .select(
+            F.when(F.col("ka") < F.col("kb"), F.col("ka")).otherwise(F.col("kb")).alias("src"),
+            F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("dst"),
+        )
+    )
+    wedges = (
+        ek.alias("x").join(ek.alias("y"), F.col("x.src") == F.col("y.src"))
+        .filter(F.col("x.dst") < F.col("y.dst"))
+        .select(F.col("x.dst").alias("src"), F.col("y.dst").alias("dst"))
+    )
+    q = wedges.join(ek, ["src", "dst"]).agg(F.count(F.lit(1)).alias("t"))
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 PROBES = {
     "tpch_q5_6way_join": probe_tpch_q5,
     "simhash_near_dup": probe_simhash,
@@ -1456,6 +1502,7 @@ PROBES = {
     "jl_projection": probe_jl_projection,
     "percent_rank": probe_percent_rank,
     "deletion_join": probe_deletion_join,
+    "triangles": probe_triangles,
 }
 
 
