@@ -63,6 +63,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "scd2_temporal_fact_join",  # birth
     "agg_pareto_skyline",  # birth
     "graph_triangle_count",  # birth
+    "events_attribution_multi_touch",  # birth
     "sketch_tdigest_quantile_bounds",  # r9
     "agg_tdigest_grouped_p95",  # r9
     "ann_ivf_pq_recall_sweep",  # r9
@@ -99,7 +100,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "agg_grouping_sets",  # r2,r3,r4
     "agg_salted_returnflag",  # r1,r2,r3,r4
     "scalar_map_functions",  # r1,r4
-    "top_k_orders",  # r1,r2,r3,r4
 )
 
 

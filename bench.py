@@ -212,6 +212,8 @@ HEADLINE = [
     "agg_pareto_skyline",
     # 130 -> 131: degree-oriented triangle counting
     "graph_triangle_count",
+    # 131 -> 132: multi-touch linear attribution (integer conservation)
+    "events_attribution_multi_touch",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

@@ -3157,3 +3157,68 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0.0)).alias("clustering_coef"),
         )
     )
+
+
+@query
+def events_attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution with exact integer conservation —
+    the marketing-analytics credit split the single-touch
+    ``events_view_purchase_attribution`` cannot express: every view by
+    the purchasing user in the 24 h before a purchase shares the
+    purchase value equally. Equal split in floats drifts under sum
+    order, so credit is INTEGER CENTS with a deterministic largest-
+    remainder convention: each touch gets ``cents div n``, the LAST
+    touch (latest ts, event_id tie-break) absorbs ``cents mod n`` — so
+    credits sum to the purchase value EXACTLY, and the oracle certifies
+    the whole split bit-for-bit (conservation is pytest-pinned as an
+    invariant, not a rounding accident). Shape: one user-keyed hash
+    join with the 24 h band as a join filter, one purchase-keyed window
+    for (n, rank), one day-keyed aggregate.
+    """
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    touched = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 24 HOURS")),
+    )
+    w = Window.partitionBy("p_id")
+    wr = Window.partitionBy("p_id").orderBy(F.asc("v_ts"), F.asc("v_id"))
+    credited = (
+        touched.withColumn("n_touches", F.count(F.lit(1)).over(w))
+        .withColumn("touch_rank", F.row_number().over(wr))
+        .withColumn(
+            "credit_cents",
+            F.expr("cents div n_touches")
+            + F.when(
+                F.col("touch_rank") == F.col("n_touches"),
+                F.col("cents") % F.col("n_touches"),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    return (
+        credited.groupBy(F.to_date("v_ts").alias("view_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_credited_views"),
+            F.count_distinct("p_id").alias("n_purchases_touched"),
+            F.sum("credit_cents").cast("long").alias("credit_cents"),
+        )
+        .select(
+            "view_day",
+            F.col("n_credited_views").cast("long"),
+            F.col("n_purchases_touched").cast("long"),
+            F.round(F.col("credit_cents") / 100.0, 2).alias("credited_revenue"),
+        )
+        .orderBy("view_day")
+    )

@@ -3953,3 +3953,43 @@ oracle("graph_triangle_count")(
     FROM agg, tri
     """
 )
+
+# Largest-remainder integer split: div credit everywhere, mod to the
+# LAST touch — conservation holds exactly, the whole split certifies.
+oracle("events_attribution_multi_touch")(
+    """
+    WITH purchases AS (
+        SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts,
+               round(value * 100)::BIGINT AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (
+        SELECT event_id AS v_id, user_id AS v_user, ts AS v_ts
+        FROM events WHERE event_type = 'view'
+    ),
+    touched AS (
+        SELECT p.*, v.v_id, v.v_ts
+        FROM purchases p JOIN views v
+          ON p.p_user = v.v_user
+         AND v.v_ts <= p.p_ts
+         AND v.v_ts > p.p_ts - INTERVAL 24 HOURS
+    ),
+    credited AS (
+        SELECT *,
+               count(*) OVER (PARTITION BY p_id) AS n_touches,
+               row_number() OVER (PARTITION BY p_id
+                                  ORDER BY v_ts ASC, v_id ASC) AS touch_rank
+        FROM touched
+    )
+    SELECT CAST(v_ts AS DATE) AS view_day,
+           count(*)::BIGINT AS n_credited_views,
+           count(DISTINCT p_id)::BIGINT AS n_purchases_touched,
+           round(sum(cents // n_touches
+                     + CASE WHEN touch_rank = n_touches
+                            THEN cents % n_touches ELSE 0 END
+                 )::BIGINT / 100.0, 2) AS credited_revenue
+    FROM credited
+    GROUP BY view_day
+    ORDER BY view_day
+    """
+)

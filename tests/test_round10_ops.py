@@ -769,3 +769,45 @@ def test_triangle_count_planted_graph(spark):
     # -> 0+1+3+1+1 = 6; total 18
     assert r.n_wedges == 18
     assert r.clustering_coef == round(3.0 * 5 / 18, 4)
+
+
+# --- multi-touch attribution ---------------------------------------------------
+
+
+def test_multi_touch_attribution_conserves_cents(spark):
+    """Credits sum EXACTLY to each attributed purchase's value (largest-
+    remainder convention: div everywhere, mod to the last touch) — the
+    invariant float splits cannot provide."""
+    import tempfile, os
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    base = "2020-01-05 12:00:00"
+    rows = [
+        # user 1: three views then a 10.01 purchase -> 333/333/335 split
+        (1, 1, "2020-01-05 09:00:00", "view", 0.0),
+        (2, 1, "2020-01-05 10:00:00", "view", 0.0),
+        (3, 1, "2020-01-05 11:00:00", "view", 0.0),
+        (4, 1, base, "purchase", 10.01),
+        # user 2: one view -> full credit; stale view outside 24 h ignored
+        (5, 2, "2020-01-03 12:00:00", "view", 0.0),
+        (6, 2, "2020-01-05 11:30:00", "view", 0.0),
+        (7, 2, base, "purchase", 5.00),
+        # user 3: purchase with no views -> unattributed, contributes nothing
+        (8, 3, base, "purchase", 99.99),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+        "props", F.lit("{}")
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = {str(r.view_day): r for r in
+               QUERIES["events_attribution_multi_touch"](spark, d).collect()}
+    day = out["2020-01-05"]
+    # conservation: 10.01 + 5.00 == credited revenue on the day
+    assert day.credited_revenue == 15.01
+    assert day.n_credited_views == 4 and day.n_purchases_touched == 2
+    assert "2020-01-03" not in out  # stale view got no credit
