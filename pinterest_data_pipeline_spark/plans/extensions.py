@@ -3222,3 +3222,137 @@ def events_attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("view_day")
     )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str, n_query_terms: int = 5):
+    """Shared BM25 scoring pipeline (Robertson/Sparck Jones idf, k1=1.2,
+    b=0.75) over the documents corpus, query = the ``n_query_terms`` most
+    document-frequent terms (the data-derived stand-in for a user query —
+    deterministic at every SF).
+
+    Scale shape: document frequency and (N, avgdl) are full-corpus
+    aggregates (partial-agg friendly); the query-term frame is
+    n_query_terms rows — selected via orderBy+limit (TakeOrderedAndProject,
+    no global window) and broadcast into the postings join, so scoring
+    touches only postings of query terms (an inverted-index probe, not a
+    corpus-wide join). One token-keyed shuffle builds postings; one
+    doc-keyed aggregation sums per-term scores.
+
+    Float contract: tf/dl/df/N are exact integers; avgdl is one exact
+    integer sum divided once; idf and the per-term score are products of
+    bit-identical doubles, so only the per-doc sum across <= n_query_terms
+    terms is order-sensitive — rounded at ONE site by the callers.
+    """
+    k1, b = 1.2, 0.75
+    docs = load_documents(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.size(text.tokens(F.col("text"))).cast("long").alias("dl"),
+        F.explode(text.tokens(F.col("text"))).alias("term"),
+    )
+    postings = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    dfreq = (
+        toks.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    qterms = dfreq.orderBy(F.desc("doc_freq"), F.asc("term")).limit(n_query_terms)
+    stats = docs.select(
+        F.size(text.tokens(F.col("text"))).cast("long").alias("dl")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("doc_freq") + F.lit(0.5))
+        / (F.col("doc_freq") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    per_term = (
+        postings.join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("term_score"),
+        )
+    )
+    return per_term.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+        F.round(F.sum("term_score"), 4).alias("bm25"),
+    )
+
+
+@query
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 document retrieval for a 5-term query (the corpus's five
+    most document-frequent terms — deterministic at every SF): the lexical
+    ranking function production search and RAG retrieval stacks ship, here
+    as a pure inverted-index plan (:func:`_bm25_scored`). Top-20 via
+    orderBy+limit (TakeOrderedAndProject — no global sort materializes);
+    the rank column is numbered AFTER the limit, so the window runs over 20
+    rows, not the corpus. Ordering key is the ROUNDED score with doc_id as
+    the tie-break (never a raw float sort key).
+    """
+    scored = _bm25_scored(spark, sf_dir)
+    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank", "doc_id", "n_terms_matched", "bm25"
+    )
+
+
+@query
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.'s RRF,
+    c=60): the lexical arm is the BM25 top-50 (:func:`_bm25_scored`, the
+    five most document-frequent terms as the query), the dense arm the
+    integer-quantized cosine top-50 for document 0's embedding
+    (:func:`~..operators.similarity.cosine_topk_quantized` — the
+    oracle-exact dot product), fused with
+    ``rrf = 1/(60+rank_lex) + 1/(60+rank_dense)`` over the FULL OUTER join
+    of the two lists — a document present in only one index still scores,
+    which is the point of fusion in a corpus where not every document is
+    embedded (sf0.1: 5000 docs, 2000 embeddings).
+
+    Scale shape: each arm is an orderBy+limit top-k (TakeOrderedAndProject);
+    the fusion joins two <= 50-row frames — driver-independent and
+    constant-size regardless of corpus scale. All rank arithmetic is
+    integer-derived doubles in fixed expression order (bit-exact
+    cross-engine); the fused score is rounded at one site and never used
+    raw as a sort key.
+    """
+    scored = _bm25_scored(spark, sf_dir)
+    bm_top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(50)
+    w_b = Window.partitionBy(F.lit(1)).orderBy(F.desc("bm25"), F.asc("doc_id"))
+    bm_ranks = bm_top.select(
+        "doc_id", F.row_number().over(w_b).cast("int").alias("bm25_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    cos_ranks = similarity.cosine_topk_quantized(
+        emb, emb.filter(F.col("vec_id") == 0), k=50
+    ).select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("cosine_rank"))
+    fused = bm_ranks.join(cos_ranks, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm25_rank",
+        "cosine_rank",
+        F.round(
+            F.coalesce(1.0 / (F.lit(60) + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(60) + F.col("cosine_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    top = fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(20)
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank", "doc_id", "bm25_rank", "cosine_rank", "rrf_score"
+    )

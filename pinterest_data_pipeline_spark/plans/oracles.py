@@ -3993,3 +3993,123 @@ oracle("events_attribution_multi_touch")(
     ORDER BY view_day
     """
 )
+
+oracle("text_bm25_topk")(
+    # Same BM25 (k1=1.2, b=0.75, Robertson idf with the +1): query = the 5
+    # most document-frequent terms; all constants cast to DOUBLE so no
+    # DECIMAL arithmetic sneaks in; the per-doc sum is rounded at the one
+    # terminal site exactly like the Spark side.
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               len(string_split(text, ' '))::BIGINT AS dl,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), postings AS (
+        SELECT doc_id, term, count(*)::BIGINT AS tf, max(dl) AS dl
+        FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+        SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_freq
+        FROM toks GROUP BY term
+    ), qterms AS (
+        SELECT term, doc_freq FROM dfreq
+        ORDER BY doc_freq DESC, term LIMIT 5
+    ), stats AS (
+        SELECT count(*)::BIGINT AS n_docs,
+               sum(len(string_split(text, ' ')))::DOUBLE / count(*) AS avgdl
+        FROM documents
+    ), per_term AS (
+        SELECT p.doc_id,
+               ln((s.n_docs - q.doc_freq + 0.5::DOUBLE)
+                  / (q.doc_freq + 0.5::DOUBLE) + 1.0::DOUBLE)
+               * (p.tf * 2.2::DOUBLE)
+               / (p.tf + 1.2::DOUBLE
+                  * (0.25::DOUBLE + 0.75::DOUBLE * p.dl / s.avgdl))
+                   AS term_score
+        FROM postings p JOIN qterms q USING (term) CROSS JOIN stats s
+    ), scored AS (
+        SELECT doc_id,
+               count(*)::BIGINT AS n_terms_matched,
+               round(sum(term_score), 4) AS bm25
+        FROM per_term GROUP BY doc_id
+    ), top AS (
+        SELECT doc_id, n_terms_matched, bm25,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id)::INT AS rank
+        FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
+    )
+    SELECT rank, doc_id, n_terms_matched, bm25 FROM top ORDER BY rank
+    """
+)
+
+oracle("search_hybrid_rrf")(
+    # RRF c=60 over the BM25 top-50 (same CTE chain as text_bm25_topk) and
+    # the quantized-cosine top-50 for vec 0 (same integer dot product as
+    # ann_topk_quantized). Rank arithmetic is integer-derived doubles in
+    # fixed order; round at one site; never sort on a raw float.
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               len(string_split(text, ' '))::BIGINT AS dl,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), postings AS (
+        SELECT doc_id, term, count(*)::BIGINT AS tf, max(dl) AS dl
+        FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+        SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_freq
+        FROM toks GROUP BY term
+    ), qterms AS (
+        SELECT term, doc_freq FROM dfreq
+        ORDER BY doc_freq DESC, term LIMIT 5
+    ), stats AS (
+        SELECT count(*)::BIGINT AS n_docs,
+               sum(len(string_split(text, ' ')))::DOUBLE / count(*) AS avgdl
+        FROM documents
+    ), per_term AS (
+        SELECT p.doc_id,
+               ln((s.n_docs - q.doc_freq + 0.5::DOUBLE)
+                  / (q.doc_freq + 0.5::DOUBLE) + 1.0::DOUBLE)
+               * (p.tf * 2.2::DOUBLE)
+               / (p.tf + 1.2::DOUBLE
+                  * (0.25::DOUBLE + 0.75::DOUBLE * p.dl / s.avgdl))
+                   AS term_score
+        FROM postings p JOIN qterms q USING (term) CROSS JOIN stats s
+    ), scored AS (
+        SELECT doc_id, round(sum(term_score), 4) AS bm25
+        FROM per_term GROUP BY doc_id
+    ), bm_ranks AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id)::INT AS bm25_rank
+        FROM scored ORDER BY bm25 DESC, doc_id LIMIT 50
+    ), qv AS (
+        SELECT embedding FROM embeddings WHERE vec_id = 0
+    ), pairs AS (
+        SELECT e.vec_id,
+               unnest(list_transform(e.embedding,
+                                     v -> round(v::DOUBLE * 1000)::BIGINT)) AS ev,
+               unnest(list_transform(q.embedding,
+                                     v -> round(v::DOUBLE * 1000)::BIGINT)) AS qv
+        FROM embeddings e CROSS JOIN qv q
+        WHERE e.vec_id <> 0
+    ), dots AS (
+        SELECT vec_id, sum(ev * qv)::BIGINT AS dot_q FROM pairs GROUP BY vec_id
+    ), cos_ranks AS (
+        SELECT vec_id AS doc_id,
+               row_number() OVER (ORDER BY dot_q DESC, vec_id)::INT AS cosine_rank
+        FROM dots ORDER BY dot_q DESC, vec_id LIMIT 50
+    ), fused AS (
+        SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+               b.bm25_rank, c.cosine_rank,
+               round(coalesce(1.0::DOUBLE / (60 + b.bm25_rank), 0.0::DOUBLE)
+                     + coalesce(1.0::DOUBLE / (60 + c.cosine_rank),
+                                0.0::DOUBLE), 6) AS rrf_score
+        FROM bm_ranks b FULL OUTER JOIN cos_ranks c USING (doc_id)
+    ), top AS (
+        SELECT doc_id, bm25_rank, cosine_rank, rrf_score,
+               row_number() OVER (ORDER BY rrf_score DESC, doc_id)::INT AS rank
+        FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20
+    )
+    SELECT rank, doc_id, bm25_rank, cosine_rank, rrf_score
+    FROM top ORDER BY rank
+    """
+)
