@@ -66,6 +66,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "events_attribution_multi_touch",  # birth
     "text_bm25_topk",  # birth
     "search_hybrid_rrf",  # birth
+    "graph_pagerank",  # birth
+    "agg_equidepth_bins",  # birth
     "sketch_tdigest_quantile_bounds",  # r9
     "agg_tdigest_grouped_p95",  # r9
     "ann_ivf_pq_recall_sweep",  # r9
@@ -98,8 +100,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "agg_count_distinct",  # r1,r4
     "events_session_window",  # r2,r3,r4
     "join_asof_latest_order",  # r2,r3,r4
-    "join_range_ship_window",  # r1,r2,r3,r4
-    "agg_grouping_sets",  # r2,r3,r4
 )
 
 

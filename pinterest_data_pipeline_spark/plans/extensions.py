@@ -3078,6 +3078,26 @@ def streaming_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day", "event_type")
 
 
+def _cooccurrence_edges(li: DataFrame) -> DataFrame:
+    """Undirected part co-occurrence edges (a < b): part pairs sharing at
+    least 2 distinct orders — the market-basket graph both graph queries
+    analyze. One orderkey-keyed self-join over the distinct baskets, then
+    a pair-keyed support count; support >= 2 bounds edge volume."""
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    return (
+        baskets.select("l_orderkey", F.col("l_partkey").alias("a"))
+        .join(
+            baskets.select("l_orderkey", F.col("l_partkey").alias("b")),
+            "l_orderkey",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("a", "b")
+    )
+
+
 @query
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count + global clustering coefficient of the part
@@ -3096,19 +3116,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the clustering coefficient 3*tri/wedges at one float site.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
-    edges = (
-        baskets.select("l_orderkey", F.col("l_partkey").alias("a"))
-        .join(
-            baskets.select("l_orderkey", F.col("l_partkey").alias("b")),
-            "l_orderkey",
-        )
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("a", "b")
-    )
+    edges = _cooccurrence_edges(li)
     deg = (
         edges.select(F.col("a").alias("n"))
         .unionByName(edges.select(F.col("b").alias("n")))
@@ -3355,4 +3363,126 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy(F.lit(1)).orderBy(F.desc("rrf_score"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
         "rank", "doc_id", "bm25_rank", "cosine_rank", "rrf_score"
+    )
+
+
+@query
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-iteration PageRank (damping 0.85) over the part co-occurrence
+    graph (:func:`_cooccurrence_edges`, both directions — the undirected
+    market-basket graph, so every node has in-edges and there is no
+    dangling-mass correction). Top-20 parts by rank.
+
+    Scale shape: each iteration is ONE edge-keyed shuffle join (ranks to
+    out-edges on src) plus one dst-keyed partial-agg sum — the standard
+    distributed PageRank step; the fixed iteration count keeps the whole
+    computation a single lazy plan, and Catalyst reuses the edge-build
+    exchanges across iterations (ReusedExchange) instead of rescanning. A
+    production run at higher k would persist the edge frame; nothing here
+    is driver-bound. N arrives as a broadcast 1-row aggregate, never a
+    driver round-trip.
+
+    Float contract: teleport and damping constants are the same literals in
+    both engines (0.15 / 0.85 — never ``1 - d``, whose binary value
+    differs from the 0.15 literal); per-node neighbor sums are
+    order-sensitive doubles rounded at ONE terminal site (6 dp — after 3
+    iterations the cross-engine drift is ~1e-13 on ranks ~1e-3); the sort
+    key is the ROUNDED rank with node id as tie-break.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = _cooccurrence_edges(li)
+    dir_edges = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = dir_edges.groupBy(F.col("src").alias("n")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    ncnt = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    nodes = deg.crossJoin(F.broadcast(ncnt))
+    ranks = nodes.select(
+        "n", "deg", "n_nodes", (F.lit(1.0) / F.col("n_nodes")).alias("r")
+    )
+    for _ in range(3):
+        contrib = (
+            ranks.select(
+                F.col("n").alias("src"), (F.col("r") / F.col("deg")).alias("c")
+            )
+            .join(dir_edges, "src")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = nodes.join(
+            contrib, nodes["n"] == contrib["dst"], "left"
+        ).select(
+            nodes["n"],
+            nodes["deg"],
+            nodes["n_nodes"],
+            (
+                F.lit(0.15) / F.col("n_nodes")
+                + F.lit(0.85) * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("r"),
+        )
+    scored = ranks.select(
+        F.col("n").alias("part_id"),
+        F.col("deg").cast("long").alias("degree"),
+        F.round(F.col("r"), 6).alias("pagerank"),
+    )
+    top = scored.orderBy(F.desc("pagerank"), F.asc("part_id")).limit(20)
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("pagerank"), F.asc("part_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank", "part_id", "degree", "pagerank"
+    )
+
+
+@query
+def agg_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) binning of order totals — the
+    QuantileDiscretizer / feature-bucketing step, as two aggregation
+    passes: (1) the 7 inner octile boundaries via exact percentile over
+    INTEGER cents, each boundary rounded to an integer ONCE (the one float
+    site — Spark's interpolating ``percentile`` and DuckDB's
+    ``quantile_cont`` agree bit-for-bit on integer inputs when rounded at
+    a single site); (2) every order bucketed by counting boundaries below
+    its value (``F.aggregate`` over the broadcast 7-element boundary
+    array — pure codegen arithmetic, no UDF) and rolled up. The
+    complement of the fixed-width ``agg_histogram_totalprice``: bin edges
+    adapt to the distribution, bin populations are near-equal — the shape
+    used for salting-bound selection and feature quantization.
+
+    Scale: pass 1 is one exact-percentile aggregate (the same machinery
+    the q6 battery certifies); pass 2 is a map-side broadcast probe plus a
+    partial-agg groupBy on an 8-value key. No global sort, no window.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    qs = [i / 8.0 for i in range(1, 8)]
+    bounds = cents.agg(
+        F.transform(
+            F.percentile(F.col("cents"), F.array(*[F.lit(q) for q in qs])),
+            lambda v: F.round(v).cast("long"),
+        ).alias("bnds")
+    )
+    binned = cents.crossJoin(F.broadcast(bounds)).select(
+        "cents",
+        (
+            F.aggregate(
+                F.col("bnds"),
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col("cents") > b, F.lit(1)).otherwise(F.lit(0)),
+            )
+            + F.lit(1)
+        ).alias("bin_id"),
+    )
+    return (
+        binned.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("cents") / 100.0, 2).alias("bin_min"),
+            F.round(F.max("cents") / 100.0, 2).alias("bin_max"),
+        )
+        .select(F.col("bin_id").cast("int"), "n_orders", "bin_min", "bin_max")
+        .orderBy("bin_id")
     )

@@ -4113,3 +4113,92 @@ oracle("search_hybrid_rrf")(
     FROM top ORDER BY rank
     """
 )
+
+oracle("graph_pagerank")(
+    # Three unrolled PageRank iterations over the same support->=2
+    # co-occurrence edges as graph_triangle_count; teleport/damping are the
+    # 0.15/0.85 literals (never 1 - d), neighbor sums stay unrounded until
+    # the one terminal round(6), sort key is the rounded rank.
+    """
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+        SELECT a.l_partkey AS a, b.l_partkey AS b
+        FROM baskets a JOIN baskets b USING (l_orderkey)
+        WHERE a.l_partkey < b.l_partkey
+    ), edges AS (
+        SELECT a, b FROM pairs GROUP BY a, b HAVING count(*) >= 2
+    ), dir AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION ALL
+        SELECT b AS src, a AS dst FROM edges
+    ), deg AS (
+        SELECT src AS n, count(*)::BIGINT AS deg FROM dir GROUP BY src
+    ), nn AS (
+        SELECT count(*)::BIGINT AS n_nodes FROM deg
+    ), r0 AS (
+        SELECT n, deg, 1.0::DOUBLE / nn.n_nodes AS r FROM deg CROSS JOIN nn
+    ), c1 AS (
+        SELECT d.dst, sum(r.r / r.deg) AS contrib
+        FROM r0 r JOIN dir d ON r.n = d.src GROUP BY d.dst
+    ), r1 AS (
+        SELECT deg.n, deg.deg,
+               0.15::DOUBLE / nn.n_nodes
+               + 0.85::DOUBLE * coalesce(c1.contrib, 0.0::DOUBLE) AS r
+        FROM deg CROSS JOIN nn LEFT JOIN c1 ON deg.n = c1.dst
+    ), c2 AS (
+        SELECT d.dst, sum(r.r / r.deg) AS contrib
+        FROM r1 r JOIN dir d ON r.n = d.src GROUP BY d.dst
+    ), r2 AS (
+        SELECT deg.n, deg.deg,
+               0.15::DOUBLE / nn.n_nodes
+               + 0.85::DOUBLE * coalesce(c2.contrib, 0.0::DOUBLE) AS r
+        FROM deg CROSS JOIN nn LEFT JOIN c2 ON deg.n = c2.dst
+    ), c3 AS (
+        SELECT d.dst, sum(r.r / r.deg) AS contrib
+        FROM r2 r JOIN dir d ON r.n = d.src GROUP BY d.dst
+    ), r3 AS (
+        SELECT deg.n, deg.deg,
+               0.15::DOUBLE / nn.n_nodes
+               + 0.85::DOUBLE * coalesce(c3.contrib, 0.0::DOUBLE) AS r
+        FROM deg CROSS JOIN nn LEFT JOIN c3 ON deg.n = c3.dst
+    ), scored AS (
+        SELECT n AS part_id, deg::BIGINT AS degree, round(r, 6) AS pagerank
+        FROM r3
+    ), top AS (
+        SELECT part_id, degree, pagerank,
+               row_number() OVER (ORDER BY pagerank DESC, part_id)::INT AS rank
+        FROM scored ORDER BY pagerank DESC, part_id LIMIT 20
+    )
+    SELECT rank, part_id, degree, pagerank FROM top ORDER BY rank
+    """
+)
+
+oracle("agg_equidepth_bins")(
+    # Octile boundaries via quantile_cont over integer cents (rounded to
+    # integers at the one float site, matching Spark's interpolating
+    # percentile), then bucket = 1 + boundaries strictly below the value.
+    """
+    WITH cents AS (
+        SELECT round(o_totalprice * 100)::BIGINT AS cents FROM orders
+    ), bounds AS (
+        SELECT [round(quantile_cont(cents, 0.125::DOUBLE))::BIGINT,
+                round(quantile_cont(cents, 0.25::DOUBLE))::BIGINT,
+                round(quantile_cont(cents, 0.375::DOUBLE))::BIGINT,
+                round(quantile_cont(cents, 0.5::DOUBLE))::BIGINT,
+                round(quantile_cont(cents, 0.625::DOUBLE))::BIGINT,
+                round(quantile_cont(cents, 0.75::DOUBLE))::BIGINT,
+                round(quantile_cont(cents, 0.875::DOUBLE))::BIGINT] AS bnds
+        FROM cents
+    ), binned AS (
+        SELECT c.cents,
+               1 + len(list_filter(b.bnds, x -> c.cents > x)) AS bin_id
+        FROM cents c CROSS JOIN bounds b
+    )
+    SELECT bin_id::INT AS bin_id,
+           count(*)::BIGINT AS n_orders,
+           round(min(cents) / 100.0, 2) AS bin_min,
+           round(max(cents) / 100.0, 2) AS bin_max
+    FROM binned GROUP BY bin_id ORDER BY bin_id
+    """
+)
