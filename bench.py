@@ -214,6 +214,11 @@ HEADLINE = [
     "graph_triangle_count",
     # 131 -> 132: multi-touch linear attribution (integer conservation)
     "events_attribution_multi_touch",
+    # 132 -> 136: BM25 retrieval, hybrid RRF, PageRank, equi-depth bins
+    "text_bm25_topk",
+    "search_hybrid_rrf",
+    "graph_pagerank",
+    "agg_equidepth_bins",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

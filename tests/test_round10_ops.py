@@ -811,3 +811,155 @@ def test_multi_touch_attribution_conserves_cents(spark):
     assert day.credited_revenue == 15.01
     assert day.n_credited_views == 4 and day.n_purchases_touched == 2
     assert "2020-01-03" not in out  # stale view got no credit
+
+
+# --- BM25 / hybrid RRF ---------------------------------------------------------
+
+
+def test_bm25_matches_hand_computation(spark):
+    """BM25 on a planted 4-doc corpus equals the textbook formula computed
+    in pure Python (k1=1.2, b=0.75, Robertson idf with +1), with the query
+    = the 5 most document-frequent terms and the same one-site rounding."""
+    import math
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    texts = {
+        10: "alpha beta gamma alpha",
+        11: "alpha beta beta delta epsilon zeta",
+        12: "beta gamma delta epsilon",
+        13: "alpha gamma gamma gamma epsilon",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r.doc_id: (r.rank, r.n_terms_matched, r.bm25)
+            for r in QUERIES["text_bm25_topk"](spark, d).collect()
+        }
+
+    toks = {i: t.split(" ") for i, t in texts.items()}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    qterms = sorted(df, key=lambda t: (-df[t], t))[:5]
+    k1, b = 1.2, 0.75
+    exp = {}
+    for i, ts in toks.items():
+        score, matched = 0.0, 0
+        for t in qterms:
+            tf = ts.count(t)
+            if tf == 0:
+                continue
+            matched += 1
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            score += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(ts) / avgdl))
+        if matched:
+            exp[i] = (matched, round(score, 4))
+    ranked = sorted(exp.items(), key=lambda kv: (-kv[1][1], kv[0]))
+    expect = {
+        i: (rk + 1, m, s) for rk, (i, (m, s)) in enumerate(ranked)
+    }
+    assert got == expect
+
+
+def test_hybrid_rrf_scores_recompute_from_arms(spark):
+    """Every fused row's rrf_score equals 1/(60+bm25_rank)+1/(60+cosine_rank)
+    recomputed from the emitted arm ranks (missing arm = 0), the output is
+    ordered by (rrf desc, doc_id), and the top hit appears in >= 1 arm."""
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rows = QUERIES["search_hybrid_rrf"](spark, SF).collect()
+    assert len(rows) == 20
+    assert [r.rank for r in rows] == list(range(1, 21))
+    for r in rows:
+        exp = 0.0
+        if r.bm25_rank is not None:
+            exp += 1.0 / (60 + r.bm25_rank)
+        if r.cosine_rank is not None:
+            exp += 1.0 / (60 + r.cosine_rank)
+        assert r.rrf_score == round(exp, 6)
+        assert r.bm25_rank is not None or r.cosine_rank is not None
+    keys = [(-r.rrf_score, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+
+
+# --- PageRank ------------------------------------------------------------------
+
+
+def test_pagerank_planted_graph_matches_reference_iteration(spark):
+    """PageRank on a planted star-plus-triangle graph equals 3 reference
+    power iterations computed in pure Python, and the hub outranks leaves."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    # star: hub 1 - leaves 2..5; plus triangle {6,7,8}
+    und = [(1, 2), (1, 3), (1, 4), (1, 5), (6, 7), (6, 8), (7, 8)]
+    rows = []
+    order = 0
+    for (a, b) in und:
+        for _ in range(2):
+            order += 1
+            rows += [(order, a, 0), (order, b, 1)]
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_linenumber long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        got = {
+            r.part_id: (r.degree, r.pagerank)
+            for r in QUERIES["graph_pagerank"](spark, d).collect()
+        }
+
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    nodes = sorted(adj)
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(3):
+        r = {
+            v: 0.15 / n
+            + 0.85 * sum(r[u] / len(adj[u]) for u in adj[v])
+            for v in nodes
+        }
+    expect = {v: (len(adj[v]), round(r[v], 6)) for v in nodes}
+    assert got == expect
+    assert got[1][1] > got[2][1]  # hub outranks leaf
+    # mass conservation on the undirected graph (no dangling nodes)
+    assert abs(sum(pr for _, pr in got.values()) - 1.0) < 1e-6
+
+
+# --- equi-depth binning --------------------------------------------------------
+
+
+def test_equidepth_bins_are_near_equal_and_ordered(spark):
+    """8 bins cover all orders, populations are near-equal (within 25% of
+    n/8 on the continuous-ish totalprice), and bin ranges are disjoint and
+    ordered."""
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+    from pinterest_data_pipeline_spark.session import load_table
+
+    rows = QUERIES["agg_equidepth_bins"](spark, SF).collect()
+    n = load_table(spark, SF, "orders").count()
+    assert [r.bin_id for r in rows] == list(range(1, 9))
+    assert sum(r.n_orders for r in rows) == n
+    for r in rows:
+        assert abs(r.n_orders - n / 8) <= 0.25 * n / 8
+        assert r.bin_min <= r.bin_max
+    for a, b in zip(rows, rows[1:]):
+        assert a.bin_max <= b.bin_min

@@ -1437,6 +1437,138 @@ def probe_triangles(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
+def probe_bm25(spark, mult: int) -> float:
+    """BM25 scoring at mult x documents (corpus axis): df/avgdl aggregates
+    and the query-term postings probe all grow linearly; top-k stays a
+    TakeOrderedAndProject."""
+    from pinterest_data_pipeline_spark.operators import text
+
+    docs = multiply(
+        load_table(spark, SF, "documents").select("doc_id", "text"),
+        mult,
+        ["doc_id"],
+    )
+    k1, b = 1.2, 0.75
+    toks = docs.select(
+        "doc_id",
+        F.size(text.tokens(F.col("text"))).cast("long").alias("dl"),
+        F.explode(text.tokens(F.col("text"))).alias("term"),
+    )
+    postings = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    dfreq = (
+        toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    qterms = dfreq.orderBy(F.desc("doc_freq"), F.asc("term")).limit(5)
+    stats = docs.select(
+        F.size(text.tokens(F.col("text"))).cast("long").alias("dl")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("doc_freq") + F.lit(0.5))
+        / (F.col("doc_freq") + F.lit(0.5)) + F.lit(1.0)
+    )
+    per_term = (
+        postings.join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (idf * (F.col("tf") * (k1 + 1.0))
+             / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+             ).alias("term_score"),
+        )
+    )
+    q = (
+        per_term.groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_pagerank(spark, mult: int) -> float:
+    """3-iteration PageRank at mult x lineitem (same co-occurrence graph
+    axis as the triangles probe: denser support-2 graph)."""
+    li = multiply(
+        load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey"),
+        mult,
+        ["l_orderkey"],
+    )
+    baskets = li.distinct()
+    edges = (
+        baskets.select("l_orderkey", F.col("l_partkey").alias("a"))
+        .join(baskets.select("l_orderkey", F.col("l_partkey").alias("b")), "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("a", "b")
+    )
+    dir_edges = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = dir_edges.groupBy(F.col("src").alias("n")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    ncnt = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    nodes = deg.crossJoin(F.broadcast(ncnt))
+    ranks = nodes.select(
+        "n", "deg", "n_nodes", (F.lit(1.0) / F.col("n_nodes")).alias("r")
+    )
+    for _ in range(3):
+        contrib = (
+            ranks.select(F.col("n").alias("src"), (F.col("r") / F.col("deg")).alias("c"))
+            .join(dir_edges, "src")
+            .groupBy("dst").agg(F.sum("c").alias("contrib"))
+        )
+        ranks = nodes.join(contrib, nodes["n"] == contrib["dst"], "left").select(
+            nodes["n"], nodes["deg"], nodes["n_nodes"],
+            (F.lit(0.15) / F.col("n_nodes")
+             + F.lit(0.85) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("r"),
+        )
+    q = ranks.orderBy(F.desc(F.round(F.col("r"), 6)), F.asc("n")).limit(20)
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_equidepth(spark, mult: int) -> float:
+    """Equi-depth octile binning at mult x orders: one exact-percentile
+    aggregate + one broadcast bucket probe."""
+    orders = multiply(load_table(spark, SF, "orders"), mult, ["o_orderkey"])
+    cents = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    qs = [i / 8.0 for i in range(1, 8)]
+    bounds = cents.agg(
+        F.transform(
+            F.percentile(F.col("cents"), F.array(*[F.lit(x) for x in qs])),
+            lambda v: F.round(v).cast("long"),
+        ).alias("bnds")
+    )
+    q = (
+        cents.crossJoin(F.broadcast(bounds))
+        .select(
+            "cents",
+            (F.aggregate(
+                F.col("bnds"), F.lit(0),
+                lambda acc, bnd: acc + F.when(F.col("cents") > bnd, F.lit(1)).otherwise(F.lit(0)),
+            ) + F.lit(1)).alias("bin_id"),
+        )
+        .groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 PROBES = {
     "tpch_q5_6way_join": probe_tpch_q5,
     "simhash_near_dup": probe_simhash,
@@ -1503,6 +1635,9 @@ PROBES = {
     "percent_rank": probe_percent_rank,
     "deletion_join": probe_deletion_join,
     "triangles": probe_triangles,
+    "bm25": probe_bm25,
+    "pagerank": probe_pagerank,
+    "equidepth": probe_equidepth,
 }
 
 
