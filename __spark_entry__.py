@@ -68,6 +68,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "search_hybrid_rrf",  # birth
     "graph_pagerank",  # birth
     "agg_equidepth_bins",  # birth
+    "join_interval_bucketed",  # birth
     "sketch_tdigest_quantile_bounds",  # r9
     "agg_tdigest_grouped_p95",  # r9
     "ann_ivf_pq_recall_sweep",  # r9
@@ -99,7 +100,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "agg_pivot_status_revenue",  # r1,r2,r3,r4
     "agg_count_distinct",  # r1,r4
     "events_session_window",  # r2,r3,r4
-    "join_asof_latest_order",  # r2,r3,r4
 )
 
 

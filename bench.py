@@ -219,6 +219,7 @@ HEADLINE = [
     "search_hybrid_rrf",
     "graph_pagerank",
     "agg_equidepth_bins",
+    "join_interval_bucketed",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

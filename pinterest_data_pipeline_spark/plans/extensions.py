@@ -3486,3 +3486,71 @@ def agg_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("bin_id").cast("int"), "n_orders", "bin_min", "bin_max")
         .orderBy("bin_id")
     )
+
+
+@query
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join WITHOUT an equi key, planned as a pure equi-join via a
+    bucket index — the scale answer to the classic point-in-interval match
+    that a naive formulation plans as a BroadcastNestedLoopJoin. Windows
+    (every 97th order opens a 14-day [start, start+14d) campaign window)
+    explode to the WEEK buckets they cover (<= 3 each — bounded by interval
+    length / bucket width); each shipment carries its single week bucket;
+    the week-keyed equi-join + exact containment residual filter finds
+    every (shipment, window) pair EXACTLY once (a point has one bucket, so
+    no dedup pass). Windows with zero shipments survive via the terminal
+    left join.
+
+    Scale shape: both sides shuffle ONLY on the week key (co-partitioned
+    equi-join; AQE picks broadcast when the exploded window side is small);
+    the residual predicate is a join filter, not a post-join pass. Bucket
+    width trades replication (interval_len/width copies) against join
+    selectivity — the tuning knob a production interval index exposes.
+    Revenue is integer cents divided at one site.
+    """
+    epoch = F.lit("1970-01-01").cast("date")
+    orders = load_table(spark, sf_dir, "orders")
+    windows = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("window_id"),
+        F.to_date("o_orderdate").alias("lo"),
+        F.date_add(F.to_date("o_orderdate"), 14).alias("hi"),
+    )
+    wk = lambda c: F.floor(F.datediff(c, epoch) / 7)  # noqa: E731
+    w_buckets = windows.select(
+        "window_id",
+        "lo",
+        "hi",
+        F.explode(F.sequence(wk(F.col("lo")), wk(F.col("hi")))).alias("wkb"),
+    )
+    points = load_table(spark, sf_dir, "lineitem").select(
+        F.to_date("l_shipdate").alias("ship_date"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    ).select(
+        "ship_date", "cents", wk(F.col("ship_date")).alias("wkb")
+    )
+    matched = (
+        w_buckets.join(points, "wkb")
+        .filter(
+            (F.col("ship_date") >= F.col("lo"))
+            & (F.col("ship_date") < F.col("hi"))
+        )
+        .groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shipped"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    return (
+        windows.join(matched, "window_id", "left")
+        .select(
+            "window_id",
+            F.col("lo").alias("window_start"),
+            F.coalesce(F.col("n_shipped"), F.lit(0)).cast("long").alias(
+                "n_shipped"
+            ),
+            F.round(
+                F.coalesce(F.col("cents"), F.lit(0)) / 100.0, 2
+            ).alias("shipped_value"),
+        )
+        .orderBy("window_id")
+    )

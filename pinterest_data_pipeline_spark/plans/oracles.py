@@ -4202,3 +4202,33 @@ oracle("agg_equidepth_bins")(
     FROM binned GROUP BY bin_id ORDER BY bin_id
     """
 )
+
+oracle("join_interval_bucketed")(
+    # INDEPENDENT formulation: the direct inequality join (DuckDB plans it
+    # as an IEJoin) — certifying the bucket index against the definition,
+    # not a mirrored construction. Integer cents divided at one site.
+    """
+    WITH w AS (
+        SELECT o_orderkey AS window_id,
+               o_orderdate::DATE AS lo,
+               o_orderdate::DATE + 14 AS hi
+        FROM orders WHERE o_orderkey % 97 = 0
+    ), p AS (
+        SELECT l_shipdate::DATE AS d,
+               round(l_extendedprice * 100)::BIGINT AS cents
+        FROM lineitem
+    ), m AS (
+        SELECT w.window_id,
+               count(*)::BIGINT AS n_shipped,
+               sum(p.cents)::BIGINT AS cents
+        FROM w JOIN p ON p.d >= w.lo AND p.d < w.hi
+        GROUP BY w.window_id
+    )
+    SELECT w.window_id,
+           w.lo AS window_start,
+           coalesce(m.n_shipped, 0)::BIGINT AS n_shipped,
+           round(coalesce(m.cents, 0) / 100.0, 2) AS shipped_value
+    FROM w LEFT JOIN m USING (window_id)
+    ORDER BY window_id
+    """
+)

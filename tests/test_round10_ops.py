@@ -963,3 +963,47 @@ def test_equidepth_bins_are_near_equal_and_ordered(spark):
         assert r.bin_min <= r.bin_max
     for a, b in zip(rows, rows[1:]):
         assert a.bin_max <= b.bin_min
+
+
+# --- bucketed interval join ----------------------------------------------------
+
+
+def test_interval_bucketed_join_boundaries_and_plan(spark):
+    """Half-open [lo, lo+14d) containment on a planted fixture: point AT lo
+    is in, at hi is out, a week-boundary-crossing match is found once, a
+    zero-match window survives with 0 — and the physical plan contains NO
+    nested-loop join (the bucket index turns the interval match into a
+    pure equi-join)."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    lo = dt.datetime(1995, 3, 1)
+    orders = spark.createDataFrame(
+        [
+            (97, lo, 0.0),          # window [1995-03-01, 1995-03-15)
+            (97 * 2, dt.datetime(1997, 1, 1), 0.0),  # zero-match window
+            (5, lo, 0.0),           # not a window (fails % 97)
+        ],
+        "o_orderkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, lo, 100.0),                              # at lo -> in
+            (2, lo + dt.timedelta(days=13), 200.0),      # crosses week bucket
+            (3, lo + dt.timedelta(days=14), 400.0),      # at hi -> out
+            (4, lo - dt.timedelta(days=1), 800.0),       # before -> out
+        ],
+        "l_orderkey long, l_shipdate timestamp, l_extendedprice double",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        orders.write.parquet(os.path.join(d, "orders.parquet"))
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        df = QUERIES["join_interval_bucketed"](spark, d)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        got = {r.window_id: (r.n_shipped, r.shipped_value) for r in df.collect()}
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert got == {97: (2, 300.0), 194: (0, 0.0)}

@@ -1569,6 +1569,44 @@ def probe_equidepth(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
+def probe_interval_join(spark, mult: int) -> float:
+    """Bucketed interval join at mult x lineitem (points axis: matched
+    pairs grow linearly with shipments; the window side is fixed — at a
+    fixed date range, multiplying BOTH sides would inflate pair volume
+    quadratically, which no real scale-up does)."""
+    epoch = F.lit("1970-01-01").cast("date")
+    orders = load_table(spark, SF, "orders")
+    windows = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("window_id"),
+        F.to_date("o_orderdate").alias("lo"),
+        F.date_add(F.to_date("o_orderdate"), 14).alias("hi"),
+    )
+    wk = lambda c: F.floor(F.datediff(c, epoch) / 7)  # noqa: E731
+    w_buckets = windows.select(
+        "window_id", "lo", "hi",
+        F.explode(F.sequence(wk(F.col("lo")), wk(F.col("hi")))).alias("wkb"),
+    )
+    li = multiply(
+        load_table(spark, SF, "lineitem").select("l_orderkey", "l_shipdate", "l_extendedprice"),
+        mult,
+        ["l_orderkey"],
+    )
+    points = li.select(
+        F.to_date("l_shipdate").alias("ship_date"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    ).select("ship_date", "cents", wk(F.col("ship_date")).alias("wkb"))
+    matched = (
+        w_buckets.join(points, "wkb")
+        .filter((F.col("ship_date") >= F.col("lo")) & (F.col("ship_date") < F.col("hi")))
+        .groupBy("window_id")
+        .agg(F.count(F.lit(1)).alias("n_shipped"), F.sum("cents").alias("cents"))
+    )
+    q = windows.join(matched, "window_id", "left")
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 PROBES = {
     "tpch_q5_6way_join": probe_tpch_q5,
     "simhash_near_dup": probe_simhash,
@@ -1638,6 +1676,7 @@ PROBES = {
     "bm25": probe_bm25,
     "pagerank": probe_pagerank,
     "equidepth": probe_equidepth,
+    "interval_join": probe_interval_join,
 }
 
 
