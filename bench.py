@@ -220,6 +220,7 @@ HEADLINE = [
     "graph_pagerank",
     "agg_equidepth_bins",
     "join_interval_bucketed",
+    "ml_kmeans_quantized",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

@@ -3554,3 +3554,75 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_id")
     )
+
+
+@query
+def ml_kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of k-means (k=3, seeded from vectors 0/1/2)
+    over integer-quantized embeddings, with centroids RE-QUANTIZED to the
+    same integer grid after every mean update — the quantization that makes
+    an iterative clustering algorithm bit-reproducible cross-engine: every
+    assignment compares exact integer squared distances, and the one float
+    op per update (mean = exact integer sum / count, then one half-away
+    round) is identical in Spark and DuckDB.
+
+    Scale shape: vectors live LONG-FORM (vec_id, pos, code) — the same
+    representation `quantize_int8_longform` ships; each iteration is (1)
+    assignment: a pos-keyed join against the k x dim centroid frame
+    (dimension-bounded, ALWAYS broadcastable — never corpus-sized) +
+    (vec, cluster)-keyed partial-agg distance sums + a WindowGroupLimit
+    argmin, and (2) update: one (cluster, pos)-keyed mean aggregate. No
+    driver round-trips; centroid frames are the only state between
+    iterations. Output: per-cluster population and exact integer inertia
+    after a final assignment pass.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.posexplode(similarity.quantize(F.col("embedding"))).alias(
+            "pos", "val"
+        ),
+    )
+    cent = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("cluster_id"),
+        "pos",
+        F.col("val").alias("code"),
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        d2 = (F.col("val") - F.col("code")) * (F.col("val") - F.col("code"))
+        dist = (
+            vecs.join(F.broadcast(centroids), "pos")
+            .groupBy("vec_id", "cluster_id")
+            .agg(F.sum(d2).alias("sqdist"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.asc("sqdist"), F.asc("cluster_id")
+        )
+        return (
+            dist.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster_id", "sqdist")
+        )
+
+    for _ in range(2):
+        members = assign(cent).select("vec_id", "cluster_id")
+        cent = (
+            vecs.join(members, "vec_id")
+            .groupBy("cluster_id", "pos")
+            .agg(F.round(F.avg("val")).cast("long").alias("code"))
+        )
+    final = assign(cent)
+    return (
+        final.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("sqdist").alias("inertia"),
+        )
+        .select(
+            F.col("cluster_id").cast("long"),
+            F.col("n_vectors").cast("long"),
+            F.col("inertia").cast("long"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -4232,3 +4232,68 @@ oracle("join_interval_bucketed")(
     ORDER BY window_id
     """
 )
+
+oracle("ml_kmeans_quantized")(
+    # Two unrolled Lloyd iterations on the same integer grid: quantized
+    # components, integer squared distances, argmin by (dist, cluster),
+    # re-quantized means (exact integer sum / count, one half-away round
+    # — identical in both engines), then the final assignment rollup.
+    """
+    WITH vecs AS (
+        SELECT vec_id, u.i - 1 AS pos,
+               round(embedding[u.i]::DOUBLE * 1000)::BIGINT AS val
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ), c0 AS (
+        SELECT vec_id AS cluster_id, pos, val AS code
+        FROM vecs WHERE vec_id < 3
+    ), d1 AS (
+        SELECT v.vec_id, c.cluster_id,
+               sum((v.val - c.code) * (v.val - c.code))::BIGINT AS sqdist
+        FROM vecs v JOIN c0 c USING (pos)
+        GROUP BY v.vec_id, c.cluster_id
+    ), a1 AS (
+        SELECT vec_id, cluster_id FROM (
+            SELECT vec_id, cluster_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sqdist, cluster_id) AS rn
+            FROM d1
+        ) WHERE rn = 1
+    ), c1 AS (
+        SELECT a.cluster_id, v.pos, round(avg(v.val))::BIGINT AS code
+        FROM vecs v JOIN a1 a USING (vec_id)
+        GROUP BY a.cluster_id, v.pos
+    ), d2 AS (
+        SELECT v.vec_id, c.cluster_id,
+               sum((v.val - c.code) * (v.val - c.code))::BIGINT AS sqdist
+        FROM vecs v JOIN c1 c USING (pos)
+        GROUP BY v.vec_id, c.cluster_id
+    ), a2 AS (
+        SELECT vec_id, cluster_id FROM (
+            SELECT vec_id, cluster_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sqdist, cluster_id) AS rn
+            FROM d2
+        ) WHERE rn = 1
+    ), c2 AS (
+        SELECT a.cluster_id, v.pos, round(avg(v.val))::BIGINT AS code
+        FROM vecs v JOIN a2 a USING (vec_id)
+        GROUP BY a.cluster_id, v.pos
+    ), d3 AS (
+        SELECT v.vec_id, c.cluster_id,
+               sum((v.val - c.code) * (v.val - c.code))::BIGINT AS sqdist
+        FROM vecs v JOIN c2 c USING (pos)
+        GROUP BY v.vec_id, c.cluster_id
+    ), a3 AS (
+        SELECT vec_id, cluster_id, sqdist FROM (
+            SELECT vec_id, cluster_id, sqdist,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sqdist, cluster_id) AS rn
+            FROM d3
+        ) WHERE rn = 1
+    )
+    SELECT cluster_id::BIGINT AS cluster_id,
+           count(*)::BIGINT AS n_vectors,
+           sum(sqdist)::BIGINT AS inertia
+    FROM a3 GROUP BY cluster_id ORDER BY cluster_id
+    """
+)

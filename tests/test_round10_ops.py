@@ -1007,3 +1007,68 @@ def test_interval_bucketed_join_boundaries_and_plan(spark):
         got = {r.window_id: (r.n_shipped, r.shipped_value) for r in df.collect()}
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert got == {97: (2, 300.0), 194: (0, 0.0)}
+
+
+# --- quantized k-means ---------------------------------------------------------
+
+
+def test_kmeans_quantized_matches_numpy_lloyd(spark):
+    """The registered 2-iteration quantized k-means equals the same
+    algorithm run in numpy on a planted 3-cluster corpus (seeds 0/1/2 in
+    different true clusters), recovers the planted membership, and its
+    inertia is exactly the integer sum of final squared distances."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rng = np.random.RandomState(7)
+    dim, per = 8, 40
+    centers = np.array(
+        [[5.0] + [0.0] * (dim - 1), [0.0] * (dim - 1) + [5.0], [-5.0] * dim]
+    )
+    pts = np.concatenate(
+        [c + 0.3 * rng.randn(per, dim) for c in centers]
+    ).astype(np.float32)
+    # interleave so seeds 0,1,2 land in distinct true clusters
+    pts = pts[[j * per + i for i in range(per) for j in range(3)]]
+    rows = [(i, [float(x) for x in pts[i]], 0) for i in range(len(pts))]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        emb.write.parquet(os.path.join(d, "embeddings.parquet"))
+        got = {
+            r.cluster_id: (r.n_vectors, r.inertia)
+            for r in QUERIES["ml_kmeans_quantized"](spark, d).collect()
+        }
+
+    q = np.round(pts.astype(np.float64) * 1000).astype(np.int64)
+    cent = {c: q[c].copy() for c in range(3)}
+
+    def assign(cent):
+        out = {}
+        for i in range(len(q)):
+            best = min(
+                cent, key=lambda c: (int(((q[i] - cent[c]) ** 2).sum()), c)
+            )
+            out[i] = best
+        return out
+
+    for _ in range(2):
+        a = assign(cent)
+        new = {}
+        for c in set(a.values()):
+            members = np.array([q[i] for i in a if a[i] == c], dtype=np.float64)
+            new[c] = np.round(members.mean(axis=0)).astype(np.int64)
+        cent = new
+    a = assign(cent)
+    exp = {}
+    for i, c in a.items():
+        n, s = exp.get(c, (0, 0))
+        exp[c] = (n + 1, s + int(((q[i] - cent[c]) ** 2).sum()))
+    assert got == exp
+    assert sorted(n for n, _ in got.values()) == [per, per, per]

@@ -1607,6 +1607,55 @@ def probe_interval_join(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
+def probe_kmeans(spark, mult: int) -> float:
+    """Quantized 2-iteration k-means at mult x embeddings: every stage is
+    a pos- or vec-keyed partial agg / broadcast join; the centroid frame
+    stays k x dim rows at any corpus size."""
+    from pinterest_data_pipeline_spark.operators import similarity
+
+    emb = multiply(
+        load_table(spark, SF, "embeddings").select("vec_id", "embedding"),
+        mult,
+        ["vec_id"],
+    )
+    vecs = emb.select(
+        "vec_id",
+        F.posexplode(similarity.quantize(F.col("embedding"))).alias("pos", "val"),
+    )
+    cent = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("cluster_id"), "pos", F.col("val").alias("code")
+    )
+
+    def assign(centroids):
+        from pyspark.sql import Window
+        d2 = (F.col("val") - F.col("code")) * (F.col("val") - F.col("code"))
+        dist = (
+            vecs.join(F.broadcast(centroids), "pos")
+            .groupBy("vec_id", "cluster_id")
+            .agg(F.sum(d2).alias("sqdist"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("sqdist"), F.asc("cluster_id"))
+        return (
+            dist.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster_id", "sqdist")
+        )
+
+    for _ in range(2):
+        members = assign(cent).select("vec_id", "cluster_id")
+        cent = (
+            vecs.join(members, "vec_id")
+            .groupBy("cluster_id", "pos")
+            .agg(F.round(F.avg("val")).cast("long").alias("code"))
+        )
+    q = assign(cent).groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("sqdist").alias("inertia")
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 PROBES = {
     "tpch_q5_6way_join": probe_tpch_q5,
     "simhash_near_dup": probe_simhash,
@@ -1677,6 +1726,7 @@ PROBES = {
     "pagerank": probe_pagerank,
     "equidepth": probe_equidepth,
     "interval_join": probe_interval_join,
+    "kmeans": probe_kmeans,
 }
 
 
