@@ -221,6 +221,7 @@ HEADLINE = [
     "agg_equidepth_bins",
     "join_interval_bucketed",
     "ml_kmeans_quantized",
+    "events_ab_chisquare",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

@@ -3626,3 +3626,84 @@ def ml_kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query
+def events_ab_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with a Pearson chi-square independence test:
+    users split into two arms by id parity (the deterministic stand-in for
+    an assignment hash), exposure = any view event, conversion = at least
+    14 purchases AFTER the user's first view (the threshold sits at the
+    corpus's median purchase count, so both outcomes populate at every
+    SF); the 2x2 contingency table and
+    chi2 = N(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) — one expression over four
+    exact integer cells, so the statistic is bit-identical cross-engine
+    (rounded at one site regardless), plus the alpha=0.05 decision against
+    the 1-df critical value 3.841.
+
+    Scale shape: exposure and conversion are both user-keyed aggregates
+    and their join is user-keyed too — one co-partitioned key end to end
+    (no per-user collect_list, which would be unbounded state); the 2x2
+    rollup is a 4-cell partial agg. The fleet-size-independent output is
+    the decision a growth team actually reads off an experiment.
+    """
+    events = load_table(spark, sf_dir, "events")
+    typed = events.filter(F.col("event_type").isin("view", "purchase"))
+    exposed = (
+        typed.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    conversions = (
+        typed.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .join(exposed, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    per_user = exposed.join(conversions, "user_id", "left").select(
+        (F.col("user_id") % 2).alias("arm"),
+        (F.coalesce(F.col("n_purchases"), F.lit(0)) >= 14).alias("converted"),
+    )
+    cells = per_user.agg(
+        F.sum(
+            F.when((F.col("arm") == 0) & F.col("converted"), 1).otherwise(0)
+        ).alias("a"),
+        F.sum(
+            F.when((F.col("arm") == 0) & ~F.col("converted"), 1).otherwise(0)
+        ).alias("b"),
+        F.sum(
+            F.when((F.col("arm") == 1) & F.col("converted"), 1).otherwise(0)
+        ).alias("c"),
+        F.sum(
+            F.when((F.col("arm") == 1) & ~F.col("converted"), 1).otherwise(0)
+        ).alias("d"),
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    # num and denom promote to DOUBLE before any product of two
+    # corpus-scale counts: num^2 ~ (ad)^2 and the margin product overflow
+    # int64 long before 100 TB user counts do — the double propagates
+    # left-to-right identically in Spark and DuckDB, keeping the statistic
+    # bit-identical cross-engine.
+    num = (
+        F.col("a").cast("double") * F.col("d")
+        - F.col("b").cast("double") * F.col("c")
+    )
+    denom = (
+        (F.col("a") + F.col("b")).cast("double")
+        * (F.col("c") + F.col("d"))
+        * (F.col("a") + F.col("c"))
+        * (F.col("b") + F.col("d"))
+    )
+    chi2 = F.when(
+        denom > 0, (n.cast("double") * num * num) / denom
+    )  # a degenerate table (an empty margin) has no defined statistic
+    return cells.select(
+        F.col("a").cast("long"),
+        F.col("b").cast("long"),
+        F.col("c").cast("long"),
+        F.col("d").cast("long"),
+        F.round(chi2, 4).alias("chi2"),
+        F.coalesce(chi2 > 3.841, F.lit(False)).alias("significant_at_05"),
+    )

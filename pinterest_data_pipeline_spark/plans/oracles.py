@@ -4297,3 +4297,46 @@ oracle("ml_kmeans_quantized")(
     FROM a3 GROUP BY cluster_id ORDER BY cluster_id
     """
 )
+
+oracle("events_ab_chisquare")(
+    # Identical construction: exposure/conversion as user-keyed aggregates
+    # joined on the user key, conversion = >= 14 purchases after first
+    # view, and the same double-promotion points in the Pearson statistic
+    # so chi2 is bit-identical before the one-site round; empty-margin
+    # tables yield NULL chi2 / FALSE significance in both engines.
+    """
+    WITH exposed AS (
+        SELECT user_id, min(ts) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), conversions AS (
+        SELECT e.user_id, count(*)::BIGINT AS n_purchases
+        FROM events p JOIN exposed e USING (user_id)
+        WHERE p.event_type = 'purchase' AND p.ts > e.first_view
+        GROUP BY e.user_id
+    ), per_user AS (
+        SELECT e.user_id % 2 AS arm,
+               (coalesce(c.n_purchases, 0) >= 14) AS converted
+        FROM exposed e LEFT JOIN conversions c USING (user_id)
+    ), cells AS (
+        SELECT
+            sum(CASE WHEN arm = 0 AND converted THEN 1 ELSE 0 END)::BIGINT AS a,
+            sum(CASE WHEN arm = 0 AND NOT converted THEN 1 ELSE 0 END)::BIGINT AS b,
+            sum(CASE WHEN arm = 1 AND converted THEN 1 ELSE 0 END)::BIGINT AS c,
+            sum(CASE WHEN arm = 1 AND NOT converted THEN 1 ELSE 0 END)::BIGINT AS d
+        FROM per_user
+    ), stat AS (
+        SELECT a, b, c, d,
+               CASE WHEN (a + b)::DOUBLE * (c + d) * (a + c) * (b + d) > 0
+                    THEN ((a + b + c + d)::DOUBLE
+                          * (a::DOUBLE * d - b::DOUBLE * c)
+                          * (a::DOUBLE * d - b::DOUBLE * c))
+                         / ((a + b)::DOUBLE * (c + d) * (a + c) * (b + d))
+               END AS chi2_raw
+        FROM cells
+    )
+    SELECT a, b, c, d,
+           round(chi2_raw, 4) AS chi2,
+           coalesce(chi2_raw > 3.841, FALSE) AS significant_at_05
+    FROM stat
+    """
+)

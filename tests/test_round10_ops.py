@@ -1072,3 +1072,60 @@ def test_kmeans_quantized_matches_numpy_lloyd(spark):
         exp[c] = (n + 1, s + int(((q[i] - cent[c]) ** 2).sum()))
     assert got == exp
     assert sorted(n for n, _ in got.values()) == [per, per, per]
+
+
+# --- A/B chi-square ------------------------------------------------------------
+
+
+def test_ab_chisquare_planted_cells_and_degenerate_guard(spark):
+    """A planted corpus with known cells (arm0: 2 converters / 1 not;
+    arm1: 0 / 3) yields the hand-computed Pearson statistic; a corpus
+    where EVERY user converts (empty margin) yields NULL chi2 and FALSE
+    significance instead of a division error."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def user_events(uid, n_purchases_after):
+        evs = [(uid * 1000, t0, uid, "view", 0.0, "{}")]
+        for i in range(n_purchases_after):
+            evs.append(
+                (uid * 1000 + 1 + i, t0 + dt.timedelta(hours=i + 1), uid,
+                 "purchase", 1.0, "{}")
+            )
+        return evs
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # arm 0 (even ids): users 2, 4 convert (14 purchases), 6 does not (1);
+    # arm 1 (odd ids): users 1, 3, 5 do not convert (0, 13, 2)
+    rows = (
+        user_events(2, 14) + user_events(4, 14) + user_events(6, 1)
+        + user_events(1, 0) + user_events(3, 13) + user_events(5, 2)
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "events.parquet")
+        )
+        r = QUERIES["events_ab_chisquare"](spark, d).collect()[0]
+    assert (r.a, r.b, r.c, r.d) == (2, 1, 0, 3)
+    n, num = 6, 2 * 3 - 1 * 0
+    denom = (2 + 1) * (0 + 3) * (2 + 0) * (1 + 3)
+    assert r.chi2 == round(n * num * num / denom, 4)
+    assert bool(r.significant_at_05) == (n * num * num / denom > 3.841)
+
+    rows_all = user_events(2, 14) + user_events(1, 15)  # everyone converts
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows_all, schema).write.parquet(
+            os.path.join(d, "events.parquet")
+        )
+        r = QUERIES["events_ab_chisquare"](spark, d).collect()[0]
+    assert (r.a, r.b, r.c, r.d) == (1, 0, 1, 0)
+    assert r.chi2 is None and bool(r.significant_at_05) is False
