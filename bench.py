@@ -222,6 +222,7 @@ HEADLINE = [
     "join_interval_bucketed",
     "ml_kmeans_quantized",
     "events_ab_chisquare",
+    "quality_ks_two_sample",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

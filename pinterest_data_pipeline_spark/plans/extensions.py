@@ -3707,3 +3707,72 @@ def events_ab_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 4).alias("chi2"),
         F.coalesce(chi2 > 3.841, F.lit(False)).alias("significant_at_05"),
     )
+
+
+@query
+def quality_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the price distributions
+    of returned ('R') and acknowledged ('A') lineitems — the
+    distribution-equality check a drift monitor runs next to PSI
+    (:func:`quality_drift_psi`), but nonparametric and binning-free:
+    D = max_v |F_R(v) - F_A(v)| over the empirical CDFs, with the
+    alpha=0.05 decision D > 1.358 * sqrt((n1+n2)/(n1*n2)).
+
+    Scale shape: ONE pass buckets both samples per distinct price (integer
+    cents) — a partial-agg groupBy; the cumulative window then runs over
+    DISTINCT PRICES, the repo's sanctioned domain-bounded serial window
+    (the percent_rank/skyline reshape): its row count is fixed by the
+    price domain while the scan grows. Each CDF value is one exact
+    integer count divided once (bit-identical doubles cross-engine; the
+    integer-product form cum1*n2 would overflow int64 at ~1e10-row
+    samples, so the division happens FIRST, identically in both engines);
+    the max/abs/sqrt chain is deterministic IEEE arithmetic, rounded at
+    one site.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    per_value = (
+        li.select(
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias(
+                "cents"
+            ),
+            "l_returnflag",
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum(
+                F.when(F.col("l_returnflag") == "A", 1).otherwise(0)
+            ).alias("c1"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("c2"),
+        )
+    )
+    totals = per_value.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf_gap = F.abs(
+        F.sum("c1").over(w).cast("double") / F.col("n1")
+        - F.sum("c2").over(w).cast("double") / F.col("n2")
+    )
+    gaps = per_value.crossJoin(F.broadcast(totals)).select(
+        "n1", "n2", cdf_gap.alias("gap")
+    )
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n1") + F.col("n2")).cast("double")
+        / (F.col("n1").cast("double") * F.col("n2"))
+    )
+    return (
+        gaps.groupBy("n1", "n2")
+        .agg(F.max("gap").alias("ks_d_raw"))
+        .select(
+            F.col("n1").cast("long"),
+            F.col("n2").cast("long"),
+            F.round(F.col("ks_d_raw"), 6).alias("ks_d"),
+            (F.col("ks_d_raw") > crit).alias("reject_equality_at_05"),
+        )
+    )

@@ -4340,3 +4340,34 @@ oracle("events_ab_chisquare")(
     FROM stat
     """
 )
+
+oracle("quality_ks_two_sample")(
+    # Same shape: per-distinct-cents counts, cumulative CDFs (each an
+    # exact integer divided ONCE — the integer-product form would
+    # overflow int64 at scale), max gap, 1.358*sqrt((n1+n2)/(n1*n2)).
+    """
+    WITH per_value AS (
+        SELECT round(l_extendedprice * 100)::BIGINT AS cents,
+               sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)::BIGINT AS c1,
+               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS c2
+        FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        GROUP BY cents
+    ), totals AS (
+        SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2 FROM per_value
+    ), gaps AS (
+        SELECT t.n1, t.n2,
+               abs(sum(c1) OVER (ORDER BY cents
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)::DOUBLE / t.n1
+                   - sum(c2) OVER (ORDER BY cents
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)::DOUBLE / t.n2) AS gap
+        FROM per_value CROSS JOIN totals t
+    )
+    SELECT n1, n2,
+           round(max(gap), 6) AS ks_d,
+           (max(gap) > 1.358 * sqrt((n1 + n2)::DOUBLE / (n1::DOUBLE * n2)))
+               AS reject_equality_at_05
+    FROM gaps GROUP BY n1, n2
+    """
+)

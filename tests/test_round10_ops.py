@@ -1129,3 +1129,39 @@ def test_ab_chisquare_planted_cells_and_degenerate_guard(spark):
         r = QUERIES["events_ab_chisquare"](spark, d).collect()[0]
     assert (r.a, r.b, r.c, r.d) == (1, 0, 1, 0)
     assert r.chi2 is None and bool(r.significant_at_05) is False
+
+
+# --- two-sample KS -------------------------------------------------------------
+
+
+def test_ks_two_sample_planted_and_identical(spark):
+    """Hand-computable planted samples: A={1,2,3}, R={3,4} gives
+    D = 2/3 (at v=2); identical samples give D = 0 and no rejection."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    schema = "l_extendedprice double, l_returnflag string"
+
+    def run(rows):
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(rows, schema).write.parquet(
+                os.path.join(d, "lineitem.parquet")
+            )
+            return QUERIES["quality_ks_two_sample"](spark, d).collect()[0]
+
+    r = run(
+        [(1.0, "A"), (2.0, "A"), (3.0, "A"), (3.0, "R"), (4.0, "R"),
+         (9.0, "N")]  # N filtered out
+    )
+    assert (r.n1, r.n2) == (3, 2)
+    assert r.ks_d == round(2.0 / 3.0, 6)
+    # critical value at n1=3, n2=2: 1.358*sqrt(5/6) ~ 1.24 -> no rejection
+    assert bool(r.reject_equality_at_05) is False
+
+    same = [(float(v), f) for v in (10, 20, 30) for f in ("A", "R")]
+    r = run(same)
+    assert (r.n1, r.n2, r.ks_d) == (3, 3, 0.0)
+    assert bool(r.reject_equality_at_05) is False
