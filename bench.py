@@ -223,6 +223,7 @@ HEADLINE = [
     "ml_kmeans_quantized",
     "events_ab_chisquare",
     "quality_ks_two_sample",
+    "clean_winsorized_mean",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

@@ -3776,3 +3776,58 @@ def quality_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ks_d_raw") > crit).alias("reject_equality_at_05"),
         )
     )
+
+
+@query
+def clean_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust mean of lineitem prices per return flag: values
+    clipped to the group's [p05, p95] before averaging — the outlier
+    treatment a feature pipeline applies where trimming would change
+    counts. Two grouped aggregates: (1) exact p05/p95 per flag over
+    INTEGER cents, each boundary rounded ONCE to an integer (the repo's
+    percentile knife-edge discipline); (2) re-aggregate with the clip
+    applied — the clipped values are integers, so the group sum is exact
+    and the mean is one division at one site, next to the raw mean for
+    the outlier-impact readout.
+
+    Scale shape: both passes are partial-agg-friendly groupBys on the
+    3-value flag key; the boundary frame is group-cardinality-bounded
+    (broadcast join back, the impute-median pattern). No window, no sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    bounds = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile(F.col("cents"), F.lit(0.05))).cast("long").alias(
+            "lo"
+        ),
+        F.round(F.percentile(F.col("cents"), F.lit(0.95))).cast("long").alias(
+            "hi"
+        ),
+    )
+    clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("cents")))
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.max("lo").alias("lo_cents"),
+            F.max("hi").alias("hi_cents"),
+            F.sum(clipped).alias("clipped_sum"),
+            F.sum("cents").alias("raw_sum"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("n_items").cast("long"),
+            (F.col("lo_cents") / 100.0).alias("p05"),
+            (F.col("hi_cents") / 100.0).alias("p95"),
+            F.round(F.col("clipped_sum") / F.col("n_items") / 100.0, 2).alias(
+                "winsorized_mean"
+            ),
+            F.round(F.col("raw_sum") / F.col("n_items") / 100.0, 2).alias(
+                "raw_mean"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -4371,3 +4371,30 @@ oracle("quality_ks_two_sample")(
     FROM gaps GROUP BY n1, n2
     """
 )
+
+oracle("clean_winsorized_mean")(
+    # Same two-pass shape: quantile_cont boundaries rounded once to
+    # integers, integer clip, exact integer sums, divisions at the end.
+    """
+    WITH li AS (
+        SELECT l_returnflag,
+               round(l_extendedprice * 100)::BIGINT AS cents
+        FROM lineitem
+    ), bounds AS (
+        SELECT l_returnflag,
+               round(quantile_cont(cents, 0.05::DOUBLE))::BIGINT AS lo,
+               round(quantile_cont(cents, 0.95::DOUBLE))::BIGINT AS hi
+        FROM li GROUP BY l_returnflag
+    )
+    SELECT li.l_returnflag,
+           count(*)::BIGINT AS n_items,
+           (max(b.lo) / 100.0) AS p05,
+           (max(b.hi) / 100.0) AS p95,
+           round(sum(greatest(b.lo, least(b.hi, li.cents)))::BIGINT
+                 / count(*) / 100.0, 2) AS winsorized_mean,
+           round(sum(li.cents)::BIGINT / count(*) / 100.0, 2) AS raw_mean
+    FROM li JOIN bounds b USING (l_returnflag)
+    GROUP BY li.l_returnflag
+    ORDER BY li.l_returnflag
+    """
+)

@@ -1165,3 +1165,43 @@ def test_ks_two_sample_planted_and_identical(spark):
     r = run(same)
     assert (r.n1, r.n2, r.ks_d) == (3, 3, 0.0)
     assert bool(r.reject_equality_at_05) is False
+
+
+# --- winsorized mean -----------------------------------------------------------
+
+
+def test_winsorized_mean_clips_planted_outlier(spark):
+    """A planted extreme outlier moves the raw mean but barely moves the
+    winsorized mean; with no outliers the two agree; clip bounds equal the
+    group's exact p05/p95."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    base = [float(v) for v in range(100, 200)]  # uniform 100..199
+    rows = [(p, "A") for p in base + [1_000_000.0]] + [
+        (p, "R") for p in base
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "l_extendedprice double, l_returnflag string"
+        ).write.parquet(os.path.join(d, "lineitem.parquet"))
+        got = {
+            r.l_returnflag: r
+            for r in QUERIES["clean_winsorized_mean"](spark, d).collect()
+        }
+    a, r_ = got["A"], got["R"]
+    assert a.raw_mean > 2 * a.winsorized_mean  # outlier dominates raw
+    assert abs(a.winsorized_mean - r_.winsorized_mean) < 5  # robust agrees
+    # clean group: exact p05/p95 of uniform integers (quantile_cont)
+    cents = np.array(sorted(int(p * 100) for p in base))
+    for q, attr in ((0.05, "p05"), (0.95, "p95")):
+        exact = round(float(np.percentile(cents, q * 100, method="linear")))
+        assert getattr(r_, attr) == exact / 100.0
+    assert r_.raw_mean == r_.winsorized_mean or abs(
+        r_.raw_mean - r_.winsorized_mean
+    ) < 3  # mild clipping of the uniform tails only
