@@ -1643,8 +1643,11 @@ def probe_kmeans(spark, mult: int) -> float:
 
     for _ in range(2):
         members = assign(cent).select("vec_id", "cluster_id")
+        # members is one row per VECTOR — corpus-sized; never let the
+        # static planner broadcast it (the sparse-cosine lesson): pin the
+        # vec-keyed shuffle join
         cent = (
-            vecs.join(members, "vec_id")
+            vecs.join(members.hint("shuffle_hash"), "vec_id")
             .groupBy("cluster_id", "pos")
             .agg(F.round(F.avg("val")).cast("long").alias("code"))
         )
