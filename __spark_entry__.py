@@ -73,6 +73,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "events_ab_chisquare",  # birth
     "quality_ks_two_sample",  # birth
     "clean_winsorized_mean",  # birth
+    "events_seasonal_mase",  # birth
     "sketch_tdigest_quantile_bounds",  # r9
     "agg_tdigest_grouped_p95",  # r9
     "ann_ivf_pq_recall_sweep",  # r9
@@ -99,7 +100,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "clean_part_battery",  # r2,r3,r4
     "window_order_sequence",  # r1,r4
     "window_analytics_battery",  # r2,r3,r4
-    "set_ops_intersect",  # r1,r4
 )
 
 

@@ -224,6 +224,7 @@ HEADLINE = [
     "events_ab_chisquare",
     "quality_ks_two_sample",
     "clean_winsorized_mean",
+    "events_seasonal_mase",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

@@ -3834,3 +3834,51 @@ def clean_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query
+def events_seasonal_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy backtest of the SEASONAL-NAIVE predictor (count
+    seven days ago) against the random-walk naive (count one day ago) on
+    the daily event series — the MASE readout (mean absolute error scaled
+    by the naive baseline's) a pipeline runs before trusting any fancier
+    forecaster. Both predictors are day-keyed SELF EQUI-JOINS on day+lag
+    (no window, no sort): a day scores only when its lagged day exists, so
+    series gaps exclude themselves instead of silently comparing across
+    them. Absolute errors are exact integers; the two means and their
+    ratio divide in one fixed expression order (bit-identical
+    cross-engine), rounded at one site.
+
+    Scale shape: one day-keyed partial-agg rollup (domain-bounded output)
+    then two joins on that bounded frame — the heavy lifting is the first
+    aggregate's single shuffle; everything after runs on one row per day.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ref7 = daily.select(
+        F.date_add(F.col("day"), 7).alias("day"), F.col("n").alias("n_lag7")
+    )
+    ref1 = daily.select(
+        F.date_add(F.col("day"), 1).alias("day"), F.col("n").alias("n_lag1")
+    )
+    seasonal = daily.join(ref7, "day").agg(
+        F.count(F.lit(1)).alias("n_scored_seasonal"),
+        F.sum(F.abs(F.col("n") - F.col("n_lag7"))).alias("sae_seasonal"),
+    )
+    naive = daily.join(ref1, "day").agg(
+        F.count(F.lit(1)).alias("n_scored_naive"),
+        F.sum(F.abs(F.col("n") - F.col("n_lag1"))).alias("sae_naive"),
+    )
+    mase = (
+        F.col("sae_seasonal").cast("double") / F.col("n_scored_seasonal")
+    ) / (F.col("sae_naive").cast("double") / F.col("n_scored_naive"))
+    return seasonal.crossJoin(F.broadcast(naive)).select(
+        F.col("n_scored_seasonal").cast("long"),
+        F.col("sae_seasonal").cast("long"),
+        F.col("n_scored_naive").cast("long"),
+        F.col("sae_naive").cast("long"),
+        F.round(mase, 4).alias("mase"),
+        (mase < 1.0).alias("seasonal_beats_naive"),
+    )

@@ -4398,3 +4398,29 @@ oracle("clean_winsorized_mean")(
     ORDER BY li.l_returnflag
     """
 )
+
+oracle("events_seasonal_mase")(
+    # Same two self equi-joins on day+lag, exact integer absolute errors,
+    # the same fixed division order for the MASE ratio.
+    """
+    WITH daily AS (
+        SELECT ts::DATE AS day, count(*)::BIGINT AS n
+        FROM events GROUP BY day
+    ), seasonal AS (
+        SELECT count(*)::BIGINT AS n_scored_seasonal,
+               sum(abs(d.n - r.n))::BIGINT AS sae_seasonal
+        FROM daily d JOIN daily r ON d.day = r.day + 7
+    ), naive AS (
+        SELECT count(*)::BIGINT AS n_scored_naive,
+               sum(abs(d.n - r.n))::BIGINT AS sae_naive
+        FROM daily d JOIN daily r ON d.day = r.day + 1
+    )
+    SELECT n_scored_seasonal, sae_seasonal, n_scored_naive, sae_naive,
+           round((sae_seasonal::DOUBLE / n_scored_seasonal)
+                 / (sae_naive::DOUBLE / n_scored_naive), 4) AS mase,
+           ((sae_seasonal::DOUBLE / n_scored_seasonal)
+            / (sae_naive::DOUBLE / n_scored_naive) < 1.0)
+               AS seasonal_beats_naive
+    FROM seasonal CROSS JOIN naive
+    """
+)

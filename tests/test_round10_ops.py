@@ -1205,3 +1205,50 @@ def test_winsorized_mean_clips_planted_outlier(spark):
     assert r_.raw_mean == r_.winsorized_mean or abs(
         r_.raw_mean - r_.winsorized_mean
     ) < 3  # mild clipping of the uniform tails only
+
+
+# --- seasonal MASE -------------------------------------------------------------
+
+
+def test_seasonal_mase_planted_series_and_gap_exclusion(spark):
+    """A perfectly weekly-periodic planted series gives seasonal SAE = 0
+    (MASE 0, beats naive); a gap day excludes exactly the scoring rows
+    whose lagged day is missing."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    d0 = dt.datetime(2024, 1, 1)
+    # 21 days, weekly pattern [1..7] event counts; drop day 10 entirely
+    rows = []
+    eid = 0
+    for day in range(21):
+        if day == 10:
+            continue
+        for _ in range((day % 7) + 1):
+            eid += 1
+            rows.append(
+                (eid, d0 + dt.timedelta(days=day), 1, "view", 0.0, "{}")
+            )
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "events.parquet")
+        )
+        r = QUERIES["events_seasonal_mase"](spark, d).collect()[0]
+    # seasonal scoring: days 7..20 present with day-7 present ->
+    # 14 candidates minus day 10 (absent) minus day 17 (lag7 = day 10
+    # absent) = 12; the periodic series makes every scored error 0
+    assert r.n_scored_seasonal == 12
+    assert r.sae_seasonal == 0
+    # naive scoring: days 1..20 with previous day present -> 20 minus
+    # day 10 (absent) minus day 11 (prev absent) = 18
+    assert r.n_scored_naive == 18
+    assert r.sae_naive > 0
+    assert r.mase == 0.0 and bool(r.seasonal_beats_naive) is True
