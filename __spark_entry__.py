@@ -74,6 +74,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "quality_ks_two_sample",  # birth
     "clean_winsorized_mean",  # birth
     "events_seasonal_mase",  # birth
+    "graph_bfs_hops",  # birth
+    "events_cumulative_users",  # birth
     "sketch_tdigest_quantile_bounds",  # r9
     "agg_tdigest_grouped_p95",  # r9
     "ann_ivf_pq_recall_sweep",  # r9
@@ -98,8 +100,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "quality_expectations_orders",  # r2,r3
     "q1_top_brand_per_nation",  # r1,r2,r3,r4
     "clean_part_battery",  # r2,r3,r4
-    "window_order_sequence",  # r1,r4
-    "window_analytics_battery",  # r2,r3,r4
 )
 
 

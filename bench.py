@@ -225,6 +225,8 @@ HEADLINE = [
     "quality_ks_two_sample",
     "clean_winsorized_mean",
     "events_seasonal_mase",
+    "graph_bfs_hops",
+    "events_cumulative_users",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

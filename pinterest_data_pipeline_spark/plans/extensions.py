@@ -3882,3 +3882,88 @@ def events_seasonal_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mase, 4).alias("mase"),
         (mase < 1.0).alias("seasonal_beats_naive"),
     )
+
+
+@query
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first reachability over the part co-occurrence graph
+    (:func:`_cooccurrence_edges`): exact hop distance from the seed (the
+    minimum part id in the graph — deterministic at every SF) for every
+    node within 3 hops, rolled up per hop with an id-sum checksum. The
+    third graph primitive next to counting (triangles) and scoring
+    (PageRank): distance labeling — the reachability/expansion question a
+    catalog asks of its substitution graph.
+
+    Scale shape: each hop is ONE edge-keyed shuffle join (current frontier
+    to out-edges) followed by a node-keyed min-aggregate that both dedups
+    the frontier and keeps the SHORTEST distance — the textbook
+    distributed BFS step; the seed arrives as a broadcast 1-row aggregate,
+    never a driver round-trip. Hop count is fixed (3), so the whole walk
+    is one lazy plan with reused edge exchanges.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = _cooccurrence_edges(li)
+    dir_edges = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    nodes = dir_edges.select(F.col("src").alias("n")).distinct()
+    seed = nodes.agg(F.min("n").alias("n"))
+    reached = F.broadcast(seed).select("n", F.lit(0).alias("dist"))
+    for _ in range(3):
+        expanded = (
+            reached.join(dir_edges, reached["n"] == dir_edges["src"])
+            .select(
+                F.col("dst").alias("n"), (F.col("dist") + 1).alias("dist")
+            )
+        )
+        reached = (
+            reached.unionByName(expanded)
+            .groupBy("n")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return (
+        reached.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("n").alias("id_checksum"),
+        )
+        .select(
+            F.col("dist").cast("int").alias("hop"),
+            F.col("n_nodes").cast("long"),
+            F.col("id_checksum").cast("long"),
+        )
+        .orderBy("hop")
+    )
+
+
+@query
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per day, NEW users (first ever seen that day)
+    and the cumulative distinct-user count to date — the acquisition curve
+    read off every growth dashboard, computed without any per-day distinct
+    union: first-seen day per user is one user-keyed min-aggregate, the
+    daily new-user rollup is day-keyed, and the running total is a
+    cumulative window over the DOMAIN-BOUNDED day axis (the repo's
+    sanctioned bounded serial window). Exact integers end to end.
+    """
+    events = load_table(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily_new = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        daily_new.withColumn(
+            "cumulative_users", F.sum("new_users").over(w)
+        )
+        .select(
+            "day",
+            F.col("new_users").cast("long"),
+            F.col("cumulative_users").cast("long"),
+        )
+        .orderBy("day")
+    )

@@ -4424,3 +4424,67 @@ oracle("events_seasonal_mase")(
     FROM seasonal CROSS JOIN naive
     """
 )
+
+oracle("graph_bfs_hops")(
+    # Three unrolled BFS expansions over the same support->=2 edges, min
+    # distance kept at each round; per-hop count + id-sum checksum.
+    """
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+        SELECT a.l_partkey AS a, b.l_partkey AS b
+        FROM baskets a JOIN baskets b USING (l_orderkey)
+        WHERE a.l_partkey < b.l_partkey
+    ), edges AS (
+        SELECT a, b FROM pairs GROUP BY a, b HAVING count(*) >= 2
+    ), dir AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION ALL SELECT b, a FROM edges
+    ), seed AS (
+        SELECT min(src) AS n FROM dir
+    ), r0 AS (
+        SELECT n, 0 AS dist FROM seed
+    ), r1 AS (
+        SELECT n, min(dist) AS dist FROM (
+            SELECT n, dist FROM r0
+            UNION ALL
+            SELECT d.dst AS n, r.dist + 1 FROM r0 r JOIN dir d ON r.n = d.src
+        ) GROUP BY n
+    ), r2 AS (
+        SELECT n, min(dist) AS dist FROM (
+            SELECT n, dist FROM r1
+            UNION ALL
+            SELECT d.dst AS n, r.dist + 1 FROM r1 r JOIN dir d ON r.n = d.src
+        ) GROUP BY n
+    ), r3 AS (
+        SELECT n, min(dist) AS dist FROM (
+            SELECT n, dist FROM r2
+            UNION ALL
+            SELECT d.dst AS n, r.dist + 1 FROM r2 r JOIN dir d ON r.n = d.src
+        ) GROUP BY n
+    )
+    SELECT dist::INT AS hop,
+           count(*)::BIGINT AS n_nodes,
+           sum(n)::BIGINT AS id_checksum
+    FROM r3 GROUP BY dist ORDER BY hop
+    """
+)
+
+oracle("events_cumulative_users")(
+    # First-seen day per user, daily new-user rollup, running total over
+    # the bounded day axis.
+    """
+    WITH first_seen AS (
+        SELECT user_id, min(ts::DATE) AS first_day
+        FROM events GROUP BY user_id
+    ), daily_new AS (
+        SELECT first_day AS day, count(*)::BIGINT AS new_users
+        FROM first_seen GROUP BY first_day
+    )
+    SELECT day, new_users,
+           sum(new_users) OVER (ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)::BIGINT AS cumulative_users
+    FROM daily_new ORDER BY day
+    """
+)

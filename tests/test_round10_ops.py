@@ -1252,3 +1252,77 @@ def test_seasonal_mase_planted_series_and_gap_exclusion(spark):
     assert r.n_scored_naive == 18
     assert r.sae_naive > 0
     assert r.mase == 0.0 and bool(r.seasonal_beats_naive) is True
+
+
+# --- BFS hops ------------------------------------------------------------------
+
+
+def test_bfs_hops_planted_path_graph(spark):
+    """On a planted 6-node path 1-2-3-4-5-6 the seed is node 1 and hops
+    are exact: {0:[1], 1:[2], 2:[3], 3:[4]}; nodes 5 and 6 sit beyond 3
+    hops and are excluded."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    path = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+    rows = []
+    order = 0
+    for (a, b) in path:
+        for _ in range(2):  # support 2 makes the edge
+            order += 1
+            rows += [(order, a, 0), (order, b, 1)]
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_linenumber long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        got = {
+            r.hop: (r.n_nodes, r.id_checksum)
+            for r in QUERIES["graph_bfs_hops"](spark, d).collect()
+        }
+    assert got == {0: (1, 1), 1: (1, 2), 2: (1, 3), 3: (1, 4)}
+
+
+# --- cumulative users ----------------------------------------------------------
+
+
+def test_cumulative_users_counts_first_appearances_only(spark):
+    """Users are counted on their FIRST day only: a user active on days 1
+    and 3 adds to day 1; the running total is monotone and ends at the
+    distinct-user count."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    d0 = dt.datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    for uid, days in [(1, [0, 2]), (2, [0]), (3, [1, 2]), (4, [2])]:
+        for day in days:
+            eid += 1
+            rows.append(
+                (eid, d0 + dt.timedelta(days=day), uid, "view", 0.0, "{}")
+            )
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "events.parquet")
+        )
+        got = [
+            (str(r.day), r.new_users, r.cumulative_users)
+            for r in QUERIES["events_cumulative_users"](spark, d).collect()
+        ]
+    assert got == [
+        ("2024-05-01", 2, 2),
+        ("2024-05-02", 1, 3),
+        ("2024-05-03", 1, 4),
+    ]
