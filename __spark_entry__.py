@@ -76,6 +76,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "events_seasonal_mase",  # birth
     "graph_bfs_hops",  # birth
     "events_cumulative_users",  # birth
+    "events_market_basket_triples",  # birth
+    "anomaly_cusum_daily",  # birth
     "sketch_tdigest_quantile_bounds",  # r9
     "agg_tdigest_grouped_p95",  # r9
     "ann_ivf_pq_recall_sweep",  # r9
@@ -98,8 +100,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "tpch_q1_pricing_summary",  # r2,r3
     "tpch_q5_local_supplier_volume",  # r2,r3
     "quality_expectations_orders",  # r2,r3
-    "q1_top_brand_per_nation",  # r1,r2,r3,r4
-    "clean_part_battery",  # r2,r3,r4
 )
 
 

@@ -227,6 +227,8 @@ HEADLINE = [
     "events_seasonal_mase",
     "graph_bfs_hops",
     "events_cumulative_users",
+    "events_market_basket_triples",
+    "anomaly_cusum_daily",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

