@@ -1659,6 +1659,80 @@ def probe_kmeans(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
+def probe_bfs(spark, mult: int) -> float:
+    """3-hop BFS at mult x lineitem (denser co-occurrence graph — same
+    axis as triangles/pagerank)."""
+    li = multiply(
+        load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey"),
+        mult,
+        ["l_orderkey"],
+    )
+    baskets = li.distinct()
+    edges = (
+        baskets.select("l_orderkey", F.col("l_partkey").alias("a"))
+        .join(baskets.select("l_orderkey", F.col("l_partkey").alias("b")), "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("a", "b")
+    )
+    dir_edges = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    seed = dir_edges.select(F.col("src").alias("n")).distinct().agg(F.min("n").alias("n"))
+    reached = F.broadcast(seed).select("n", F.lit(0).alias("dist"))
+    for _ in range(3):
+        expanded = reached.join(dir_edges, reached["n"] == dir_edges["src"]).select(
+            F.col("dst").alias("n"), (F.col("dist") + 1).alias("dist")
+        )
+        reached = reached.unionByName(expanded).groupBy("n").agg(F.min("dist").alias("dist"))
+    q = reached.groupBy("dist").agg(F.count(F.lit(1)).alias("c"), F.sum("n").alias("s"))
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_triples(spark, mult: int) -> float:
+    """Apriori-pruned frequent triples at mult x lineitem (orders axis:
+    basket-size bound keeps per-order fan-out O(basket^3))."""
+    li = multiply(
+        load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey"),
+        mult,
+        ["l_orderkey"],
+    )
+    baskets = li.distinct()
+    item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c_item"))
+    frequent = baskets.join(
+        item.filter(F.col("c_item") >= 2).select("l_partkey"), "l_partkey"
+    )
+    pair_occ = (
+        frequent.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+        .join(frequent.select("l_orderkey", F.col("l_partkey").alias("part_b")), "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+    )
+    freq_pairs = (
+        pair_occ.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+        .filter(F.col("c_pair") >= 2)
+        .select("part_a", "part_b")
+    )
+    pruned_occ = pair_occ.join(freq_pairs, ["part_a", "part_b"], "left_semi")
+    q = (
+        pruned_occ.join(
+            frequent.select("l_orderkey", F.col("l_partkey").alias("part_c")),
+            "l_orderkey",
+        )
+        .filter(F.col("part_b") < F.col("part_c"))
+        .groupBy("part_a", "part_b", "part_c")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 PROBES = {
     "tpch_q5_6way_join": probe_tpch_q5,
     "simhash_near_dup": probe_simhash,
@@ -1730,6 +1804,8 @@ PROBES = {
     "equidepth": probe_equidepth,
     "interval_join": probe_interval_join,
     "kmeans": probe_kmeans,
+    "bfs": probe_bfs,
+    "triples": probe_triples,
 }
 
 
