@@ -229,6 +229,7 @@ HEADLINE = [
     "events_cumulative_users",
     "events_market_basket_triples",
     "anomaly_cusum_daily",
+    "sample_proportional_quota",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

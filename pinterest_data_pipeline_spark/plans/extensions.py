@@ -4069,3 +4069,71 @@ def anomaly_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hi.crossJoin(F.broadcast(lo)).select(
         "n_days", "max_cusum_day", "max_cusum", "min_cusum_day", "min_cusum"
     )
+
+
+@query
+def sample_proportional_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional stratified sampling with EXACT integer quotas: a 10%
+    customer sample allocated across market segments by the largest-
+    remainder method (quota_i = floor(k*size_i/n), the leftover seats
+    going to the largest remainders, ties by segment name), then filled
+    per stratum by deterministic md5-hash priority — the "build an eval
+    set proportional to the population, to the exact row" draw, with the
+    same integer-conservation discipline as the attribution and
+    token-budget operators (quotas sum to k EXACTLY, no float shares).
+
+    Scale shape: allocation runs on the segment-cardinality-bounded
+    size frame (a bounded window over 5 rows); selection is one
+    segment-keyed rank window against the broadcast quota frame. Emitted
+    as a per-stratum rollup with an id-sum checksum so the oracle
+    certifies the exact picked SET, not just counts.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    sizes = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("stratum_n")
+    )
+    totals = sizes.agg(
+        F.sum("stratum_n").alias("n"),
+        (F.sum("stratum_n").cast("long") / F.lit(10)).cast("long").alias("k"),
+    )
+    alloc = sizes.crossJoin(F.broadcast(totals)).select(
+        "c_mktsegment",
+        "stratum_n",
+        F.expr("k * stratum_n div n").alias("base"),
+        ((F.col("k") * F.col("stratum_n")) % F.col("n")).alias("rem"),
+        "k",
+    )
+    w_rem = Window.orderBy(F.desc("rem"), F.asc("c_mktsegment"))
+    w_all = Window.partitionBy(F.lit(1))
+    quotas = (
+        alloc.withColumn("rem_rank", F.row_number().over(w_rem))
+        .withColumn("leftover", F.col("k") - F.sum("base").over(w_all))
+        .select(
+            "c_mktsegment",
+            "stratum_n",
+            (
+                F.col("base")
+                + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+            ).alias("quota"),
+        )
+    )
+    h = sampling.uniform_hash(F.col("c_custkey"), "quota")
+    w_pick = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("h"), F.asc("c_custkey")
+    )
+    picked = (
+        cust.select("c_mktsegment", "c_custkey", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w_pick))
+        .join(F.broadcast(quotas), "c_mktsegment")
+        .filter(F.col("rk") <= F.col("quota"))
+    )
+    return (
+        picked.groupBy("c_mktsegment")
+        .agg(
+            F.max("stratum_n").cast("long").alias("stratum_n"),
+            F.max("quota").cast("long").alias("quota"),
+            F.count(F.lit(1)).alias("n_picked"),
+            F.sum("c_custkey").alias("custkey_checksum"),
+        )
+        .orderBy("c_mktsegment")
+    )

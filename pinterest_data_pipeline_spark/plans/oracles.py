@@ -4542,3 +4542,52 @@ oracle("anomaly_cusum_daily")(
     FROM hi CROSS JOIN lo
     """
 )
+
+oracle("sample_proportional_quota")(
+    # Same integer largest-remainder allocation (k = n//10) and the same
+    # md5 priority draw; the checksum certifies the exact picked set.
+    """
+    WITH sizes AS (
+        SELECT c_mktsegment, count(*)::BIGINT AS stratum_n FROM customer
+        GROUP BY c_mktsegment
+    ), totals AS (
+        SELECT sum(stratum_n)::BIGINT AS n,
+               sum(stratum_n)::BIGINT // 10 AS k
+        FROM sizes
+    ), alloc AS (
+        SELECT c_mktsegment, stratum_n,
+               (t.k * stratum_n) // t.n AS base,
+               (t.k * stratum_n) % t.n AS rem,
+               t.k
+        FROM sizes CROSS JOIN totals t
+    ), quotas AS (
+        SELECT c_mktsegment, stratum_n,
+               base + CASE WHEN row_number() OVER (ORDER BY rem DESC,
+                                                   c_mktsegment)
+                           <= k - sum(base) OVER () THEN 1 ELSE 0 END
+                   AS quota
+        FROM alloc
+    ), hashed AS (
+        SELECT c_mktsegment, c_custkey,
+               CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)
+                                           || 'quota'), 1, 8)) AS UBIGINT)
+                   AS h
+        FROM customer
+    ), ranked AS (
+        SELECT c_mktsegment, c_custkey,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY h, c_custkey) AS rk
+        FROM hashed
+    ), picked AS (
+        SELECT r.c_mktsegment, r.c_custkey, q.stratum_n, q.quota
+        FROM ranked r JOIN quotas q USING (c_mktsegment)
+        WHERE r.rk <= q.quota
+    )
+    SELECT c_mktsegment,
+           max(stratum_n)::BIGINT AS stratum_n,
+           max(quota)::BIGINT AS quota,
+           count(*)::BIGINT AS n_picked,
+           sum(c_custkey)::BIGINT AS custkey_checksum
+    FROM picked GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """
+)

@@ -1404,3 +1404,48 @@ def test_cusum_flags_planted_level_shift(spark):
     # the maximum excursion on this shape is the final value 0, tie-broken
     # to the earliest day that attains it
     assert r.max_cusum == 0.0
+
+
+# --- proportional quota sampling -----------------------------------------------
+
+
+def test_proportional_quota_allocation_conserves_k(spark):
+    """Quotas sum EXACTLY to k = n//10, each quota is within 1 of its
+    exact proportional share, picked counts equal quotas, and a planted
+    skewed population allocates the leftover seat to the largest
+    remainder."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    # sizes 7 / 6 / 8 -> n=21, k=2; exact shares 0.667/0.571/0.762:
+    # bases 0/0/0, remainders 14/12/16 -> seats to C (16) and A (14)
+    rows = []
+    ck = 0
+    for seg, size in (("A", 7), ("B", 6), ("C", 8)):
+        for _ in range(size):
+            ck += 1
+            rows.append((ck, seg))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "c_custkey long, c_mktsegment string"
+        ).write.parquet(os.path.join(d, "customer.parquet"))
+        got = {
+            r.c_mktsegment: (r.stratum_n, r.quota, r.n_picked)
+            for r in QUERIES["sample_proportional_quota"](spark, d).collect()
+        }
+    # zero-quota strata drop out of the picked rollup (inner semantics)
+    assert got == {"A": (7, 1, 1), "C": (8, 1, 1)}
+
+    # real data: conservation across segments
+    rows2 = QUERIES["sample_proportional_quota"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    n = sum(r.stratum_n for r in rows2)
+    k = n // 10
+    assert sum(r.quota for r in rows2) == k
+    assert all(r.n_picked == r.quota for r in rows2)
+    for r in rows2:
+        assert abs(r.quota - k * r.stratum_n / n) < 1
