@@ -79,6 +79,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "events_market_basket_triples",  # birth
     "anomaly_cusum_daily",  # birth
     "sample_proportional_quota",  # birth
+    "agg_revenue_concentration",  # birth
     "sketch_tdigest_quantile_bounds",  # r9
     "agg_tdigest_grouped_p95",  # r9
     "ann_ivf_pq_recall_sweep",  # r9
@@ -99,7 +100,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "multimodal_image_features",  # r2,r3
     "subquery_correlated_above_nation_avg",  # r2,r3
     "tpch_q1_pricing_summary",  # r2,r3
-    "tpch_q5_local_supplier_volume",  # r2,r3
 )
 
 

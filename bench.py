@@ -230,6 +230,7 @@ HEADLINE = [
     "events_market_basket_triples",
     "anomaly_cusum_daily",
     "sample_proportional_quota",
+    "agg_revenue_concentration",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

@@ -4137,3 +4137,58 @@ def sample_proportional_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query
+def agg_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration readout: what share of total order revenue
+    comes from "whale" customers at or above the p99 per-customer revenue
+    boundary — the concentration question behind every skew-handling
+    decision (salting bounds, tiered caching, account-level rate limits).
+    Defined by the BOUNDARY (revenue >= exact p99), not a top-k cut, so
+    ties resolve identically in both engines with no ordering knife-edge.
+
+    Scale shape: one customer-keyed revenue rollup (integer cents), one
+    exact-percentile aggregate over it, one broadcast threshold compare +
+    re-aggregate — every stage partial-agg friendly; no sort, no window,
+    no data-sized single task anywhere (the reshape the weighted-median
+    wall taught: never rank the full population when a boundary value
+    answers the question).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "rev_cents"
+        )
+    )
+    threshold = per_cust.agg(
+        F.round(F.percentile(F.col("rev_cents"), F.lit(0.99)))
+        .cast("long")
+        .alias("p99_cents")
+    )
+    share = F.col("top_cents").cast("double") / F.col("total_cents")
+    return (
+        per_cust.crossJoin(F.broadcast(threshold))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.max("p99_cents").alias("p99_cents"),
+            F.sum(
+                F.when(F.col("rev_cents") >= F.col("p99_cents"), 1).otherwise(0)
+            ).alias("n_whales"),
+            F.sum(
+                F.when(
+                    F.col("rev_cents") >= F.col("p99_cents"),
+                    F.col("rev_cents"),
+                ).otherwise(F.lit(0))
+            ).alias("top_cents"),
+            F.sum("rev_cents").alias("total_cents"),
+        )
+        .select(
+            F.col("n_customers").cast("long"),
+            F.round(F.col("p99_cents") / 100.0, 2).alias("p99_revenue"),
+            F.col("n_whales").cast("long"),
+            F.round(F.col("top_cents") / 100.0, 2).alias("whale_revenue"),
+            F.round(F.col("total_cents") / 100.0, 2).alias("total_revenue"),
+            F.round(share, 6).alias("whale_share"),
+        )
+    )

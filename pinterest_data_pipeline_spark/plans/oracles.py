@@ -4591,3 +4591,35 @@ oracle("sample_proportional_quota")(
     FROM picked GROUP BY c_mktsegment ORDER BY c_mktsegment
     """
 )
+
+oracle("agg_revenue_concentration")(
+    # Same boundary definition (revenue >= rounded exact p99 over integer
+    # cents), all-integer sums, divisions at the terminal sites.
+    """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS rev_cents
+        FROM orders GROUP BY o_custkey
+    ), threshold AS (
+        SELECT round(quantile_cont(rev_cents, 0.99::DOUBLE))::BIGINT
+                   AS p99_cents
+        FROM per_cust
+    ), cells AS (
+        SELECT count(*)::BIGINT AS n_customers,
+               max(t.p99_cents) AS p99_cents,
+               sum(CASE WHEN rev_cents >= t.p99_cents THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_whales,
+               sum(CASE WHEN rev_cents >= t.p99_cents THEN rev_cents
+                        ELSE 0 END)::BIGINT AS top_cents,
+               sum(rev_cents)::BIGINT AS total_cents
+        FROM per_cust CROSS JOIN threshold t
+    )
+    SELECT n_customers,
+           round(p99_cents / 100.0, 2) AS p99_revenue,
+           n_whales,
+           round(top_cents / 100.0, 2) AS whale_revenue,
+           round(total_cents / 100.0, 2) AS total_revenue,
+           round(top_cents::DOUBLE / total_cents, 6) AS whale_share
+    FROM cells
+    """
+)

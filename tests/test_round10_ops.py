@@ -1449,3 +1449,29 @@ def test_proportional_quota_allocation_conserves_k(spark):
     assert all(r.n_picked == r.quota for r in rows2)
     for r in rows2:
         assert abs(r.quota - k * r.stratum_n / n) < 1
+
+
+# --- revenue concentration -----------------------------------------------------
+
+
+def test_revenue_concentration_boundary_semantics(spark):
+    """On a planted population (99 customers at 100, one whale at 10000)
+    the whale crosses the p99 boundary and captures its exact share;
+    boundary ties are INCLUDED (>= semantics)."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rows = [(i, i, 100.0) for i in range(1, 100)] + [(100, 100, 10000.0)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_totalprice double"
+        ).write.parquet(os.path.join(d, "orders.parquet"))
+        r = QUERIES["agg_revenue_concentration"](spark, d).collect()[0]
+    assert r.n_customers == 100
+    assert r.n_whales == 1
+    assert r.whale_revenue == 10000.0
+    assert r.total_revenue == 99 * 100.0 + 10000.0
+    assert r.whale_share == round(10000.0 / 19900.0, 6)
