@@ -80,6 +80,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "anomaly_cusum_daily",  # birth
     "sample_proportional_quota",  # birth
     "agg_revenue_concentration",  # birth
+    "orc_roundtrip_battery",  # birth
     "sketch_tdigest_quantile_bounds",  # r9
     "agg_tdigest_grouped_p95",  # r9
     "ann_ivf_pq_recall_sweep",  # r9
@@ -99,7 +100,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "embedding_near_duplicates_exact",  # r2,r3
     "multimodal_image_features",  # r2,r3
     "subquery_correlated_above_nation_avg",  # r2,r3
-    "tpch_q1_pricing_summary",  # r2,r3
 )
 
 

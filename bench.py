@@ -231,6 +231,7 @@ HEADLINE = [
     "anomaly_cusum_daily",
     "sample_proportional_quota",
     "agg_revenue_concentration",
+    "orc_roundtrip_battery",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

@@ -4192,3 +4192,44 @@ def agg_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(share, 6).alias("whale_share"),
         )
     )
+
+
+@query
+def orc_roundtrip_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip certification — the columnar-format twin of the CSV
+    DLQ ingest: orders write to ORC (zlib) and read back with the explicit
+    schema, and the one-row summary (count, key checksum, integer-cents
+    revenue, date bounds) must match the PARQUET source exactly — the
+    oracle reads only the original parquet, so a green row proves the
+    round-trip lossless across every column type it touches (int, double,
+    string, timestamp). The interop check a lakehouse pays once per
+    format before trusting cross-engine handoffs.
+
+    Scale shape: the write is one pass; the read-back summary is a single
+    partial-agg scan over the ORC files. Work files live under the repo
+    warehouse (per-SF subdir), rebuilt per run.
+    """
+    import shutil
+
+    work = _work_dir(sf_dir, "_orc_roundtrip")
+    if os.path.exists(work):
+        shutil.rmtree(work)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    orders.write.mode("overwrite").option("compression", "zlib").orc(work)
+    back = spark.read.schema(orders.schema).orc(work)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").cast("long").alias("key_checksum"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        ),
+        F.count_distinct("o_orderstatus").alias("n_statuses"),
+        F.min(F.to_date("o_orderdate")).alias("first_day"),
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+        F.sum(F.length("o_orderpriority")).cast("long").alias(
+            "priority_strlen_sum"
+        ),
+    )

@@ -4623,3 +4623,19 @@ oracle("agg_revenue_concentration")(
     FROM cells
     """
 )
+
+oracle("orc_roundtrip_battery")(
+    # The oracle never sees the ORC files: it aggregates the ORIGINAL
+    # parquet — a hash match proves the ORC round-trip lossless for every
+    # touched column type.
+    """
+    SELECT count(*)::BIGINT AS n_orders,
+           sum(o_orderkey)::BIGINT AS key_checksum,
+           sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS revenue_cents,
+           count(DISTINCT o_orderstatus)::BIGINT AS n_statuses,
+           min(o_orderdate::DATE) AS first_day,
+           max(o_orderdate::DATE) AS last_day,
+           sum(len(o_orderpriority))::BIGINT AS priority_strlen_sum
+    FROM orders
+    """
+)

@@ -1475,3 +1475,32 @@ def test_revenue_concentration_boundary_semantics(spark):
     assert r.whale_revenue == 10000.0
     assert r.total_revenue == 99 * 100.0 + 10000.0
     assert r.whale_share == round(10000.0 / 19900.0, 6)
+
+
+# --- ORC round-trip ------------------------------------------------------------
+
+
+def test_orc_roundtrip_preserves_timestamps_and_nulls(spark):
+    """ORC round-trip on a planted frame with NULLs and a sub-second
+    timestamp: values and null-ness survive byte-exact."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    rows = [
+        (1, 10, "O", 99.99, dt.datetime(1995, 6, 1, 12, 30, 45, 123000), "1-URGENT"),
+        (2, None, None, None, None, ""),
+    ]
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    df = spark.createDataFrame(rows, schema)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "orc")
+        df.write.orc(p)
+        back = spark.read.schema(df.schema).orc(p)
+        got = sorted(
+            [tuple(r) for r in back.collect()], key=lambda t: t[0]
+        )
+    assert got == rows
