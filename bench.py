@@ -232,6 +232,7 @@ HEADLINE = [
     "sample_proportional_quota",
     "agg_revenue_concentration",
     "orc_roundtrip_battery",
+    "anomaly_bot_regularity",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

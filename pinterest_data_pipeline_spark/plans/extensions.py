@@ -4233,3 +4233,64 @@ def orc_roundtrip_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "priority_strlen_sum"
         ),
     )
+
+
+@query
+def anomaly_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot / automation detection by inter-event timing regularity: a
+    human's gaps between events vary; a scripted client's barely do. Per
+    user with >= 10 events, the coefficient of variation of inter-event
+    gaps (seconds), computed EXACTLY from integers: gaps via a user-keyed
+    lag, variance as (n*Σx² − (Σx)²)/n² — integer sums in SECONDS (µs²
+    would overflow int64), ONE division site, then sqrt/divide (IEEE-
+    deterministic both engines). Users under cv 0.1 flag as suspiciously
+    regular. The abuse-filtering signal a training-data pipeline applies
+    before user-generated text enters a corpus.
+
+    Scale shape: one user-keyed window for the lag (the same single
+    exchange sessionization pays), one user-keyed aggregate, one global
+    4-cell rollup. No floats until the terminal statistics.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        events.select("user_id", "ts", "event_id")
+        .withColumn(
+            "gap_s",
+            (
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.lag("ts").over(w))
+            )
+            / F.lit(1_000_000),
+        )
+        .filter(F.col("gap_s").isNotNull())
+        .select("user_id", F.floor("gap_s").cast("long").alias("gap_s"))
+    )
+    per_user = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("gap_s").alias("sx"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).alias("sxx"),
+        )
+        .filter((F.col("n") >= 10) & (F.col("sx") > 0))
+    )
+    mean = F.col("sx").cast("double") / F.col("n")
+    var = (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        / (F.col("n") * F.col("n"))
+    )
+    scored = per_user.select(
+        "user_id", (F.sqrt(var) / mean).alias("cv")
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(F.when(F.col("cv") < 0.1, 1).otherwise(0)).alias("n_flagged"),
+        F.round(F.min(F.round(F.col("cv"), 6)), 4).alias("min_cv"),
+        F.round(F.max(F.round(F.col("cv"), 6)), 4).alias("max_cv"),
+    ).select(
+        F.col("n_scored").cast("long"),
+        F.col("n_flagged").cast("long"),
+        "min_cv",
+        "max_cv",
+    )

@@ -4639,3 +4639,34 @@ oracle("orc_roundtrip_battery")(
     FROM orders
     """
 )
+
+oracle("anomaly_bot_regularity")(
+    # Same integer-second gaps (floor of the µs diff / 1e6), the same
+    # exact-integer variance numerator, the same division/sqrt points.
+    """
+    WITH gaps AS (
+        SELECT user_id,
+               floor((epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id))
+                     / 1000000.0)::BIGINT AS gap_s
+        FROM events
+    ), per_user AS (
+        SELECT user_id, count(*)::BIGINT AS n,
+               sum(gap_s)::BIGINT AS sx,
+               sum(gap_s * gap_s)::BIGINT AS sxx
+        FROM gaps WHERE gap_s IS NOT NULL
+        GROUP BY user_id
+        HAVING count(*) >= 10 AND sum(gap_s) > 0
+    ), scored AS (
+        SELECT user_id,
+               sqrt((n * sxx - sx * sx)::DOUBLE / (n * n))
+               / (sx::DOUBLE / n) AS cv
+        FROM per_user
+    )
+    SELECT count(*)::BIGINT AS n_scored,
+           sum(CASE WHEN cv < 0.1 THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+           round(min(round(cv, 6)), 4) AS min_cv,
+           round(max(round(cv, 6)), 4) AS max_cv
+    FROM scored
+    """
+)

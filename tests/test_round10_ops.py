@@ -1504,3 +1504,49 @@ def test_orc_roundtrip_preserves_timestamps_and_nulls(spark):
             [tuple(r) for r in back.collect()], key=lambda t: t[0]
         )
     assert got == rows
+
+
+# --- bot regularity ------------------------------------------------------------
+
+
+def test_bot_regularity_flags_planted_metronome(spark):
+    """A planted metronome user (exactly 60 s between all events, cv=0)
+    flags; a human-like user with alternating 30/600 s gaps (cv ~ 0.9)
+    does not; a user below the 10-event floor is not scored."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # bot: 20 events exactly 60 s apart
+    for i in range(20):
+        eid += 1
+        rows.append((eid, t0 + dt.timedelta(seconds=60 * i), 1, "view", 0.0, "{}"))
+    # human: 20 events, alternating 30 s / 600 s gaps
+    t = t0
+    for i in range(20):
+        eid += 1
+        rows.append((eid, t, 2, "view", 0.0, "{}"))
+        t += dt.timedelta(seconds=30 if i % 2 == 0 else 600)
+    # sparse user: 5 events (below the floor)
+    for i in range(5):
+        eid += 1
+        rows.append((eid, t0 + dt.timedelta(hours=i), 3, "view", 0.0, "{}"))
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "events.parquet")
+        )
+        r = QUERIES["anomaly_bot_regularity"](spark, d).collect()[0]
+    assert r.n_scored == 2
+    assert r.n_flagged == 1
+    assert r.min_cv == 0.0   # the metronome
+    assert r.max_cv > 0.5    # the human
