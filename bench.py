@@ -233,6 +233,7 @@ HEADLINE = [
     "agg_revenue_concentration",
     "orc_roundtrip_battery",
     "anomaly_bot_regularity",
+    "quality_knn_label_agreement",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

@@ -4294,3 +4294,71 @@ def anomaly_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_cv",
         "max_cv",
     )
+
+
+@query
+def quality_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screening by k-NN agreement (the Confident-Learning-
+    style first pass): a vector whose 5 nearest neighbours mostly carry a
+    DIFFERENT label is a mislabeling suspect. Neighbours by integer-
+    quantized dot product (the engine-exact similarity the ANN family
+    certifies), majority by count with ties broken toward agreement; the
+    audit runs on a FIXED-SIZE deterministic sample — the 256 vectors
+    with smallest md5 priority (the reservoir-sample draw), so the
+    broadcast side is bounded BY CONSTRUCTION at any corpus scale (a
+    fraction-of-corpus audit would be a data-sized broadcast, the
+    mis-broadcast class the k-means fix documents; a full-corpus audit
+    is the blocked-GEMM job embedding_near_duplicates ships).
+
+    Scale shape: one corpus scan against the 256-row broadcast;
+    per-pair dot products in codegen; neighbour cut via WindowGroupLimit
+    rank; label counts are a (vector, label)-keyed partial agg. Output
+    is a one-row rollup plus the disagreement rate at one float site.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    audited = emb.withColumn(
+        "h", sampling.uniform_hash(F.col("vec_id"), "knn_audit")
+    ).orderBy(F.asc("h"), F.asc("vec_id")).limit(256).select(
+        F.col("vec_id").alias("q_id"),
+        similarity.quantize(F.col("embedding")).alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    corpus = emb.select(
+        "vec_id", similarity.quantize(F.col("embedding")).alias("c_vec"),
+        "label",
+    )
+    dots = (
+        corpus.join(F.broadcast(audited), F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "dot_q",
+            F.aggregate(
+                F.zip_with(
+                    F.col("c_vec"), F.col("q_vec"), lambda x, y: x * y
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .select("q_id", "q_label", "vec_id", "label", "dot_q")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("dot_q"), F.asc("vec_id"))
+    knn = dots.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+    votes = knn.groupBy("q_id", "q_label").agg(
+        F.sum(
+            F.when(F.col("label") == F.col("q_label"), 1).otherwise(0)
+        ).alias("agree_votes")
+    )
+    return votes.agg(
+        F.count(F.lit(1)).alias("n_audited"),
+        F.sum(F.when(F.col("agree_votes") < 3, 1).otherwise(0)).alias(
+            "n_suspect"
+        ),
+        F.sum("agree_votes").alias("total_agree_votes"),
+    ).select(
+        F.col("n_audited").cast("long"),
+        F.col("n_suspect").cast("long"),
+        F.col("total_agree_votes").cast("long"),
+        F.round(
+            F.col("n_suspect").cast("double") / F.col("n_audited"), 6
+        ).alias("suspect_rate"),
+    )

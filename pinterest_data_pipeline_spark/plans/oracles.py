@@ -4670,3 +4670,49 @@ oracle("anomaly_bot_regularity")(
     FROM scored
     """
 )
+
+oracle("quality_knn_label_agreement")(
+    # Same md5 1-in-8 audit sample, same integer dot products and
+    # (dot desc, vec_id) neighbour order, same <3-of-5 suspicion rule.
+    """
+    WITH audited AS (
+        SELECT vec_id AS q_id,
+               list_transform(embedding,
+                              v -> round(v::DOUBLE * 1000)::BIGINT) AS q_vec,
+               label AS q_label
+        FROM embeddings
+        ORDER BY CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)
+                                             || 'knn_audit'), 1, 8))
+                      AS UBIGINT), vec_id
+        LIMIT 256
+    ), pairs AS (
+        SELECT a.q_id, a.q_label, e.vec_id, e.label,
+               unnest(list_transform(e.embedding,
+                                     v -> round(v::DOUBLE * 1000)::BIGINT)) AS ev,
+               unnest(a.q_vec) AS qv
+        FROM embeddings e JOIN audited a ON e.vec_id <> a.q_id
+    ), dots AS (
+        SELECT q_id, q_label, vec_id, label, sum(ev * qv)::BIGINT AS dot_q
+        FROM pairs GROUP BY q_id, q_label, vec_id, label
+    ), knn AS (
+        SELECT q_id, q_label, label FROM (
+            SELECT q_id, q_label, label,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY dot_q DESC, vec_id) AS rk
+            FROM dots
+        ) WHERE rk <= 5
+    ), votes AS (
+        SELECT q_id, q_label,
+               sum(CASE WHEN label = q_label THEN 1 ELSE 0 END)::BIGINT
+                   AS agree_votes
+        FROM knn GROUP BY q_id, q_label
+    )
+    SELECT count(*)::BIGINT AS n_audited,
+           sum(CASE WHEN agree_votes < 3 THEN 1 ELSE 0 END)::BIGINT
+               AS n_suspect,
+           sum(agree_votes)::BIGINT AS total_agree_votes,
+           round(sum(CASE WHEN agree_votes < 3 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS suspect_rate
+    FROM votes
+    """
+)

@@ -1550,3 +1550,40 @@ def test_bot_regularity_flags_planted_metronome(spark):
     assert r.n_flagged == 1
     assert r.min_cv == 0.0   # the metronome
     assert r.max_cv > 0.5    # the human
+
+
+# --- kNN label agreement -------------------------------------------------------
+
+
+def test_knn_label_agreement_flags_planted_mislabel(spark):
+    """Planted clusters with one mislabeled vector: its 5-NN all carry
+    the other label, so it is the sole suspect; clean vectors agree."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rng = np.random.RandomState(3)
+    dim, per = 8, 20
+    a = (np.array([10.0] + [0.0] * (dim - 1)) + 0.1 * rng.randn(per, dim))
+    b = (np.array([0.0] * (dim - 1) + [10.0]) + 0.1 * rng.randn(per, dim))
+    rows = []
+    for i in range(per):
+        rows.append((i, [float(x) for x in a[i]], 0))
+    for i in range(per):
+        # vector 20+0 gets the WRONG label (0) despite sitting in cluster b
+        lbl = 0 if i == 0 else 1
+        rows.append((per + i, [float(x) for x in b[i]], lbl))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        emb.write.parquet(os.path.join(d, "embeddings.parquet"))
+        r = QUERIES["quality_knn_label_agreement"](spark, d).collect()[0]
+    # all 40 vectors audited (corpus < 256)
+    assert r.n_audited == 40
+    assert r.n_suspect == 1
+    assert r.suspect_rate == round(1 / 40, 6)
