@@ -234,6 +234,7 @@ HEADLINE = [
     "orc_roundtrip_battery",
     "anomaly_bot_regularity",
     "quality_knn_label_agreement",
+    "sample_negative_pairs",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

@@ -4362,3 +4362,64 @@ def quality_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_suspect").cast("double") / F.col("n_audited"), 6
         ).alias("suspect_rate"),
     )
+
+
+@query
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for recommender / contrastive
+    training: for each audited user, 5 popular items they have NEVER
+    interacted with — the (user, item) negatives that pair with observed
+    positives in a training batch. Both frame sizes are FIXED by
+    construction (64 md5-priority users x the 128 most-ordered parts =
+    8192 candidates) so the only corpus-sized work is the anti-join
+    against the interaction set, which shuffles on the (user, item) pair
+    key — exactly the join a 100 TB interaction log supports; negatives
+    are chosen by md5 hash priority, so the draw is reproducible across
+    engines and runs (no RNG).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    interactions = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(li.select("l_orderkey", "l_partkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    users = (
+        orders.select("o_custkey")
+        .distinct()
+        .withColumn("hu", sampling.uniform_hash(F.col("o_custkey"), "neg_u"))
+        .orderBy(F.asc("hu"), F.asc("o_custkey"))
+        .limit(64)
+        .select("o_custkey")
+    )
+    items = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("l_partkey"))
+        .limit(128)
+        .select("l_partkey")
+    )
+    candidates = users.crossJoin(F.broadcast(items))
+    negatives = candidates.join(
+        interactions, ["o_custkey", "l_partkey"], "left_anti"
+    )
+    h = sampling.uniform_hash(
+        F.concat(
+            F.col("o_custkey").cast("string"),
+            F.lit(":"),
+            F.col("l_partkey").cast("string"),
+        ),
+        "neg_pick",
+    )
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("h"), F.asc("l_partkey"))
+    return (
+        negatives.withColumn("h", h)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "o_custkey", "l_partkey", F.col("rk").cast("int").alias("rank")
+        )
+        .orderBy("o_custkey", "rank")
+    )

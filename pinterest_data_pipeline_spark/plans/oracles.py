@@ -4716,3 +4716,42 @@ oracle("quality_knn_label_agreement")(
     FROM votes
     """
 )
+
+oracle("sample_negative_pairs")(
+    # Same fixed-size user/item frames, the same anti-join and md5
+    # priority draw.
+    """
+    WITH interactions AS (
+        SELECT DISTINCT o.o_custkey, l.l_partkey
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), users AS (
+        SELECT o_custkey FROM (SELECT DISTINCT o_custkey FROM orders)
+        ORDER BY CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)
+                                             || 'neg_u'), 1, 8)) AS UBIGINT),
+                 o_custkey
+        LIMIT 64
+    ), items AS (
+        SELECT l_partkey FROM (
+            SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY l_partkey
+        ) ORDER BY c DESC, l_partkey LIMIT 128
+    ), negatives AS (
+        SELECT u.o_custkey, i.l_partkey
+        FROM users u CROSS JOIN items i
+        WHERE NOT EXISTS (
+            SELECT 1 FROM interactions x
+            WHERE x.o_custkey = u.o_custkey AND x.l_partkey = i.l_partkey
+        )
+    ), ranked AS (
+        SELECT o_custkey, l_partkey,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(('0x' || substring(
+                       md5(CAST(o_custkey AS VARCHAR) || ':'
+                           || CAST(l_partkey AS VARCHAR) || 'neg_pick'),
+                       1, 8)) AS UBIGINT), l_partkey) AS rk
+        FROM negatives
+    )
+    SELECT o_custkey, l_partkey, rk::INT AS rank
+    FROM ranked WHERE rk <= 5 ORDER BY o_custkey, rank
+    """
+)

@@ -1587,3 +1587,43 @@ def test_knn_label_agreement_flags_planted_mislabel(spark):
     assert r.n_audited == 40
     assert r.n_suspect == 1
     assert r.suspect_rate == round(1 / 40, 6)
+
+
+# --- negative sampling ---------------------------------------------------------
+
+
+def test_negative_pairs_never_hit_interactions(spark):
+    """On a planted interaction log, every emitted negative is a true
+    non-interaction, each user gets exactly 5, and a user who bought
+    everything popular yields no false negatives."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    # 10 users x 10 items; user u bought items {u}. user 9 bought ALL.
+    orows, lrows, ok = [], [], 0
+    for u in range(10):
+        bought = list(range(10)) if u == 9 else [u]
+        for it in bought:
+            ok += 1
+            orows.append((ok, u))
+            lrows.append((ok, it, 1))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            orows, "o_orderkey long, o_custkey long"
+        ).write.parquet(os.path.join(d, "orders.parquet"))
+        spark.createDataFrame(
+            lrows, "l_orderkey long, l_partkey long, l_linenumber long"
+        ).write.parquet(os.path.join(d, "lineitem.parquet"))
+        rows = QUERIES["sample_negative_pairs"](spark, d).collect()
+    interactions = {(u, u) for u in range(10)} | {(9, it) for it in range(10)}
+    per_user = {}
+    for r in rows:
+        assert (r.o_custkey, r.l_partkey) not in interactions
+        per_user.setdefault(r.o_custkey, []).append(r.rank)
+    # user 9 interacted with every item -> no negatives for them
+    assert 9 not in per_user
+    for u, ranks in per_user.items():
+        assert sorted(ranks) == [1, 2, 3, 4, 5]
