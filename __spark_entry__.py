@@ -84,6 +84,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "anomaly_bot_regularity",  # birth
     "quality_knn_label_agreement",  # birth
     "sample_negative_pairs",  # birth
+    "text_rake_keywords",  # birth
     "sketch_tdigest_quantile_bounds",  # r9
     "agg_tdigest_grouped_p95",  # r9
     "ann_ivf_pq_recall_sweep",  # r9
@@ -99,7 +100,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "agg_weighted_median_price",  # r9
     "events_tumbling_window",  # r2,r3
     "events_sliding_window",  # r2,r3
-    "reshape_unpivot_part_sizes",  # r1,r2,r3
 )
 
 

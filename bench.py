@@ -235,6 +235,7 @@ HEADLINE = [
     "anomaly_bot_regularity",
     "quality_knn_label_agreement",
     "sample_negative_pairs",
+    "text_rake_keywords",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

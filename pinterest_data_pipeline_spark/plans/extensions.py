@@ -4423,3 +4423,58 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "rank")
     )
+
+
+@query
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    the maximal stopword-free token runs (split on a stopword-boundary
+    regex — RE2 and Java regex agree on this alternation, verified), each
+    scored by the sum over its words of degree/frequency, where degree
+    counts co-occurring words inside candidates. Top-20 phrases by score
+    — the unsupervised keyword miner that needs no corpus-wide IDF pass.
+
+    Scale shape: phrase extraction is a map-side regex split; word stats
+    are one word-keyed partial agg over exploded phrase words (vocab-
+    bounded output); scoring joins the DISTINCT phrase set (not every
+    occurrence) to the word stats and re-aggregates — phrases of <= 3
+    words keep the per-phrase float sum at 3 terms (one rounded site);
+    the top-20 cut is total-ordered by (rounded score, phrase).
+    """
+    stop_pat = r"\b(?:the|a|an|of|and|or|to|in|is|it|for|on)\b"
+    docs = load_documents(spark, sf_dir)
+    occ = (
+        docs.select(F.explode(F.split("text", stop_pat)).alias("raw"))
+        .select(F.trim(F.col("raw")).alias("phrase"))
+        .filter(F.length("phrase") > 0)
+        .withColumn("n_words", F.size(F.split("phrase", " ")))
+        .filter(F.col("n_words") <= 3)
+    )
+    wstats = (
+        occ.select(F.explode(F.split("phrase", " ")).alias("word"), "n_words")
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("n_words").alias("degree"),
+        )
+    )
+    phrases = occ.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    scored = (
+        phrases.select(
+            "phrase",
+            "n_occurrences",
+            F.explode(F.split("phrase", " ")).alias("word"),
+        )
+        .join(wstats, "word")
+        .groupBy("phrase", "n_occurrences")
+        .agg(
+            F.round(
+                F.sum(F.col("degree").cast("double") / F.col("freq")), 4
+            ).alias("rake_score")
+        )
+    )
+    top = scored.orderBy(F.desc("rake_score"), F.asc("phrase")).limit(20)
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("rake_score"), F.asc("phrase"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank", "phrase", F.col("n_occurrences").cast("long"), "rake_score"
+    )

@@ -4755,3 +4755,47 @@ oracle("sample_negative_pairs")(
     FROM ranked WHERE rk <= 5 ORDER BY o_custkey, rank
     """
 )
+
+oracle("text_rake_keywords")(
+    # Same stopword-boundary split (RE2 and Java regex agree on this
+    # alternation), same degree/freq word stats, same one-site round.
+    """
+    WITH occ AS (
+        SELECT trim(p) AS phrase,
+               len(string_split(trim(p), ' ')) AS n_words
+        FROM (
+            SELECT unnest(regexp_split_to_array(
+                text,
+                '\\b(?:the|a|an|of|and|or|to|in|is|it|for|on)\\b')) AS p
+            FROM documents
+        )
+        WHERE len(trim(p)) > 0
+          AND len(string_split(trim(p), ' ')) <= 3
+    ), wstats AS (
+        SELECT word, count(*)::BIGINT AS freq, sum(n_words)::BIGINT AS degree
+        FROM (
+            SELECT unnest(string_split(phrase, ' ')) AS word, n_words
+            FROM occ
+        )
+        GROUP BY word
+    ), phrases AS (
+        SELECT phrase, count(*)::BIGINT AS n_occurrences
+        FROM occ GROUP BY phrase
+    ), scored AS (
+        SELECT p.phrase, p.n_occurrences,
+               round(sum(w.degree::DOUBLE / w.freq), 4) AS rake_score
+        FROM (
+            SELECT phrase, n_occurrences,
+                   unnest(string_split(phrase, ' ')) AS word
+            FROM phrases
+        ) p JOIN wstats w USING (word)
+        GROUP BY p.phrase, p.n_occurrences
+    ), top AS (
+        SELECT phrase, n_occurrences, rake_score,
+               row_number() OVER (ORDER BY rake_score DESC, phrase)::INT
+                   AS rank
+        FROM scored ORDER BY rake_score DESC, phrase LIMIT 20
+    )
+    SELECT rank, phrase, n_occurrences, rake_score FROM top ORDER BY rank
+    """
+)

@@ -1627,3 +1627,38 @@ def test_negative_pairs_never_hit_interactions(spark):
     assert 9 not in per_user
     for u, ranks in per_user.items():
         assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+
+# --- RAKE keywords -------------------------------------------------------------
+
+
+def test_rake_keywords_textbook_example(spark):
+    """Hand-computed RAKE on a planted 2-doc corpus: degree/freq word
+    stats and phrase scores match the paper's formula; stopword runs
+    never produce phrases; >3-word runs are excluded."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    docs = [
+        (1, "fast merge of fast scan"),
+        (2, "fast merge in big scan and long window chain rule extra"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        got = {
+            r.phrase: (r.n_occurrences, r.rake_score)
+            for r in QUERIES["text_rake_keywords"](spark, d).collect()
+        }
+    # candidate runs: "fast merge" x2, "fast scan", "big scan",
+    # "long window chain rule extra" (5 words -> excluded)
+    # word stats: fast freq 3 deg 6; merge freq 2 deg 4; scan freq 2
+    # deg 4; big freq 1 deg 2
+    assert set(got) == {"fast merge", "fast scan", "big scan"}
+    assert got["fast merge"] == (2, round(6 / 3 + 4 / 2, 4))
+    assert got["fast scan"] == (1, round(6 / 3 + 4 / 2, 4))
+    assert got["big scan"] == (1, round(2 / 1 + 4 / 2, 4))
