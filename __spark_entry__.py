@@ -85,6 +85,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "quality_knn_label_agreement",  # birth
     "sample_negative_pairs",  # birth
     "text_rake_keywords",  # birth
+    "join_fifo_allocation",  # birth
     "sketch_tdigest_quantile_bounds",  # r9
     "agg_tdigest_grouped_p95",  # r9
     "ann_ivf_pq_recall_sweep",  # r9
@@ -99,7 +100,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "scd2_asof_segments",  # r9
     "agg_weighted_median_price",  # r9
     "events_tumbling_window",  # r2,r3
-    "events_sliding_window",  # r2,r3
 )
 
 

@@ -236,6 +236,7 @@ HEADLINE = [
     "quality_knn_label_agreement",
     "sample_negative_pairs",
     "text_rake_keywords",
+    "join_fifo_allocation",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

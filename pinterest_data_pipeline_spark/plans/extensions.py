@@ -4478,3 +4478,86 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
         "rank", "phrase", F.col("n_occurrences").cast("long"), "rake_score"
     )
+
+
+@query
+def join_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO allocation — returns matched against earlier shipments in
+    first-in-first-out order (the inventory-aging / cost-basis primitive):
+    per part, each returned unit consumes the earliest shipped units not
+    yet consumed. The classic imperative loop becomes a SET-BASED plan via
+    cumulative-quantity intervals: supply row i covers units
+    [cum_{i-1}, cum_i) of its part's shipped total, demand row j covers
+    units [cum_{j-1}, cum_j) of the returned total, and FIFO matching is
+    EXACTLY the overlap of those integer intervals — a part-keyed
+    equi-join with a band filter, matched qty =
+    least(hi) − greatest(lo). No loop, no recursion, no window beyond the
+    two per-part cumulative sums.
+
+    Scale shape: both cumulative windows partition on the PART key
+    (millions of partitions, rows per part bounded by line density — the
+    opposite of the weighted-median wall); the join fans out only to
+    overlapping pairs per part (FIFO chains give S+D pairs, the band
+    filter prunes the rest). All quantities integer end to end.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.to_date("l_shipdate").alias("d"),
+        "l_returnflag",
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        "d", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    supply = (
+        li.filter(F.col("l_returnflag") != "R")
+        .withColumn("cs", F.sum("qty").over(w))
+        .select(
+            "l_partkey",
+            (F.col("cs") - F.col("qty")).alias("s_lo"),
+            F.col("cs").alias("s_hi"),
+        )
+    )
+    demand = (
+        li.filter(F.col("l_returnflag") == "R")
+        .withColumn("cd", F.sum("qty").over(w))
+        .select(
+            "l_partkey",
+            (F.col("cd") - F.col("qty")).alias("d_lo"),
+            F.col("cd").alias("d_hi"),
+        )
+    )
+    matched = (
+        supply.join(demand, "l_partkey")
+        .filter((F.col("s_lo") < F.col("d_hi")) & (F.col("d_lo") < F.col("s_hi")))
+        .select(
+            "l_partkey",
+            (
+                F.least(F.col("s_hi"), F.col("d_hi"))
+                - F.greatest(F.col("s_lo"), F.col("d_lo"))
+            ).alias("m_qty"),
+        )
+    )
+    totals = li.agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", F.col("qty")).otherwise(0)
+              ).alias("total_demand"),
+        F.sum(F.when(F.col("l_returnflag") != "R", F.col("qty")).otherwise(0)
+              ).alias("total_supply"),
+    )
+    rollup = matched.agg(
+        F.count_distinct("l_partkey").alias("n_parts_matched"),
+        F.count(F.lit(1)).alias("n_matched_pairs"),
+        F.sum("m_qty").alias("matched_qty"),
+    )
+    return rollup.crossJoin(F.broadcast(totals)).select(
+        F.col("n_parts_matched").cast("long"),
+        F.col("n_matched_pairs").cast("long"),
+        F.col("matched_qty").cast("long"),
+        F.col("total_demand").cast("long"),
+        (F.col("total_demand") - F.col("matched_qty")).cast("long").alias(
+            "unmatched_demand"
+        ),
+        F.col("total_supply").cast("long"),
+    )

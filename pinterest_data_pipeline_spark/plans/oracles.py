@@ -4799,3 +4799,52 @@ oracle("text_rake_keywords")(
     SELECT rank, phrase, n_occurrences, rake_score FROM top ORDER BY rank
     """
 )
+
+oracle("join_fifo_allocation")(
+    # Same cumulative-interval formulation: FIFO matching == integer
+    # interval overlap between per-part supply and demand unit ranges.
+    """
+    WITH li AS (
+        SELECT l_partkey, l_orderkey, l_linenumber,
+               l_quantity::BIGINT AS qty, l_shipdate::DATE AS d,
+               l_returnflag
+        FROM lineitem
+    ), supply AS (
+        SELECT l_partkey,
+               sum(qty) OVER w - qty AS s_lo,
+               sum(qty) OVER w AS s_hi
+        FROM li WHERE l_returnflag <> 'R'
+        WINDOW w AS (PARTITION BY l_partkey
+                     ORDER BY d, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), demand AS (
+        SELECT l_partkey,
+               sum(qty) OVER w - qty AS d_lo,
+               sum(qty) OVER w AS d_hi
+        FROM li WHERE l_returnflag = 'R'
+        WINDOW w AS (PARTITION BY l_partkey
+                     ORDER BY d, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), matched AS (
+        SELECT s.l_partkey,
+               least(s.s_hi, dd.d_hi) - greatest(s.s_lo, dd.d_lo) AS m_qty
+        FROM supply s JOIN demand dd USING (l_partkey)
+        WHERE s.s_lo < dd.d_hi AND dd.d_lo < s.s_hi
+    ), totals AS (
+        SELECT sum(CASE WHEN l_returnflag = 'R' THEN qty ELSE 0 END)::BIGINT
+                   AS total_demand,
+               sum(CASE WHEN l_returnflag <> 'R' THEN qty ELSE 0 END)::BIGINT
+                   AS total_supply
+        FROM li
+    ), rollup AS (
+        SELECT count(DISTINCT l_partkey)::BIGINT AS n_parts_matched,
+               count(*)::BIGINT AS n_matched_pairs,
+               sum(m_qty)::BIGINT AS matched_qty
+        FROM matched
+    )
+    SELECT n_parts_matched, n_matched_pairs, matched_qty, total_demand,
+           (total_demand - matched_qty)::BIGINT AS unmatched_demand,
+           total_supply
+    FROM rollup CROSS JOIN totals
+    """
+)

@@ -1662,3 +1662,46 @@ def test_rake_keywords_textbook_example(spark):
     assert got["fast merge"] == (2, round(6 / 3 + 4 / 2, 4))
     assert got["fast scan"] == (1, round(6 / 3 + 4 / 2, 4))
     assert got["big scan"] == (1, round(2 / 1 + 4 / 2, 4))
+
+
+# --- FIFO allocation -----------------------------------------------------------
+
+
+def test_fifo_allocation_matches_hand_simulation(spark):
+    """Cumulative-interval FIFO on a planted part: shipments of 5 and 3
+    units, returns of 4 and 6 — the first return consumes 4 of shipment 1
+    (one pair), the second consumes the remaining 1 + all 3 of shipment 2
+    (two pairs) and leaves 2 unmatched."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    d0 = dt.datetime(1995, 1, 1)
+
+    def row(ok, ln, qty, day, flag):
+        return (7, ok, ln, float(qty), d0 + dt.timedelta(days=day), flag)
+
+    rows = [
+        row(1, 1, 5, 0, "N"),   # supply [0,5)
+        row(2, 1, 3, 1, "N"),   # supply [5,8)
+        row(3, 1, 4, 2, "R"),   # demand [0,4)  -> 1 pair (4 units)
+        row(4, 1, 6, 3, "R"),   # demand [4,10) -> 2 pairs (1+3), 2 unmatched
+    ]
+    schema = (
+        "l_partkey long, l_orderkey long, l_linenumber long, "
+        "l_quantity double, l_shipdate timestamp, l_returnflag string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "lineitem.parquet")
+        )
+        r = QUERIES["join_fifo_allocation"](spark, d).collect()[0]
+    assert r.n_parts_matched == 1
+    assert r.n_matched_pairs == 3
+    assert r.matched_qty == 8
+    assert r.total_demand == 10
+    assert r.unmatched_demand == 2
+    assert r.total_supply == 8
