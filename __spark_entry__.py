@@ -86,6 +86,11 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "sample_negative_pairs",  # birth
     "text_rake_keywords",  # birth
     "join_fifo_allocation",  # birth
+    "quality_cohens_kappa",  # birth
+    "window_clamped_running_balance",  # birth
+    "agg_rfm_segments",  # birth
+    "quality_spearman_corr",  # birth
+    "quality_benford_digits",  # birth
     "sketch_tdigest_quantile_bounds",  # r9
     "agg_tdigest_grouped_p95",  # r9
     "ann_ivf_pq_recall_sweep",  # r9
@@ -95,11 +100,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "events_rolling_wau_kmv",  # r9
     "clean_impute_median_by_group",  # r9
     "streaming_tdigest_daily_p95",  # r9
-    "dedup_jaccard_prefix_join",  # r9
-    "dedup_winnow_shared_fingerprints",  # r9
-    "scd2_asof_segments",  # r9
-    "agg_weighted_median_price",  # r9
-    "events_tumbling_window",  # r2,r3
 )
 
 

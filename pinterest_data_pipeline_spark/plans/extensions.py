@@ -4561,3 +4561,366 @@ def join_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("total_supply").cast("long"),
     )
+
+
+# --- round-10 session-4 births ---------------------------------------------
+
+
+@query
+def quality_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa inter-annotator agreement — the label-quality gate a
+    training-data pipeline runs before trusting any labeling scheme. Two
+    deterministic rule-based "annotators" bucket each document into
+    short/medium/long: A trusts the n_chars metadata column (250/400
+    boundaries), B measures the text itself by whitespace-separated token
+    count via space count (45/70). Kappa corrects raw agreement for
+    chance: with N docs, A = agreement count, and E = sum over classes of
+    rowTotal*colTotal, kappa = (N*A - E) / (N^2 - E) — the usual
+    (po-pe)/(1-pe) with both sides multiplied by N^2, so EVERYTHING is
+    exact int64 until one terminal division.
+
+    Scale shape: two CASE projections, one (label_a, label_b) groupBy — a
+    9-cell confusion matrix via map-side partial aggregation; the kappa
+    algebra runs on the 9 collected-by-aggregate cells. No window, no
+    join, no data-sized single task.
+    """
+    docs = load_documents(spark, sf_dir)
+    n_spaces = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    )
+    label_a = (
+        F.when(F.col("n_chars") < 250, "short")
+        .when(F.col("n_chars") < 400, "medium")
+        .otherwise("long")
+    )
+    label_b = (
+        F.when(n_spaces < 45, "short")
+        .when(n_spaces < 70, "medium")
+        .otherwise("long")
+    )
+    cells = (
+        docs.select(label_a.alias("label_a"), label_b.alias("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = (
+        cells.agg(
+            F.sum("c").alias("n_docs"),
+            F.sum(
+                F.when(F.col("label_a") == F.col("label_b"), F.col("c"))
+                .otherwise(F.lit(0))
+            ).alias("n_agree"),
+        )
+    )
+    # chance_weight = sum over CLASSES k of row_k*col_k (E in the kappa
+    # identity); marginals computed independently and full-joined so a
+    # class one annotator never emits still contributes its zero term.
+    rows = cells.groupBy(F.col("label_a").alias("k")).agg(
+        F.sum("c").alias("row_tot")
+    )
+    cols = cells.groupBy(F.col("label_b").alias("k")).agg(
+        F.sum("c").alias("col_tot")
+    )
+    chance = (
+        rows.join(cols, "k", "full")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("row_tot"), F.lit(0))
+                * F.coalesce(F.col("col_tot"), F.lit(0))
+            ).alias("chance_weight")
+        )
+    )
+    return (
+        stats.crossJoin(F.broadcast(chance))
+        .select(
+            F.col("n_docs").cast("long"),
+            F.col("n_agree").cast("long"),
+            F.col("chance_weight").cast("long"),
+            F.round(
+                (
+                    F.col("n_docs") * F.col("n_agree")
+                    - F.col("chance_weight")
+                ).cast("double")
+                / (
+                    F.col("n_docs") * F.col("n_docs")
+                    - F.col("chance_weight")
+                ).cast("double"),
+                6,
+            ).alias("kappa"),
+        )
+    )
+
+
+@query
+def window_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-at-zero running inventory per part — the stateful recursion
+    s_i = max(0, s_{i-1} + delta_i) that naive implementations write as a
+    per-key loop, expressed in CLOSED FORM with two windows: with
+    p_i = plain cumsum(delta), the clamped balance is
+    s_i = p_i - least(0, running_min(p)_i) (each clamping event shifts
+    the whole suffix up by exactly the overdraft, so subtracting the
+    clamped running minimum replays every clamp at once). Returned units
+    ('R') restock, shipped units draw down; a stock-out is a draw row
+    whose clamped balance is zero.
+
+    Scale shape: both windows partition on l_partkey (domain-sized
+    parallelism, bounded rows per key) and the per-part summary needs no
+    per-row output — final balance folds to sum(delta) - least(min(p), 0)
+    so the result is one hash aggregate per part. All integers.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.to_date("l_shipdate").alias("d"),
+        F.when(
+            F.col("l_returnflag") == "R", F.col("l_quantity").cast("long")
+        )
+        .otherwise(-F.col("l_quantity").cast("long"))
+        .alias("delta"),
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        "d", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = li.withColumn("p", F.sum("delta").over(w)).withColumn(
+        "m", F.least(F.min("p").over(w), F.lit(0))
+    )
+    bal = cum.withColumn("bal", F.col("p") - F.col("m"))
+    per_part = bal.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_moves"),
+        (F.sum("delta") - F.least(F.min("p"), F.lit(0)))
+        .cast("long")
+        .alias("final_balance"),
+        F.max("bal").cast("long").alias("peak_balance"),
+        F.sum(
+            F.when(
+                (F.col("bal") == 0) & (F.col("delta") < 0), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_stockouts"),
+    )
+    return per_part.orderBy("l_partkey")
+
+
+@query
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary quartile
+    scores, the classic CRM shape. Each per-customer metric is scored 1-4
+    against its exact quartile BOUNDARIES (continuous percentiles over
+    the population), not a global ntile rank: score = 1 + (m > q1) +
+    (m > q2) + (m > q3) (recency inverted — more recent is better). The
+    boundary formulation is the scale lesson from the weighted-median
+    wall: a global rank needs a data-sized single-task sort, a boundary
+    needs one distributed percentile aggregate and a broadcast compare.
+
+    Output: one row per (r,f,m) segment with customer count and total
+    monetary — bounded at 64 rows regardless of data size. Monetary in
+    integer cents; the terminal division is the only float site.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "mon_cents"
+        ),
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+    )
+    anchor = orders.agg(
+        F.max(F.to_date("o_orderdate")).alias("g_max")
+    )
+    rfm = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        "freq",
+        "mon_cents",
+        F.datediff(F.col("g_max"), F.col("last_d")).cast("long").alias(
+            "rec_days"
+        ),
+    )
+    bounds = rfm.agg(
+        F.percentile(F.col("rec_days"), F.lit(0.25)).alias("r1"),
+        F.percentile(F.col("rec_days"), F.lit(0.5)).alias("r2"),
+        F.percentile(F.col("rec_days"), F.lit(0.75)).alias("r3"),
+        F.percentile(F.col("freq"), F.lit(0.25)).alias("f1"),
+        F.percentile(F.col("freq"), F.lit(0.5)).alias("f2"),
+        F.percentile(F.col("freq"), F.lit(0.75)).alias("f3"),
+        F.percentile(F.col("mon_cents"), F.lit(0.25)).alias("m1"),
+        F.percentile(F.col("mon_cents"), F.lit(0.5)).alias("m2"),
+        F.percentile(F.col("mon_cents"), F.lit(0.75)).alias("m3"),
+    )
+    def _score_up(c: str, q1: str, q2: str, q3: str):
+        return (
+            F.lit(1)
+            + F.when(F.col(c) > F.col(q1), 1).otherwise(0)
+            + F.when(F.col(c) > F.col(q2), 1).otherwise(0)
+            + F.when(F.col(c) > F.col(q3), 1).otherwise(0)
+        )
+
+    def _score_down(c: str, q1: str, q2: str, q3: str):
+        return (
+            F.lit(1)
+            + F.when(F.col(c) <= F.col(q3), 1).otherwise(0)
+            + F.when(F.col(c) <= F.col(q2), 1).otherwise(0)
+            + F.when(F.col(c) <= F.col(q1), 1).otherwise(0)
+        )
+
+    scored = rfm.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        "mon_cents",
+        _score_down("rec_days", "r1", "r2", "r3").alias("r_score"),
+        _score_up("freq", "f1", "f2", "f3").alias("f_score"),
+        _score_up("mon_cents", "m1", "m2", "m3").alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("mon_cents").alias("seg_cents"),
+        )
+        .select(
+            F.concat_ws(
+                "-",
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ).alias("segment"),
+            F.col("r_score").cast("int"),
+            F.col("f_score").cast("int"),
+            F.col("m_score").cast("int"),
+            "n_customers",
+            F.round(F.col("seg_cents") / 100.0, 2).alias("seg_revenue"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@query
+def quality_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation (tie-averaged) between part size
+    and retail price — Pearson on average ranks, the general tied form.
+    Ranks never touch a global per-row sort: each column collapses to its
+    DISTINCT values (groupBy value + count), a cumulative window over the
+    distinct-value table assigns the tie-averaged rank in doubled-integer
+    space (2*avgrank = 2*cum_before + cnt + 1, exactly integral), and the
+    row-level rank pairing comes back via two value-keyed joins. All five
+    moment sums are exact int64; the two variance terms are promoted to
+    DOUBLE before their product (their int64 product would overflow) and
+    the statistic is one terminal division.
+
+    Scale shape: rank tables are value-DOMAIN sized (the weighted-median
+    collapse), the size-rank join is a broadcast (50 distinct sizes), the
+    price-rank join shuffles on the value key. 100 TB caveat documented:
+    the int64 moment sums would themselves need DOUBLE promotion past
+    ~1e18, trading exactness for scale at the same one site.
+    """
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_size").cast("long").alias("x"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("y"),
+    )
+
+    def rank2(df: DataFrame, col: str) -> DataFrame:
+        counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return counts.withColumn("cum", F.sum("cnt").over(w)).select(
+            col,
+            (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1).alias(
+                f"r2_{col}"
+            ),
+        )
+
+    ranked = part.join(F.broadcast(rank2(part, "x")), "x").join(
+        rank2(part, "y"), "y"
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r2_x").alias("sx"),
+        F.sum("r2_y").alias("sy"),
+        F.sum(F.col("r2_x") * F.col("r2_y")).alias("sxy"),
+        F.sum(F.col("r2_x") * F.col("r2_x")).alias("sxx"),
+        F.sum(F.col("r2_y") * F.col("r2_y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+        "num"
+    )
+    d1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        F.col("n").cast("long"),
+        num.cast("long"),
+        d1.cast("long").alias("den_x"),
+        d2.cast("long").alias("den_y"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / F.sqrt(
+                d1.cast("double") * d2.cast("double")
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+@query
+def quality_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals — the classic
+    fabricated-data screen. The leading digit comes from the INTEGER
+    cents value rendered as a string (integer formatting is bit-identical
+    cross-engine; float formatting is not), counts are exact int64, the
+    Benford expectation log10(1+1/d) enters as 6-decimal literals, and
+    the chi-square contribution (obs - n*exp)^2 / (n*exp) is IEEE-exact
+    on both engines given the same literals.
+
+    Scale shape: one projection + 9-key integer count aggregate —
+    map-side combine does all the work; the contribution algebra runs on
+    9 rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("observed")
+    )
+    total = digits.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    expected = F.create_map(
+        *[
+            piece
+            for d, p in enumerate(
+                [
+                    0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+                    0.066947, 0.057992, 0.051153, 0.045757,
+                ],
+                start=1,
+            )
+            for piece in (F.lit(d), F.lit(p))
+        ]
+    )
+    en = F.col("n") * F.col("expected_share")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("expected_share", expected[F.col("digit")])
+        .select(
+            "digit",
+            "observed",
+            F.round(F.col("observed").cast("double") / F.col("n"), 6).alias(
+                "observed_share"
+            ),
+            F.col("expected_share"),
+            F.round(
+                (F.col("observed").cast("double") - en)
+                * (F.col("observed").cast("double") - en)
+                / en,
+                6,
+            ).alias("chisq_contrib"),
+        )
+        .orderBy("digit")
+    )

@@ -4848,3 +4848,206 @@ oracle("join_fifo_allocation")(
     FROM rollup CROSS JOIN totals
     """
 )
+
+oracle("quality_cohens_kappa")(
+    # Same rule-based annotators; kappa = (N*A - E)/(N^2 - E) with E =
+    # sum_k row_k*col_k — all-integer until the one terminal division.
+    """
+    WITH labeled AS (
+        SELECT CASE WHEN n_chars < 250 THEN 'short'
+                    WHEN n_chars < 400 THEN 'medium'
+                    ELSE 'long' END AS label_a,
+               CASE WHEN length(text) - length(replace(text, ' ', '')) < 45
+                        THEN 'short'
+                    WHEN length(text) - length(replace(text, ' ', '')) < 70
+                        THEN 'medium'
+                    ELSE 'long' END AS label_b
+        FROM documents
+    ), cells AS (
+        SELECT label_a, label_b, count(*)::BIGINT AS c
+        FROM labeled GROUP BY label_a, label_b
+    ), stats AS (
+        SELECT sum(c)::BIGINT AS n_docs,
+               sum(CASE WHEN label_a = label_b THEN c ELSE 0 END)::BIGINT
+                   AS n_agree
+        FROM cells
+    ), rows_m AS (
+        SELECT label_a AS k, sum(c)::BIGINT AS row_tot FROM cells GROUP BY 1
+    ), cols_m AS (
+        SELECT label_b AS k, sum(c)::BIGINT AS col_tot FROM cells GROUP BY 1
+    ), chance AS (
+        SELECT sum(coalesce(row_tot, 0) * coalesce(col_tot, 0))::BIGINT
+                   AS chance_weight
+        FROM rows_m FULL JOIN cols_m USING (k)
+    )
+    SELECT n_docs, n_agree, chance_weight,
+           round((n_docs * n_agree - chance_weight)::DOUBLE
+                 / (n_docs * n_docs - chance_weight)::DOUBLE, 6) AS kappa
+    FROM stats CROSS JOIN chance
+    """
+)
+
+oracle("window_clamped_running_balance")(
+    # Identical closed form: clamped balance = cumsum - least(0,
+    # running_min(cumsum)); summary folds per part.
+    """
+    WITH li AS (
+        SELECT l_partkey, l_orderkey, l_linenumber,
+               l_shipdate::DATE AS d,
+               CASE WHEN l_returnflag = 'R' THEN l_quantity::BIGINT
+                    ELSE -(l_quantity::BIGINT) END AS delta
+        FROM lineitem
+    ), cum0 AS (
+        SELECT l_partkey, l_orderkey, l_linenumber, d, delta,
+               sum(delta) OVER w AS p
+        FROM li
+        WINDOW w AS (PARTITION BY l_partkey
+                     ORDER BY d, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), cum AS (
+        SELECT l_partkey, delta, p,
+               least(min(p) OVER w, 0) AS m
+        FROM cum0
+        WINDOW w AS (PARTITION BY l_partkey
+                     ORDER BY d, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), bal AS (
+        SELECT l_partkey, delta, p, p - m AS bal FROM cum
+    )
+    SELECT l_partkey,
+           count(*)::BIGINT AS n_moves,
+           (sum(delta) - least(min(p), 0))::BIGINT AS final_balance,
+           max(bal)::BIGINT AS peak_balance,
+           sum(CASE WHEN bal = 0 AND delta < 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_stockouts
+    FROM bal GROUP BY l_partkey ORDER BY l_partkey
+    """
+)
+
+oracle("agg_rfm_segments")(
+    # Same quartile-boundary scoring (1 + strict-greater counts; recency
+    # inverted), integer cents, terminal division only.
+    """
+    WITH per_cust AS (
+        SELECT o_custkey, count(*)::BIGINT AS freq,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS mon_cents,
+               max(o_orderdate::DATE) AS last_d
+        FROM orders GROUP BY o_custkey
+    ), anchor AS (
+        SELECT max(o_orderdate::DATE) AS g_max FROM orders
+    ), rfm AS (
+        SELECT o_custkey, freq, mon_cents,
+               date_diff('day', last_d, g_max)::BIGINT AS rec_days
+        FROM per_cust CROSS JOIN anchor
+    ), bounds AS (
+        SELECT quantile_cont(rec_days, 0.25::DOUBLE) AS r1,
+               quantile_cont(rec_days, 0.5::DOUBLE)  AS r2,
+               quantile_cont(rec_days, 0.75::DOUBLE) AS r3,
+               quantile_cont(freq, 0.25::DOUBLE) AS f1,
+               quantile_cont(freq, 0.5::DOUBLE)  AS f2,
+               quantile_cont(freq, 0.75::DOUBLE) AS f3,
+               quantile_cont(mon_cents, 0.25::DOUBLE) AS m1,
+               quantile_cont(mon_cents, 0.5::DOUBLE)  AS m2,
+               quantile_cont(mon_cents, 0.75::DOUBLE) AS m3
+        FROM rfm
+    ), scored AS (
+        SELECT o_custkey, mon_cents,
+               1 + (CASE WHEN rec_days <= r3 THEN 1 ELSE 0 END)
+                 + (CASE WHEN rec_days <= r2 THEN 1 ELSE 0 END)
+                 + (CASE WHEN rec_days <= r1 THEN 1 ELSE 0 END) AS r_score,
+               1 + (CASE WHEN freq > f1 THEN 1 ELSE 0 END)
+                 + (CASE WHEN freq > f2 THEN 1 ELSE 0 END)
+                 + (CASE WHEN freq > f3 THEN 1 ELSE 0 END) AS f_score,
+               1 + (CASE WHEN mon_cents > m1 THEN 1 ELSE 0 END)
+                 + (CASE WHEN mon_cents > m2 THEN 1 ELSE 0 END)
+                 + (CASE WHEN mon_cents > m3 THEN 1 ELSE 0 END) AS m_score
+        FROM rfm CROSS JOIN bounds
+    )
+    SELECT r_score::VARCHAR || '-' || f_score::VARCHAR || '-'
+               || m_score::VARCHAR AS segment,
+           r_score::INTEGER AS r_score, f_score::INTEGER AS f_score,
+           m_score::INTEGER AS m_score,
+           count(*)::BIGINT AS n_customers,
+           round(sum(mon_cents) / 100.0, 2) AS seg_revenue
+    FROM scored GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """
+)
+
+oracle("quality_spearman_corr")(
+    # Same doubled-integer tie-averaged ranks over distinct values; the
+    # two variance terms promote to DOUBLE before their product.
+    """
+    WITH part_xy AS (
+        SELECT p_size::BIGINT AS x,
+               round(p_retailprice * 100)::BIGINT AS y
+        FROM part
+    ), rx AS (
+        SELECT x, 2 * (sum(cnt) OVER w - cnt) + cnt + 1 AS r2_x
+        FROM (SELECT x, count(*)::BIGINT AS cnt FROM part_xy GROUP BY x)
+        WINDOW w AS (ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), ry AS (
+        SELECT y, 2 * (sum(cnt) OVER w - cnt) + cnt + 1 AS r2_y
+        FROM (SELECT y, count(*)::BIGINT AS cnt FROM part_xy GROUP BY y)
+        WINDOW w AS (ORDER BY y
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), ranked AS (
+        SELECT r2_x, r2_y
+        FROM part_xy JOIN rx USING (x) JOIN ry USING (y)
+    ), m AS (
+        SELECT count(*)::BIGINT AS n,
+               sum(r2_x)::BIGINT AS sx, sum(r2_y)::BIGINT AS sy,
+               sum(r2_x * r2_y)::BIGINT AS sxy,
+               sum(r2_x * r2_x)::BIGINT AS sxx,
+               sum(r2_y * r2_y)::BIGINT AS syy
+        FROM ranked
+    )
+    SELECT n,
+           (n * sxy - sx * sy)::BIGINT AS num,
+           (n * sxx - sx * sx)::BIGINT AS den_x,
+           (n * syy - sy * sy)::BIGINT AS den_y,
+           round((n * sxy - sx * sy)::DOUBLE
+                 / sqrt((n * sxx - sx * sx)::DOUBLE
+                        * (n * syy - sy * sy)::DOUBLE), 6) AS spearman_rho
+    FROM m
+    """
+)
+
+oracle("quality_benford_digits")(
+    # First digit from the INTEGER cents string; Benford expectations as
+    # the same 6-decimal literals; contribution algebra on 9 rows.
+    """
+    WITH digits AS (
+        SELECT substr((round(o_totalprice * 100)::BIGINT)::VARCHAR, 1, 1)
+                   ::INTEGER AS digit
+        FROM orders
+    ), counts AS (
+        SELECT digit, count(*)::BIGINT AS observed
+        FROM digits GROUP BY digit
+    ), total AS (
+        SELECT count(*)::BIGINT AS n FROM digits
+    ), expected AS (
+        SELECT digit, observed, n,
+               CASE digit
+                   WHEN 1 THEN 0.301030::DOUBLE
+                   WHEN 2 THEN 0.176091::DOUBLE
+                   WHEN 3 THEN 0.124939::DOUBLE
+                   WHEN 4 THEN 0.096910::DOUBLE
+                   WHEN 5 THEN 0.079181::DOUBLE
+                   WHEN 6 THEN 0.066947::DOUBLE
+                   WHEN 7 THEN 0.057992::DOUBLE
+                   WHEN 8 THEN 0.051153::DOUBLE
+                   WHEN 9 THEN 0.045757::DOUBLE
+               END AS expected_share
+        FROM counts CROSS JOIN total
+    )
+    SELECT digit, observed,
+           round(observed::DOUBLE / n, 6) AS observed_share,
+           expected_share,
+           round((observed::DOUBLE - n * expected_share)
+                 * (observed::DOUBLE - n * expected_share)
+                 / (n * expected_share), 6) AS chisq_contrib
+    FROM expected ORDER BY digit
+    """
+)

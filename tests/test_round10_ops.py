@@ -1705,3 +1705,161 @@ def test_fifo_allocation_matches_hand_simulation(spark):
     assert r.total_demand == 10
     assert r.unmatched_demand == 2
     assert r.total_supply == 8
+
+
+# --- session-4 births -------------------------------------------------------
+
+
+def test_cohens_kappa_hand_computed(spark):
+    """6 planted docs, confusion (s,s)=1 (s,m)=1 (m,m)=2 (l,l)=2:
+    N=6, A=5, E = 2*1 + 2*3 + 2*2 = 12, kappa = (30-12)/(36-12) = 0.75."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    def doc(i, n_chars, n_spaces):
+        return (i, "x" + " x" * n_spaces, "en", "t", n_chars)
+
+    rows = [
+        doc(1, 100, 10),   # A short, B short
+        doc(2, 100, 50),   # A short, B medium
+        doc(3, 300, 50),   # A medium, B medium
+        doc(4, 300, 50),   # A medium, B medium
+        doc(5, 500, 80),   # A long, B long
+        doc(6, 500, 80),   # A long, B long
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        r = QUERIES["quality_cohens_kappa"](spark, d).collect()[0]
+    assert r.n_docs == 6
+    assert r.n_agree == 5
+    assert r.chance_weight == 12
+    assert r.kappa == 0.75
+
+
+def test_clamped_running_balance_matches_recursion(spark):
+    """Planted part: deltas +5,-3,-4,-2,+7 -> balances 5,2,0,0,7 under
+    s_i = max(0, s_{i-1}+x_i); two stockouts (draws clamped at zero)."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    d0 = dt.datetime(1995, 1, 1)
+    rows = [
+        (3, k + 1, 1, float(abs(q)), d0 + dt.timedelta(days=k),
+         "R" if q > 0 else "N")
+        for k, q in enumerate([5, -3, -4, -2, 7])
+    ]
+    schema = (
+        "l_partkey long, l_orderkey long, l_linenumber long, "
+        "l_quantity double, l_shipdate timestamp, l_returnflag string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "lineitem.parquet")
+        )
+        r = QUERIES["window_clamped_running_balance"](spark, d).collect()[0]
+    assert r.n_moves == 5
+    assert r.final_balance == 7
+    assert r.peak_balance == 7
+    assert r.n_stockouts == 2
+
+
+def test_rfm_segments_four_customer_ladder(spark):
+    """4 customers with strictly increasing recency-rank, frequency, and
+    monetary land in segments 1-1-1 .. 4-4-4 (quartile boundaries at
+    1.75/2.5/3.25 for values 1..4 separate every customer)."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    d0 = dt.datetime(1995, 1, 1)
+    rows = []
+    ok = 0
+    for k in (1, 2, 3, 4):
+        for j in range(k):  # freq = k
+            ok += 1
+            rows.append(
+                (ok, k, "O", 1000.0 * k,
+                 d0 + dt.timedelta(days=10 * k + j), "1-URGENT")
+            )
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "orders.parquet")
+        )
+        out = QUERIES["agg_rfm_segments"](spark, d).collect()
+    segs = {r.segment: r for r in out}
+    assert sorted(segs) == ["1-1-1", "2-2-2", "3-3-3", "4-4-4"]
+    assert all(r.n_customers == 1 for r in out)
+    assert segs["4-4-4"].seg_revenue == 4000.0 * 4
+
+
+def test_spearman_known_values(spark):
+    """Monotone (with a tie) -> rho 1; x=[1,2,3,4] vs rank-permuted
+    y ranks [1,4,2,3] -> Pearson-on-ranks = 0.4."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    schema = "p_partkey long, p_size int, p_retailprice double"
+
+    def run(rows):
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(rows, schema).write.parquet(
+                os.path.join(d, "part.parquet")
+            )
+            return QUERIES["quality_spearman_corr"](spark, d).collect()[0]
+
+    r = run([(1, 1, 10.0), (2, 2, 20.0), (3, 2, 20.0), (4, 3, 40.0)])
+    assert r.spearman_rho == 1.0
+    r = run([(1, 1, 10.0), (2, 2, 40.0), (3, 3, 20.0), (4, 4, 30.0)])
+    assert r.spearman_rho == 0.4
+
+
+def test_benford_digit_extraction_and_contrib(spark):
+    """9 orders with totals 1xx..9xx: one observation per leading digit,
+    observed_share 1/9, and the digit-1 chi-square contribution matches
+    (1 - 9*0.30103)^2 / (9*0.30103) computed directly."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    d0 = dt.datetime(1995, 1, 1)
+    rows = [
+        (k, 1, "O", 100.0 * k + 11.0, d0, "1-URGENT")
+        for k in range(1, 10)
+    ]
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "orders.parquet")
+        )
+        out = QUERIES["quality_benford_digits"](spark, d).collect()
+    assert [r.digit for r in out] == list(range(1, 10))
+    assert all(r.observed == 1 for r in out)
+    assert all(r.observed_share == round(1 / 9, 6) for r in out)
+    en = 9 * 0.301030
+    assert out[0].chisq_contrib == round((1 - en) ** 2 / en, 6)
