@@ -91,15 +91,15 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "agg_rfm_segments",  # birth
     "quality_spearman_corr",  # birth
     "quality_benford_digits",  # birth
+    "stat_bootstrap_ci_mean",  # birth
+    "events_daily_trend_slope",  # birth
+    "events_autocorrelation_lag",  # birth
     "sketch_tdigest_quantile_bounds",  # r9
     "agg_tdigest_grouped_p95",  # r9
     "ann_ivf_pq_recall_sweep",  # r9
     "sample_weighted_multi_draw",  # r9
     "events_rolling_p95_tdigest",  # r9
     "sample_token_budget_mix",  # r9
-    "events_rolling_wau_kmv",  # r9
-    "clean_impute_median_by_group",  # r9
-    "streaming_tdigest_daily_p95",  # r9
 )
 
 

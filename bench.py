@@ -237,6 +237,14 @@ HEADLINE = [
     "sample_negative_pairs",
     "text_rake_keywords",
     "join_fifo_allocation",
+    "quality_cohens_kappa",
+    "window_clamped_running_balance",
+    "agg_rfm_segments",
+    "quality_spearman_corr",
+    "quality_benford_digits",
+    "stat_bootstrap_ci_mean",
+    "events_daily_trend_slope",
+    "events_autocorrelation_lag",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

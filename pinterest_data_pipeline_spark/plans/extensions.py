@@ -4924,3 +4924,210 @@ def quality_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@query
+def stat_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean order total —
+    the one-pass, shuffle-light resampling scheme for cluster-scale data
+    (Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+    Google 2012): instead of drawing n rows with replacement per
+    replicate, every row gets an independent Poisson(1) weight per
+    replicate, so B=50 resamples ride a single scan + explode. Everything
+    is deterministic and engine-exact: the Poisson draw compares a
+    32-bit md5 hash of (orderkey, replicate) against INTEGER CDF
+    thresholds (floor(CDF * 2^32) literals — no float until the terminal
+    divisions), replicate means divide two exact int64 sums, and the CI
+    is the exact 2.5/97.5 percentile pair over the 50 replicate means.
+
+    Scale shape: explode(×B) → (replicate)-keyed integer sum aggregate —
+    map-side partial aggs do all the work, the final stage is B rows.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    B = 50
+    # floor(CDF(Poisson(1) <= k) * 2^32), k = 0..4; hash above the last
+    # threshold -> weight 5 (P ~ 3.7e-3 tail folded into the top bucket).
+    TH = [1580030168, 3160060337, 3950075421, 4213413783, 4279248373]
+    rep = orders.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(1), F.lit(B))).alias("b"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit("-boot-"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = (
+        F.when(h < TH[0], 0)
+        .when(h < TH[1], 1)
+        .when(h < TH[2], 2)
+        .when(h < TH[3], 3)
+        .when(h < TH[4], 4)
+        .otherwise(5)
+    )
+    means = (
+        rep.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("wsum"),
+            F.sum("w").alias("wn"),
+        )
+        .select(
+            (F.col("wsum").cast("double") / F.col("wn").cast("double")).alias(
+                "rep_mean"
+            )
+        )
+    )
+    base = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").alias("cents_sum"),
+    )
+    ci = means.agg(
+        F.percentile(F.col("rep_mean"), F.lit(0.025)).alias("lo"),
+        F.percentile(F.col("rep_mean"), F.lit(0.975)).alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+    )
+    return base.crossJoin(F.broadcast(ci)).select(
+        "n_orders",
+        "n_replicates",
+        F.round(
+            F.col("cents_sum").cast("double") / F.col("n_orders") / 100.0, 4
+        ).alias("point_mean"),
+        F.round(F.col("lo") / 100.0, 4).alias("ci_lo"),
+        F.round(F.col("hi") / 100.0, 4).alias("ci_hi"),
+    )
+
+
+@query
+def events_daily_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of daily event counts — "is this metric
+    growing and how fast", the readout behind every dashboard sparkline.
+    x = day index from the type's first day, y = daily count; the least-
+    squares slope and intercept come from the five integer moment sums
+    with ONE terminal division each (num/den as exact int64 — the same
+    all-integer-until-division discipline as the chi-square and KS
+    queries).
+
+    Scale shape: daily rollup (map-side combinable), then a per-type
+    aggregate over ~days rows; nothing data-sized crosses a single task.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    w0 = Window.partitionBy("event_type")
+    xy = daily.withColumn(
+        "x", F.datediff(F.col("day"), F.min("day").over(w0)).cast("long")
+    )
+    m = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    inum = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("sy").cast("long").alias("total_events"),
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias(
+            "slope_per_day"
+        ),
+        F.round(inum.cast("double") / den.cast("double"), 6).alias(
+            "intercept"
+        ),
+    ).orderBy("event_type")
+
+
+@query
+def events_autocorrelation_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-7 autocorrelation of the daily event count per type —
+    the seasonality detector (a high lag-7 ACF says "weekly cycle"). The
+    mean-centered products are computed in n-SCALED integer space:
+    r_k = sum((n*c_i - S)(n*c_{i+k} - S)) / sum((n*c_i - S)^2) — both
+    sides of the division exact int64 (multiplying numerator and
+    denominator by n^2 clears the rational mean without touching floats).
+
+    Scale shape: daily rollup, per-type lag via a day-keyed self-join of
+    the ~days-sized rollup (explicit join rather than a window so the
+    rollup shuffles once on (type, day), never a data-sized sort), then a
+    per-(type, lag) integer aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
+    )
+    lags = spark.range(1, 3).select(
+        F.when(F.col("id") == 1, 1).otherwise(7).alias("lag")
+    )
+    shifted = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("day2"),
+        F.col("c").alias("c_lead"),
+    )
+    paired = (
+        daily.crossJoin(F.broadcast(lags))
+        .join(
+            shifted,
+            (F.col("event_type") == F.col("et2"))
+            & (F.col("day2") == F.date_add(F.col("day"), F.col("lag"))),
+        )
+        .select("event_type", "lag", "day", "c", "c_lead")
+    )
+    dev = paired.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "lag",
+        (F.col("n") * F.col("c") - F.col("s")).alias("d0"),
+        (F.col("n") * F.col("c_lead") - F.col("s")).alias("d1"),
+    )
+    den_tab = daily.join(F.broadcast(tot), "event_type").groupBy(
+        "event_type"
+    ).agg(
+        F.sum(
+            (F.col("n") * F.col("c") - F.col("s"))
+            * (F.col("n") * F.col("c") - F.col("s"))
+        ).alias("den")
+    )
+    return (
+        dev.groupBy("event_type", "lag")
+        .agg(F.sum(F.col("d0") * F.col("d1")).alias("num"),
+             F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .join(F.broadcast(den_tab), "event_type")
+        .select(
+            "event_type",
+            F.col("lag").cast("int"),
+            "n_pairs",
+            F.col("num").cast("long").alias("acf_num"),
+            F.col("den").cast("long").alias("acf_den"),
+            F.round(
+                F.col("num").cast("double") / F.col("den").cast("double"), 6
+            ).alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )

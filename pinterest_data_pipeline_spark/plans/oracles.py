@@ -5051,3 +5051,124 @@ oracle("quality_benford_digits")(
     FROM expected ORDER BY digit
     """
 )
+
+oracle("stat_bootstrap_ci_mean")(
+    # Same integer Poisson-CDF thresholds on the same 32-bit md5 hash;
+    # replicate means divide exact integer sums; exact percentile pair.
+    """
+    WITH orders_c AS (
+        SELECT o_orderkey, round(o_totalprice * 100)::BIGINT AS cents
+        FROM orders
+    ), rep AS (
+        SELECT o_orderkey, cents, b.b
+        FROM orders_c CROSS JOIN (
+            SELECT unnest(range(1, 51))::BIGINT AS b
+        ) b
+    ), weighted AS (
+        SELECT b, cents,
+               CASE
+                   WHEN h < 1580030168 THEN 0
+                   WHEN h < 3160060337 THEN 1
+                   WHEN h < 3950075421 THEN 2
+                   WHEN h < 4213413783 THEN 3
+                   WHEN h < 4279248373 THEN 4
+                   ELSE 5
+               END AS w
+        FROM (
+            SELECT b, cents,
+                   CAST(('0x' || substring(
+                       md5(o_orderkey::VARCHAR || '-boot-' || b::VARCHAR),
+                       1, 8)) AS UBIGINT)::BIGINT AS h
+            FROM rep
+        )
+    ), means AS (
+        SELECT sum(w * cents)::DOUBLE / sum(w)::DOUBLE AS rep_mean
+        FROM weighted GROUP BY b
+    ), base AS (
+        SELECT count(*)::BIGINT AS n_orders, sum(cents)::BIGINT AS cents_sum
+        FROM orders_c
+    ), ci AS (
+        SELECT quantile_cont(rep_mean, 0.025::DOUBLE) AS lo,
+               quantile_cont(rep_mean, 0.975::DOUBLE) AS hi,
+               count(*)::BIGINT AS n_replicates
+        FROM means
+    )
+    SELECT n_orders, n_replicates,
+           round(cents_sum::DOUBLE / n_orders / 100.0, 4) AS point_mean,
+           round(lo / 100.0, 4) AS ci_lo,
+           round(hi / 100.0, 4) AS ci_hi
+    FROM base CROSS JOIN ci
+    """
+)
+
+oracle("events_daily_trend_slope")(
+    # Same five integer moment sums; slope/intercept each one division.
+    """
+    WITH daily AS (
+        SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS y
+        FROM events GROUP BY 1, 2
+    ), xy AS (
+        SELECT event_type, y,
+               date_diff('day', min(day) OVER (PARTITION BY event_type),
+                         day)::BIGINT AS x
+        FROM daily
+    ), m AS (
+        SELECT event_type,
+               count(*)::BIGINT AS n,
+               sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+               sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+        FROM xy GROUP BY event_type
+    )
+    SELECT event_type,
+           n AS n_days,
+           sy AS total_events,
+           (n * sxy - sx * sy)::BIGINT AS slope_num,
+           (n * sxx - sx * sx)::BIGINT AS slope_den,
+           round((n * sxy - sx * sy)::DOUBLE
+                 / (n * sxx - sx * sx)::DOUBLE, 6) AS slope_per_day,
+           round((sy * sxx - sx * sxy)::DOUBLE
+                 / (n * sxx - sx * sx)::DOUBLE, 6) AS intercept
+    FROM m ORDER BY event_type
+    """
+)
+
+oracle("events_autocorrelation_lag")(
+    # Same n-scaled integer mean-centering; lag pairing via day-keyed
+    # self-join; one terminal division per (type, lag).
+    """
+    WITH daily AS (
+        SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type, count(*)::BIGINT AS n, sum(c)::BIGINT AS s
+        FROM daily GROUP BY event_type
+    ), lags AS (
+        SELECT unnest([1, 7])::BIGINT AS lag
+    ), paired AS (
+        SELECT d.event_type, l.lag, d.c, d2.c AS c_lead
+        FROM daily d
+        CROSS JOIN lags l
+        JOIN daily d2
+          ON d2.event_type = d.event_type
+         AND d2.day = d.day + (l.lag::INTEGER)
+    ), dev AS (
+        SELECT p.event_type, p.lag,
+               (t.n * p.c - t.s) AS d0,
+               (t.n * p.c_lead - t.s) AS d1
+        FROM paired p JOIN tot t USING (event_type)
+    ), den_tab AS (
+        SELECT d.event_type,
+               sum((t.n * d.c - t.s) * (t.n * d.c - t.s))::BIGINT AS den
+        FROM daily d JOIN tot t USING (event_type)
+        GROUP BY d.event_type
+    )
+    SELECT event_type, lag::INTEGER AS lag,
+           count(*)::BIGINT AS n_pairs,
+           sum(d0 * d1)::BIGINT AS acf_num,
+           max(den)::BIGINT AS acf_den,
+           round(sum(d0 * d1)::DOUBLE / max(den)::DOUBLE, 6) AS acf
+    FROM dev JOIN den_tab USING (event_type)
+    GROUP BY event_type, lag
+    ORDER BY event_type, lag
+    """
+)

@@ -47,6 +47,9 @@ DRIVER_WINDOW = 50
 EXPECTED_QUEUE: tuple[str, ...] = (
     "dedup_jaccard_prefix_join",
     "dedup_winnow_shared_fingerprints",
+    "streaming_tdigest_daily_p95",
+    "clean_impute_median_by_group",
+    "events_rolling_wau_kmv",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

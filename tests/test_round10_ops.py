@@ -1863,3 +1863,110 @@ def test_benford_digit_extraction_and_contrib(spark):
     assert all(r.observed_share == round(1 / 9, 6) for r in out)
     en = 9 * 0.301030
     assert out[0].chisq_contrib == round((1 - en) ** 2 / en, 6)
+
+
+def test_bootstrap_ci_degenerate_constant_price(spark):
+    """All orders the same price: every replicate mean equals the price,
+    so the CI collapses to [price, price] around an identical point."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    d0 = dt.datetime(1995, 1, 1)
+    rows = [(k, 1, "O", 250.0, d0, "1-URGENT") for k in range(1, 40)]
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "orders.parquet")
+        )
+        r = QUERIES["stat_bootstrap_ci_mean"](spark, d).collect()[0]
+    assert r.n_orders == 39
+    assert r.n_replicates == 50
+    assert r.point_mean == 250.0
+    assert r.ci_lo == 250.0
+    assert r.ci_hi == 250.0
+
+
+def test_trend_slope_exact_linear_series(spark):
+    """Daily counts planted exactly linear (5 + 3x events on day x):
+    OLS recovers slope 3, intercept 5 exactly."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    d0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for x in range(10):
+        for _ in range(5 + 3 * x):
+            eid += 1
+            rows.append(
+                (eid, d0 + dt.timedelta(days=x, hours=1), eid % 7, "click",
+                 1.0, "{}")
+            )
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "events.parquet")
+        )
+        r = QUERIES["events_daily_trend_slope"](spark, d).collect()[0]
+    assert r.n_days == 10
+    assert r.slope_per_day == 3.0
+    assert r.intercept == 5.0
+
+
+def test_autocorrelation_matches_python_reference(spark):
+    """Planted 14-day series with a strong period-7 pattern: the query's
+    lag-1/lag-7 ACF equals a direct python evaluation of the same
+    n-scaled integer formula."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    series = [10, 2, 3, 2, 4, 2, 9, 11, 3, 2, 3, 3, 2, 10]
+
+    def ref_acf(cs, k):
+        n, s = len(cs), sum(cs)
+        dev = [n * c - s for c in cs]
+        num = sum(dev[i] * dev[i + k] for i in range(n - k))
+        den = sum(d * d for d in dev)
+        return round(num / den, 6)
+
+    d0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for x, cnt in enumerate(series):
+        for _ in range(cnt):
+            eid += 1
+            rows.append(
+                (eid, d0 + dt.timedelta(days=x, hours=3), eid % 5, "view",
+                 1.0, "{}")
+            )
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "events.parquet")
+        )
+        out = {r.lag: r for r in
+               QUERIES["events_autocorrelation_lag"](spark, d).collect()}
+    assert out[1].acf == ref_acf(series, 1)
+    assert out[7].acf == ref_acf(series, 7)
+    assert out[7].acf > 0.4 > out[1].acf  # weekly pattern dominates lag-1

@@ -1733,6 +1733,169 @@ def probe_triples(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
+def probe_clamped_balance(spark, mult: int) -> float:
+    """Floor-at-zero running balance at mult x lineitem (part axis: more
+    keys, constant rows per key — the partition-friendly direction)."""
+    from pyspark.sql import Window
+
+    li = multiply(
+        load_table(spark, SF, "lineitem").select(
+            "l_partkey", "l_orderkey", "l_linenumber", "l_shipdate",
+            "l_quantity", "l_returnflag"
+        ),
+        mult,
+        ["l_partkey", "l_orderkey"],
+    ).select(
+        "l_partkey", "l_orderkey", "l_linenumber",
+        F.to_date("l_shipdate").alias("d"),
+        F.when(F.col("l_returnflag") == "R", F.col("l_quantity").cast("long"))
+        .otherwise(-F.col("l_quantity").cast("long")).alias("delta"),
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        "d", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = li.withColumn("p", F.sum("delta").over(w)).withColumn(
+        "m", F.least(F.min("p").over(w), F.lit(0))
+    )
+    q = cum.withColumn("bal", F.col("p") - F.col("m")).groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_moves"),
+        (F.sum("delta") - F.least(F.min("p"), F.lit(0))).alias("final_balance"),
+        F.max("bal").alias("peak_balance"),
+        F.sum(F.when((F.col("bal") == 0) & (F.col("delta") < 0), 1)
+              .otherwise(0)).alias("n_stockouts"),
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_rfm(spark, mult: int) -> float:
+    """RFM quartile segmentation at mult x orders (customer axis): the
+    percentile boundaries stay one distributed aggregate + broadcast."""
+    orders = multiply(
+        load_table(spark, SF, "orders").select(
+            "o_custkey", "o_totalprice", "o_orderdate"
+        ),
+        mult,
+        ["o_custkey"],
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("mon_cents"),
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+    )
+    anchor = orders.agg(F.max(F.to_date("o_orderdate")).alias("g_max"))
+    rfm = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "freq", "mon_cents",
+        F.datediff(F.col("g_max"), F.col("last_d")).alias("rec_days"),
+    )
+    bounds = rfm.agg(
+        *[F.percentile(F.col(c), F.lit(q)).alias(f"{c}_{int(q * 100)}")
+          for c in ("rec_days", "freq", "mon_cents")
+          for q in (0.25, 0.5, 0.75)]
+    )
+    scored = rfm.crossJoin(F.broadcast(bounds)).select(
+        "mon_cents",
+        (F.lit(1)
+         + F.when(F.col("rec_days") <= F.col("rec_days_75"), 1).otherwise(0)
+         + F.when(F.col("rec_days") <= F.col("rec_days_50"), 1).otherwise(0)
+         + F.when(F.col("rec_days") <= F.col("rec_days_25"), 1).otherwise(0)
+         ).alias("r_score"),
+        (F.lit(1)
+         + F.when(F.col("freq") > F.col("freq_25"), 1).otherwise(0)
+         + F.when(F.col("freq") > F.col("freq_50"), 1).otherwise(0)
+         + F.when(F.col("freq") > F.col("freq_75"), 1).otherwise(0)
+         ).alias("f_score"),
+        (F.lit(1)
+         + F.when(F.col("mon_cents") > F.col("mon_cents_25"), 1).otherwise(0)
+         + F.when(F.col("mon_cents") > F.col("mon_cents_50"), 1).otherwise(0)
+         + F.when(F.col("mon_cents") > F.col("mon_cents_75"), 1).otherwise(0)
+         ).alias("m_score"),
+    )
+    q = scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("mon_cents").alias("seg_cents"),
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_spearman(spark, mult: int) -> float:
+    """Exact Spearman at mult x part: values repeat across copies so the
+    distinct-value rank tables stay DOMAIN-sized while counts multiply."""
+    from pyspark.sql import Window
+
+    part = multiply(
+        load_table(spark, SF, "part").select(
+            "p_partkey", "p_size", "p_retailprice"
+        ),
+        mult,
+        ["p_partkey"],
+    ).select(
+        F.col("p_size").cast("long").alias("x"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("y"),
+    )
+
+    def rank2(df, col):
+        counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return counts.withColumn("cum", F.sum("cnt").over(w)).select(
+            col,
+            (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1).alias(f"r2_{col}"),
+        )
+
+    ranked = part.join(F.broadcast(rank2(part, "x")), "x").join(
+        rank2(part, "y"), "y"
+    )
+    q = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r2_x").alias("sx"), F.sum("r2_y").alias("sy"),
+        F.sum(F.col("r2_x") * F.col("r2_y")).alias("sxy"),
+        F.sum(F.col("r2_x") * F.col("r2_x")).alias("sxx"),
+        F.sum(F.col("r2_y") * F.col("r2_y")).alias("syy"),
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_bootstrap(spark, mult: int) -> float:
+    """Poisson bootstrap at mult x orders: the x50 explode rides one scan,
+    weights stay integer CASE arms, the final stage is 50 rows."""
+    orders = multiply(
+        load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice"),
+        mult,
+        ["o_orderkey"],
+    ).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    TH = [1580030168, 3160060337, 3950075421, 4213413783, 4279248373]
+    rep = orders.select(
+        "o_orderkey", "cents",
+        F.explode(F.sequence(F.lit(1), F.lit(50))).alias("b"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("o_orderkey").cast("string"),
+                           F.lit("-boot-"), F.col("b").cast("string"))),
+            1, 8),
+        16, 10,
+    ).cast("long")
+    w = (F.when(h < TH[0], 0).when(h < TH[1], 1).when(h < TH[2], 2)
+         .when(h < TH[3], 3).when(h < TH[4], 4).otherwise(5))
+    q = rep.withColumn("w", w).groupBy("b").agg(
+        F.sum(F.col("w") * F.col("cents")).alias("wsum"),
+        F.sum("w").alias("wn"),
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 PROBES = {
     "tpch_q5_6way_join": probe_tpch_q5,
     "simhash_near_dup": probe_simhash,
@@ -1806,6 +1969,12 @@ PROBES = {
     "kmeans": probe_kmeans,
     "bfs": probe_bfs,
     "triples": probe_triples,
+    # round-10 session-4 additions (kappa and benford share the
+    # map-side integer-count shape probed by pricing_agg)
+    "clamped_balance": probe_clamped_balance,
+    "rfm": probe_rfm,
+    "spearman": probe_spearman,
+    "bootstrap": probe_bootstrap,
 }
 
 
