@@ -94,12 +94,12 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "stat_bootstrap_ci_mean",  # birth
     "events_daily_trend_slope",  # birth
     "events_autocorrelation_lag",  # birth
+    "quality_mann_whitney_u",  # birth
+    "window_rolling_median_daily",  # birth
+    "graph_label_propagation",  # birth
     "sketch_tdigest_quantile_bounds",  # r9
     "agg_tdigest_grouped_p95",  # r9
     "ann_ivf_pq_recall_sweep",  # r9
-    "sample_weighted_multi_draw",  # r9
-    "events_rolling_p95_tdigest",  # r9
-    "sample_token_budget_mix",  # r9
 )
 
 

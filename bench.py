@@ -245,6 +245,9 @@ HEADLINE = [
     "stat_bootstrap_ci_mean",
     "events_daily_trend_slope",
     "events_autocorrelation_lag",
+    "quality_mann_whitney_u",
+    "window_rolling_median_daily",
+    "graph_label_propagation",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

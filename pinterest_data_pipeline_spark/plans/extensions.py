@@ -5131,3 +5131,158 @@ def events_autocorrelation_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "lag")
     )
+
+
+@query
+def quality_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test — do URGENT and LOW-priority orders
+    draw from the same price distribution? The nonparametric complement
+    to the KS and chi-square queries: U compares rank sums instead of
+    CDF gaps, so it is exact under ties. Tie-averaged ranks live in the
+    same DOUBLED-integer space as the Spearman query (2*avgrank =
+    2*cum_before + cnt + 1 over the combined sample's DISTINCT values),
+    so U1 is held as the exact integer 2*U1 = sum(r2 | group1)
+    - 2*n1(n1+1)/2; the tie-corrected normal z-score is assembled from
+    five exact integers (n1, n2, n, 2*U1, sum(t^3 - t)) with divisions
+    and one sqrt only at the terminal site.
+
+    Scale shape: the rank table is value-DOMAIN sized (distinct-value
+    collapse), the rank join shuffles on the value key, everything else
+    is map-side integer sums.
+    """
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            (F.col("o_orderpriority") == "1-URGENT").alias("g1"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        )
+    )
+    counts = orders.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rank_tab = counts.withColumn("cum", F.sum("cnt").over(w)).select(
+        "v",
+        (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1).alias("r2"),
+        "cnt",
+    )
+    tie = rank_tab.agg(
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")).alias(
+            "tie_sum"
+        )
+    )
+    joined = orders.join(rank_tab.select("v", "r2"), "v")
+    m = joined.agg(
+        F.sum(F.when(F.col("g1"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("g1"), 0).otherwise(1)).alias("n2"),
+        F.sum(F.when(F.col("g1"), F.col("r2")).otherwise(0)).alias("r1_x2"),
+    )
+    u1_x2 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
+    n = F.col("n1") + F.col("n2")
+    u1 = u1_x2.cast("double") / 2.0
+    mean_u = F.col("n1").cast("double") * F.col("n2") / 2.0
+    var_u = (
+        F.col("n1").cast("double") * F.col("n2") / 12.0
+    ) * (
+        (n + 1).cast("double")
+        - F.col("tie_sum").cast("double")
+        / (n.cast("double") * (n - 1).cast("double"))
+    )
+    return m.crossJoin(F.broadcast(tie)).select(
+        F.col("n1").cast("long"),
+        F.col("n2").cast("long"),
+        u1_x2.cast("long").alias("u1_x2"),
+        F.col("tie_sum").cast("long"),
+        F.round(u1, 1).alias("u1"),
+        F.round((u1 - mean_u) / F.sqrt(var_u), 6).alias("z_score"),
+    )
+
+
+@query
+def window_rolling_median_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 7-day rolling MEDIAN of daily revenue per order priority —
+    the robust moving-centre a spiky daily series needs (a mean window
+    chases outlier days; the t-digest family answers the same question
+    approximately at stream scale, this is the exact batch form). The
+    percentile aggregate runs INSIDE a 7-row window frame — a window
+    shape no other registry query exercises.
+
+    Scale shape: the frame operates on the DAILY rollup (day-domain
+    rows, 5 partitions), never raw orders; the rollup itself is map-side
+    combinable integer cents.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    daily = orders.groupBy("o_orderpriority", "day").agg(
+        F.sum("cents").alias("day_cents")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("day").rowsBetween(
+        -6, 0
+    )
+    return (
+        daily.withColumn(
+            "med", F.percentile(F.col("day_cents"), F.lit(0.5)).over(w)
+        )
+        .select(
+            "o_orderpriority",
+            "day",
+            F.round(F.col("day_cents") / 100.0, 2).alias("daily_revenue"),
+            F.round(F.col("med") / 100.0, 2).alias("rolling_median_7d"),
+        )
+        .orderBy("o_orderpriority", "day")
+    )
+
+
+@query
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label propagation communities over the part co-occurrence
+    graph: every node starts as its own label and three synchronous
+    rounds take the min over self + neighbors — after k rounds each
+    node holds the smallest part id within k hops, a deterministic
+    community assignment (the first k iterations of connected-components
+    by min-diffusion; the dedup family runs the converged version, this
+    pins the FIXED-ITERATION semantics a bounded-latency batch job uses).
+    Output is the community-size histogram plus a label checksum — O(1)
+    rows regardless of scale.
+
+    Scale shape: per round ONE edge-keyed shuffle join + node-keyed min
+    aggregate (same join profile as the BFS query); rounds are fixed at
+    3 so the whole walk is one lazy plan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = _cooccurrence_edges(li)
+    dir_edges = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    labels = dir_edges.select(F.col("src").alias("n")).distinct().select(
+        "n", F.col("n").alias("lbl")
+    )
+    for _ in range(3):
+        pushed = labels.join(
+            dir_edges, labels["n"] == dir_edges["src"]
+        ).select(F.col("dst").alias("n"), "lbl")
+        labels = (
+            labels.unionByName(pushed)
+            .groupBy("n")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy("sz")
+        .agg(
+            F.count(F.lit(1)).alias("n_communities"),
+            F.sum("lbl").alias("label_checksum"),
+        )
+        .select(
+            F.col("sz").cast("long").alias("community_size"),
+            F.col("n_communities").cast("long"),
+            F.col("label_checksum").cast("long"),
+        )
+        .orderBy("community_size")
+    )

@@ -5172,3 +5172,106 @@ oracle("events_autocorrelation_lag")(
     ORDER BY event_type, lag
     """
 )
+
+oracle("quality_mann_whitney_u")(
+    # Same doubled-integer tie-averaged ranks over the combined sample's
+    # distinct values; z assembled from five exact integers terminally.
+    """
+    WITH sample AS (
+        SELECT (o_orderpriority = '1-URGENT') AS g1,
+               round(o_totalprice * 100)::BIGINT AS v
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), counts AS (
+        SELECT v, count(*)::BIGINT AS cnt FROM sample GROUP BY v
+    ), rank_tab AS (
+        SELECT v, 2 * (sum(cnt) OVER w - cnt) + cnt + 1 AS r2, cnt
+        FROM counts
+        WINDOW w AS (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), tie AS (
+        SELECT sum(cnt * cnt * cnt - cnt)::BIGINT AS tie_sum FROM rank_tab
+    ), m AS (
+        SELECT sum(CASE WHEN g1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+               sum(CASE WHEN g1 THEN 0 ELSE 1 END)::BIGINT AS n2,
+               sum(CASE WHEN g1 THEN r2 ELSE 0 END)::BIGINT AS r1_x2
+        FROM sample JOIN rank_tab USING (v)
+    )
+    SELECT n1, n2,
+           (r1_x2 - n1 * (n1 + 1))::BIGINT AS u1_x2,
+           tie_sum,
+           round((r1_x2 - n1 * (n1 + 1))::DOUBLE / 2.0, 1) AS u1,
+           round(((r1_x2 - n1 * (n1 + 1))::DOUBLE / 2.0
+                  - n1::DOUBLE * n2 / 2.0)
+                 / sqrt((n1::DOUBLE * n2 / 12.0)
+                        * ((n1 + n2 + 1)::DOUBLE
+                           - tie_sum::DOUBLE
+                             / ((n1 + n2)::DOUBLE
+                                * (n1 + n2 - 1)::DOUBLE))), 6) AS z_score
+    FROM m CROSS JOIN tie
+    """
+)
+
+oracle("window_rolling_median_daily")(
+    # quantile_cont inside the same 7-row frame over the daily rollup.
+    """
+    WITH daily AS (
+        SELECT o_orderpriority, o_orderdate::DATE AS day,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS day_cents
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, day,
+           round(day_cents / 100.0, 2) AS daily_revenue,
+           round(quantile_cont(day_cents, 0.5::DOUBLE) OVER w / 100.0, 2)
+               AS rolling_median_7d
+    FROM daily
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderpriority, day
+    """
+)
+
+oracle("graph_label_propagation")(
+    # Three unrolled min-label rounds over the same support>=2 edges;
+    # community-size histogram + label checksum.
+    """
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+        SELECT a.l_partkey AS a, b.l_partkey AS b
+        FROM baskets a JOIN baskets b USING (l_orderkey)
+        WHERE a.l_partkey < b.l_partkey
+    ), edges AS (
+        SELECT a, b FROM pairs GROUP BY a, b HAVING count(*) >= 2
+    ), dir AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION ALL SELECT b, a FROM edges
+    ), l0 AS (
+        SELECT DISTINCT src AS n, src AS lbl FROM dir
+    ), l1 AS (
+        SELECT n, min(lbl) AS lbl FROM (
+            SELECT n, lbl FROM l0
+            UNION ALL
+            SELECT d.dst AS n, l.lbl FROM l0 l JOIN dir d ON l.n = d.src
+        ) GROUP BY n
+    ), l2 AS (
+        SELECT n, min(lbl) AS lbl FROM (
+            SELECT n, lbl FROM l1
+            UNION ALL
+            SELECT d.dst AS n, l.lbl FROM l1 l JOIN dir d ON l.n = d.src
+        ) GROUP BY n
+    ), l3 AS (
+        SELECT n, min(lbl) AS lbl FROM (
+            SELECT n, lbl FROM l2
+            UNION ALL
+            SELECT d.dst AS n, l.lbl FROM l2 l JOIN dir d ON l.n = d.src
+        ) GROUP BY n
+    ), sizes AS (
+        SELECT lbl, count(*)::BIGINT AS sz FROM l3 GROUP BY lbl
+    )
+    SELECT sz AS community_size,
+           count(*)::BIGINT AS n_communities,
+           sum(lbl)::BIGINT AS label_checksum
+    FROM sizes GROUP BY sz ORDER BY community_size
+    """
+)

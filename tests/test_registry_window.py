@@ -45,11 +45,14 @@ DRIVER_WINDOW = 50
 # Once-certified queries expected to miss a seat this round (see module
 # docstring). r9: none — every under-certified query is seated.
 EXPECTED_QUEUE: tuple[str, ...] = (
+    "events_rolling_p95_tdigest",
     "dedup_jaccard_prefix_join",
     "dedup_winnow_shared_fingerprints",
     "streaming_tdigest_daily_p95",
     "clean_impute_median_by_group",
     "events_rolling_wau_kmv",
+    "sample_token_budget_mix",
+    "sample_weighted_multi_draw",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

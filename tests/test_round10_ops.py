@@ -1970,3 +1970,105 @@ def test_autocorrelation_matches_python_reference(spark):
     assert out[1].acf == ref_acf(series, 1)
     assert out[7].acf == ref_acf(series, 7)
     assert out[7].acf > 0.4 > out[1].acf  # weekly pattern dominates lag-1
+
+
+def test_mann_whitney_separated_groups(spark):
+    """URGENT cents {1,2,3} all below LOW {4,5}: U1 = 0 and the
+    tie-free z is -3/sqrt(3) = -1.732051."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    d0 = dt.datetime(1995, 1, 1)
+    rows = [
+        (1, 1, "O", 0.01, d0, "1-URGENT"),
+        (2, 1, "O", 0.02, d0, "1-URGENT"),
+        (3, 1, "O", 0.03, d0, "1-URGENT"),
+        (4, 1, "O", 0.04, d0, "5-LOW"),
+        (5, 1, "O", 0.05, d0, "5-LOW"),
+        (6, 1, "O", 9.99, d0, "3-MEDIUM"),  # filtered out
+    ]
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "orders.parquet")
+        )
+        r = QUERIES["quality_mann_whitney_u"](spark, d).collect()[0]
+    assert (r.n1, r.n2) == (3, 2)
+    assert r.u1_x2 == 0
+    assert r.tie_sum == 0
+    assert r.u1 == 0.0
+    assert r.z_score == round(-3 / 3 ** 0.5, 6)
+
+
+def test_rolling_median_seven_row_frame(spark):
+    """Daily revenues 1..8: the 7-row frame median is 4 on day 7
+    (median of 1..7) and 5 on day 8 (median of 2..8)."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    d0 = dt.datetime(1995, 1, 1)
+    rows = [
+        (k, 1, "O", float(k), d0 + dt.timedelta(days=k - 1), "1-URGENT")
+        for k in range(1, 9)
+    ]
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "orders.parquet")
+        )
+        out = QUERIES["window_rolling_median_daily"](spark, d).collect()
+    meds = [r.rolling_median_7d for r in out]
+    assert meds[0] == 1.0
+    assert meds[6] == 4.0
+    assert meds[7] == 5.0
+
+
+def test_label_propagation_two_planted_components(spark):
+    """Path {1,2,3} (pairs with support 2) and pair {10,11}: three
+    min-label rounds give one size-3 community labeled 1 and one size-2
+    community labeled 10."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    d0 = dt.datetime(1995, 1, 1)
+    rows = []
+    ln = 0
+    for ok, parts in [
+        (1, [1, 2]), (2, [1, 2]), (3, [2, 3]), (4, [2, 3]),
+        (5, [10, 11]), (6, [10, 11]),
+    ]:
+        for p in parts:
+            ln += 1
+            rows.append((ok, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d0))
+    schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "lineitem.parquet")
+        )
+        out = {r.community_size: r for r in
+               QUERIES["graph_label_propagation"](spark, d).collect()}
+    assert out[3].n_communities == 1 and out[3].label_checksum == 1
+    assert out[2].n_communities == 1 and out[2].label_checksum == 10
