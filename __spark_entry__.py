@@ -97,9 +97,9 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "quality_mann_whitney_u",  # birth
     "window_rolling_median_daily",  # birth
     "graph_label_propagation",  # birth
-    "sketch_tdigest_quantile_bounds",  # r9
-    "agg_tdigest_grouped_p95",  # r9
-    "ann_ivf_pq_recall_sweep",  # r9
+    "ml_target_encode_kfold",  # birth
+    "events_time_weighted_avg",  # birth
+    "events_sessionize_capped",  # birth
 )
 
 

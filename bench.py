@@ -248,6 +248,10 @@ HEADLINE = [
     "quality_mann_whitney_u",
     "window_rolling_median_daily",
     "graph_label_propagation",
+    "ml_target_encode_kfold",
+    "events_time_weighted_avg",
+    "events_sessionize_capped",
+    "text_phrase_search",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

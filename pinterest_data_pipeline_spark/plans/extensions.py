@@ -5286,3 +5286,221 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("community_size")
     )
+
+
+@query
+def ml_target_encode_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold leakage-free target encoding — the categorical-feature
+    preparation every tabular training pipeline runs: encode a category
+    by the mean target of OTHER folds, so a row never sees its own
+    target. Fold = md5 hash of the order key mod 5 (deterministic,
+    engine-stable); the out-of-fold mean is assembled from integer sums
+    ((S_cat - S_cat_fold) / (n_cat - n_cat_fold)) with the division at
+    the terminal site. Output: the 5x5 (segment, fold) encoding table a
+    trainer would broadcast-join back onto features — O(1) rows.
+
+    Scale shape: ONE (category, fold) integer rollup, then the
+    category-level sums arrive by a window over the 25-cell table; no
+    data-sized join or sort anywhere.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    rows = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
+        "c_mktsegment",
+        (sampling.uniform_hash(F.col("o_orderkey"), "fold") % 5).alias(
+            "fold"
+        ),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cells = rows.groupBy("c_mktsegment", "fold").agg(
+        F.count(F.lit(1)).alias("n_f"), F.sum("cents").alias("s_f")
+    )
+    w = Window.partitionBy("c_mktsegment")
+    return (
+        cells.withColumn("n_cat", F.sum("n_f").over(w))
+        .withColumn("s_cat", F.sum("s_f").over(w))
+        .select(
+            "c_mktsegment",
+            F.col("fold").cast("int"),
+            F.col("n_f").cast("long").alias("n_in_fold"),
+            (F.col("n_cat") - F.col("n_f")).cast("long").alias("n_oof"),
+            F.round(
+                (F.col("s_cat") - F.col("s_f")).cast("double")
+                / (F.col("n_cat") - F.col("n_f")).cast("double")
+                / 100.0,
+                4,
+            ).alias("oof_mean_target"),
+        )
+        .orderBy("c_mktsegment", "fold")
+    )
+
+
+@query
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of the event value per event type — the
+    TWAP/duration-weighted metric for irregularly sampled series (a
+    plain mean over-counts bursts; weighting each observation by its
+    holding interval until the next event is the standard fix). Values
+    quantize to integer hundredths and intervals to integer
+    floor-MILLIseconds (micros would overflow the int64 weighted sum at
+    scale), so the weighted sum is exact and the average is one
+    terminal division; ordering ties break on event_id.
+
+    Scale shape: one per-(type, user) lead window (user-keyed
+    parallelism) + map-side integer sums; interval micros bound the
+    weight, value cents bound the payload.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        # interval unit is floor-MILLIseconds: cents * micros summed
+        # overflows int64 at large SFs; ms keeps the weighted sum exact
+        F.floor(F.unix_micros(F.col("ts")) / 1000).cast("long").alias("ms"),
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    w = Window.partitionBy("event_type", "user_id").orderBy("us", "event_id")
+    held = ev.withColumn("next_ms", F.lead("ms").over(w)).filter(
+        F.col("next_ms").isNotNull()
+    ).select(
+        "event_type",
+        "v_cents",
+        (F.col("next_ms") - F.col("ms")).alias("dt_ms"),
+    )
+    return (
+        held.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.sum("dt_ms").alias("held_ms"),
+            F.sum(F.col("v_cents") * F.col("dt_ms")).alias("wsum"),
+        )
+        .select(
+            "event_type",
+            "n_intervals",
+            F.col("held_ms").cast("long"),
+            F.round(
+                F.col("wsum").cast("double")
+                / F.col("held_ms").cast("double")
+                / 100.0,
+                6,
+            ).alias("time_weighted_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query
+def events_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap + duration-cap sessionization — the production rule ("30 min
+    idle OR 2 h total ends the session") that plain gap sessionization
+    misses: long always-active streams never idle out, so each gap
+    session splits again at fixed 2-hour offsets from its start
+    (sub-session = floor(elapsed / cap), composable windows, no
+    iteration). All arithmetic in integer microseconds.
+
+    Scale shape: two user-keyed windows (gap flag cumsum, then min-start
+    over the gap session) + one integer aggregate; same shuffle profile
+    as the certified gap sessionizer.
+    """
+    gap_us = 30 * 60 * 1_000_000
+    cap_us = 2 * 60 * 60 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            (F.col("us") - F.lag("us").over(w)) > gap_us, 1
+        ).otherwise(0),
+    ).withColumn(
+        "sess",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w_sess = Window.partitionBy("user_id", "sess")
+    capped = flagged.withColumn(
+        "sub",
+        F.floor((F.col("us") - F.min("us").over(w_sess)) / cap_us).cast(
+            "long"
+        ),
+    )
+    per_sess = capped.groupBy("user_id", "sess", "sub").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    gap_sessions = per_sess.select("user_id", "sess").distinct()
+    return (
+        per_sess.agg(
+            F.count(F.lit(1)).cast("long").alias("n_capped_sessions"),
+            F.max("n_events").cast("long").alias("max_events_per_session"),
+            F.sum("n_events").cast("long").alias("n_events_total"),
+        )
+        .crossJoin(
+            F.broadcast(
+                gap_sessions.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_gap_sessions")
+                )
+            )
+        )
+        .select(
+            "n_gap_sessions",
+            "n_capped_sessions",
+            (F.col("n_capped_sessions") - F.col("n_gap_sessions"))
+            .cast("long")
+            .alias("n_cap_splits"),
+            "max_events_per_session",
+            "n_events_total",
+        )
+    )
+
+
+@query
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search over an inverted index — exact "adjacent
+    tokens" matching, the capability BM25's bag-of-words ranking cannot
+    express: tokens explode WITH their position, the two phrase terms
+    join on (doc, pos+1 = pos), and each phrase reports its matching-doc
+    count + id checksum. Positions are 1-based on both engines (Spark
+    posexplode is 0-based and shifts by one — the documented
+    position-base knife edge).
+
+    Scale shape: the posting join is (doc_id, token)-keyed with the
+    phrase terms filtered BEFORE the join (two tiny postings per doc,
+    not the full index); output is one row per phrase.
+    """
+    docs = load_documents(spark, sf_dir)
+    phrases = [("order", "key"), ("scan", "column"), ("window", "agg")]
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    first_terms = [p[0] for p in phrases]
+    second_terms = [p[1] for p in phrases]
+    a = toks.filter(F.col("tok").isin(first_terms)).select(
+        "doc_id", "pos", F.col("tok").alias("t1")
+    )
+    b = toks.filter(F.col("tok").isin(second_terms)).select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("tok").alias("t2")
+    )
+    pairs = F.broadcast(
+        spark.createDataFrame(phrases, "t1 string, t2 string")
+    )
+    matches = (
+        a.join(b, ["doc_id", "pos"])
+        .join(pairs, ["t1", "t2"])
+        .select(
+            F.concat_ws(" ", "t1", "t2").alias("phrase"), "doc_id"
+        )
+        .distinct()
+    )
+    return (
+        matches.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("doc_checksum"),
+        )
+        .orderBy("phrase")
+    )

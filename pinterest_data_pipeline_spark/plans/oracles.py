@@ -5275,3 +5275,127 @@ oracle("graph_label_propagation")(
     FROM sizes GROUP BY sz ORDER BY community_size
     """
 )
+
+oracle("ml_target_encode_kfold")(
+    # Same md5 fold hash; out-of-fold mean from integer sums, divided
+    # once at the terminal site.
+    """
+    WITH rows_t AS (
+        SELECT c.c_mktsegment,
+               (CAST(('0x' || substring(
+                    md5(o.o_orderkey::VARCHAR || 'fold'), 1, 8)) AS UBIGINT)
+                % 5)::BIGINT AS fold,
+               round(o.o_totalprice * 100)::BIGINT AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), cells AS (
+        SELECT c_mktsegment, fold,
+               count(*)::BIGINT AS n_f, sum(cents)::BIGINT AS s_f
+        FROM rows_t GROUP BY 1, 2
+    ), agg AS (
+        SELECT c_mktsegment, fold, n_f, s_f,
+               sum(n_f) OVER (PARTITION BY c_mktsegment) AS n_cat,
+               sum(s_f) OVER (PARTITION BY c_mktsegment) AS s_cat
+        FROM cells
+    )
+    SELECT c_mktsegment, fold::INTEGER AS fold,
+           n_f AS n_in_fold,
+           (n_cat - n_f)::BIGINT AS n_oof,
+           round((s_cat - s_f)::DOUBLE / (n_cat - n_f)::DOUBLE / 100.0, 4)
+               AS oof_mean_target
+    FROM agg ORDER BY c_mktsegment, fold
+    """
+)
+
+oracle("events_time_weighted_avg")(
+    # Same integer micro-interval weighting via per-(type, user) lead.
+    """
+    WITH ev AS (
+        SELECT event_type, user_id, event_id, epoch_us(ts) AS us,
+               floor(epoch_us(ts) / 1000)::BIGINT AS ms,
+               round(value * 100)::BIGINT AS v_cents
+        FROM events
+    ), held AS (
+        SELECT event_type, v_cents,
+               lead(ms) OVER (PARTITION BY event_type, user_id
+                              ORDER BY us, event_id) - ms AS dt_ms
+        FROM ev
+    )
+    SELECT event_type,
+           count(*)::BIGINT AS n_intervals,
+           sum(dt_ms)::BIGINT AS held_ms,
+           round(sum(v_cents * dt_ms)::DOUBLE / sum(dt_ms)::DOUBLE
+                 / 100.0, 6) AS time_weighted_avg
+    FROM held WHERE dt_ms IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """
+)
+
+oracle("events_sessionize_capped")(
+    # Same gap-flag cumsum + fixed-offset floor split, integer micros.
+    """
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS us FROM events
+    ), gapped AS (
+        SELECT user_id, us,
+               CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+                                            ORDER BY us) > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM ev
+    ), flagged AS (
+        SELECT user_id, us,
+               sum(new_sess) OVER
+                   (PARTITION BY user_id ORDER BY us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sess
+        FROM gapped
+    ), capped AS (
+        SELECT user_id, sess,
+               floor((us - min(us) OVER (PARTITION BY user_id, sess))
+                     / 7200000000)::BIGINT AS sub
+        FROM flagged
+    ), per_sess AS (
+        SELECT user_id, sess, sub, count(*)::BIGINT AS n_events
+        FROM capped GROUP BY 1, 2, 3
+    ), gap_s AS (
+        SELECT count(*)::BIGINT AS n_gap_sessions
+        FROM (SELECT DISTINCT user_id, sess FROM per_sess)
+    ), tot AS (
+        SELECT count(*)::BIGINT AS n_capped_sessions,
+               max(n_events)::BIGINT AS max_events_per_session,
+               sum(n_events)::BIGINT AS n_events_total
+        FROM per_sess
+    )
+    SELECT n_gap_sessions, n_capped_sessions,
+           (n_capped_sessions - n_gap_sessions)::BIGINT AS n_cap_splits,
+           max_events_per_session, n_events_total
+    FROM tot CROSS JOIN gap_s
+    """
+)
+
+oracle("text_phrase_search")(
+    # Same 1-based positional postings (generate_subscripts) and
+    # adjacent-position join over the filtered phrase terms.
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), phrases AS (
+        SELECT * FROM (VALUES ('order', 'key'), ('scan', 'column'),
+                              ('window', 'agg')) AS t(t1, t2)
+    ), a AS (
+        SELECT doc_id, pos, tok AS t1 FROM toks
+        WHERE tok IN ('order', 'scan', 'window')
+    ), b AS (
+        SELECT doc_id, pos - 1 AS pos, tok AS t2 FROM toks
+        WHERE tok IN ('key', 'column', 'agg')
+    ), matches AS (
+        SELECT DISTINCT t1 || ' ' || t2 AS phrase, doc_id
+        FROM a JOIN b USING (doc_id, pos) JOIN phrases USING (t1, t2)
+    )
+    SELECT phrase, count(*)::BIGINT AS n_docs,
+           sum(doc_id)::BIGINT AS doc_checksum
+    FROM matches GROUP BY phrase ORDER BY phrase
+    """
+)

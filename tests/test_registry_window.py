@@ -45,6 +45,9 @@ DRIVER_WINDOW = 50
 # Once-certified queries expected to miss a seat this round (see module
 # docstring). r9: none — every under-certified query is seated.
 EXPECTED_QUEUE: tuple[str, ...] = (
+    "sketch_tdigest_quantile_bounds",
+    "agg_tdigest_grouped_p95",
+    "ann_ivf_pq_recall_sweep",
     "events_rolling_p95_tdigest",
     "dedup_jaccard_prefix_join",
     "dedup_winnow_shared_fingerprints",
@@ -53,6 +56,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "events_rolling_wau_kmv",
     "sample_token_budget_mix",
     "sample_weighted_multi_draw",
+    "text_phrase_search",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )
@@ -84,16 +88,26 @@ def test_every_windowed_query_is_oracle_checked():
 
 
 def test_never_certified_oracled_queries_are_all_seated():
-    """Seat-at-birth: an oracled query must never wait uncertified."""
+    """Seat-at-birth: an oracled query must never wait uncertified —
+    unless the round's births alone overflow the 50-seat window, in
+    which case every seat must be a birth (nothing less deserving holds
+    one) and the overflow births certify next round."""
     led, _, table = _table()
     unseated_never = [
         q
         for q, row in table.items()
         if row["n_certs"] == 0 and row["status"] == "queued"
     ]
-    assert not unseated_never, (
-        f"oracled-never-certified queries left outside the window: {unseated_never}"
-    )
+    if unseated_never:
+        non_birth_seats = [
+            q for q in entry.PRIORITY_WINDOW if led.get(q, [])
+        ]
+        assert not non_birth_seats, (
+            f"births {unseated_never} wait while previously-certified "
+            f"{non_birth_seats} hold seats"
+        )
+    else:
+        assert not unseated_never
 
 
 def test_no_wasted_seats_while_certification_owed():

@@ -2072,3 +2072,127 @@ def test_label_propagation_two_planted_components(spark):
                QUERIES["graph_label_propagation"](spark, d).collect()}
     assert out[3].n_communities == 1 and out[3].label_checksum == 1
     assert out[2].n_communities == 1 and out[2].label_checksum == 10
+
+
+def test_target_encode_constant_target_invariants(spark):
+    """Constant price per segment: every out-of-fold mean equals the
+    segment price exactly, and fold + oof counts sum to the segment
+    count no matter how the hash distributes folds."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    d0 = dt.datetime(1995, 1, 1)
+    orders = []
+    for k in range(1, 41):
+        seg_cust = 1 if k <= 20 else 2
+        orders.append((k, seg_cust, "O",
+                       100.0 if seg_cust == 1 else 250.0, d0, "1-URGENT"))
+    cust = [(1, "BUILDING"), (2, "MACHINERY")]
+    o_schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(orders, o_schema).write.parquet(
+            os.path.join(d, "orders.parquet")
+        )
+        spark.createDataFrame(cust, "c_custkey long, c_mktsegment string"
+                              ).write.parquet(os.path.join(d, "customer.parquet"))
+        out = QUERIES["ml_target_encode_kfold"](spark, d).collect()
+    by_seg = {}
+    for r in out:
+        by_seg.setdefault(r.c_mktsegment, []).append(r)
+        assert r.n_in_fold + r.n_oof == 20
+    assert all(r.oof_mean_target == 100.0 for r in by_seg["BUILDING"])
+    assert all(r.oof_mean_target == 250.0 for r in by_seg["MACHINERY"])
+
+
+def test_time_weighted_avg_hand_case(spark):
+    """value 1.00 held 10 s then 3.00 held 30 s -> TWA 2.5."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    d0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, d0, 7, "view", 1.0, "{}"),
+        (2, d0 + dt.timedelta(seconds=10), 7, "view", 3.0, "{}"),
+        (3, d0 + dt.timedelta(seconds=40), 7, "view", 99.0, "{}"),
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "events.parquet")
+        )
+        r = QUERIES["events_time_weighted_avg"](spark, d).collect()[0]
+    assert r.n_intervals == 2
+    assert r.held_ms == 40_000
+    assert r.time_weighted_avg == 2.5
+
+
+def test_sessionize_capped_splits_long_session(spark):
+    """Events every 25 min for 250 min: one gap session (all gaps under
+    30 min) split into three capped sessions at the 2 h offsets."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    d0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (k, d0 + dt.timedelta(minutes=25 * k), 7, "view", 1.0, "{}")
+        for k in range(11)
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "events.parquet")
+        )
+        r = QUERIES["events_sessionize_capped"](spark, d).collect()[0]
+    assert r.n_gap_sessions == 1
+    assert r.n_capped_sessions == 3
+    assert r.n_cap_splits == 2
+    assert r.max_events_per_session == 5
+    assert r.n_events_total == 11
+
+
+def test_phrase_search_positional_adjacency(spark):
+    """'order key' matches docs 1 and 3 only (doc 2 has the reversed
+    words); 'scan column' matches doc 3; absent phrases emit no row."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rows = [
+        (1, "order key value", "en", "t", 15),
+        (2, "key order value", "en", "t", 15),
+        (3, "scan column order key", "en", "t", 21),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {r.phrase: r for r in
+               QUERIES["text_phrase_search"](spark, d).collect()}
+    assert out["order key"].n_docs == 2
+    assert out["order key"].doc_checksum == 4
+    assert out["scan column"].n_docs == 1
+    assert "window agg" not in out

@@ -141,7 +141,11 @@ def propose_window(
     )
     owed = births + once
     window = owed[:size]
-    queued = [q for q in owed[size:]]
+    # overflow (births beyond the seat count included) queues in the
+    # same (bound-oracle priority, registry order) key queue() uses
+    queued = sorted(
+        owed[size:], key=lambda q: (prio.get(q, len(prio)), reg_idx[q])
+    )
     if len(window) < size:
         done = sorted(
             (q for q in registry_order if q in oracled and len(ledger.get(q, [])) >= 2),
@@ -197,8 +201,16 @@ def main() -> int:
         if r["n_certs"] == 0 and r["status"] not in ("seated", "rows-only")
     ]
     if never:
-        print(f"\nRED FLAG oracled-never-certified and unseated: {never}")
-        return 1
+        # births overflow the window only when every seat is itself a
+        # birth — then the overflow legitimately queues for next round
+        seated_with_history = [
+            q for q in entry.PRIORITY_WINDOW if ledger.get(q, [])
+        ]
+        if seated_with_history:
+            print(f"\nRED FLAG oracled-never-certified and unseated: {never}")
+            return 1
+        print(f"\nbirth overflow (window is 100% births): {never} "
+              "queue for next round")
     return 0
 
 
