@@ -484,3 +484,34 @@ def test_kmv_merge_equals_union_sketch(spark, a, b):
     )
     direct = sorted(r.h for r in sketches.kmv_sketch(udf_, "v", k=k).collect())
     assert merged == direct
+
+
+@given(
+    deltas=st.lists(st.integers(min_value=-50, max_value=50), min_size=1,
+                    max_size=40)
+)
+@settings(**SETTINGS)
+def test_clamped_balance_closed_form_equals_recursion(spark, deltas):
+    """The window closed form bal_i = cumsum_i - least(0, runmin(cumsum)_i)
+    equals the stateful recursion s_i = max(0, s_{i-1} + delta_i) for
+    ARBITRARY integer delta sequences — the identity the
+    window_clamped_running_balance query rests on."""
+    from pyspark.sql import Window
+
+    rows = [(1, k, d) for k, d in enumerate(deltas)]
+    df = spark.createDataFrame(rows, "g long, seq long, delta long")
+    w = Window.partitionBy("g").orderBy("seq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = (
+        df.withColumn("p", F.sum("delta").over(w))
+        .withColumn("bal", F.col("p") - F.least(F.min("p").over(w), F.lit(0)))
+        .orderBy("seq")
+        .select("bal")
+        .collect()
+    )
+    s, expect = 0, []
+    for d in deltas:
+        s = max(0, s + d)
+        expect.append(s)
+    assert [r.bal for r in out] == expect

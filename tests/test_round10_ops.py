@@ -2196,3 +2196,29 @@ def test_phrase_search_positional_adjacency(spark):
     assert out["order key"].doc_checksum == 4
     assert out["scan column"].n_docs == 1
     assert "window agg" not in out
+
+
+def test_phrase_search_hot_doc_no_quadratic_pairs(spark):
+    """A pathological doc that is the phrase repeated 10k times: the
+    positional join emits one match per occurrence (the (doc, pos) join
+    key is unique per side — no quadratic self-pairing), and the doc
+    counts once after distinct."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    hot = "order key " * 10_000
+    rows = [(1, hot.strip(), "en", "t", len(hot)),
+            (2, "scan column", "en", "t", 11)]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {r.phrase: r for r in
+               QUERIES["text_phrase_search"](spark, d).collect()}
+    assert out["order key"].n_docs == 1
+    assert out["order key"].doc_checksum == 1
+    assert out["scan column"].n_docs == 1
