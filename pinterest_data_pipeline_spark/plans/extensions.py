@@ -5504,3 +5504,67 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phrase")
     )
+
+
+# --- round 10 session 5: bitmap analytics, sweep-line concurrency ----------
+
+
+@query
+def events_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retention from per-day USER BITMAPS — the
+    ClickHouse/Doris `groupBitmap` technique re-expressed in pure
+    integer SQL: each (day, word) row holds a 63-bit chunk of the
+    active-user set (word = user_id div 63, bit = user_id mod 63 — 63-bit words keep the
+    shift off the int64 sign bit, which DuckDB rejects as overflow,
+    folded with BIT_OR — idempotent, so no pre-distinct pass is
+    needed); |active(d) AND active(d+k)| is then SUM(bit_count(a & b))
+    over a word-keyed equi-join. Everything before the terminal rate
+    division is int64 bit arithmetic — exact cross-engine.
+
+    Scale shape: the bitmap fold shuffles (day, word) keys only —
+    63 users per row regardless of event volume, so a 100 TB event log
+    collapses to |days| x |users|/64 bitmap rows; the offset join is
+    word-keyed (massively parallel) and never touches event rows.
+    Output is bounded by calendar days x offsets.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.expr("user_id div 63").cast("long").alias("word"),
+        F.expr("shiftleft(1L, CAST(user_id % 63 AS INT))").alias("bit"),
+    )
+    words = ev.groupBy("day", "word").agg(F.bit_or("bit").alias("bits"))
+    active = words.groupBy("day").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("n_active")
+    )
+    offsets = F.broadcast(
+        spark.createDataFrame([(1,), (7,)], "offset int")
+    )
+    later = words.select(
+        F.col("day").alias("day_b"), "word", F.col("bits").alias("bits_b")
+    )
+    retained = (
+        words.crossJoin(offsets)
+        .withColumn("day_b", F.date_add("day", F.col("offset")))
+        .join(later, ["day_b", "word"])
+        .groupBy("day", "offset")
+        .agg(
+            F.sum(F.bit_count(F.col("bits").bitwiseAND(F.col("bits_b"))))
+            .cast("long")
+            .alias("n_retained")
+        )
+    )
+    return (
+        retained.join(active, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "offset",
+            "n_active",
+            "n_retained",
+            F.round(
+                F.col("n_retained").cast("double")
+                / F.col("n_active").cast("double"),
+                6,
+            ).alias("retention_rate"),
+        )
+        .orderBy("day", "offset")
+    )

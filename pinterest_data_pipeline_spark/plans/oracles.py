@@ -5399,3 +5399,35 @@ oracle("text_phrase_search")(
     FROM matches GROUP BY phrase ORDER BY phrase
     """
 )
+
+# --- round 10 session 5 ------------------------------------------------------
+
+# Rebuilds the identical user bitmaps (word = user_id // 63, 63-bit words so the
+# shift never reaches the int64 sign bit, which DuckDB rejects as overflow) and intersects them with the same integer bit arithmetic —
+# bit-exact until the one terminal rate division. Parenthesization matters:
+# DuckDB's <<//&/| precedence differs from C, so every bit expression is
+# fully bracketed.
+oracle("events_bitmap_retention")(
+    """
+    WITH w AS (
+        SELECT ts::DATE AS day, (user_id // 63)::BIGINT AS word,
+               bit_or(1::BIGINT << (user_id % 63)::INT) AS bits
+        FROM events GROUP BY 1, 2
+    ), act AS (
+        SELECT day, sum(bit_count(bits))::BIGINT AS n_active
+        FROM w GROUP BY day
+    ), ret AS (
+        SELECT a.day AS day, k.off AS "offset",
+               sum(bit_count(a.bits & b.bits))::BIGINT AS n_retained
+        FROM w a
+        JOIN (VALUES (1), (7)) k(off) ON TRUE
+        JOIN w b ON b.day = a.day + k.off AND b.word = a.word
+        GROUP BY 1, 2
+    )
+    SELECT strftime(r.day, '%Y-%m-%d') AS day, r."offset", act.n_active,
+           r.n_retained,
+           round(r.n_retained / act.n_active::DOUBLE, 6) AS retention_rate
+    FROM ret r JOIN act USING (day)
+    ORDER BY day, "offset"
+    """
+)

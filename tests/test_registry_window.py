@@ -57,6 +57,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "sample_token_budget_mix",
     "sample_weighted_multi_draw",
     "text_phrase_search",
+    "events_bitmap_retention",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

@@ -2222,3 +2222,47 @@ def test_phrase_search_hot_doc_no_quadratic_pairs(spark):
     assert out["order key"].n_docs == 1
     assert out["order key"].doc_checksum == 1
     assert out["scan column"].n_docs == 1
+
+
+# --- session 5: bitmap retention --------------------------------------------
+
+
+def test_bitmap_retention_planted_cohort(spark):
+    """Users 0/1/63 planted so the words split (0,1 -> word 0; 63 -> word
+    1): day-1 actives {0,1,63}; day-2 retains {0,63} (offset 1 = 2/3);
+    day-8 retains {63} (offset 7 = 1/3); duplicate events on one day
+    change nothing (bit_or idempotence); days with no day+k bitmap emit
+    no row."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rows = [
+        (1, 0, "2020-01-01 00:00:00"),
+        (2, 0, "2020-01-01 05:00:00"),  # dup activity, same bit
+        (3, 1, "2020-01-01 06:00:00"),
+        (4, 63, "2020-01-01 07:00:00"),
+        (5, 0, "2020-01-02 00:00:00"),
+        (6, 63, "2020-01-02 00:00:00"),
+        (7, 63, "2020-01-08 00:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string"
+    ).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        F.lit("view").alias("event_type"), F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = {(r.day, r.offset): r for r in
+               QUERIES["events_bitmap_retention"](spark, d).collect()}
+    d1_o1 = out[("2020-01-01", 1)]
+    assert d1_o1.n_active == 3 and d1_o1.n_retained == 2
+    assert d1_o1.retention_rate == round(2 / 3, 6)
+    d1_o7 = out[("2020-01-01", 7)]
+    assert d1_o7.n_active == 3 and d1_o7.n_retained == 1
+    # day 2 + 7 = day 9 has no bitmap -> no row
+    assert ("2020-01-02", 7) not in out
