@@ -5568,3 +5568,87 @@ def events_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "offset")
     )
+
+
+@query
+def events_max_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day via a DISTRIBUTED sweep line:
+    each 6-hour-gap user session (the ``events_sessionize_gap``
+    definition) contributes +1 at its start and -1 one microsecond past
+    its end (closed intervals: a session ending exactly when another
+    starts overlaps it); deltas collapse per timestamp BEFORE the
+    running sum, so concurrency at a tied instant is the
+    post-all-deltas value, never an application-order artifact.
+
+    The classic sweep line is a single global sort — a scale wall. Here
+    the cumulative sum splits into (a) a per-day carry-in, a running
+    sum over the per-DAY delta totals (one row per calendar day —
+    bounded by the calendar, not the data), and (b) a within-day prefix
+    sum partitioned by day. Peak(day) = carry + greatest(0, max prefix)
+    — the carry alone is live concurrency on [midnight, first delta).
+    Days with no session boundary emit no row. All-integer arithmetic.
+    """
+    gap_us = 6 * 3600 * 1_000_000
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        prev_us.isNull() | (F.unix_micros(F.col("ts")) - prev_us > gap_us), 1
+    ).otherwise(0)
+    sessions = (
+        events.withColumn("is_new", is_new)
+        .withColumn(
+            "session_seq",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("start_us"),
+            F.unix_micros(F.max("ts")).alias("end_us"),
+        )
+    )
+    deltas = sessions.select(
+        F.col("start_us").alias("us"), F.lit(1).alias("delta")
+    ).unionAll(
+        sessions.select(
+            (F.col("end_us") + 1).alias("us"), F.lit(-1).alias("delta")
+        )
+    )
+    per_ts = deltas.groupBy(
+        F.to_date(F.timestamp_micros(F.col("us"))).alias("day"), "us"
+    ).agg(
+        F.sum("delta").cast("long").alias("d"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("starts"),
+    )
+    day_tot = per_ts.groupBy("day").agg(
+        F.sum("d").alias("day_delta"),
+        F.sum("starts").alias("sessions_started"),
+    )
+    wd = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # one row per calendar day: bounded, not data-sized
+    base = day_tot.withColumn(
+        "carry", F.coalesce(F.sum("day_delta").over(wd), F.lit(0)).cast("long")
+    )
+    wt = Window.partitionBy("day").orderBy("us").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    peaks = (
+        per_ts.withColumn("run", F.sum("d").over(wt))
+        .groupBy("day")
+        .agg(F.max("run").cast("long").alias("max_prefix"))
+    )
+    return (
+        peaks.join(base, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            (F.col("carry") + F.greatest(F.col("max_prefix"), F.lit(0)))
+            .cast("long")
+            .alias("peak_concurrency"),
+            F.col("carry").alias("day_start_concurrency"),
+            F.col("sessions_started").cast("long"),
+        )
+        .orderBy("day")
+    )

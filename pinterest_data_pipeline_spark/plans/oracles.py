@@ -5431,3 +5431,60 @@ oracle("events_bitmap_retention")(
     ORDER BY day, "offset"
     """
 )
+
+# Same sweep line: gap sessions -> +1/-1 deltas (end + 1 us), collapsed per
+# timestamp, day-carry running sum over per-day totals + within-day prefix
+# max. Pure integer arithmetic end to end.
+oracle("events_max_concurrency_daily")(
+    """
+    WITH o AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq,
+               ts
+        FROM o
+    ), sess AS (
+        SELECT user_id, session_seq,
+               epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+        FROM s GROUP BY user_id, session_seq
+    ), deltas AS (
+        SELECT start_us AS us, 1 AS delta FROM sess
+        UNION ALL
+        SELECT end_us + 1 AS us, -1 AS delta FROM sess
+    ), per_ts AS (
+        SELECT make_timestamp(us)::DATE AS day, us,
+               sum(delta)::BIGINT AS d,
+               sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)::BIGINT AS starts
+        FROM deltas GROUP BY 1, 2
+    ), day_tot AS (
+        SELECT day, sum(d)::BIGINT AS day_delta,
+               sum(starts)::BIGINT AS sessions_started
+        FROM per_ts GROUP BY day
+    ), base AS (
+        SELECT day, sessions_started,
+               coalesce(sum(day_delta) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0)::BIGINT AS carry
+        FROM day_tot
+    ), peaks AS (
+        SELECT day, max(run)::BIGINT AS max_prefix FROM (
+            SELECT day, sum(d) OVER (PARTITION BY day ORDER BY us
+                       ROWS UNBOUNDED PRECEDING) AS run
+            FROM per_ts
+        ) GROUP BY day
+    )
+    SELECT strftime(p.day, '%Y-%m-%d') AS day,
+           (b.carry + greatest(p.max_prefix, 0))::BIGINT AS peak_concurrency,
+           b.carry AS day_start_concurrency,
+           b.sessions_started
+    FROM peaks p JOIN base b USING (day)
+    ORDER BY day
+    """
+)

@@ -58,6 +58,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "sample_weighted_multi_draw",
     "text_phrase_search",
     "events_bitmap_retention",
+    "events_max_concurrency_daily",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

@@ -2266,3 +2266,45 @@ def test_bitmap_retention_planted_cohort(spark):
     assert d1_o7.n_active == 3 and d1_o7.n_retained == 1
     # day 2 + 7 = day 9 has no bitmap -> no row
     assert ("2020-01-02", 7) not in out
+
+
+def test_max_concurrency_sweep_line_planted(spark):
+    """Planted sessions: simultaneous single-event sessions tie-collapse
+    (peak 3 while only 2 users overlap in time-extended sessions), a
+    midnight-spanning session carries concurrency 1 into day 2, and the
+    day-2 peak equals its carry (its max prefix never exceeds 0)."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rows = [
+        (1, 1, "2020-01-01 00:00:00"),
+        (2, 1, "2020-01-01 01:00:00"),   # u1 session [00:00, 01:00]
+        (3, 2, "2020-01-01 00:30:00"),   # u2 point session at 00:30
+        (4, 4, "2020-01-01 00:30:00"),   # u4 point session at 00:30 (tie)
+        (5, 3, "2020-01-01 00:45:00"),   # u3 point session day 1
+        (6, 3, "2020-01-02 02:00:00"),   # gap > 6 h: new point session day 2
+        (7, 5, "2020-01-01 23:00:00"),
+        (8, 5, "2020-01-02 01:00:00"),   # u5 session spans midnight
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string"
+    ).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        F.lit("view").alias("event_type"), F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = {r.day: r for r in
+               QUERIES["events_max_concurrency_daily"](spark, d).collect()}
+    d1 = out["2020-01-01"]
+    assert d1.peak_concurrency == 3        # 00:30: u1 + u2 + u4 all open
+    assert d1.day_start_concurrency == 0
+    assert d1.sessions_started == 5
+    d2 = out["2020-01-02"]
+    assert d2.peak_concurrency == 1        # carry from u5; never exceeded
+    assert d2.day_start_concurrency == 1
+    assert d2.sessions_started == 1
