@@ -5652,3 +5652,76 @@ def events_max_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query
+def agg_gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of customer revenue per market segment —
+    the inequality readout behind whale-concentration dashboards,
+    computed from the rank formula G = (2*SUM(i*x_i) - (n+1)*SUM(x)) /
+    (n*SUM(x)) with x ascending.
+
+    The naive rank is one global sort per segment (the
+    key-cardinality wall the weighted median was flagged for). Here the
+    rank is a TWO-PHASE distributed prefix sum: customers hash into
+    fixed $5,000 revenue-range buckets; per-(segment, bucket) counts
+    fold into bucket rank offsets via a window over the BUCKET rollup
+    (one row per occupied bucket — bounded by the value domain, not the
+    data); within-bucket row_number() runs partitioned per (segment,
+    bucket). SUM(i*x_i) is tie-order invariant (equal x swap positions
+    freely), so no cross-engine tie contract is needed. Revenue in
+    integer cents; the only floats are the terminal Gini division.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    rc = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    per_cust = rc.join(
+        customer.select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        ),
+        "o_custkey",
+    ).withColumn("bucket", F.expr("cents div 500000"))
+    per_bucket = per_cust.groupBy("c_mktsegment", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b")
+    )
+    wb = Window.partitionBy("c_mktsegment").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = per_bucket.withColumn(
+        "off", F.coalesce(F.sum("n_b").over(wb), F.lit(0)).cast("long")
+    ).select("c_mktsegment", "bucket", "off")
+    wi = Window.partitionBy("c_mktsegment", "bucket").orderBy(
+        "cents", "o_custkey"
+    )
+    ranked = (
+        per_cust.join(offs, ["c_mktsegment", "bucket"])
+        .withColumn("i", F.col("off") + F.row_number().over(wi))
+    )
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.sum(F.col("i") * F.col("cents")).cast("long").alias("s1"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            "revenue_cents",
+            F.round(
+                (
+                    2.0 * F.col("s1").cast("double")
+                    - (F.col("n_customers").cast("double") + 1.0)
+                    * F.col("revenue_cents").cast("double")
+                )
+                / (
+                    F.col("n_customers").cast("double")
+                    * F.col("revenue_cents").cast("double")
+                ),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -5488,3 +5488,43 @@ oracle("events_max_concurrency_daily")(
     ORDER BY day
     """
 )
+
+# Identical two-phase rank (bucket offsets + within-bucket row_number) and
+# the same rank-formula Gini; SUM(i*x) is tie-order invariant so the engines
+# need not agree on tied row numbers. HUGEINT sums cast ::BIGINT.
+oracle("agg_gini_customer_revenue")(
+    """
+    WITH rc AS (
+        SELECT o_custkey,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        FROM orders GROUP BY o_custkey
+    ), pc AS (
+        SELECT c.c_mktsegment, rc.o_custkey, rc.cents,
+               rc.cents // 500000 AS bucket
+        FROM rc JOIN customer c ON c.c_custkey = rc.o_custkey
+    ), pb AS (
+        SELECT c_mktsegment, bucket, count(*)::BIGINT AS n_b
+        FROM pc GROUP BY 1, 2
+    ), offs AS (
+        SELECT c_mktsegment, bucket,
+               coalesce(sum(n_b) OVER (PARTITION BY c_mktsegment
+                   ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0)::BIGINT AS off
+        FROM pb
+    ), ranked AS (
+        SELECT pc.c_mktsegment, pc.cents,
+               o.off + row_number() OVER (
+                   PARTITION BY pc.c_mktsegment, pc.bucket
+                   ORDER BY pc.cents, pc.o_custkey) AS i
+        FROM pc JOIN offs o
+          ON o.c_mktsegment = pc.c_mktsegment AND o.bucket = pc.bucket
+    )
+    SELECT c_mktsegment, count(*)::BIGINT AS n_customers,
+           sum(cents)::BIGINT AS revenue_cents,
+           round((2.0 * sum(i * cents)::BIGINT
+                  - (count(*)::DOUBLE + 1.0) * sum(cents)::BIGINT)
+                 / (count(*)::DOUBLE * sum(cents)::BIGINT), 6) AS gini
+    FROM ranked GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """
+)

@@ -59,6 +59,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "text_phrase_search",
     "events_bitmap_retention",
     "events_max_concurrency_daily",
+    "agg_gini_customer_revenue",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

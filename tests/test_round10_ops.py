@@ -2308,3 +2308,40 @@ def test_max_concurrency_sweep_line_planted(spark):
     assert d2.peak_concurrency == 1        # carry from u5; never exceeded
     assert d2.day_start_concurrency == 1
     assert d2.sessions_started == 1
+
+
+def test_gini_two_phase_rank_planted(spark):
+    """Hand-checked Gini: revenues (1, 9) give exactly 0.4; an
+    all-equal segment gives 0.0 even when its customers straddle the
+    $5k bucket boundary... equal values can't straddle — instead the
+    unequal pair is planted ACROSS buckets ($1k in bucket 0, $9k in
+    bucket 1) so the bucket-offset phase is load-bearing."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    customers = [(1, "A"), (2, "A"), (3, "B"), (4, "B"), (5, "B")]
+    cust = spark.createDataFrame(
+        customers, "c_custkey long, c_mktsegment string"
+    )
+    orders = [
+        (10, 1, 1000.0),   # A: $1k  (bucket 0)
+        (11, 2, 9000.0),   # A: $9k  (bucket 1) -> Gini((1k, 9k)) = 0.4
+        (12, 3, 700.0),    # B: three equal $700 -> Gini 0
+        (13, 4, 700.0),
+        (14, 5, 350.0),
+        (15, 5, 350.0),    # two orders summing to the same $700
+    ]
+    odf = spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_totalprice double"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        cust.write.parquet(os.path.join(d, "customer.parquet"))
+        odf.write.parquet(os.path.join(d, "orders.parquet"))
+        out = {r.c_mktsegment: r for r in
+               QUERIES["agg_gini_customer_revenue"](spark, d).collect()}
+    assert out["A"].gini == 0.4 and out["A"].n_customers == 2
+    assert out["B"].gini == 0.0 and out["B"].n_customers == 3
+    assert out["B"].revenue_cents == 210000
