@@ -5725,3 +5725,55 @@ def agg_gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for each user, the latency from
+    their FIRST view to their first purchase at-or-after it, rolled up
+    by conversion day as exact median / p90. Counts answer "how many
+    convert" (``events_funnel_steps``); this answers "how long does
+    conversion take" — the funnel's other axis.
+
+    Latency is an exact integer second count (microsecond difference,
+    integer division); the percentile interpolation is the one float
+    site, rounded to 4 dp (Spark ``percentile`` == DuckDB
+    ``quantile_cont`` under that discipline). Every join and aggregate
+    is user-keyed, then day-keyed — no global ordering anywhere.
+    """
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("v_us")
+    ).filter(F.col("v_us").isNotNull())
+    conv = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("p_us"))
+        .join(firsts, "user_id")
+        .filter(F.col("p_us") >= F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("p_us"), F.min("v_us").alias("v_us"))
+        .select(
+            F.to_date(F.timestamp_micros(F.col("p_us"))).alias("day"),
+            F.expr("(p_us - v_us) div 1000000").alias("latency_s"),
+        )
+    )
+    return (
+        conv.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conversions"),
+            F.round(F.expr("percentile(latency_s, 0.5)"), 4).alias(
+                "median_latency_s"
+            ),
+            F.round(F.expr("percentile(latency_s, 0.9)"), 4).alias(
+                "p90_latency_s"
+            ),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_conversions",
+            "median_latency_s",
+            "p90_latency_s",
+        )
+        .orderBy("day")
+    )

@@ -5528,3 +5528,31 @@ oracle("agg_gini_customer_revenue")(
     FROM ranked GROUP BY c_mktsegment ORDER BY c_mktsegment
     """
 )
+
+# First-view -> first-qualifying-purchase latency in exact integer seconds;
+# quantile_cont matches Spark percentile when rounded at the one float site.
+oracle("events_funnel_latency")(
+    """
+    WITH f AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                   AS v_us
+        FROM events GROUP BY user_id
+    ), conv AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS p_us, min(f.v_us) AS v_us
+        FROM events e JOIN f ON f.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND f.v_us IS NOT NULL
+          AND epoch_us(e.ts) >= f.v_us
+        GROUP BY e.user_id
+    ), lat AS (
+        SELECT make_timestamp(p_us)::DATE AS day,
+               (p_us - v_us) // 1000000 AS latency_s
+        FROM conv
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           count(*)::BIGINT AS n_conversions,
+           round(quantile_cont(latency_s, 0.5), 4) AS median_latency_s,
+           round(quantile_cont(latency_s, 0.9), 4) AS p90_latency_s
+    FROM lat GROUP BY day ORDER BY day
+    """
+)

@@ -60,6 +60,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "events_bitmap_retention",
     "events_max_concurrency_daily",
     "agg_gini_customer_revenue",
+    "events_funnel_latency",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

@@ -2345,3 +2345,38 @@ def test_gini_two_phase_rank_planted(spark):
     assert out["A"].gini == 0.4 and out["A"].n_customers == 2
     assert out["B"].gini == 0.0 and out["B"].n_customers == 3
     assert out["B"].revenue_cents == 210000
+
+
+def test_funnel_latency_first_view_anchor(spark):
+    """Latency anchors on the FIRST view: u1 views at 10:00 and 10:30,
+    purchases at 10:10 -> 600 s (not 0); a purchase BEFORE any view
+    does not qualify (u2 converts on the later purchase); a user with
+    no view never converts (u3)."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rows = [
+        (1, 1, "2020-01-01 10:00:00", "view"),
+        (2, 1, "2020-01-01 10:10:00", "purchase"),
+        (3, 1, "2020-01-01 10:30:00", "view"),
+        (4, 2, "2020-01-01 09:00:00", "purchase"),  # pre-view: ignored
+        (5, 2, "2020-01-01 09:30:00", "view"),
+        (6, 2, "2020-01-01 09:40:00", "purchase"),  # 600 s
+        (7, 3, "2020-01-01 08:00:00", "purchase"),  # never viewed
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_type", F.lit(0.0).alias("value"), F.lit("{}").alias("props"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = {r.day: r for r in
+               QUERIES["events_funnel_latency"](spark, d).collect()}
+    d1 = out["2020-01-01"]
+    assert d1.n_conversions == 2
+    assert d1.median_latency_s == 600.0 and d1.p90_latency_s == 600.0
