@@ -5777,3 +5777,68 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query
+def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over co-occurring frequent tokens —
+    the collocation/phrase-mining statistic (Church & Hanks 1990):
+    PMI(x, y) = ln(N * df(x,y) / (df(x) * df(y))) over document
+    frequencies. Support thresholds bound everything: only tokens in
+    >= 5% of docs pair up (their count is bounded by tokens-per-doc /
+    0.05 — document length, not corpus size), and only pairs in >= 2%
+    of docs are emitted, so the doc-keyed pair self-join explodes at
+    most C(frequent-in-doc, 2) per document.
+
+    All counts are exact int64 (N*df_xy and df_x*df_y each bounded by
+    N² << 2^63 for any feasible corpus); the one float site is the
+    terminal ln of their ratio, rounded to 6 dp. The corpus size
+    attaches via the sanctioned single-row broadcast.
+    """
+    docs = load_documents(spark, sf_dir)
+    n_row = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tok = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .distinct()
+    )
+    df_tok = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    freq = (
+        df_tok.crossJoin(F.broadcast(n_row))
+        .filter(F.col("c") >= F.ceil(F.col("n_docs") * 0.05))
+        .select("t", "c")
+    )
+    ft = tok.join(freq.select("t"), "t")
+    a = ft.select(F.col("doc_id"), F.col("t").alias("t1"))
+    b = ft.select(F.col("doc_id"), F.col("t").alias("t2"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_pair"))
+        .crossJoin(F.broadcast(n_row))
+        .filter(F.col("df_pair") >= F.ceil(F.col("n_docs") * 0.02))
+    )
+    cx = freq.select(F.col("t").alias("t1"), F.col("c").alias("df_x"))
+    cy = freq.select(F.col("t").alias("t2"), F.col("c").alias("df_y"))
+    return (
+        pairs.join(cx, "t1")
+        .join(cy, "t2")
+        .select(
+            "t1",
+            "t2",
+            "df_pair",
+            "df_x",
+            "df_y",
+            F.round(
+                F.log(
+                    (F.col("n_docs") * F.col("df_pair")).cast("double")
+                    / (F.col("df_x") * F.col("df_y")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy("t1", "t2")
+    )

@@ -5556,3 +5556,36 @@ oracle("events_funnel_latency")(
     FROM lat GROUP BY day ORDER BY day
     """
 )
+
+# Same support-bounded PMI: exact integer document frequencies, the one
+# float site is ln of the int64 ratio, rounded identically.
+oracle("text_pmi_cooccurrence")(
+    """
+    WITH n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    tok AS (
+        SELECT DISTINCT doc_id, t
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+        WHERE t <> ''
+    ), dftok AS (
+        SELECT t, count(*)::BIGINT AS c FROM tok GROUP BY t
+    ), freq AS (
+        SELECT t, c FROM dftok, n WHERE c >= ceil(n.n_docs * 0.05)
+    ), ft AS (
+        SELECT tok.doc_id, tok.t FROM tok JOIN freq USING (t)
+    ), pairs AS (
+        SELECT a.t AS t1, b.t AS t2, count(*)::BIGINT AS df_pair
+        FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.t < b.t
+        GROUP BY 1, 2
+    )
+    SELECT p.t1, p.t2, p.df_pair, x.c AS df_x, y.c AS df_y,
+           round(ln((n.n_docs * p.df_pair)::DOUBLE
+                    / (x.c * y.c)::DOUBLE), 6) AS pmi
+    FROM pairs p
+    JOIN freq x ON x.t = p.t1
+    JOIN freq y ON y.t = p.t2
+    CROSS JOIN n
+    WHERE p.df_pair >= ceil(n.n_docs * 0.02)
+    ORDER BY t1, t2
+    """
+)

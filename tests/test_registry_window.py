@@ -61,6 +61,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "events_max_concurrency_daily",
     "agg_gini_customer_revenue",
     "events_funnel_latency",
+    "text_pmi_cooccurrence",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

@@ -2380,3 +2380,35 @@ def test_funnel_latency_first_view_anchor(spark):
     d1 = out["2020-01-01"]
     assert d1.n_conversions == 2
     assert d1.median_latency_s == 600.0 and d1.p90_latency_s == 600.0
+
+
+def test_pmi_cooccurrence_hand_computed(spark):
+    """4-doc corpus: PMI(x,y) = ln(4*2/(3*3)) exactly; a token repeated
+    within one doc counts ONCE toward document frequency (w in d4), so
+    PMI(w,y) = ln(4*1/(1*3))."""
+    import math
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rows = [
+        (1, "x y", "en", "t", 3),
+        (2, "x y", "en", "t", 3),
+        (3, "x z", "en", "t", 3),
+        (4, "y z w w", "en", "t", 7),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {(r.t1, r.t2): r for r in
+               QUERIES["text_pmi_cooccurrence"](spark, d).collect()}
+    xy = out[("x", "y")]
+    assert xy.df_pair == 2 and xy.df_x == 3 and xy.df_y == 3
+    assert xy.pmi == round(math.log(8 / 9), 6)
+    wy = out[("w", "y")]
+    assert wy.df_pair == 1 and wy.df_x == 1      # in-doc repeat counts once
+    assert wy.pmi == round(math.log(4 / 3), 6)
