@@ -5842,3 +5842,44 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t1", "t2")
     )
+
+
+@query
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: each user's first three events (by ts,
+    event_id) concatenated into an ordered path string, counted across
+    users — the product-analytics "what do people do first" readout.
+    Path alphabet bounds the output at |event_type|^3 + shorter-prefix
+    paths regardless of corpus size, so no LIMIT (and no float sort
+    key) is needed.
+
+    Shape: one user-keyed rank window (WindowGroupLimit prunes to 3
+    rows per user before the aggregate), then an ordered in-group
+    concat — Spark sorts the collected (rank, type) structs explicitly,
+    the dual uses string_agg ORDER BY; both deterministic under ts ties
+    via the event_id tiebreak baked into the rank.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "rn", "event_type")
+    )
+    paths = firsts.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+        F.count(F.lit(1)).cast("long").alias("path_len"),
+    )
+    return (
+        paths.groupBy("path", "path_len")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+    )

@@ -5589,3 +5589,24 @@ oracle("text_pmi_cooccurrence")(
     ORDER BY t1, t2
     """
 )
+
+# Same first-3-events path extraction; string_agg ORDER BY rn is the dual
+# of Spark's sorted-struct concat. Integer sort keys only.
+oracle("events_top_paths")(
+    """
+    WITH r AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), p AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path,
+               count(*)::BIGINT AS path_len
+        FROM r WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT path, path_len, count(*)::BIGINT AS n_users
+    FROM p GROUP BY path, path_len
+    ORDER BY n_users DESC, path
+    """
+)

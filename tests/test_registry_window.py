@@ -62,6 +62,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "agg_gini_customer_revenue",
     "events_funnel_latency",
     "text_pmi_cooccurrence",
+    "events_top_paths",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

@@ -2412,3 +2412,38 @@ def test_pmi_cooccurrence_hand_computed(spark):
     wy = out[("w", "y")]
     assert wy.df_pair == 1 and wy.df_x == 1      # in-doc repeat counts once
     assert wy.pmi == round(math.log(4 / 3), 6)
+
+
+def test_top_paths_ordering_and_short_paths(spark):
+    """Paths preserve EVENT ORDER (view>click != click>view), users with
+    fewer than 3 events emit their shorter path, and a 4th event is
+    ignored."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rows = [
+        (1, 1, "2020-01-01 10:00:00", "view"),
+        (2, 1, "2020-01-01 10:01:00", "click"),
+        (3, 1, "2020-01-01 10:02:00", "purchase"),
+        (4, 1, "2020-01-01 10:03:00", "error"),     # beyond first 3
+        (5, 2, "2020-01-01 10:00:00", "click"),
+        (6, 2, "2020-01-01 10:01:00", "view"),       # reversed order
+        (7, 3, "2020-01-01 10:00:00", "signup"),     # single event
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_type", F.lit(0.0).alias("value"), F.lit("{}").alias("props"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = {r.path: r for r in
+               QUERIES["events_top_paths"](spark, d).collect()}
+    assert out["view>click>purchase"].n_users == 1
+    assert out["click>view"].n_users == 1 and out["click>view"].path_len == 2
+    assert out["signup"].path_len == 1
+    assert "view>click>purchase>error" not in out
