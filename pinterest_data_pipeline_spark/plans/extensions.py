@@ -5883,3 +5883,47 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy(F.desc("n_users"), "path")
     )
+
+
+@query
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty score: the fraction of a document's
+    distinct word trigrams that occur in NO other document — the
+    memorization/duplication signal a pretraining curation pass ranks
+    on (near-copied boilerplate scores ~0, fresh prose ~1). Uses the
+    same ``shingles`` tokenization contract as the dedup family
+    (single-space tokens, sub-3-token docs fall back to the whole
+    text).
+
+    Shape: shingle explode -> distinct -> one gram-keyed doc-frequency
+    aggregate -> gram-keyed join back -> doc-keyed rollup. Exact
+    integer counts; novelty is the one terminal division. Never pairs
+    documents — corpus-wide uniqueness rides on the gram-keyed
+    aggregate, so the heaviest shuffle key is the gram, not a pair.
+    """
+    docs = load_documents(spark, sf_dir)
+    grams = docs.select(
+        "doc_id", F.explode(text.shingles(F.col("text"), 3)).alias("g")
+    ).distinct()
+    gf = grams.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    return (
+        grams.join(gf, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_unique",
+            F.round(
+                F.col("n_unique").cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

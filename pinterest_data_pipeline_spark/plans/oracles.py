@@ -5610,3 +5610,27 @@ oracle("events_top_paths")(
     ORDER BY n_users DESC, path
     """
 )
+
+# Same trigram contract (sub-3-token docs -> whole text) and the same
+# gram-keyed doc-frequency; novelty is the one terminal division.
+oracle("text_ngram_novelty")(
+    f"""
+    WITH grams AS (
+        SELECT DISTINCT doc_id,
+               unnest(CASE WHEN len({_TOKS}) < 3 THEN [text]
+                      ELSE list_transform(range(1, len({_TOKS}) - 1),
+                           i -> array_to_string(list_slice({_TOKS}, i, i + 2),
+                                                ' '))
+                      END) AS g
+        FROM documents
+    ), gf AS (
+        SELECT g, count(*)::BIGINT AS df FROM grams GROUP BY g
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_grams,
+           sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+           round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE, 6) AS novelty
+    FROM grams JOIN gf USING (g)
+    GROUP BY doc_id ORDER BY doc_id
+    """
+)

@@ -63,6 +63,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "events_funnel_latency",
     "text_pmi_cooccurrence",
     "events_top_paths",
+    "text_ngram_novelty",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

@@ -2447,3 +2447,33 @@ def test_top_paths_ordering_and_short_paths(spark):
     assert out["click>view"].n_users == 1 and out["click>view"].path_len == 2
     assert out["signup"].path_len == 1
     assert "view>click>purchase>error" not in out
+
+
+def test_ngram_novelty_duplicate_scores_zero(spark):
+    """Two identical docs score novelty 0 (every trigram shared); a
+    fresh doc scores 1; a doc sharing half its trigrams with the
+    boilerplate lands in between, exactly."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rows = [
+        (1, "the quick brown fox", "en", "t", 19),   # copies of each other
+        (2, "the quick brown fox", "en", "t", 19),
+        (3, "completely novel words here", "en", "t", 27),
+        # trigrams: "the quick brown"(shared), "quick brown wolf"(unique)
+        (4, "the quick brown wolf", "en", "t", 20),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {r.doc_id: r for r in
+               QUERIES["text_ngram_novelty"](spark, d).collect()}
+    assert out[1].novelty == 0.0 and out[2].novelty == 0.0
+    assert out[3].novelty == 1.0 and out[3].n_grams == 2
+    assert out[4].n_grams == 2 and out[4].n_unique == 1
+    assert out[4].novelty == 0.5
