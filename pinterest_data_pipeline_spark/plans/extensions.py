@@ -5927,3 +5927,74 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the
+    classic windowed-scan alternative to hash blocking: records sort by
+    a content key (first 16 alphanumeric chars of the lowercased text,
+    pure ASCII so both engines collate identically), and only records
+    within window w=3 of each other in that order become candidate
+    pairs, verified here with exact trigram Jaccard >= 0.3.
+
+    The global sort rank is the Gini-style TWO-PHASE prefix sum: a
+    2-char key bucket (alphabet-bounded, <= 37^2 occupied buckets)
+    rolls up to rank offsets via a window over the bucket rollup, and
+    row_number runs partitioned per bucket — no data-sized single-task
+    sort. Neighborhood pairs are one rank-keyed equi-join (gap 1..2 via
+    a 2-row explode), and only w-1 pairs per record ever exist, so the
+    verify stage is linear in the corpus.
+    """
+    docs = load_documents(spark, sf_dir)
+    keyed = docs.select(
+        "doc_id",
+        "text",
+        F.substring(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""), 1, 16
+        ).alias("sn_key"),
+    ).withColumn("bkt", F.substring("sn_key", 1, 2))
+    per_b = keyed.groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b")
+    )
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = per_b.withColumn(
+        "off", F.coalesce(F.sum("n_b").over(wb), F.lit(0)).cast("long")
+    ).select("bkt", "off")
+    wi = Window.partitionBy("bkt").orderBy("sn_key", "doc_id")
+    ranked = (
+        keyed.join(offs, "bkt")
+        .withColumn("r", F.col("off") + F.row_number().over(wi))
+        .select("doc_id", "r")
+    )
+    gaps = F.broadcast(spark.createDataFrame([(1,), (2,)], "gap long"))
+    pairs = (
+        ranked.crossJoin(gaps)
+        .withColumn("r_b", F.col("r") + F.col("gap"))
+        .select(F.col("doc_id").alias("id_a"), "r_b", "gap")
+        .join(
+            ranked.select(F.col("doc_id").alias("id_b"), F.col("r").alias("r_b")),
+            "r_b",
+        )
+    )
+    sets_ = dedup.shingle_sets(docs, "text", "doc_id")
+    scored = dedup.ngram_jaccard_pairs(
+        pairs.join(
+            sets_.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("shingle_set").alias("shingle_set_a"),
+            ),
+            "id_a",
+        ).join(
+            sets_.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("shingle_set").alias("shingle_set_b"),
+            ),
+            "id_b",
+        )
+    )
+    return (
+        scored.filter(F.col("jaccard_sim") >= 0.3)
+        .select("id_a", "id_b", "gap", "jaccard_sim")
+        .orderBy("id_a", "id_b")
+    )

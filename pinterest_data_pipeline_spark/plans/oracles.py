@@ -5634,3 +5634,56 @@ oracle("text_ngram_novelty")(
     GROUP BY doc_id ORDER BY doc_id
     """
 )
+
+# Identical sorted-neighborhood construction: same ASCII key, same 2-char
+# bucket two-phase rank (SUM(i*x)-style tie freedom does NOT apply here —
+# ranks must match, so ties order by (sn_key, doc_id) in both engines),
+# same gap-1..2 rank join and exact trigram Jaccard.
+oracle("dedup_sorted_neighborhood")(
+    f"""
+    WITH keyed AS (
+        SELECT doc_id, text,
+               substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                         1, 16) AS sn_key
+        FROM documents
+    ), b AS (
+        SELECT doc_id, text, sn_key, substring(sn_key, 1, 2) AS bkt
+        FROM keyed
+    ), pb AS (
+        SELECT bkt, count(*)::BIGINT AS n_b FROM b GROUP BY bkt
+    ), offs AS (
+        SELECT bkt, coalesce(sum(n_b) OVER (ORDER BY bkt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0)::BIGINT AS off
+        FROM pb
+    ), ranked AS (
+        SELECT b.doc_id,
+               o.off + row_number() OVER (PARTITION BY b.bkt
+                                          ORDER BY b.sn_key, b.doc_id) AS r
+        FROM b JOIN offs o USING (bkt)
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, c.doc_id AS id_b, g.gap
+        FROM ranked a
+        JOIN (VALUES (1), (2)) g(gap) ON TRUE
+        JOIN ranked c ON c.r = a.r + g.gap
+    ), s AS (
+        SELECT doc_id, {_SHINGLE_SET} AS ss FROM documents
+    ), scored AS (
+        SELECT p.id_a, p.id_b, p.gap,
+               len(list_filter(sa.ss, x -> list_contains(sb.ss, x))) AS inter,
+               len(sa.ss) + len(sb.ss)
+                   - len(list_filter(sa.ss, x -> list_contains(sb.ss, x)))
+                   AS uni
+        FROM pairs p
+        JOIN s sa ON sa.doc_id = p.id_a
+        JOIN s sb ON sb.doc_id = p.id_b
+    )
+    SELECT id_a, id_b, gap,
+           round(CASE WHEN uni > 0 THEN inter::double / uni ELSE 0.0 END, 4)
+               AS jaccard_sim
+    FROM scored
+    WHERE round(CASE WHEN uni > 0 THEN inter::double / uni ELSE 0.0 END, 4)
+          >= 0.3
+    ORDER BY id_a, id_b
+    """
+)

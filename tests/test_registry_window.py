@@ -64,6 +64,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "text_pmi_cooccurrence",
     "events_top_paths",
     "text_ngram_novelty",
+    "dedup_sorted_neighborhood",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

@@ -2477,3 +2477,38 @@ def test_ngram_novelty_duplicate_scores_zero(spark):
     assert out[3].novelty == 1.0 and out[3].n_grams == 2
     assert out[4].n_grams == 2 and out[4].n_unique == 1
     assert out[4].novelty == 0.5
+
+
+def test_sorted_neighborhood_finds_prefix_neighbors(spark):
+    """Near-identical docs with far-apart ids land adjacent in key
+    order and pair up; a near-dup whose PREFIX differs (the known SN
+    blind spot) is not paired — pinning the blocking semantics, not
+    papering over them."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    twin = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, twin, "en", "t", len(twin)),
+        (500, twin + " iota", "en", "t", len(twin) + 5),  # id-distant twin
+        # same content, REORDERED so the key prefix differs: missed by SN
+        (2, "zeta eta theta alpha beta gamma delta epsilon", "en", "t", 46),
+        (3, "unrelated filler text about nothing at all", "en", "t", 43),
+        # fillers sorting BETWEEN the twins and doc 2, pushing the
+        # reordered twin out of the w=3 neighborhood
+        (6, "victor whiskey xray yankee zulu alpha bravo", "en", "t", 43),
+        (7, "water wind waves weather warmth winter walls", "en", "t", 44),
+        (8, "xylophone xenon xerox xeric xenial xoxo xp", "en", "t", 42),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {(r.id_a, r.id_b): r for r in
+               QUERIES["dedup_sorted_neighborhood"](spark, d).collect()}
+    assert (1, 500) in out and out[(1, 500)].jaccard_sim >= 0.5
+    assert all(2 not in pair for pair in out), "reordered twin must be missed"
