@@ -5998,3 +5998,83 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "gap", "jaccard_sim")
         .orderBy("id_a", "id_b")
     )
+
+
+@query
+def events_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM 2013): the
+    experiment metric Y (second-half spend per user) is adjusted by the
+    pre-period covariate X (first-half spend), theta = cov(X,Y)/var(X)
+    estimated POOLED across arms so the adjustment is unbiased under
+    the null. Arms split on user_id parity like the chi-square query.
+
+    Everything until theta is exact integer-cent sums; the covariance
+    numerator n*Sxy - Sx*Sy would overflow int64 at corpus scale, so
+    BOTH engines promote each factor to DOUBLE before multiplying (the
+    documented promotion discipline) — bit-identical doubles in, same
+    IEEE ops, same rounding site out. Pooled moments attach via the
+    sanctioned single-row broadcast; per-arm output is 2 rows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.dayofmonth("ts") <= 15, cents)), F.lit(0)
+            ).alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.dayofmonth("ts") > 15, cents)), F.lit(0)
+            ).alias("y"),
+        )
+        .withColumn("arm", (F.col("user_id") % 2).cast("int"))
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    theta = (
+        F.col("n").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return (
+        per_user.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("x").cast("long").alias("sx_a"),
+            F.sum("y").cast("long").alias("sy_a"),
+        )
+        .crossJoin(F.broadcast(pooled))
+        .select(
+            "arm",
+            "n_users",
+            F.round(
+                F.col("sy_a").cast("double")
+                / F.col("n_users").cast("double")
+                / 100.0,
+                6,
+            ).alias("mean_y"),
+            F.round(
+                (
+                    F.col("sy_a").cast("double")
+                    / F.col("n_users").cast("double")
+                    - theta
+                    * (
+                        F.col("sx_a").cast("double")
+                        / F.col("n_users").cast("double")
+                        - F.col("sx").cast("double") / F.col("n").cast("double")
+                    )
+                )
+                / 100.0,
+                6,
+            ).alias("mean_y_cuped"),
+            F.round(theta, 6).alias("theta"),
+        )
+        .orderBy("arm")
+    )

@@ -5687,3 +5687,42 @@ oracle("dedup_sorted_neighborhood")(
     ORDER BY id_a, id_b
     """
 )
+
+# Identical CUPED construction: integer-cent per-user sums, the SAME
+# double-promotion points in theta and the adjusted mean, one rounding
+# site per output column.
+oracle("events_cuped_adjusted")(
+    """
+    WITH pu AS (
+        SELECT user_id,
+               coalesce(sum(CASE WHEN date_part('day', ts) <= 15
+                   THEN round(value * 100)::BIGINT END), 0)::BIGINT AS x,
+               coalesce(sum(CASE WHEN date_part('day', ts) > 15
+                   THEN round(value * 100)::BIGINT END), 0)::BIGINT AS y,
+               (user_id % 2)::INT AS arm
+        FROM events GROUP BY user_id
+    ), pooled AS (
+        SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+               sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+               sum(x * x)::BIGINT AS sxx
+        FROM pu
+    ), arms AS (
+        SELECT arm, count(*)::BIGINT AS n_users,
+               sum(x)::BIGINT AS sx_a, sum(y)::BIGINT AS sy_a
+        FROM pu GROUP BY arm
+    )
+    SELECT a.arm, a.n_users,
+           round(a.sy_a::DOUBLE / a.n_users::DOUBLE / 100.0, 6) AS mean_y,
+           round((a.sy_a::DOUBLE / a.n_users::DOUBLE
+                  - ((p.n::DOUBLE * p.sxy::DOUBLE - p.sx::DOUBLE * p.sy::DOUBLE)
+                     / (p.n::DOUBLE * p.sxx::DOUBLE - p.sx::DOUBLE * p.sx::DOUBLE))
+                    * (a.sx_a::DOUBLE / a.n_users::DOUBLE
+                       - p.sx::DOUBLE / p.n::DOUBLE)) / 100.0, 6)
+               AS mean_y_cuped,
+           round((p.n::DOUBLE * p.sxy::DOUBLE - p.sx::DOUBLE * p.sy::DOUBLE)
+                 / (p.n::DOUBLE * p.sxx::DOUBLE - p.sx::DOUBLE * p.sx::DOUBLE),
+                 6) AS theta
+    FROM arms a CROSS JOIN pooled p
+    ORDER BY arm
+    """
+)

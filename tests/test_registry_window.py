@@ -65,6 +65,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "events_top_paths",
     "text_ngram_novelty",
     "dedup_sorted_neighborhood",
+    "events_cuped_adjusted",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

@@ -2512,3 +2512,35 @@ def test_sorted_neighborhood_finds_prefix_neighbors(spark):
                QUERIES["dedup_sorted_neighborhood"](spark, d).collect()}
     assert (1, 500) in out and out[(1, 500)].jaccard_sim >= 0.5
     assert all(2 not in pair for pair in out), "reordered twin must be missed"
+
+
+def test_cuped_perfect_covariate_equalizes_arms(spark):
+    """When Y == X exactly, theta = 1 and the CUPED adjustment removes
+    ALL pre-existing imbalance: both arms' adjusted means land on the
+    pooled mean (2.50) though their raw means differ (1.50 vs 3.50)."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rows = []
+    eid = 0
+    for uid, dollars in [(0, 1.0), (2, 2.0), (1, 3.0), (3, 4.0)]:
+        for day in (5, 20):   # pre-period and experiment spend, equal
+            eid += 1
+            rows.append((eid, uid, f"2024-01-{day:02d} 12:00:00", dollars))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        F.lit("purchase").alias("event_type"), "value",
+        F.lit("{}").alias("props"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = {r.arm: r for r in
+               QUERIES["events_cuped_adjusted"](spark, d).collect()}
+    assert out[0].theta == 1.0 and out[1].theta == 1.0
+    assert out[0].mean_y == 1.5 and out[1].mean_y == 3.5
+    assert out[0].mean_y_cuped == 2.5 and out[1].mean_y_cuped == 2.5

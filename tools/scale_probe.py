@@ -1896,6 +1896,217 @@ def probe_bootstrap(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
+
+
+def probe_bitmap_retention(spark, mult: int) -> float:
+    """Bitmap retention at mult x events on the USER axis: more users =
+    more (day, word) bitmap rows; the fold stays 63 users/row."""
+    ev = multiply(
+        load_table(spark, SF, "events").select("user_id", "ts"),
+        mult, ["user_id"],
+    ).select(
+        F.to_date("ts").alias("day"),
+        F.expr("user_id div 63").cast("long").alias("word"),
+        F.expr("shiftleft(1L, CAST(user_id % 63 AS INT))").alias("bit"),
+    )
+    words = ev.groupBy("day", "word").agg(F.bit_or("bit").alias("bits"))
+    active = words.groupBy("day").agg(
+        F.sum(F.bit_count("bits")).alias("n_active"))
+    offsets = F.broadcast(spark.createDataFrame([(1,), (7,)], "offset int"))
+    later = words.select(
+        F.col("day").alias("day_b"), "word", F.col("bits").alias("bits_b"))
+    ret = (
+        words.crossJoin(offsets)
+        .withColumn("day_b", F.date_add("day", F.col("offset")))
+        .join(later, ["day_b", "word"])
+        .groupBy("day", "offset")
+        .agg(F.sum(F.bit_count(F.col("bits").bitwiseAND(F.col("bits_b"))))
+             .alias("n_retained"))
+    )
+    q = ret.join(active, "day")
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_max_concurrency(spark, mult: int) -> float:
+    """Sweep-line concurrency at mult x events (user axis): session
+    build is user-keyed; the carry window stays one row per day."""
+    from pyspark.sql import Window
+
+    events = multiply(
+        load_table(spark, SF, "events").select("user_id", "event_id", "ts"),
+        mult, ["user_id", "event_id"],
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        prev_us.isNull()
+        | (F.unix_micros(F.col("ts")) - prev_us > 21600000000), 1
+    ).otherwise(0)
+    sessions = (
+        events.withColumn("is_new", is_new)
+        .withColumn("seq", F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "seq")
+        .agg(F.unix_micros(F.min("ts")).alias("s"),
+             F.unix_micros(F.max("ts")).alias("e"))
+    )
+    deltas = sessions.select(F.col("s").alias("us"), F.lit(1).alias("d")) \
+        .unionAll(sessions.select((F.col("e") + 1).alias("us"),
+                                  F.lit(-1).alias("d")))
+    per_ts = deltas.groupBy(
+        F.to_date(F.timestamp_micros(F.col("us"))).alias("day"), "us"
+    ).agg(F.sum("d").alias("d"))
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    base = per_ts.groupBy("day").agg(F.sum("d").alias("dd")).withColumn(
+        "carry", F.coalesce(F.sum("dd").over(wd), F.lit(0)))
+    wt = Window.partitionBy("day").orderBy("us").rowsBetween(
+        Window.unboundedPreceding, 0)
+    peaks = per_ts.withColumn("run", F.sum("d").over(wt)).groupBy("day").agg(
+        F.max("run").alias("mp"))
+    q = peaks.join(base, "day").select(
+        "day", (F.col("carry") + F.greatest(F.col("mp"), F.lit(0))).alias("p"))
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_gini(spark, mult: int) -> float:
+    """Two-phase-rank Gini at mult x customers/orders: bucket offsets
+    stay one row per occupied $5k bucket; row_number partitions per
+    (segment, bucket)."""
+    from pyspark.sql import Window
+
+    orders = multiply(
+        load_table(spark, SF, "orders").select("o_custkey", "o_totalprice"),
+        mult, ["o_custkey"],
+    )
+    customer = multiply(
+        load_table(spark, SF, "customer").select("c_custkey", "c_mktsegment"),
+        mult, ["c_custkey"],
+    )
+    rc = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    pc = rc.join(
+        customer.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+        "o_custkey",
+    ).withColumn("bucket", F.expr("cents div 500000"))
+    pb = pc.groupBy("c_mktsegment", "bucket").agg(F.count(F.lit(1)).alias("n_b"))
+    wb = Window.partitionBy("c_mktsegment").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1)
+    offs = pb.withColumn(
+        "off", F.coalesce(F.sum("n_b").over(wb), F.lit(0))
+    ).select("c_mktsegment", "bucket", "off")
+    wi = Window.partitionBy("c_mktsegment", "bucket").orderBy("cents", "o_custkey")
+    ranked = pc.join(offs, ["c_mktsegment", "bucket"]).withColumn(
+        "i", F.col("off") + F.row_number().over(wi))
+    q = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s0"),
+        F.sum(F.col("i") * F.col("cents")).alias("s1"))
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_pmi(spark, mult: int) -> float:
+    """Support-bounded PMI at mult x documents (salted so copies do not
+    collapse to identical token sets)."""
+    docs = _salt_text(
+        multiply(load_table(spark, SF, "documents").select("doc_id", "text"),
+                 mult, ["doc_id"]),
+        mult, "doc_id",
+    )
+    n_row = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    ).filter(F.col("t") != "").distinct()
+    df_tok = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    freq = df_tok.crossJoin(F.broadcast(n_row)).filter(
+        F.col("c") >= F.ceil(F.col("n_docs") * 0.05)).select("t", "c")
+    ft = tok.join(freq.select("t"), "t")
+    a = ft.select("doc_id", F.col("t").alias("t1"))
+    b = ft.select("doc_id", F.col("t").alias("t2"))
+    pairs = (
+        a.join(b, "doc_id").filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("df_pair"))
+        .crossJoin(F.broadcast(n_row))
+        .filter(F.col("df_pair") >= F.ceil(F.col("n_docs") * 0.02))
+    )
+    q = pairs.join(freq.select(F.col("t").alias("t1"), F.col("c").alias("cx")), "t1") \
+        .join(freq.select(F.col("t").alias("t2"), F.col("c").alias("cy")), "t2")
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_ngram_novelty(spark, mult: int) -> float:
+    """Trigram novelty at mult x documents (salted: copies stay novel,
+    so gram doc-frequency rows scale with the corpus as they would in
+    production)."""
+    from pinterest_data_pipeline_spark.operators import text
+
+    docs = _salt_text(
+        multiply(load_table(spark, SF, "documents").select("doc_id", "text"),
+                 mult, ["doc_id"]),
+        mult, "doc_id",
+    )
+    grams = docs.select(
+        "doc_id", F.explode(text.shingles(F.col("text"), 3)).alias("g")
+    ).distinct()
+    gf = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    q = grams.join(gf, "g").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"))
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_sorted_neighborhood(spark, mult: int) -> float:
+    """Sorted-neighborhood blocking at mult x documents (salted so the
+    sort keys stay distinct instead of collapsing into mult-sized tie
+    runs of identical twins)."""
+    from pyspark.sql import Window
+
+    docs = _salt_text(
+        multiply(load_table(spark, SF, "documents").select("doc_id", "text"),
+                 mult, ["doc_id"]),
+        mult, "doc_id",
+    )
+    keyed = docs.select(
+        "doc_id", "text",
+        F.substring(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""),
+                    1, 16).alias("sn_key"),
+    ).withColumn("bkt", F.substring("sn_key", 1, 2))
+    pb = keyed.groupBy("bkt").agg(F.count(F.lit(1)).alias("n_b"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = pb.withColumn(
+        "off", F.coalesce(F.sum("n_b").over(wb), F.lit(0))).select("bkt", "off")
+    wi = Window.partitionBy("bkt").orderBy("sn_key", "doc_id")
+    ranked = keyed.join(offs, "bkt").withColumn(
+        "r", F.col("off") + F.row_number().over(wi)).select("doc_id", "r")
+    gaps = F.broadcast(spark.createDataFrame([(1,), (2,)], "gap long"))
+    pairs = (
+        ranked.crossJoin(gaps).withColumn("r_b", F.col("r") + F.col("gap"))
+        .select(F.col("doc_id").alias("id_a"), "r_b")
+        .join(ranked.select(F.col("doc_id").alias("id_b"),
+                            F.col("r").alias("r_b")), "r_b")
+    )
+    sets_ = dedup.shingle_sets(docs, "text", "doc_id")
+    q = dedup.ngram_jaccard_pairs(
+        pairs.join(sets_.select(F.col("doc_id").alias("id_a"),
+                                F.col("shingle_set").alias("shingle_set_a")),
+                   "id_a")
+        .join(sets_.select(F.col("doc_id").alias("id_b"),
+                           F.col("shingle_set").alias("shingle_set_b")),
+              "id_b")
+    ).filter(F.col("jaccard_sim") >= 0.3)
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 PROBES = {
     "tpch_q5_6way_join": probe_tpch_q5,
     "simhash_near_dup": probe_simhash,
@@ -1975,6 +2186,13 @@ PROBES = {
     "rfm": probe_rfm,
     "spearman": probe_spearman,
     "bootstrap": probe_bootstrap,
+    # round-10 session-5 additions
+    "bitmap_retention": probe_bitmap_retention,
+    "max_concurrency": probe_max_concurrency,
+    "gini": probe_gini,
+    "pmi": probe_pmi,
+    "ngram_novelty": probe_ngram_novelty,
+    "sorted_neighborhood": probe_sorted_neighborhood,
 }
 
 
