@@ -252,6 +252,20 @@ HEADLINE = [
     "events_time_weighted_avg",
     "events_sessionize_capped",
     "text_phrase_search",
+    # session-5 growth (169 -> 178): bitmap retention, sweep-line
+    # concurrency, two-phase-rank Gini, funnel latency, PMI collocations,
+    # user journeys, trigram novelty, sorted-neighborhood blocking, CUPED
+    "events_bitmap_retention",
+    "events_max_concurrency_daily",
+    "agg_gini_customer_revenue",
+    "events_funnel_latency",
+    "text_pmi_cooccurrence",
+    "events_top_paths",
+    "text_ngram_novelty",
+    "dedup_sorted_neighborhood",
+    "events_cuped_adjusted",
+    # 178 -> 179: Theil-Sen robust trend (calendar-bounded pair join)
+    "events_theilsen_trend",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

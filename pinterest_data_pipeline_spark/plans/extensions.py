@@ -6078,3 +6078,59 @@ def events_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+@query
+def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue — the median of all
+    pairwise slopes (and the median-residual intercept), the
+    outlier-resistant twin of ``events_daily_trend_slope``'s OLS: one
+    corrupted day moves OLS arbitrarily but shifts a median of ~n²/2
+    slopes barely at all.
+
+    The pair join runs on the DAILY rollup — calendar-bounded (30 days
+    -> 435 pairs), never on events — so the only data-sized work is the
+    day-keyed revenue aggregate. Each slope is one IEEE division of
+    exact integer cents by an exact integer day gap, identical in both
+    engines; the medians interpolate over those identical doubles and
+    round at one site each.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    ).select(
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")).alias("x"),
+        "cents",
+    )
+    a = daily.select(F.col("x").alias("xa"), F.col("cents").alias("ca"))
+    b = daily.select(F.col("x").alias("xb"), F.col("cents").alias("cb"))
+    slopes = (
+        a.join(b, F.col("xa") < F.col("xb"))
+        .select(
+            (
+                (F.col("cb") - F.col("ca")).cast("double")
+                / (F.col("xb") - F.col("xa")).cast("double")
+            ).alias("slope")
+        )
+    )
+    m = slopes.agg(
+        F.expr("percentile(slope, 0.5)").alias("ts_slope"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    resid = daily.crossJoin(F.broadcast(m)).select(
+        "ts_slope",
+        "n_pairs",
+        (
+            F.col("cents").cast("double")
+            - F.col("ts_slope") * F.col("x").cast("double")
+        ).alias("r"),
+    )
+    return resid.groupBy("ts_slope", "n_pairs").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.expr("percentile(r, 0.5)"), 6).alias("ts_intercept_cents"),
+    ).select(
+        "n_days",
+        "n_pairs",
+        F.round(F.col("ts_slope"), 6).alias("ts_slope_cents"),
+        "ts_intercept_cents",
+    )

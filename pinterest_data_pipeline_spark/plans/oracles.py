@@ -5726,3 +5726,30 @@ oracle("events_cuped_adjusted")(
     ORDER BY arm
     """
 )
+
+# Same pairwise-slope construction on the daily rollup; each slope is the
+# identical IEEE division of integer cents by an integer day gap, and
+# quantile_cont interpolates the same doubles Spark's percentile does.
+oracle("events_theilsen_trend")(
+    """
+    WITH daily AS (
+        SELECT datediff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS x,
+               sum(round(value * 100)::BIGINT)::BIGINT AS cents
+        FROM events GROUP BY ts::DATE
+    ), slopes AS (
+        SELECT (b.cents - a.cents)::DOUBLE / (b.x - a.x)::DOUBLE AS slope
+        FROM daily a JOIN daily b ON a.x < b.x
+    ), m AS (
+        SELECT quantile_cont(slope, 0.5) AS ts_slope,
+               count(*)::BIGINT AS n_pairs
+        FROM slopes
+    )
+    SELECT (SELECT count(*) FROM daily)::BIGINT AS n_days,
+           m.n_pairs,
+           round(m.ts_slope, 6) AS ts_slope_cents,
+           round((SELECT quantile_cont(d.cents::DOUBLE
+                                       - m.ts_slope * d.x::DOUBLE, 0.5)
+                  FROM daily d), 6) AS ts_intercept_cents
+    FROM m
+    """
+)

@@ -66,6 +66,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "text_ngram_novelty",
     "dedup_sorted_neighborhood",
     "events_cuped_adjusted",
+    "events_theilsen_trend",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

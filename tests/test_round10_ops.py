@@ -2544,3 +2544,35 @@ def test_cuped_perfect_covariate_equalizes_arms(spark):
     assert out[0].theta == 1.0 and out[1].theta == 1.0
     assert out[0].mean_y == 1.5 and out[1].mean_y == 3.5
     assert out[0].mean_y_cuped == 2.5 and out[1].mean_y_cuped == 2.5
+
+
+def test_theilsen_robust_to_outlier_day(spark):
+    """Clean 100 + 50x cents/day series with ONE corrupted day: the
+    Theil-Sen slope recovers exactly 50 (the corrupted day's pairwise
+    slopes are a minority around the median) and the intercept recovers
+    100; OLS on the same data would not."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rows = []
+    eid = 0
+    for i in range(9):          # days 2024-01-01 .. 09, revenue 1.00+0.50*i
+        eid += 1
+        dollars = 1.0 + 0.5 * i if i != 4 else 99.0   # day 5 corrupted
+        rows.append((eid, 1, f"2024-01-{i+1:02d} 12:00:00", dollars))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        F.lit("purchase").alias("event_type"), "value",
+        F.lit("{}").alias("props"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = QUERIES["events_theilsen_trend"](spark, d).collect()[0]
+    assert out.n_days == 9 and out.n_pairs == 36
+    assert out.ts_slope_cents == 50.0
+    assert out.ts_intercept_cents == 100.0
