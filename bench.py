@@ -266,6 +266,8 @@ HEADLINE = [
     "events_cuped_adjusted",
     # 178 -> 179: Theil-Sen robust trend (calendar-bounded pair join)
     "events_theilsen_trend",
+    # 179 -> 180: Kaplan-Meier churn survival
+    "events_kaplan_meier",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

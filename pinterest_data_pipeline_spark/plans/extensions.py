@@ -6134,3 +6134,60 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ts_slope"), 6).alias("ts_slope_cents"),
         "ts_intercept_cents",
     )
+
+
+@query
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of user lifetime in weeks: duration = first
+    to last event; users last seen within a week of the corpus end are
+    CENSORED (still alive), others are churn deaths at their final
+    week. S(t) = prod_{s<=t} (1 - d_s/n_s) with d (deaths), c
+    (censored) and the at-risk n (reverse cumulative of d+c) all exact
+    integers.
+
+    The survival product is the one float: exp of the running sum of
+    ln(1 - d/n) over the WEEK axis — a calendar-bounded window (weeks
+    per month, not users), accumulated in deterministic t-order in both
+    engines, with a CASE guard so an all-deaths week yields exactly 0
+    instead of ln(0). Corpus end attaches via single-row broadcast.
+    """
+    events = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    per_user = events.groupBy("user_id").agg(
+        F.min(day).alias("f"), F.max(day).alias("l")
+    )
+    mx = events.agg(F.max(day).alias("mx"))
+    pu = per_user.crossJoin(F.broadcast(mx)).select(
+        F.expr("datediff(l, f) div 7").alias("t"),
+        F.when(F.datediff(F.col("mx"), F.col("l")) < 7, 0)
+        .otherwise(1)
+        .alias("dead"),
+    )
+    week = pu.groupBy("t").agg(
+        F.sum("dead").cast("long").alias("d"),
+        F.sum(1 - F.col("dead")).cast("long").alias("c"),
+    )
+    w_rev = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = week.withColumn(
+        "n", F.sum(F.col("d") + F.col("c")).over(w_rev).cast("long")
+    ).withColumn(
+        "factor",
+        (F.col("n") - F.col("d")).cast("double") / F.col("n").cast("double"),
+    )
+    return (
+        risk.withColumn("minf", F.min("factor").over(w_cum))
+        .select(
+            "t",
+            "n",
+            "d",
+            "c",
+            F.round(
+                F.when(F.col("minf") == 0.0, F.lit(0.0)).otherwise(
+                    F.exp(F.sum(F.log("factor")).over(w_cum))
+                ),
+                6,
+            ).alias("survival"),
+        )
+        .orderBy("t")
+    )

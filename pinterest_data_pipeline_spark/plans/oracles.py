@@ -5753,3 +5753,40 @@ oracle("events_theilsen_trend")(
     FROM m
     """
 )
+
+# Same KM estimator: integer d/c/n per week, reverse-cumulative at-risk,
+# exp(running sum of ln(factor)) over the same t-order with the same
+# zero-factor guard. ln/exp agree post-round at 6 dp (the terms are a
+# handful of calendar weeks, not data-sized sums).
+oracle("events_kaplan_meier")(
+    """
+    WITH pu AS (
+        SELECT user_id, min(ts::DATE) AS f, max(ts::DATE) AS l
+        FROM events GROUP BY user_id
+    ), mx AS (SELECT max(ts::DATE) AS mx FROM events),
+    d AS (
+        SELECT datediff('day', f, l) // 7 AS t,
+               CASE WHEN datediff('day', l, mx.mx) < 7 THEN 0 ELSE 1 END
+                   AS dead
+        FROM pu, mx
+    ), week AS (
+        SELECT t, sum(dead)::BIGINT AS d,
+               sum(1 - dead)::BIGINT AS c
+        FROM d GROUP BY t
+    ), risk AS (
+        SELECT t, d, c,
+               sum(d + c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                                AND UNBOUNDED FOLLOWING)::BIGINT AS n
+        FROM week
+    ), f AS (
+        SELECT t, n, d, c, (n - d)::DOUBLE / n::DOUBLE AS factor
+        FROM risk
+    )
+    SELECT t, n, d, c,
+           round(CASE WHEN min(factor) OVER w = 0.0 THEN 0.0
+                 ELSE exp(sum(ln(factor)) OVER w) END, 6) AS survival
+    FROM f
+    WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+    ORDER BY t
+    """
+)

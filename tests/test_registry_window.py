@@ -67,6 +67,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "dedup_sorted_neighborhood",
     "events_cuped_adjusted",
     "events_theilsen_trend",
+    "events_kaplan_meier",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

@@ -2576,3 +2576,36 @@ def test_theilsen_robust_to_outlier_day(spark):
     assert out.n_days == 9 and out.n_pairs == 36
     assert out.ts_slope_cents == 50.0
     assert out.ts_intercept_cents == 100.0
+
+
+def test_kaplan_meier_hand_computed_curve(spark):
+    """4-user cohort: deaths at weeks 0/1/2 and one end-censored user.
+    S = 0.75, 0.5, 0.25, then flat 0.25 at the censored week (factor 1,
+    no drop) — the textbook KM staircase, exactly."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rows = [
+        (1, 1, "2020-01-01 10:00:00"), (2, 1, "2020-01-03 10:00:00"),
+        (3, 2, "2020-01-01 10:00:00"), (4, 2, "2020-01-10 10:00:00"),
+        (5, 3, "2020-01-01 10:00:00"), (6, 3, "2020-01-20 10:00:00"),
+        (7, 4, "2020-01-01 10:00:00"), (8, 4, "2020-03-01 10:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string"
+    ).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        F.lit("view").alias("event_type"), F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = {r.t: r for r in
+               QUERIES["events_kaplan_meier"](spark, d).collect()}
+    assert out[0].n == 4 and out[0].d == 1 and out[0].survival == 0.75
+    assert out[1].n == 3 and out[1].survival == 0.5
+    assert out[2].n == 2 and out[2].survival == 0.25
+    assert out[8].c == 1 and out[8].d == 0 and out[8].survival == 0.25
