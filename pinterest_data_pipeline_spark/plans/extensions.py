@@ -5536,14 +5536,13 @@ def events_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     active = words.groupBy("day").agg(
         F.sum(F.bit_count("bits")).cast("long").alias("n_active")
     )
-    offsets = F.broadcast(
-        spark.createDataFrame([(1,), (7,)], "offset int")
-    )
     later = words.select(
         F.col("day").alias("day_b"), "word", F.col("bits").alias("bits_b")
     )
     retained = (
-        words.crossJoin(offsets)
+        words.withColumn(
+            "offset", F.explode(F.array(F.lit(1), F.lit(7)))
+        )  # explode, not a 2-row crossJoin: no BNLJ (rolling-WAU precedent)
         .withColumn("day_b", F.date_add("day", F.col("offset")))
         .join(later, ["day_b", "word"])
         .groupBy("day", "offset")
@@ -5792,11 +5791,13 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All counts are exact int64 (N*df_xy and df_x*df_y each bounded by
     N² << 2^63 for any feasible corpus); the one float site is the
-    terminal ln of their ratio, rounded to 6 dp. The corpus size
-    attaches via the sanctioned single-row broadcast.
+    terminal ln of their ratio, rounded to 6 dp. The corpus size is ONE
+    scalar, fetched with the sanctioned bounded collect and inlined as
+    a literal — attaching it as a broadcast frame replanned the count
+    subtree five times (once per reference).
     """
     docs = load_documents(spark, sf_dir)
-    n_row = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_docs = docs.count()  # bounded collect: one scalar
     tok = (
         docs.select(
             "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
@@ -5805,11 +5806,11 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     df_tok = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    freq = (
-        df_tok.crossJoin(F.broadcast(n_row))
-        .filter(F.col("c") >= F.ceil(F.col("n_docs") * 0.05))
-        .select("t", "c")
-    )
+    import math
+
+    freq = df_tok.filter(
+        F.col("c") >= F.lit(int(math.ceil(n_docs * 0.05)))
+    ).select("t", "c")
     ft = tok.join(freq.select("t"), "t")
     a = ft.select(F.col("doc_id"), F.col("t").alias("t1"))
     b = ft.select(F.col("doc_id"), F.col("t").alias("t2"))
@@ -5818,8 +5819,7 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("t1") < F.col("t2"))
         .groupBy("t1", "t2")
         .agg(F.count(F.lit(1)).cast("long").alias("df_pair"))
-        .crossJoin(F.broadcast(n_row))
-        .filter(F.col("df_pair") >= F.ceil(F.col("n_docs") * 0.02))
+        .filter(F.col("df_pair") >= F.lit(int(math.ceil(n_docs * 0.02))))
     )
     cx = freq.select(F.col("t").alias("t1"), F.col("c").alias("df_x"))
     cy = freq.select(F.col("t").alias("t2"), F.col("c").alias("df_y"))
@@ -5834,7 +5834,7 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "df_y",
             F.round(
                 F.log(
-                    (F.col("n_docs") * F.col("df_pair")).cast("double")
+                    (F.lit(n_docs) * F.col("df_pair")).cast("double")
                     / (F.col("df_x") * F.col("df_y")).cast("double")
                 ),
                 6,
@@ -5967,9 +5967,10 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("r", F.col("off") + F.row_number().over(wi))
         .select("doc_id", "r")
     )
-    gaps = F.broadcast(spark.createDataFrame([(1,), (2,)], "gap long"))
     pairs = (
-        ranked.crossJoin(gaps)
+        ranked.withColumn(
+            "gap", F.explode(F.array(F.lit(1).cast("long"), F.lit(2).cast("long")))
+        )  # explode, not a 2-row crossJoin: no BNLJ (rolling-WAU precedent)
         .withColumn("r_b", F.col("r") + F.col("gap"))
         .select(F.col("doc_id").alias("id_a"), "r_b", "gap")
         .join(

@@ -42,6 +42,17 @@ def plan_of(spark, name: str) -> str:
         "dedup_prefix_clusters",
         "cdc_apply_changelog",
         "events_user_streaks",
+        # round-10 session-5: the bitmap offset join and the SN gap join
+        # are explode-based (rolling-WAU precedent), never a 2-row BNLJ;
+        # the rest are pure keyed joins/aggregates
+        "events_bitmap_retention",
+        "dedup_sorted_neighborhood",
+        "events_max_concurrency_daily",
+        "agg_gini_customer_revenue",
+        "events_funnel_latency",
+        "events_top_paths",
+        "text_ngram_novelty",
+        "text_pmi_cooccurrence",
     ],
 )
 def test_no_cartesian_or_python_udf_in_core_plans(spark, name):
@@ -455,7 +466,19 @@ def test_ewma_decay_joins_broadcast_daily_rollup(spark):
     assert "CartesianProduct" not in plan
 
 
-@pytest.mark.parametrize("name", ["sketch_kmv_distinct_union", "quality_drift_psi"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "sketch_kmv_distinct_union",
+        "quality_drift_psi",
+        # round-10 session-5 scalar attaches: CUPED pooled moments,
+        # Theil-Sen median slope, KM corpus end (PMI inlines its corpus
+        # count as a literal via the bounded collect instead)
+        "events_cuped_adjusted",
+        "events_theilsen_trend",
+        "events_kaplan_meier",
+    ],
+)
 def test_scalar_attach_bnlj_build_side_is_single_row(spark, name):
     """kmv/psi attach a scalar total with crossJoin(broadcast(agg)) — the
     one BroadcastNestedLoopJoin this engine permits, because its build

@@ -146,6 +146,18 @@ FLAGSHIPS = [
     "text_phrase_search",
     # streaming_tdigest_daily_p95 is excluded: its plan embeds a completed
     # streaming drive's table read, not a reviewable static plan
+    # round-10 session-5 additions
+    "events_bitmap_retention",
+    "events_max_concurrency_daily",
+    "agg_gini_customer_revenue",
+    "events_funnel_latency",
+    "text_pmi_cooccurrence",
+    "events_top_paths",
+    "text_ngram_novelty",
+    "dedup_sorted_neighborhood",
+    "events_cuped_adjusted",
+    "events_theilsen_trend",
+    "events_kaplan_meier",
 ]
 
 

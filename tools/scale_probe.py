@@ -1912,11 +1912,10 @@ def probe_bitmap_retention(spark, mult: int) -> float:
     words = ev.groupBy("day", "word").agg(F.bit_or("bit").alias("bits"))
     active = words.groupBy("day").agg(
         F.sum(F.bit_count("bits")).alias("n_active"))
-    offsets = F.broadcast(spark.createDataFrame([(1,), (7,)], "offset int"))
     later = words.select(
         F.col("day").alias("day_b"), "word", F.col("bits").alias("bits_b"))
     ret = (
-        words.crossJoin(offsets)
+        words.withColumn("offset", F.explode(F.array(F.lit(1), F.lit(7))))
         .withColumn("day_b", F.date_add("day", F.col("offset")))
         .join(later, ["day_b", "word"])
         .groupBy("day", "offset")
@@ -2086,9 +2085,11 @@ def probe_sorted_neighborhood(spark, mult: int) -> float:
     wi = Window.partitionBy("bkt").orderBy("sn_key", "doc_id")
     ranked = keyed.join(offs, "bkt").withColumn(
         "r", F.col("off") + F.row_number().over(wi)).select("doc_id", "r")
-    gaps = F.broadcast(spark.createDataFrame([(1,), (2,)], "gap long"))
     pairs = (
-        ranked.crossJoin(gaps).withColumn("r_b", F.col("r") + F.col("gap"))
+        ranked.withColumn(
+            "gap", F.explode(F.array(F.lit(1).cast("long"),
+                                     F.lit(2).cast("long"))))
+        .withColumn("r_b", F.col("r") + F.col("gap"))
         .select(F.col("doc_id").alias("id_a"), "r_b")
         .join(ranked.select(F.col("doc_id").alias("id_b"),
                             F.col("r").alias("r_b")), "r_b")
