@@ -5661,16 +5661,16 @@ def agg_gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n*SUM(x)) with x ascending.
 
     The naive rank is one global sort per segment (the
-    key-cardinality wall the weighted median was flagged for). Here the
-    rank is a TWO-PHASE distributed prefix sum: customers hash into
-    fixed $5,000 revenue-range buckets; per-(segment, bucket) counts
-    fold into bucket rank offsets via a window over the BUCKET rollup
-    (one row per occupied bucket — bounded by the value domain, not the
-    data); within-bucket row_number() runs partitioned per (segment,
-    bucket). SUM(i*x_i) is tie-order invariant (equal x swap positions
-    freely), so no cross-engine tie contract is needed. Revenue in
-    integer cents; the only floats are the terminal Gini division.
+    key-cardinality wall the weighted median was flagged for); here it
+    is :func:`~..operators.ranking.two_phase_rank` over fixed $5,000
+    revenue-range buckets — the bucket rollup is bounded by the value
+    domain, and row_number runs partitioned per (segment, bucket).
+    SUM(i*x_i) is tie-order invariant (equal x swap positions freely),
+    so no cross-engine tie contract is needed. Revenue in integer
+    cents; the only floats are the terminal Gini division.
     """
+    from ..operators.ranking import two_phase_rank
+
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     rc = orders.groupBy("o_custkey").agg(
@@ -5681,22 +5681,13 @@ def agg_gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
         ),
         "o_custkey",
-    ).withColumn("bucket", F.expr("cents div 500000"))
-    per_bucket = per_cust.groupBy("c_mktsegment", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n_b")
     )
-    wb = Window.partitionBy("c_mktsegment").orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offs = per_bucket.withColumn(
-        "off", F.coalesce(F.sum("n_b").over(wb), F.lit(0)).cast("long")
-    ).select("c_mktsegment", "bucket", "off")
-    wi = Window.partitionBy("c_mktsegment", "bucket").orderBy(
-        "cents", "o_custkey"
-    )
-    ranked = (
-        per_cust.join(offs, ["c_mktsegment", "bucket"])
-        .withColumn("i", F.col("off") + F.row_number().over(wi))
+    ranked = two_phase_rank(
+        per_cust,
+        bucket=F.expr("cents div 500000"),
+        order_cols=["cents", "o_custkey"],
+        partition_cols=["c_mktsegment"],
+        rank_col="i",
     )
     return (
         ranked.groupBy("c_mktsegment")
@@ -5938,35 +5929,28 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     within window w=3 of each other in that order become candidate
     pairs, verified here with exact trigram Jaccard >= 0.3.
 
-    The global sort rank is the Gini-style TWO-PHASE prefix sum: a
-    2-char key bucket (alphabet-bounded, <= 37^2 occupied buckets)
-    rolls up to rank offsets via a window over the bucket rollup, and
-    row_number runs partitioned per bucket — no data-sized single-task
-    sort. Neighborhood pairs are one rank-keyed equi-join (gap 1..2 via
-    a 2-row explode), and only w-1 pairs per record ever exist, so the
+    The global sort rank is :func:`~..operators.ranking.
+    two_phase_rank` over a 2-char key-prefix bucket (alphabet-bounded,
+    <= 37^2 occupied buckets) — no data-sized single-task sort.
+    Neighborhood pairs are one rank-keyed equi-join (gap 1..2 via a
+    2-row explode), and only w-1 pairs per record ever exist, so the
     verify stage is linear in the corpus.
     """
+    from ..operators.ranking import two_phase_rank
+
     docs = load_documents(spark, sf_dir)
     keyed = docs.select(
         "doc_id",
-        "text",
         F.substring(
             F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""), 1, 16
         ).alias("sn_key"),
-    ).withColumn("bkt", F.substring("sn_key", 1, 2))
-    per_b = keyed.groupBy("bkt").agg(
-        F.count(F.lit(1)).cast("long").alias("n_b")
     )
-    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offs = per_b.withColumn(
-        "off", F.coalesce(F.sum("n_b").over(wb), F.lit(0)).cast("long")
-    ).select("bkt", "off")
-    wi = Window.partitionBy("bkt").orderBy("sn_key", "doc_id")
-    ranked = (
-        keyed.join(offs, "bkt")
-        .withColumn("r", F.col("off") + F.row_number().over(wi))
-        .select("doc_id", "r")
-    )
+    ranked = two_phase_rank(
+        keyed,
+        bucket=F.substring("sn_key", 1, 2),
+        order_cols=["sn_key", "doc_id"],
+        rank_col="r",
+    ).select("doc_id", "r")
     pairs = (
         ranked.withColumn(
             "gap", F.explode(F.array(F.lit(1).cast("long"), F.lit(2).cast("long")))

@@ -2609,3 +2609,28 @@ def test_kaplan_meier_hand_computed_curve(spark):
     assert out[1].n == 3 and out[1].survival == 0.5
     assert out[2].n == 2 and out[2].survival == 0.25
     assert out[8].c == 1 and out[8].d == 0 and out[8].survival == 0.25
+
+
+def test_two_phase_rank_equals_global_row_number(spark):
+    """The two-phase rank must equal a plain global row_number over the
+    same ordering — bucket boundaries, empty buckets, and ties included
+    (deterministic tie-break by id)."""
+    from pyspark.sql import Window
+
+    from pinterest_data_pipeline_spark.operators.ranking import two_phase_rank
+
+    rows = [(i, v) for i, v in enumerate([5, 3, 3, 99, 0, 42, 17, 3, 99, 1])]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r.id: r.r
+        for r in two_phase_rank(
+            df, bucket=F.expr("v div 10"), order_cols=["v", "id"]
+        ).collect()
+    }
+    want = {
+        r.id: r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == want
