@@ -6176,3 +6176,22 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t")
     )
+
+
+@query
+def streaming_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming daily distinct users via incrementally maintained
+    bitmap words — replay-proof by BIT_OR idempotence alone (no dedup
+    state; see ``availablenow_bitmap_distinct``). The driven result
+    must equal the batch COUNT(DISTINCT user) per day exactly: a green
+    row certifies both the incremental bitmap maintenance and the
+    replay absorption.
+    """
+    from ..streaming import pipeline as streaming_pipeline
+
+    out = streaming_pipeline.availablenow_bitmap_distinct(
+        spark, sf_dir, _work_dir(sf_dir, "_streaming_bitmap")
+    )
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "n_active"
+    ).orderBy("day")

@@ -5790,3 +5790,13 @@ oracle("events_kaplan_meier")(
     ORDER BY t
     """
 )
+
+# The streamed bitmap table must reproduce the batch exact distinct count
+# per day — replays absorbed, nothing lost.
+oracle("streaming_bitmap_distinct")(
+    """
+    SELECT strftime(ts::DATE, '%Y-%m-%d') AS day,
+           count(DISTINCT user_id)::BIGINT AS n_active
+    FROM events GROUP BY 1 ORDER BY day
+    """
+)

@@ -1094,3 +1094,73 @@ def availablenow_dedup_rollup(
         )
         query.awaitTermination()
     return spark.read.parquet(table_dir)
+
+
+def availablenow_bitmap_distinct(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """Streaming DISTINCT-USER counting with ZERO dedup state: the daily
+    active-user set is maintained as 63-bit bitmap words (word =
+    user_id div 63, folded with BIT_OR — the batch
+    ``events_bitmap_retention`` representation) in an update-mode
+    aggregate + keyed upsert sink. BIT_OR is idempotent, so the planted
+    at-least-once replays (every event_id % 5 == 0 delivered twice) are
+    absorbed for free — no ``dropDuplicatesWithinWatermark``, no
+    per-event-id state. Contrast with ``availablenow_dedup_rollup``,
+    which must hold event ids to protect a COUNT from replays.
+
+    100 TB posture: streaming state is |days| x |users|/63 bitmap rows
+    (bounded by the key domain, not the event volume), and each
+    incremental batch shuffles only the (day, word) cells it touches.
+    The popcount finalization runs on the maintained table, outside the
+    stream.
+    """
+    import shutil
+
+    from ..session import load_table
+
+    if os.path.exists(work_dir):
+        shutil.rmtree(work_dir)
+    src = os.path.join(work_dir, "src")
+    table_dir = os.path.join(work_dir, "state", "bitmap_distinct")
+    ckpt_dir = os.path.join(work_dir, "checkpoints", "bitmap_distinct")
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    if lo is None:
+        return events.select(
+            F.to_date("ts").alias("day"),
+            F.lit(0).cast("long").alias("n_active"),
+        ).limit(0)
+    mid_ts = lo + (hi - lo) / 2
+    for chunk in (
+        events.filter(F.col("ts") <= F.lit(mid_ts)),
+        events.filter(F.col("ts") > F.lit(mid_ts)),
+    ):
+        noisy = chunk.unionByName(chunk.filter(F.col("event_id") % 5 == 0))
+        noisy.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        words = (
+            stream.withColumn("day", F.to_date("ts"))
+            .withColumn("word", F.expr("user_id div 63").cast("long"))
+            .withColumn(
+                "bit", F.expr("shiftleft(1L, CAST(user_id % 63 AS INT))")
+            )
+            .groupBy("day", "word")
+            .agg(F.bit_or("bit").alias("bits"))
+        )
+        query = upsert_sink(
+            words,
+            table_dir,
+            ckpt_dir,
+            keys=["day", "word"],
+            available_now=True,
+        )
+        query.awaitTermination()
+    return (
+        spark.read.parquet(table_dir)
+        .groupBy("day")
+        .agg(F.sum(F.bit_count("bits")).cast("long").alias("n_active"))
+    )

@@ -68,6 +68,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "events_cuped_adjusted",
     "events_theilsen_trend",
     "events_kaplan_meier",
+    "streaming_bitmap_distinct",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

@@ -2634,3 +2634,33 @@ def test_two_phase_rank_equals_global_row_number(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_bitmap_distinct_absorbs_replays(spark, tmp_path):
+    """Two streamed batches with planted replays: the bitmap table's
+    popcount equals the batch distinct count per day — users active
+    many times (and replayed) count once, users spanning both batches
+    count once per day they appear."""
+    import os
+
+    from pinterest_data_pipeline_spark.streaming import pipeline as sp
+
+    rows = [
+        (5, 1, "2020-01-01 01:00:00"),   # event_id % 5 == 0: replayed
+        (2, 1, "2020-01-01 02:00:00"),   # same user again, same day
+        (3, 2, "2020-01-01 03:00:00"),
+        (10, 2, "2020-01-02 01:00:00"),  # replayed, later batch
+        (6, 63, "2020-01-02 02:00:00"),  # second word
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string"
+    ).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        F.lit("view").alias("event_type"), F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    sf_dir = str(tmp_path / "sf")
+    ev.write.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = {str(r.day): r.n_active for r in sp.availablenow_bitmap_distinct(
+        spark, sf_dir, str(tmp_path / "work")).collect()}
+    assert out == {"2020-01-01": 2, "2020-01-02": 2}
