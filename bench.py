@@ -268,6 +268,10 @@ HEADLINE = [
     "events_theilsen_trend",
     # 179 -> 180: Kaplan-Meier churn survival
     "events_kaplan_meier",
+    # 180 -> 181: exact rolling WAU from merged bitmap words (the exact
+    # twin of the KMV rolling WAU; streaming_bitmap_distinct stays out
+    # with the other streaming queries)
+    "events_rolling_wau_bitmap",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

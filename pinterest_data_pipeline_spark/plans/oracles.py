@@ -5800,3 +5800,23 @@ oracle("streaming_bitmap_distinct")(
     FROM events GROUP BY 1 ORDER BY day
     """
 )
+
+# Exact rolling WAU the direct way (7-day trailing distinct users per
+# active day) — the bitmap merge must reproduce it bit-for-bit.
+oracle("events_rolling_wau_bitmap")(
+    """
+    WITH pairs AS (
+        SELECT DISTINCT ts::DATE AS day, user_id FROM events
+    ), expanded AS (
+        SELECT (day + i::INT) AS anchor, user_id
+        FROM pairs, (SELECT unnest(range(0, 7)) AS i)
+    ), wau AS (
+        SELECT anchor, count(DISTINCT user_id)::BIGINT AS wau_exact
+        FROM expanded GROUP BY anchor
+    )
+    SELECT strftime(anchor, '%Y-%m-%d') AS day, wau_exact
+    FROM wau
+    WHERE anchor IN (SELECT day FROM pairs)
+    ORDER BY day
+    """
+)

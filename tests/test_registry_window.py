@@ -69,6 +69,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "events_theilsen_trend",
     "events_kaplan_meier",
     "streaming_bitmap_distinct",
+    "events_rolling_wau_bitmap",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

@@ -2664,3 +2664,39 @@ def test_streaming_bitmap_distinct_absorbs_replays(spark, tmp_path):
     out = {str(r.day): r.n_active for r in sp.availablenow_bitmap_distinct(
         spark, sf_dir, str(tmp_path / "work")).collect()}
     assert out == {"2020-01-01": 2, "2020-01-02": 2}
+
+
+def test_rolling_wau_bitmap_exact_window(spark):
+    """Users 1/64 on day 1, user 1 again on day 5, user 2 on day 9:
+    anchors report the exact trailing-7-day distinct count, including
+    the cross-word merge and the day-8 window where day 1 has rolled
+    off... day 8 is inactive so only ACTIVE days emit."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rows = [
+        (1, 1, "2020-01-01 10:00:00"),
+        (2, 64, "2020-01-01 11:00:00"),   # second word
+        (3, 1, "2020-01-05 10:00:00"),    # same user later: still 1
+        (4, 2, "2020-01-09 10:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string"
+    ).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        F.lit("view").alias("event_type"), F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = {r.day: r.wau_exact for r in
+               QUERIES["events_rolling_wau_bitmap"](spark, d).collect()}
+    # active days only: 01, 05, 09
+    assert out == {
+        "2020-01-01": 2,   # {1, 64}
+        "2020-01-05": 2,   # {1, 64} within Dec 30 .. Jan 5
+        "2020-01-09": 2,   # {1 (day 5), 2}; day-1 users rolled off
+    }
