@@ -272,6 +272,8 @@ HEADLINE = [
     # twin of the KMV rolling WAU; streaming_bitmap_distinct stays out
     # with the other streaming queries)
     "events_rolling_wau_bitmap",
+    # 181 -> 182: systematic every-k-th sampling in md5 order
+    "sample_systematic",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

@@ -6237,3 +6237,37 @@ def events_rolling_wau_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every k-th) sampling in deterministic hash order —
+    the classic equal-interval design: documents sort by their md5
+    draw, and ranks 1, k+1, 2k+1, ... are kept (k=20 -> an exact 5%
+    with guaranteed spacing, no clumping a Bernoulli draw allows).
+
+    The global sample rank is :func:`~..operators.ranking.
+    two_phase_rank` over value-range buckets of the 32-bit hash (256
+    fixed buckets) — the third consumer of the operator, after Gini and
+    sorted-neighborhood. Fully deterministic cross-engine: the md5 draw
+    is the engine-shared RNG, ties break on doc_id.
+    """
+    from ..operators.ranking import two_phase_rank
+
+    docs = load_documents(spark, sf_dir)
+    drawn = docs.select(
+        "doc_id",
+        "lang",
+        sampling.uniform_hash(F.col("doc_id"), "systematic").alias("h"),
+    )
+    ranked = two_phase_rank(
+        drawn,
+        bucket=F.expr("h div 16777216"),  # 2^32 / 256 fixed ranges
+        order_cols=["h", "doc_id"],
+        rank_col="rk",
+    )
+    return (
+        ranked.filter((F.col("rk") % 20) == 1)
+        .select("doc_id", "lang", "rk")
+        .orderBy("rk")
+    )

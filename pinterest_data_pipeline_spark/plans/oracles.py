@@ -5820,3 +5820,22 @@ oracle("events_rolling_wau_bitmap")(
     ORDER BY day
     """
 )
+
+# DuckDB takes the direct global row_number over the same md5 order (a
+# single node sorts fine); the two-phase rank must agree rank-for-rank.
+oracle("sample_systematic")(
+    """
+    WITH drawn AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substring(md5(doc_id::VARCHAR || 'systematic'),
+                                       1, 8)) AS UBIGINT)::BIGINT AS h
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (ORDER BY h, doc_id) AS rk
+        FROM drawn
+    )
+    SELECT doc_id, lang, rk FROM ranked
+    WHERE rk % 20 = 1 ORDER BY rk
+    """
+)

@@ -70,6 +70,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "events_kaplan_meier",
     "streaming_bitmap_distinct",
     "events_rolling_wau_bitmap",
+    "sample_systematic",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

@@ -2700,3 +2700,25 @@ def test_rolling_wau_bitmap_exact_window(spark):
         "2020-01-05": 2,   # {1, 64} within Dec 30 .. Jan 5
         "2020-01-09": 2,   # {1 (day 5), 2}; day-1 users rolled off
     }
+
+
+def test_systematic_sampling_exact_spacing(spark):
+    """200 docs -> exactly 10 sampled at ranks 1, 21, ..., 181 — the
+    equal-interval guarantee Bernoulli sampling lacks; determinism:
+    a rerun returns the identical id set."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rows = [(i, f"doc {i}", "en", "t", 5) for i in range(200)]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out1 = QUERIES["sample_systematic"](spark, d).collect()
+        out2 = QUERIES["sample_systematic"](spark, d).collect()
+    assert [r.rk for r in out1] == [1 + 20 * i for i in range(10)]
+    assert [r.doc_id for r in out1] == [r.doc_id for r in out2]
