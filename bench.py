@@ -274,6 +274,8 @@ HEADLINE = [
     "events_rolling_wau_bitmap",
     # 181 -> 182: systematic every-k-th sampling in md5 order
     "sample_systematic",
+    # 182 -> 183: repetition-aware multiset Jaccard verifier
+    "dedup_weighted_jaccard_adjacent",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

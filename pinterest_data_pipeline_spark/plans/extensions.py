@@ -6271,3 +6271,61 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "rk")
         .orderBy("rk")
     )
+
+
+@query
+def dedup_weighted_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (multiset) Jaccard between consecutive doc ids: sum of
+    per-token MIN term frequencies over sum of per-token MAX — the
+    repetition-aware verifier (set Jaccard reads "spam spam spam" and
+    "spam" as identical; weighted Jaccard does not). Uses the identity
+    SUM(max) = totalA + totalB - SUM(min), so only the INNER token join
+    and two per-doc totals are ever computed — no full-outer join, no
+    zero-filled token universe. Exact integer counts, one terminal
+    division; pairs with no shared token coalesce to 0.
+    """
+    docs = load_documents(spark, sf_dir)
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    totals = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("total"))
+    shared = (
+        tf.select(F.col("doc_id").alias("id_a"), "t", F.col("tf").alias("tfa"))
+        .join(
+            tf.select(
+                (F.col("doc_id") - 1).alias("id_a"),
+                "t",
+                F.col("tf").alias("tfb"),
+            ),
+            ["id_a", "t"],
+        )
+        .groupBy("id_a")
+        .agg(F.sum(F.least("tfa", "tfb")).cast("long").alias("s_min"))
+    )
+    pairs = (
+        totals.select(F.col("doc_id").alias("id_a"), F.col("total").alias("ta"))
+        .join(
+            totals.select(
+                (F.col("doc_id") - 1).alias("id_a"),
+                F.col("total").alias("tb"),
+            ),
+            "id_a",
+        )
+        .join(shared, "id_a", "left")
+        .withColumn("s_min", F.coalesce(F.col("s_min"), F.lit(0)))
+    )
+    return pairs.select(
+        "id_a",
+        (F.col("id_a") + 1).alias("id_b"),
+        "s_min",
+        F.round(
+            F.col("s_min").cast("double")
+            / (F.col("ta") + F.col("tb") - F.col("s_min")).cast("double"),
+            4,
+        ).alias("weighted_jaccard"),
+    ).orderBy("id_a")

@@ -5839,3 +5839,33 @@ oracle("sample_systematic")(
     WHERE rk % 20 = 1 ORDER BY rk
     """
 )
+
+# Same multiset Jaccard via the SUM(max) = totalA + totalB - SUM(min)
+# identity; exact integer term frequencies, one terminal division.
+oracle("dedup_weighted_jaccard_adjacent")(
+    """
+    WITH tf AS (
+        SELECT doc_id, t, count(*)::BIGINT AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+        WHERE t <> ''
+        GROUP BY doc_id, t
+    ), totals AS (
+        SELECT doc_id, sum(tf)::BIGINT AS total FROM tf GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS id_a,
+               sum(least(a.tf, b.tf))::BIGINT AS s_min
+        FROM tf a JOIN tf b ON b.doc_id = a.doc_id + 1 AND b.t = a.t
+        GROUP BY a.doc_id
+    )
+    SELECT ta.doc_id AS id_a, ta.doc_id + 1 AS id_b,
+           coalesce(s.s_min, 0)::BIGINT AS s_min,
+           round(coalesce(s.s_min, 0)::DOUBLE
+                 / (ta.total + tb.total - coalesce(s.s_min, 0))::DOUBLE,
+                 4) AS weighted_jaccard
+    FROM totals ta
+    JOIN totals tb ON tb.doc_id = ta.doc_id + 1
+    LEFT JOIN shared s ON s.id_a = ta.doc_id
+    ORDER BY id_a
+    """
+)

@@ -71,6 +71,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "streaming_bitmap_distinct",
     "events_rolling_wau_bitmap",
     "sample_systematic",
+    "dedup_weighted_jaccard_adjacent",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

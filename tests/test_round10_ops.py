@@ -2722,3 +2722,32 @@ def test_systematic_sampling_exact_spacing(spark):
         out2 = QUERIES["sample_systematic"](spark, d).collect()
     assert [r.rk for r in out1] == [1 + 20 * i for i in range(10)]
     assert [r.doc_id for r in out1] == [r.doc_id for r in out2]
+
+
+def test_weighted_jaccard_counts_repetition(spark):
+    """'spam spam spam' vs 'spam': set Jaccard would say 1.0; weighted
+    says min(3,1)/max(3,1) = 1/3. Disjoint neighbors score 0 (the
+    no-shared-token coalesce), and identical multisets score 1."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rows = [
+        (1, "spam spam spam", "en", "t", 14),
+        (2, "spam", "en", "t", 4),
+        (3, "totally different words", "en", "t", 23),
+        (4, "alpha beta alpha", "en", "t", 16),
+        (5, "beta alpha alpha", "en", "t", 16),   # same multiset as 4
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {r.id_a: r for r in
+               QUERIES["dedup_weighted_jaccard_adjacent"](spark, d).collect()}
+    assert out[1].weighted_jaccard == round(1 / 3, 4) and out[1].s_min == 1
+    assert out[2].weighted_jaccard == 0.0 and out[2].s_min == 0
+    assert out[4].weighted_jaccard == 1.0
