@@ -276,6 +276,8 @@ HEADLINE = [
     "sample_systematic",
     # 182 -> 183: repetition-aware multiset Jaccard verifier
     "dedup_weighted_jaccard_adjacent",
+    # 183 -> 184: char-entropy quality scoring (defined-order float fold)
+    "text_char_entropy",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

@@ -6329,3 +6329,50 @@ def dedup_weighted_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFra
             4,
         ).alias("weighted_jaccard"),
     ).orderBy("id_a")
+
+
+@query
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the
+    gibberish/compression-quality signal (keyboard mash and repeated
+    filler score low, natural prose ~4.1 bits-equivalent in nats):
+    H = ln(n) - SUM(c*ln(c))/n over exact character counts.
+
+    The float hazard here is SUM order: a hash aggregate adds c*ln(c)
+    terms in nondeterministic partition order, and cross-engine drift
+    in the last ulp would flip the rounded hash. Instead both engines
+    fold the terms in ONE DEFINED ORDER — Spark sorts the collected
+    (char, count) structs and folds with ``aggregate``; DuckDB collects
+    ``list(cnt ORDER BY ch)`` and folds with ``list_reduce`` — so the
+    sum is the identical IEEE sequence. Char alphabets bound the
+    per-doc array (~dozens), never document length.
+    """
+    docs = load_documents(spark, sf_dir)
+    counts = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+        )
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("ch", "cnt"))),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + x["cnt"].cast("double") * F.log(x["cnt"].cast("double")),
+        ).alias("s"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n",
+        "n_distinct_chars",
+        F.round(
+            F.log(F.col("n").cast("double"))
+            - F.col("s") / F.col("n").cast("double"),
+            6,
+        ).alias("entropy"),
+    ).orderBy("doc_id")

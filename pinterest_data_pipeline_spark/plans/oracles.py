@@ -5869,3 +5869,30 @@ oracle("dedup_weighted_jaccard_adjacent")(
     ORDER BY id_a
     """
 )
+
+# Same entropy with the same DEFINED-ORDER float fold: list(cnt ORDER BY
+# ch) + list_reduce reproduces Spark's sorted-struct aggregate term for
+# term, so the IEEE sum is identical before the one rounding site.
+oracle("text_char_entropy")(
+    """
+    WITH c AS (
+        SELECT doc_id, ch, count(*)::BIGINT AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+              FROM documents)
+        WHERE ch <> ''
+        GROUP BY doc_id, ch
+    ), agg AS (
+        SELECT doc_id, sum(cnt)::BIGINT AS n,
+               count(*)::BIGINT AS n_distinct_chars,
+               list_reduce(
+                   list_prepend(0.0::DOUBLE,
+                       list_transform(list(cnt ORDER BY ch),
+                                      x -> x::DOUBLE * ln(x::DOUBLE))),
+                   (a, b) -> a + b) AS s
+        FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, n, n_distinct_chars,
+           round(ln(n::DOUBLE) - s / n::DOUBLE, 6) AS entropy
+    FROM agg ORDER BY doc_id
+    """
+)

@@ -72,6 +72,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "events_rolling_wau_bitmap",
     "sample_systematic",
     "dedup_weighted_jaccard_adjacent",
+    "text_char_entropy",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

@@ -2751,3 +2751,31 @@ def test_weighted_jaccard_counts_repetition(spark):
     assert out[1].weighted_jaccard == round(1 / 3, 4) and out[1].s_min == 1
     assert out[2].weighted_jaccard == 0.0 and out[2].s_min == 0
     assert out[4].weighted_jaccard == 1.0
+
+
+def test_char_entropy_hand_computed(spark):
+    """'aaaa' has entropy 0; 'abab' has exactly ln(2); 'abcd' ln(4) —
+    uniform distributions hit the closed forms exactly after the
+    defined-order fold."""
+    import math
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rows = [
+        (1, "aaaa", "en", "t", 4),
+        (2, "abab", "en", "t", 4),
+        (3, "abcd", "en", "t", 4),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {r.doc_id: r for r in
+               QUERIES["text_char_entropy"](spark, d).collect()}
+    assert out[1].entropy == 0.0 and out[1].n_distinct_chars == 1
+    assert out[2].entropy == round(math.log(2), 6)
+    assert out[3].entropy == round(math.log(4), 6) and out[3].n == 4
