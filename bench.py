@@ -278,6 +278,8 @@ HEADLINE = [
     "dedup_weighted_jaccard_adjacent",
     # 183 -> 184: char-entropy quality scoring (defined-order float fold)
     "text_char_entropy",
+    # 184 -> 185: group-aware split with from-the-data leakage audit
+    "sample_group_split_no_leakage",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

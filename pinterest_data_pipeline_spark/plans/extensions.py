@@ -6376,3 +6376,43 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy"),
     ).orderBy("doc_id")
+
+
+@query
+def sample_group_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware train/valid/test split: orders split by their
+    CUSTOMER's md5 bucket, so every customer's orders land in one split
+    — the leakage rule user-level ML splits require (row-level splits
+    put one user's behavior in both train and test). The leakage-free
+    property is AUDITED FROM THE DATA, not assumed from the
+    construction: the query counts customers appearing in more than one
+    split and certifies the count is zero, the expectation-as-data
+    pattern of ``quality_expectations_orders``.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    tagged = sampling.hash_split(orders, "o_custkey", salt="groupsplit")
+    per_split = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+    )
+    leaked = (
+        tagged.select("o_custkey", "split")
+        .distinct()
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_splits"))
+        .agg(
+            F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_leaked")
+        )
+    )
+    return (
+        per_split.crossJoin(F.broadcast(leaked))
+        .select(
+            "split",
+            "n_orders",
+            "n_customers",
+            (F.col("n_leaked") == 0).alias("leakage_free"),
+        )
+        .orderBy("split")
+    )

@@ -5896,3 +5896,32 @@ oracle("text_char_entropy")(
     FROM agg ORDER BY doc_id
     """
 )
+
+# Same customer-keyed md5 bucket split and the same from-the-data leakage
+# audit (customers in >1 split counted, asserted zero as a column).
+oracle("sample_group_split_no_leakage")(
+    """
+    WITH tagged AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)
+                        || 'groupsplit'), 1, 8)) AS UBIGINT) % 10000 < 8000
+                    THEN 'train'
+                    WHEN CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)
+                        || 'groupsplit'), 1, 8)) AS UBIGINT) % 10000 < 9000
+                    THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM orders
+    ), leaked AS (
+        SELECT coalesce(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END), 0)::BIGINT
+                   AS n_leaked
+        FROM (SELECT o_custkey, count(DISTINCT split) AS n_splits
+              FROM tagged GROUP BY o_custkey)
+    )
+    SELECT split, count(*)::BIGINT AS n_orders,
+           count(DISTINCT o_custkey)::BIGINT AS n_customers,
+           (l.n_leaked = 0) AS leakage_free
+    FROM tagged CROSS JOIN leaked l
+    GROUP BY split, l.n_leaked
+    ORDER BY split
+    """
+)

@@ -73,6 +73,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "sample_systematic",
     "dedup_weighted_jaccard_adjacent",
     "text_char_entropy",
+    "sample_group_split_no_leakage",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

@@ -2779,3 +2779,26 @@ def test_char_entropy_hand_computed(spark):
     assert out[1].entropy == 0.0 and out[1].n_distinct_chars == 1
     assert out[2].entropy == round(math.log(2), 6)
     assert out[3].entropy == round(math.log(4), 6) and out[3].n == 4
+
+
+def test_group_split_keeps_customers_whole(spark):
+    """Every customer's orders land in exactly one split (audited from
+    the data), split totals cover the corpus, and a customer with many
+    orders stays whole."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rows = [(k, k % 25, 100.0) for k in range(500)]   # 25 customers x 20
+    odf = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        odf.write.parquet(os.path.join(d, "orders.parquet"))
+        out = QUERIES["sample_group_split_no_leakage"](spark, d).collect()
+    assert all(r.leakage_free for r in out)
+    assert sum(r.n_orders for r in out) == 500
+    assert sum(r.n_customers for r in out) == 25     # whole customers
+    assert all(r.n_orders == 20 * r.n_customers for r in out)
