@@ -280,6 +280,8 @@ HEADLINE = [
     "text_char_entropy",
     # 184 -> 185: group-aware split with from-the-data leakage audit
     "sample_group_split_no_leakage",
+    # 185 -> 186: Markov next-event prediction + in-sample accuracy
+    "events_markov_accuracy",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

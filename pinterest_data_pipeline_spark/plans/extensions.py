@@ -6416,3 +6416,54 @@ def sample_group_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("split")
     )
+
+
+@query
+def events_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-event prediction and its IN-SAMPLE
+    accuracy — the eval loop on top of ``events_transition_matrix``:
+    the model predicts argmax transition (ties break to the
+    lexicographically smallest next type, pinned cross-engine), and the
+    query scores it against every observed transition. The
+    model-fit-then-score composition is one extra broadcast join over
+    the |event_type|² transition rollup; the only data-sized passes are
+    the lead window (user-keyed) and one count aggregate.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bigrams = (
+        events.withColumn("nxt", F.lead("event_type").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("event_type").alias("cur"), "nxt")
+    )
+    trans = bigrams.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w_arg = Window.partitionBy("cur").orderBy(F.desc("n"), F.asc("nxt"))
+    pred = (
+        trans.withColumn("rk", F.row_number().over(w_arg))
+        .filter(F.col("rk") == 1)
+        .select("cur", F.col("nxt").alias("predicted"))
+    )
+    return (
+        trans.join(F.broadcast(pred), "cur")
+        .groupBy("cur", "predicted")
+        .agg(
+            F.sum("n").cast("long").alias("n_transitions"),
+            F.sum(F.when(F.col("nxt") == F.col("predicted"), F.col("n")))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "cur",
+            "predicted",
+            "n_transitions",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double")
+                / F.col("n_transitions").cast("double"),
+                6,
+            ).alias("accuracy"),
+        )
+        .orderBy("cur")
+    )

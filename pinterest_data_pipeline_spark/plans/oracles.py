@@ -5925,3 +5925,35 @@ oracle("sample_group_split_no_leakage")(
     ORDER BY split
     """
 )
+
+# Same lead bigrams, same argmax with the lexicographic tie pin, same
+# in-sample scoring over the transition rollup.
+oracle("events_markov_accuracy")(
+    """
+    WITH b AS (
+        SELECT event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ), trans AS (
+        SELECT cur, nxt, count(*)::BIGINT AS n
+        FROM b WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ), pred AS (
+        SELECT cur, nxt AS predicted FROM (
+            SELECT cur, nxt,
+                   row_number() OVER (PARTITION BY cur
+                                      ORDER BY n DESC, nxt ASC) AS rk
+            FROM trans
+        ) WHERE rk = 1
+    )
+    SELECT t.cur, p.predicted,
+           sum(t.n)::BIGINT AS n_transitions,
+           sum(CASE WHEN t.nxt = p.predicted THEN t.n END)::BIGINT
+               AS n_correct,
+           round(sum(CASE WHEN t.nxt = p.predicted THEN t.n END)::DOUBLE
+                 / sum(t.n)::DOUBLE, 6) AS accuracy
+    FROM trans t JOIN pred p USING (cur)
+    GROUP BY t.cur, p.predicted
+    ORDER BY cur
+    """
+)

@@ -74,6 +74,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "dedup_weighted_jaccard_adjacent",
     "text_char_entropy",
     "sample_group_split_no_leakage",
+    "events_markov_accuracy",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

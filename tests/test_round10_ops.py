@@ -2802,3 +2802,44 @@ def test_group_split_keeps_customers_whole(spark):
     assert sum(r.n_orders for r in out) == 500
     assert sum(r.n_customers for r in out) == 25     # whole customers
     assert all(r.n_orders == 20 * r.n_customers for r in out)
+
+
+def test_markov_accuracy_argmax_and_tiebreak(spark):
+    """view->click twice, view->error once: predict click, accuracy
+    2/3; a 1-1 tie predicts the lexicographically smaller type."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rows = [
+        # u1: view click view click  -> view->click x2, click->view x1
+        (1, 1, "2020-01-01 10:00:00", "view"),
+        (2, 1, "2020-01-01 10:01:00", "click"),
+        (3, 1, "2020-01-01 10:02:00", "view"),
+        (4, 1, "2020-01-01 10:03:00", "click"),
+        # u2: view error            -> view->error x1
+        (5, 2, "2020-01-01 10:00:00", "view"),
+        (6, 2, "2020-01-01 10:01:00", "error"),
+        # u3: signup purchase; u4: signup error -> signup tie 1-1
+        (7, 3, "2020-01-01 10:00:00", "signup"),
+        (8, 3, "2020-01-01 10:01:00", "purchase"),
+        (9, 4, "2020-01-01 10:00:00", "signup"),
+        (10, 4, "2020-01-01 10:01:00", "error"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_type", F.lit(0.0).alias("value"), F.lit("{}").alias("props"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = {r.cur: r for r in
+               QUERIES["events_markov_accuracy"](spark, d).collect()}
+    v = out["view"]
+    assert v.predicted == "click" and v.n_transitions == 3
+    assert v.n_correct == 2 and v.accuracy == round(2 / 3, 6)
+    assert out["signup"].predicted == "error"       # tie: 'error' < 'purchase'
+    assert out["signup"].accuracy == 0.5

@@ -2108,6 +2108,85 @@ def probe_sorted_neighborhood(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
+
+
+def _wau_bitmap_query(events):
+    ev = events.select(
+        F.to_date("ts").alias("day"),
+        F.expr("user_id div 63").cast("long").alias("word"),
+        F.expr("shiftleft(1L, CAST(user_id % 63 AS INT))").alias("bit"),
+    )
+    words = ev.groupBy("day", "word").agg(F.bit_or("bit").alias("bits"))
+    expanded = words.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6)))
+        .alias("anchor"), "word", "bits")
+    rolled = expanded.groupBy("anchor", "word").agg(
+        F.bit_or("bits").alias("bits"))
+    return rolled.groupBy("anchor").agg(
+        F.sum(F.bit_count("bits")).alias("wau"))
+
+
+def probe_rolling_wau_bitmap(spark, mult: int) -> float:
+    """Exact bitmap rolling WAU at mult x events (user axis, horizon
+    fixed): the explode runs on (day, word) bitmap rows — 63 users per
+    row — so window traffic is events-independent after the fold."""
+    events = multiply(
+        load_table(spark, SF, "events").select("user_id", "ts"),
+        mult, ["user_id"],
+    )
+    q = _wau_bitmap_query(events)
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_rolling_wau_bitmap_horizon(spark, mult: int) -> float:
+    """Bitmap rolling WAU on the HORIZON axis (mult x rows over mult x
+    the day span): per-word cost is a constant 7 anchors, so this must
+    track the user-axis probe at the same mult."""
+    base = load_table(spark, SF, "events").select("user_id", "ts")
+    parts = [base]
+    for i in range(1, mult):
+        parts.append(
+            base.withColumn("user_id", F.col("user_id") + i * KEY_STRIDE)
+            .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i * 45} DAYS"))
+        )
+    events = parts[0]
+    for p in parts[1:]:
+        events = events.unionByName(p)
+    q = _wau_bitmap_query(events)
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_char_entropy(spark, mult: int) -> float:
+    """Defined-order-fold char entropy at mult x documents: the fold
+    array is bounded by the char alphabet, never document count."""
+    docs = multiply(
+        load_table(spark, SF, "documents").select("doc_id", "text"),
+        mult, ["doc_id"],
+    )
+    counts = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    q = counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("ch", "cnt"))),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + x["cnt"].cast("double") * F.log(x["cnt"].cast("double")),
+        ).alias("s"),
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 PROBES = {
     "tpch_q5_6way_join": probe_tpch_q5,
     "simhash_near_dup": probe_simhash,
@@ -2194,6 +2273,9 @@ PROBES = {
     "pmi": probe_pmi,
     "ngram_novelty": probe_ngram_novelty,
     "sorted_neighborhood": probe_sorted_neighborhood,
+    "rolling_wau_bitmap": probe_rolling_wau_bitmap,
+    "rolling_wau_bitmap_horizon": probe_rolling_wau_bitmap_horizon,
+    "char_entropy": probe_char_entropy,
 }
 
 
