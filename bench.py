@@ -282,6 +282,8 @@ HEADLINE = [
     "sample_group_split_no_leakage",
     # 185 -> 186: Markov next-event prediction + in-sample accuracy
     "events_markov_accuracy",
+    # 186 -> 187: Flesch readability scoring
+    "text_readability",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

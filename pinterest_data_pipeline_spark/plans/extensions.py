@@ -6467,3 +6467,51 @@ def events_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cur")
     )
+
+
+@query
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document from three exact regexp counts
+    — words (space tokens), sentences (terminal-punctuation runs,
+    floored at 1), syllables (vowel-group runs, the standard
+    dictionary-free heuristic): 206.835 - 1.015*(W/S) - 84.6*(Y/W).
+    The grade-level curation signal alongside ``text_quality_scores``'s
+    length/punctuation heuristics. Counts are int64 (RE2 and Java
+    agree on these character-class patterns, the cross-engine regex
+    contract ``text_rake_keywords`` established); the score is one
+    float expression with literal coefficients, rounded once. One scan,
+    no shuffle before the per-doc projection.
+    """
+    docs = load_documents(spark, sf_dir)
+    t = F.col("text")
+    words = F.size(F.filter(F.split(t, " "), lambda x: x != ""))
+    sentences = F.greatest(
+        F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1)
+    )
+    syllables = F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+"))
+    return (
+        docs.select(
+            "doc_id",
+            words.cast("long").alias("n_words"),
+            sentences.cast("long").alias("n_sentences"),
+            syllables.cast("long").alias("n_syllables"),
+        )
+        .filter(F.col("n_words") > 0)
+        .select(
+            "doc_id",
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015)
+                * (F.col("n_words").cast("double")
+                   / F.col("n_sentences").cast("double"))
+                - F.lit(84.6)
+                * (F.col("n_syllables").cast("double")
+                   / F.col("n_words").cast("double")),
+                4,
+            ).alias("flesch"),
+        )
+        .orderBy("doc_id")
+    )

@@ -5957,3 +5957,25 @@ oracle("events_markov_accuracy")(
     ORDER BY cur
     """
 )
+
+# Same three regexp counts (RE2 agrees with Java on these character
+# classes) and the same literal-coefficient score, rounded once.
+oracle("text_readability")(
+    """
+    WITH c AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+                   AS n_words,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
+                   AS n_sentences,
+               len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+                   AS n_syllables
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+                 - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE), 4)
+               AS flesch
+    FROM c WHERE n_words > 0 ORDER BY doc_id
+    """
+)

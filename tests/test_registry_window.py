@@ -75,6 +75,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "text_char_entropy",
     "sample_group_split_no_leakage",
     "events_markov_accuracy",
+    "text_readability",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

@@ -2843,3 +2843,30 @@ def test_markov_accuracy_argmax_and_tiebreak(spark):
     assert v.n_correct == 2 and v.accuracy == round(2 / 3, 6)
     assert out["signup"].predicted == "error"       # tie: 'error' < 'purchase'
     assert out["signup"].accuracy == 0.5
+
+
+def test_readability_hand_computed(spark):
+    """'The cat sat.' -> 3 words, 1 sentence, 3 syllables: flesch =
+    206.835 - 1.015*3 - 84.6*1 = 119.19 exactly; a no-terminal-punct
+    doc floors sentences at 1."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rows = [
+        (1, "The cat sat.", "en", "t", 12),
+        (2, "no ending punctuation here", "en", "t", 26),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {r.doc_id: r for r in
+               QUERIES["text_readability"](spark, d).collect()}
+    r1 = out[1]
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (3, 1, 3)
+    assert r1.flesch == round(206.835 - 1.015 * 3 - 84.6 * 1, 4)
+    assert out[2].n_sentences == 1

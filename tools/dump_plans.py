@@ -158,6 +158,14 @@ FLAGSHIPS = [
     "events_cuped_adjusted",
     "events_theilsen_trend",
     "events_kaplan_meier",
+    "events_rolling_wau_bitmap",
+    "sample_systematic",
+    "dedup_weighted_jaccard_adjacent",
+    "text_char_entropy",
+    "sample_group_split_no_leakage",
+    "events_markov_accuracy",
+    # streaming_bitmap_distinct is excluded like the other streaming
+    # drives: its plan embeds a completed run's table read
 ]
 
 
