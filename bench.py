@@ -284,6 +284,8 @@ HEADLINE = [
     "events_markov_accuracy",
     # 186 -> 187: Flesch readability scoring
     "text_readability",
+    # 187 -> 188: percent-of-parent hierarchy shares
+    "agg_hierarchical_share",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

@@ -6515,3 +6515,73 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query
+def agg_hierarchical_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent across the geography hierarchy: each nation's
+    revenue as a share of its REGION's, and each region's as a share of
+    GLOBAL — the drill-down presentation ``ROLLUP`` alone can't emit
+    (rollup gives the levels; the shares need the child row joined to
+    its parent's aggregate). Two broadcast-joined rollup levels plus
+    the sanctioned single-row global attach; exact integer cents with
+    one rounded division per share column.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    nat_rev = (
+        orders.select("o_custkey", cents.alias("cents"))
+        .join(
+            customer.select(
+                F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+            ),
+            "o_custkey",
+        )
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("c_nationkey"),
+                    "n_name",
+                    "n_regionkey",
+                )
+            ),
+            "c_nationkey",
+        )
+        .join(
+            F.broadcast(
+                region.select(
+                    F.col("r_regionkey").alias("n_regionkey"), "r_name"
+                )
+            ),
+            "n_regionkey",
+        )
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("cents").cast("long").alias("nation_cents"))
+    )
+    reg_rev = nat_rev.groupBy("r_name").agg(
+        F.sum("nation_cents").cast("long").alias("region_cents")
+    )
+    glob = reg_rev.agg(F.sum("region_cents").cast("long").alias("global_cents"))
+    return (
+        nat_rev.join(F.broadcast(reg_rev), "r_name")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "r_name",
+            "n_name",
+            "nation_cents",
+            F.round(
+                F.col("nation_cents").cast("double")
+                / F.col("region_cents").cast("double"),
+                6,
+            ).alias("share_of_region"),
+            F.round(
+                F.col("region_cents").cast("double")
+                / F.col("global_cents").cast("double"),
+                6,
+            ).alias("region_share_of_global"),
+        )
+        .orderBy("r_name", "n_name")
+    )

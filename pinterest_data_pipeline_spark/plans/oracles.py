@@ -5979,3 +5979,31 @@ oracle("text_readability")(
     FROM c WHERE n_words > 0 ORDER BY doc_id
     """
 )
+
+# Same two rollup levels joined child-to-parent; integer cents, one
+# rounded division per share.
+oracle("agg_hierarchical_share")(
+    """
+    WITH nat AS (
+        SELECT r.r_name, n.n_name,
+               sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS nation_cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY r.r_name, n.n_name
+    ), reg AS (
+        SELECT r_name, sum(nation_cents)::BIGINT AS region_cents
+        FROM nat GROUP BY r_name
+    ), tot AS (
+        SELECT sum(region_cents)::BIGINT AS global_cents FROM reg
+    )
+    SELECT nat.r_name, nat.n_name, nat.nation_cents,
+           round(nat.nation_cents::DOUBLE / reg.region_cents::DOUBLE, 6)
+               AS share_of_region,
+           round(reg.region_cents::DOUBLE / tot.global_cents::DOUBLE, 6)
+               AS region_share_of_global
+    FROM nat JOIN reg USING (r_name) CROSS JOIN tot
+    ORDER BY r_name, n_name
+    """
+)

@@ -76,6 +76,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "sample_group_split_no_leakage",
     "events_markov_accuracy",
     "text_readability",
+    "agg_hierarchical_share",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

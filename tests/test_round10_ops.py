@@ -2870,3 +2870,40 @@ def test_readability_hand_computed(spark):
     assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (3, 1, 3)
     assert r1.flesch == round(206.835 - 1.015 * 3 - 84.6 * 1, 4)
     assert out[2].n_sentences == 1
+
+
+def test_hierarchical_share_sums_to_one(spark):
+    """Within each region the nation shares sum to 1; region shares of
+    global sum to 1; a hand-planted 30/70 split recovers exactly."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    region = spark.createDataFrame(
+        [(0, "EAST"), (1, "WEST")], "r_regionkey long, r_name string"
+    )
+    nation = spark.createDataFrame(
+        [(0, "N0", 0), (1, "N1", 0), (2, "N2", 1)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    customer = spark.createDataFrame(
+        [(10, 0), (11, 1), (12, 2)], "c_custkey long, c_nationkey long"
+    )
+    orders = spark.createDataFrame(
+        [(100, 10, 30.0), (101, 11, 70.0), (102, 12, 50.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        import os as _os
+        region.write.parquet(_os.path.join(d, "region.parquet"))
+        nation.write.parquet(_os.path.join(d, "nation.parquet"))
+        customer.write.parquet(_os.path.join(d, "customer.parquet"))
+        orders.write.parquet(_os.path.join(d, "orders.parquet"))
+        out = {(r.r_name, r.n_name): r for r in
+               QUERIES["agg_hierarchical_share"](spark, d).collect()}
+    assert out[("EAST", "N0")].share_of_region == 0.3
+    assert out[("EAST", "N1")].share_of_region == 0.7
+    assert out[("WEST", "N2")].share_of_region == 1.0
+    assert out[("EAST", "N0")].region_share_of_global == round(100 / 150, 6)

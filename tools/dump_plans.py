@@ -164,6 +164,8 @@ FLAGSHIPS = [
     "text_char_entropy",
     "sample_group_split_no_leakage",
     "events_markov_accuracy",
+    "text_readability",
+    "agg_hierarchical_share",
     # streaming_bitmap_distinct is excluded like the other streaming
     # drives: its plan embeds a completed run's table read
 ]
