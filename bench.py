@@ -286,6 +286,8 @@ HEADLINE = [
     "text_readability",
     # 187 -> 188: percent-of-parent hierarchy shares
     "agg_hierarchical_share",
+    # 188 -> 189: exact dyadic recency decay
+    "events_decay_score_dyadic",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

@@ -6585,3 +6585,49 @@ def agg_hierarchical_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name", "n_name")
     )
+
+
+@query
+def events_decay_score_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed engagement score per user, EXACT: the usual
+    sum(value * exp(-lambda*age)) is a float sum in nondeterministic
+    order, but with half-life = 1 day the weight 2^(-age_days) is
+    DYADIC — scaling by 2^30 makes every term an exact int64
+    (cents << (30 - age)), so the decayed sum is one integer aggregate
+    divided once at the end. A 30-day horizon bounds the shift (and the
+    ranking contribution of anything older is below one scaled cent
+    anyway). The reference time is the corpus max day via the
+    sanctioned single-row attach.
+    """
+    events = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    mx = events.agg(F.max(day).alias("mx"))
+    scaled = (
+        events.crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.datediff(F.col("mx"), day).alias("age"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .filter(F.col("age") <= 30)
+        .select(
+            "user_id",
+            F.expr("cents * shiftleft(1L, CAST(30 - age AS INT))").alias(
+                "term"
+            ),
+        )
+    )
+    return (
+        scaled.groupBy("user_id")
+        .agg(F.sum("term").cast("long").alias("score_scaled"))
+        .select(
+            "user_id",
+            F.round(
+                F.col("score_scaled").cast("double")
+                / F.lit(float(1 << 30))
+                / 100.0,
+                6,
+            ).alias("decay_score"),
+        )
+        .orderBy("user_id")
+    )

@@ -6007,3 +6007,23 @@ oracle("agg_hierarchical_share")(
     ORDER BY r_name, n_name
     """
 )
+
+# Same dyadic trick: cents << (30 - age) is exact int64, summed exactly
+# (HUGEINT then ::BIGINT), one terminal division.
+oracle("events_decay_score_dyadic")(
+    """
+    WITH mx AS (SELECT max(ts::DATE) AS mx FROM events),
+    t AS (
+        SELECT user_id,
+               round(value * 100)::BIGINT
+                   * (1::BIGINT << (30 - datediff('day', ts::DATE, mx.mx))::INT)
+                   AS term
+        FROM events, mx
+        WHERE datediff('day', ts::DATE, mx.mx) <= 30
+    )
+    SELECT user_id,
+           round(sum(term)::BIGINT::DOUBLE / 1073741824.0 / 100.0, 6)
+               AS decay_score
+    FROM t GROUP BY user_id ORDER BY user_id
+    """
+)

@@ -77,6 +77,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "events_markov_accuracy",
     "text_readability",
     "agg_hierarchical_share",
+    "events_decay_score_dyadic",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

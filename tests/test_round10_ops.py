@@ -2907,3 +2907,35 @@ def test_hierarchical_share_sums_to_one(spark):
     assert out[("EAST", "N1")].share_of_region == 0.7
     assert out[("WEST", "N2")].share_of_region == 1.0
     assert out[("EAST", "N0")].region_share_of_global == round(100 / 150, 6)
+
+
+def test_dyadic_decay_exact_halving(spark):
+    """$1.00 today + $1.00 yesterday + $1.00 two days ago scores
+    exactly 1 + 0.5 + 0.25 = 1.75; a 31-day-old event contributes
+    nothing (horizon cut)."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rows = [
+        (1, 1, "2020-03-01 10:00:00", 1.0),
+        (2, 1, "2020-02-29 10:00:00", 1.0),
+        (3, 1, "2020-02-28 10:00:00", 1.0),
+        (4, 2, "2020-01-30 10:00:00", 999.0),   # 31 days old: dropped
+        (5, 2, "2020-03-01 11:00:00", 2.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        F.lit("purchase").alias("event_type"), "value",
+        F.lit("{}").alias("props"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = {r.user_id: r.decay_score for r in
+               QUERIES["events_decay_score_dyadic"](spark, d).collect()}
+    assert out[1] == 1.75
+    assert out[2] == 2.0

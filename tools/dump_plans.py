@@ -166,6 +166,7 @@ FLAGSHIPS = [
     "events_markov_accuracy",
     "text_readability",
     "agg_hierarchical_share",
+    "events_decay_score_dyadic",
     # streaming_bitmap_distinct is excluded like the other streaming
     # drives: its plan embeds a completed run's table read
 ]
