@@ -2939,3 +2939,33 @@ def test_dyadic_decay_exact_halving(spark):
                QUERIES["events_decay_score_dyadic"](spark, d).collect()}
     assert out[1] == 1.75
     assert out[2] == 2.0
+
+
+def test_sorted_neighborhood_hot_bucket_correct(spark):
+    """Adversary: 3000 docs ALL sharing one 2-char key prefix — the
+    entire corpus lands in one rank bucket (two_phase_rank's residual
+    skew case). Correctness must hold: the planted adjacent twins are
+    found, non-twins are not, and ranks stay a permutation (no offset
+    drift)."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rows = []
+    for i in range(1500):
+        base = f"zz shared prefix doc number {i:05d} with unique tail {i*7}"
+        rows.append((2 * i, base, "en", "t", len(base)))
+        rows.append((2 * i + 1, base + " twin", "en", "t", len(base) + 5))
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = QUERIES["dedup_sorted_neighborhood"](spark, d).collect()
+    found = {(r.id_a, r.id_b) for r in out if r.jaccard_sim >= 0.7}
+    # every planted twin pair is key-adjacent (identical 16-char prefix,
+    # ids consecutive in the tie-break) and must be found
+    expected = {(2 * i, 2 * i + 1) for i in range(1500)}
+    assert expected <= found
