@@ -288,6 +288,8 @@ HEADLINE = [
     "agg_hierarchical_share",
     # 188 -> 189: exact dyadic recency decay
     "events_decay_score_dyadic",
+    # 189 -> 190: double-charge audit (planted retry clones)
+    "quality_duplicate_payments",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

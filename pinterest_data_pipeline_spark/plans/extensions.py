@@ -6631,3 +6631,68 @@ def events_decay_score_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query
+def quality_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-charge audit: order pairs with the SAME customer and the
+    SAME total, placed within 24 hours of each other — the classic
+    financial-data quality check. The synthetic corpus has no natural
+    double-charges (near-unique totals), so orders whose md5 lands in a
+    1-in-64 bucket get a DETERMINISTIC retry clone (+2 h, offset key) —
+    the fuzzy-join planted-typo precedent — and the audit must recover
+    exactly that population. The self-join is keyed on (customer,
+    amount-in-cents) — candidates exist only where both match, so the
+    join fans out by per-(cust, price) multiplicity, not corpus size —
+    and the 24-hour band + orderkey ordering prune inside the join.
+    Output: one row per suspect pair, exact integers plus the hour gap.
+    """
+    from ..operators.sampling import uniform_hash
+
+    raw = load_table(spark, sf_dir, "orders")
+    retries = raw.filter(
+        uniform_hash(F.col("o_orderkey"), "doublecharge") % 64 == 0
+    ).select(
+        (F.col("o_orderkey") + F.lit(1_000_000_000_000)).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+        (F.col("o_orderdate") + F.expr("INTERVAL 2 HOURS")).alias(
+            "o_orderdate"
+        ),
+    )
+    orders = raw.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    ).unionByName(retries)
+    base = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.unix_micros(F.col("o_orderdate")).alias("us"),
+    )
+    a = base.select(
+        "o_custkey",
+        "cents",
+        F.col("o_orderkey").alias("key_a"),
+        F.col("us").alias("us_a"),
+    )
+    b = base.select(
+        "o_custkey",
+        "cents",
+        F.col("o_orderkey").alias("key_b"),
+        F.col("us").alias("us_b"),
+    )
+    return (
+        a.join(b, ["o_custkey", "cents"])
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.abs(F.col("us_a") - F.col("us_b")) <= 86_400_000_000)
+        )
+        .select(
+            "o_custkey",
+            "cents",
+            "key_a",
+            "key_b",
+            F.expr("abs(us_a - us_b) div 3600000000").alias("hours_apart"),
+        )
+        .orderBy("o_custkey", "key_a", "key_b")
+    )

@@ -6027,3 +6027,33 @@ oracle("events_decay_score_dyadic")(
     FROM t GROUP BY user_id ORDER BY user_id
     """
 )
+
+# Same planted retry clones (md5 1-in-64 bucket, +2 h, offset key) and the
+# same (customer, cents)-keyed self-join with the 24 h band; integer micros
+# end to end.
+oracle("quality_duplicate_payments")(
+    """
+    WITH uni AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+        UNION ALL
+        SELECT o_orderkey + 1000000000000, o_custkey, o_totalprice,
+               o_orderdate + INTERVAL 2 HOUR
+        FROM orders
+        WHERE CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)
+                  || 'doublecharge'), 1, 8)) AS UBIGINT) % 64 = 0
+    ), base AS (
+        SELECT o_orderkey, o_custkey,
+               round(o_totalprice * 100)::BIGINT AS cents,
+               epoch_us(o_orderdate) AS us
+        FROM uni
+    )
+    SELECT a.o_custkey, a.cents,
+           a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+           (abs(a.us - b.us) // 3600000000)::BIGINT AS hours_apart
+    FROM base a
+    JOIN base b ON b.o_custkey = a.o_custkey AND b.cents = a.cents
+               AND a.o_orderkey < b.o_orderkey
+               AND abs(a.us - b.us) <= 86400000000
+    ORDER BY a.o_custkey, key_a, key_b
+    """
+)

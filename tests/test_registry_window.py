@@ -78,6 +78,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "text_readability",
     "agg_hierarchical_share",
     "events_decay_score_dyadic",
+    "quality_duplicate_payments",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

@@ -2969,3 +2969,40 @@ def test_sorted_neighborhood_hot_bucket_correct(spark):
     # ids consecutive in the tie-break) and must be found
     expected = {(2 * i, 2 * i + 1) for i in range(1500)}
     assert expected <= found
+
+
+def test_duplicate_payment_audit_band_semantics(spark):
+    """Same customer + same cents within 24 h pairs; a same-amount pair
+    49 h apart does NOT (band), same amount different customer does NOT
+    (key), and the planted md5 retry clones are recovered."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rows = [
+        (1, 7, 100.0, "2020-01-01 10:00:00"),
+        (2, 7, 100.0, "2020-01-01 13:00:00"),   # dup: 3 h apart
+        (3, 7, 100.0, "2020-01-03 11:00:00"),   # 49 h from #1: no pair w/ 1
+        (4, 8, 100.0, "2020-01-01 10:30:00"),   # other customer
+        (5, 7, 55.5, "2020-01-01 10:00:00"),    # other amount
+    ]
+    odf = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, d string"
+    ).select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.col("d").cast("timestamp").alias("o_orderdate"),
+    )
+    with tempfile.TemporaryDirectory() as dd:
+        odf.write.parquet(os.path.join(dd, "orders.parquet"))
+        out = {(r.key_a, r.key_b): r for r in
+               QUERIES["quality_duplicate_payments"](spark, dd).collect()}
+    natural = {k for k in out if k[1] < 1_000_000_000_000}
+    # the ONLY natural pair: 1-2 (3 h). 1-3 is 49 h and 2-3 is 46 h
+    # (band); 1-4 crosses customers (key); 1-5 differs in amount (key).
+    assert natural == {(1, 2)}
+    assert out[(1, 2)].hours_apart == 3
+    planted = {k for k in out if k[1] >= 1_000_000_000_000}
+    assert all(b == a + 1_000_000_000_000 for a, b in planted)
+    assert all(out[k].hours_apart == 2 for k in planted)

@@ -167,6 +167,7 @@ FLAGSHIPS = [
     "text_readability",
     "agg_hierarchical_share",
     "events_decay_score_dyadic",
+    "quality_duplicate_payments",
     # streaming_bitmap_distinct is excluded like the other streaming
     # drives: its plan embeds a completed run's table read
 ]
