@@ -290,6 +290,8 @@ HEADLINE = [
     "events_decay_score_dyadic",
     # 189 -> 190: double-charge audit (planted retry clones)
     "quality_duplicate_payments",
+    # 190 -> 191: Zipf rank-frequency slope (defined-order OLS fold)
+    "text_zipf_slope",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

@@ -6696,3 +6696,66 @@ def quality_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "key_a", "key_b")
     )
+
+
+@query
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-100 corpus tokens: OLS slope of
+    ln(frequency) on ln(rank) — natural language sits near -1, and a
+    corpus drifting away signals boilerplate floods or tokenizer
+    damage. The top-100 selection is a distributed
+    TakeOrderedAndProject (count desc, token asc — the top_k_orders
+    shape, no vocab-sized window); the rank and all four OLS moment
+    sums then fold over the SORTED 100-element array in one defined
+    IEEE order on both engines (the ``text_char_entropy`` technique),
+    so the fitted slope is hash-exact at the one rounding site.
+    """
+    docs = load_documents(spark, sf_dir)
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("t"))
+        .limit(100)
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("neg_n"), F.col("t"), F.col("n")))
+    )
+    ranked = counts.select(
+        (-F.col("n")).alias("neg_n"), "t", "n"
+    ).agg(arr.alias("a"))
+    # ranks follow the (count desc, token asc) order == (neg_n, t) asc
+    moments = ranked.select(
+        F.size("a").cast("long").alias("k"),
+        F.aggregate(
+            F.transform(
+                F.col("a"),
+                lambda x, i: F.struct(
+                    F.log((i + 1).cast("double")).alias("lx"),
+                    F.log(x["n"].cast("double")).alias("ly"),
+                ),
+            ),
+            F.struct(
+                F.lit(0.0).alias("sx"),
+                F.lit(0.0).alias("sy"),
+                F.lit(0.0).alias("sxx"),
+                F.lit(0.0).alias("sxy"),
+            ),
+            lambda acc, e: F.struct(
+                (acc["sx"] + e["lx"]).alias("sx"),
+                (acc["sy"] + e["ly"]).alias("sy"),
+                (acc["sxx"] + e["lx"] * e["lx"]).alias("sxx"),
+                (acc["sxy"] + e["lx"] * e["ly"]).alias("sxy"),
+            ),
+        ).alias("m"),
+    )
+    k = F.col("k").cast("double")
+    return moments.select(
+        "k",
+        F.round(
+            (k * F.col("m.sxy") - F.col("m.sx") * F.col("m.sy"))
+            / (k * F.col("m.sxx") - F.col("m.sx") * F.col("m.sx")),
+            4,
+        ).alias("zipf_slope"),
+    )

@@ -6057,3 +6057,43 @@ oracle("quality_duplicate_payments")(
     ORDER BY a.o_custkey, key_a, key_b
     """
 )
+
+# Same top-100 (count desc, token asc), same defined-order moment fold:
+# DuckDB lists the counts ORDER BY (n DESC, t ASC) and folds sequentially,
+# reproducing Spark's sorted-array aggregate term for term.
+oracle("text_zipf_slope")(
+    """
+    WITH counts AS (
+        SELECT t, count(*)::BIGINT AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        WHERE t <> ''
+        GROUP BY t
+        ORDER BY n DESC, t ASC
+        LIMIT 100
+    ), arr AS (
+        SELECT list(n ORDER BY n DESC, t ASC) AS a FROM counts
+    ), terms AS (
+        SELECT len(a)::BIGINT AS k,
+               list_transform(a, x -> ln(x::DOUBLE)) AS ly,
+               list_transform(range(1, len(a) + 1), i -> ln(i::DOUBLE)) AS lx
+        FROM arr
+    ), m AS (
+        SELECT k,
+               list_reduce(list_prepend(0.0::DOUBLE, lx), (p, q) -> p + q)
+                   AS sx,
+               list_reduce(list_prepend(0.0::DOUBLE, ly), (p, q) -> p + q)
+                   AS sy,
+               list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(lx, v -> v * v)), (p, q) -> p + q) AS sxx,
+               list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(range(1, k::INT + 1),
+                       i -> ln(i::DOUBLE) * ly[i::INT])), (p, q) -> p + q)
+                   AS sxy
+        FROM terms
+    )
+    SELECT k,
+           round((k::DOUBLE * sxy - sx * sy)
+                 / (k::DOUBLE * sxx - sx * sx), 4) AS zipf_slope
+    FROM m
+    """
+)

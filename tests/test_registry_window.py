@@ -79,6 +79,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "agg_hierarchical_share",
     "events_decay_score_dyadic",
     "quality_duplicate_payments",
+    "text_zipf_slope",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

@@ -3006,3 +3006,24 @@ def test_duplicate_payment_audit_band_semantics(spark):
     planted = {k for k in out if k[1] >= 1_000_000_000_000}
     assert all(b == a + 1_000_000_000_000 for a, b in planted)
     assert all(out[k].hours_apart == 2 for k in planted)
+
+
+def test_zipf_slope_exact_on_planted_power_law(spark):
+    """Token counts 12/6/4/3 = 12/rank: ln f is exactly linear in
+    ln rank, so the OLS slope is -1.0 after rounding."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    text = " ".join(["aa"] * 12 + ["bb"] * 6 + ["cc"] * 4 + ["dd"] * 3)
+    rows = [(1, text, "en", "t", len(text))]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = QUERIES["text_zipf_slope"](spark, d).collect()[0]
+    assert out.k == 4
+    assert out.zipf_slope == -1.0

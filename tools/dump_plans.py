@@ -168,6 +168,7 @@ FLAGSHIPS = [
     "agg_hierarchical_share",
     "events_decay_score_dyadic",
     "quality_duplicate_payments",
+    "text_zipf_slope",
     # streaming_bitmap_distinct is excluded like the other streaming
     # drives: its plan embeds a completed run's table read
 ]
