@@ -292,6 +292,8 @@ HEADLINE = [
     "quality_duplicate_payments",
     # 190 -> 191: Zipf rank-frequency slope (defined-order OLS fold)
     "text_zipf_slope",
+    # 191 -> 192: entry-channel conversion (arg-min struct, no window)
+    "events_entry_channel_conversion",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

@@ -6759,3 +6759,44 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("zipf_slope"),
     )
+
+
+@query
+def events_entry_channel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate by ENTRY channel: each user's first event type
+    (ts, event_id order — the acquisition touchpoint) against whether
+    they ever purchase — the "which front door converts" readout that
+    complements last-touch attribution. One user-keyed aggregate
+    computes both the entry struct (min of (ts, event_id, type) — no
+    rank window at all) and the purchase flag; the rollup is
+    |event_type|-sized. Exact integers, one rounded division.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(
+            F.struct(
+                F.col("ts"), F.col("event_id"), F.col("event_type")
+            )
+        )["event_type"].alias("entry"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return (
+        per_user.groupBy("entry")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("converted").cast("long").alias("n_converted"),
+        )
+        .select(
+            "entry",
+            "n_users",
+            "n_converted",
+            F.round(
+                F.col("n_converted").cast("double")
+                / F.col("n_users").cast("double"),
+                6,
+            ).alias("conversion_rate"),
+        )
+        .orderBy("entry")
+    )

@@ -6097,3 +6097,24 @@ oracle("text_zipf_slope")(
     FROM m
     """
 )
+
+# Same min-struct entry extraction (arg-min without a window; DuckDB
+# struct_pack min compares fields lexicographically like Spark's struct
+# min) and the same user-keyed conversion flag.
+oracle("events_entry_channel_conversion")(
+    """
+    WITH pu AS (
+        SELECT user_id,
+               (min(struct_pack(ts := ts, event_id := event_id,
+                                et := event_type))).et AS entry,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    )
+    SELECT entry, count(*)::BIGINT AS n_users,
+           sum(converted)::BIGINT AS n_converted,
+           round(sum(converted)::DOUBLE / count(*)::DOUBLE, 6)
+               AS conversion_rate
+    FROM pu GROUP BY entry ORDER BY entry
+    """
+)

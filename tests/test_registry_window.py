@@ -80,6 +80,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "events_decay_score_dyadic",
     "quality_duplicate_payments",
     "text_zipf_slope",
+    "events_entry_channel_conversion",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

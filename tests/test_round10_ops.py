@@ -3027,3 +3027,34 @@ def test_zipf_slope_exact_on_planted_power_law(spark):
         out = QUERIES["text_zipf_slope"](spark, d).collect()[0]
     assert out.k == 4
     assert out.zipf_slope == -1.0
+
+
+def test_entry_channel_conversion_argmin(spark):
+    """Entry = first event by (ts, event_id) even when a purchase comes
+    first in event_id order; conversion counts ANY later purchase."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rows = [
+        (9, 1, "2020-01-01 10:00:00", "view"),     # entry despite id 9
+        (1, 1, "2020-01-01 11:00:00", "purchase"),
+        (2, 2, "2020-01-01 10:00:00", "signup"),   # never converts
+        (3, 3, "2020-01-01 10:00:00", "view"),     # never converts
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_type", F.lit(0.0).alias("value"), F.lit("{}").alias("props"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = {r.entry: r for r in
+               QUERIES["events_entry_channel_conversion"](spark, d).collect()}
+    assert out["view"].n_users == 2 and out["view"].n_converted == 1
+    assert out["view"].conversion_rate == 0.5
+    assert out["signup"].n_converted == 0
+    assert "purchase" not in out     # id-1 purchase is NOT the entry

@@ -169,6 +169,7 @@ FLAGSHIPS = [
     "events_decay_score_dyadic",
     "quality_duplicate_payments",
     "text_zipf_slope",
+    "events_entry_channel_conversion",
     # streaming_bitmap_distinct is excluded like the other streaming
     # drives: its plan embeds a completed run's table read
 ]
