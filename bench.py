@@ -294,6 +294,8 @@ HEADLINE = [
     "text_zipf_slope",
     # 191 -> 192: entry-channel conversion (arg-min struct, no window)
     "events_entry_channel_conversion",
+    # 192 -> 193: join-key skew audit
+    "quality_join_key_skew",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

@@ -6800,3 +6800,50 @@ def events_entry_channel_conversion(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("entry")
     )
+
+
+def _key_skew(df, table: str, col: str):
+    counts = df.groupBy(F.col(col).cast("string").alias("key_value")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = counts.agg(
+        F.sum("n").cast("long").alias("total_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("key_value")).limit(3)
+    return top.crossJoin(F.broadcast(totals)).select(
+        F.lit(f"{table}.{col}").alias("join_key"),
+        "key_value",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.col("total_rows").cast("double"), 6
+        ).alias("share"),
+        F.round(
+            F.col("n").cast("double")
+            * F.col("n_keys").cast("double")
+            / F.col("total_rows").cast("double"),
+            4,
+        ).alias("skew_vs_mean"),
+    )
+
+
+@query
+def quality_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit across the three hottest join columns
+    (lineitem.l_orderkey, orders.o_custkey, events.user_id): the top-3
+    heaviest key values, their share of the table, and their multiple
+    of the mean key load — the diagnostic that decides between a plain
+    shuffle join, AQE skew splitting, and the salted-join operator this
+    engine already ships (``join_salted_skewed``). Each column costs
+    one count aggregate + a distributed top-3 (TakeOrderedAndProject)
+    + a single-row totals attach; integer counts, two rounded ratios.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    out = (
+        _key_skew(li, "lineitem", "l_orderkey")
+        .unionByName(_key_skew(orders, "orders", "o_custkey"))
+        .unionByName(_key_skew(events, "events", "user_id"))
+    )
+    return out.orderBy("join_key", F.desc("n"), "key_value")

@@ -6118,3 +6118,48 @@ oracle("events_entry_channel_conversion")(
     FROM pu GROUP BY entry ORDER BY entry
     """
 )
+
+# Same per-column top-3 heavy keys with the same two rounded ratios.
+oracle("quality_join_key_skew")(
+    """
+    WITH li AS (
+        SELECT l_orderkey::VARCHAR AS key_value, count(*)::BIGINT AS n
+        FROM lineitem GROUP BY 1
+    ), li_t AS (
+        SELECT sum(n)::BIGINT AS total_rows, count(*)::BIGINT AS n_keys
+        FROM li
+    ), o AS (
+        SELECT o_custkey::VARCHAR AS key_value, count(*)::BIGINT AS n
+        FROM orders GROUP BY 1
+    ), o_t AS (
+        SELECT sum(n)::BIGINT AS total_rows, count(*)::BIGINT AS n_keys
+        FROM o
+    ), e AS (
+        SELECT user_id::VARCHAR AS key_value, count(*)::BIGINT AS n
+        FROM events GROUP BY 1
+    ), e_t AS (
+        SELECT sum(n)::BIGINT AS total_rows, count(*)::BIGINT AS n_keys
+        FROM e
+    ), uni AS (
+        SELECT 'lineitem.l_orderkey' AS join_key, key_value, n,
+               round(n::DOUBLE / t.total_rows::DOUBLE, 6) AS share,
+               round(n::DOUBLE * t.n_keys::DOUBLE / t.total_rows::DOUBLE, 4)
+                   AS skew_vs_mean
+        FROM (SELECT * FROM li ORDER BY n DESC, key_value ASC LIMIT 3)
+             CROSS JOIN li_t t
+        UNION ALL
+        SELECT 'orders.o_custkey', key_value, n,
+               round(n::DOUBLE / t.total_rows::DOUBLE, 6),
+               round(n::DOUBLE * t.n_keys::DOUBLE / t.total_rows::DOUBLE, 4)
+        FROM (SELECT * FROM o ORDER BY n DESC, key_value ASC LIMIT 3)
+             CROSS JOIN o_t t
+        UNION ALL
+        SELECT 'events.user_id', key_value, n,
+               round(n::DOUBLE / t.total_rows::DOUBLE, 6),
+               round(n::DOUBLE * t.n_keys::DOUBLE / t.total_rows::DOUBLE, 4)
+        FROM (SELECT * FROM e ORDER BY n DESC, key_value ASC LIMIT 3)
+             CROSS JOIN e_t t
+    )
+    SELECT * FROM uni ORDER BY join_key, n DESC, key_value
+    """
+)

@@ -81,6 +81,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "quality_duplicate_payments",
     "text_zipf_slope",
     "events_entry_channel_conversion",
+    "quality_join_key_skew",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

@@ -3058,3 +3058,36 @@ def test_entry_channel_conversion_argmin(spark):
     assert out["view"].conversion_rate == 0.5
     assert out["signup"].n_converted == 0
     assert "purchase" not in out     # id-1 purchase is NOT the entry
+
+
+def test_join_key_skew_identifies_hot_key(spark):
+    """One bot user with 80 of 100 events: skew_vs_mean = 0.8 * n_keys
+    and share 0.8, ranked first."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rows = [(i, 999 if i < 80 else i, f"2020-01-01 10:{i % 60:02d}:00")
+            for i in range(100)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string"
+    ).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        F.lit("view").alias("event_type"), F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    li = spark.createDataFrame([(1, 1)], "l_orderkey long, l_partkey long")
+    orders = spark.createDataFrame([(1, 1, 1.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double")
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        li.write.parquet(os.path.join(d, "lineitem.parquet"))
+        orders.write.parquet(os.path.join(d, "orders.parquet"))
+        out = [r for r in
+               QUERIES["quality_join_key_skew"](spark, d).collect()
+               if r.join_key == "events.user_id"]
+    hot = out[0]
+    assert hot.key_value == "999" and hot.n == 80 and hot.share == 0.8
+    assert hot.skew_vs_mean == round(0.8 * 21, 4)   # 21 distinct users

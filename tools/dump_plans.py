@@ -170,6 +170,7 @@ FLAGSHIPS = [
     "quality_duplicate_payments",
     "text_zipf_slope",
     "events_entry_channel_conversion",
+    "quality_join_key_skew",
     # streaming_bitmap_distinct is excluded like the other streaming
     # drives: its plan embeds a completed run's table read
 ]
