@@ -902,3 +902,47 @@ def test_cms_soak_twenty_drains_bounded_state_and_exact(spark, tmp_path):
     batch = sketches.cms_cells(events, "user_id", depth=4, width=256)
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_bitmap_distinct_state_bounded_by_key_domain(spark, tmp_path):
+    """The bitmap-distinct aggregate's state is |days| x |occupied
+    words| rows — the engine's own numRowsTotal must equal that key
+    domain and never the event count (the distinct set lives inside
+    the BIT_OR words, not in per-user state rows)."""
+    import os
+
+    rows = []
+    eid = 0
+    for day in (1, 2, 3):
+        for uid in range(200):          # users 0..199 -> words 0..3
+            eid += 1
+            rows.append((eid, uid, f"2020-01-{day:02d} 10:00:00"))
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string"
+    ).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    words = (
+        stream.withColumn("day", F.to_date("ts"))
+        .withColumn("word", F.expr("user_id div 63").cast("long"))
+        .withColumn("bit", F.expr("shiftleft(1L, CAST(user_id % 63 AS INT))"))
+        .groupBy("day", "word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    q = (
+        words.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("bitmap_state_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("bitmap_state_test")
+    n_cells = got.count()
+    assert n_cells == 3 * 4                      # 3 days x 4 words
+    assert _state_rows_total(q) == n_cells       # state == key domain
+    total = got.agg(F.sum(F.bit_count("bits"))).first()[0]
+    assert total == 3 * 200                      # exact distinct per day
