@@ -296,6 +296,8 @@ HEADLINE = [
     "events_entry_channel_conversion",
     # 192 -> 193: join-key skew audit
     "quality_join_key_skew",
+    # 193 -> 194: new-vs-returning growth accounting
+    "events_new_vs_returning",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

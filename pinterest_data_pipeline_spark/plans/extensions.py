@@ -6847,3 +6847,47 @@ def quality_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_key_skew(events, "events", "user_id"))
     )
     return out.orderBy("join_key", F.desc("n"), "key_value")
+
+
+@query
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily actives split into NEW (first-ever active day) vs
+    RETURNING — the growth-accounting readout on every product
+    dashboard. One user-keyed min-day aggregate + one (day, user)
+    distinct pass joined on the user key; the day rollup is
+    calendar-bounded. Exact integers, one rounded share.
+    """
+    events = load_table(spark, sf_dir, "events")
+    pairs = events.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    firsts = pairs.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        pairs.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("new_users"),
+            F.sum(
+                F.when(F.col("day") != F.col("first_day"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("returning_users"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "new_users",
+            "returning_users",
+            F.round(
+                F.col("new_users").cast("double")
+                / (F.col("new_users") + F.col("returning_users")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("new_share"),
+        )
+        .orderBy("day")
+    )

@@ -6163,3 +6163,23 @@ oracle("quality_join_key_skew")(
     SELECT * FROM uni ORDER BY join_key, n DESC, key_value
     """
 )
+
+# Same first-day split over the distinct (day, user) pass.
+oracle("events_new_vs_returning")(
+    """
+    WITH pairs AS (
+        SELECT DISTINCT ts::DATE AS day, user_id FROM events
+    ), firsts AS (
+        SELECT user_id, min(day) AS first_day FROM pairs GROUP BY user_id
+    )
+    SELECT strftime(p.day, '%Y-%m-%d') AS day,
+           sum(CASE WHEN p.day = f.first_day THEN 1 ELSE 0 END)::BIGINT
+               AS new_users,
+           sum(CASE WHEN p.day <> f.first_day THEN 1 ELSE 0 END)::BIGINT
+               AS returning_users,
+           round(sum(CASE WHEN p.day = f.first_day THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*)::DOUBLE, 6) AS new_share
+    FROM pairs p JOIN firsts f USING (user_id)
+    GROUP BY p.day ORDER BY day
+    """
+)

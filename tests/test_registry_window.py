@@ -82,6 +82,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "text_zipf_slope",
     "events_entry_channel_conversion",
     "quality_join_key_skew",
+    "events_new_vs_returning",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

@@ -3091,3 +3091,36 @@ def test_join_key_skew_identifies_hot_key(spark):
     hot = out[0]
     assert hot.key_value == "999" and hot.n == 80 and hot.share == 0.8
     assert hot.skew_vs_mean == round(0.8 * 21, 4)   # 21 distinct users
+
+
+def test_new_vs_returning_growth_accounting(spark):
+    """u1 active days 1+2 (new then returning), u2 active day 2 only
+    (new): day 1 = 1 new, day 2 = 1 new + 1 returning; shares exact."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rows = [
+        (1, 1, "2020-01-01 10:00:00"),
+        (2, 1, "2020-01-01 18:00:00"),   # same day: still one pair
+        (3, 1, "2020-01-02 10:00:00"),
+        (4, 2, "2020-01-02 10:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string"
+    ).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        F.lit("view").alias("event_type"), F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        out = {r.day: r for r in
+               QUERIES["events_new_vs_returning"](spark, d).collect()}
+    assert out["2020-01-01"].new_users == 1
+    assert out["2020-01-01"].returning_users == 0
+    assert out["2020-01-02"].new_users == 1
+    assert out["2020-01-02"].returning_users == 1
+    assert out["2020-01-02"].new_share == 0.5

@@ -171,6 +171,7 @@ FLAGSHIPS = [
     "text_zipf_slope",
     "events_entry_channel_conversion",
     "quality_join_key_skew",
+    "events_new_vs_returning",
     # streaming_bitmap_distinct is excluded like the other streaming
     # drives: its plan embeds a completed run's table read
 ]
