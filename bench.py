@@ -298,6 +298,8 @@ HEADLINE = [
     "quality_join_key_skew",
     # 193 -> 194: new-vs-returning growth accounting
     "events_new_vs_returning",
+    # 194 -> 195: functional-dependency profiling audit
+    "quality_functional_dependency",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

@@ -6891,3 +6891,42 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def _fd_audit(df, lhs: str, rhs: str):
+    per_lhs = df.groupBy(lhs).agg(
+        F.count_distinct(rhs).cast("long").alias("n_rhs")
+    )
+    return per_lhs.agg(
+        F.lit(f"{lhs} -> {rhs}").alias("dependency"),
+        F.count(F.lit(1)).cast("long").alias("n_lhs_values"),
+        F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating_lhs"),
+        F.max("n_rhs").cast("long").alias("max_rhs_per_lhs"),
+    ).select(
+        "dependency",
+        "n_lhs_values",
+        "n_violating_lhs",
+        "max_rhs_per_lhs",
+        (F.col("n_violating_lhs") == 0).alias("holds"),
+    )
+
+
+@query
+def quality_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit over the part catalog — the schema
+    profiling pass that validates assumed invariants before they become
+    silent join bugs: does p_partkey determine p_name (the PK
+    contract), does p_name determine p_brand, does p_brand determine
+    p_type? Each candidate FD is one distinct-count aggregate folded to
+    a single row (violating LHS values counted, worst fan-out
+    reported); findings are data, not assertions. Exact integers only.
+    """
+    part = load_table(spark, sf_dir, "part")
+    return (
+        _fd_audit(part, "p_partkey", "p_name")
+        .unionByName(_fd_audit(part, "p_name", "p_brand"))
+        .unionByName(_fd_audit(part, "p_brand", "p_type"))
+        .orderBy("dependency")
+    )

@@ -6183,3 +6183,40 @@ oracle("events_new_vs_returning")(
     GROUP BY p.day ORDER BY day
     """
 )
+
+# Same three candidate FDs, each one distinct-count aggregate folded to
+# a single audited row.
+oracle("quality_functional_dependency")(
+    """
+    WITH a AS (
+        SELECT p_partkey AS lhs_v, count(DISTINCT p_name) AS n_rhs
+        FROM part GROUP BY 1
+    ), b AS (
+        SELECT p_name AS lhs_v, count(DISTINCT p_brand) AS n_rhs
+        FROM part GROUP BY 1
+    ), c AS (
+        SELECT p_brand AS lhs_v, count(DISTINCT p_type) AS n_rhs
+        FROM part GROUP BY 1
+    ), uni AS (
+        SELECT 'p_partkey -> p_name' AS dependency,
+               count(*)::BIGINT AS n_lhs_values,
+               sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_violating_lhs,
+               max(n_rhs)::BIGINT AS max_rhs_per_lhs
+        FROM a
+        UNION ALL
+        SELECT 'p_name -> p_brand', count(*)::BIGINT,
+               sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)::BIGINT,
+               max(n_rhs)::BIGINT
+        FROM b
+        UNION ALL
+        SELECT 'p_brand -> p_type', count(*)::BIGINT,
+               sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)::BIGINT,
+               max(n_rhs)::BIGINT
+        FROM c
+    )
+    SELECT dependency, n_lhs_values, n_violating_lhs, max_rhs_per_lhs,
+           (n_violating_lhs = 0) AS holds
+    FROM uni ORDER BY dependency
+    """
+)

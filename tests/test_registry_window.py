@@ -83,6 +83,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "events_entry_channel_conversion",
     "quality_join_key_skew",
     "events_new_vs_returning",
+    "quality_functional_dependency",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

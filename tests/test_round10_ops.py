@@ -3124,3 +3124,34 @@ def test_new_vs_returning_growth_accounting(spark):
     assert out["2020-01-02"].new_users == 1
     assert out["2020-01-02"].returning_users == 1
     assert out["2020-01-02"].new_share == 0.5
+
+
+def test_functional_dependency_audit_planted(spark):
+    """PK holds; a planted name with two brands violates name->brand
+    with fan-out 2; brand->type violation fan-out 3."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rows = [
+        (1, "widget", "B1", "small", 1, 1.0),
+        (2, "widget", "B2", "small", 1, 1.0),    # name -> brand violated
+        (3, "gadget", "B1", "medium", 2, 2.0),   # B1 has small+medium+large
+        (4, "sprocket", "B1", "large", 3, 3.0),
+        (5, "cog", "B3", "tiny", 1, 1.0),
+    ]
+    schema = ("p_partkey long, p_name string, p_brand string, p_type string,"
+              " p_size int, p_retailprice double")
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "part.parquet")
+        )
+        out = {r.dependency: r for r in
+               QUERIES["quality_functional_dependency"](spark, d).collect()}
+    assert out["p_partkey -> p_name"].holds
+    nb = out["p_name -> p_brand"]
+    assert not nb.holds and nb.n_violating_lhs == 1 and nb.max_rhs_per_lhs == 2
+    bt = out["p_brand -> p_type"]
+    assert not bt.holds and bt.max_rhs_per_lhs == 3

@@ -172,6 +172,7 @@ FLAGSHIPS = [
     "events_entry_channel_conversion",
     "quality_join_key_skew",
     "events_new_vs_returning",
+    "quality_functional_dependency",
     # streaming_bitmap_distinct is excluded like the other streaming
     # drives: its plan embeds a completed run's table read
 ]
