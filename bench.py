@@ -300,6 +300,8 @@ HEADLINE = [
     "events_new_vs_returning",
     # 194 -> 195: functional-dependency profiling audit
     "quality_functional_dependency",
+    # 195 -> 196: language-ID confusion matrix (classifier eval)
+    "quality_langid_confusion",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

@@ -6930,3 +6930,36 @@ def quality_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame
         .unionByName(_fd_audit(part, "p_brand", "p_type"))
         .orderBy("dependency")
     )
+
+
+@query
+def quality_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the marker-word classifier
+    (``text_lang_id``) scored against the corpus's declared ``lang``
+    label — per (declared, predicted) cell counts plus the per-declared
+    recall. The evaluate-a-classifier-at-corpus-scale pattern: one
+    scan, a |langs|²-bounded rollup, exact integers and one rounded
+    recall per row.
+    """
+    docs = load_documents(spark, sf_dir)
+    pred = docs.select(
+        "lang", text.lang_id(F.col("text")).alias("predicted")
+    )
+    cells = pred.groupBy("lang", "predicted").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = cells.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("n_lang")
+    )
+    return (
+        cells.join(totals, "lang")
+        .select(
+            "lang",
+            "predicted",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("n_lang").cast("double"), 6
+            ).alias("share_of_declared"),
+        )
+        .orderBy("lang", "predicted")
+    )

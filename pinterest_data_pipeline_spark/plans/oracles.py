@@ -6220,3 +6220,33 @@ oracle("quality_functional_dependency")(
     FROM uni ORDER BY dependency
     """
 )
+
+
+# Reuses the exact lang-id scoring fragments; |langs|^2-bounded rollup
+# with one rounded recall per cell.
+oracle("quality_langid_confusion")(
+    f"""
+    WITH scored AS (
+        SELECT lang, {_EN} AS s_en, {_ES} AS s_es, {_FR} AS s_fr,
+               {_DE} AS s_de
+        FROM documents
+    ), pred AS (
+        SELECT lang,
+               CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en > 0 THEN 'en'
+                    WHEN s_es >= s_fr AND s_es >= s_de AND s_es > 0 THEN 'es'
+                    WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+                    WHEN s_de > 0 THEN 'de'
+                    ELSE 'und' END AS predicted
+        FROM scored
+    ), cells AS (
+        SELECT lang, predicted, count(*)::BIGINT AS n
+        FROM pred GROUP BY lang, predicted
+    ), totals AS (
+        SELECT lang, sum(n)::BIGINT AS n_lang FROM cells GROUP BY lang
+    )
+    SELECT c.lang, c.predicted, c.n,
+           round(c.n::DOUBLE / t.n_lang::DOUBLE, 6) AS share_of_declared
+    FROM cells c JOIN totals t USING (lang)
+    ORDER BY lang, predicted
+    """
+)

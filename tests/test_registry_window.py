@@ -84,6 +84,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "quality_join_key_skew",
     "events_new_vs_returning",
     "quality_functional_dependency",
+    "quality_langid_confusion",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

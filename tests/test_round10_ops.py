@@ -3155,3 +3155,28 @@ def test_functional_dependency_audit_planted(spark):
     assert not nb.holds and nb.n_violating_lhs == 1 and nb.max_rhs_per_lhs == 2
     bt = out["p_brand -> p_type"]
     assert not bt.holds and bt.max_rhs_per_lhs == 3
+
+
+def test_langid_confusion_cells(spark):
+    """Declared-en docs: one scores en (diagonal), one gibberish falls
+    to 'und'; shares per declared lang sum to 1."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rows = [
+        (1, "the quick brown fox and the lazy dog", "en", "t", 37),
+        (2, "zzz qqq xxx", "en", "t", 11),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {(r.lang, r.predicted): r for r in
+               QUERIES["quality_langid_confusion"](spark, d).collect()}
+    assert out[("en", "en")].n == 1
+    assert out[("en", "und")].n == 1
+    assert out[("en", "en")].share_of_declared == 0.5

@@ -173,6 +173,7 @@ FLAGSHIPS = [
     "quality_join_key_skew",
     "events_new_vs_returning",
     "quality_functional_dependency",
+    "quality_langid_confusion",
     # streaming_bitmap_distinct is excluded like the other streaming
     # drives: its plan embeds a completed run's table read
 ]
