@@ -53,6 +53,14 @@ def plan_of(spark, name: str) -> str:
         "events_top_paths",
         "text_ngram_novelty",
         "text_pmi_cooccurrence",
+        # late session-5: pure keyed joins/aggregates (no scalar attach)
+        "quality_duplicate_payments",
+        "events_entry_channel_conversion",
+        "events_new_vs_returning",
+        "quality_functional_dependency",
+        "quality_langid_confusion",
+        "events_markov_accuracy",
+        "text_zipf_slope",
     ],
 )
 def test_no_cartesian_or_python_udf_in_core_plans(spark, name):
@@ -472,8 +480,14 @@ def test_ewma_decay_joins_broadcast_daily_rollup(spark):
         "sketch_kmv_distinct_union",
         "quality_drift_psi",
         # round-10 session-5 scalar attaches: CUPED pooled moments,
-        # Theil-Sen median slope, KM corpus end (PMI inlines its corpus
-        # count as a literal via the bounded collect instead)
+        # Theil-Sen median slope, KM corpus end, dyadic-decay reference
+        # day, hierarchy global total, key-skew per-column totals (PMI
+        # inlines its corpus count as a literal via the bounded collect
+        # instead)
+        "events_decay_score_dyadic",
+        "agg_hierarchical_share",
+        "quality_join_key_skew",
+        "sample_group_split_no_leakage",
         "events_cuped_adjusted",
         "events_theilsen_trend",
         "events_kaplan_meier",
@@ -494,9 +508,13 @@ def test_scalar_attach_bnlj_build_side_is_single_row(spark, name):
     import re
 
     assert "BroadcastNestedLoopJoin" in plan
-    # the only BroadcastExchanges feeding a BNLJ carry IdentityBroadcastMode
-    # (scalar row), never a keyed HashedRelation
-    for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
-        assert "IdentityBroadcastMode" in frag.split("BroadcastHashJoin")[0]
+    # IdentityBroadcastMode exchanges exist ONLY to feed BNLJs (keyed
+    # hash joins use HashedRelationBroadcastMode), so count equality
+    # pins every BNLJ to a scalar-row broadcast — robust to hash joins
+    # appearing under the BNLJ in the formatted text, where the old
+    # fragment-prefix check misfired
+    assert plan.count("BroadcastNestedLoopJoin") == plan.count(
+        "IdentityBroadcastMode"
+    )
     # and the aggregate under each broadcast groups by NOTHING
     assert re.search(r"HashAggregate\(keys=\[\]", plan)
