@@ -302,6 +302,8 @@ HEADLINE = [
     "quality_functional_dependency",
     # 195 -> 196: language-ID confusion matrix (classifier eval)
     "quality_langid_confusion",
+    # 196 -> 197: corpus datasheet card
+    "pipeline_corpus_card",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

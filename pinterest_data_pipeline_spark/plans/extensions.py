@@ -6963,3 +6963,52 @@ def quality_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "predicted")
     )
+
+
+@query
+def pipeline_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "dataset datasheet" rollup a pretraining corpus ships with:
+    per (source, lang) — document volume, whitespace-token volume,
+    exact-duplicate rate (1 - distinct texts / docs), and mean document
+    length. One scan computes the per-cell aggregates; the dup rate
+    rides a (cell, text)-keyed distinct pass, never a pair join. Exact
+    integers with two rounded ratios; output bounded by
+    |sources| x |langs|.
+    """
+    docs = load_documents(spark, sf_dir)
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+        )
+        .cast("long")
+        .alias("n_tokens"),
+        F.sum(F.length("text")).cast("long").alias("n_chars_total"),
+    )
+    distinct_texts = (
+        docs.select("source", "lang", "text")
+        .distinct()
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_distinct_texts"))
+    )
+    return (
+        cells.join(distinct_texts, ["source", "lang"])
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_distinct_texts").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("exact_dup_rate"),
+            F.round(
+                F.col("n_chars_total").cast("double")
+                / F.col("n_docs").cast("double"),
+                4,
+            ).alias("mean_chars"),
+        )
+        .orderBy("source", "lang")
+    )

@@ -6250,3 +6250,26 @@ oracle("quality_langid_confusion")(
     ORDER BY lang, predicted
     """
 )
+
+# Same one-scan datasheet; dup rate from the (cell, text) distinct pass.
+oracle("pipeline_corpus_card")(
+    """
+    WITH cells AS (
+        SELECT source, lang, count(*)::BIGINT AS n_docs,
+               sum(len(list_filter(string_split(text, ' '),
+                                   x -> x <> '')))::BIGINT AS n_tokens,
+               sum(length(text))::BIGINT AS n_chars_total
+        FROM documents GROUP BY source, lang
+    ), d AS (
+        SELECT source, lang, count(*)::BIGINT AS n_distinct_texts
+        FROM (SELECT DISTINCT source, lang, text FROM documents)
+        GROUP BY source, lang
+    )
+    SELECT c.source, c.lang, c.n_docs, c.n_tokens,
+           round(1.0 - d.n_distinct_texts::DOUBLE / c.n_docs::DOUBLE, 6)
+               AS exact_dup_rate,
+           round(c.n_chars_total::DOUBLE / c.n_docs::DOUBLE, 4) AS mean_chars
+    FROM cells c JOIN d USING (source, lang)
+    ORDER BY source, lang
+    """
+)

@@ -85,6 +85,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "events_new_vs_returning",
     "quality_functional_dependency",
     "quality_langid_confusion",
+    "pipeline_corpus_card",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

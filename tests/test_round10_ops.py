@@ -3180,3 +3180,32 @@ def test_langid_confusion_cells(spark):
     assert out[("en", "en")].n == 1
     assert out[("en", "und")].n == 1
     assert out[("en", "en")].share_of_declared == 0.5
+
+
+def test_corpus_card_dup_rate_and_tokens(spark):
+    """3 docs in a cell, two identical -> dup rate 1/3; token counts
+    ignore empty split artifacts; mean chars exact."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rows = [
+        (1, "a b c", "en", "web", 5),
+        (2, "a b c", "en", "web", 5),      # exact dup
+        (3, "d  e", "en", "web", 4),       # double space: 2 tokens
+        (4, "x", "fr", "web", 1),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {(r.source, r.lang): r for r in
+               QUERIES["pipeline_corpus_card"](spark, d).collect()}
+    en = out[("web", "en")]
+    assert en.n_docs == 3 and en.n_tokens == 8      # 3 + 3 + 2
+    assert en.exact_dup_rate == round(1 - 2 / 3, 6)
+    assert en.mean_chars == round(14 / 3, 4)
+    assert out[("web", "fr")].exact_dup_rate == 0.0

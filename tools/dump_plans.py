@@ -174,6 +174,7 @@ FLAGSHIPS = [
     "events_new_vs_returning",
     "quality_functional_dependency",
     "quality_langid_confusion",
+    "pipeline_corpus_card",
     # streaming_bitmap_distinct is excluded like the other streaming
     # drives: its plan embeds a completed run's table read
 ]
