@@ -5667,7 +5667,10 @@ def agg_gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain, and row_number runs partitioned per (segment, bucket).
     SUM(i*x_i) is tie-order invariant (equal x swap positions freely),
     so no cross-engine tie contract is needed. Revenue in integer
-    cents; the only floats are the terminal Gini division.
+    cents; SUM(i*x) is ~n²·x̄/2 and overflows int64 around 4M customers
+    (the 256x probe caught it under ANSI), so it accumulates as
+    decimal(38,0) — exact 128-bit, the dual of DuckDB's native HUGEINT
+    — and converts to double only inside the terminal Gini expression.
     """
     from ..operators.ranking import two_phase_rank
 
@@ -5694,7 +5697,9 @@ def agg_gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_customers"),
             F.sum("cents").cast("long").alias("revenue_cents"),
-            F.sum(F.col("i") * F.col("cents")).cast("long").alias("s1"),
+            F.sum(
+                (F.col("i") * F.col("cents")).cast("decimal(38,0)")
+            ).alias("s1"),
         )
         .select(
             "c_mktsegment",
@@ -6018,8 +6023,10 @@ def events_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
         F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        # sum(x*y) over millions of users outruns int64 (the Gini 256x
+        # lesson): exact decimal(38,0) accumulation, double at theta
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
     )
     theta = (
         F.col("n").cast("double") * F.col("sxy").cast("double")

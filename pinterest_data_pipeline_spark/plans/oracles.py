@@ -5522,7 +5522,7 @@ oracle("agg_gini_customer_revenue")(
     )
     SELECT c_mktsegment, count(*)::BIGINT AS n_customers,
            sum(cents)::BIGINT AS revenue_cents,
-           round((2.0 * sum(i * cents)::BIGINT
+           round((2.0 * sum(i * cents)::DOUBLE
                   - (count(*)::DOUBLE + 1.0) * sum(cents)::BIGINT)
                  / (count(*)::DOUBLE * sum(cents)::BIGINT), 6) AS gini
     FROM ranked GROUP BY c_mktsegment ORDER BY c_mktsegment
@@ -5703,8 +5703,8 @@ oracle("events_cuped_adjusted")(
         FROM events GROUP BY user_id
     ), pooled AS (
         SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
-               sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
-               sum(x * x)::BIGINT AS sxx
+               sum(y)::BIGINT AS sy, sum(x * y) AS sxy,
+               sum(x * x) AS sxx
         FROM pu
     ), arms AS (
         SELECT arm, count(*)::BIGINT AS n_users,

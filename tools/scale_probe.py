@@ -2002,7 +2002,8 @@ def probe_gini(spark, mult: int) -> float:
         "i", F.col("off") + F.row_number().over(wi))
     q = ranked.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s0"),
-        F.sum(F.col("i") * F.col("cents")).alias("s1"))
+        F.sum((F.col("i") * F.col("cents")).cast("decimal(38,0)"))
+        .alias("s1"))
     t0 = time.perf_counter()
     q.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
