@@ -162,6 +162,79 @@ def cosine_topk_quantized(
     )
 
 
+def knn_partial_topk_matmul(
+    corpus: DataFrame,
+    audited_rows,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "c_vec",
+    label_col: str = "label",
+) -> DataFrame:
+    """Exact integer-dot top-k candidates per query via one GEMM per
+    Arrow batch, with per-batch partial selection.
+
+    ``corpus`` carries ALREADY-QUANTIZED integer vectors (``quantize``
+    output), so the kernel never rounds a float — the one cross-engine
+    knife-edge stays Spark-side. Every component is an integer with
+    |v| <= 2**25 (asserted) and a d<=4096 dot is < 2**53, so the float64
+    BLAS product is EXACT: each intermediate sum is an exactly-
+    representable integer. ``audited_rows`` is the bounded query set
+    (collected Rows of (q_id, q_vec, q_label)).
+
+    Scale shape: the global top-k per query under the total order
+    (dot desc, id asc) is a subset of every batch's local top-k under
+    the same order, so each Arrow batch emits at most ``q*(k+1)`` rows
+    (k+1 covers the self-match dropped JVM-side) — Python->JVM traffic
+    is corpus-size-independent and the caller finishes with one
+    WindowGroupLimit rank. Replaces a q*n interpreted zip_with/aggregate
+    evaluation (~10x HOF tax, NOTES.md) with one C-side matmul.
+    """
+    import numpy as np
+
+    q_ids = np.array([int(r[0]) for r in audited_rows], dtype=np.int64)
+    q_mat = np.array([list(r[1]) for r in audited_rows], dtype=np.float64)
+    q_labels = [r[2] for r in audited_rows]
+    n_q, dim = q_mat.shape
+    assert np.abs(q_mat).max(initial=0.0) < 2**25, "quantized component too large"
+    out_schema = (
+        "q_id long, q_label int, vec_id long, label int, dot_q long"
+    )
+    take = k + 1  # self-match (vec_id == q_id) is filtered after ranking
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            labels = pdf[label_col].to_numpy()
+            x = _stack_vectors(pdf[vec_col], dim, "knn_partial_topk_matmul")
+            assert np.abs(x).max(initial=0.0) < 2**25, (
+                "quantized component too large for exact float64 GEMM"
+            )
+            # pre-sort by id so a stable sort on -dot yields (dot desc, id asc)
+            order_ids = np.argsort(ids, kind="stable")
+            ids, labels, x = ids[order_ids], labels[order_ids], x[order_ids]
+            dots = x @ q_mat.T  # (n, q) exact integer-valued float64
+            sel = np.argsort(-dots, axis=0, kind="stable")[: min(take, len(ids))]
+            rows = []
+            for j in range(n_q):
+                idx = sel[:, j]
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": q_ids[j],
+                            "q_label": q_labels[j],
+                            "vec_id": ids[idx],
+                            "label": labels[idx],
+                            "dot_q": dots[idx, j].astype(np.int64),
+                        }
+                    )
+                )
+            yield pd.concat(rows, ignore_index=True)
+
+    return corpus.mapInPandas(kernel, out_schema)
+
+
 def quantize_int8_longform(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -4310,39 +4310,39 @@ def quality_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     mis-broadcast class the k-means fix documents; a full-corpus audit
     is the blocked-GEMM job embedding_near_duplicates ships).
 
-    Scale shape: one corpus scan against the 256-row broadcast;
-    per-pair dot products in codegen; neighbour cut via WindowGroupLimit
-    rank; label counts are a (vector, label)-keyed partial agg. Output
-    is a one-row rollup plus the disagreement rate at one float site.
+    Scale shape: one corpus scan against the 256-row bounded query set;
+    per-batch dot products via ONE exact float64 GEMM (Arrow-batched
+    mapInPandas — the q*n interpreted zip_with/aggregate form paid the
+    ~10x HOF tax, NOTES.md) emitting at most 256*(5+1) candidate rows
+    per batch regardless of corpus size; the global neighbour cut is a
+    WindowGroupLimit rank over those partials; label counts are a
+    (vector, label)-keyed partial agg. Output is a one-row rollup plus
+    the disagreement rate at one float site.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    audited = emb.withColumn(
-        "h", sampling.uniform_hash(F.col("vec_id"), "knn_audit")
-    ).orderBy(F.asc("h"), F.asc("vec_id")).limit(256).select(
-        F.col("vec_id").alias("q_id"),
-        similarity.quantize(F.col("embedding")).alias("q_vec"),
-        F.col("label").alias("q_label"),
+    # bounded by construction: exactly 256 rows leave the cluster
+    audited_rows = (
+        emb.withColumn("h", sampling.uniform_hash(F.col("vec_id"), "knn_audit"))
+        .orderBy(F.asc("h"), F.asc("vec_id"))
+        .limit(256)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            similarity.quantize(F.col("embedding")).alias("q_vec"),
+            F.col("label").alias("q_label"),
+        )
+        .collect()
     )
     corpus = emb.select(
         "vec_id", similarity.quantize(F.col("embedding")).alias("c_vec"),
         "label",
     )
-    dots = (
-        corpus.join(F.broadcast(audited), F.col("vec_id") != F.col("q_id"))
-        .withColumn(
-            "dot_q",
-            F.aggregate(
-                F.zip_with(
-                    F.col("c_vec"), F.col("q_vec"), lambda x, y: x * y
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ),
-        )
-        .select("q_id", "q_label", "vec_id", "label", "dot_q")
-    )
+    partials = similarity.knn_partial_topk_matmul(
+        corpus, audited_rows, k=5
+    ).filter(F.col("vec_id") != F.col("q_id"))
     w = Window.partitionBy("q_id").orderBy(F.desc("dot_q"), F.asc("vec_id"))
-    knn = dots.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+    knn = partials.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 5
+    )
     votes = knn.groupBy("q_id", "q_label").agg(
         F.sum(
             F.when(F.col("label") == F.col("q_label"), 1).otherwise(0)

@@ -3209,3 +3209,64 @@ def test_corpus_card_dup_rate_and_tokens(spark):
     assert en.exact_dup_rate == round(1 - 2 / 3, 6)
     assert en.mean_chars == round(14 / 3, 4)
     assert out[("web", "fr")].exact_dup_rate == 0.0
+
+
+def test_knn_partial_topk_matmul_ties_across_batches(spark):
+    """The GEMM kernel's per-batch partial top-k must preserve the global
+    (dot desc, vec_id asc) order: plant a corpus where every vector has an
+    IDENTICAL dot with the query (all ties) split across many partitions —
+    the global top-5 must be the 5 smallest vec_ids, and the exact dot must
+    survive the float64 GEMM bit-for-bit."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline_spark.operators import similarity
+
+    # 40 corpus vectors, all with dot == 6 against q_vec (ties everywhere)
+    rows = [(int(i), [1, 2, 1], 0 if i % 2 == 0 else 1) for i in range(40)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, c_vec array<long>, label int"
+    ).repartition(8)
+    audited = [(999, [2, 1, 2], 1)]
+    partials = similarity.knn_partial_topk_matmul(corpus, audited, k=5)
+    w = Window.partitionBy("q_id").orderBy(F.desc("dot_q"), F.asc("vec_id"))
+    top = (
+        partials.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert [r.vec_id for r in top] == [0, 1, 2, 3, 4]
+    assert all(r.dot_q == 6 for r in top)
+    assert [r.label for r in top] == [0, 1, 0, 1, 0]
+
+
+def test_knn_partial_topk_matmul_self_excluded_despite_top_rank(spark):
+    """A query vector present in the corpus dots highest with itself; the
+    k+1 partial keeps enough candidates that dropping the self-match
+    JVM-side still leaves k true neighbours."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pinterest_data_pipeline_spark.operators import similarity
+
+    rows = [(0, [100, 100], 1)] + [
+        (int(i), [10, i], 0) for i in range(1, 8)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, c_vec array<long>, label int"
+    )
+    audited = [(0, [100, 100], 1)]  # self lives in the corpus
+    partials = similarity.knn_partial_topk_matmul(corpus, audited, k=5).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("dot_q"), F.asc("vec_id"))
+    top = (
+        partials.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .collect()
+    )
+    assert len(top) == 5
+    assert all(r.vec_id != 0 for r in top)
+    # highest dot wins: dot = 1000 + 100*i -> ids 7,6,5,4,3
+    assert sorted(r.vec_id for r in top) == [3, 4, 5, 6, 7]
