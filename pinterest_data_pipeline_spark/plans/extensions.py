@@ -3381,11 +3381,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each iteration is ONE edge-keyed shuffle join (ranks to
     out-edges on src) plus one dst-keyed partial-agg sum — the standard
     distributed PageRank step; the fixed iteration count keeps the whole
-    computation a single lazy plan, and Catalyst reuses the edge-build
-    exchanges across iterations (ReusedExchange) instead of rescanning. A
-    production run at higher k would persist the edge frame; nothing here
-    is driver-bound. N arrives as a broadcast 1-row aggregate, never a
-    driver round-trip.
+    computation a single lazy plan, and the edge + node frames (support-
+    bounded, far smaller than lineitem) are persisted once per call so
+    every iteration joins cached frames instead of replaying the basket
+    self-join. Nothing here is driver-bound. N arrives as a broadcast
+    1-row aggregate, never a driver round-trip.
 
     Float contract: teleport and damping constants are the same literals in
     both engines (0.15 / 0.85 — never ``1 - d``, whose binary value
@@ -3396,14 +3396,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     edges = _cooccurrence_edges(li)
-    dir_edges = edges.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    dir_edges = persist_scoped(
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+            edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        ),
+        "pagerank_dir_edges",
+    )
     deg = dir_edges.groupBy(F.col("src").alias("n")).agg(
         F.count(F.lit(1)).alias("deg")
     )
     ncnt = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    nodes = deg.crossJoin(F.broadcast(ncnt))
+    nodes = persist_scoped(deg.crossJoin(F.broadcast(ncnt)), "pagerank_nodes")
     ranks = nodes.select(
         "n", "deg", "n_nodes", (F.lit(1.0) / F.col("n_nodes")).alias("r")
     )
@@ -3904,13 +3907,18 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     the frontier and keeps the SHORTEST distance — the textbook
     distributed BFS step; the seed arrives as a broadcast 1-row aggregate,
     never a driver round-trip. Hop count is fixed (3), so the whole walk
-    is one lazy plan with reused edge exchanges.
+    is one lazy plan; the edge frame (support-bounded, far smaller than
+    lineitem) is persisted once per call — each hop joins the cached
+    edges instead of replaying the basket self-join per frontier.
     """
     li = load_table(spark, sf_dir, "lineitem")
     edges = _cooccurrence_edges(li)
-    dir_edges = edges.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    dir_edges = persist_scoped(
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+            edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        ),
+        "bfs_dir_edges",
+    )
     nodes = dir_edges.select(F.col("src").alias("n")).distinct()
     seed = nodes.agg(F.min("n").alias("n"))
     reached = F.broadcast(seed).select("n", F.lit(0).alias("dist"))
@@ -5270,7 +5278,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per round ONE edge-keyed shuffle join + node-keyed min
     aggregate (same join profile as the BFS query); rounds are fixed at
-    3 so the whole walk is one lazy plan.
+    3 so the whole walk is one lazy plan. Unlike the BFS/PageRank twins,
+    persisting the edge frame here measured 1.6-3x SLOWER (the label
+    frame's per-round union+min-agg lineage loses its whole-subtree
+    exchange reuse once an InMemoryRelation splits the plan) — measured
+    both directed- and undirected-persist variants at sf0.1; exchange
+    reuse wins for this shape, so it deliberately stays unpersisted.
     """
     li = load_table(spark, sf_dir, "lineitem")
     edges = _cooccurrence_edges(li)
