@@ -1365,30 +1365,43 @@ def jl_project_quantized(
     sparse Achlioptas matrix makes each output component a ±1 signed sum
     of ~1/3 of the inputs).
 
-    Components are quantized ``round(v * scale)`` BIGINTs first (the
-    certified round-half-away idiom of ``quantize_int8_longform``), so
-    every projected component is an EXACT integer dot product — map-side
-    only, no shuffle, no UDF, whole-stage codegen; the matrix is inlined
-    as plan literals.
+    Components are quantized ``round(v * scale)`` BIGINTs FIRST and
+    Spark-side (the certified round-half-away idiom of
+    ``quantize_int8_longform`` — the one cross-engine rounding
+    knife-edge never enters Python), then the projection itself is one
+    exact float64 GEMM per Arrow batch: every quantized component is an
+    integer |v| < 2**25 and an in_dim<=4096 signed sum stays < 2**53,
+    so each BLAS intermediate is an exactly-representable integer —
+    the same exactness argument as ``knn_partial_topk_matmul``.
+    Map-side only, no shuffle.
+
+    Expression-shape note (three measured variants at sf0.1, 2000x64
+    corpus): a shared quantized array column gets INLINED by projection
+    collapse into every component expression (interpreted HOF re-run
+    per component, 2.4 s); expanding all ~in_dim*out_dim/3 terms as
+    scalar codegen expressions overflows Janino's method limit and the
+    projection falls back to interpreted (9.5 s); per-component
+    ``zip_with/aggregate`` dots pay the HOF tax out_dim times per row
+    (2.2 s). Dense scoring belongs in the Arrow kernel (0.6 s) — the
+    ``nearest_cells_pandas`` precedent.
 
     Adds a ``proj`` column (``array<long>`` of length ``out_dim``) to the
     input frame, all other columns preserved.
     """
-    q = quantize(F.col(vec_col), scale)
-    rows = jl_projection_rows(seed, out_dim, in_dim)
-    comps = []
-    for j in range(out_dim):
-        terms = [
-            F.element_at(F.col("_q"), d + 1) * F.lit(val)
-            for (jj, d, val) in rows
-            if jj == j
-        ]
-        comp = terms[0]
-        for t in terms[1:]:
-            comp = comp + t
-        comps.append(comp)
-    return (
-        df.withColumn("_q", q)
-        .withColumn("proj", F.array(*comps))
-        .drop("_q")
-    )
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    mat = np.zeros((out_dim, in_dim), dtype=np.float64)
+    for j, d, val in jl_projection_rows(seed, out_dim, in_dim):
+        mat[j, d] = val
+
+    @pandas_udf("array<long>")
+    def kernel(qvecs: pd.Series) -> pd.Series:
+        x = _stack_vectors(qvecs, in_dim, "jl_project_quantized")
+        assert np.abs(x).max(initial=0.0) < 2**25, (
+            "quantized component too large for exact float64 GEMM"
+        )
+        proj = (x @ mat.T).astype(np.int64)
+        return pd.Series(list(proj))
+
+    return df.withColumn("proj", kernel(quantize(F.col(vec_col), scale)))

@@ -2997,7 +2997,9 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators import similarity
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # fan_out: the single-file scan would run every interpreted HOF dot
+    # on ONE core (no-op on a real multi-file store)
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     proj = similarity.jl_project_quantized(
         emb.select("vec_id", "embedding", "label"),
         id_col="vec_id",
