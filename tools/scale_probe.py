@@ -2188,6 +2188,49 @@ def probe_char_entropy(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
+def probe_knn_audit(spark, mult: int) -> float:
+    """k-NN label audit at mult x embeddings: one corpus scan against the
+    fixed 256-query GEMM kernel; Python->JVM traffic stays q*(k+1) rows
+    per batch no matter the corpus size, so wall should track the scan.
+    Timer covers BOTH actions (the bounded 256-row audit collect and the
+    rollup) — the operator's real two-action shape."""
+    from pyspark.sql import Window as SqlWindow
+
+    from pinterest_data_pipeline_spark.operators import sampling, similarity
+
+    emb = multiply(load_table(spark, SF, "embeddings"), mult, ["vec_id"])
+    t0 = time.perf_counter()
+    audited_rows = (
+        emb.withColumn("h", sampling.uniform_hash(F.col("vec_id"), "knn_audit"))
+        .orderBy(F.asc("h"), F.asc("vec_id"))
+        .limit(256)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            similarity.quantize(F.col("embedding")).alias("q_vec"),
+            F.col("label").alias("q_label"),
+        )
+        .collect()
+    )
+    corpus = emb.select(
+        "vec_id", similarity.quantize(F.col("embedding")).alias("c_vec"), "label"
+    )
+    partials = similarity.knn_partial_topk_matmul(
+        corpus, audited_rows, k=5
+    ).filter(F.col("vec_id") != F.col("q_id"))
+    w = SqlWindow.partitionBy("q_id").orderBy(F.desc("dot_q"), F.asc("vec_id"))
+    knn = partials.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 5
+    )
+    votes = knn.groupBy("q_id", "q_label").agg(
+        F.sum(
+            F.when(F.col("label") == F.col("q_label"), 1).otherwise(0)
+        ).alias("agree")
+    )
+    q = votes.agg(F.count(F.lit(1)).alias("n"), F.sum("agree").alias("s"))
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 PROBES = {
     "tpch_q5_6way_join": probe_tpch_q5,
     "simhash_near_dup": probe_simhash,
@@ -2277,6 +2320,8 @@ PROBES = {
     "rolling_wau_bitmap": probe_rolling_wau_bitmap,
     "rolling_wau_bitmap_horizon": probe_rolling_wau_bitmap_horizon,
     "char_entropy": probe_char_entropy,
+    # round-10 session-6 additions (the GEMM-kernel rewrites)
+    "knn_audit": probe_knn_audit,
 }
 
 
