@@ -175,11 +175,13 @@ def knn_partial_topk_matmul(
 
     ``corpus`` carries ALREADY-QUANTIZED integer vectors (``quantize``
     output), so the kernel never rounds a float — the one cross-engine
-    knife-edge stays Spark-side. Every component is an integer with
-    |v| <= 2**25 (asserted) and a d<=4096 dot is < 2**53, so the float64
-    BLAS product is EXACT: each intermediate sum is an exactly-
-    representable integer. ``audited_rows`` is the bounded query set
-    (collected Rows of (q_id, q_vec, q_label)).
+    knife-edge stays Spark-side. The float64 BLAS product is EXACT
+    because every intermediate partial sum is an exactly-representable
+    integer: the kernel asserts the true per-batch bound
+    ``max|x| * max|q| * dim < 2**53`` (a flat component cap alone would
+    NOT suffice — 2**25 components at dim 64 can reach 2**56).
+    ``audited_rows`` is the bounded query set (collected Rows of
+    (q_id, q_vec, q_label)).
 
     Scale shape: the global top-k per query under the total order
     (dot desc, id asc) is a subset of every batch's local top-k under
@@ -195,7 +197,7 @@ def knn_partial_topk_matmul(
     q_mat = np.array([list(r[1]) for r in audited_rows], dtype=np.float64)
     q_labels = [r[2] for r in audited_rows]
     n_q, dim = q_mat.shape
-    assert np.abs(q_mat).max(initial=0.0) < 2**25, "quantized component too large"
+    q_absmax = float(np.abs(q_mat).max()) if q_mat.size else 0.0
     out_schema = (
         "q_id long, q_label int, vec_id long, label int, dot_q long"
     )
@@ -208,8 +210,10 @@ def knn_partial_topk_matmul(
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             labels = pdf[label_col].to_numpy()
             x = _stack_vectors(pdf[vec_col], dim, "knn_partial_topk_matmul")
-            assert np.abs(x).max(initial=0.0) < 2**25, (
-                "quantized component too large for exact float64 GEMM"
+            x_absmax = float(np.abs(x).max()) if x.size else 0.0
+            assert x_absmax * q_absmax * dim < 2**53, (
+                "quantized components too large for exact float64 GEMM "
+                f"(max|x|={x_absmax:g}, max|q|={q_absmax:g}, dim={dim})"
             )
             # pre-sort by id so a stable sort on -dot yields (dot desc, id asc)
             order_ids = np.argsort(ids, kind="stable")
@@ -1398,8 +1402,12 @@ def jl_project_quantized(
     @pandas_udf("array<long>")
     def kernel(qvecs: pd.Series) -> pd.Series:
         x = _stack_vectors(qvecs, in_dim, "jl_project_quantized")
-        assert np.abs(x).max(initial=0.0) < 2**25, (
-            "quantized component too large for exact float64 GEMM"
+        x_absmax = float(np.abs(x).max()) if x.size else 0.0
+        # matrix entries are +-1, so the exact-integer headroom bound
+        # is max|x| * in_dim < 2**53 (same argument as the knn kernel)
+        assert x_absmax * in_dim < 2**53, (
+            f"quantized component too large for exact float64 GEMM "
+            f"(max|x|={x_absmax:g}, in_dim={in_dim})"
         )
         proj = (x @ mat.T).astype(np.int64)
         return pd.Series(list(proj))

@@ -515,3 +515,39 @@ def test_clamped_balance_closed_form_equals_recursion(spark, deltas):
         s = max(0, s + d)
         expect.append(s)
     assert [r.bal for r in out] == expect
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-(2**25) + 1, max_value=2**25 - 1),
+            min_size=8, max_size=8,
+        ),
+        min_size=1, max_size=12,
+    ),
+    qvec=st.lists(
+        st.integers(min_value=-(2**25) + 1, max_value=2**25 - 1),
+        min_size=8, max_size=8,
+    ),
+)
+@settings(**SETTINGS)
+def test_gemm_kernel_dot_products_exact_at_component_bound(spark, vecs, qvec):
+    """The float64-GEMM exactness claim of knn_partial_topk_matmul /
+    jl_project_quantized, at the ASSERTED bound: for arbitrary integer
+    components |v| < 2**25 (dim 8 here; the 2**53 headroom argument is
+    dim-scaled), the kernel's emitted dot equals Python's arbitrary-
+    precision integer dot, bit for bit."""
+    from pinterest_data_pipeline_spark.operators import similarity
+
+    rows = [(i, list(map(int, v)), 0) for i, v in enumerate(vecs)]
+    corpus = spark.createDataFrame(rows, "vec_id long, c_vec array<long>, label int")
+    audited = [(10**6, list(map(int, qvec)), 1)]  # q_id outside corpus ids
+    got = {
+        r.vec_id: r.dot_q
+        for r in similarity.knn_partial_topk_matmul(
+            corpus, audited, k=len(vecs)
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        expect = sum(int(a) * int(b) for a, b in zip(v, qvec))
+        assert got[i] == expect
