@@ -7053,3 +7053,166 @@ def pipeline_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+@query
+def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit of a quasi-identifier release — the k-anonymity /
+    l-diversity check a training-data pipeline runs before shipping any
+    table keyed by indirect identifiers (Sweeney, "k-Anonymity: a model
+    for protecting privacy", 2002): every customer is bucketed by the
+    QI tuple (nation, $250 account-balance band) and each QI group is
+    scored by size (re-identification: a group of size < k pins a row
+    to < k candidates) and by distinct sensitive values (homogeneity:
+    a group with l < 2 market segments leaks the segment even without
+    re-identification). Output: one row per k in (2, 5, 10) — groups
+    below k, rows at risk, risk share — plus the global minimum group
+    size and l<2 violation count on every row.
+
+    Exactness: counts and integer floor-bucketing end to end; the only
+    float sites are the band division (an integer-valued quotient flips
+    floor only when exact — both engines agree) and the rounded risk
+    share. Scale shape: one QI-keyed partial-agg groupBy (output
+    bounded by the QI DOMAIN, not row count), a 3x explode of that
+    domain-bounded frame, and an O(1) rollup. No window, no join, no
+    sort until the 3-row presentation edge.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(
+            F.round(F.col("c_acctbal") * 100).cast("long") / F.lit(25000)
+        )
+        .cast("long")
+        .alias("bal_band"),
+    )
+    groups = cust.groupBy("c_nationkey", "bal_band").agg(
+        F.count(F.lit(1)).cast("long").alias("grp_n"),
+        F.count_distinct("c_mktsegment").cast("long").alias("l_div"),
+    )
+    exploded = groups.select(
+        "grp_n",
+        "l_div",
+        F.explode(F.array(F.lit(2), F.lit(5), F.lit(10))).alias("k"),
+    )
+    return (
+        exploded.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("grp_n").cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("grp_n") < F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("groups_below_k"),
+            F.sum(
+                F.when(F.col("grp_n") < F.col("k"), F.col("grp_n")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("rows_at_risk"),
+            F.min("grp_n").cast("long").alias("min_group_size"),
+            F.sum(F.when(F.col("l_div") < 2, 1).otherwise(0))
+            .cast("long")
+            .alias("l2_violations"),
+        )
+        .select(
+            F.col("k").cast("int"),
+            "n_groups",
+            "n_rows",
+            "groups_below_k",
+            "rows_at_risk",
+            F.round(
+                F.col("rows_at_risk").cast("double")
+                / F.col("n_rows").cast("double"),
+                6,
+            ).alias("risk_share"),
+            "min_group_size",
+            "l2_violations",
+        )
+        .orderBy("k")
+    )
+
+
+@query
+def quality_simpsons_reversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-reversal (Simpson's paradox) audit: does the pooled
+    comparison "urgent orders are larger than non-urgent" FLIP inside
+    any customer segment? The confounder screen an analytics pipeline
+    runs before trusting a pooled metric. Cohort A = priorities
+    1-URGENT/2-HIGH, cohort B = the rest; the comparison mean_A vs
+    mean_B is decided WITHOUT division via the integer cross product
+    sum_A*n_B <=> sum_B*n_A, accumulated in decimal(38,0) (sum x count
+    products outrun int64 at scale — the session-5 knife-edge rule), so
+    every direction is exact; the displayed means are rounded at the
+    one presentation site. Output: one row per segment with both
+    cohort sizes, rounded means, the segment direction, the pooled
+    direction, and the reversal flag.
+
+    Scale shape: ONE (segment, cohort) integer rollup off the
+    orders-customer join (partial-agg friendly, segment-bounded
+    output), a segment-level pivot via conditional aggregation, and the
+    pooled row attached as a broadcast 1-row aggregate. No window.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("is_a"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    rows = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
+        "c_mktsegment", "cents", "is_a"
+    )
+
+    def _pivot(df, keys):
+        return df.groupBy(*keys).agg(
+            F.sum(F.when(F.col("is_a") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("is_a") == 1, F.col("cents")).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("s_a"),
+            F.sum(F.when(F.col("is_a") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+            F.sum(F.when(F.col("is_a") == 0, F.col("cents")).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("s_b"),
+        )
+
+    direction = F.when(
+        F.col("s_a") * F.col("n_b") > F.col("s_b") * F.col("n_a"), F.lit(1)
+    ).when(
+        F.col("s_a") * F.col("n_b") < F.col("s_b") * F.col("n_a"), F.lit(-1)
+    ).otherwise(F.lit(0))
+    seg = _pivot(rows, ["c_mktsegment"]).withColumn("seg_dir", direction)
+    pooled = (
+        _pivot(rows, [])
+        .withColumn("pooled_dir", direction)
+        .select("pooled_dir")
+    )
+    return (
+        seg.crossJoin(F.broadcast(pooled))
+        .select(
+            "c_mktsegment",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("s_a").cast("double") / F.col("n_a") / 100.0, 4
+            ).alias("mean_a"),
+            F.round(
+                F.col("s_b").cast("double") / F.col("n_b") / 100.0, 4
+            ).alias("mean_b"),
+            F.col("seg_dir").cast("int"),
+            F.col("pooled_dir").cast("int"),
+            (F.col("seg_dir") * F.col("pooled_dir") == -1)
+            .cast("int")
+            .alias("reversed"),
+        )
+        .orderBy("c_mktsegment")
+    )

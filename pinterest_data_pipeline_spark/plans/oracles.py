@@ -6273,3 +6273,84 @@ oracle("pipeline_corpus_card")(
     ORDER BY source, lang
     """
 )
+
+oracle("quality_k_anonymity")(
+    # Same QI bucketing (floor of an integer-valued cents quotient —
+    # identical in both engines), same per-k group/row sums.
+    """
+    WITH qi AS (
+        SELECT c_nationkey,
+               floor(round(c_acctbal * 100)::BIGINT / 25000.0)::BIGINT
+                   AS bal_band,
+               c_mktsegment
+        FROM customer
+    ), groups AS (
+        SELECT c_nationkey, bal_band,
+               count(*)::BIGINT AS grp_n,
+               count(DISTINCT c_mktsegment)::BIGINT AS l_div
+        FROM qi GROUP BY c_nationkey, bal_band
+    ), per_k AS (
+        SELECT k.k, grp_n, l_div
+        FROM groups CROSS JOIN (VALUES (2), (5), (10)) AS k(k)
+    )
+    SELECT k::INTEGER AS k,
+           count(*)::BIGINT AS n_groups,
+           sum(grp_n)::BIGINT AS n_rows,
+           sum(CASE WHEN grp_n < k THEN 1 ELSE 0 END)::BIGINT
+               AS groups_below_k,
+           sum(CASE WHEN grp_n < k THEN grp_n ELSE 0 END)::BIGINT
+               AS rows_at_risk,
+           round(sum(CASE WHEN grp_n < k THEN grp_n ELSE 0 END)::DOUBLE
+                 / sum(grp_n)::DOUBLE, 6) AS risk_share,
+           min(grp_n)::BIGINT AS min_group_size,
+           sum(CASE WHEN l_div < 2 THEN 1 ELSE 0 END)::BIGINT
+               AS l2_violations
+    FROM per_k GROUP BY k ORDER BY k
+    """
+)
+
+oracle("quality_simpsons_reversal")(
+    # Same cohort split; directions via HUGEINT cross products (the
+    # native dual of Spark's decimal(38,0) sums), means rounded once.
+    """
+    WITH rows_j AS (
+        SELECT c.c_mktsegment,
+               round(o.o_totalprice * 100)::BIGINT AS cents,
+               CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS is_a
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), seg AS (
+        SELECT c_mktsegment,
+               sum(CASE WHEN is_a = 1 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+               sum(CASE WHEN is_a = 1 THEN cents ELSE 0 END)::HUGEINT AS s_a,
+               sum(CASE WHEN is_a = 0 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+               sum(CASE WHEN is_a = 0 THEN cents ELSE 0 END)::HUGEINT AS s_b
+        FROM rows_j GROUP BY c_mktsegment
+    ), pooled AS (
+        SELECT CASE WHEN sum(CASE WHEN is_a = 1 THEN cents ELSE 0 END)::HUGEINT
+                         * sum(CASE WHEN is_a = 0 THEN 1 ELSE 0 END)::BIGINT
+                       > sum(CASE WHEN is_a = 0 THEN cents ELSE 0 END)::HUGEINT
+                         * sum(CASE WHEN is_a = 1 THEN 1 ELSE 0 END)::BIGINT
+                    THEN 1
+                    WHEN sum(CASE WHEN is_a = 1 THEN cents ELSE 0 END)::HUGEINT
+                         * sum(CASE WHEN is_a = 0 THEN 1 ELSE 0 END)::BIGINT
+                       < sum(CASE WHEN is_a = 0 THEN cents ELSE 0 END)::HUGEINT
+                         * sum(CASE WHEN is_a = 1 THEN 1 ELSE 0 END)::BIGINT
+                    THEN -1 ELSE 0 END AS pooled_dir
+        FROM rows_j
+    )
+    SELECT s.c_mktsegment, s.n_a, s.n_b,
+           round(s.s_a::DOUBLE / s.n_a / 100.0, 4) AS mean_a,
+           round(s.s_b::DOUBLE / s.n_b / 100.0, 4) AS mean_b,
+           (CASE WHEN s.s_a * s.n_b > s.s_b * s.n_a THEN 1
+                 WHEN s.s_a * s.n_b < s.s_b * s.n_a THEN -1
+                 ELSE 0 END)::INTEGER AS seg_dir,
+           p.pooled_dir::INTEGER AS pooled_dir,
+           (CASE WHEN (CASE WHEN s.s_a * s.n_b > s.s_b * s.n_a THEN 1
+                            WHEN s.s_a * s.n_b < s.s_b * s.n_a THEN -1
+                            ELSE 0 END) * p.pooled_dir = -1
+                 THEN 1 ELSE 0 END)::INTEGER AS reversed
+    FROM seg s CROSS JOIN pooled p
+    ORDER BY s.c_mktsegment
+    """
+)

@@ -86,6 +86,9 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "quality_functional_dependency",
     "quality_langid_confusion",
     "pipeline_corpus_card",
+    # session-6 births (registered after the rotation, queued at birth)
+    "quality_k_anonymity",
+    "quality_simpsons_reversal",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

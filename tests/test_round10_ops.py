@@ -3270,3 +3270,76 @@ def test_knn_partial_topk_matmul_self_excluded_despite_top_rank(spark):
     assert all(r.vec_id != 0 for r in top)
     # highest dot wins: dot = 1000 + 100*i -> ids 7,6,5,4,3
     assert sorted(r.vec_id for r in top) == [3, 4, 5, 6, 7]
+
+
+def test_k_anonymity_planted_groups(spark):
+    """Three planted QI groups: a singleton (at risk for every k, l<2),
+    a 3-row group with 2 segments (at risk for k=5/10 only), and a
+    12-row single-segment group (safe at every k but an l<2 violation)."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rows = (
+        [(1, 1, 10.0, "AUTOMOBILE")]                     # nation 1 band 0
+        + [(10 + i, 1, 260.0, ["BUILDING", "MACHINERY"][i % 2])
+           for i in range(3)]                             # nation 1 band 1
+        + [(100 + i, 2, 10.0, "FURNITURE") for i in range(12)]  # nation 2
+    )
+    schema = "c_custkey long, c_nationkey int, c_acctbal double, c_mktsegment string"
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "customer.parquet")
+        )
+        out = {r.k: r for r in QUERIES["quality_k_anonymity"](spark, d).collect()}
+    assert set(out) == {2, 5, 10}
+    assert out[2].n_groups == 3 and out[2].n_rows == 16
+    assert out[2].groups_below_k == 1 and out[2].rows_at_risk == 1
+    assert out[5].groups_below_k == 2 and out[5].rows_at_risk == 4
+    assert out[10].groups_below_k == 2 and out[10].rows_at_risk == 4
+    assert out[2].min_group_size == 1
+    # singleton + 12-row single-segment group both have l < 2
+    assert out[2].l2_violations == 2
+    assert out[5].risk_share == round(4 / 16, 6)
+
+
+def test_simpsons_reversal_planted_flip(spark):
+    """Textbook Simpson construction: inside BOTH segments the non-urgent
+    cohort has the larger mean, but pooled the urgent cohort wins — every
+    segment row must flag reversed=1 with pooled_dir=+1, seg_dir=-1."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    cust = [(1, "SEG_X"), (2, "SEG_Y")]
+    orders = [
+        # (orderkey, custkey, totalprice, priority)
+        (100, 1, 100.00, "1-URGENT"),     # X: A mean 100
+        (101, 1, 110.00, "5-LOW"),        # X: B mean 110 -> B > A
+        (102, 1, 110.00, "3-MEDIUM"),
+        (200, 2, 1000.00, "2-HIGH"),      # Y: A mean 1000
+        (201, 2, 1000.00, "1-URGENT"),
+        (202, 2, 1010.00, "4-NOT SPECIFIED"),  # Y: B mean 1010 -> B > A
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            cust, "c_custkey long, c_mktsegment string"
+        ).write.parquet(os.path.join(d, "customer.parquet"))
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_totalprice double, "
+            "o_orderpriority string",
+        ).write.parquet(os.path.join(d, "orders.parquet"))
+        out = {r.c_mktsegment: r for r in
+               QUERIES["quality_simpsons_reversal"](spark, d).collect()}
+    # pooled: A = (100+1000+1000)/3 = 700 > B = (110+110+1010)/3 = 410
+    for seg in ("SEG_X", "SEG_Y"):
+        assert out[seg].pooled_dir == 1
+        assert out[seg].seg_dir == -1
+        assert out[seg].reversed == 1
+    assert out["SEG_X"].mean_a == 100.0 and out["SEG_X"].mean_b == 110.0
+    assert out["SEG_Y"].n_a == 2 and out["SEG_Y"].n_b == 1
