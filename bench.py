@@ -304,10 +304,12 @@ HEADLINE = [
     "quality_langid_confusion",
     # 196 -> 197: corpus datasheet card
     "pipeline_corpus_card",
-    # session-6 growth (197 -> 199): k-anonymity/l-diversity privacy
-    # audit; Simpson's-paradox aggregate-reversal audit
+    # session-6 growth (197 -> 200): k-anonymity/l-diversity privacy
+    # audit; Simpson's-paradox aggregate-reversal audit; graded nDCG@10
+    # retrieval eval
     "quality_k_anonymity",
     "quality_simpsons_reversal",
+    "search_ndcg_bm25",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

@@ -7216,3 +7216,74 @@ def quality_simpsons_reversal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query
+def search_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation of the BM25 retriever: graded nDCG@10
+    (Järvelin & Kekäläinen 2002) of the certified BM25 top-10 against a
+    deterministic graded relevance label — rel(doc) = how many of the 5
+    query terms the document contains (0..5), the label the retrieval
+    family's own postings define, so the eval needs no external
+    judgments. DCG@10 folds gain/log2(rank+1) in EXPLICIT rank order
+    (the defined-order float-fold discipline of text_char_entropy — a
+    10-element fold, never an unordered SUM); gains (2^rel - 1) are
+    exact integers via shiftleft; the ideal ranking re-sorts ALL matched
+    documents by (rel desc, doc_id). One row: DCG, ideal DCG, nDCG,
+    matched-corpus size.
+
+    Scale shape: reuses the inverted-index BM25 plan (postings probe,
+    never a corpus-wide join); both rankings are orderBy+limit
+    TakeOrderedAndProject tops; the folds run over <= 10-row frames and
+    every join is a 1-row broadcast.
+    """
+    scored = _bm25_scored(spark, sf_dir)  # doc_id, n_terms_matched, bm25
+    gain = F.expr("shiftleft(1, cast(n_terms_matched as int)) - 1")
+
+    def dcg_of(ranked) -> DataFrame:
+        per_rank = ranked.select(
+            "rank",
+            (
+                gain.cast("double")
+                / F.log2(F.col("rank").cast("double") + 1.0)
+            ).alias("v"),
+        )
+        return per_rank.agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("rank", "v"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["v"],
+            ).alias("dcg")
+        )
+
+    w_sys = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    )
+    sys_ranked = (
+        scored.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w_sys))
+    )
+    w_ideal = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("n_terms_matched"), F.asc("doc_id")
+    )
+    ideal_ranked = (
+        scored.orderBy(F.desc("n_terms_matched"), F.asc("doc_id"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w_ideal))
+    )
+    n_matched = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched_docs")
+    )
+    return (
+        dcg_of(sys_ranked)
+        .crossJoin(F.broadcast(dcg_of(ideal_ranked).select(F.col("dcg").alias("idcg"))))
+        .crossJoin(F.broadcast(n_matched))
+        .select(
+            F.lit(10).cast("int").alias("k"),
+            F.round(F.col("dcg"), 6).alias("dcg_at_k"),
+            F.round(F.col("idcg"), 6).alias("idcg_at_k"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_k"),
+            "n_matched_docs",
+        )
+    )

@@ -6354,3 +6354,80 @@ oracle("quality_simpsons_reversal")(
     ORDER BY s.c_mktsegment
     """
 )
+
+oracle("search_ndcg_bm25")(
+    # Same BM25 CTE chain as text_bm25_topk; graded gains (1 << rel) - 1
+    # are exact integers; both DCG folds run in EXPLICIT rank order
+    # (list_reduce over list(v ORDER BY rank) — the char-entropy fold
+    # pattern), mirrored by Spark's aggregate over array_sort.
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               len(string_split(text, ' '))::BIGINT AS dl,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), postings AS (
+        SELECT doc_id, term, count(*)::BIGINT AS tf, max(dl) AS dl
+        FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+        SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_freq
+        FROM toks GROUP BY term
+    ), qterms AS (
+        SELECT term, doc_freq FROM dfreq
+        ORDER BY doc_freq DESC, term LIMIT 5
+    ), stats AS (
+        SELECT count(*)::BIGINT AS n_docs,
+               sum(len(string_split(text, ' ')))::DOUBLE / count(*) AS avgdl
+        FROM documents
+    ), per_term AS (
+        SELECT p.doc_id,
+               ln((s.n_docs - q.doc_freq + 0.5::DOUBLE)
+                  / (q.doc_freq + 0.5::DOUBLE) + 1.0::DOUBLE)
+               * (p.tf * 2.2::DOUBLE)
+               / (p.tf + 1.2::DOUBLE
+                  * (0.25::DOUBLE + 0.75::DOUBLE * p.dl / s.avgdl))
+                   AS term_score
+        FROM postings p JOIN qterms q USING (term) CROSS JOIN stats s
+    ), scored AS (
+        SELECT doc_id,
+               count(*)::BIGINT AS n_terms_matched,
+               round(sum(term_score), 4) AS bm25
+        FROM per_term GROUP BY doc_id
+    ), sys_ranked AS (
+        SELECT n_terms_matched,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10
+    ), ideal_ranked AS (
+        SELECT n_terms_matched,
+               row_number() OVER (ORDER BY n_terms_matched DESC, doc_id)
+                   AS rank
+        FROM scored ORDER BY n_terms_matched DESC, doc_id LIMIT 10
+    ), dcg AS (
+        SELECT list_reduce(
+                   list_prepend(0.0::DOUBLE, list_transform(
+                       list(v ORDER BY rank), x -> x)),
+                   (a, b) -> a + b) AS dcg
+        FROM (SELECT rank,
+                     ((1 << n_terms_matched) - 1)::DOUBLE
+                         / log2(rank + 1.0) AS v
+              FROM sys_ranked)
+    ), idcg AS (
+        SELECT list_reduce(
+                   list_prepend(0.0::DOUBLE, list_transform(
+                       list(v ORDER BY rank), x -> x)),
+                   (a, b) -> a + b) AS idcg
+        FROM (SELECT rank,
+                     ((1 << n_terms_matched) - 1)::DOUBLE
+                         / log2(rank + 1.0) AS v
+              FROM ideal_ranked)
+    ), n AS (
+        SELECT count(*)::BIGINT AS n_matched_docs FROM scored
+    )
+    SELECT 10::INTEGER AS k,
+           round(dcg, 6) AS dcg_at_k,
+           round(idcg, 6) AS idcg_at_k,
+           round(dcg / idcg, 6) AS ndcg_at_k,
+           n_matched_docs
+    FROM dcg, idcg, n
+    """
+)

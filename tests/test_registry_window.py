@@ -89,6 +89,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     # session-6 births (registered after the rotation, queued at birth)
     "quality_k_anonymity",
     "quality_simpsons_reversal",
+    "search_ndcg_bm25",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

@@ -3343,3 +3343,41 @@ def test_simpsons_reversal_planted_flip(spark):
         assert out[seg].reversed == 1
     assert out["SEG_X"].mean_a == 100.0 and out["SEG_X"].mean_b == 110.0
     assert out["SEG_Y"].n_a == 2 and out["SEG_Y"].n_b == 1
+
+
+def test_ndcg_ideal_dcg_matches_hand_computation(spark):
+    """Five docs with known graded relevance 5..1 against the engineered
+    top-5-df query (a,b,c,d,e): the IDEAL DCG must equal the hand-computed
+    sum(2^rel-1)/log2(rank+1) in rank order, and nDCG must be (0, 1]."""
+    import math
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rows = [
+        (1, "a b c d e", "en", "web", 9),
+        (2, "a b c d z1", "en", "web", 10),
+        (3, "a b c z2 z3", "en", "web", 11),
+        (4, "a b z4 z5 z6", "en", "web", 12),
+        (5, "a z7 z8 z9 z10", "en", "web", 14),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = QUERIES["search_ndcg_bm25"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    # df: a=5, b=4, c=3, d=2, e=1 (z* fillers df=1 lose the tie to 'e')
+    # -> rel(doc_i) = 6-i; ideal gains 31,15,7,3,1 at ranks 1..5
+    ideal = sum(
+        (2 ** rel - 1) / math.log2(rank + 1)
+        for rank, rel in enumerate([5, 4, 3, 2, 1], start=1)
+    )
+    assert r.k == 10 and r.n_matched_docs == 5
+    assert r.idcg_at_k == round(ideal, 6)
+    assert 0.0 < r.ndcg_at_k <= 1.0
+    assert r.dcg_at_k <= r.idcg_at_k
