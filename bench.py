@@ -310,6 +310,7 @@ HEADLINE = [
     "quality_k_anonymity",
     "quality_simpsons_reversal",
     "search_ndcg_bm25",
+    "quality_split_contamination",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

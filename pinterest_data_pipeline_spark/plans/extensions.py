@@ -7287,3 +7287,62 @@ def search_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_matched_docs",
         )
     )
+
+
+@query
+def quality_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit — the eval-integrity check an LLM
+    pipeline runs AFTER splitting: an eval (valid/test) document whose
+    exact text also appears in train is a leaked answer, inflating eval
+    scores without any model improvement. Distinct from the n-gram
+    decontamination operator (corpus vs EXTERNAL eval set): this audits
+    the pipeline's OWN hash split, where exact-duplicate texts that
+    straddle the boundary are the leak. Per eval split: document count,
+    leaked-document count, leak share, and the distinct leaked texts.
+
+    Scale shape: one (text)-keyed aggregate pivots per-split counts (the
+    shuffle key is the text itself — exactness first; a production run
+    at 100 TB keys on sha2(text) with identical counts), then an O(1)
+    per-split rollup. No join, no window.
+    """
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    tagged = sampling.hash_split(docs, "doc_id")
+    per_text = tagged.groupBy("text").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "valid", 1).otherwise(0))
+        .cast("long")
+        .alias("n_valid"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+    )
+    leaked = F.col("n_train") > 0
+    rows = []
+    for split in ("valid", "test"):
+        n = F.col(f"n_{split}")
+        rows.append(
+            per_text.agg(
+                F.lit(split).alias("eval_split"),
+                F.sum(n).cast("long").alias("n_docs"),
+                F.sum(F.when(leaked, n).otherwise(0))
+                .cast("long")
+                .alias("n_leaked_docs"),
+                F.sum(F.when(leaked & (n > 0), 1).otherwise(0))
+                .cast("long")
+                .alias("n_leaked_texts"),
+            )
+        )
+    out = rows[0].unionByName(rows[1])
+    return out.select(
+        "eval_split",
+        "n_docs",
+        "n_leaked_docs",
+        F.round(
+            F.col("n_leaked_docs").cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("leak_share"),
+        "n_leaked_texts",
+    ).orderBy("eval_split")

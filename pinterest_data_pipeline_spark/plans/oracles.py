@@ -6431,3 +6431,42 @@ oracle("search_ndcg_bm25")(
     FROM dcg, idcg, n
     """
 )
+
+oracle("quality_split_contamination")(
+    # Same md5 hash split; per-text split pivot; leak = eval text whose
+    # exact duplicate also landed in train.
+    f"""
+    WITH tagged AS (
+        SELECT text, {_SPLIT_CASE} AS split FROM documents
+    ), per_text AS (
+        SELECT text,
+               sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_train,
+               sum(CASE WHEN split = 'valid' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_valid,
+               sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_test
+        FROM tagged GROUP BY text
+    ), rolled AS (
+        SELECT 'valid' AS eval_split,
+               sum(n_valid)::BIGINT AS n_docs,
+               sum(CASE WHEN n_train > 0 THEN n_valid ELSE 0 END)::BIGINT
+                   AS n_leaked_docs,
+               sum(CASE WHEN n_train > 0 AND n_valid > 0 THEN 1 ELSE 0
+                   END)::BIGINT AS n_leaked_texts
+        FROM per_text
+        UNION ALL
+        SELECT 'test' AS eval_split,
+               sum(n_test)::BIGINT AS n_docs,
+               sum(CASE WHEN n_train > 0 THEN n_test ELSE 0 END)::BIGINT
+                   AS n_leaked_docs,
+               sum(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0
+                   END)::BIGINT AS n_leaked_texts
+        FROM per_text
+    )
+    SELECT eval_split, n_docs, n_leaked_docs,
+           round(n_leaked_docs::DOUBLE / n_docs::DOUBLE, 6) AS leak_share,
+           n_leaked_texts
+    FROM rolled ORDER BY eval_split
+    """
+)

@@ -90,6 +90,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "quality_k_anonymity",
     "quality_simpsons_reversal",
     "search_ndcg_bm25",
+    "quality_split_contamination",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

@@ -3381,3 +3381,42 @@ def test_ndcg_ideal_dcg_matches_hand_computation(spark):
     assert r.idcg_at_k == round(ideal, 6)
     assert 0.0 < r.ndcg_at_k <= 1.0
     assert r.dcg_at_k <= r.idcg_at_k
+
+
+def test_split_contamination_planted_leak(spark):
+    """Plant an exact-duplicate text straddling the train/valid hash-split
+    boundary and a clean test doc: the valid split must report exactly one
+    leaked doc/text, the test split zero."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    def bucket(doc_id: int) -> str:
+        h = int(hashlib.md5(f"{doc_id}split".encode()).hexdigest()[:8], 16)
+        b = h % 10000
+        return "train" if b < 8000 else ("valid" if b < 9000 else "test")
+
+    ids = {s: [i for i in range(1, 400) if bucket(i) == s] for s in
+           ("train", "valid", "test")}
+    rows = [
+        (ids["train"][0], "leaked doc", "en", "web", 10),
+        (ids["valid"][0], "leaked doc", "en", "web", 10),   # the leak
+        (ids["valid"][1], "clean valid", "en", "web", 11),
+        (ids["test"][0], "clean test", "en", "web", 10),
+        (ids["train"][1], "train only", "en", "web", 10),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {r.eval_split: r for r in
+               QUERIES["quality_split_contamination"](spark, d).collect()}
+    assert out["valid"].n_docs == 2
+    assert out["valid"].n_leaked_docs == 1
+    assert out["valid"].n_leaked_texts == 1
+    assert out["valid"].leak_share == 0.5
+    assert out["test"].n_docs == 1 and out["test"].n_leaked_docs == 0
