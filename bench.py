@@ -311,6 +311,7 @@ HEADLINE = [
     "quality_simpsons_reversal",
     "search_ndcg_bm25",
     "quality_split_contamination",
+    "dedup_linkage_fs_weights",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

@@ -7346,3 +7346,96 @@ def quality_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("leak_share"),
         "n_leaked_texts",
     ).orderBy("eval_split")
+
+
+@query
+def dedup_linkage_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record-linkage scoring (Fellegi & Sunter, JASA
+    1969) — the probabilistic layer ABOVE the repo's blocking operators
+    (sorted-neighborhood, FastSS): candidate part pairs from a
+    (brand, size) block are scored per comparison field with
+    log2(m/u) agreement / log2((1-m)/(1-u)) disagreement weights, where
+    each field's u-probability (chance agreement between RANDOM records)
+    is estimated FROM THE DATA as sum(n_v^2)/N^2 over its value
+    distribution — exact integer sums, one division — and m is the
+    fixed literal 0.9 (its complement written as the literal 0.1, never
+    1-m: the float-literal discipline of the PageRank query). Top-20
+    pairs by total match weight.
+
+    Scale shape: three domain-bounded frequency rollups feed a 1-row
+    broadcast stats frame; candidates come from a blocked self-join
+    (pair volume bounded by block size, never corpus-quadratic); the
+    per-pair score is ONE fixed-order expression of three weights (no
+    float aggregation); ordering is by the ROUNDED score with the pair
+    key as tie-break. At 100 TB the n_v^2 sums take the decimal(38,0)
+    accumulator per the rank-product rule.
+    """
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("adj"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun"),
+        "p_type",
+    )
+
+    def u_of(col: str) -> DataFrame:
+        freq = parts.groupBy(col).agg(F.count(F.lit(1)).alias("n_v"))
+        return freq.agg(
+            F.sum(F.col("n_v") * F.col("n_v")).cast("long").alias(f"sq_{col}")
+        )
+
+    stats = (
+        parts.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+        .crossJoin(F.broadcast(u_of("adj")))
+        .crossJoin(F.broadcast(u_of("noun")))
+        .crossJoin(F.broadcast(u_of("p_type")))
+    )
+    a = parts.alias("a")
+    b = parts.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).crossJoin(F.broadcast(stats))
+
+    def w(field_a: str, field_b: str, sq: str):
+        u = (
+            F.col(sq).cast("double")
+            / F.col("n_total")
+            / F.col("n_total")
+        )
+        agree = F.col(field_a) == F.col(field_b)
+        return agree.cast("int").alias(f"agree_{sq[3:]}"), F.when(
+            agree, F.log2(F.lit(0.9) / u)
+        ).otherwise(F.log2(F.lit(0.1) / (F.lit(1.0) - u)))
+
+    agree_adj, w_adj = w("a.adj", "b.adj", "sq_adj")
+    agree_noun, w_noun = w("a.noun", "b.noun", "sq_noun")
+    agree_type, w_type = w("a.p_type", "b.p_type", "sq_p_type")
+    scored = pairs.select(
+        F.col("a.p_partkey").alias("part_a"),
+        F.col("b.p_partkey").alias("part_b"),
+        agree_adj,
+        agree_noun,
+        agree_type,
+        F.round(w_adj + w_noun + w_type, 4).alias("match_weight"),
+    )
+    top = scored.orderBy(
+        F.desc("match_weight"), F.asc("part_a"), F.asc("part_b")
+    ).limit(20)
+    w_rank = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("match_weight"), F.asc("part_a"), F.asc("part_b")
+    )
+    return top.withColumn(
+        "rank", F.row_number().over(w_rank).cast("int")
+    ).select(
+        "rank",
+        "part_a",
+        "part_b",
+        "agree_adj",
+        "agree_noun",
+        "agree_p_type",
+        "match_weight",
+    )

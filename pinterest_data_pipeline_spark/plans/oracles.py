@@ -6470,3 +6470,63 @@ oracle("quality_split_contamination")(
     FROM rolled ORDER BY eval_split
     """
 )
+
+oracle("dedup_linkage_fs_weights")(
+    # Same (brand, size) block, same data-estimated u = sum(n_v^2)/N^2
+    # per field, same 0.9/0.1 literals, score rounded at the one site.
+    """
+    WITH parts AS (
+        SELECT p_partkey, p_brand, p_size,
+               split_part(p_name, ' ', 1) AS adj,
+               split_part(p_name, ' ', 2) AS noun,
+               p_type
+        FROM part
+    ), stats AS (
+        SELECT (SELECT count(*)::BIGINT FROM parts) AS n_total,
+               (SELECT sum(n_v * n_v)::BIGINT FROM (
+                   SELECT count(*)::BIGINT AS n_v FROM parts GROUP BY adj
+               )) AS sq_adj,
+               (SELECT sum(n_v * n_v)::BIGINT FROM (
+                   SELECT count(*)::BIGINT AS n_v FROM parts GROUP BY noun
+               )) AS sq_noun,
+               (SELECT sum(n_v * n_v)::BIGINT FROM (
+                   SELECT count(*)::BIGINT AS n_v FROM parts GROUP BY p_type
+               )) AS sq_p_type
+    ), scored AS (
+        SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+               (a.adj = b.adj)::INTEGER AS agree_adj,
+               (a.noun = b.noun)::INTEGER AS agree_noun,
+               (a.p_type = b.p_type)::INTEGER AS agree_p_type,
+               round(
+                   (CASE WHEN a.adj = b.adj
+                         THEN log2(0.9 / (s.sq_adj::DOUBLE / s.n_total
+                                          / s.n_total))
+                         ELSE log2(0.1 / (1.0 - s.sq_adj::DOUBLE / s.n_total
+                                          / s.n_total)) END)
+                   + (CASE WHEN a.noun = b.noun
+                           THEN log2(0.9 / (s.sq_noun::DOUBLE / s.n_total
+                                            / s.n_total))
+                           ELSE log2(0.1 / (1.0 - s.sq_noun::DOUBLE
+                                            / s.n_total / s.n_total)) END)
+                   + (CASE WHEN a.p_type = b.p_type
+                           THEN log2(0.9 / (s.sq_p_type::DOUBLE / s.n_total
+                                            / s.n_total))
+                           ELSE log2(0.1 / (1.0 - s.sq_p_type::DOUBLE
+                                            / s.n_total / s.n_total)) END),
+                   4) AS match_weight
+        FROM parts a
+        JOIN parts b
+          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+        CROSS JOIN stats s
+    ), top AS (
+        SELECT *, row_number() OVER (ORDER BY match_weight DESC, part_a,
+                                     part_b)::INT AS rank
+        FROM scored
+        ORDER BY match_weight DESC, part_a, part_b LIMIT 20
+    )
+    SELECT rank, part_a, part_b, agree_adj, agree_noun, agree_p_type,
+           match_weight
+    FROM top ORDER BY rank
+    """
+)

@@ -91,6 +91,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "quality_simpsons_reversal",
     "search_ndcg_bm25",
     "quality_split_contamination",
+    "dedup_linkage_fs_weights",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

@@ -3420,3 +3420,48 @@ def test_split_contamination_planted_leak(spark):
     assert out["valid"].n_leaked_texts == 1
     assert out["valid"].leak_share == 0.5
     assert out["test"].n_docs == 1 and out["test"].n_leaked_docs == 0
+
+
+def test_fs_linkage_weights_order_and_sign(spark):
+    """FS weight semantics on a planted block: the all-agree pair must
+    outrank the partially-agreeing pair; agreement on a LOW-u (rare,
+    discriminating) field contributes a larger weight than on a high-u
+    field; disagreement weights are negative."""
+    import math
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    # one block (Brand#1, size 1); adj near-constant (high u), noun
+    # discriminating (low u); p_type constant
+    rows = [
+        (1, "red bolt", "Brand#1", "T", 1, 1.0),
+        (2, "red bolt", "Brand#1", "T", 1, 1.0),     # all-agree with 1
+        (3, "red washer", "Brand#1", "T", 1, 1.0),   # noun disagrees
+        (4, "red nut", "Brand#2", "T", 9, 1.0),      # other block (no pair)
+    ]
+    schema = ("p_partkey long, p_name string, p_brand string, "
+              "p_type string, p_size int, p_retailprice double")
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "part.parquet")
+        )
+        out = QUERIES["dedup_linkage_fs_weights"](spark, d).collect()
+    by_pair = {(r.part_a, r.part_b): r for r in out}
+    assert set(by_pair) == {(1, 2), (1, 3), (2, 3)}
+    full = by_pair[(1, 2)]
+    partial = by_pair[(1, 3)]
+    assert full.rank == 1 and full.match_weight > partial.match_weight
+    assert full.agree_adj == full.agree_noun == full.agree_p_type == 1
+    assert partial.agree_noun == 0
+    # hand-computed: N=4; u_adj=1 (all 'red'), u_noun=(2^2+1+1)/16,
+    # u_type=1 -> full = log2(.9/1)*2 + log2(.9/(6/16))
+    u_noun = 6 / 16
+    expect_full = 2 * math.log2(0.9) + math.log2(0.9 / u_noun)
+    assert full.match_weight == round(expect_full, 4)
+    # disagreement on the noun is a NEGATIVE contribution
+    expect_partial = 2 * math.log2(0.9) + math.log2(0.1 / (1.0 - u_noun))
+    assert partial.match_weight == round(expect_partial, 4)
+    assert partial.match_weight < full.match_weight
