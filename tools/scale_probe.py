@@ -2231,6 +2231,139 @@ def probe_knn_audit(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
+def probe_k_anonymity(spark, mult: int) -> float:
+    """k-anonymity audit at mult x customers: one QI-keyed partial agg
+    whose output is bounded by the QI domain (here grown with the data
+    via the key shift on nationkey — the honest 100 TB model: more
+    groups, not row-sized state)."""
+    cust = multiply(
+        load_table(spark, SF, "customer").select(
+            "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
+        ),
+        mult, ["c_custkey", "c_nationkey"],
+    )
+    qi = cust.select(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.round(F.col("c_acctbal") * 100).cast("long") / F.lit(25000))
+        .cast("long").alias("bal_band"),
+    )
+    groups = qi.groupBy("c_nationkey", "bal_band").agg(
+        F.count(F.lit(1)).cast("long").alias("grp_n"),
+        F.count_distinct("c_mktsegment").cast("long").alias("l_div"),
+    )
+    q = groups.select(
+        "grp_n", "l_div",
+        F.explode(F.array(F.lit(2), F.lit(5), F.lit(10))).alias("k"),
+    ).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("grp_n") < F.col("k"), F.col("grp_n"))
+              .otherwise(0)).alias("rows_at_risk"),
+        F.sum(F.when(F.col("l_div") < 2, 1).otherwise(0)).alias("l2"),
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_simpsons(spark, mult: int) -> float:
+    """Simpson audit at mult x orders+customers: one (segment, cohort)
+    integer rollup off the join — partial-agg bound, decimal sums."""
+    orders = multiply(
+        load_table(spark, SF, "orders").select(
+            "o_custkey", "o_totalprice", "o_orderpriority"
+        ),
+        mult, ["o_custkey"],
+    )
+    cust = multiply(
+        load_table(spark, SF, "customer").select("c_custkey", "c_mktsegment"),
+        mult, ["c_custkey"],
+    )
+    rows = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
+        "c_mktsegment",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0).alias("is_a"),
+    )
+    q = rows.groupBy("c_mktsegment").agg(
+        F.sum(F.when(F.col("is_a") == 1, F.col("cents")).otherwise(0))
+        .cast("decimal(38,0)").alias("s_a"),
+        F.sum(F.when(F.col("is_a") == 0, F.col("cents")).otherwise(0))
+        .cast("decimal(38,0)").alias("s_b"),
+        F.sum("is_a").alias("n_a"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_split_contamination(spark, mult: int) -> float:
+    """Cross-split contamination at mult x documents: one text-keyed
+    split pivot + O(1) rollup; wall should track the text shuffle."""
+    from pinterest_data_pipeline_spark.operators import sampling
+
+    docs = multiply(
+        load_table(spark, SF, "documents").select("doc_id", "text"),
+        mult, ["doc_id"],
+    )
+    tagged = sampling.hash_split(docs, "doc_id")
+    per_text = tagged.groupBy("text").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(F.col("split") == "valid", 1).otherwise(0)).alias("nv"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("ns"),
+    )
+    q = per_text.agg(
+        F.sum(F.when(F.col("nt") > 0, F.col("nv") + F.col("ns"))
+              .otherwise(0)).alias("leaked"),
+        F.sum(F.col("nv") + F.col("ns")).alias("n_eval"),
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_fs_linkage(spark, mult: int) -> float:
+    """FS linkage at mult x parts with the BLOCK DOMAIN grown alongside
+    (p_size shifted per copy): block count scales, block size stays
+    bounded — the honest 100 TB model for a blocked self-join (a
+    fixed-domain multiply would square the within-block pair volume,
+    which is a property of the probe, not the operator)."""
+    base = load_table(spark, SF, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size"
+    )
+    parts_m = [base]
+    for i in range(1, mult):
+        parts_m.append(
+            base.withColumn(
+                "p_partkey", F.col("p_partkey") + i * KEY_STRIDE
+            ).withColumn("p_size", F.col("p_size") + i * 1000)
+        )
+    parts = parts_m[0]
+    for p in parts_m[1:]:
+        parts = parts.unionByName(p)
+    parts = parts.select(
+        "p_partkey", "p_brand", "p_size",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("adj"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun"),
+        "p_type",
+    )
+    a, b = parts.alias("a"), parts.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    )
+    q = pairs.groupBy(
+        (F.col("a.adj") == F.col("b.adj")).alias("ga"),
+        (F.col("a.noun") == F.col("b.noun")).alias("gn"),
+        (F.col("a.p_type") == F.col("b.p_type")).alias("gt"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 PROBES = {
     "tpch_q5_6way_join": probe_tpch_q5,
     "simhash_near_dup": probe_simhash,
@@ -2320,8 +2453,12 @@ PROBES = {
     "rolling_wau_bitmap": probe_rolling_wau_bitmap,
     "rolling_wau_bitmap_horizon": probe_rolling_wau_bitmap_horizon,
     "char_entropy": probe_char_entropy,
-    # round-10 session-6 additions (the GEMM-kernel rewrites)
+    # round-10 session-6 additions (the GEMM-kernel rewrites + births)
     "knn_audit": probe_knn_audit,
+    "k_anonymity": probe_k_anonymity,
+    "simpsons": probe_simpsons,
+    "split_contamination": probe_split_contamination,
+    "fs_linkage": probe_fs_linkage,
 }
 
 
