@@ -312,6 +312,7 @@ HEADLINE = [
     "search_ndcg_bm25",
     "quality_split_contamination",
     "dedup_linkage_fs_weights",
+    "dedup_lsh_param_planner",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

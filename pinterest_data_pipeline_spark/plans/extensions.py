@@ -7439,3 +7439,112 @@ def dedup_linkage_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "agree_p_type",
         "match_weight",
     )
+
+
+def lsh_planner_params(n_hashes: int = 128):
+    """(b, r) factorizations of the signature budget with their analytic
+    S-curve landmarks: s50 = (1 - 0.5^(1/b))^(1/r) (the similarity where
+    the banding scheme fires with probability 1/2) and P(candidate|s) =
+    1-(1-s^r)^b at s=0.5/0.7. Pure closed-form math (Leskovec/Rajaraman/
+    Ullman, MMDS ch.3) computed ONCE in Python and inlined as literals
+    in both engines' plans; s50 additionally carried as the rational
+    round(s50*10000)/10000 numerator so the data-side threshold compare
+    stays in integers."""
+    out = []
+    for b in (64, 32, 16, 8, 4, 2):
+        r = n_hashes // b
+        s50 = (1.0 - 0.5 ** (1.0 / b)) ** (1.0 / r)
+        p05 = 1.0 - (1.0 - 0.5**r) ** b
+        p07 = 1.0 - (1.0 - 0.7**r) ** b
+        out.append(
+            {
+                "b": b,
+                "r": r,
+                "s50_num": int(round(s50 * 10000)),
+                "s50": round(s50, 6),
+                "p_at_05": round(p05, 6),
+                "p_at_07": round(p07, 6),
+            }
+        )
+    return out
+
+
+@query
+def dedup_lsh_param_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding planner — the (bands, rows) tuning decision
+    behind the near-dedup family, answered with the corpus's OWN
+    similarity distribution: for every factorization of a 128-hash
+    signature, the analytic S-curve landmarks (s50 threshold, catch
+    probability at Jaccard 0.5 / 0.7 — closed-form literals) next to
+    the DATA anchor: how many adjacent-pair candidates (the
+    weighted-Jaccard verifier's exact pair frame) sit at or above that
+    scheme's s50. The planner row an engineer reads to pick b x r
+    before a 100 TB dedup run.
+
+    Exactness: the similarity-vs-threshold compare is pure integers —
+    jac >= s50 rewritten as 10000*s_min >= s50_num*(union_size) with
+    the rational threshold numerator — so the data column carries an
+    exact dual; the curve columns are Python-computed literals shared
+    verbatim by both engines. Scale shape: the pair frame builds once
+    (token inner join, the weighted-jaccard shape); the planner is a
+    6-row explode + conditional count rollup.
+    """
+    docs = load_documents(spark, sf_dir)
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    totals = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("total"))
+    shared = (
+        tf.select(F.col("doc_id").alias("id_a"), "t", F.col("tf").alias("tfa"))
+        .join(
+            tf.select(
+                (F.col("doc_id") - 1).alias("id_a"),
+                "t",
+                F.col("tf").alias("tfb"),
+            ),
+            ["id_a", "t"],
+        )
+        .groupBy("id_a")
+        .agg(F.sum(F.least("tfa", "tfb")).cast("long").alias("s_min"))
+    )
+    pairs = (
+        totals.select(F.col("doc_id").alias("id_a"), F.col("total").alias("ta"))
+        .join(
+            totals.select(
+                (F.col("doc_id") - 1).alias("id_a"),
+                F.col("total").alias("tb"),
+            ),
+            "id_a",
+        )
+        .join(shared, "id_a", "left")
+        .select(
+            F.coalesce(F.col("s_min"), F.lit(0)).alias("s_min"),
+            (F.col("ta") + F.col("tb") - F.coalesce(F.col("s_min"), F.lit(0)))
+            .alias("uni"),
+        )
+    )
+    params = spark.createDataFrame(
+        lsh_planner_params(),
+        "b int, r int, s50_num long, s50 double, p_at_05 double, p_at_07 double",
+    )
+    return (
+        pairs.crossJoin(F.broadcast(params))
+        .groupBy("b", "r", "s50", "p_at_05", "p_at_07")
+        .agg(
+            F.sum(
+                F.when(
+                    10000 * F.col("s_min") >= F.col("s50_num") * F.col("uni"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_pairs_targeted"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs_scored"),
+        )
+        .orderBy(F.desc("b"))
+    )

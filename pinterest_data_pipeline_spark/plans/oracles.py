@@ -6530,3 +6530,46 @@ oracle("dedup_linkage_fs_weights")(
     FROM top ORDER BY rank
     """
 )
+
+from .extensions import lsh_planner_params as _lsh_params  # noqa: E402
+
+_LSH_PARAM_VALUES = ",\n            ".join(
+    f"({p['b']}, {p['r']}, {p['s50_num']}, {p['s50']!r}::DOUBLE, "
+    f"{p['p_at_05']!r}::DOUBLE, {p['p_at_07']!r}::DOUBLE)"
+    for p in _lsh_params()
+)
+
+oracle("dedup_lsh_param_planner")(
+    # Same exact-integer pair frame as the weighted-Jaccard verifier;
+    # the curve landmarks are the SAME Python-computed literals (imported
+    # from the query module); threshold compare in integers.
+    f"""
+    WITH tf AS (
+        SELECT doc_id, t, count(*)::BIGINT AS tf FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents
+        ) WHERE t <> '' GROUP BY doc_id, t
+    ), totals AS (
+        SELECT doc_id, sum(tf)::BIGINT AS total FROM tf GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS id_a,
+               sum(least(a.tf, b.tf))::BIGINT AS s_min
+        FROM tf a JOIN tf b ON b.doc_id = a.doc_id + 1 AND a.t = b.t
+        GROUP BY a.doc_id
+    ), pairs AS (
+        SELECT coalesce(s.s_min, 0) AS s_min,
+               ta.total + tb.total - coalesce(s.s_min, 0) AS uni
+        FROM totals ta
+        JOIN totals tb ON tb.doc_id = ta.doc_id + 1
+        LEFT JOIN shared s ON s.id_a = ta.doc_id
+    ), params(b, r, s50_num, s50, p_at_05, p_at_07) AS (
+        VALUES {_LSH_PARAM_VALUES}
+    )
+    SELECT b::INTEGER AS b, r::INTEGER AS r, s50, p_at_05, p_at_07,
+           sum(CASE WHEN 10000 * s_min >= s50_num * uni THEN 1 ELSE 0
+               END)::BIGINT AS n_pairs_targeted,
+           count(*)::BIGINT AS n_pairs_scored
+    FROM pairs CROSS JOIN params
+    GROUP BY 1, 2, 3, 4, 5 ORDER BY b DESC
+    """
+)

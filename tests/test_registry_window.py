@@ -92,6 +92,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "search_ndcg_bm25",
     "quality_split_contamination",
     "dedup_linkage_fs_weights",
+    "dedup_lsh_param_planner",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

@@ -3465,3 +3465,43 @@ def test_fs_linkage_weights_order_and_sign(spark):
     expect_partial = 2 * math.log2(0.9) + math.log2(0.1 / (1.0 - u_noun))
     assert partial.match_weight == round(expect_partial, 4)
     assert partial.match_weight < full.match_weight
+
+
+def test_lsh_planner_curve_and_threshold_semantics(spark):
+    """Analytic landmarks: s50 is monotone INCREASING as bands shrink
+    (fewer bands -> stricter scheme); at (16,8), P(0.7) must match the
+    closed form; the data anchor counts exactly the pairs at/above each
+    scheme's s50 (planted: one identical adjacent pair jac=1, one
+    disjoint pair jac=0)."""
+    import math
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+    from pinterest_data_pipeline_spark.plans.extensions import (
+        lsh_planner_params,
+    )
+
+    params = {(p["b"], p["r"]): p for p in lsh_planner_params()}
+    assert params[(16, 8)]["p_at_07"] == round(
+        1.0 - (1.0 - 0.7**8) ** 16, 6
+    )
+    s50s = [p["s50"] for p in lsh_planner_params()]  # b descending
+    assert s50s == sorted(s50s)  # fewer bands -> higher threshold
+
+    rows = [
+        (1, "a b c", "en", "web", 5),
+        (2, "a b c", "en", "web", 5),    # jac(1,2) = 1 -> above every s50
+        (3, "x y z", "en", "web", 5),    # jac(2,3) = 0 -> below every s50
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = QUERIES["dedup_lsh_param_planner"](spark, d).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r.n_pairs_scored == 2
+        assert r.n_pairs_targeted == 1
