@@ -313,6 +313,7 @@ HEADLINE = [
     "quality_split_contamination",
     "dedup_linkage_fs_weights",
     "dedup_lsh_param_planner",
+    "join_spatial_grid_neighbors",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

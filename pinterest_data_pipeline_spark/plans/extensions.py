@@ -7548,3 +7548,90 @@ def dedup_lsh_param_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("b"))
     )
+
+
+@query
+def join_spatial_grid_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial neighbor join via grid blocking — the missing SPATIAL
+    member of the join family (the reference's geo entity carries
+    lat/long, SURVEY §1.1): points within 0.25 degrees are paired by
+    equi-joining 0.25-degree grid cells with a 3x3 neighbor-cell
+    explode on one side, the canonical spatial blocking that replaces
+    the all-pairs distance join (a pair within the threshold can never
+    straddle non-adjacent cells when cell size >= threshold, so the
+    blocking is LOSSLESS by construction). Coordinates are derived
+    deterministically from the customer key (md5-uniform micro-degrees
+    over a 10x10-degree window — the engine-portable stand-in for the
+    geo table's lat/long), and EVERYTHING is integer: positions in
+    micro-degrees, cells by integer division, the planar squared
+    distance dlat^2 + dlon^2 against the exact threshold 250000^2.
+    Output: the 20 closest pairs plus the total qualifying-pair count.
+
+    Scale shape: one cell-keyed equi join whose fan-out is bounded by
+    cell occupancy (9 probe cells per point, never corpus-quadratic);
+    top-20 via TakeOrderedAndProject on an integer sort key. A real
+    deployment swaps the md5 stand-in for stored coordinates and the
+    planar metric for haversine at the one distance expression.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    span = 10_000_000  # 10 degrees in micro-degrees
+    cell = 250_000  # 0.25-degree grid == the distance threshold
+    pts = cust.select(
+        F.col("c_custkey").alias("key"),
+        (sampling.uniform_hash(F.col("c_custkey"), "lat") % span).alias(
+            "lat_i"
+        ),
+        (sampling.uniform_hash(F.col("c_custkey"), "lon") % span).alias(
+            "lon_i"
+        ),
+    ).select(
+        "key",
+        "lat_i",
+        "lon_i",
+        F.floor(F.col("lat_i") / cell).cast("long").alias("cl"),
+        F.floor(F.col("lon_i") / cell).cast("long").alias("cn"),
+    )
+    offsets = spark.range(9).select(
+        (F.col("id") % 3 - 1).alias("dl"),
+        ((F.col("id") / 3).cast("long") - 1).alias("dn"),
+    )
+    probes = pts.crossJoin(F.broadcast(offsets)).select(
+        F.col("key").alias("key_a"),
+        F.col("lat_i").alias("lat_a"),
+        F.col("lon_i").alias("lon_a"),
+        (F.col("cl") + F.col("dl")).alias("pcl"),
+        (F.col("cn") + F.col("dn")).alias("pcn"),
+    )
+    pairs = probes.join(
+        pts.select(
+            F.col("key").alias("key_b"),
+            F.col("lat_i").alias("lat_b"),
+            F.col("lon_i").alias("lon_b"),
+            "cl",
+            "cn",
+        ),
+        (F.col("pcl") == F.col("cl"))
+        & (F.col("pcn") == F.col("cn"))
+        & (F.col("key_a") < F.col("key_b")),
+    ).select(
+        "key_a",
+        "key_b",
+        (
+            (F.col("lat_a") - F.col("lat_b"))
+            * (F.col("lat_a") - F.col("lat_b"))
+            + (F.col("lon_a") - F.col("lon_b"))
+            * (F.col("lon_a") - F.col("lon_b"))
+        ).alias("dist2"),
+    ).filter(F.col("dist2") <= cell * cell)
+    total = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs_total"))
+    top = pairs.orderBy(
+        F.asc("dist2"), F.asc("key_a"), F.asc("key_b")
+    ).limit(20)
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.asc("dist2"), F.asc("key_a"), F.asc("key_b")
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .crossJoin(F.broadcast(total))
+        .select("rank", "key_a", "key_b", "dist2", "n_pairs_total")
+    )

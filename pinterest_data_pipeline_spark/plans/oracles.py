@@ -6573,3 +6573,50 @@ oracle("dedup_lsh_param_planner")(
     GROUP BY 1, 2, 3, 4, 5 ORDER BY b DESC
     """
 )
+
+oracle("join_spatial_grid_neighbors")(
+    # Same md5-derived micro-degree positions, same 0.25-degree cells,
+    # same lossless 3x3 probe and exact integer planar distance.
+    """
+    WITH pts AS (
+        SELECT c_custkey AS key,
+               (CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)
+                    || 'lat'), 1, 8)) AS UBIGINT) % 10000000)::BIGINT
+                   AS lat_i,
+               (CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)
+                    || 'lon'), 1, 8)) AS UBIGINT) % 10000000)::BIGINT
+                   AS lon_i
+        FROM customer
+    ), cells AS (
+        SELECT key, lat_i, lon_i,
+               floor(lat_i / 250000.0)::BIGINT AS cl,
+               floor(lon_i / 250000.0)::BIGINT AS cn
+        FROM pts
+    ), probes AS (
+        SELECT c.key AS key_a, c.lat_i AS lat_a, c.lon_i AS lon_a,
+               c.cl + o.dl AS pcl, c.cn + o.dn AS pcn
+        FROM cells c CROSS JOIN (
+            SELECT dl, dn FROM (VALUES (-1), (0), (1)) a(dl)
+            CROSS JOIN (VALUES (-1), (0), (1)) b(dn)
+        ) o
+    ), pairs AS (
+        SELECT p.key_a, c.key AS key_b,
+               (p.lat_a - c.lat_i) * (p.lat_a - c.lat_i)
+               + (p.lon_a - c.lon_i) * (p.lon_a - c.lon_i) AS dist2
+        FROM probes p
+        JOIN cells c
+          ON p.pcl = c.cl AND p.pcn = c.cn AND p.key_a < c.key
+        WHERE (p.lat_a - c.lat_i) * (p.lat_a - c.lat_i)
+              + (p.lon_a - c.lon_i) * (p.lon_a - c.lon_i)
+              <= 62500000000
+    ), total AS (
+        SELECT count(*)::BIGINT AS n_pairs_total FROM pairs
+    ), top AS (
+        SELECT key_a, key_b, dist2,
+               row_number() OVER (ORDER BY dist2, key_a, key_b)::INT AS rank
+        FROM pairs ORDER BY dist2, key_a, key_b LIMIT 20
+    )
+    SELECT rank, key_a, key_b, dist2, n_pairs_total
+    FROM top CROSS JOIN total ORDER BY rank
+    """
+)

@@ -93,6 +93,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "quality_split_contamination",
     "dedup_linkage_fs_weights",
     "dedup_lsh_param_planner",
+    "join_spatial_grid_neighbors",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

@@ -3505,3 +3505,42 @@ def test_lsh_planner_curve_and_threshold_semantics(spark):
     for r in out:
         assert r.n_pairs_scored == 2
         assert r.n_pairs_targeted == 1
+
+
+def test_spatial_grid_neighbors_matches_bruteforce(spark):
+    """Blocking losslessness from the data: on an 80-customer table the
+    grid-blocked pair set must equal the brute-force O(n^2) enumeration
+    (count and closest pair), including pairs that straddle cell
+    boundaries."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    def coord(key: int, salt: str) -> int:
+        return int(
+            hashlib.md5(f"{key}{salt}".encode()).hexdigest()[:8], 16
+        ) % 10_000_000
+
+    keys = list(range(1, 81))
+    pos = {k: (coord(k, "lat"), coord(k, "lon")) for k in keys}
+    brute = []
+    for i, a in enumerate(keys):
+        for b in keys[i + 1:]:
+            d2 = (pos[a][0] - pos[b][0]) ** 2 + (pos[a][1] - pos[b][1]) ** 2
+            if d2 <= 250_000**2:
+                brute.append((d2, a, b))
+    brute.sort()
+    assert brute, "fixture must contain at least one qualifying pair"
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(k,) for k in keys], "c_custkey long"
+        ).write.parquet(os.path.join(d, "customer.parquet"))
+        out = QUERIES["join_spatial_grid_neighbors"](spark, d).collect()
+    assert out[0].n_pairs_total == len(brute)
+    got = [(r.dist2, r.key_a, r.key_b) for r in
+           sorted(out, key=lambda r: r.rank)]
+    assert got == brute[: len(got)]
