@@ -2364,6 +2364,71 @@ def probe_fs_linkage(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
+def probe_spatial_neighbors(spark, mult: int) -> float:
+    """Spatial grid join at mult x points with the WORLD tiled alongside
+    (each copy's longitude shifted by a full window) so point density —
+    and therefore per-cell occupancy — stays constant: the honest
+    100 TB model for a spatial join (a fixed-window multiply would grow
+    density and square the within-threshold pair volume, a probe
+    artifact, not an operator property)."""
+    from pinterest_data_pipeline_spark.operators import sampling
+
+    span, cell = 10_000_000, 250_000
+    base = load_table(spark, SF, "customer").select("c_custkey")
+    tiles = []
+    for i in range(mult):
+        tiles.append(
+            base.select(
+                (F.col("c_custkey") + i * KEY_STRIDE).alias("key"),
+                (sampling.uniform_hash(F.col("c_custkey"), "lat") % span)
+                .alias("lat_i"),
+                (
+                    sampling.uniform_hash(F.col("c_custkey"), "lon") % span
+                    + F.lit(i * span)
+                ).alias("lon_i"),
+            )
+        )
+    pts = tiles[0]
+    for t in tiles[1:]:
+        pts = pts.unionByName(t)
+    pts = pts.select(
+        "key", "lat_i", "lon_i",
+        F.floor(F.col("lat_i") / cell).cast("long").alias("cl"),
+        F.floor(F.col("lon_i") / cell).cast("long").alias("cn"),
+    )
+    offsets = spark.range(9).select(
+        (F.col("id") % 3 - 1).alias("dl"),
+        ((F.col("id") / 3).cast("long") - 1).alias("dn"),
+    )
+    probes = pts.crossJoin(F.broadcast(offsets)).select(
+        F.col("key").alias("key_a"),
+        F.col("lat_i").alias("lat_a"),
+        F.col("lon_i").alias("lon_a"),
+        (F.col("cl") + F.col("dl")).alias("pcl"),
+        (F.col("cn") + F.col("dn")).alias("pcn"),
+    )
+    pairs = probes.join(
+        pts.select(
+            F.col("key").alias("key_b"),
+            F.col("lat_i").alias("lat_b"),
+            F.col("lon_i").alias("lon_b"),
+            "cl", "cn",
+        ),
+        (F.col("pcl") == F.col("cl"))
+        & (F.col("pcn") == F.col("cn"))
+        & (F.col("key_a") < F.col("key_b")),
+    ).select(
+        (
+            (F.col("lat_a") - F.col("lat_b")) * (F.col("lat_a") - F.col("lat_b"))
+            + (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b"))
+        ).alias("dist2")
+    ).filter(F.col("dist2") <= cell * cell)
+    q = pairs.agg(F.count(F.lit(1)).alias("n"), F.min("dist2").alias("m"))
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 PROBES = {
     "tpch_q5_6way_join": probe_tpch_q5,
     "simhash_near_dup": probe_simhash,
@@ -2459,6 +2524,7 @@ PROBES = {
     "simpsons": probe_simpsons,
     "split_contamination": probe_split_contamination,
     "fs_linkage": probe_fs_linkage,
+    "spatial_neighbors": probe_spatial_neighbors,
 }
 
 
