@@ -204,3 +204,80 @@ def deletion_neighborhood_join(df: DataFrame, text_col: str) -> DataFrame:
         .withColumn("edit_distance", F.levenshtein("val_a", "val_b"))
         .filter(F.col("edit_distance") <= 1)
     )
+
+
+def grid_neighbor_pairs(
+    pts: DataFrame,
+    cell: int,
+    threshold2: int | None = None,
+    key_col: str = "key",
+    x_col: str = "lat_i",
+    y_col: str = "lon_i",
+) -> DataFrame:
+    """All point pairs within sqrt(threshold2) by integer grid blocking.
+
+    ``pts`` carries integer coordinates; cells are ``coord div cell`` and
+    candidates come from equi-joining each point's 3x3 neighbor cells —
+    LOSSLESS whenever ``cell**2 >= threshold2`` (a qualifying pair can
+    never straddle non-adjacent cells), asserted here. Returns
+    (key_a, key_b, dist2) with key_a < key_b, dist2 exact int64.
+
+    Scale: candidate volume is sum over cells of occupancy * its 3x3
+    neighborhood — bounded by DENSITY, not corpus size, when the domain
+    grows with the data. The adversary is a HOT CELL (a dense city): a
+    cell holding k points contributes O(k^2) candidates regardless of
+    the threshold filter. Mitigation is resolution, not salting: halve
+    ``cell`` (still >= sqrt(threshold2)) until occupancy is bounded, or
+    split hot cells recursively (quadtree) — candidates stay exact
+    either way because losslessness only needs cell >= threshold.
+    """
+    from pyspark.sql import functions as F
+
+    if threshold2 is None:
+        threshold2 = cell * cell
+    assert cell * cell >= threshold2, (
+        "grid blocking is lossless only when cell size covers the "
+        f"threshold: cell^2={cell * cell} < threshold2={threshold2}"
+    )
+    spark = pts.sparkSession
+    cells = pts.select(
+        F.col(key_col).alias("key"),
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+        F.floor(F.col(x_col) / cell).cast("long").alias("cx"),
+        F.floor(F.col(y_col) / cell).cast("long").alias("cy"),
+    )
+    offsets = spark.range(9).select(
+        (F.col("id") % 3 - 1).alias("dx"),
+        ((F.col("id") / 3).cast("long") - 1).alias("dy"),
+    )
+    probes = cells.crossJoin(F.broadcast(offsets)).select(
+        F.col("key").alias("key_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        (F.col("cx") + F.col("dx")).alias("pcx"),
+        (F.col("cy") + F.col("dy")).alias("pcy"),
+    )
+    return (
+        probes.join(
+            cells.select(
+                F.col("key").alias("key_b"),
+                F.col("x").alias("xb"),
+                F.col("y").alias("yb"),
+                "cx",
+                "cy",
+            ),
+            (F.col("pcx") == F.col("cx"))
+            & (F.col("pcy") == F.col("cy"))
+            & (F.col("key_a") < F.col("key_b")),
+        )
+        .select(
+            "key_a",
+            "key_b",
+            (
+                (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+                + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+            ).alias("dist2"),
+        )
+        .filter(F.col("dist2") <= threshold2)
+    )

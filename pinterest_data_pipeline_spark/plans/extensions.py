@@ -7568,11 +7568,15 @@ def join_spatial_grid_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: the 20 closest pairs plus the total qualifying-pair count.
 
     Scale shape: one cell-keyed equi join whose fan-out is bounded by
-    cell occupancy (9 probe cells per point, never corpus-quadratic);
+    cell occupancy (9 probe cells per point, never corpus-quadratic;
+    the hot-cell adversary and its resolution-based mitigation are
+    documented on :func:`~..operators.joins.grid_neighbor_pairs`);
     top-20 via TakeOrderedAndProject on an integer sort key. A real
     deployment swaps the md5 stand-in for stored coordinates and the
     planar metric for haversine at the one distance expression.
     """
+    from ..operators import joins as joins_ops
+
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
     span = 10_000_000  # 10 degrees in micro-degrees
     cell = 250_000  # 0.25-degree grid == the distance threshold
@@ -7584,45 +7588,8 @@ def join_spatial_grid_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sampling.uniform_hash(F.col("c_custkey"), "lon") % span).alias(
             "lon_i"
         ),
-    ).select(
-        "key",
-        "lat_i",
-        "lon_i",
-        F.floor(F.col("lat_i") / cell).cast("long").alias("cl"),
-        F.floor(F.col("lon_i") / cell).cast("long").alias("cn"),
     )
-    offsets = spark.range(9).select(
-        (F.col("id") % 3 - 1).alias("dl"),
-        ((F.col("id") / 3).cast("long") - 1).alias("dn"),
-    )
-    probes = pts.crossJoin(F.broadcast(offsets)).select(
-        F.col("key").alias("key_a"),
-        F.col("lat_i").alias("lat_a"),
-        F.col("lon_i").alias("lon_a"),
-        (F.col("cl") + F.col("dl")).alias("pcl"),
-        (F.col("cn") + F.col("dn")).alias("pcn"),
-    )
-    pairs = probes.join(
-        pts.select(
-            F.col("key").alias("key_b"),
-            F.col("lat_i").alias("lat_b"),
-            F.col("lon_i").alias("lon_b"),
-            "cl",
-            "cn",
-        ),
-        (F.col("pcl") == F.col("cl"))
-        & (F.col("pcn") == F.col("cn"))
-        & (F.col("key_a") < F.col("key_b")),
-    ).select(
-        "key_a",
-        "key_b",
-        (
-            (F.col("lat_a") - F.col("lat_b"))
-            * (F.col("lat_a") - F.col("lat_b"))
-            + (F.col("lon_a") - F.col("lon_b"))
-            * (F.col("lon_a") - F.col("lon_b"))
-        ).alias("dist2"),
-    ).filter(F.col("dist2") <= cell * cell)
+    pairs = joins_ops.grid_neighbor_pairs(pts, cell)
     total = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs_total"))
     top = pairs.orderBy(
         F.asc("dist2"), F.asc("key_a"), F.asc("key_b")

@@ -3544,3 +3544,37 @@ def test_spatial_grid_neighbors_matches_bruteforce(spark):
     got = [(r.dist2, r.key_a, r.key_b) for r in
            sorted(out, key=lambda r: r.rank)]
     assert got == brute[: len(got)]
+
+
+def test_grid_neighbor_pairs_hot_cell_still_exact(spark):
+    """Hot-cell adversary: 60 points CLUSTERED inside one cell (plus a
+    boundary straddler) — the blocked pair set must still equal the
+    brute-force enumeration, and the lossless-cell assertion must refuse
+    an undersized cell."""
+    import pytest as _pytest
+
+    from pinterest_data_pipeline_spark.operators import joins as joins_ops
+
+    # 60 points packed into cell (0, 0) of a 1000-unit grid, one point
+    # just across the cell border at x=1005 within threshold of the edge
+    rows = (
+        [(i, 10 * i, 500) for i in range(60)]
+        + [(99, 990, 500), (100, 1005, 500)]
+    )
+    pts = spark.createDataFrame(rows, "key long, lat_i long, lon_i long")
+    got = {
+        (r.key_a, r.key_b): r.dist2
+        for r in joins_ops.grid_neighbor_pairs(
+            pts, cell=1000, threshold2=300**2
+        ).collect()
+    }
+    brute = {}
+    for i, (ka, xa, ya) in enumerate(rows):
+        for kb, xb, yb in rows[i + 1:]:
+            d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+            if d2 <= 300**2:
+                brute[(min(ka, kb), max(ka, kb))] = d2
+    assert got == brute
+    assert (99, 100) in got  # the cell-straddling pair survives blocking
+    with _pytest.raises(AssertionError):
+        joins_ops.grid_neighbor_pairs(pts, cell=100, threshold2=300**2)
