@@ -193,6 +193,12 @@ def knn_partial_topk_matmul(
     """
     import numpy as np
 
+    out_schema_empty = (
+        "q_id long, q_label int, vec_id long, label int, dot_q long"
+    )
+    if not audited_rows:  # empty corpus/audit -> empty frame, not a crash
+        spark = corpus.sparkSession
+        return spark.createDataFrame([], out_schema_empty)
     q_ids = np.array([int(r[0]) for r in audited_rows], dtype=np.int64)
     q_mat = np.array([list(r[1]) for r in audited_rows], dtype=np.float64)
     q_labels = [r[2] for r in audited_rows]

@@ -3578,3 +3578,26 @@ def test_grid_neighbor_pairs_hot_cell_still_exact(spark):
     assert (99, 100) in got  # the cell-straddling pair survives blocking
     with _pytest.raises(AssertionError):
         joins_ops.grid_neighbor_pairs(pts, cell=100, threshold2=300**2)
+
+
+def test_knn_partial_topk_matmul_empty_inputs(spark):
+    """Empty audit set / empty corpus return empty frames with the right
+    schema instead of crashing (the empty-input guard class ADVICE r9
+    flagged in the streaming helpers)."""
+    from pinterest_data_pipeline_spark.operators import similarity
+
+    corpus = spark.createDataFrame(
+        [(1, [1, 2], 0)], "vec_id long, c_vec array<long>, label int"
+    )
+    empty_audit = similarity.knn_partial_topk_matmul(corpus, [], k=5)
+    assert empty_audit.count() == 0
+    assert [f.name for f in empty_audit.schema.fields] == [
+        "q_id", "q_label", "vec_id", "label", "dot_q",
+    ]
+    empty_corpus = spark.createDataFrame(
+        [], "vec_id long, c_vec array<long>, label int"
+    )
+    got = similarity.knn_partial_topk_matmul(
+        empty_corpus, [(9, [1, 2], 1)], k=5
+    )
+    assert got.count() == 0
