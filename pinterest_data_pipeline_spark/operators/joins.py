@@ -239,7 +239,6 @@ def grid_neighbor_pairs(
         "grid blocking is lossless only when cell size covers the "
         f"threshold: cell^2={cell * cell} < threshold2={threshold2}"
     )
-    spark = pts.sparkSession
     cells = pts.select(
         F.col(key_col).alias("key"),
         F.col(x_col).alias("x"),
@@ -247,16 +246,28 @@ def grid_neighbor_pairs(
         F.floor(F.col(x_col) / cell).cast("long").alias("cx"),
         F.floor(F.col(y_col) / cell).cast("long").alias("cy"),
     )
-    offsets = spark.range(9).select(
-        (F.col("id") % 3 - 1).alias("dx"),
-        ((F.col("id") / 3).cast("long") - 1).alias("dy"),
+    # 3x3 probe fan-out via explode (Generate), never a small-frame
+    # crossJoin — the no-BNLJ plan discipline (rolling-WAU precedent)
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
     )
-    probes = cells.crossJoin(F.broadcast(offsets)).select(
+    probes = cells.select(
         F.col("key").alias("key_a"),
         F.col("x").alias("xa"),
         F.col("y").alias("ya"),
-        (F.col("cx") + F.col("dx")).alias("pcx"),
-        (F.col("cy") + F.col("dy")).alias("pcy"),
+        "cx",
+        "cy",
+        F.explode(offsets).alias("o"),
+    ).select(
+        "key_a",
+        "xa",
+        "ya",
+        (F.col("cx") + F.col("o.dx")).alias("pcx"),
+        (F.col("cy") + F.col("o.dy")).alias("pcy"),
     )
     return (
         probes.join(

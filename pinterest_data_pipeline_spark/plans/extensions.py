@@ -7528,12 +7528,33 @@ def dedup_lsh_param_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("uni"),
         )
     )
-    params = spark.createDataFrame(
-        lsh_planner_params(),
-        "b int, r int, s50_num long, s50 double, p_at_05 double, p_at_07 double",
+    # 6-row parameter fan-out via explode (Generate), never a small-frame
+    # crossJoin — the no-BNLJ plan discipline (rolling-WAU precedent)
+    params_arr = F.array(
+        *[
+            F.struct(
+                F.lit(p["b"]).cast("int").alias("b"),
+                F.lit(p["r"]).cast("int").alias("r"),
+                F.lit(p["s50_num"]).cast("long").alias("s50_num"),
+                F.lit(p["s50"]).alias("s50"),
+                F.lit(p["p_at_05"]).alias("p_at_05"),
+                F.lit(p["p_at_07"]).alias("p_at_07"),
+            )
+            for p in lsh_planner_params()
+        ]
     )
     return (
-        pairs.crossJoin(F.broadcast(params))
+        pairs.select("s_min", "uni", F.explode(params_arr).alias("p"))
+        .select(
+            "s_min",
+            "uni",
+            F.col("p.b").alias("b"),
+            F.col("p.r").alias("r"),
+            F.col("p.s50_num").alias("s50_num"),
+            F.col("p.s50").alias("s50"),
+            F.col("p.p_at_05").alias("p_at_05"),
+            F.col("p.p_at_07").alias("p_at_07"),
+        )
         .groupBy("b", "r", "s50", "p_at_05", "p_at_07")
         .agg(
             F.sum(

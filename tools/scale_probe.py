@@ -2391,38 +2391,9 @@ def probe_spatial_neighbors(spark, mult: int) -> float:
     pts = tiles[0]
     for t in tiles[1:]:
         pts = pts.unionByName(t)
-    pts = pts.select(
-        "key", "lat_i", "lon_i",
-        F.floor(F.col("lat_i") / cell).cast("long").alias("cl"),
-        F.floor(F.col("lon_i") / cell).cast("long").alias("cn"),
-    )
-    offsets = spark.range(9).select(
-        (F.col("id") % 3 - 1).alias("dl"),
-        ((F.col("id") / 3).cast("long") - 1).alias("dn"),
-    )
-    probes = pts.crossJoin(F.broadcast(offsets)).select(
-        F.col("key").alias("key_a"),
-        F.col("lat_i").alias("lat_a"),
-        F.col("lon_i").alias("lon_a"),
-        (F.col("cl") + F.col("dl")).alias("pcl"),
-        (F.col("cn") + F.col("dn")).alias("pcn"),
-    )
-    pairs = probes.join(
-        pts.select(
-            F.col("key").alias("key_b"),
-            F.col("lat_i").alias("lat_b"),
-            F.col("lon_i").alias("lon_b"),
-            "cl", "cn",
-        ),
-        (F.col("pcl") == F.col("cl"))
-        & (F.col("pcn") == F.col("cn"))
-        & (F.col("key_a") < F.col("key_b")),
-    ).select(
-        (
-            (F.col("lat_a") - F.col("lat_b")) * (F.col("lat_a") - F.col("lat_b"))
-            + (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b"))
-        ).alias("dist2")
-    ).filter(F.col("dist2") <= cell * cell)
+    from pinterest_data_pipeline_spark.operators import joins as joins_ops
+
+    pairs = joins_ops.grid_neighbor_pairs(pts, cell)
     q = pairs.agg(F.count(F.lit(1)).alias("n"), F.min("dist2").alias("m"))
     t0 = time.perf_counter()
     q.write.format("noop").mode("overwrite").save()
