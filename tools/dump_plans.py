@@ -177,6 +177,14 @@ FLAGSHIPS = [
     "pipeline_corpus_card",
     # streaming_bitmap_distinct is excluded like the other streaming
     # drives: its plan embeds a completed run's table read
+    # session-6 births
+    "quality_k_anonymity",
+    "quality_simpsons_reversal",
+    "search_ndcg_bm25",
+    "quality_split_contamination",
+    "dedup_linkage_fs_weights",
+    "dedup_lsh_param_planner",
+    "join_spatial_grid_neighbors",
 ]
 
 
