@@ -7623,3 +7623,74 @@ def join_spatial_grid_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .select("rank", "key_a", "key_b", "dist2", "n_pairs_total")
     )
+
+
+@query
+def quality_embedding_proximity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic train/eval contamination audit — the EMBEDDING-level
+    complement of :func:`quality_split_contamination` (exact-duplicate
+    text catches verbatim leaks; a near-identical eval vector whose
+    nearest TRAIN neighbour is suspiciously close signals paraphrase /
+    near-duplicate leakage that survives text dedup): hash-split the
+    vector store, audit a fixed 256-vector eval sample (the bounded
+    md5-priority draw of the knn audit), and for each audited vector
+    find its nearest train vector by exact integer-quantized dot via
+    the GEMM kernel (k=1). Output: one row of exact counts — audited
+    size, train size, suspicious count at the fixed dot threshold
+    900000 (~cosine 0.9 at the certified x1000 quantization of
+    unit-ish vectors) — plus min/max/mean nearest dots (integer sums,
+    one rounded division).
+
+    Scale shape: ONE train-corpus scan against the bounded 256-query
+    GEMM (Python->JVM rows stay q*(k+1) per batch); the rollup is a
+    1-row aggregate. Same exactness contract as the knn audit:
+    quantization Spark-side, every GEMM intermediate an exact integer.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    tagged = sampling.hash_split(emb, "vec_id")
+    audited_rows = (
+        tagged.filter(F.col("split") != "train")
+        .withColumn("h", sampling.uniform_hash(F.col("vec_id"), "proximity"))
+        .orderBy(F.asc("h"), F.asc("vec_id"))
+        .limit(256)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            similarity.quantize(F.col("embedding")).alias("q_vec"),
+            F.col("label").alias("q_label"),
+        )
+        .collect()
+    )
+    train = tagged.filter(F.col("split") == "train").select(
+        "vec_id", similarity.quantize(F.col("embedding")).alias("c_vec"),
+        "label",
+    )
+    n_train = train.agg(F.count(F.lit(1)).cast("long").alias("n_train"))
+    partials = similarity.knn_partial_topk_matmul(train, audited_rows, k=1)
+    w = Window.partitionBy("q_id").orderBy(F.desc("dot_q"), F.asc("vec_id"))
+    nearest = (
+        partials.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("q_id", "dot_q")
+    )
+    return (
+        nearest.agg(
+            F.count(F.lit(1)).cast("long").alias("n_audited"),
+            F.sum(F.when(F.col("dot_q") >= 900000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_suspicious"),
+            F.min("dot_q").cast("long").alias("min_nearest_dot"),
+            F.max("dot_q").cast("long").alias("max_nearest_dot"),
+            F.round(
+                F.sum("dot_q").cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_nearest_dot"),
+        )
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "n_audited",
+            "n_train",
+            "n_suspicious",
+            "min_nearest_dot",
+            "max_nearest_dot",
+            "mean_nearest_dot",
+        )
+    )

@@ -6620,3 +6620,54 @@ oracle("join_spatial_grid_neighbors")(
     FROM top CROSS JOIN total ORDER BY rank
     """
 )
+
+oracle("quality_embedding_proximity_audit")(
+    # Same vec_id hash split, same bounded md5-priority eval audit, same
+    # integer-quantized dots; nearest = max(dot) per audited vector.
+    """
+    WITH tagged AS (
+        SELECT vec_id, embedding,
+               CASE WHEN CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)
+                        || 'split'), 1, 8)) AS UBIGINT) % 10000 < 8000
+                    THEN 'train'
+                    WHEN CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)
+                        || 'split'), 1, 8)) AS UBIGINT) % 10000 < 9000
+                    THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM embeddings
+    ), audited AS (
+        SELECT vec_id AS q_id,
+               list_transform(embedding,
+                              v -> round(v::DOUBLE * 1000)::BIGINT) AS q_vec
+        FROM tagged WHERE split <> 'train'
+        ORDER BY CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)
+                     || 'proximity'), 1, 8)) AS UBIGINT), vec_id
+        LIMIT 256
+    ), train AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              v -> round(v::DOUBLE * 1000)::BIGINT) AS c_vec
+        FROM tagged WHERE split = 'train'
+    ), pairs AS (
+        SELECT a.q_id, t.vec_id,
+               unnest(t.c_vec) AS ev, unnest(a.q_vec) AS qv
+        FROM train t CROSS JOIN audited a
+    ), dots AS (
+        SELECT q_id, vec_id, sum(ev * qv)::BIGINT AS dot
+        FROM pairs GROUP BY q_id, vec_id
+    ), nearest AS (
+        SELECT q_id, max(dot)::BIGINT AS dot_q FROM dots GROUP BY q_id
+    ), nt AS (
+        SELECT count(*)::BIGINT AS n_train FROM train
+    )
+    SELECT count(*)::BIGINT AS n_audited,
+           nt.n_train,
+           sum(CASE WHEN dot_q >= 900000 THEN 1 ELSE 0 END)::BIGINT
+               AS n_suspicious,
+           min(dot_q)::BIGINT AS min_nearest_dot,
+           max(dot_q)::BIGINT AS max_nearest_dot,
+           round(sum(dot_q)::DOUBLE / count(*), 4) AS mean_nearest_dot
+    FROM nearest CROSS JOIN nt
+    GROUP BY nt.n_train
+    """
+)

@@ -94,6 +94,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "dedup_linkage_fs_weights",
     "dedup_lsh_param_planner",
     "join_spatial_grid_neighbors",
+    "quality_embedding_proximity_audit",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

@@ -3601,3 +3601,45 @@ def test_knn_partial_topk_matmul_empty_inputs(spark):
         empty_corpus, [(9, [1, 2], 1)], k=5
     )
     assert got.count() == 0
+
+
+def test_embedding_proximity_audit_detects_planted_near_dup(spark):
+    """Plant an eval vector nearly identical to a train vector (dot above
+    the 900k threshold) next to an orthogonal eval vector: exactly one
+    suspicious hit, and min/max nearest dots match hand computation."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    def split_of(vec_id: int) -> str:
+        h = int(hashlib.md5(f"{vec_id}split".encode()).hexdigest()[:8], 16)
+        b = h % 10000
+        return "train" if b < 8000 else ("valid" if b < 9000 else "test")
+
+    ids = {s: [i for i in range(1, 400) if split_of(i) == s] for s in
+           ("train", "valid", "test")}
+    dim = 4
+    unit = [1.0, 0.0, 0.0, 0.0]
+    near = [0.999, 0.01, 0.0, 0.0]   # dot with unit ~ 999*1000 = 999000
+    ortho = [0.0, 1.0, 0.0, 0.0]     # dot with unit = 0
+    rows = [
+        (ids["train"][0], unit, 0),
+        (ids["train"][1], [0.0, 0.0, 1.0, 0.0], 0),
+        (ids["valid"][0], near, 1),
+        (ids["valid"][1], ortho, 1),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(os.path.join(d, "embeddings.parquet"))
+        out = QUERIES["quality_embedding_proximity_audit"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_audited == 2 and r.n_train == 2
+    assert r.n_suspicious == 1
+    assert r.max_nearest_dot == 999 * 1000      # near . unit
+    assert r.min_nearest_dot == 0               # ortho's best train dot
+    assert r.mean_nearest_dot == round((999000 + 0) / 2, 4)
