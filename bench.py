@@ -315,6 +315,7 @@ HEADLINE = [
     "dedup_lsh_param_planner",
     "join_spatial_grid_neighbors",
     "quality_embedding_proximity_audit",
+    "ml_kmeans_separation",
 ]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)

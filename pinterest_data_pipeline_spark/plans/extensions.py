@@ -7202,11 +7202,17 @@ def quality_simpsons_reversal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment",
             "n_a",
             "n_b",
-            F.round(
-                F.col("s_a").cast("double") / F.col("n_a") / 100.0, 4
+            F.when(
+                F.col("n_a") > 0,
+                F.round(
+                    F.col("s_a").cast("double") / F.col("n_a") / 100.0, 4
+                ),
             ).alias("mean_a"),
-            F.round(
-                F.col("s_b").cast("double") / F.col("n_b") / 100.0, 4
+            F.when(
+                F.col("n_b") > 0,
+                F.round(
+                    F.col("s_b").cast("double") / F.col("n_b") / 100.0, 4
+                ),
             ).alias("mean_b"),
             F.col("seg_dir").cast("int"),
             F.col("pooled_dir").cast("int"),
@@ -7283,7 +7289,10 @@ def search_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(10).cast("int").alias("k"),
             F.round(F.col("dcg"), 6).alias("dcg_at_k"),
             F.round(F.col("idcg"), 6).alias("idcg_at_k"),
-            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_k"),
+            F.when(
+                F.col("idcg") > 0,
+                F.round(F.col("dcg") / F.col("idcg"), 6),
+            ).alias("ndcg_at_k"),
             "n_matched_docs",
         )
     )
@@ -7339,10 +7348,13 @@ def quality_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "eval_split",
         "n_docs",
         "n_leaked_docs",
-        F.round(
-            F.col("n_leaked_docs").cast("double")
-            / F.col("n_docs").cast("double"),
-            6,
+        F.when(
+            F.col("n_docs") > 0,
+            F.round(
+                F.col("n_leaked_docs").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ),
         ).alias("leak_share"),
         "n_leaked_texts",
     ).orderBy("eval_split")
@@ -7680,8 +7692,11 @@ def quality_embedding_proximity_audit(spark: SparkSession, sf_dir: str) -> DataF
             .alias("n_suspicious"),
             F.min("dot_q").cast("long").alias("min_nearest_dot"),
             F.max("dot_q").cast("long").alias("max_nearest_dot"),
-            F.round(
-                F.sum("dot_q").cast("double") / F.count(F.lit(1)), 4
+            F.when(
+                F.count(F.lit(1)) > 0,
+                F.round(
+                    F.sum("dot_q").cast("double") / F.count(F.lit(1)), 4
+                ),
             ).alias("mean_nearest_dot"),
         )
         .crossJoin(F.broadcast(n_train))
@@ -7693,4 +7708,106 @@ def quality_embedding_proximity_audit(spark: SparkSession, sf_dir: str) -> DataF
             "max_nearest_dot",
             "mean_nearest_dot",
         )
+    )
+
+
+@query
+def ml_kmeans_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality audit (simplified-silhouette style) for the
+    quantized k-means — the eval metric the clustering family was
+    missing, exactly as nDCG closed the retrieval family: after the same
+    two Lloyd iterations as :func:`ml_kmeans_quantized`, every vector
+    carries its own-centroid squared distance a2 (cohesion) and its
+    second-nearest-centroid squared distance b2 (separation); per
+    cluster the audit reports exact integer sums of both, the
+    separation ratio sum(b2)/sum(a2) (ONE division — never a per-vector
+    float averaged, which would be an unordered float sum), and the
+    well-separated share (b2 >= 4*a2, i.e. the runner-up centroid at
+    least twice as far — an all-integer compare).
+
+    Scale shape: identical to the kmeans query (dimension-bounded
+    broadcast centroid joins, per-vector partial aggs, WindowGroupLimit
+    rank<=2); the audit adds no new shuffle class. Integer sums take
+    the decimal(38,0) accumulator rule at 100 TB.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.posexplode(similarity.quantize(F.col("embedding"))).alias(
+            "pos", "val"
+        ),
+    )
+    cent = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("cluster_id"),
+        "pos",
+        F.col("val").alias("code"),
+    )
+    d2 = (F.col("val") - F.col("code")) * (F.col("val") - F.col("code"))
+
+    def distances(centroids: DataFrame) -> DataFrame:
+        return (
+            vecs.join(F.broadcast(centroids), "pos")
+            .groupBy("vec_id", "cluster_id")
+            .agg(F.sum(d2).alias("sqdist"))
+        )
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.asc("sqdist"), F.asc("cluster_id")
+    )
+    for _ in range(2):
+        members = (
+            distances(cent)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster_id")
+        )
+        cent = (
+            vecs.join(members.hint("shuffle_hash"), "vec_id")
+            .groupBy("cluster_id", "pos")
+            .agg(F.round(F.avg("val")).cast("long").alias("code"))
+        )
+    ranked = distances(cent).withColumn("rn", F.row_number().over(w))
+    own = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "cluster_id", F.col("sqdist").alias("a2")
+    )
+    runner = ranked.filter(F.col("rn") == 2).select(
+        "vec_id", F.col("sqdist").alias("b2")
+    )
+    per_vec = own.join(runner, "vec_id")
+    return (
+        per_vec.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum("a2").cast("long").alias("cohesion_a2"),
+            F.sum("b2").cast("long").alias("separation_b2"),
+            F.sum(
+                F.when(F.col("b2") >= 4 * F.col("a2"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_well_separated"),
+        )
+        .select(
+            F.col("cluster_id").cast("long"),
+            "n_vectors",
+            "cohesion_a2",
+            "separation_b2",
+            # a one-member (or fully-degenerate) cluster has zero
+            # cohesion; ANSI double division THROWS on zero, so the
+            # ratio is guarded to NULL (mirrored in the oracle)
+            F.when(
+                F.col("cohesion_a2") > 0,
+                F.round(
+                    F.col("separation_b2").cast("double")
+                    / F.col("cohesion_a2").cast("double"),
+                    4,
+                ),
+            ).alias("separation_ratio"),
+            "n_well_separated",
+            F.round(
+                F.col("n_well_separated").cast("double")
+                / F.col("n_vectors").cast("double"),
+                6,
+            ).alias("well_separated_share"),
+        )
+        .orderBy("cluster_id")
     )

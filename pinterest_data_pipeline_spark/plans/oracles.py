@@ -6340,8 +6340,12 @@ oracle("quality_simpsons_reversal")(
         FROM rows_j
     )
     SELECT s.c_mktsegment, s.n_a, s.n_b,
-           round(s.s_a::DOUBLE / s.n_a / 100.0, 4) AS mean_a,
-           round(s.s_b::DOUBLE / s.n_b / 100.0, 4) AS mean_b,
+           CASE WHEN s.n_a > 0
+                THEN round(s.s_a::DOUBLE / s.n_a / 100.0, 4)
+                ELSE NULL END AS mean_a,
+           CASE WHEN s.n_b > 0
+                THEN round(s.s_b::DOUBLE / s.n_b / 100.0, 4)
+                ELSE NULL END AS mean_b,
            (CASE WHEN s.s_a * s.n_b > s.s_b * s.n_a THEN 1
                  WHEN s.s_a * s.n_b < s.s_b * s.n_a THEN -1
                  ELSE 0 END)::INTEGER AS seg_dir,
@@ -6426,7 +6430,8 @@ oracle("search_ndcg_bm25")(
     SELECT 10::INTEGER AS k,
            round(dcg, 6) AS dcg_at_k,
            round(idcg, 6) AS idcg_at_k,
-           round(dcg / idcg, 6) AS ndcg_at_k,
+           CASE WHEN idcg > 0 THEN round(dcg / idcg, 6)
+                ELSE NULL END AS ndcg_at_k,
            n_matched_docs
     FROM dcg, idcg, n
     """
@@ -6465,7 +6470,9 @@ oracle("quality_split_contamination")(
         FROM per_text
     )
     SELECT eval_split, n_docs, n_leaked_docs,
-           round(n_leaked_docs::DOUBLE / n_docs::DOUBLE, 6) AS leak_share,
+           CASE WHEN n_docs > 0
+                THEN round(n_leaked_docs::DOUBLE / n_docs::DOUBLE, 6)
+                ELSE NULL END AS leak_share,
            n_leaked_texts
     FROM rolled ORDER BY eval_split
     """
@@ -6669,5 +6676,83 @@ oracle("quality_embedding_proximity_audit")(
            round(sum(dot_q)::DOUBLE / count(*), 4) AS mean_nearest_dot
     FROM nearest CROSS JOIN nt
     GROUP BY nt.n_train
+    """
+)
+
+oracle("ml_kmeans_separation")(
+    # Same unrolled Lloyd chain as ml_kmeans_quantized; the final ranking
+    # keeps rank 1 (own centroid, cohesion) AND rank 2 (runner-up,
+    # separation); one division per cluster, integer compares for the
+    # well-separated cut.
+    """
+    WITH vecs AS (
+        SELECT vec_id, u.i - 1 AS pos,
+               round(embedding[u.i]::DOUBLE * 1000)::BIGINT AS val
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ), c0 AS (
+        SELECT vec_id AS cluster_id, pos, val AS code
+        FROM vecs WHERE vec_id < 3
+    ), d1 AS (
+        SELECT v.vec_id, c.cluster_id,
+               sum((v.val - c.code) * (v.val - c.code))::BIGINT AS sqdist
+        FROM vecs v JOIN c0 c USING (pos)
+        GROUP BY v.vec_id, c.cluster_id
+    ), a1 AS (
+        SELECT vec_id, cluster_id FROM (
+            SELECT vec_id, cluster_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sqdist, cluster_id) AS rn
+            FROM d1
+        ) WHERE rn = 1
+    ), c1 AS (
+        SELECT a.cluster_id, v.pos, round(avg(v.val))::BIGINT AS code
+        FROM vecs v JOIN a1 a USING (vec_id)
+        GROUP BY a.cluster_id, v.pos
+    ), d2 AS (
+        SELECT v.vec_id, c.cluster_id,
+               sum((v.val - c.code) * (v.val - c.code))::BIGINT AS sqdist
+        FROM vecs v JOIN c1 c USING (pos)
+        GROUP BY v.vec_id, c.cluster_id
+    ), a2 AS (
+        SELECT vec_id, cluster_id FROM (
+            SELECT vec_id, cluster_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sqdist, cluster_id) AS rn
+            FROM d2
+        ) WHERE rn = 1
+    ), c2 AS (
+        SELECT a.cluster_id, v.pos, round(avg(v.val))::BIGINT AS code
+        FROM vecs v JOIN a2 a USING (vec_id)
+        GROUP BY a.cluster_id, v.pos
+    ), d3 AS (
+        SELECT v.vec_id, c.cluster_id,
+               sum((v.val - c.code) * (v.val - c.code))::BIGINT AS sqdist
+        FROM vecs v JOIN c2 c USING (pos)
+        GROUP BY v.vec_id, c.cluster_id
+    ), ranked AS (
+        SELECT vec_id, cluster_id, sqdist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sqdist, cluster_id) AS rn
+        FROM d3
+    ), own AS (
+        SELECT vec_id, cluster_id, sqdist AS a2 FROM ranked WHERE rn = 1
+    ), runner AS (
+        SELECT vec_id, sqdist AS b2 FROM ranked WHERE rn = 2
+    ), per_vec AS (
+        SELECT o.cluster_id, o.a2, r.b2
+        FROM own o JOIN runner r USING (vec_id)
+    )
+    SELECT cluster_id::BIGINT AS cluster_id,
+           count(*)::BIGINT AS n_vectors,
+           sum(a2)::BIGINT AS cohesion_a2,
+           sum(b2)::BIGINT AS separation_b2,
+           CASE WHEN sum(a2) > 0
+                THEN round(sum(b2)::DOUBLE / sum(a2)::DOUBLE, 4)
+                ELSE NULL END AS separation_ratio,
+           sum(CASE WHEN b2 >= 4 * a2 THEN 1 ELSE 0 END)::BIGINT
+               AS n_well_separated,
+           round(sum(CASE WHEN b2 >= 4 * a2 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*)::DOUBLE, 6) AS well_separated_share
+    FROM per_vec GROUP BY cluster_id ORDER BY cluster_id
     """
 )

@@ -95,6 +95,7 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "dedup_lsh_param_planner",
     "join_spatial_grid_neighbors",
     "quality_embedding_proximity_audit",
+    "ml_kmeans_separation",
     "agg_weighted_median_price",
     "scd2_asof_segments",
 )

@@ -3643,3 +3643,39 @@ def test_embedding_proximity_audit_detects_planted_near_dup(spark):
     assert r.max_nearest_dot == 999 * 1000      # near . unit
     assert r.min_nearest_dot == 0               # ortho's best train dot
     assert r.mean_nearest_dot == round((999000 + 0) / 2, 4)
+
+
+def test_kmeans_separation_planted_tight_and_loose_clusters(spark):
+    """Three planted blobs far apart, one per seed (vec 0/1/2): every
+    member's runner-up centroid is a FAR blob, so all vectors are
+    well-separated; a fixture with two seeds inside one blob correctly
+    reported 0.5 well-separated (runner-up was the sibling centroid) —
+    the audit reads cluster geometry, not wishful thinking."""
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    # blobs at (0,0), (10,10), (20,0) — seeds 0/1/2 land one per blob
+    rows = [
+        (0, [0.0, 0.001], 0),
+        (1, [10.0, 10.001], 1),
+        (2, [20.0, 0.001], 2),
+        (3, [0.001, 0.0], 0),
+        (4, [9.999, 10.0], 1),
+        (5, [19.999, 0.0], 2),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(os.path.join(d, "embeddings.parquet"))
+        out = QUERIES["ml_kmeans_separation"](spark, d).collect()
+    total = sum(r.n_vectors for r in out)
+    assert total == 6
+    assert len(out) == 3
+    for r in out:
+        # every runner-up centroid is in the far blob: b2 >> 4*a2
+        assert r.n_well_separated == r.n_vectors
+        assert r.well_separated_share == 1.0
+        assert r.separation_b2 > 4 * r.cohesion_a2
