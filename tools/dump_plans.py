@@ -185,6 +185,8 @@ FLAGSHIPS = [
     "dedup_linkage_fs_weights",
     "dedup_lsh_param_planner",
     "join_spatial_grid_neighbors",
+    "quality_embedding_proximity_audit",
+    "ml_kmeans_separation",
 ]
 
 
