@@ -43,63 +43,65 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/check_parity.py). Run `python tools/ledger.py` for the ledger,
 # and `python tools/ledger.py --propose-window` to GENERATE the rotation
 # below (VERDICT r8 item 7 — this window is that tool's output).
-# ROUND-10 ROTATION (tool-proposed): the 13 round-9 births take the
-# owed second-certification seats; round-10 births are seated at birth;
-# the remaining seats back-fill with the STALEST twice-certified queries
-# (last certified r1-r4) for re-verification.
-SEATING_ROUND = 10  # invariant tests evaluate the ledger as of SEATING_ROUND-1
+# ROUND-11 ROTATION (tool-proposed): the 39 session-4/5/6 births that
+# overflowed r10's 100%-birth window take their first-certification
+# seats; the 11 remaining seats go to the r10-certified births owed
+# their second row. Zero back-fill — every seat pays certification debt;
+# the zero-never-certified invariant restores when CORRECTNESS_r11.json
+# lands (VERDICT r10 item 1).
+SEATING_ROUND = 11  # invariant tests evaluate the ledger as of SEATING_ROUND-1
 
 PRIORITY_WINDOW: tuple[str, ...] = (
-    "sketch_tdigest_weighted_median",  # birth
-    "ann_ivf_filtered_topk",  # birth
-    "cdc_scd2_roundtrip",  # birth
-    "sketch_kmv_set_overlap",  # birth
-    "text_sparse_cosine_pairs",  # birth
-    "events_market_basket_pairs",  # birth
-    "embedding_jl_projection",  # birth
-    "window_global_percent_rank",  # birth
-    "streaming_dedup_rollup",  # birth
-    "join_fuzzy_deletion_neighbors",  # birth
-    "scd2_temporal_fact_join",  # birth
-    "agg_pareto_skyline",  # birth
-    "graph_triangle_count",  # birth
-    "events_attribution_multi_touch",  # birth
-    "text_bm25_topk",  # birth
-    "search_hybrid_rrf",  # birth
-    "graph_pagerank",  # birth
-    "agg_equidepth_bins",  # birth
-    "join_interval_bucketed",  # birth
-    "ml_kmeans_quantized",  # birth
-    "events_ab_chisquare",  # birth
-    "quality_ks_two_sample",  # birth
-    "clean_winsorized_mean",  # birth
-    "events_seasonal_mase",  # birth
-    "graph_bfs_hops",  # birth
-    "events_cumulative_users",  # birth
-    "events_market_basket_triples",  # birth
-    "anomaly_cusum_daily",  # birth
-    "sample_proportional_quota",  # birth
-    "agg_revenue_concentration",  # birth
-    "orc_roundtrip_battery",  # birth
-    "anomaly_bot_regularity",  # birth
-    "quality_knn_label_agreement",  # birth
-    "sample_negative_pairs",  # birth
-    "text_rake_keywords",  # birth
-    "join_fifo_allocation",  # birth
-    "quality_cohens_kappa",  # birth
-    "window_clamped_running_balance",  # birth
-    "agg_rfm_segments",  # birth
-    "quality_spearman_corr",  # birth
-    "quality_benford_digits",  # birth
-    "stat_bootstrap_ci_mean",  # birth
-    "events_daily_trend_slope",  # birth
-    "events_autocorrelation_lag",  # birth
-    "quality_mann_whitney_u",  # birth
-    "window_rolling_median_daily",  # birth
-    "graph_label_propagation",  # birth
-    "ml_target_encode_kfold",  # birth
-    "events_time_weighted_avg",  # birth
-    "events_sessionize_capped",  # birth
+    "text_phrase_search",  # birth
+    "events_bitmap_retention",  # birth
+    "events_max_concurrency_daily",  # birth
+    "agg_gini_customer_revenue",  # birth
+    "events_funnel_latency",  # birth
+    "text_pmi_cooccurrence",  # birth
+    "events_top_paths",  # birth
+    "text_ngram_novelty",  # birth
+    "dedup_sorted_neighborhood",  # birth
+    "events_cuped_adjusted",  # birth
+    "events_theilsen_trend",  # birth
+    "events_kaplan_meier",  # birth
+    "streaming_bitmap_distinct",  # birth
+    "events_rolling_wau_bitmap",  # birth
+    "sample_systematic",  # birth
+    "dedup_weighted_jaccard_adjacent",  # birth
+    "text_char_entropy",  # birth
+    "sample_group_split_no_leakage",  # birth
+    "events_markov_accuracy",  # birth
+    "text_readability",  # birth
+    "agg_hierarchical_share",  # birth
+    "events_decay_score_dyadic",  # birth
+    "quality_duplicate_payments",  # birth
+    "text_zipf_slope",  # birth
+    "events_entry_channel_conversion",  # birth
+    "quality_join_key_skew",  # birth
+    "events_new_vs_returning",  # birth
+    "quality_functional_dependency",  # birth
+    "quality_langid_confusion",  # birth
+    "pipeline_corpus_card",  # birth
+    "quality_k_anonymity",  # birth
+    "quality_simpsons_reversal",  # birth
+    "search_ndcg_bm25",  # birth
+    "quality_split_contamination",  # birth
+    "dedup_linkage_fs_weights",  # birth
+    "dedup_lsh_param_planner",  # birth
+    "join_spatial_grid_neighbors",  # birth
+    "quality_embedding_proximity_audit",  # birth
+    "ml_kmeans_separation",  # birth
+    "sketch_tdigest_weighted_median",  # r10
+    "ann_ivf_filtered_topk",  # r10
+    "cdc_scd2_roundtrip",  # r10
+    "sketch_kmv_set_overlap",  # r10
+    "text_sparse_cosine_pairs",  # r10
+    "events_market_basket_pairs",  # r10
+    "embedding_jl_projection",  # r10
+    "window_global_percent_rank",  # r10
+    "streaming_dedup_rollup",  # r10
+    "join_fuzzy_deletion_neighbors",  # r10
+    "scd2_temporal_fact_join",  # r10
 )
 
 

@@ -43,7 +43,9 @@ from tools import ledger
 DRIVER_WINDOW = 50
 
 # Once-certified queries expected to miss a seat this round (see module
-# docstring). r9: none — every under-certified query is seated.
+# docstring). r11: the 39 never-certified session-4/5/6 births plus the
+# 11 r10-certified births fill the window exactly, so every once-certified
+# query from earlier rounds waits (bound/approx-oracle entries first).
 EXPECTED_QUEUE: tuple[str, ...] = (
     "sketch_tdigest_quantile_bounds",
     "agg_tdigest_grouped_p95",
@@ -56,48 +58,47 @@ EXPECTED_QUEUE: tuple[str, ...] = (
     "events_rolling_wau_kmv",
     "sample_token_budget_mix",
     "sample_weighted_multi_draw",
-    "text_phrase_search",
-    "events_bitmap_retention",
-    "events_max_concurrency_daily",
-    "agg_gini_customer_revenue",
-    "events_funnel_latency",
-    "text_pmi_cooccurrence",
-    "events_top_paths",
-    "text_ngram_novelty",
-    "dedup_sorted_neighborhood",
-    "events_cuped_adjusted",
-    "events_theilsen_trend",
-    "events_kaplan_meier",
-    "streaming_bitmap_distinct",
-    "events_rolling_wau_bitmap",
-    "sample_systematic",
-    "dedup_weighted_jaccard_adjacent",
-    "text_char_entropy",
-    "sample_group_split_no_leakage",
-    "events_markov_accuracy",
-    "text_readability",
-    "agg_hierarchical_share",
-    "events_decay_score_dyadic",
-    "quality_duplicate_payments",
-    "text_zipf_slope",
-    "events_entry_channel_conversion",
-    "quality_join_key_skew",
-    "events_new_vs_returning",
-    "quality_functional_dependency",
-    "quality_langid_confusion",
-    "pipeline_corpus_card",
-    # session-6 births (registered after the rotation, queued at birth)
-    "quality_k_anonymity",
-    "quality_simpsons_reversal",
-    "search_ndcg_bm25",
-    "quality_split_contamination",
-    "dedup_linkage_fs_weights",
-    "dedup_lsh_param_planner",
-    "join_spatial_grid_neighbors",
-    "quality_embedding_proximity_audit",
-    "ml_kmeans_separation",
+    "graph_triangle_count",
+    "events_attribution_multi_touch",
+    "text_bm25_topk",
+    "search_hybrid_rrf",
+    "graph_pagerank",
+    "agg_equidepth_bins",
+    "join_interval_bucketed",
+    "ml_kmeans_quantized",
+    "events_ab_chisquare",
+    "quality_ks_two_sample",
+    "clean_winsorized_mean",
+    "events_seasonal_mase",
+    "graph_bfs_hops",
+    "events_cumulative_users",
+    "events_market_basket_triples",
+    "anomaly_cusum_daily",
+    "sample_proportional_quota",
+    "agg_revenue_concentration",
+    "orc_roundtrip_battery",
+    "anomaly_bot_regularity",
+    "quality_knn_label_agreement",
+    "sample_negative_pairs",
+    "text_rake_keywords",
+    "join_fifo_allocation",
+    "quality_cohens_kappa",
+    "window_clamped_running_balance",
+    "agg_rfm_segments",
+    "quality_spearman_corr",
+    "quality_benford_digits",
+    "stat_bootstrap_ci_mean",
+    "events_daily_trend_slope",
+    "events_autocorrelation_lag",
+    "quality_mann_whitney_u",
+    "window_rolling_median_daily",
+    "graph_label_propagation",
+    "ml_target_encode_kfold",
+    "events_time_weighted_avg",
+    "events_sessionize_capped",
     "agg_weighted_median_price",
     "scd2_asof_segments",
+    "agg_pareto_skyline",
 )
 
 
@@ -197,6 +198,36 @@ def test_window_is_the_tool_proposal():
 
 
 def test_ledger_main_reports_no_red_flags(capsys):
+    """main() evaluates as-of SEATING_ROUND-1 (VERDICT r10 item 3), so a
+    CORRECTNESS_r{SEATING_ROUND}.json landing mid-round cannot redden a
+    correctly-rotated frozen tree."""
     assert ledger.main() == 0
     out = capsys.readouterr().out
     assert "RED FLAG" not in out
+
+
+def test_invariant_still_catches_genuinely_unseated_birth():
+    """The rotation-aware cap must not blind the invariant: a rotation
+    that leaves an oracled-never-certified query outside the window while
+    a previously-certified query holds a seat is still red at
+    SEATING_ROUND-1 (the exact r10 failure shape, re-created synthetically
+    so it can never regress silently)."""
+    led, registry_order, _ = _table()
+    # Synthesize a bad rotation: evict one never-certified birth from the
+    # committed window and seat an already-certified query in its place.
+    births = [q for q in entry.PRIORITY_WINDOW if not led.get(q, [])]
+    certified = [q for q in registry_order if len(led.get(q, [])) >= 1
+                 and q not in entry.PRIORITY_WINDOW]
+    assert births and certified, "fixture shape changed; pick new seeds"
+    bad_window = tuple(
+        certified[0] if q == births[0] else q for q in entry.PRIORITY_WINDOW
+    )
+    table = ledger.statuses(
+        led, bad_window, set(registry_order), set(oracles.ORACLES)
+    )
+    assert table[births[0]]["status"] == "queued"
+    assert table[births[0]]["n_certs"] == 0
+    # the seated query has history, so the never-certified birth waiting
+    # outside is exactly the RED FLAG condition main() enforces
+    seated_with_history = [q for q in bad_window if led.get(q, [])]
+    assert seated_with_history

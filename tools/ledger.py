@@ -159,7 +159,15 @@ def main() -> int:
     import __spark_entry__ as entry
     from pinterest_data_pipeline_spark.plans import oracles
 
-    ledger = build_ledger()
+    # Rotation-aware (VERDICT r10 item 3): evaluate as-of SEATING_ROUND-1
+    # so a CORRECTNESS_r{SEATING_ROUND}.json landing mid-round can neither
+    # redden a frozen tree (r10: the 39 session-4/5/6 births went
+    # "never-certified and unseated" the moment r10's artifact landed,
+    # though the rotation that seats them was already queued) nor green a
+    # wrong one. --propose-window inherits the same cap: bump
+    # SEATING_ROUND first, then propose — the proposal then reads exactly
+    # the rounds the rotation may know about.
+    ledger = build_ledger(max_round=entry.SEATING_ROUND - 1)
     registry_order = list(entry.queries())
 
     if "--propose-window" in sys.argv:
