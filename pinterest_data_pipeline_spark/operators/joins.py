@@ -235,10 +235,12 @@ def grid_neighbor_pairs(
 
     if threshold2 is None:
         threshold2 = cell * cell
-    assert cell * cell >= threshold2, (
-        "grid blocking is lossless only when cell size covers the "
-        f"threshold: cell^2={cell * cell} < threshold2={threshold2}"
-    )
+    # losslessness contract — explicit raise so it survives `python -O`
+    if not cell * cell >= threshold2:
+        raise ValueError(
+            "grid blocking is lossless only when cell size covers the "
+            f"threshold: cell^2={cell * cell} < threshold2={threshold2}"
+        )
     cells = pts.select(
         F.col(key_col).alias("key"),
         F.col(x_col).alias("x"),

@@ -169,6 +169,7 @@ def knn_partial_topk_matmul(
     id_col: str = "vec_id",
     vec_col: str = "c_vec",
     label_col: str = "label",
+    extra: int = 1,
 ) -> DataFrame:
     """Exact integer-dot top-k candidates per query via one GEMM per
     Arrow batch, with per-batch partial selection.
@@ -185,11 +186,19 @@ def knn_partial_topk_matmul(
 
     Scale shape: the global top-k per query under the total order
     (dot desc, id asc) is a subset of every batch's local top-k under
-    the same order, so each Arrow batch emits at most ``q*(k+1)`` rows
-    (k+1 covers the self-match dropped JVM-side) — Python->JVM traffic
-    is corpus-size-independent and the caller finishes with one
-    WindowGroupLimit rank. Replaces a q*n interpreted zip_with/aggregate
-    evaluation (~10x HOF tax, NOTES.md) with one C-side matmul.
+    the same order, so each Arrow batch emits at most ``q*(k+extra)``
+    rows — Python->JVM traffic is corpus-size-independent and the caller
+    finishes with one WindowGroupLimit rank. Replaces a q*n interpreted
+    zip_with/aggregate evaluation (~10x HOF tax, NOTES.md) with one
+    C-side matmul.
+
+    CONTRACT (ADVICE r10): ``extra`` must be >= the maximum number of
+    rows the caller drops per (query, batch) AFTER this kernel — the
+    per-batch partial has already truncated to k+extra, so any larger
+    post-filter silently loses true top-k candidates. The default
+    ``extra=1`` covers exactly one dropped row per query (the self-match
+    ``vec_id == q_id``); a caller excluding a label set or an id list
+    must pass a matching slack.
     """
     import numpy as np
 
@@ -207,7 +216,9 @@ def knn_partial_topk_matmul(
     out_schema = (
         "q_id long, q_label int, vec_id long, label int, dot_q long"
     )
-    take = k + 1  # self-match (vec_id == q_id) is filtered after ranking
+    if extra < 0:
+        raise ValueError(f"extra must be >= 0, got {extra}")
+    take = k + extra  # slack for caller-side post-ranking drops (see docstring)
 
     def kernel(batches):
         for pdf in batches:
@@ -217,10 +228,13 @@ def knn_partial_topk_matmul(
             labels = pdf[label_col].to_numpy()
             x = _stack_vectors(pdf[vec_col], dim, "knn_partial_topk_matmul")
             x_absmax = float(np.abs(x).max()) if x.size else 0.0
-            assert x_absmax * q_absmax * dim < 2**53, (
-                "quantized components too large for exact float64 GEMM "
-                f"(max|x|={x_absmax:g}, max|q|={q_absmax:g}, dim={dim})"
-            )
+            # correctness-critical: must survive `python -O` (ADVICE r10),
+            # so an explicit raise rather than an assert
+            if not x_absmax * q_absmax * dim < 2**53:
+                raise ValueError(
+                    "quantized components too large for exact float64 GEMM "
+                    f"(max|x|={x_absmax:g}, max|q|={q_absmax:g}, dim={dim})"
+                )
             # pre-sort by id so a stable sort on -dot yields (dot desc, id asc)
             order_ids = np.argsort(ids, kind="stable")
             ids, labels, x = ids[order_ids], labels[order_ids], x[order_ids]
@@ -1410,11 +1424,13 @@ def jl_project_quantized(
         x = _stack_vectors(qvecs, in_dim, "jl_project_quantized")
         x_absmax = float(np.abs(x).max()) if x.size else 0.0
         # matrix entries are +-1, so the exact-integer headroom bound
-        # is max|x| * in_dim < 2**53 (same argument as the knn kernel)
-        assert x_absmax * in_dim < 2**53, (
-            f"quantized component too large for exact float64 GEMM "
-            f"(max|x|={x_absmax:g}, in_dim={in_dim})"
-        )
+        # is max|x| * in_dim < 2**53 (same argument as the knn kernel);
+        # explicit raise so the exactness contract survives `python -O`
+        if not x_absmax * in_dim < 2**53:
+            raise ValueError(
+                f"quantized component too large for exact float64 GEMM "
+                f"(max|x|={x_absmax:g}, in_dim={in_dim})"
+            )
         proj = (x @ mat.T).astype(np.int64)
         return pd.Series(list(proj))
 

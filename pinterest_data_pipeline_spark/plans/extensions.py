@@ -7170,17 +7170,22 @@ def quality_simpsons_reversal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _pivot(df, keys):
+        # Cast the SUMMAND so the accumulation itself runs in
+        # decimal(38,0) — summing in int64 and casting the result can
+        # overflow (or throw under ANSI) at 100 TB cohort sizes while the
+        # DuckDB oracle's sum(BIGINT) widens to HUGEINT (ADVICE r10).
+        cents_dec = F.col("cents").cast("decimal(38,0)")
         return df.groupBy(*keys).agg(
             F.sum(F.when(F.col("is_a") == 1, 1).otherwise(0))
             .cast("long")
             .alias("n_a"),
-            F.sum(F.when(F.col("is_a") == 1, F.col("cents")).otherwise(0))
+            F.sum(F.when(F.col("is_a") == 1, cents_dec).otherwise(F.lit(0).cast("decimal(38,0)")))
             .cast("decimal(38,0)")
             .alias("s_a"),
             F.sum(F.when(F.col("is_a") == 0, 1).otherwise(0))
             .cast("long")
             .alias("n_b"),
-            F.sum(F.when(F.col("is_a") == 0, F.col("cents")).otherwise(0))
+            F.sum(F.when(F.col("is_a") == 0, cents_dec).otherwise(F.lit(0).cast("decimal(38,0)")))
             .cast("decimal(38,0)")
             .alias("s_b"),
         )
@@ -7684,8 +7689,16 @@ def quality_embedding_proximity_audit(spark: SparkSession, sf_dir: str) -> DataF
         .filter(F.col("rk") == 1)
         .select("q_id", "dot_q")
     )
+    # n_train attaches BEFORE the rollup and the rollup groups by it, so
+    # a degenerate empty audit sample yields ZERO rows — matching the
+    # oracle's GROUP BY nt.n_train over an empty `nearest` (ADVICE r10;
+    # the old global agg emitted one all-null row cross-joined with
+    # n_train). Grouping on the 1-value broadcast key is partial-agg
+    # friendly — same single-row output on real input.
     return (
-        nearest.agg(
+        nearest.crossJoin(F.broadcast(n_train))
+        .groupBy("n_train")
+        .agg(
             F.count(F.lit(1)).cast("long").alias("n_audited"),
             F.sum(F.when(F.col("dot_q") >= 900000, 1).otherwise(0))
             .cast("long")
@@ -7699,7 +7712,6 @@ def quality_embedding_proximity_audit(spark: SparkSession, sf_dir: str) -> DataF
                 ),
             ).alias("mean_nearest_dot"),
         )
-        .crossJoin(F.broadcast(n_train))
         .select(
             "n_audited",
             "n_train",

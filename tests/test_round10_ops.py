@@ -3576,7 +3576,9 @@ def test_grid_neighbor_pairs_hot_cell_still_exact(spark):
                 brute[(min(ka, kb), max(ka, kb))] = d2
     assert got == brute
     assert (99, 100) in got  # the cell-straddling pair survives blocking
-    with _pytest.raises(AssertionError):
+    # ValueError, not AssertionError: the losslessness contract must
+    # survive `python -O` (ADVICE r10)
+    with _pytest.raises(ValueError, match="lossless"):
         joins_ops.grid_neighbor_pairs(pts, cell=100, threshold2=300**2)
 
 
