@@ -60,3 +60,80 @@ def two_phase_rank(
         .withColumn(rank_col, F.col("_off") + F.row_number().over(wi))
         .drop("_bkt", "_off", "_n_b")
     )
+
+
+def two_phase_running(
+    df: DataFrame,
+    bucket: Column,
+    order_cols: list[str],
+    specs: list[tuple[str, str, str]],
+    partition_cols: list[str] | None = None,
+    current_row: bool = True,
+) -> DataFrame:
+    """Append running aggregates (cumulative SUM / MAX over the sort
+    order) computed in the same two phases as :func:`two_phase_rank` —
+    the reshape for ``SUM/MAX(x) OVER (ORDER BY v)`` when the ordered
+    domain is value-bounded but still large enough that one window task
+    is a 100x wall (VERDICT r10 item 4: the skyline cumulative-max and
+    the KS CDF sums were the last unpartitioned windows of this class).
+
+    ``specs`` is ``[(src_col, fn, out_col)]`` with ``fn`` in
+    {"sum", "max"}; ``bucket`` must be monotone in ``order_cols`` (value
+    ranges). ``current_row=True`` ends the frame at CURRENT ROW (CDF
+    semantics); ``False`` at the preceding row (strict "best so far",
+    NULL on each partition's first bucket-leading row, matching
+    ``rowsBetween(unboundedPreceding, -1)``).
+
+    Phase-2's serial window touches one row per occupied bucket; the
+    per-bucket phase-3 windows run in parallel with skew bounded by the
+    largest bucket (tunable via bucket granularity). Sums stay exact
+    integers: offsets and in-bucket partials are the same longs the
+    single window would accumulate, added once.
+    """
+    for _, fn, _ in specs:
+        if fn not in ("sum", "max"):
+            raise ValueError(f"unsupported running fn: {fn!r}")
+    part = list(partition_cols or [])
+    b = df.withColumn("_bkt", bucket)
+    per_b = b.groupBy(*part, "_bkt").agg(
+        *[
+            (F.sum(s) if fn == "sum" else F.max(s)).alias(f"_p_{out}")
+            for s, fn, out in specs
+        ]
+    )
+    wb = (
+        Window.partitionBy(*part) if part else Window.partitionBy()
+    ).orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = per_b.select(
+        *part,
+        "_bkt",
+        *[
+            (
+                F.coalesce(F.sum(f"_p_{out}").over(wb), F.lit(0)).cast("long")
+                if fn == "sum"
+                else F.max(f"_p_{out}").over(wb)
+            ).alias(f"_off_{out}")
+            for _, fn, out in specs
+        ],
+    )
+    end = 0 if current_row else -1
+    wi = (
+        Window.partitionBy(*part, "_bkt")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    out = b.join(F.broadcast(offs), part + ["_bkt"])
+    for s, fn, o in specs:
+        if fn == "sum":
+            out = out.withColumn(
+                o,
+                F.coalesce(F.sum(s).over(wi), F.lit(0)).cast("long")
+                + F.col(f"_off_{o}"),
+            )
+        else:
+            # greatest() skips NULLs; NULL only when no preceding value
+            # exists anywhere (first row under a strict frame)
+            out = out.withColumn(
+                o, F.greatest(F.max(s).over(wi), F.col(f"_off_{o}"))
+            )
+    return out.drop("_bkt", *[f"_off_{o}" for _, _, o in specs])

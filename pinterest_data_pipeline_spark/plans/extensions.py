@@ -3732,16 +3732,20 @@ def quality_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha=0.05 decision D > 1.358 * sqrt((n1+n2)/(n1*n2)).
 
     Scale shape: ONE pass buckets both samples per distinct price (integer
-    cents) — a partial-agg groupBy; the cumulative window then runs over
-    DISTINCT PRICES, the repo's sanctioned domain-bounded serial window
-    (the percent_rank/skyline reshape): its row count is fixed by the
-    price domain while the scan grows. Each CDF value is one exact
-    integer count divided once (bit-identical doubles cross-engine; the
-    integer-product form cum1*n2 would overflow int64 at ~1e10-row
+    cents) — a partial-agg groupBy; the CDF sums then run via
+    :func:`~..operators.ranking.two_phase_running` over $100 cent-range
+    buckets (VERDICT r10 item 4: the distinct-cents domain tracks sample
+    cardinality until the ~10.4M-value price domain saturates, so the old
+    unpartitioned window funneled it through ONE task; phase 2's serial
+    window sees ~1k bucket rows, phase 3 parallelizes per bucket, and the
+    cumulative counts are the same exact longs). Each CDF value is one
+    exact integer count divided once (bit-identical doubles cross-engine;
+    the integer-product form cum1*n2 would overflow int64 at ~1e10-row
     samples, so the division happens FIRST, identically in both engines);
     the max/abs/sqrt chain is deterministic IEEE arithmetic, rounded at
     one site.
     """
+    from ..operators.ranking import two_phase_running
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag").isin("A", "R")
     )
@@ -3765,14 +3769,18 @@ def quality_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = per_value.agg(
         F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
     )
-    w = Window.orderBy("cents").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum = two_phase_running(
+        per_value,
+        F.floor(F.col("cents") / 10000).cast("long"),
+        ["cents"],
+        [("c1", "sum", "cum1"), ("c2", "sum", "cum2")],
+        current_row=True,
     )
     cdf_gap = F.abs(
-        F.sum("c1").over(w).cast("double") / F.col("n1")
-        - F.sum("c2").over(w).cast("double") / F.col("n2")
+        F.col("cum1").cast("double") / F.col("n1")
+        - F.col("cum2").cast("double") / F.col("n2")
     )
-    gaps = per_value.crossJoin(F.broadcast(totals)).select(
+    gaps = cum.crossJoin(F.broadcast(totals)).select(
         "n1", "n2", cdf_gap.alias("gap")
     )
     crit = F.lit(1.358) * F.sqrt(

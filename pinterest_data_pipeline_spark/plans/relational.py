@@ -1934,23 +1934,34 @@ def agg_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     like the percent-rank transform: collapse to one candidate per price
     (same-price smaller sizes are strictly dominated, so
     ``groupBy(price).max(size)`` is a lossless, fully parallel
-    pre-filter), then one cumulative-max window over the DISTINCT-price
-    domain (bounded, not data-sized) keeps exactly the points whose size
-    strictly exceeds every cheaper point's best — the textbook sort-
-    based skyline, with dominance proven by the oracle's independent
-    NOT-EXISTS formulation rather than mirrored construction. A final
-    join counts the parts sitting ON each frontier point.
+    pre-filter), then a cumulative max over the DISTINCT-price domain
+    keeps exactly the points whose size strictly exceeds every cheaper
+    point's best — the textbook sort-based skyline, with dominance
+    proven by the oracle's independent NOT-EXISTS formulation rather
+    than mirrored construction. A final join counts the parts sitting
+    ON each frontier point.
+
+    The running max is :func:`~..operators.ranking.two_phase_running`
+    over $1 price-range buckets (VERDICT r10 item 4: the old
+    ``Window.orderBy(price)`` funneled the whole distinct-price domain
+    — which tracks part cardinality until the value domain saturates —
+    through ONE task); phase 2's serial window sees one row per
+    occupied dollar bucket, phase 3 parallelizes per bucket.
     """
+    from ..operators.ranking import two_phase_running
+
     part = load_table(spark, sf_dir, "part")
     pts = part.groupBy(F.col("p_retailprice").alias("price")).agg(
         F.max("p_size").alias("size")
     )
-    w = (
-        Window.orderBy(F.col("price").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     sky = (
-        pts.withColumn("best_prev", F.max("size").over(w))
+        two_phase_running(
+            pts,
+            F.floor(F.col("price")).cast("long"),
+            ["price"],
+            [("size", "max", "best_prev")],
+            current_row=False,
+        )
         .filter(F.col("best_prev").isNull() | (F.col("size") > F.col("best_prev")))
         .select("price", "size")
     )
