@@ -206,6 +206,19 @@ def test_ledger_main_reports_no_red_flags(capsys):
     assert "RED FLAG" not in out
 
 
+def test_families_index_is_current():
+    """FAMILIES.md (the family -> queries -> operators map, VERDICT r10
+    item 8) is generated from the live registry; a registry change
+    without regeneration — or a new prefix with no family row — fails
+    here instead of rotting silently."""
+    from tools import family_index
+
+    with open(family_index.OUT) as f:
+        assert f.read() == family_index.build(), (
+            "FAMILIES.md stale: run python tools/family_index.py"
+        )
+
+
 def test_invariant_still_catches_genuinely_unseated_birth():
     """The rotation-aware cap must not blind the invariant: a rotation
     that leaves an oracled-never-certified query outside the window while

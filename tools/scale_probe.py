@@ -2512,6 +2512,109 @@ def probe_ks_cdf(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
+def probe_fifo_allocation(spark, mult: int) -> float:
+    """FIFO cumulative-interval join at mult x lineitem with the PART
+    KEY axis grown alongside (key-shifted copies add new parts, so
+    per-part FIFO chain length — and thus pairs per part — stays
+    constant): the honest 100 TB model for a part-keyed window + band
+    join. Serial risk would be a hot part, not row volume."""
+    li = multiply(
+        load_table(spark, SF, "lineitem").select(
+            "l_partkey", "l_orderkey", "l_linenumber", "l_quantity",
+            "l_shipdate", "l_returnflag",
+        ),
+        mult,
+        ["l_partkey", "l_orderkey"],
+    ).select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.to_date("l_shipdate").alias("d"),
+        "l_returnflag",
+    )
+    from pyspark.sql import Window as SqlWindow
+
+    w = SqlWindow.partitionBy("l_partkey").orderBy(
+        "d", "l_orderkey", "l_linenumber"
+    ).rowsBetween(SqlWindow.unboundedPreceding, SqlWindow.currentRow)
+    supply = (
+        li.filter(F.col("l_returnflag") != "R")
+        .withColumn("cs", F.sum("qty").over(w))
+        .select(
+            "l_partkey",
+            (F.col("cs") - F.col("qty")).alias("s_lo"),
+            F.col("cs").alias("s_hi"),
+        )
+    )
+    demand = (
+        li.filter(F.col("l_returnflag") == "R")
+        .withColumn("cd", F.sum("qty").over(w))
+        .select(
+            "l_partkey",
+            (F.col("cd") - F.col("qty")).alias("d_lo"),
+            F.col("cd").alias("d_hi"),
+        )
+    )
+    matched = (
+        supply.join(demand, "l_partkey")
+        .filter(
+            (F.col("s_lo") < F.col("d_hi")) & (F.col("d_lo") < F.col("s_hi"))
+        )
+        .select(
+            "l_partkey",
+            (
+                F.least(F.col("s_hi"), F.col("d_hi"))
+                - F.greatest(F.col("s_lo"), F.col("d_lo"))
+            ).alias("m_qty"),
+        )
+    )
+    q = matched.agg(
+        F.count_distinct("l_partkey").alias("np"),
+        F.sum("m_qty").alias("mq"),
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_rolling_median(spark, mult: int) -> float:
+    """7-day rolling median at mult x orders, SAME calendar: rows per
+    day grow while the percentile-in-frame window input (the daily
+    rollup — day domain x 5 priorities) stays CONSTANT. The map-side
+    combinable rollup must absorb the growth; the frame cost is
+    calendar-bounded by construction (the axis a 100 TB year grows
+    ~10x, not with row volume)."""
+    from pyspark.sql import Window as SqlWindow
+
+    orders = multiply(
+        load_table(spark, SF, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice"
+        ),
+        mult,
+        ["o_orderkey"],
+    ).select(
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    daily = orders.groupBy("o_orderpriority", "day").agg(
+        F.sum("cents").alias("day_cents")
+    )
+    w = SqlWindow.partitionBy("o_orderpriority").orderBy("day").rowsBetween(
+        -6, 0
+    )
+    q = (
+        daily.withColumn(
+            "med", F.percentile(F.col("day_cents"), F.lit(0.5)).over(w)
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("med").alias("s"))
+    )
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 PROBES = {
     "tpch_q5_6way_join": probe_tpch_q5,
     "simhash_near_dup": probe_simhash,
@@ -2613,6 +2716,8 @@ PROBES = {
     # DOMAIN grown alongside the data)
     "skyline": probe_skyline,
     "ks_cdf": probe_ks_cdf,
+    "fifo_allocation": probe_fifo_allocation,
+    "rolling_median": probe_rolling_median,
 }
 
 
