@@ -419,7 +419,8 @@ def simhash(
     prefix of a pathological document is standard practice and leaves
     near-dup semantics unchanged.
     """
-    assert n_bits <= 64, "simhash packs into a single 64-bit long"
+    if n_bits > 64:  # explicit raise: survives `python -O` (ADVICE r10 class)
+        raise ValueError("simhash packs into a single 64-bit long")
     lanes = (n_bits + 15) // 16  # 16-bit-spaced bit groups needed
     hash_fn = hash_fn or (lambda c: F.xxhash64(c))
     toks = fan_out(df).select(

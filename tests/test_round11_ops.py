@@ -91,6 +91,34 @@ def test_two_phase_running_single_bucket_and_multi_spec(spark):
     assert got == expected
 
 
+def test_embedding_proximity_audit_empty_eval_emits_zero_rows(spark):
+    """ADVICE r10: on an all-train vector store (empty audited eval
+    sample) the audit must emit ZERO rows — matching the oracle's
+    GROUP BY over an empty nearest-neighbour frame — instead of one
+    all-null row cross-joined with n_train."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    def is_train(vec_id: int) -> bool:
+        h = int(hashlib.md5(f"{vec_id}split".encode()).hexdigest()[:8], 16)
+        return h % 10000 < 8000
+
+    train_ids = [i for i in range(1, 200) if is_train(i)][:6]
+    rows = [
+        (i, [1.0, 0.0, 0.0, 0.0], 0) for i in train_ids
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(os.path.join(d, "embeddings.parquet"))
+        out = QUERIES["quality_embedding_proximity_audit"](spark, d).collect()
+    assert out == []
+
+
 def test_two_phase_running_rejects_unknown_fn(spark):
     import pytest
 
