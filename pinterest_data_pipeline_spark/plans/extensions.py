@@ -3024,24 +3024,31 @@ def window_global_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     of ML preprocessing, reshaped for scale exactly like the weighted
     median: ``percent_rank() OVER (ORDER BY price)`` moves every row
     through ONE task, so instead aggregate to DISTINCT prices (fully
-    parallel, map-side combinable), run the cumulative count over the
-    bounded distinct-value domain (the only serial step — domain-sized,
-    not data-sized), and hash-join the per-value rank back to rows.
-    rank_lt (rows strictly below this price) is exact integer; the
+    parallel, map-side combinable), run the cumulative count via
+    :func:`~..operators.ranking.two_phase_running` over $100 price-range
+    buckets (round 11: the distinct-price domain itself tracks sample
+    cardinality until the ~10.4M-value price domain saturates, so even
+    the distinct-value window needs the bucketed split — the KS-CDF
+    reshape applied here), and hash-join the per-value rank back to
+    rows. rank_lt (rows strictly below this price) is exact integer; the
     certification aggregates per return flag with integer rank sums and
     ONE float division site for the mean percent rank.
     """
+    from ..operators.ranking import two_phase_running
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
     counts = li.groupBy("l_extendedprice").agg(F.count(F.lit(1)).alias("cnt"))
-    w = (
-        Window.orderBy(F.col("l_extendedprice").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = two_phase_running(
+        counts,
+        F.floor(F.col("l_extendedprice") / 100).cast("long"),
+        ["l_extendedprice"],
+        [("cnt", "sum", "cum")],
+        current_row=True,
+    ).select(
+        "l_extendedprice", (F.col("cum") - F.col("cnt")).alias("rank_lt")
     )
-    ranked = counts.withColumn(
-        "rank_lt", F.sum("cnt").over(w) - F.col("cnt")
-    ).select("l_extendedprice", "rank_lt")
     total = li.agg(F.count(F.lit(1)).alias("n_total"))
     return (
         li.join(ranked, "l_extendedprice")
@@ -4851,11 +4858,21 @@ def quality_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def rank2(df: DataFrame, col: str) -> DataFrame:
+        # cumulative count via two_phase_running (round 11: bucketed
+        # split of the distinct-value window, the KS-CDF reshape) —
+        # value-range buckets of 1000 keep phase 2 at <=100 rows for
+        # both rank columns (sizes collapse to one bucket, price cents
+        # to ~10)
+        from ..operators.ranking import two_phase_running
+
         counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
-        w = Window.orderBy(col).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        return counts.withColumn("cum", F.sum("cnt").over(w)).select(
+        return two_phase_running(
+            counts,
+            F.floor(F.col(col) / 1000).cast("long"),
+            [col],
+            [("cnt", "sum", "cum")],
+            current_row=True,
+        ).select(
             col,
             (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1).alias(
                 f"r2_{col}"
@@ -5196,10 +5213,19 @@ def quality_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counts = orders.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    rank_tab = counts.withColumn("cum", F.sum("cnt").over(w)).select(
+    # cumulative count via two_phase_running over $1000 cent-range
+    # buckets (round 11: bucketed split of the distinct-value window,
+    # the KS-CDF reshape; order totals span ~[90k, 60M) cents -> ~600
+    # occupied buckets in phase 2)
+    from ..operators.ranking import two_phase_running
+
+    rank_tab = two_phase_running(
+        counts,
+        F.floor(F.col("v") / 100000).cast("long"),
+        ["v"],
+        [("cnt", "sum", "cum")],
+        current_row=True,
+    ).select(
         "v",
         (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1).alias("r2"),
         "cnt",

@@ -1333,23 +1333,37 @@ def probe_jl_projection(spark, mult: int) -> float:
 
 
 def probe_percent_rank(spark, mult: int) -> float:
-    """Global percent rank at mult x lineitem: the distinct-price window
-    input is CONSTANT while row volume grows — the whole point of the
-    reshape (the serial step is domain-sized, not data-sized)."""
-    from pyspark.sql import Window as SqlWindow
+    """Global percent rank at mult x lineitem with the PRICE DOMAIN
+    tiled alongside (round 11: distinct prices track sample cardinality
+    until the value domain saturates, so the probe grows both): the
+    rank table now runs through two_phase_running's $100 buckets — the
+    serial step is one row per occupied bucket, never per distinct
+    value."""
+    from pinterest_data_pipeline_spark.operators.ranking import (
+        two_phase_running,
+    )
 
-    li = multiply(
+    width = 105_000.0  # price domain width of l_extendedprice
+    base = multiply(
         load_table(spark, SF, "lineitem").select("l_returnflag", "l_extendedprice", "l_orderkey"),
         mult,
         ["l_orderkey"],
-    ).select("l_returnflag", "l_extendedprice")
+    )
+    li = base.select(
+        "l_returnflag",
+        (
+            F.col("l_extendedprice")
+            + (F.floor(F.col("l_orderkey") / KEY_STRIDE) * width)
+        ).alias("l_extendedprice"),
+    )
     counts = li.groupBy("l_extendedprice").agg(F.count(F.lit(1)).alias("cnt"))
-    w = SqlWindow.orderBy(F.col("l_extendedprice").asc()).rowsBetween(
-        SqlWindow.unboundedPreceding, SqlWindow.currentRow
-    )
-    ranked = counts.withColumn("rank_lt", F.sum("cnt").over(w) - F.col("cnt")).select(
-        "l_extendedprice", "rank_lt"
-    )
+    ranked = two_phase_running(
+        counts,
+        F.floor(F.col("l_extendedprice") / 100).cast("long"),
+        ["l_extendedprice"],
+        [("cnt", "sum", "cum")],
+        current_row=True,
+    ).select("l_extendedprice", (F.col("cum") - F.col("cnt")).alias("rank_lt"))
     total = li.agg(F.count(F.lit(1)).alias("n_total"))
     q = (
         li.join(ranked, "l_extendedprice")
