@@ -551,3 +551,55 @@ def test_gemm_kernel_dot_products_exact_at_component_bound(spark, vecs, qvec):
     for i, v in enumerate(vecs):
         expect = sum(int(a) * int(b) for a, b in zip(v, qvec))
         assert got[i] == expect
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=-1000, max_value=1000),  # order value
+            st.integers(min_value=-50, max_value=50),      # payload
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    width=st.sampled_from([1, 7, 100, 5000]),
+    current_row=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_two_phase_running_matches_global_window(spark, pairs, width, current_row):
+    """two_phase_running (round 11) must equal the naive global window
+    for BOTH fns and BOTH frame ends, under arbitrary values (negative
+    included — floor-division bucketing must stay monotone), duplicate
+    order keys collapsed first (the helper ranks a distinct-value
+    rollup), and bucket widths from one-per-value to all-in-one."""
+    from pyspark.sql import Window
+
+    from pinterest_data_pipeline_spark.operators.ranking import (
+        two_phase_running,
+    )
+
+    rolled = {}
+    for v, x in pairs:
+        s, m = rolled.get(v, (0, None))
+        rolled[v] = (s + x, x if m is None else max(m, x))
+    rows = [(v, s, m) for v, (s, m) in sorted(rolled.items())]
+    df = spark.createDataFrame(rows, "v long, c long, x long")
+    end = 0 if current_row else -1
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, end)
+    expected = {
+        r.v: (r.cs, r.mx)
+        for r in df.withColumn(
+            "cs", F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long")
+        ).withColumn("mx", F.max("x").over(w)).collect()
+    }
+    got = {
+        r.v: (r.cs, r.mx)
+        for r in two_phase_running(
+            df,
+            F.floor(F.col("v") / width).cast("long"),
+            ["v"],
+            [("c", "sum", "cs"), ("x", "max", "mx")],
+            current_row=current_row,
+        ).collect()
+    }
+    assert got == expected
