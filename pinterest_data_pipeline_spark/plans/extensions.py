@@ -3818,32 +3818,40 @@ def clean_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the mean is one division at one site, next to the raw mean for
     the outlier-impact readout.
 
-    Scale shape: both passes are partial-agg-friendly groupBys on the
-    3-value flag key; the boundary frame is group-cardinality-bounded
-    (broadcast join back, the impute-median pattern). No window, no sort.
+    Scale shape: ONE scan of lineitem — a (flag, cents) partial-agg
+    rollup (value-DOMAIN-bounded output) feeds BOTH passes (round 11:
+    previously the raw table was scanned twice): the exact percentiles
+    come from frequency-weighted ``percentile(cents, p, cnt)`` over the
+    rollup (identical by definition to the per-row percentile), and the
+    clipped/raw sums re-aggregate the same rollup with cnt weights. The
+    boundary frame is group-cardinality-bounded (broadcast join back,
+    the impute-median pattern). No window, no sort.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
     )
-    bounds = li.groupBy("l_returnflag").agg(
-        F.round(F.percentile(F.col("cents"), F.lit(0.05))).cast("long").alias(
-            "lo"
-        ),
-        F.round(F.percentile(F.col("cents"), F.lit(0.95))).cast("long").alias(
-            "hi"
-        ),
+    rollup = li.groupBy("l_returnflag", "cents").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bounds = rollup.groupBy("l_returnflag").agg(
+        F.round(
+            F.percentile(F.col("cents"), F.lit(0.05), F.col("cnt"))
+        ).cast("long").alias("lo"),
+        F.round(
+            F.percentile(F.col("cents"), F.lit(0.95), F.col("cnt"))
+        ).cast("long").alias("hi"),
     )
     clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("cents")))
     return (
-        li.join(F.broadcast(bounds), "l_returnflag")
+        rollup.join(F.broadcast(bounds), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
-            F.count(F.lit(1)).alias("n_items"),
+            F.sum("cnt").alias("n_items"),
             F.max("lo").alias("lo_cents"),
             F.max("hi").alias("hi_cents"),
-            F.sum(clipped).alias("clipped_sum"),
-            F.sum("cents").alias("raw_sum"),
+            F.sum(clipped * F.col("cnt")).alias("clipped_sum"),
+            F.sum(F.col("cents") * F.col("cnt")).alias("raw_sum"),
         )
         .select(
             "l_returnflag",
