@@ -518,3 +518,37 @@ def test_scalar_attach_bnlj_build_side_is_single_row(spark, name):
     )
     # and the aggregate under each broadcast groups by NOTHING
     assert re.search(r"HashAggregate\(keys=\[\]", plan)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "agg_pareto_skyline",
+        "quality_ks_two_sample",
+        "window_global_percent_rank",
+        "quality_spearman_corr",
+        "quality_mann_whitney_u",
+    ],
+)
+def test_distinct_domain_windows_stay_bucketed(spark, name):
+    """Round 11: the distinct-value cumulative windows run through
+    two_phase_running — every Window over the VALUE axis must be
+    partitioned by the bucket column, and the only unpartitioned window
+    allowed is phase 2's offset pass over the bucket rollup (ordered BY
+    the bucket column itself, one row per occupied bucket). A revert to
+    the naive `Window.orderBy(value)` — which funnels the whole distinct
+    domain through one task — trips the windowspec scan below."""
+    import re
+
+    plan = plan_of(spark, name)
+    # phase-3 windows partition on the bucket column
+    assert "windowspecdefinition(_bkt" in plan
+    # any unpartitioned windowspec must ORDER BY the bucket column
+    # (phase 2's rollup pass), never by a raw value column
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = spec.split(",")[0].strip()
+        if "ASC" in head or "DESC" in head:  # no partition columns
+            assert head.startswith("_bkt"), (
+                f"{name}: unpartitioned window ordered by {head!r} — "
+                "the naive distinct-domain window is back"
+            )
