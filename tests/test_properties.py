@@ -603,3 +603,44 @@ def test_two_phase_running_matches_global_window(spark, pairs, width, current_ro
         ).collect()
     }
     assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),        # partition key
+            st.integers(min_value=-500, max_value=500),   # sort value
+            st.integers(min_value=0, max_value=10**6),    # unique-ish id
+        ),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[2],
+    ),
+    width=st.sampled_from([1, 13, 250, 2000]),
+)
+@settings(**SETTINGS)
+def test_two_phase_rank_matches_global_row_number(spark, rows, width):
+    """two_phase_rank must equal row_number() over the global (or
+    per-partition-key) sort for arbitrary values — including negatives
+    (floor-bucket monotonicity), duplicate sort values broken by the
+    unique id, and bucket widths from one-per-value to all-in-one."""
+    from pyspark.sql import Window
+
+    from pinterest_data_pipeline_spark.operators.ranking import two_phase_rank
+
+    df = spark.createDataFrame(rows, "p long, v long, id long")
+    w = Window.partitionBy("p").orderBy("v", "id")
+    expected = {
+        r.id: r.rk
+        for r in df.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    got = {
+        r.id: r.r
+        for r in two_phase_rank(
+            df,
+            F.floor(F.col("v") / width).cast("long"),
+            ["v", "id"],
+            partition_cols=["p"],
+        ).collect()
+    }
+    assert got == expected
