@@ -56,9 +56,33 @@ def two_phase_rank(
     ).select(*part, "_bkt", "_off")
     wi = Window.partitionBy(*part, "_bkt").orderBy(*order_cols)
     return (
-        b.join(offs, part + ["_bkt"])
+        _nullsafe_bucket_join(b, offs, part)
         .withColumn(rank_col, F.col("_off") + F.row_number().over(wi))
         .drop("_bkt", "_off", "_n_b")
+    )
+
+
+def _nullsafe_bucket_join(b: DataFrame, offs: DataFrame, part: list[str]) -> DataFrame:
+    """Join the data side to the bucket-offset frame NULL-SAFELY.
+
+    A plain equi-join on ``_bkt`` silently DROPS rows whose bucket is
+    NULL (a NULL sort value buckets to NULL) — found by the round-11
+    NULL-contract test, latent in both helpers since birth (no certified
+    consumer feeds NULL sort keys, but the helper must not lose rows).
+    NULLs sort FIRST in both the naive window and the bucket windows, so
+    with a null-safe equality the NULL bucket is simply the first bucket
+    and every offset stays correct.
+    """
+    keys = part + ["_bkt"]
+    renamed = offs
+    for k in keys:
+        renamed = renamed.withColumnRenamed(k, f"_o_{k}")
+    cond = None
+    for k in keys:
+        c = b[k].eqNullSafe(renamed[f"_o_{k}"])
+        cond = c if cond is None else cond & c
+    return b.join(F.broadcast(renamed), cond).drop(
+        *[f"_o_{k}" for k in keys]
     )
 
 
@@ -122,7 +146,7 @@ def two_phase_running(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, end)
     )
-    out = b.join(F.broadcast(offs), part + ["_bkt"])
+    out = _nullsafe_bucket_join(b, offs, part)
     for s, fn, o in specs:
         if fn == "sum":
             out = out.withColumn(

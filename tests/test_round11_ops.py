@@ -129,3 +129,31 @@ def test_two_phase_running_rejects_unknown_fn(spark):
     df = spark.createDataFrame([(1, 1)], "v long, a long")
     with pytest.raises(ValueError, match="unsupported"):
         two_phase_running(df, F.lit(0), ["v"], [("a", "avg", "ca")])
+
+
+def test_two_phase_running_null_sort_values_match_global_window(spark):
+    """NULL sort values bucket to NULL (floor(NULL/w) is NULL) and both
+    plans sort NULLS FIRST, so the reshape must agree with the naive
+    window even on NULL keys — no current consumer feeds NULLs (price
+    and cents columns are non-null by construction), but the helper's
+    contract shouldn't silently depend on that."""
+    from pinterest_data_pipeline_spark.operators.ranking import (
+        two_phase_running,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 5), (3, 1), (None, 2), (150, 4)], "v long, c long"
+    ).groupBy("v").agg(F.sum("c").alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    expected = {
+        r.v: r.cum
+        for r in df.withColumn("cum", F.sum("c").over(w).cast("long")).collect()
+    }
+    got = {
+        r.v: r.cum
+        for r in two_phase_running(
+            df, F.floor(F.col("v") / 100).cast("long"), ["v"],
+            [("c", "sum", "cum")],
+        ).collect()
+    }
+    assert got == expected
