@@ -43,65 +43,65 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/check_parity.py). Run `python tools/ledger.py` for the ledger,
 # and `python tools/ledger.py --propose-window` to GENERATE the rotation
 # below (VERDICT r8 item 7 — this window is that tool's output).
-# ROUND-11 ROTATION (tool-proposed): the 39 session-4/5/6 births that
-# overflowed r10's 100%-birth window take their first-certification
-# seats; the 11 remaining seats go to the r10-certified births owed
-# their second row. Zero back-fill — every seat pays certification debt;
-# the zero-never-certified invariant restores when CORRECTNESS_r11.json
-# lands (VERDICT r10 item 1).
-SEATING_ROUND = 11  # invariant tests evaluate the ledger as of SEATING_ROUND-1
+# ROUND-12 ROTATION (tool-proposed): the 39 r11-certified births take
+# their second-certification seats; the 11 remaining seats go to the
+# r9-certified cohort longest owed a second row. Zero back-fill — every
+# seat pays certification debt; the EXPECTED_QUEUE (41 once-certified
+# entries) drains in r13 per the owed-seconds math in NOTES.md
+# (VERDICT r11 item 1).
+SEATING_ROUND = 12  # invariant tests evaluate the ledger as of SEATING_ROUND-1
 
 PRIORITY_WINDOW: tuple[str, ...] = (
-    "text_phrase_search",  # birth
-    "events_bitmap_retention",  # birth
-    "events_max_concurrency_daily",  # birth
-    "agg_gini_customer_revenue",  # birth
-    "events_funnel_latency",  # birth
-    "text_pmi_cooccurrence",  # birth
-    "events_top_paths",  # birth
-    "text_ngram_novelty",  # birth
-    "dedup_sorted_neighborhood",  # birth
-    "events_cuped_adjusted",  # birth
-    "events_theilsen_trend",  # birth
-    "events_kaplan_meier",  # birth
-    "streaming_bitmap_distinct",  # birth
-    "events_rolling_wau_bitmap",  # birth
-    "sample_systematic",  # birth
-    "dedup_weighted_jaccard_adjacent",  # birth
-    "text_char_entropy",  # birth
-    "sample_group_split_no_leakage",  # birth
-    "events_markov_accuracy",  # birth
-    "text_readability",  # birth
-    "agg_hierarchical_share",  # birth
-    "events_decay_score_dyadic",  # birth
-    "quality_duplicate_payments",  # birth
-    "text_zipf_slope",  # birth
-    "events_entry_channel_conversion",  # birth
-    "quality_join_key_skew",  # birth
-    "events_new_vs_returning",  # birth
-    "quality_functional_dependency",  # birth
-    "quality_langid_confusion",  # birth
-    "pipeline_corpus_card",  # birth
-    "quality_k_anonymity",  # birth
-    "quality_simpsons_reversal",  # birth
-    "search_ndcg_bm25",  # birth
-    "quality_split_contamination",  # birth
-    "dedup_linkage_fs_weights",  # birth
-    "dedup_lsh_param_planner",  # birth
-    "join_spatial_grid_neighbors",  # birth
-    "quality_embedding_proximity_audit",  # birth
-    "ml_kmeans_separation",  # birth
-    "sketch_tdigest_weighted_median",  # r10
-    "ann_ivf_filtered_topk",  # r10
-    "cdc_scd2_roundtrip",  # r10
-    "sketch_kmv_set_overlap",  # r10
-    "text_sparse_cosine_pairs",  # r10
-    "events_market_basket_pairs",  # r10
-    "embedding_jl_projection",  # r10
-    "window_global_percent_rank",  # r10
-    "streaming_dedup_rollup",  # r10
-    "join_fuzzy_deletion_neighbors",  # r10
-    "scd2_temporal_fact_join",  # r10
+    "text_phrase_search",  # r11
+    "events_bitmap_retention",  # r11
+    "events_max_concurrency_daily",  # r11
+    "agg_gini_customer_revenue",  # r11
+    "events_funnel_latency",  # r11
+    "text_pmi_cooccurrence",  # r11
+    "events_top_paths",  # r11
+    "text_ngram_novelty",  # r11
+    "dedup_sorted_neighborhood",  # r11
+    "events_cuped_adjusted",  # r11
+    "events_theilsen_trend",  # r11
+    "events_kaplan_meier",  # r11
+    "streaming_bitmap_distinct",  # r11
+    "events_rolling_wau_bitmap",  # r11
+    "sample_systematic",  # r11
+    "dedup_weighted_jaccard_adjacent",  # r11
+    "text_char_entropy",  # r11
+    "sample_group_split_no_leakage",  # r11
+    "events_markov_accuracy",  # r11
+    "text_readability",  # r11
+    "agg_hierarchical_share",  # r11
+    "events_decay_score_dyadic",  # r11
+    "quality_duplicate_payments",  # r11
+    "text_zipf_slope",  # r11
+    "events_entry_channel_conversion",  # r11
+    "quality_join_key_skew",  # r11
+    "events_new_vs_returning",  # r11
+    "quality_functional_dependency",  # r11
+    "quality_langid_confusion",  # r11
+    "pipeline_corpus_card",  # r11
+    "quality_k_anonymity",  # r11
+    "quality_simpsons_reversal",  # r11
+    "search_ndcg_bm25",  # r11
+    "quality_split_contamination",  # r11
+    "dedup_linkage_fs_weights",  # r11
+    "dedup_lsh_param_planner",  # r11
+    "join_spatial_grid_neighbors",  # r11
+    "quality_embedding_proximity_audit",  # r11
+    "ml_kmeans_separation",  # r11
+    "sketch_tdigest_quantile_bounds",  # r9
+    "agg_tdigest_grouped_p95",  # r9
+    "ann_ivf_pq_recall_sweep",  # r9
+    "events_rolling_p95_tdigest",  # r9
+    "dedup_jaccard_prefix_join",  # r9
+    "dedup_winnow_shared_fingerprints",  # r9
+    "streaming_tdigest_daily_p95",  # r9
+    "clean_impute_median_by_group",  # r9
+    "events_rolling_wau_kmv",  # r9
+    "sample_token_budget_mix",  # r9
+    "sample_weighted_multi_draw",  # r9
 )
 
 

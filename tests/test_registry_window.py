@@ -43,21 +43,11 @@ from tools import ledger
 DRIVER_WINDOW = 50
 
 # Once-certified queries expected to miss a seat this round (see module
-# docstring). r11: the 39 never-certified session-4/5/6 births plus the
-# 11 r10-certified births fill the window exactly, so every once-certified
-# query from earlier rounds waits (bound/approx-oracle entries first).
+# docstring). r12: the 39 r11-certified births plus the 11 r9-certified
+# entries longest owed a second row fill the window exactly; the
+# remaining 41 once-certified queries wait for r13 (bound/approx-oracle
+# entries already drained in earlier rotations).
 EXPECTED_QUEUE: tuple[str, ...] = (
-    "sketch_tdigest_quantile_bounds",
-    "agg_tdigest_grouped_p95",
-    "ann_ivf_pq_recall_sweep",
-    "events_rolling_p95_tdigest",
-    "dedup_jaccard_prefix_join",
-    "dedup_winnow_shared_fingerprints",
-    "streaming_tdigest_daily_p95",
-    "clean_impute_median_by_group",
-    "events_rolling_wau_kmv",
-    "sample_token_budget_mix",
-    "sample_weighted_multi_draw",
     "graph_triangle_count",
     "events_attribution_multi_touch",
     "text_bm25_topk",
@@ -226,12 +216,17 @@ def test_invariant_still_catches_genuinely_unseated_birth():
     SEATING_ROUND-1 (the exact r10 failure shape, re-created synthetically
     so it can never regress silently)."""
     led, registry_order, _ = _table()
-    # Synthesize a bad rotation: evict one never-certified birth from the
-    # committed window and seat an already-certified query in its place.
-    births = [q for q in entry.PRIORITY_WINDOW if not led.get(q, [])]
+    # Synthesize a bad rotation. Since r11 every oracled query has >=1
+    # cert, so the never-certified "birth" is synthesized too: erase one
+    # seated query's history in a copied ledger, then evict it from the
+    # window and seat an already-certified query in its place.
+    led = dict(led)
+    birth = entry.PRIORITY_WINDOW[0]
+    led[birth] = []
+    births = [birth]
     certified = [q for q in registry_order if len(led.get(q, [])) >= 1
                  and q not in entry.PRIORITY_WINDOW]
-    assert births and certified, "fixture shape changed; pick new seeds"
+    assert certified, "fixture shape changed; pick new seeds"
     bad_window = tuple(
         certified[0] if q == births[0] else q for q in entry.PRIORITY_WINDOW
     )
