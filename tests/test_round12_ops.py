@@ -1,0 +1,165 @@
+"""Round-12 operator tests: the FS-linkage second blocking pass
+(VERDICT r11 item 4) — candidates come from a union of three finer
+blocked self-joins instead of the coarse (brand, size) pair
+enumeration, guarded at runtime by the losslessness check described in
+the query docstring. These tests pin (a) exact equality against the
+coarse plan on real data, (b) the guard RAISING when an all-disagree
+pair could enter the top-20, and (c) the constant-field (u == 1)
+degenerate path that must NOT raise."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401  (registers queries)
+
+
+def _coarse_top20(spark, sf_dir):
+    """The pre-r12 coarse-blocked reference plan, kept verbatim as the
+    in-Spark dual for the fine-block rewrite (same shape as the DuckDB
+    oracle in plans/oracles.py)."""
+    from pinterest_data_pipeline_spark.plans.extensions import load_table
+
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("adj"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun"),
+        "p_type",
+    )
+
+    def u_of(col):
+        freq = parts.groupBy(col).agg(F.count(F.lit(1)).alias("n_v"))
+        return freq.agg(
+            F.sum(F.col("n_v") * F.col("n_v")).cast("long").alias(f"sq_{col}")
+        )
+
+    stats = (
+        parts.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+        .crossJoin(F.broadcast(u_of("adj")))
+        .crossJoin(F.broadcast(u_of("noun")))
+        .crossJoin(F.broadcast(u_of("p_type")))
+    )
+    a, b = parts.alias("a"), parts.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).crossJoin(F.broadcast(stats))
+
+    def w(fa, fb, sq):
+        u = F.col(sq).cast("double") / F.col("n_total") / F.col("n_total")
+        agree = F.col(fa) == F.col(fb)
+        return agree.cast("int"), F.when(
+            agree, F.log2(F.lit(0.9) / u)
+        ).otherwise(F.log2(F.lit(0.1) / (F.lit(1.0) - u)))
+
+    ga, wa = w("a.adj", "b.adj", "sq_adj")
+    gn, wn = w("a.noun", "b.noun", "sq_noun")
+    gt, wt = w("a.p_type", "b.p_type", "sq_p_type")
+    scored = pairs.select(
+        F.col("a.p_partkey").alias("part_a"),
+        F.col("b.p_partkey").alias("part_b"),
+        ga.alias("agree_adj"),
+        gn.alias("agree_noun"),
+        gt.alias("agree_p_type"),
+        F.round(wa + wn + wt, 4).alias("match_weight"),
+    )
+    return (
+        scored.orderBy(F.desc("match_weight"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+        .collect()
+    )
+
+
+def test_fs_linkage_fine_blocking_equals_coarse_top20(spark):
+    """The second blocking pass must reproduce the coarse top-20 exactly
+    (rank order, agreement flags, rounded weights) on the driver's own
+    parity data — strategy forced to "fine" since auto correctly picks
+    coarse at this block size."""
+    from pinterest_data_pipeline_spark.plans.extensions import (
+        fs_linkage_weights,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = fs_linkage_weights(spark, sf_dir, strategy="fine").collect()
+    want = _coarse_top20(spark, sf_dir)
+    assert len(got) == len(want) == 20
+    for i, (g, w_) in enumerate(zip(got, want)):
+        assert g.rank == i + 1
+        assert (g.part_a, g.part_b) == (w_.part_a, w_.part_b)
+        assert (g.agree_adj, g.agree_noun, g.agree_p_type) == (
+            w_.agree_adj,
+            w_.agree_noun,
+            w_.agree_p_type,
+        )
+        assert g.match_weight == w_.match_weight
+
+
+def test_fs_linkage_guard_raises_when_pruning_would_be_lossy(spark):
+    """A block whose only pair disagrees on every field: the coarse plan
+    would return that pair, the fine pass prunes it — the runtime guard
+    must raise instead of silently returning a different answer. The
+    registered query's auto strategy picks coarse here (and returns the
+    pair, matching the oracle); the guard belongs to the forced fine
+    path."""
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+    from pinterest_data_pipeline_spark.plans.extensions import (
+        fs_linkage_weights,
+    )
+
+    rows = [
+        (1, "red bolt", "Brand#1", "TYPE-A", 1, 1.0),
+        (2, "blue washer", "Brand#1", "TYPE-B", 1, 1.0),
+    ]
+    schema = (
+        "p_partkey long, p_name string, p_brand string, "
+        "p_type string, p_size int, p_retailprice double"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "part.parquet")
+        )
+        with pytest.raises(Exception, match="not lossless"):
+            fs_linkage_weights(spark, d, strategy="fine").collect()
+        # auto -> coarse on this data: the all-disagree pair IS the
+        # answer, exactly as the DuckDB oracle computes it
+        out = QUERIES["dedup_linkage_fs_weights"](spark, d).collect()
+        assert [(r.part_a, r.part_b) for r in out] == [(1, 2)]
+        assert (out[0].agree_adj, out[0].agree_noun, out[0].agree_p_type) \
+            == (0, 0, 0)
+
+
+def test_fs_linkage_constant_field_does_not_raise(spark):
+    """u == 1 on a field (globally constant) means no all-disagree pair
+    can exist: nothing is pruned, s0 is -inf, and the ANSI 1-u division
+    must stay lazy (this was a real DIVIDE_BY_ZERO during the rewrite).
+    Forced fine — the guard expressions only exist on that path."""
+    from pinterest_data_pipeline_spark.plans.extensions import (
+        fs_linkage_weights,
+    )
+
+    rows = [
+        (1, "red bolt", "Brand#1", "T", 1, 1.0),
+        (2, "red washer", "Brand#1", "T", 1, 1.0),
+        (3, "blue bolt", "Brand#1", "T", 1, 1.0),
+    ]
+    schema = (
+        "p_partkey long, p_name string, p_brand string, "
+        "p_type string, p_size int, p_retailprice double"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "part.parquet")
+        )
+        out = fs_linkage_weights(spark, d, strategy="fine").collect()
+    # p_type constant -> every within-block pair agrees on it -> all 3
+    # pairs are candidates and all survive.
+    assert {(r.part_a, r.part_b) for r in out} == {(1, 2), (1, 3), (2, 3)}
+    assert [r.rank for r in out] == [1, 2, 3]

@@ -2362,6 +2362,104 @@ def probe_fs_linkage(spark, mult: int) -> float:
         "p_type",
     )
     a, b = parts.alias("a"), parts.alias("b")
+    # Bounded blocks -> the r12 cost-based planner picks the COARSE
+    # enumeration here (avg block ~16 rows << threshold); this probe
+    # mirrors that choice. The fine second-pass shape is probed by
+    # fs_linkage_fixed_domain, the regime it exists for.
+    pairs = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    )
+    q = pairs.groupBy(
+        (F.col("a.adj") == F.col("b.adj")).alias("ga"),
+        (F.col("a.noun") == F.col("b.noun")).alias("gn"),
+        (F.col("a.p_type") == F.col("b.p_type")).alias("gt"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_fs_linkage_fixed_domain(spark, mult: int) -> float:
+    """FS linkage with the block domain FIXED (p_size NOT shifted):
+    block count stays at |brand| x |size|, block size B grows with
+    mult, coarse pair volume grows with B^2 — the regime the r12
+    second blocking pass exists for. Probes the FINE shape (what the
+    cost-based planner picks once avg block exceeds its threshold):
+    three (brand, size, field) joins unioned + pair dedup, so
+    enumerated volume grows with sum_f u_f * B^2 instead of B^2 and
+    each branch's shuffle keys stay finer-grained (better skew posture).
+    Compare against `coarse_fixed` at the same mult to see the gap."""
+    base = load_table(spark, SF, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size"
+    )
+    parts_m = [base]
+    for i in range(1, mult):
+        parts_m.append(
+            base.withColumn("p_partkey", F.col("p_partkey") + i * KEY_STRIDE)
+        )
+    parts = parts_m[0]
+    for p in parts_m[1:]:
+        parts = parts.unionByName(p)
+    parts = parts.select(
+        "p_partkey", "p_brand", "p_size",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("adj"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun"),
+        "p_type",
+    )
+    a, b = parts.alias("a"), parts.alias("b")
+
+    def fine_branch(field):
+        return a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col(f"a.{field}") == F.col(f"b.{field}"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        ).select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            (F.col("a.adj") == F.col("b.adj")).alias("ga"),
+            (F.col("a.noun") == F.col("b.noun")).alias("gn"),
+            (F.col("a.p_type") == F.col("b.p_type")).alias("gt"),
+        )
+
+    pairs = (
+        fine_branch("adj")
+        .unionByName(fine_branch("noun"))
+        .unionByName(fine_branch("p_type"))
+        .dropDuplicates(["part_a", "part_b"])
+    )
+    q = pairs.groupBy("ga", "gn", "gt").agg(F.count(F.lit(1)).alias("n"))
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_fs_linkage_coarse_fixed(spark, mult: int) -> float:
+    """The COARSE enumeration in the fixed-domain regime — the shape
+    the r12 planner abandons once blocks grow. Exists purely as the
+    measured counterfactual for fs_linkage_fixed_domain."""
+    base = load_table(spark, SF, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size"
+    )
+    parts_m = [base]
+    for i in range(1, mult):
+        parts_m.append(
+            base.withColumn("p_partkey", F.col("p_partkey") + i * KEY_STRIDE)
+        )
+    parts = parts_m[0]
+    for p in parts_m[1:]:
+        parts = parts.unionByName(p)
+    parts = parts.select(
+        "p_partkey", "p_brand", "p_size",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("adj"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun"),
+        "p_type",
+    )
+    a, b = parts.alias("a"), parts.alias("b")
     pairs = a.join(
         b,
         (F.col("a.p_brand") == F.col("b.p_brand"))
@@ -2724,6 +2822,8 @@ PROBES = {
     "simpsons": probe_simpsons,
     "split_contamination": probe_split_contamination,
     "fs_linkage": probe_fs_linkage,
+    "fs_linkage_fixed_domain": probe_fs_linkage_fixed_domain,
+    "fs_linkage_coarse_fixed": probe_fs_linkage_coarse_fixed,
     "spatial_neighbors": probe_spatial_neighbors,
     # round-11 additions (VERDICT r10 item 4: the last distinct-domain
     # global windows reshaped via two_phase_running, probed with the
