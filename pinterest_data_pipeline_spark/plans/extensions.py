@@ -7425,7 +7425,7 @@ def fs_linkage_weights(
     spark: SparkSession,
     sf_dir: str,
     strategy: str = "auto",
-    fine_block_threshold: float = 256.0,
+    fine_block_threshold: float = 96.0,
 ) -> DataFrame:
     """Fellegi-Sunter record-linkage scoring (Fellegi & Sunter, JASA
     1969) — the probabilistic layer ABOVE the repo's blocking operators
@@ -7447,18 +7447,23 @@ def fs_linkage_weights(
       (avg block ~16 rows), because three joins + a pair dedup cost
       more than enumerating 160k trivial pairs.
     - ``fine``: a SECOND blocking pass — three finer blocked
-      self-joins (block + adj, block + noun, block + p_type) unioned
-      and pair-deduped, so only pairs agreeing on AT LEAST ONE compared
-      field are ever materialized (~2.8x fewer pairs at sf0.1; each
-      branch scales with u_f * B^2, not B^2). This is the plan that
-      survives a fixed block domain at 100 TB, where coarse pair volume
-      grows quadratically with block size B.
+      self-joins (block + adj, block + noun, block + p_type) whose
+      post-join routing filters send each pair to its FIRST agreeing
+      field, making the union DISJOINT with no pair-dedup shuffle
+      (a dropDuplicates variant shuffled every candidate and lost to
+      coarse 114 s vs 14 s at a 64x fixed-domain probe). Only pairs
+      agreeing on at least one compared field are ever scored (~2.8x
+      fewer at sf0.1; each branch scales with u_f * B^2, not B^2).
+      This is the plan that survives a fixed block domain at 100 TB,
+      where coarse pair volume grows quadratically with block size B.
     - ``auto``: one bounded 1-row stats probe (row count + approximate
       block count — a sanctioned bounded collect: single row, two
       columns) picks coarse when the average block is under
-      ``fine_block_threshold`` rows, fine above it — the crossover is
-      where B^2 pair enumeration overtakes the fine plan's fixed
-      3-join + dedup overhead.
+      ``fine_block_threshold`` rows, fine above it. Crossover measured
+      on the REAL scoring shape (6 log2 per pair) at sf0.1-derived
+      fixed-domain multiplies: B=16 coarse wins 1.06 s vs 1.83 s,
+      B=256 fine wins 6.2 s vs 7.5 s, B=1024 fine wins 29 s vs 40 s —
+      log-interpolated break-even ~B=90, threshold pinned at 96.
 
     Fine-path losslessness (runtime-verified, never assumed): every
     pruned pair disagrees on all three fields, and all such pairs share
@@ -7537,24 +7542,33 @@ def fs_linkage_weights(
         .alias("agree_p_type"),
     ]
 
-    def fine_branch(field: str) -> DataFrame:
+    def agrees(field: str):
+        # join-equality semantics for routing: NULL never agrees
+        return F.coalesce(
+            F.col(f"a.{field}") == F.col(f"b.{field}"), F.lit(False)
+        )
+
+    def fine_branch(field: str, not_fields: tuple[str, ...]) -> DataFrame:
         # Second blocking pass: (brand, size, field) — emits only pairs
         # that agree on `field`, so branch volume is u_field * B^2 per
-        # coarse block instead of B^2.
-        return a.join(
-            b, block_cond & (F.col(f"a.{field}") == F.col(f"b.{field}"))
-        ).select(*pair_cols)
+        # coarse block instead of B^2. The not_fields filters make the
+        # three branches DISJOINT (a pair is routed to its FIRST
+        # agreeing field), so the union needs no pair dedup — a
+        # dropDuplicates here shuffled every candidate pair and was 8x
+        # slower than coarse at a 64x fixed-domain probe.
+        cond = block_cond & (F.col(f"a.{field}") == F.col(f"b.{field}"))
+        df = a.join(b, cond)
+        for nf in not_fields:
+            df = df.filter(~agrees(nf))
+        return df.select(*pair_cols)
 
     if strategy == "coarse":
         candidates = a.join(b, block_cond).select(*pair_cols)
     else:
-        # A pair agreeing on k fields appears in k branches with
-        # identical agreement flags — the pair-key dedup keeps one.
         candidates = (
-            fine_branch("adj")
-            .unionByName(fine_branch("noun"))
-            .unionByName(fine_branch("p_type"))
-            .dropDuplicates(["part_a", "part_b"])
+            fine_branch("adj", ())
+            .unionByName(fine_branch("noun", ("adj",)))
+            .unionByName(fine_branch("p_type", ("adj", "noun")))
         )
 
     def w_of(flag: str, sq: str):

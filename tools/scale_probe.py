@@ -2411,14 +2411,22 @@ def probe_fs_linkage_fixed_domain(spark, mult: int) -> float:
     )
     a, b = parts.alias("a"), parts.alias("b")
 
-    def fine_branch(field):
-        return a.join(
+    def agrees(field):
+        return F.coalesce(
+            F.col(f"a.{field}") == F.col(f"b.{field}"), F.lit(False)
+        )
+
+    def fine_branch(field, not_fields):
+        df = a.join(
             b,
             (F.col("a.p_brand") == F.col("b.p_brand"))
             & (F.col("a.p_size") == F.col("b.p_size"))
             & (F.col(f"a.{field}") == F.col(f"b.{field}"))
             & (F.col("a.p_partkey") < F.col("b.p_partkey")),
-        ).select(
+        )
+        for nf in not_fields:
+            df = df.filter(~agrees(nf))
+        return df.select(
             F.col("a.p_partkey").alias("part_a"),
             F.col("b.p_partkey").alias("part_b"),
             (F.col("a.adj") == F.col("b.adj")).alias("ga"),
@@ -2426,11 +2434,11 @@ def probe_fs_linkage_fixed_domain(spark, mult: int) -> float:
             (F.col("a.p_type") == F.col("b.p_type")).alias("gt"),
         )
 
+    # disjoint routing (first agreeing field) -> no pair-dedup shuffle
     pairs = (
-        fine_branch("adj")
-        .unionByName(fine_branch("noun"))
-        .unionByName(fine_branch("p_type"))
-        .dropDuplicates(["part_a", "part_b"])
+        fine_branch("adj", ())
+        .unionByName(fine_branch("noun", ("adj",)))
+        .unionByName(fine_branch("p_type", ("adj", "noun")))
     )
     q = pairs.groupBy("ga", "gn", "gt").agg(F.count(F.lit(1)).alias("n"))
     t0 = time.perf_counter()
