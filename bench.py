@@ -31,292 +31,174 @@ from pinterest_data_pipeline_spark.session import get_spark, release_scoped
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline battery: the nine reference-analogue analytics queries plus the
-# scale-relevant extension operators (dedup, similarity, text, events).
-# Pairwise-explosion ops (simhash over all near pairs) are excluded from the
-# headline number but remain in queries() for correctness checking.
-HEADLINE = [
-    "q1_top_brand_per_nation",
-    "q2_orders_per_brand_year",
-    "q3_top_supplier_per_nation",
-    "q4_nation_with_top_supplier",
-    "q5_top_segment_per_balance_band",
-    "q6_median_acctbal_per_band",
-    "q7_orders_per_year",
-    "q8_median_price_by_year",
-    "q9_median_price_by_year_priority",
-    "window_running_revenue",
-    "agg_rollup_region_nation",
-    "json_extract_event_props",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_session_window",
-    "events_view_purchase_attribution",
-    "top_k_orders",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q10_returned_items",
-    "tpch_q18_large_orders",
-    # round-2 battery growth: 13 extended TPC-H shapes (36 -> 49 queries;
-    # headline totals are not comparable across rounds without this note)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_type_profit",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q20_promotion_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_dormant_customers",
-    # round-4 growth: Q11 completes the 22-shape battery (49 -> 50 queries;
-    # cross-round totals need the shared-query diff, as before)
-    "tpch_q11_important_stock",
-    "subquery_correlated_above_nation_avg",
-    "join_asof_latest_order",
-    "join_range_ship_window",
-    "agg_grouping_sets",
-    "quality_expectations_orders",
-    "anomaly_zscore_events",
-    "sample_hash_split_counts",
-    "dedup_exact_documents",
-    "dedup_minhash_near_duplicates",
-    "dedup_simhash_near_duplicates",
-    "text_token_stats",
-    "text_quality_scores",
-    "ann_topk_quantized",
-    "ann_ivf_topk",
-    # round-5 growth (50 -> 61 queries; cross-round totals need the
-    # shared-query diff, as before): the three TPC-H shapes the battery
-    # still lacked, plus the eight new training-data-layout operators.
-    "tpch_q12_priority_shipmode",
-    "tpch_q14_promo_revenue_share",
-    "tpch_q19_disjunctive_predicates",
-    "pack_sequences_documents",
-    "text_chunk_sliding",
-    "tfidf_top_terms",
-    "multimodal_video_frames",
-    "dedup_cluster_canonical",
-    "events_resample_interpolate",
-    "window_time_range_frame",
-    "join_bucketed_colocated",
-    # round-6 growth (61 -> 66 queries; cross-round totals need the
-    # shared-query diff, as before): int8 quantization, two-stage rerank,
-    # small-files compaction, gap sessionization, bound-oracle approx agg.
-    # Streaming queries stay out of the headline battery, as before.
-    "embedding_quantize_int8",
-    "ann_two_stage_rerank",
-    "layout_compact_small_files",
-    "events_sessionize_gap",
-    "agg_approx_distinct",
-    "quality_column_profile",
-    "join_salted_skewed",
-    "text_unigram_logprob",
-    "agg_histogram_totalprice",
-    "csv_roundtrip_malformed",
-    "join_asof_next_order",
-    "scalar_math_functions",
-    "schema_evolution_merge",
-    "quality_table_checksum",
-    "pandas_grouped_agg_weighted_mean",
-    "events_funnel_steps",
-    "events_retention_cohorts",
-    # round-7 growth (78 -> 84 queries; cross-round totals need the
-    # shared-query diff, as before): containment, CDC diff, DPP join,
-    # Misra-Gries, Matryoshka truncation, seed-robust LSH recall.
-    # Streaming queries stay out of the headline battery, as before.
-    "dedup_containment_adjacent",
-    "cdc_snapshot_diff",
-    "join_dpp_partition_pruned",
-    "sketch_mg_heavy_langs",
-    "embedding_truncate_renormalize",
-    "ann_lsh_topk",
-    "sample_reservoir_topk",
-    "text_ngram_vocab_topk",
-    # late-r7 growth (86 -> 97 queries; cross-round totals need the
-    # shared-query diff, as before): weighted sampling, count-min sketch,
-    # product-quantization ANN, ANSI lateral top-N, recursive CTE,
-    # decayed daily EWMA, Arrow-native UDF stats, null-safe join,
-    # binary-Hamming ANN, sequence pattern match, transition matrix.
-    # Streaming queries stay out of the headline battery, as before.
-    "sample_weighted_by_length",
-    "sketch_cms_part_counts",
-    "ann_pq_topk",
-    "join_lateral_top_customers",
-    "recursive_order_chain",
-    "events_ewma_daily",
-    "text_utf8_bytes_arrow",
-    "join_null_safe_keys",
-    "ann_binary_hamming_topk",
-    "events_pattern_match",
-    "events_transition_matrix",
-    # round-8 growth (97 -> 103 queries; cross-round totals need the
-    # shared-query diff, as before): bloom prefilter join, KMV distinct
-    # sketch, prefix-template clustering, CDC changelog apply, activity
-    # streaks, PSI drift. Streaming queries stay out, as before.
-    "join_bloom_prefilter",
-    "sketch_kmv_distinct_union",
-    "dedup_prefix_clusters",
-    "cdc_apply_changelog",
-    "events_user_streaks",
-    "quality_drift_psi",
-    # late-r8 growth (103 -> 109): IVFADC, MAD anomaly, boilerplate
-    # n-grams, deterministic mode, rolling DAU/WAU, tolerance as-of
-    "ann_ivf_pq_topk",
-    "anomaly_mad_events",
-    "text_boilerplate_ngrams",
-    "agg_mode_deterministic",
-    "events_rolling_active_users",
-    "join_asof_tolerance",
-    # round-9 growth (109 -> 115): t-digest quantile sketch (global +
-    # grouped p95 + rolling p95), IVFADC recall sweep, per-group weighted
-    # multi-draw, token-budget mixing
-    "sketch_tdigest_quantile_bounds",
-    "agg_tdigest_grouped_p95",
-    "ann_ivf_pq_recall_sweep",
-    "sample_weighted_multi_draw",
-    "events_rolling_p95_tdigest",
-    "sample_token_budget_mix",
-    # 115 -> 117: rolling WAU from merged daily KMV sketches; grouped
-    # median imputation
-    "events_rolling_wau_kmv",
-    "clean_impute_median_by_group",
-    # 117 -> 119: SCD2 point-in-time read; exact weighted median
-    "scd2_asof_segments",
-    "agg_weighted_median_price",
-    # round-10 growth (119 -> 122): weighted t-digest (sketch twin of the
-    # exact weighted median, certified in weighted rank space), filtered
-    # ANN (predicate pushed into the IVF candidate stage), CDC -> SCD2
-    # composition roundtrip
-    "sketch_tdigest_weighted_median",
-    "ann_ivf_filtered_topk",
-    "cdc_scd2_roundtrip",
-    # 122 -> 125: KMV set-overlap estimate, sparse shingle-TF cosine join,
-    # market-basket lift mining (a-priori pruned)
-    "sketch_kmv_set_overlap",
-    "text_sparse_cosine_pairs",
-    "events_market_basket_pairs",
-    # 125 -> 127: JL random projection; global percent rank reshaped off
-    # the single-partition window
-    "embedding_jl_projection",
-    "window_global_percent_rank",
-    # 127 -> 128: FastSS deletion-neighborhood fuzzy join
-    "join_fuzzy_deletion_neighbors",
-    # 128 -> 129: fact-to-SCD2 temporal join
-    "scd2_temporal_fact_join",
-    # 129 -> 130: Pareto skyline
-    "agg_pareto_skyline",
-    # 130 -> 131: degree-oriented triangle counting
-    "graph_triangle_count",
-    # 131 -> 132: multi-touch linear attribution (integer conservation)
-    "events_attribution_multi_touch",
-    # 132 -> 136: BM25 retrieval, hybrid RRF, PageRank, equi-depth bins
-    "text_bm25_topk",
-    "search_hybrid_rrf",
-    "graph_pagerank",
-    "agg_equidepth_bins",
-    "join_interval_bucketed",
-    "ml_kmeans_quantized",
-    "events_ab_chisquare",
-    "quality_ks_two_sample",
-    "clean_winsorized_mean",
-    "events_seasonal_mase",
-    "graph_bfs_hops",
-    "events_cumulative_users",
-    "events_market_basket_triples",
-    "anomaly_cusum_daily",
-    "sample_proportional_quota",
-    "agg_revenue_concentration",
-    "orc_roundtrip_battery",
-    "anomaly_bot_regularity",
-    "quality_knn_label_agreement",
-    "sample_negative_pairs",
-    "text_rake_keywords",
-    "join_fifo_allocation",
-    "quality_cohens_kappa",
-    "window_clamped_running_balance",
-    "agg_rfm_segments",
-    "quality_spearman_corr",
-    "quality_benford_digits",
-    "stat_bootstrap_ci_mean",
-    "events_daily_trend_slope",
-    "events_autocorrelation_lag",
-    "quality_mann_whitney_u",
-    "window_rolling_median_daily",
-    "graph_label_propagation",
-    "ml_target_encode_kfold",
-    "events_time_weighted_avg",
-    "events_sessionize_capped",
-    "text_phrase_search",
-    # session-5 growth (169 -> 178): bitmap retention, sweep-line
-    # concurrency, two-phase-rank Gini, funnel latency, PMI collocations,
-    # user journeys, trigram novelty, sorted-neighborhood blocking, CUPED
-    "events_bitmap_retention",
-    "events_max_concurrency_daily",
-    "agg_gini_customer_revenue",
-    "events_funnel_latency",
-    "text_pmi_cooccurrence",
-    "events_top_paths",
-    "text_ngram_novelty",
-    "dedup_sorted_neighborhood",
-    "events_cuped_adjusted",
-    # 178 -> 179: Theil-Sen robust trend (calendar-bounded pair join)
-    "events_theilsen_trend",
-    # 179 -> 180: Kaplan-Meier churn survival
-    "events_kaplan_meier",
-    # 180 -> 181: exact rolling WAU from merged bitmap words (the exact
-    # twin of the KMV rolling WAU; streaming_bitmap_distinct stays out
-    # with the other streaming queries)
-    "events_rolling_wau_bitmap",
-    # 181 -> 182: systematic every-k-th sampling in md5 order
-    "sample_systematic",
-    # 182 -> 183: repetition-aware multiset Jaccard verifier
-    "dedup_weighted_jaccard_adjacent",
-    # 183 -> 184: char-entropy quality scoring (defined-order float fold)
-    "text_char_entropy",
-    # 184 -> 185: group-aware split with from-the-data leakage audit
-    "sample_group_split_no_leakage",
-    # 185 -> 186: Markov next-event prediction + in-sample accuracy
-    "events_markov_accuracy",
-    # 186 -> 187: Flesch readability scoring
-    "text_readability",
-    # 187 -> 188: percent-of-parent hierarchy shares
-    "agg_hierarchical_share",
-    # 188 -> 189: exact dyadic recency decay
-    "events_decay_score_dyadic",
-    # 189 -> 190: double-charge audit (planted retry clones)
-    "quality_duplicate_payments",
-    # 190 -> 191: Zipf rank-frequency slope (defined-order OLS fold)
-    "text_zipf_slope",
-    # 191 -> 192: entry-channel conversion (arg-min struct, no window)
-    "events_entry_channel_conversion",
-    # 192 -> 193: join-key skew audit
-    "quality_join_key_skew",
-    # 193 -> 194: new-vs-returning growth accounting
-    "events_new_vs_returning",
-    # 194 -> 195: functional-dependency profiling audit
-    "quality_functional_dependency",
-    # 195 -> 196: language-ID confusion matrix (classifier eval)
-    "quality_langid_confusion",
-    # 196 -> 197: corpus datasheet card
-    "pipeline_corpus_card",
-    # session-6 growth (197 -> 200): k-anonymity/l-diversity privacy
-    # audit; Simpson's-paradox aggregate-reversal audit; graded nDCG@10
-    # retrieval eval
-    "quality_k_anonymity",
-    "quality_simpsons_reversal",
-    "search_ndcg_bm25",
-    "quality_split_contamination",
-    "dedup_linkage_fs_weights",
-    "dedup_lsh_param_planner",
-    "join_spatial_grid_neighbors",
-    "quality_embedding_proximity_audit",
-    "ml_kmeans_separation",
-]
+# Headline battery (DERIVED): every registered query except the explicit
+# exclusions below — registry order. The set is pinned by
+# tests/test_bench_registry.py; per-query timings are keyed by name so
+# cross-round deltas survive ordering changes. As of r12 the derived set
+# is byte-identical to the hand-grown 206-query r11 battery.
+# Every registered query NOT in the headline battery, with the reason.
+# HEADLINE is DERIVED (registry minus this dict) so a new birth lands
+# in the bench unless explicitly excluded here with a reason
+# (VERDICT r11 item 5); tests/test_bench_registry.py pins both the
+# derivation and that no stale names linger in this dict.
+BENCH_EXCLUSIONS: dict[str, str] = {
+    "clean_normalize_nulls_documents":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "clean_parse_human_count_part":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "clean_strip_prefix_part":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "clean_part_battery":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "clean_age_group_customers":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "clean_scalar_functions":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "clean_distinct_flag_status":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "window_order_sequence":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "window_analytics_battery":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "set_ops_customers":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "set_ops_intersect":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "join_semi_customers_with_orders":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "join_anti_customers_without_orders":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "join_outer_order_counts":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "agg_cube_flag_status":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "agg_pivot_status_revenue":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "agg_count_distinct":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "agg_stats_suite":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "explode_document_tokens":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "events_daily_rollup":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "agg_salted_returnflag":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "q6_median_acctbal_per_band_approx":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "reshape_unpivot_part_sizes":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "scalar_map_functions":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "text_lang_id":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "text_fingerprints":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "text_analysis_battery":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "text_bpe_token_counts":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "dedup_ngram_jaccard_adjacent":
+        "twin/explosion: heavier or duplicate-cost twin of a benched family member",
+    "dedup_simhash_near_duplicates_stable":
+        "twin/explosion: heavier or duplicate-cost twin of a benched family member",
+    "dedup_near_duplicate_clusters":
+        "twin/explosion: heavier or duplicate-cost twin of a benched family member",
+    "sample_hash_split_membership":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "sample_per_lang_cap":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "sample_stratified_by_lang":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "ann_topk_cosine":
+        "twin/explosion: heavier or duplicate-cost twin of a benched family member",
+    "ann_lsh_multitable_topk":
+        "twin/explosion: heavier or duplicate-cost twin of a benched family member",
+    "embedding_near_duplicates":
+        "twin/explosion: heavier or duplicate-cost twin of a benched family member",
+    "embedding_near_duplicates_exact":
+        "twin/explosion: heavier or duplicate-cost twin of a benched family member",
+    "multimodal_image_features":
+        "stubbed codecs: measures the fake decode, not an operator",
+    "multimodal_audio_features":
+        "stubbed codecs: measures the fake decode, not an operator",
+    "text_normalization_collapse":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "text_normalized_keys":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "text_sentence_split_udtf":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "text_pii_redaction":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "text_repetition_battery":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "embedding_label_centroids":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "pipeline_curate_documents":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "events_user_value_trend":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "streaming_availablenow_events":
+        "streaming: trigger overhead, not operator cost, dominates",
+    "dedup_decontaminate_ngram":
+        "twin/explosion: heavier or duplicate-cost twin of a benched family member",
+    "streaming_upsert_latest_events":
+        "streaming: trigger overhead, not operator cost, dominates",
+    "streaming_incremental_rollup":
+        "streaming: trigger overhead, not operator cost, dominates",
+    "streaming_funnel_steps":
+        "streaming: trigger overhead, not operator cost, dominates",
+    "streaming_cms_rollup":
+        "streaming: trigger overhead, not operator cost, dominates",
+    "streaming_view_purchase_outer":
+        "streaming: trigger overhead, not operator cost, dominates",
+    "dedup_simhash_exact_recall":
+        "twin/explosion: heavier or duplicate-cost twin of a benched family member",
+    "streaming_session_window":
+        "streaming: trigger overhead, not operator cost, dominates",
+    "dedup_jaccard_prefix_join":
+        "twin/explosion: heavier or duplicate-cost twin of a benched family member",
+    "dedup_winnow_shared_fingerprints":
+        "twin/explosion: heavier or duplicate-cost twin of a benched family member",
+    "streaming_tdigest_daily_p95":
+        "streaming: trigger overhead, not operator cost, dominates",
+    "streaming_dedup_rollup":
+        "streaming: trigger overhead, not operator cost, dominates",
+    "streaming_bitmap_distinct":
+        "streaming: trigger overhead, not operator cost, dominates",
+    "subquery_exists_urgent_customers":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "subquery_in_heavy_parts":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "subquery_scalar_above_avg_price":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "scalar_date_functions":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "scalar_string_functions":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "merge_upsert_orders":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "scd2_customer_segments":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "sketch_hll_distinct_parts":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "sketch_hll_merge_equals_direct":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "json_variant_extract_props":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "json_variant_grouped_stats":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "events_resample_ffill":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "quality_referential_integrity":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "array_hof_battery":
+        "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
+    "join_fuzzy_part_names":
+        "twin/explosion: heavier or duplicate-cost twin of a benched family member",
+}
+
+HEADLINE = [n for n in analytics.QUERIES if n not in BENCH_EXCLUSIONS]
 # (streaming_tdigest_daily_p95 joins the other streaming queries OUTSIDE the
 # headline battery — trigger overhead, not operator cost, dominates them)
 
