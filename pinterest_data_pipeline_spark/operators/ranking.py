@@ -72,6 +72,17 @@ def _nullsafe_bucket_join(b: DataFrame, offs: DataFrame, part: list[str]) -> Dat
     NULLs sort FIRST in both the naive window and the bucket windows, so
     with a null-safe equality the NULL bucket is simply the first bucket
     and every offset stays correct.
+
+    HARD CONTRACT (ADVICE r11): the forced ``F.broadcast(offs)`` assumes
+    ``offs`` is DRIVER-SMALL — its row count is (occupied buckets x
+    partition-key cardinality), which every caller must bound by the
+    VALUE DOMAIN of its bucket expression (cents ranges, 2-char
+    prefixes), never by data size. A bucket expression whose occupied
+    count grows with the data would OOM the driver here instead of
+    degrading to a shuffle join; do not pass one. (The hint stays
+    because phase 1 already aggregated the data side — letting AQE
+    rediscover broadcastability costs a map-stage write of the full
+    data side for nothing.)
     """
     keys = part + ["_bkt"]
     renamed = offs
@@ -105,8 +116,16 @@ def two_phase_running(
     {"sum", "max"}; ``bucket`` must be monotone in ``order_cols`` (value
     ranges). ``current_row=True`` ends the frame at CURRENT ROW (CDF
     semantics); ``False`` at the preceding row (strict "best so far",
-    NULL on each partition's first bucket-leading row, matching
-    ``rowsBetween(unboundedPreceding, -1)``).
+    matching ``rowsBetween(unboundedPreceding, -1)``).
+
+    Semantics match the naive global window EXACTLY, including NULLs
+    (ADVICE r11): a running sum/max is NULL iff its frame is empty (the
+    first row under a strict frame) or every framed value is NULL —
+    the pre-r12 sum path coalesced that to 0, silently diverging from
+    ``SUM() OVER`` on the empty strict frame. Sum sources must be
+    integral types (byte/short/int/long) — outputs are normalized to
+    long, and a double/decimal source would silently truncate, so it is
+    rejected loudly here (ADVICE r11).
 
     Phase-2's serial window touches one row per occupied bucket; the
     per-bucket phase-3 windows run in parallel with skew bounded by the
@@ -114,9 +133,24 @@ def two_phase_running(
     integers: offsets and in-bucket partials are the same longs the
     single window would accumulate, added once.
     """
-    for _, fn, _ in specs:
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    for s, fn, _ in specs:
         if fn not in ("sum", "max"):
             raise ValueError(f"unsupported running fn: {fn!r}")
+        if fn == "sum":
+            dt = df.schema[s].dataType
+            if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+                raise ValueError(
+                    f"two_phase_running sum source {s!r} has type {dt}; "
+                    "only integral types are supported (outputs are "
+                    "long) — cast or rescale at the call site"
+                )
     part = list(partition_cols or [])
     b = df.withColumn("_bkt", bucket)
     per_b = b.groupBy(*part, "_bkt").agg(
@@ -132,8 +166,10 @@ def two_phase_running(
         *part,
         "_bkt",
         *[
+            # uncoalesced: NULL means "no preceding bucket / all framed
+            # values NULL", which must propagate into the combine below
             (
-                F.coalesce(F.sum(f"_p_{out}").over(wb), F.lit(0)).cast("long")
+                F.sum(f"_p_{out}").over(wb).cast("long")
                 if fn == "sum"
                 else F.max(f"_p_{out}").over(wb)
             ).alias(f"_off_{out}")
@@ -149,10 +185,18 @@ def two_phase_running(
     out = _nullsafe_bucket_join(b, offs, part)
     for s, fn, o in specs:
         if fn == "sum":
+            # SUM() OVER semantics: NULL iff both the in-bucket frame
+            # and every preceding bucket contribute nothing; otherwise
+            # NULL halves count as 0 (SUM skips NULLs)
+            in_b = F.sum(s).over(wi).cast("long")
+            off = F.col(f"_off_{o}")
             out = out.withColumn(
                 o,
-                F.coalesce(F.sum(s).over(wi), F.lit(0)).cast("long")
-                + F.col(f"_off_{o}"),
+                F.when(
+                    in_b.isNull() & off.isNull(), F.lit(None).cast("long")
+                ).otherwise(
+                    F.coalesce(in_b, F.lit(0)) + F.coalesce(off, F.lit(0))
+                ),
             )
         else:
             # greatest() skips NULLs; NULL only when no preceding value

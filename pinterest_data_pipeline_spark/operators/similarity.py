@@ -198,7 +198,11 @@ def knn_partial_topk_matmul(
     post-filter silently loses true top-k candidates. The default
     ``extra=1`` covers exactly one dropped row per query (the self-match
     ``vec_id == q_id``); a caller excluding a label set or an id list
-    must pass a matching slack.
+    must pass a matching slack. Per ADVICE r11, call sites pass
+    ``extra`` EXPLICITLY with a comment naming the post-filter it
+    covers, so the slack-vs-filter pairing is reviewable at each caller
+    (see plans/extensions.py quality_embedding_proximity_audit /
+    quality_knn_label_agreement).
     """
     import numpy as np
 

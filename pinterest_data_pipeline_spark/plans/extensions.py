@@ -4384,7 +4384,8 @@ def quality_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
     )
     partials = similarity.knn_partial_topk_matmul(
-        corpus, audited_rows, k=5
+        corpus, audited_rows, k=5,
+        extra=1,  # slack for exactly the one self-match filtered below
     ).filter(F.col("vec_id") != F.col("q_id"))
     w = Window.partitionBy("q_id").orderBy(F.desc("dot_q"), F.asc("vec_id"))
     knn = partials.withColumn("rk", F.row_number().over(w)).filter(
@@ -7915,7 +7916,10 @@ def quality_embedding_proximity_audit(spark: SparkSession, sf_dir: str) -> DataF
         "label",
     )
     n_train = train.agg(F.count(F.lit(1)).cast("long").alias("n_train"))
-    partials = similarity.knn_partial_topk_matmul(train, audited_rows, k=1)
+    partials = similarity.knn_partial_topk_matmul(
+        train, audited_rows, k=1,
+        extra=0,  # nothing is filtered post-kernel (train excludes eval ids)
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("dot_q"), F.asc("vec_id"))
     nearest = (
         partials.withColumn("rk", F.row_number().over(w))

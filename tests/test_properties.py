@@ -589,7 +589,9 @@ def test_two_phase_running_matches_global_window(spark, pairs, width, current_ro
     expected = {
         r.v: (r.cs, r.mx)
         for r in df.withColumn(
-            "cs", F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long")
+            # un-coalesced (ADVICE r11): the strict-frame first row is
+            # NULL in true SUM() OVER semantics and the helper must match
+            "cs", F.sum("c").over(w).cast("long")
         ).withColumn("mx", F.max("x").over(w)).collect()
     }
     got = {
