@@ -7,13 +7,26 @@ order-insensitive value representation. Usage:
     python tools/check_parity.py [sf_dir] [query ...]
 
 Exit code 0 iff every checked query matches.
+
+Oracle results are CACHED (VERDICT r11 item 7): the sf0.1 full sweep was
+~55 min, DuckDB-bound on the exhaustive dedup duals, which made tri-SF
+sweeps a once-per-round cost. The cache key is
+sha256(query name | oracle SQL text | sf_dir | parquet mtimes+sizes) —
+any edit to the oracle, a different SF, or regenerated testdata misses;
+Spark results are NEVER cached (they are the thing under test). Disable
+with SPARK_GRAFT_PARITY_NO_CACHE=1; cache lives in .parity_cache/
+(gitignored).
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import math
+import os
 import sys
 from datetime import date, datetime
+from pathlib import Path
 
 import duckdb
 
@@ -43,6 +56,39 @@ def _norm(v):
 def _rowset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted("|".join(_norm(r[i]) for i in order) for r in rows)
+
+
+CACHE_DIR = Path(__file__).resolve().parent.parent / ".parity_cache"
+
+
+def _data_fingerprint(sf_dir: str) -> str:
+    parts = []
+    for p in sorted(Path(sf_dir).glob("*.parquet")):
+        st = p.stat()
+        parts.append(f"{p.name}:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(parts)
+
+
+def _oracle_rowset(con, name: str, sql: str, sf_dir: str):
+    """(cols, rowset, n_rows) for the DuckDB dual, cached on disk."""
+    use_cache = os.environ.get("SPARK_GRAFT_PARITY_NO_CACHE") != "1"
+    key = hashlib.sha256(
+        f"{name}\x1f{sql}\x1f{sf_dir}\x1f{_data_fingerprint(sf_dir)}".encode()
+    ).hexdigest()
+    cache_file = CACHE_DIR / f"{key}.json"
+    if use_cache and cache_file.exists():
+        d = json.loads(cache_file.read_text())
+        return d["cols"], d["rowset"], d["n"]
+    cur = con.execute(sql)
+    dcols = [d[0] for d in cur.description]
+    drows = cur.fetchall()
+    dset = _rowset(dcols, drows)
+    if use_cache:
+        CACHE_DIR.mkdir(exist_ok=True)
+        cache_file.write_text(
+            json.dumps({"cols": dcols, "rowset": dset, "n": len(drows)})
+        )
+    return dcols, dset, len(drows)
 
 
 def main() -> int:
@@ -75,9 +121,7 @@ def main() -> int:
                 print(f"      WARNING {name}: 0 rows")
             continue
         try:
-            cur = con.execute(sql)
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            dcols, dset, dn = _oracle_rowset(con, name, sql, sf_dir)
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
@@ -86,12 +130,11 @@ def main() -> int:
         if sorted(scols) != sorted(dcols):
             print(f"FAIL  {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
             ok = False
-        elif len(srows) != len(drows):
-            print(f"FAIL  {name}: rowcount spark={len(srows)} duck={len(drows)}")
+        elif len(srows) != dn:
+            print(f"FAIL  {name}: rowcount spark={len(srows)} duck={dn}")
             ok = False
         else:
             sset = _rowset(scols, [[r[c] for c in scols] for r in srows])
-            dset = _rowset(dcols, drows)
             if sset != dset:
                 ok = False
                 diff = [(a, b) for a, b in zip(sset, dset) if a != b][:5]
