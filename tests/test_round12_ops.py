@@ -18,6 +18,56 @@ from pyspark.sql import functions as F
 from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401  (registers queries)
 
 
+def test_simhash_xxhash64_pairs_equal_exhaustive_hamming_join(spark):
+    """Closes the last rows-only certification gap (VERDICT r11 item 6):
+    the xxhash64 SimHash variant cannot be oracled cross-engine (DuckDB
+    has no xxhash64), so certify the WHOLE pipeline in-Spark instead —
+    the multi-index pigeonhole's pair set must equal the exhaustive
+    O(n^2) Hamming cross-join over the SAME xxhash64 signatures, on the
+    real sf0.001 corpus plus planted exact and near duplicates (so the
+    assertion never passes vacuously on an empty pair set). The stable-
+    hash twin separately certifies the algorithm against DuckDB; this
+    pins that swapping the hash function changes nothing but the hash."""
+    from pinterest_data_pipeline_spark.operators import dedup
+    from pinterest_data_pipeline_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    # plant 10 exact duplicates and 10 near duplicates (one token edited)
+    base = docs.orderBy("doc_id").limit(10)
+    exact = base.withColumn("doc_id", F.col("doc_id") + 20_000_000)
+    near = base.select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzzedit")).alias("text"),
+    )
+    corpus = docs.unionByName(exact).unionByName(near)
+
+    found = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_near_duplicates(
+            corpus, "text", "doc_id", max_distance=10
+        ).collect()
+    )
+    sig = dedup.simhash(corpus, "text", "doc_id")
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    exhaustive = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            dedup.hamming64(F.col("ha"), F.col("hb")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 10)
+        .collect()
+    )
+    assert len(exhaustive) >= 10  # planted exact dups guarantee pairs
+    assert found == exhaustive
+
+
 def _coarse_top20(spark, sf_dir):
     """The pre-r12 coarse-blocked reference plan, kept verbatim as the
     in-Spark dual for the fine-block rewrite (same shape as the DuckDB
