@@ -43,15 +43,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/check_parity.py). Run `python tools/ledger.py` for the ledger,
 # and `python tools/ledger.py --propose-window` to GENERATE the rotation
 # below (VERDICT r8 item 7 — this window is that tool's output).
-# ROUND-12 ROTATION (tool-proposed): the 39 r11-certified births take
-# their second-certification seats; the 11 remaining seats go to the
+# ROUND-12 ROTATION (tool-proposed): the two r12 births take the first
+# seats (never-certified invariant); the 39 r11-certified births take
+# their second-certification seats; the 9 remaining seats go to the
 # r9-certified cohort longest owed a second row. Zero back-fill — every
-# seat pays certification debt; the EXPECTED_QUEUE (41 once-certified
+# seat pays certification debt; the EXPECTED_QUEUE (43 once-certified
 # entries) drains in r13 per the owed-seconds math in NOTES.md
 # (VERDICT r11 item 1).
 SEATING_ROUND = 12  # invariant tests evaluate the ledger as of SEATING_ROUND-1
 
 PRIORITY_WINDOW: tuple[str, ...] = (
+    "quality_unigram_logloss",  # birth
+    "dedup_longest_shared_ngram",  # birth
     "text_phrase_search",  # r11
     "events_bitmap_retention",  # r11
     "events_max_concurrency_daily",  # r11
@@ -100,8 +103,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "streaming_tdigest_daily_p95",  # r9
     "clean_impute_median_by_group",  # r9
     "events_rolling_wau_kmv",  # r9
-    "sample_token_budget_mix",  # r9
-    "sample_weighted_multi_draw",  # r9
 )
 
 

@@ -8071,3 +8071,138 @@ def ml_kmeans_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query
+def quality_unigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus unigram LM — the
+    CCNet-style cheap "perplexity" quality filter an LLM pipeline runs
+    before paying for a real LM pass (Wenzek et al., CCNet 2020 use a
+    KenLM; the unigram proxy ranks the same boilerplate/gibberish tails):
+    H(d) = -sum_t (tf_td/len_d) * ln(ct_t/N) = ln(N) - (sum_t tf_td *
+    ln(ct_t)) / len_d over exact integer token counts. Low H = the doc
+    is made of globally common tokens (boilerplate); high H = rare-token
+    soup (mojibake, code dumps).
+
+    Float discipline (the ``text_char_entropy`` technique): the only
+    nondeterministic-order float reduction — sum over a doc's distinct
+    tokens — folds over the token-SORTED collected array in one defined
+    IEEE sequence on both engines (Spark ``array_sort``+``aggregate``,
+    DuckDB ``list(... ORDER BY t)``+``list_reduce``); each term is the
+    identical expression tf::double * ln(ct::double); one rounding site.
+
+    Scale shape: one (doc, token) hash agg, one token-keyed agg for the
+    corpus counts, one token-keyed shuffle join, one doc-keyed fold; the
+    collected array is ONE document's distinct tokens (doc-length
+    bounded), never corpus-sized. N attaches as a 1-row broadcast.
+    Unsorted on purpose — per-doc output is corpus-sized and a final
+    presentation sort's range sampling re-executes the lineage (the
+    ``dedup_minhash_near_duplicates`` rule); the driver hash is
+    order-insensitive.
+    """
+    docs = load_documents(spark, sf_dir)
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    corpus = tf.groupBy("t").agg(F.sum("tf").cast("long").alias("ct"))
+    n_total = corpus.agg(F.sum("ct").cast("long").alias("n_corpus"))
+    terms = tf.join(corpus, "t").select(
+        "doc_id",
+        "t",
+        "tf",
+        (
+            F.col("tf").cast("double") * F.log(F.col("ct").cast("double"))
+        ).alias("term"),
+    )
+    per_doc = terms.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("t", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("s"),
+    )
+    return per_doc.crossJoin(F.broadcast(n_total)).select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        F.round(
+            F.log(F.col("n_corpus").cast("double"))
+            - F.col("s") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("xent_nats"),
+    )
+
+
+@query
+def dedup_longest_shared_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest shared token span per document pair — the core signal of
+    substring-level deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": repeated 50+-token
+    spans are memorization fuel even when whole-doc near-dup checks
+    pass). Candidate pairs come from shared 8-gram windows; consecutive
+    matching windows on one (pair, position-offset) diagonal chain into
+    spans via the gaps-and-islands trick, so a run of L matching
+    windows certifies a shared span of L+7 tokens. Top-20 pairs by
+    longest span (integers end to end — no float site at all).
+
+    Scale shape: the 8-gram explode is linear in corpus tokens; a
+    df <= 50 frequency cap bounds each gram's join fan-out (the PPJoin
+    prefix-filter discipline — boilerplate grams shared by the whole
+    corpus would otherwise join quadratically; the cap is part of the
+    operator's definition and both engines apply it). The diagonal
+    windows partition on (pair, diag) — parallel, bounded by one
+    document's window count. No global window, no cross join.
+    """
+    docs = load_documents(spark, sf_dir)
+    toks = text.tokens(F.col("text"))
+    grams_arr = F.when(
+        F.size(toks) < 8, F.array().cast("array<string>")
+    ).otherwise(text.shingles(F.col("text"), 8))
+    grams = docs.select(
+        "doc_id", F.posexplode(grams_arr).alias("pos0", "g")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    rare = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= 50)
+        .select("g")
+    )
+    kept = grams.join(rare, "g")
+    a = kept.select(
+        F.col("g"), F.col("doc_id").alias("id_a"), F.col("pos").alias("pa")
+    )
+    b = kept.select(
+        F.col("g"), F.col("doc_id").alias("id_b"), F.col("pos").alias("pb")
+    )
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w_diag = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    runs = pairs.withColumn(
+        "grp", F.col("pa") - F.row_number().over(w_diag)
+    )
+    spans = runs.groupBy("id_a", "id_b", "diag", "grp").agg(
+        (F.count(F.lit(1)) + 7).cast("long").alias("span_tokens")
+    )
+    summary = spans.groupBy("id_a", "id_b").agg(
+        F.max("span_tokens").alias("longest_span_tokens")
+    )
+    counts = pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_windows")
+    )
+    return (
+        summary.join(counts, ["id_a", "id_b"])
+        .orderBy(
+            F.desc("longest_span_tokens"), F.asc("id_a"), F.asc("id_b")
+        )
+        .limit(20)
+    )

@@ -6756,3 +6756,77 @@ oracle("ml_kmeans_separation")(
     FROM per_vec GROUP BY cluster_id ORDER BY cluster_id
     """
 )
+
+# Same exact integer token counts, same defined-order fold (list ORDER BY
+# token -> list_reduce) as the char-entropy dual, same single rounding
+# site; N attaches via CROSS JOIN of the 1-row total.
+oracle("quality_unigram_logloss")(
+    """
+    WITH tf AS (
+        SELECT doc_id, t, count(*)::BIGINT AS tf FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents
+        ) WHERE t <> '' GROUP BY doc_id, t
+    ), corpus AS (
+        SELECT t, sum(tf)::BIGINT AS ct FROM tf GROUP BY t
+    ), n AS (SELECT sum(ct)::BIGINT AS n_corpus FROM corpus),
+    terms AS (
+        SELECT tf.doc_id, tf.t, tf.tf,
+               tf.tf::DOUBLE * ln(c.ct::DOUBLE) AS term
+        FROM tf JOIN corpus c USING (t)
+    ), agg AS (
+        SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+               count(*)::BIGINT AS n_distinct_tokens,
+               list_reduce(
+                   list_prepend(0.0::DOUBLE, list(term ORDER BY t)),
+                   (a, b) -> a + b) AS s
+        FROM terms GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct_tokens,
+           round(ln(n.n_corpus::DOUBLE) - s / n_tokens::DOUBLE, 6)
+               AS xent_nats
+    FROM agg CROSS JOIN n ORDER BY doc_id
+    """
+)
+
+# Same raw-split 8-gram windows (empty tokens preserved — the tokens()
+# wire-format contract), same df <= 50 frequency cap, same
+# gaps-and-islands span chaining; integers end to end.
+oracle("dedup_longest_shared_ngram")(
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), grams AS (
+        SELECT doc_id, i::BIGINT AS pos, array_to_string(l[i:i+7], ' ') AS g
+        FROM (SELECT doc_id, l, unnest(range(1, len(l) - 6)) AS i
+              FROM toks WHERE len(l) >= 8)
+    ), rare AS (
+        SELECT g FROM grams GROUP BY g
+        HAVING count(DISTINCT doc_id) <= 50
+    ), kept AS (
+        SELECT grams.* FROM grams JOIN rare USING (g)
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb,
+               a.pos - b.pos AS diag
+        FROM kept a JOIN kept b USING (g)
+        WHERE a.doc_id < b.doc_id
+    ), runs AS (
+        SELECT id_a, id_b, diag, pa,
+               pa - row_number() OVER (
+                   PARTITION BY id_a, id_b, diag ORDER BY pa) AS grp
+        FROM pairs
+    ), spans AS (
+        SELECT id_a, id_b, (count(*) + 7)::BIGINT AS span_tokens
+        FROM runs GROUP BY id_a, id_b, diag, grp
+    ), summary AS (
+        SELECT id_a, id_b, max(span_tokens) AS longest_span_tokens
+        FROM spans GROUP BY id_a, id_b
+    ), counts AS (
+        SELECT id_a, id_b, count(*)::BIGINT AS n_shared_windows
+        FROM pairs GROUP BY id_a, id_b
+    )
+    SELECT s.id_a, s.id_b, s.longest_span_tokens, c.n_shared_windows
+    FROM summary s JOIN counts c USING (id_a, id_b)
+    ORDER BY longest_span_tokens DESC, id_a, id_b LIMIT 20
+    """
+)

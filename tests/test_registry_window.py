@@ -43,11 +43,13 @@ from tools import ledger
 DRIVER_WINDOW = 50
 
 # Once-certified queries expected to miss a seat this round (see module
-# docstring). r12: the 39 r11-certified births plus the 11 r9-certified
-# entries longest owed a second row fill the window exactly; the
-# remaining 41 once-certified queries wait for r13 (bound/approx-oracle
-# entries already drained in earlier rotations).
+# docstring). r12: the two r12 births plus the 39 r11-certified births
+# plus the 9 r9-certified entries longest owed a second row fill the
+# window exactly; the remaining 43 once-certified queries wait for r13
+# (bound/approx-oracle entries already drained in earlier rotations).
 EXPECTED_QUEUE: tuple[str, ...] = (
+    "sample_token_budget_mix",
+    "sample_weighted_multi_draw",
     "graph_triangle_count",
     "events_attribution_multi_touch",
     "text_bm25_topk",

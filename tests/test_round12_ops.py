@@ -213,3 +213,67 @@ def test_fs_linkage_constant_field_does_not_raise(spark):
     # pairs are candidates and all survive.
     assert {(r.part_a, r.part_b) for r in out} == {(1, 2), (1, 3), (2, 3)}
     assert [r.rank for r in out] == [1, 2, 3]
+
+
+def _write_docs(spark, d, rows):
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in rows], schema
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+
+def test_unigram_logloss_orders_common_vs_rare(spark):
+    """r12 birth: a doc of globally common tokens must score LOWER
+    cross-entropy than a doc of corpus-unique tokens, and the value on a
+    hand-computable fixture must match H = ln(N) - sum(tf*ln(ct))/len."""
+    import math
+
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    rows = [
+        (1, "the the the the"),          # 4x 'the'
+        (2, "qzx wvu ponm lkj"),         # 4 singletons
+        (3, "the cat"),                  # mixes common + singleton
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, d, rows)
+        out = {
+            r.doc_id: r
+            for r in QUERIES["quality_unigram_logloss"](spark, d).collect()
+        }
+    # corpus: N=10; ct(the)=5, singletons ct=1
+    n = 10.0
+    h1 = math.log(n) - (4 * math.log(5.0)) / 4
+    h2 = math.log(n) - 0.0 / 4
+    h3 = math.log(n) - (math.log(5.0) + math.log(1.0)) / 2
+    assert out[1].xent_nats == round(h1, 6)
+    assert out[2].xent_nats == round(h2, 6)
+    assert out[3].xent_nats == round(h3, 6)
+    assert out[1].xent_nats < out[3].xent_nats < out[2].xent_nats
+    assert out[1].n_tokens == 4 and out[1].n_distinct_tokens == 1
+
+
+def test_longest_shared_ngram_span_and_df_cap(spark):
+    """r12 birth: two docs sharing a planted 12-token run report
+    span=12 (5 chained 8-gram windows); docs sharing nothing are absent;
+    a gram shared by >50 docs is frequency-capped out of the candidates
+    entirely (the PPJoin prefix-filter discipline)."""
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    boiler = " ".join(f"b{i}" for i in range(8))  # shared by 60 docs
+    rows = [
+        (1, "x1 x2 x3 " + shared + " y1 y2"),
+        (2, "z1 " + shared + " w1 w2 w3"),
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+    ] + [(100 + i, boiler + f" t{i}") for i in range(60)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, d, rows)
+        out = QUERIES["dedup_longest_shared_ngram"](spark, d).collect()
+    by_pair = {(r.id_a, r.id_b): r for r in out}
+    assert (1, 2) in by_pair
+    assert by_pair[(1, 2)].longest_span_tokens == 12
+    assert by_pair[(1, 2)].n_shared_windows == 5  # 12 - 8 + 1
+    # doc 3 shares nothing; boilerplate pairs are df-capped out
+    assert all(3 not in p for p in by_pair)
+    assert all(a < 100 and b < 100 for a, b in by_pair)
