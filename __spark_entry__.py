@@ -53,7 +53,7 @@ def entry(spark: SparkSession) -> DataFrame:
 SEATING_ROUND = 12  # invariant tests evaluate the ledger as of SEATING_ROUND-1
 
 PRIORITY_WINDOW: tuple[str, ...] = (
-    "quality_unigram_logloss",  # birth
+    "quality_bigram_logloss",  # birth
     "dedup_longest_shared_ngram",  # birth
     "text_phrase_search",  # r11
     "events_bitmap_retention",  # r11

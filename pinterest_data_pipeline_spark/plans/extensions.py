@@ -8074,68 +8074,89 @@ def ml_kmeans_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query
-def quality_unigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document cross-entropy under the corpus unigram LM — the
-    CCNet-style cheap "perplexity" quality filter an LLM pipeline runs
-    before paying for a real LM pass (Wenzek et al., CCNet 2020 use a
-    KenLM; the unigram proxy ranks the same boilerplate/gibberish tails):
-    H(d) = -sum_t (tf_td/len_d) * ln(ct_t/N) = ln(N) - (sum_t tf_td *
-    ln(ct_t)) / len_d over exact integer token counts. Low H = the doc
-    is made of globally common tokens (boilerplate); high H = rare-token
-    soup (mojibake, code dumps).
+def quality_bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own Laplace-smoothed
+    BIGRAM LM — the word-ORDER-sensitive fluency filter that
+    ``text_unigram_logprob`` (a bag-of-words score, blind to token
+    order) cannot express: shuffled-token spam keeps its unigram score
+    but collapses here, which is why real pipelines grade on a
+    conditional LM (Wenzek et al., CCNet 2020 use KenLM; add-1-smoothed
+    bigrams are the exact-arithmetic proxy).
+    H(d) = -sum_g tf_gd * ln((c2_g + 1) / (c1_first(g) + V)) / n_bigrams_d
+    where c2 is the corpus bigram count, c1 the context (first-token)
+    count summed over its bigrams, V the corpus unigram vocabulary —
+    all exact integers; docs with fewer than 2 tokens have no bigram
+    and drop out (mirrored in the dual).
 
     Float discipline (the ``text_char_entropy`` technique): the only
     nondeterministic-order float reduction — sum over a doc's distinct
-    tokens — folds over the token-SORTED collected array in one defined
-    IEEE sequence on both engines (Spark ``array_sort``+``aggregate``,
-    DuckDB ``list(... ORDER BY t)``+``list_reduce``); each term is the
-    identical expression tf::double * ln(ct::double); one rounding site.
+    bigrams — folds over the bigram-SORTED collected array in one
+    defined IEEE sequence on both engines (Spark ``array_sort`` +
+    ``aggregate``, DuckDB ``list(... ORDER BY g)`` + ``list_reduce``);
+    each term is the identical expression
+    tf::double * ln((c2+1)::double / (c1+V)::double); one rounding site.
 
-    Scale shape: one (doc, token) hash agg, one token-keyed agg for the
-    corpus counts, one token-keyed shuffle join, one doc-keyed fold; the
-    collected array is ONE document's distinct tokens (doc-length
-    bounded), never corpus-sized. N attaches as a 1-row broadcast.
-    Unsorted on purpose — per-doc output is corpus-sized and a final
-    presentation sort's range sampling re-executes the lineage (the
-    ``dedup_minhash_near_duplicates`` rule); the driver hash is
-    order-insensitive.
+    Scale shape: bigrams come from the codegen'd ``shingles`` fast path
+    (no interpreted HOF on the corpus path); one (doc, bigram) hash agg,
+    bigram- and context-keyed count aggs, two key-partitioned joins, one
+    doc-keyed fold whose array is ONE document's distinct bigrams. V
+    attaches as a 1-row broadcast. Unsorted on purpose — per-doc output
+    is corpus-sized and a final presentation sort's range sampling
+    re-executes the lineage (the ``dedup_minhash_near_duplicates``
+    rule); the driver hash is order-insensitive.
     """
     docs = load_documents(spark, sf_dir)
-    tf = (
-        docs.select(
-            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
-        )
-        .filter(F.col("t") != "")
-        .groupBy("doc_id", "t")
+    toks = text.tokens(F.col("text"))
+    bigrams_arr = F.when(
+        F.size(toks) < 2, F.array().cast("array<string>")
+    ).otherwise(text.shingles(F.col("text"), 2))
+    tfb = (
+        docs.select("doc_id", F.explode(bigrams_arr).alias("g"))
+        .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
-    corpus = tf.groupBy("t").agg(F.sum("tf").cast("long").alias("ct"))
-    n_total = corpus.agg(F.sum("ct").cast("long").alias("n_corpus"))
-    terms = tf.join(corpus, "t").select(
-        "doc_id",
-        "t",
-        "tf",
-        (
-            F.col("tf").cast("double") * F.log(F.col("ct").cast("double"))
-        ).alias("term"),
+    c2 = tfb.groupBy("g").agg(F.sum("tf").cast("long").alias("c2"))
+    c1 = (
+        c2.groupBy(F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("t1"))
+        .agg(F.sum("c2").cast("long").alias("c1"))
+    )
+    vocab = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .agg(F.count_distinct("t").cast("long").alias("v"))
+    )
+    terms = (
+        tfb.join(c2, "g")
+        .withColumn("t1", F.split_part(F.col("g"), F.lit(" "), F.lit(1)))
+        .join(c1, "t1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "g",
+            "tf",
+            (
+                F.col("tf").cast("double")
+                * F.log(
+                    (F.col("c2") + 1).cast("double")
+                    / (F.col("c1") + F.col("v")).cast("double")
+                )
+            ).alias("term"),
+        )
     )
     per_doc = terms.groupBy("doc_id").agg(
-        F.sum("tf").cast("long").alias("n_tokens"),
-        F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_bigrams"),
         F.aggregate(
-            F.array_sort(F.collect_list(F.struct("t", "term"))),
+            F.array_sort(F.collect_list(F.struct("g", "term"))),
             F.lit(0.0),
             lambda acc, x: acc + x["term"],
         ).alias("s"),
     )
-    return per_doc.crossJoin(F.broadcast(n_total)).select(
+    return per_doc.select(
         "doc_id",
-        "n_tokens",
-        "n_distinct_tokens",
+        "n_bigrams",
+        "n_distinct_bigrams",
         F.round(
-            F.log(F.col("n_corpus").cast("double"))
-            - F.col("s") / F.col("n_tokens").cast("double"),
-            6,
+            -F.col("s") / F.col("n_bigrams").cast("double"), 6
         ).alias("xent_nats"),
     )
 

@@ -6757,35 +6757,48 @@ oracle("ml_kmeans_separation")(
     """
 )
 
-# Same exact integer token counts, same defined-order fold (list ORDER BY
-# token -> list_reduce) as the char-entropy dual, same single rounding
-# site; N attaches via CROSS JOIN of the 1-row total.
-oracle("quality_unigram_logloss")(
+# Same Laplace-smoothed bigram LM: bigrams from the raw-split adjacency
+# (empty tokens preserved), identical integer counts (c2 per bigram, c1
+# per context, V over the unigram vocab), the char-entropy defined-order
+# fold (list ORDER BY bigram -> list_reduce), one rounding site; docs
+# with < 2 tokens drop out of both engines.
+oracle("quality_bigram_logloss")(
     """
-    WITH tf AS (
-        SELECT doc_id, t, count(*)::BIGINT AS tf FROM (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS t
-            FROM documents
-        ) WHERE t <> '' GROUP BY doc_id, t
-    ), corpus AS (
-        SELECT t, sum(tf)::BIGINT AS ct FROM tf GROUP BY t
-    ), n AS (SELECT sum(ct)::BIGINT AS n_corpus FROM corpus),
-    terms AS (
-        SELECT tf.doc_id, tf.t, tf.tf,
-               tf.tf::DOUBLE * ln(c.ct::DOUBLE) AS term
-        FROM tf JOIN corpus c USING (t)
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ), big AS (
+        SELECT doc_id, array_to_string(l[i:i+1], ' ') AS g
+        FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i
+              FROM toks WHERE len(l) >= 2)
+    ), tfb AS (
+        SELECT doc_id, g, count(*)::BIGINT AS tf FROM big GROUP BY doc_id, g
+    ), c2 AS (
+        SELECT g, sum(tf)::BIGINT AS c2 FROM tfb GROUP BY g
+    ), c1 AS (
+        SELECT split_part(g, ' ', 1) AS t1, sum(c2)::BIGINT AS c1
+        FROM c2 GROUP BY split_part(g, ' ', 1)
+    ), vocab AS (
+        SELECT count(DISTINCT t)::BIGINT AS v FROM (
+            SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+    ), terms AS (
+        SELECT tfb.doc_id, tfb.g, tfb.tf,
+               tfb.tf::DOUBLE * ln((c2.c2 + 1)::DOUBLE
+                                   / (c1.c1 + vocab.v)::DOUBLE) AS term
+        FROM tfb
+        JOIN c2 USING (g)
+        JOIN c1 ON c1.t1 = split_part(tfb.g, ' ', 1)
+        CROSS JOIN vocab
     ), agg AS (
-        SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
-               count(*)::BIGINT AS n_distinct_tokens,
+        SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+               count(*)::BIGINT AS n_distinct_bigrams,
                list_reduce(
-                   list_prepend(0.0::DOUBLE, list(term ORDER BY t)),
+                   list_prepend(0.0::DOUBLE, list(term ORDER BY g)),
                    (a, b) -> a + b) AS s
         FROM terms GROUP BY doc_id
     )
-    SELECT doc_id, n_tokens, n_distinct_tokens,
-           round(ln(n.n_corpus::DOUBLE) - s / n_tokens::DOUBLE, 6)
-               AS xent_nats
-    FROM agg CROSS JOIN n ORDER BY doc_id
+    SELECT doc_id, n_bigrams, n_distinct_bigrams,
+           round(-s / n_bigrams::DOUBLE, 6) AS xent_nats
+    FROM agg ORDER BY doc_id
     """
 )
 

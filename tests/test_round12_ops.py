@@ -222,35 +222,37 @@ def _write_docs(spark, d, rows):
     ).write.parquet(os.path.join(d, "documents.parquet"))
 
 
-def test_unigram_logloss_orders_common_vs_rare(spark):
-    """r12 birth: a doc of globally common tokens must score LOWER
-    cross-entropy than a doc of corpus-unique tokens, and the value on a
-    hand-computable fixture must match H = ln(N) - sum(tf*ln(ct))/len."""
+def test_bigram_logloss_is_word_order_sensitive(spark):
+    """r12 birth: docs 1 and 2 share the SAME token multiset (so any
+    unigram score ties them) but differ in word order — the bigram
+    cross-entropy must separate them, and the values on this
+    hand-computable fixture must match the add-1-smoothed formula
+    H = -sum tf*ln((c2+1)/(c1+V)) / n_bigrams. A 1-token doc has no
+    bigram and must be absent."""
     import math
 
     from pinterest_data_pipeline_spark.plans.analytics import QUERIES
 
     rows = [
-        (1, "the the the the"),          # 4x 'the'
-        (2, "qzx wvu ponm lkj"),         # 4 singletons
-        (3, "the cat"),                  # mixes common + singleton
+        (1, "a b a b a"),   # the corpus's dominant pattern
+        (2, "a a b b a"),   # same bag of tokens, jumbled order
+        (3, "c"),           # no bigram -> absent
     ]
     with tempfile.TemporaryDirectory() as d:
         _write_docs(spark, d, rows)
         out = {
             r.doc_id: r
-            for r in QUERIES["quality_unigram_logloss"](spark, d).collect()
+            for r in QUERIES["quality_bigram_logloss"](spark, d).collect()
         }
-    # corpus: N=10; ct(the)=5, singletons ct=1
-    n = 10.0
-    h1 = math.log(n) - (4 * math.log(5.0)) / 4
-    h2 = math.log(n) - 0.0 / 4
-    h3 = math.log(n) - (math.log(5.0) + math.log(1.0)) / 2
+    # corpus bigrams: "a b"=3, "b a"=3, "a a"=1, "b b"=1
+    # contexts: c1(a)=4, c1(b)=4; vocab V={a,b,c} -> 3
+    h1 = -(4 * math.log(4.0 / 7.0)) / 4
+    h2 = -(2 * math.log(2.0 / 7.0) + 2 * math.log(4.0 / 7.0)) / 4
     assert out[1].xent_nats == round(h1, 6)
     assert out[2].xent_nats == round(h2, 6)
-    assert out[3].xent_nats == round(h3, 6)
-    assert out[1].xent_nats < out[3].xent_nats < out[2].xent_nats
-    assert out[1].n_tokens == 4 and out[1].n_distinct_tokens == 1
+    assert out[1].xent_nats < out[2].xent_nats  # order sensitivity
+    assert 3 not in out
+    assert out[1].n_bigrams == 4 and out[1].n_distinct_bigrams == 2
 
 
 def test_longest_shared_ngram_span_and_df_cap(spark):

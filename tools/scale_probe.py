@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, functions as F
 
 from pinterest_data_pipeline_spark.operators import dedup
-from pinterest_data_pipeline_spark.session import get_spark, load_table
+from pinterest_data_pipeline_spark.session import fan_out, get_spark, load_table
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 KEY_STRIDE = 100_000_000
@@ -2735,6 +2735,114 @@ def probe_rolling_median(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
+
+def probe_bigram_logloss(spark, mult: int) -> float:
+    """Bigram cross-entropy at mult x documents (r12 birth): key-shifted
+    copies keep the bigram vocab fixed while counts scale — two
+    bigram/context-keyed shuffles + a doc fold whose array is one doc's
+    distinct bigrams. Expect near-linear."""
+    from pinterest_data_pipeline_spark.operators import text as text_ops
+
+    docs = multiply(
+        load_table(spark, SF, "documents").select("doc_id", "text"),
+        mult, ["doc_id"],
+    )
+    toks = text_ops.tokens(F.col("text"))
+    bigrams_arr = F.when(
+        F.size(toks) < 2, F.array().cast("array<string>")
+    ).otherwise(text_ops.shingles(F.col("text"), 2))
+    tfb = (
+        docs.select("doc_id", F.explode(bigrams_arr).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    c2 = tfb.groupBy("g").agg(F.sum("tf").cast("long").alias("c2"))
+    c1 = c2.groupBy(
+        F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("t1")
+    ).agg(F.sum("c2").cast("long").alias("c1"))
+    vocab = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("t")
+    ).agg(F.count_distinct("t").cast("long").alias("v"))
+    terms = (
+        tfb.join(c2, "g")
+        .withColumn("t1", F.split_part(F.col("g"), F.lit(" "), F.lit(1)))
+        .join(c1, "t1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id", "g", "tf",
+            (F.col("tf").cast("double")
+             * F.log((F.col("c2") + 1).cast("double")
+                     / (F.col("c1") + F.col("v")).cast("double"))).alias("term"),
+        )
+    )
+    q = terms.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("g", "term"))),
+            F.lit(0.0), lambda acc, x: acc + x["term"],
+        ).alias("s"),
+    ).select("doc_id", "n_bigrams", (-F.col("s") / F.col("n_bigrams").cast("double")).alias("x"))
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_shared_ngram(spark, mult: int) -> float:
+    """Longest-shared-ngram at mult x documents with the VOCAB tiled
+    alongside (each copy's tokens prefixed c{i}_): cross-copy gram
+    sharing is zero by construction, so pair volume grows linearly with
+    copies — the honest 100 TB model (a verbatim multiply would push
+    every gram's df past the cap and measure empty pair work). The
+    within-copy near-dup structure is preserved exactly."""
+    from pinterest_data_pipeline_spark.operators import text as text_ops
+
+    base = load_table(spark, SF, "documents").select("doc_id", "text")
+    tiles = []
+    for i in range(mult):
+        tiles.append(
+            base.select(
+                (F.col("doc_id") + i * KEY_STRIDE).alias("doc_id"),
+                F.regexp_replace(
+                    F.col("text"), r"(\S+)", f"c{i}_$1"
+                ).alias("text"),
+            )
+        )
+    docs = tiles[0]
+    for t in tiles[1:]:
+        docs = docs.unionByName(t)
+    docs = fan_out(docs)
+    toks = text_ops.tokens(F.col("text"))
+    grams_arr = F.when(
+        F.size(toks) < 8, F.array().cast("array<string>")
+    ).otherwise(text_ops.shingles(F.col("text"), 8))
+    grams = docs.select(
+        "doc_id", F.posexplode(grams_arr).alias("pos0", "g")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    rare = (
+        grams.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= 50).select("g")
+    )
+    kept = grams.join(rare, "g")
+    a = kept.select("g", F.col("doc_id").alias("id_a"), F.col("pos").alias("pa"))
+    b = kept.select("g", F.col("doc_id").alias("id_b"), F.col("pos").alias("pb"))
+    pairs = (
+        a.join(b, "g").filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    from pyspark.sql import Window as W
+    w_diag = W.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    runs = pairs.withColumn("grp", F.col("pa") - F.row_number().over(w_diag))
+    spans = runs.groupBy("id_a", "id_b", "diag", "grp").agg(
+        (F.count(F.lit(1)) + 7).cast("long").alias("span_tokens")
+    )
+    q = spans.groupBy("id_a", "id_b").agg(
+        F.max("span_tokens").alias("longest")
+    ).orderBy(F.desc("longest"), F.asc("id_a"), F.asc("id_b")).limit(20)
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 PROBES = {
     "tpch_q5_6way_join": probe_tpch_q5,
     "simhash_near_dup": probe_simhash,
@@ -2830,6 +2938,8 @@ PROBES = {
     "simpsons": probe_simpsons,
     "split_contamination": probe_split_contamination,
     "fs_linkage": probe_fs_linkage,
+    "bigram_logloss": probe_bigram_logloss,
+    "shared_ngram": probe_shared_ngram,
     "fs_linkage_fixed_domain": probe_fs_linkage_fixed_domain,
     "fs_linkage_coarse_fixed": probe_fs_linkage_coarse_fixed,
     "spatial_neighbors": probe_spatial_neighbors,
