@@ -187,6 +187,9 @@ FLAGSHIPS = [
     "join_spatial_grid_neighbors",
     "quality_embedding_proximity_audit",
     "ml_kmeans_separation",
+    # round-12 births
+    "quality_bigram_logloss",
+    "dedup_longest_shared_ngram",
 ]
 
 
