@@ -8110,11 +8110,12 @@ def quality_bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams_arr = F.when(
         F.size(toks) < 2, F.array().cast("array<string>")
     ).otherwise(text.shingles(F.col("text"), 2))
-    tfb = (
+    tfb = persist_scoped(
         docs.select("doc_id", F.explode(bigrams_arr).alias("g"))
         .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
+        .agg(F.count(F.lit(1)).cast("long").alias("tf")),
+        "bigram_logloss_tfb",
+    )  # consumed by c2 AND the terms join — persist beats re-exploding
     c2 = tfb.groupBy("g").agg(F.sum("tf").cast("long").alias("c2"))
     c1 = (
         c2.groupBy(F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("t1"))
@@ -8186,16 +8187,20 @@ def dedup_longest_shared_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams_arr = F.when(
         F.size(toks) < 8, F.array().cast("array<string>")
     ).otherwise(text.shingles(F.col("text"), 8))
-    grams = docs.select(
-        "doc_id", F.posexplode(grams_arr).alias("pos0", "g")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    grams = persist_scoped(
+        docs.select(
+            "doc_id", F.posexplode(grams_arr).alias("pos0", "g")
+        ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g"),
+        "shared_ngram_grams",
+    )  # consumed by the df rollup AND both join sides — persist beats
+    # re-running the shingle explode four times
     rare = (
         grams.groupBy("g")
         .agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df") <= 50)
         .select("g")
     )
-    kept = grams.join(rare, "g")
+    kept = persist_scoped(grams.join(rare, "g"), "shared_ngram_kept")
     a = kept.select(
         F.col("g"), F.col("doc_id").alias("id_a"), F.col("pos").alias("pa")
     )
