@@ -8116,20 +8116,22 @@ def quality_bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("tf")),
         "bigram_logloss_tfb",
     )  # consumed by c2 AND the terms join — persist beats re-exploding
-    # shuffle_hash on both LM-count frames: c2/c1 are the DATA-SIZED
+    # merge hints on both LM-count frames: c2/c1 are the DATA-SIZED
     # bigram/context vocabularies — a broadcast of either is the
     # driver-killing misestimate the sparse-cosine term join documented
     # (fixed vocab in THIS corpus keeps them small, but the operator
-    # must survive a real growing vocabulary at 100 TB).
+    # must survive a real growing vocabulary at 100 TB), and a
+    # shuffled hash build of a data-sized side OOMs where sort-merge
+    # spills (measured on the shared-ngram 256x probe).
     c2 = (
         tfb.groupBy("g")
         .agg(F.sum("tf").cast("long").alias("c2"))
-        .hint("shuffle_hash")
+        .hint("merge")
     )
     c1 = (
         c2.groupBy(F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("t1"))
         .agg(F.sum("c2").cast("long").alias("c1"))
-        .hint("shuffle_hash")
+        .hint("merge")
     )
     vocab = (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("t"))
@@ -8204,16 +8206,18 @@ def dedup_longest_shared_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shared_ngram_grams",
     )  # consumed by the df rollup AND both join sides — persist beats
     # re-running the shingle explode four times
-    # shuffle_hash: `rare` is the DATA-SIZED gram vocabulary — the
+    # merge hint: `rare` is the DATA-SIZED gram vocabulary. The
     # planner's post-aggregate stats underestimate it and pick a
     # broadcast whose build DIED on spark.driver.maxResultSize at the
-    # 256x probe (the text_sparse_cosine_pairs / JL-projection lesson).
+    # 256x probe (the text_sparse_cosine_pairs / JL-projection lesson);
+    # a shuffle_hash hint then OOM'd the per-partition hash-map build
+    # at the same scale. Sort-merge is the join that spills.
     rare = (
         grams.groupBy("g")
         .agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df") <= 50)
         .select("g")
-        .hint("shuffle_hash")
+        .hint("merge")
     )
     kept = persist_scoped(grams.join(rare, "g"), "shared_ngram_kept")
     a = kept.select(

@@ -2821,7 +2821,7 @@ def probe_shared_ngram(spark, mult: int) -> float:
     rare = (
         grams.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df") <= 50).select("g")
-        .hint("shuffle_hash")  # data-sized vocab: broadcast build died
+        .hint("merge")  # data-sized vocab: broadcast build died
         # on driver.maxResultSize at 256x (the sparse-cosine lesson)
     )
     kept = grams.join(rare, "g")
