@@ -8226,8 +8226,12 @@ def dedup_longest_shared_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = kept.select(
         F.col("g"), F.col("doc_id").alias("id_b"), F.col("pos").alias("pb")
     )
+    # merge hint: the planner statically broadcast `kept` (BuildRight)
+    # for this self-join — same data-sized misestimate as the rare
+    # frame; kept is every rare-gram occurrence and grows with the
+    # corpus, so the candidate join must be the spilling one too.
     pairs = (
-        a.join(b, "g")
+        a.join(b.hint("merge"), "g")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
     )

@@ -279,3 +279,26 @@ def test_longest_shared_ngram_span_and_df_cap(spark):
     # doc 3 shares nothing; boilerplate pairs are df-capped out
     assert all(3 not in p for p in by_pair)
     assert all(a < 100 and b < 100 for a, b in by_pair)
+
+
+def test_birth_vocab_joins_stay_sort_merge(spark):
+    """Round-12 plan contract: every join whose build side is a
+    DATA-SIZED frame (gram vocabulary, gram occurrences, bigram/context
+    counts, per-pair aggregates) must plan as SortMergeJoin — the 256x
+    probe killed both a planner-chosen broadcast (driver maxResultSize)
+    and a shuffled hash build (executor OOM) on these exact joins. The
+    only broadcast allowed in either plan is the sanctioned 1-row
+    scalar attach (BroadcastNestedLoop on the vocab total). If a
+    refactor trips this, fix the plan, not the test."""
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    for name in ("quality_bigram_logloss", "dedup_longest_shared_ngram"):
+        plan = (
+            QUERIES[name](spark, sf)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" not in plan, name
+        assert "SortMergeJoin" in plan, name
