@@ -2828,7 +2828,8 @@ def probe_shared_ngram(spark, mult: int) -> float:
     a = kept.select("g", F.col("doc_id").alias("id_a"), F.col("pos").alias("pa"))
     b = kept.select("g", F.col("doc_id").alias("id_b"), F.col("pos").alias("pb"))
     pairs = (
-        a.join(b, "g").filter(F.col("id_a") < F.col("id_b"))
+        a.join(b.hint("merge"), "g")  # kept is data-sized: never broadcast
+        .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
     )
     from pyspark.sql import Window as W
