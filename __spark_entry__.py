@@ -43,66 +43,66 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/check_parity.py). Run `python tools/ledger.py` for the ledger,
 # and `python tools/ledger.py --propose-window` to GENERATE the rotation
 # below (VERDICT r8 item 7 — this window is that tool's output).
-# ROUND-12 ROTATION (tool-proposed): the two r12 births take the first
-# seats (never-certified invariant); the 39 r11-certified births take
-# their second-certification seats; the 9 remaining seats go to the
-# r9-certified cohort longest owed a second row. Zero back-fill — every
-# seat pays certification debt; the EXPECTED_QUEUE (43 once-certified
-# entries) drains in r13 per the owed-seconds math in NOTES.md
-# (VERDICT r11 item 1).
-SEATING_ROUND = 12  # invariant tests evaluate the ledger as of SEATING_ROUND-1
+# ROUND-13 ROTATION (tool-proposed): the 45-entry owed-seconds backlog
+# (2 r12 births + the 43-strong once-certified queue) drains COMPLETELY
+# this round — after r13 certifies, every oracled query in the registry
+# is at least twice driver-certified (VERDICT r12 item 1). The 5 spare
+# seats back-fill with the stalest twice-certified entries (last cert
+# r2/r3) so re-verification keeps rotating; r13 births, if any, replace
+# back-fill seats via a re-run of `tools/ledger.py --propose-window`.
+SEATING_ROUND = 13  # invariant tests evaluate the ledger as of SEATING_ROUND-1
 
 PRIORITY_WINDOW: tuple[str, ...] = (
-    "quality_bigram_logloss",  # birth
-    "dedup_longest_shared_ngram",  # birth
-    "text_phrase_search",  # r11
-    "events_bitmap_retention",  # r11
-    "events_max_concurrency_daily",  # r11
-    "agg_gini_customer_revenue",  # r11
-    "events_funnel_latency",  # r11
-    "text_pmi_cooccurrence",  # r11
-    "events_top_paths",  # r11
-    "text_ngram_novelty",  # r11
-    "dedup_sorted_neighborhood",  # r11
-    "events_cuped_adjusted",  # r11
-    "events_theilsen_trend",  # r11
-    "events_kaplan_meier",  # r11
-    "streaming_bitmap_distinct",  # r11
-    "events_rolling_wau_bitmap",  # r11
-    "sample_systematic",  # r11
-    "dedup_weighted_jaccard_adjacent",  # r11
-    "text_char_entropy",  # r11
-    "sample_group_split_no_leakage",  # r11
-    "events_markov_accuracy",  # r11
-    "text_readability",  # r11
-    "agg_hierarchical_share",  # r11
-    "events_decay_score_dyadic",  # r11
-    "quality_duplicate_payments",  # r11
-    "text_zipf_slope",  # r11
-    "events_entry_channel_conversion",  # r11
-    "quality_join_key_skew",  # r11
-    "events_new_vs_returning",  # r11
-    "quality_functional_dependency",  # r11
-    "quality_langid_confusion",  # r11
-    "pipeline_corpus_card",  # r11
-    "quality_k_anonymity",  # r11
-    "quality_simpsons_reversal",  # r11
-    "search_ndcg_bm25",  # r11
-    "quality_split_contamination",  # r11
-    "dedup_linkage_fs_weights",  # r11
-    "dedup_lsh_param_planner",  # r11
-    "join_spatial_grid_neighbors",  # r11
-    "quality_embedding_proximity_audit",  # r11
-    "ml_kmeans_separation",  # r11
-    "sketch_tdigest_quantile_bounds",  # r9
-    "agg_tdigest_grouped_p95",  # r9
-    "ann_ivf_pq_recall_sweep",  # r9
-    "events_rolling_p95_tdigest",  # r9
-    "dedup_jaccard_prefix_join",  # r9
-    "dedup_winnow_shared_fingerprints",  # r9
-    "streaming_tdigest_daily_p95",  # r9
-    "clean_impute_median_by_group",  # r9
-    "events_rolling_wau_kmv",  # r9
+    "quality_bigram_logloss",  # r12
+    "dedup_longest_shared_ngram",  # r12
+    "sample_token_budget_mix",  # r9
+    "sample_weighted_multi_draw",  # r9
+    "graph_triangle_count",  # r10
+    "events_attribution_multi_touch",  # r10
+    "text_bm25_topk",  # r10
+    "search_hybrid_rrf",  # r10
+    "graph_pagerank",  # r10
+    "agg_equidepth_bins",  # r10
+    "join_interval_bucketed",  # r10
+    "ml_kmeans_quantized",  # r10
+    "events_ab_chisquare",  # r10
+    "quality_ks_two_sample",  # r10
+    "clean_winsorized_mean",  # r10
+    "events_seasonal_mase",  # r10
+    "graph_bfs_hops",  # r10
+    "events_cumulative_users",  # r10
+    "events_market_basket_triples",  # r10
+    "anomaly_cusum_daily",  # r10
+    "sample_proportional_quota",  # r10
+    "agg_revenue_concentration",  # r10
+    "orc_roundtrip_battery",  # r10
+    "anomaly_bot_regularity",  # r10
+    "quality_knn_label_agreement",  # r10
+    "sample_negative_pairs",  # r10
+    "text_rake_keywords",  # r10
+    "join_fifo_allocation",  # r10
+    "quality_cohens_kappa",  # r10
+    "window_clamped_running_balance",  # r10
+    "agg_rfm_segments",  # r10
+    "quality_spearman_corr",  # r10
+    "quality_benford_digits",  # r10
+    "stat_bootstrap_ci_mean",  # r10
+    "events_daily_trend_slope",  # r10
+    "events_autocorrelation_lag",  # r10
+    "quality_mann_whitney_u",  # r10
+    "window_rolling_median_daily",  # r10
+    "graph_label_propagation",  # r10
+    "ml_target_encode_kfold",  # r10
+    "events_time_weighted_avg",  # r10
+    "events_sessionize_capped",  # r10
+    "agg_weighted_median_price",  # r9
+    "scd2_asof_segments",  # r9
+    "agg_pareto_skyline",  # r10
+    "events_tumbling_window",  # r2,r3
+    "events_sliding_window",  # r2,r3
+    "reshape_unpivot_part_sizes",  # r1,r2,r3
+    "embedding_near_duplicates_exact",  # r2,r3
+    "multimodal_image_features",  # r2,r3
 )
 
 

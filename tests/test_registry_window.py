@@ -43,55 +43,11 @@ from tools import ledger
 DRIVER_WINDOW = 50
 
 # Once-certified queries expected to miss a seat this round (see module
-# docstring). r12: the two r12 births plus the 39 r11-certified births
-# plus the 9 r9-certified entries longest owed a second row fill the
-# window exactly; the remaining 43 once-certified queries wait for r13
-# (bound/approx-oracle entries already drained in earlier rotations).
-EXPECTED_QUEUE: tuple[str, ...] = (
-    "sample_token_budget_mix",
-    "sample_weighted_multi_draw",
-    "graph_triangle_count",
-    "events_attribution_multi_touch",
-    "text_bm25_topk",
-    "search_hybrid_rrf",
-    "graph_pagerank",
-    "agg_equidepth_bins",
-    "join_interval_bucketed",
-    "ml_kmeans_quantized",
-    "events_ab_chisquare",
-    "quality_ks_two_sample",
-    "clean_winsorized_mean",
-    "events_seasonal_mase",
-    "graph_bfs_hops",
-    "events_cumulative_users",
-    "events_market_basket_triples",
-    "anomaly_cusum_daily",
-    "sample_proportional_quota",
-    "agg_revenue_concentration",
-    "orc_roundtrip_battery",
-    "anomaly_bot_regularity",
-    "quality_knn_label_agreement",
-    "sample_negative_pairs",
-    "text_rake_keywords",
-    "join_fifo_allocation",
-    "quality_cohens_kappa",
-    "window_clamped_running_balance",
-    "agg_rfm_segments",
-    "quality_spearman_corr",
-    "quality_benford_digits",
-    "stat_bootstrap_ci_mean",
-    "events_daily_trend_slope",
-    "events_autocorrelation_lag",
-    "quality_mann_whitney_u",
-    "window_rolling_median_daily",
-    "graph_label_propagation",
-    "ml_target_encode_kfold",
-    "events_time_weighted_avg",
-    "events_sessionize_capped",
-    "agg_weighted_median_price",
-    "scd2_asof_segments",
-    "agg_pareto_skyline",
-)
+# docstring). r13: the whole 45-entry owed-seconds backlog (2 r12 births
+# + 43 queued once-certified) seats with 5 back-fill seats to spare, so
+# the queue is EMPTY — after r13 certifies, every oracled query in the
+# registry is at least twice driver-certified (VERDICT r12 item 1).
+EXPECTED_QUEUE: tuple[str, ...] = ()
 
 
 def _table():
