@@ -27,6 +27,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import persist_scoped
+
+# Self-enforcing broadcast bound for the bucket-offset frame (VERDICT r12
+# item 3): the offset rows are narrow (partition keys + _bkt + long
+# offsets), so 1M rows is ~32-64 MB broadcast — comfortably driver-safe —
+# while anything growing with the data blows past it immediately. Above
+# the bound the join degrades to sort-merge (the join that SPILLS; the
+# round-12 probe lesson), so a caller whose bucket expression turns out
+# to be data-sized gets a slower-but-correct plan instead of a driver OOM.
+BROADCAST_BUCKET_LIMIT = 1_000_000
+
 
 def two_phase_rank(
     df: DataFrame,
@@ -73,26 +84,35 @@ def _nullsafe_bucket_join(b: DataFrame, offs: DataFrame, part: list[str]) -> Dat
     with a null-safe equality the NULL bucket is simply the first bucket
     and every offset stays correct.
 
-    HARD CONTRACT (ADVICE r11): the forced ``F.broadcast(offs)`` assumes
-    ``offs`` is DRIVER-SMALL — its row count is (occupied buckets x
-    partition-key cardinality), which every caller must bound by the
-    VALUE DOMAIN of its bucket expression (cents ranges, 2-char
-    prefixes), never by data size. A bucket expression whose occupied
-    count grows with the data would OOM the driver here instead of
-    degrading to a shuffle join; do not pass one. (The hint stays
-    because phase 1 already aggregated the data side — letting AQE
-    rediscover broadcastability costs a map-stage write of the full
-    data side for nothing.)
+    CONTRACT, NOW SELF-ENFORCING (VERDICT r12 item 3, superseding the
+    prose-only ADVICE r11 contract): callers should bound the occupied
+    bucket count by the VALUE DOMAIN of their bucket expression (cents
+    ranges, 2-char prefixes), never by data size — the broadcast is what
+    makes phase 3 shuffle-free. But "the planner's post-agg estimate
+    WILL eventually lie" cuts both ways for forced hints (the round-12
+    256x probe killed a driver on exactly this shape), so the helper no
+    longer trusts the contract blindly: ``offs`` is persisted (it is the
+    phase-1 aggregate — the join consumes the same cached frame, so the
+    extra action re-reads cache, not lineage) and COUNTED, and above
+    ``BROADCAST_BUCKET_LIMIT`` the join degrades to sort-merge instead
+    of broadcasting a data-sized frame through the driver.
     """
     keys = part + ["_bkt"]
     renamed = offs
     for k in keys:
         renamed = renamed.withColumnRenamed(k, f"_o_{k}")
+    renamed = persist_scoped(renamed, "ranking_bucket_offsets")
+    n_buckets = renamed.count()
+    side = (
+        F.broadcast(renamed)
+        if n_buckets <= BROADCAST_BUCKET_LIMIT
+        else renamed.hint("merge")
+    )
     cond = None
     for k in keys:
         c = b[k].eqNullSafe(renamed[f"_o_{k}"])
         cond = c if cond is None else cond & c
-    return b.join(F.broadcast(renamed), cond).drop(
+    return b.join(side, cond).drop(
         *[f"_o_{k}" for k in keys]
     )
 
