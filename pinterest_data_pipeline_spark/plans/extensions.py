@@ -7427,10 +7427,31 @@ def dedup_linkage_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs_linkage_weights(spark, sf_dir)
 
 
-# auto-strategy memo: (sf_dir, threshold) -> "coarse" | "fine". Planner
-# statistics, not results — safe to cache for a session; tests that
-# rewrite a tempdir in place should pass an explicit strategy.
-_FS_PLANNER_CACHE: dict[tuple[str, float], str] = {}
+# auto-strategy memo: (sf_dir, data fingerprint, threshold) -> "coarse"
+# | "fine". Planner statistics, not results — a stale choice is
+# correctness-safe (coarse is exact, fine is guarded) but slower, so the
+# key carries a cheap mtime/size fingerprint of part.parquet (ADVICE
+# r12, mirroring check_parity's cache discipline): rewriting the data at
+# a path re-probes instead of reusing the old plan choice.
+_FS_PLANNER_CACHE: dict[tuple[str, str, float], str] = {}
+
+
+def _part_fingerprint(sf_dir: str) -> str:
+    """mtime/size fingerprint of part.parquet (file or directory)."""
+    import os as _os
+
+    p = _os.path.join(sf_dir, "part.parquet")
+    try:
+        if _os.path.isdir(p):
+            parts = []
+            for f in sorted(_os.listdir(p)):
+                st = _os.stat(_os.path.join(p, f))
+                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+            return "|".join(parts)
+        st = _os.stat(p)
+        return f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        return "absent"
 
 
 def fs_linkage_weights(
@@ -7487,7 +7508,10 @@ def fs_linkage_weights(
     no enumeration — equals the candidate count (i.e. no all-disagree
     pair exists at all). Either branch failing raises via
     ``raise_error`` instead of silently diverging from the coarse oracle
-    (the PPJoin proven-lossless-filter discipline). This also subsumes
+    (the PPJoin proven-lossless-filter discipline); the guard aggregate
+    is evaluated EAGERLY over the persisted top frame before this
+    function returns, so no downstream consumer — however
+    early-terminating — can skip it (ADVICE r12). This also subsumes
     the u_f >= 0.9 degenerate case where disagreement outweighs
     agreement: such data simply fails guard (a).
     """
@@ -7515,7 +7539,7 @@ def fs_linkage_weights(
     if strategy not in ("auto", "coarse", "fine"):
         raise ValueError(f"unknown blocking strategy: {strategy!r}")
     if strategy == "auto":
-        cache_key = (sf_dir, fine_block_threshold)
+        cache_key = (sf_dir, _part_fingerprint(sf_dir), fine_block_threshold)
         strategy = _FS_PLANNER_CACHE.get(cache_key)
         if strategy is None:
             # Planner probe: ONE bounded 1-row collect (repo collect
@@ -7635,6 +7659,12 @@ def fs_linkage_weights(
     top = scored.orderBy(
         F.desc("match_weight"), F.asc("part_a"), F.asc("part_b")
     ).limit(20)
+    if strategy == "fine":
+        # The <=20-row top frame feeds BOTH the result and the guard
+        # aggregate below; without the persist the expensive blocked
+        # self-join is planned twice and nothing pins exchange reuse
+        # (ADVICE r12).
+        top = persist_scoped(top, "fs_linkage_top")
     w_rank = Window.partitionBy(F.lit(1)).orderBy(
         F.desc("match_weight"), F.asc("part_a"), F.asc("part_b")
     )
@@ -7664,12 +7694,15 @@ def fs_linkage_weights(
             .alias("_coarse_pairs")
         )
     )
-    # Losslessness sentinel: a 1-row rollup of the (<= 20-row) top frame
-    # joined to the block-size pair total; a VIOLATING row survives the
-    # filter and its raise_error projection aborts the job. Built as a
-    # UNION (not a per-row guard column) so the 0-candidates-but-pairs-
-    # exist case — where `top` is EMPTY and a row-level guard would never
-    # evaluate — still raises instead of silently returning no rows.
+    # Losslessness sentinel: a 1-row rollup of the persisted (<= 20-row)
+    # top frame joined to the block-size pair total; a VIOLATING row
+    # survives the filter and its raise_error projection aborts the job.
+    # Evaluated EAGERLY below (ADVICE r12): the old unioned-sentinel form
+    # let a .limit()/early-terminating consumer satisfy its limit from
+    # the ranked child and never evaluate the violation partition —
+    # collecting the aggregate here makes the guard unskippable, and the
+    # persisted top means the eager action costs one cache read, not a
+    # second blocked self-join.
     lossless = (
         (F.col("_n_top") == 20) & (F.col("_min_w") > F.col("_s0"))
     ) | (
@@ -7692,15 +7725,10 @@ def fs_linkage_weights(
                 "an all-disagree pair could enter the top-20; rerun "
                 "with the coarse (brand,size) blocked join"
             ).cast("int").alias("rank"),
-            F.lit(None).cast("long").alias("part_a"),
-            F.lit(None).cast("long").alias("part_b"),
-            F.lit(None).cast("int").alias("agree_adj"),
-            F.lit(None).cast("int").alias("agree_noun"),
-            F.lit(None).cast("int").alias("agree_p_type"),
-            F.lit(None).cast("double").alias("match_weight"),
         )
     )
-    return ranked.unionByName(violation)
+    violation.collect()  # raises on violation; [] when lossless
+    return ranked
 
 
 def lsh_planner_params(n_hashes: int = 128):

@@ -60,6 +60,12 @@ def _rowset(cols, rows):
 
 CACHE_DIR = Path(__file__).resolve().parent.parent / ".parity_cache"
 
+# Bump whenever _norm/_rowset normalization changes (ADVICE r12): the
+# cached oracle rowsets are stored POST-normalization, so a normalization
+# change would otherwise compare fresh Spark rowsets against stale cached
+# oracle rowsets — false PASS/FAIL until .parity_cache/ is hand-deleted.
+CACHE_VERSION = 1
+
 
 def _data_fingerprint(sf_dir: str) -> str:
     parts = []
@@ -73,7 +79,8 @@ def _oracle_rowset(con, name: str, sql: str, sf_dir: str):
     """(cols, rowset, n_rows) for the DuckDB dual, cached on disk."""
     use_cache = os.environ.get("SPARK_GRAFT_PARITY_NO_CACHE") != "1"
     key = hashlib.sha256(
-        f"{name}\x1f{sql}\x1f{sf_dir}\x1f{_data_fingerprint(sf_dir)}".encode()
+        f"v{CACHE_VERSION}\x1f{name}\x1f{sql}\x1f{sf_dir}\x1f"
+        f"{_data_fingerprint(sf_dir)}".encode()
     ).hexdigest()
     cache_file = CACHE_DIR / f"{key}.json"
     if use_cache and cache_file.exists():
