@@ -8283,3 +8283,433 @@ def dedup_longest_shared_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+# --- round-13 births --------------------------------------------------------
+
+
+@query
+def quality_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b rank correlation between part size and retail
+    price — the concordant/discordant-pair statistic that complements
+    :func:`quality_spearman_corr` (a different estimator with a
+    different plan: Spearman ranks rows, Kendall counts ORDERED PAIRS).
+    The naive formulation is an O(N^2) self-join over rows; here both
+    variables collapse to their bounded VALUE GRID first (50 sizes x
+    ~100 $1 price buckets), and every pair count folds over grid
+    CELLS: concordant = sum over cell pairs dominating in both
+    coordinates of n_a * n_b, discordant the anti-dominating sum, tie
+    terms from the per-axis marginals — exact integers end-to-end,
+    N(N-1)/2 pairs accounted exactly, one double conversion at the
+    terminal tau = (C - D) / sqrt((n0 - t_x) * (n0 - t_y)).
+
+    Scale shape: one hash aggregate to the grid (output bounded by the
+    value domain, the weighted-median collapse), then all pair math on
+    the ~650-cell broadcast grid (a BroadcastNestedLoopJoin over cells,
+    never rows). int64 caveat at 100 TB mirrors Spearman's: per-term
+    products reach N^2 and would need the decimal(38) promotion
+    discipline past ~3e9 rows.
+    """
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_size").cast("long").alias("x"),
+        F.floor(
+            F.round(F.col("p_retailprice") * 100).cast("long") / 100
+        ).cast("long").alias("y"),
+    )
+    grid = part.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c")
+    )
+    a = grid.select(
+        F.col("x").alias("xa"), F.col("y").alias("ya"),
+        F.col("n_c").alias("na"),
+    )
+    b = grid.select(
+        F.col("x").alias("xb"), F.col("y").alias("yb"),
+        F.col("n_c").alias("nb"),
+    )
+    conc = (
+        a.join(
+            F.broadcast(b),
+            (F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb")),
+        )
+        .agg(F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+             .cast("long").alias("n_concordant"))
+    )
+    disc = (
+        a.join(
+            F.broadcast(b),
+            (F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb")),
+        )
+        .agg(F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+             .cast("long").alias("n_discordant"))
+    )
+    totals = part.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties_x = (
+        part.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg((F.sum(F.col("t") * (F.col("t") - 1)) / 2)
+             .cast("long").alias("ties_x_pairs"))
+    )
+    ties_y = (
+        part.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg((F.sum(F.col("t") * (F.col("t") - 1)) / 2)
+             .cast("long").alias("ties_y_pairs"))
+    )
+    joined = (
+        totals.crossJoin(F.broadcast(conc))
+        .crossJoin(F.broadcast(disc))
+        .crossJoin(F.broadcast(ties_x))
+        .crossJoin(F.broadcast(ties_y))
+        .withColumn(
+            "n_pairs", (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+        )
+    )
+    denom_x = (F.col("n_pairs") - F.col("ties_x_pairs")).cast("double")
+    denom_y = (F.col("n_pairs") - F.col("ties_y_pairs")).cast("double")
+    return joined.select(
+        "n",
+        "n_pairs",
+        "n_concordant",
+        "n_discordant",
+        "ties_x_pairs",
+        "ties_y_pairs",
+        F.when(
+            (denom_x > 0) & (denom_y > 0),
+            F.round(
+                (F.col("n_concordant") - F.col("n_discordant")).cast("double")
+                / F.sqrt(denom_x * denom_y),
+                6,
+            ),
+        ).alias("tau_b"),
+    )
+
+
+@query
+def quality_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's token distribution
+    against the pooled corpus distribution — the symmetric, bounded
+    [0, ln 2] drift readout a training-data mixer grades candidate
+    sources with (PSI, :func:`quality_drift_psi`, is its numeric-column
+    sibling; this is the categorical/token form over a different
+    design: per-source vs pooled, not half vs half).
+
+    The distribution support is the top-50 corpus tokens plus an OTHER
+    bucket carrying the exact remainder mass, so every token of every
+    source is accounted while the per-source fold stays BOUNDED (51
+    terms): the ``text_char_entropy`` defined-order discipline — both
+    engines fold the bucket-sorted (c_source, c_corpus) array in one
+    IEEE sequence, p/q/m derived inside the fold from exact integer
+    counts, zero-count sides contribute their analytic 0, one rounding
+    site. Top-50 selection is a TakeOrderedAndProject (count desc,
+    token asc), never a vocab-sized window.
+
+    Scale shape: one (source, token) hash aggregate joined to the
+    broadcast top-50 set; OTHER mass = exact per-source total minus the
+    per-source top-50 sum (integers); sources x 51 buckets is
+    domain-bounded everywhere past the first aggregate.
+    """
+    docs = load_documents(spark, sf_dir)
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("t")
+    ).filter(F.col("t") != "")
+    corpus_counts = toks.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("c_corpus")
+    )
+    top = corpus_counts.orderBy(
+        F.desc("c_corpus"), F.asc("t")
+    ).limit(50).withColumnRenamed("t", "bucket")
+    src_counts = toks.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("c_src")
+    )
+    src_top = (
+        src_counts.join(
+            F.broadcast(top), src_counts["t"] == top["bucket"], "inner"
+        )
+        .select("source", "bucket", "c_src", "c_corpus")
+    )
+    src_totals = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_src")
+    )
+    corpus_total = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_corpus")
+    )
+    # dense (source x top-50) support: zero-count cells still carry
+    # corpus mass, so the fold must see them
+    dense_top = (
+        src_totals.select("source")
+        .crossJoin(F.broadcast(top))
+        .join(src_top, ["source", "bucket", "c_corpus"], "left")
+        .select(
+            "source",
+            "bucket",
+            F.coalesce(F.col("c_src"), F.lit(0)).alias("c_src"),
+            "c_corpus",
+        )
+    )
+    top_corpus_sum = top.agg(
+        F.sum("c_corpus").cast("long").alias("top_c_corpus")
+    )
+    src_top_sums = dense_top.groupBy("source").agg(
+        F.sum("c_src").cast("long").alias("top_c_src")
+    )
+    other = (
+        src_totals.join(src_top_sums, "source")
+        .crossJoin(F.broadcast(top_corpus_sum))
+        .crossJoin(F.broadcast(corpus_total))
+        .select(
+            "source",
+            F.lit("\x00OTHER").alias("bucket"),
+            (F.col("n_src") - F.col("top_c_src")).alias("c_src"),
+            (F.col("n_corpus") - F.col("top_c_corpus")).alias("c_corpus"),
+        )
+    )
+    cells = dense_top.select("source", "bucket", "c_src", "c_corpus").unionByName(
+        other
+    )
+    # per-cell JS term: a deterministic scalar from exact integers
+    # (identical doubles in, same IEEE ops) — only the SUM is order-
+    # sensitive, and it folds over the bucket-sorted bounded array
+    with_totals = (
+        cells.join(src_totals, "source")
+        .crossJoin(F.broadcast(corpus_total))
+    )
+    p = F.col("c_src").cast("double") / F.col("n_src").cast("double")
+    q = F.col("c_corpus").cast("double") / F.col("n_corpus").cast("double")
+    term = (
+        F.when(
+            F.col("c_src") > 0,
+            0.5 * p * F.log(2.0 * p / (p + q)),
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("c_corpus") > 0,
+            0.5 * q * F.log(2.0 * q / (p + q)),
+        ).otherwise(F.lit(0.0))
+    )
+    terms = with_totals.select(
+        "source", "n_src", "bucket", term.alias("term")
+    )
+    folded = terms.groupBy("source", "n_src").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bucket", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("_js_raw"),
+    )
+    return folded.select(
+        "source",
+        F.col("n_src").alias("n_tokens"),
+        F.round(F.col("_js_raw"), 6).alias("js_vs_corpus"),
+    ).orderBy("source")
+
+
+@query
+def events_diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout over the events stream — the
+    quasi-experimental contrast (treat - control) of (post - pre) spend
+    that :func:`events_cuped_adjusted` (covariate adjustment) and
+    :func:`events_ab_chisquare` (independence test) don't express: DiD
+    is the estimator a team reaches for when assignment wasn't
+    randomized and a parallel-trends baseline must difference out. Same
+    assignment discipline as its siblings (arms on user parity, pre =
+    day-of-month <= 15, post after), per-user spend in exact integer
+    cents.
+
+    SE via the user-level delta d = post - pre: per-arm variance from
+    exact sums with the documented decimal(38,0) accumulation (sum of
+    d^2 outruns int64 at corpus scale) and DOUBLE promotion of each
+    factor before multiplying; se = sqrt(v1/n1 + v0/n0), t = DiD / se —
+    one rounding site per output column.
+
+    Scale shape: one user-keyed hash aggregate, a 2-cell rollup, a
+    1-row output. Nothing downstream of the first aggregate scales with
+    the data.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.dayofmonth("ts") <= 15, cents)), F.lit(0)
+            ).alias("pre"),
+            F.coalesce(
+                F.sum(F.when(F.dayofmonth("ts") > 15, cents)), F.lit(0)
+            ).alias("post"),
+        )
+        .withColumn("arm", (F.col("user_id") % 2).cast("int"))
+        .withColumn("d", F.col("post") - F.col("pre"))
+    )
+    per_arm = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum((F.col("d") * F.col("d")).cast("decimal(38,0)")).alias("sdd"),
+    )
+    t = per_arm.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_treat"),
+        F.col("sd").alias("sd_t"),
+        F.col("sdd").alias("sdd_t"),
+    )
+    c = per_arm.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_control"),
+        F.col("sd").alias("sd_c"),
+        F.col("sdd").alias("sdd_c"),
+    )
+    row = t.crossJoin(F.broadcast(c))
+
+    def var_of(n: str, sd: str, sdd: str):
+        nd = F.col(n).cast("double")
+        return (
+            nd * F.col(sdd).cast("double")
+            - F.col(sd).cast("double") * F.col(sd).cast("double")
+        ) / (nd * (nd - 1.0))
+
+    mean_t = F.col("sd_t").cast("double") / F.col("n_treat").cast("double")
+    mean_c = F.col("sd_c").cast("double") / F.col("n_control").cast("double")
+    did = mean_t - mean_c
+    se = F.sqrt(
+        var_of("n_treat", "sd_t", "sdd_t") / F.col("n_treat").cast("double")
+        + var_of("n_control", "sd_c", "sdd_c")
+        / F.col("n_control").cast("double")
+    )
+    return row.select(
+        "n_treat",
+        "n_control",
+        F.round(mean_t / 100.0, 6).alias("mean_delta_treat"),
+        F.round(mean_c / 100.0, 6).alias("mean_delta_control"),
+        F.round(did / 100.0, 6).alias("did_estimate"),
+        F.round(se / 100.0, 6).alias("se"),
+        F.round(did / se, 6).alias("t_stat"),
+    )
+
+
+@query
+def sample_temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixing weights — the multilingual /
+    multi-source sampling-rate calculation of mT5/CC-mix pipelines:
+    w_s proportional to n_s^alpha with alpha = 0.5, which upsamples
+    small sources and downsamples dominant ones relative to their
+    proportional share. Distinct from
+    :func:`sample_token_budget_mix` (a greedy per-language document
+    FILL to a budget): this computes the per-source sampling WEIGHTS a
+    mixer would draw with, plus the boost factor over proportional
+    sampling.
+
+    Exactness: token counts are exact integers; n^0.5 is ``sqrt`` —
+    IEEE-754 requires it correctly rounded, so both engines produce the
+    bit-identical double (unlike exp/ln, no libm drift surface). The
+    normalizer Z = sum of sqrt terms folds over the source-sorted
+    bounded array in one defined order (the ``text_char_entropy``
+    technique); every output column rounds once from raw doubles.
+
+    Scale shape: one (source) hash aggregate over exploded tokens (the
+    token explode collapses map-side), a bounded-domain fold, a
+    |sources|-row output.
+    """
+    docs = load_documents(spark, sf_dir)
+    per_source = (
+        docs.select(
+            "source",
+            F.size(F.split(F.trim(F.col("text")), " +")).cast("long").alias(
+                "n_toks"
+            ),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_toks").cast("long").alias("n_tokens"))
+    )
+    z = per_source.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "n_tokens"))),
+            F.lit(0.0),
+            lambda acc, x: acc + F.sqrt(x["n_tokens"].cast("double")),
+        ).alias("z"),
+    )
+    out = per_source.crossJoin(F.broadcast(z))
+    w = F.sqrt(F.col("n_tokens").cast("double")) / F.col("z")
+    share = (
+        F.col("n_tokens").cast("double") / F.col("total_tokens").cast("double")
+    )
+    return out.select(
+        "source",
+        "n_tokens",
+        F.round(share, 6).alias("share_proportional"),
+        F.round(w, 6).alias("weight_t05"),
+        F.round(w / share, 6).alias("boost"),
+    ).orderBy("source")
+
+
+@query
+def agg_pearson_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the four lineitem
+    numeric measures (quantity, price, discount, tax) from ONE pass of
+    exact moment sums — the product-moment complement to
+    :func:`quality_spearman_corr` (rank correlation, two variables,
+    rank-table plan; this is linear correlation, six pairs, a single
+    15-sum hash aggregate and zero joins).
+
+    Exactness: all four measures are integers (quantity; price cents;
+    discount and tax in percent points), every square/cross product is
+    accumulated as decimal(38,0) (price-cents squares outrun int64
+    before sf0.1 — the Gini 256x lesson), and each correlation promotes
+    each FACTOR to double before multiplying (the
+    ``events_cuped_adjusted`` promotion discipline), one rounding site
+    per pair. r = (n*Sab - Sa*Sb) / (sqrt(n*Saa - Sa^2) *
+    sqrt(n*Sbb - Sb^2)) — the denominator multiplies the two sqrt'd
+    halves because their decimal product would overflow 38 digits.
+
+    Scale shape: one partial-agg-friendly scan aggregate; the 6-row
+    matrix explode is driver-trivial. At any scale this is the
+    all-columns-profile pass a feature-engineering pipeline runs before
+    modeling.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("t"),
+    )
+    cols = ["q", "p", "d", "t"]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i, a in enumerate(cols):
+        aggs.append(F.sum(a).cast("long").alias(f"s_{a}"))
+        for b_ in cols[i:]:
+            aggs.append(
+                F.sum(
+                    (F.col(a) * F.col(b_)).cast("decimal(38,0)")
+                ).alias(f"s_{a}{b_}")
+            )
+    moments = li.agg(*aggs)
+    names = {"q": "quantity", "p": "price", "d": "discount", "t": "tax"}
+
+    def corr(a: str, b_: str):
+        nd = F.col("n").cast("double")
+        num = nd * F.col(f"s_{a}{b_}").cast("double") - F.col(
+            f"s_{a}"
+        ).cast("double") * F.col(f"s_{b_}").cast("double")
+        den_a = F.sqrt(
+            nd * F.col(f"s_{a}{a}").cast("double")
+            - F.col(f"s_{a}").cast("double") * F.col(f"s_{a}").cast("double")
+        )
+        den_b = F.sqrt(
+            nd * F.col(f"s_{b_}{b_}").cast("double")
+            - F.col(f"s_{b_}").cast("double") * F.col(f"s_{b_}").cast("double")
+        )
+        return F.round(num / (den_a * den_b), 6)
+
+    pairs = [
+        (a, b_) for i, a in enumerate(cols) for b_ in cols[i + 1 :]
+    ]
+    structs = [
+        F.struct(
+            F.lit(names[a]).alias("col_a"),
+            F.lit(names[b_]).alias("col_b"),
+            corr(a, b_).alias("pearson_r"),
+        )
+        for a, b_ in pairs
+    ]
+    return (
+        moments.select(
+            "n", F.explode(F.array(*structs)).alias("s")
+        )
+        .select("n", "s.col_a", "s.col_b", "s.pearson_r")
+        .orderBy("col_a", "col_b")
+    )

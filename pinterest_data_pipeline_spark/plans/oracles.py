@@ -6843,3 +6843,266 @@ oracle("dedup_longest_shared_ngram")(
     ORDER BY longest_span_tokens DESC, id_a, id_b LIMIT 20
     """
 )
+
+
+# --- round-13 births ---------------------------------------------------------
+
+# Kendall tau-b from the bounded (size, $1-price-bucket) value grid:
+# concordant/discordant sums over dominating cell pairs, tie pairs from
+# the per-axis marginals, exact integers until the terminal sqrt.
+oracle("quality_kendall_tau")(
+    """
+    WITH pts AS (
+        SELECT p_size::BIGINT AS x,
+               CAST(floor(CAST(round(p_retailprice * 100) AS BIGINT) / 100)
+                    AS BIGINT) AS y
+        FROM part
+    ), grid AS (
+        SELECT x, y, count(*)::BIGINT AS n_c FROM pts GROUP BY x, y
+    ), conc AS (
+        SELECT coalesce(sum(a.n_c * b.n_c), 0)::BIGINT AS n_concordant
+        FROM grid a JOIN grid b ON a.x < b.x AND a.y < b.y
+    ), disc AS (
+        SELECT coalesce(sum(a.n_c * b.n_c), 0)::BIGINT AS n_discordant
+        FROM grid a JOIN grid b ON a.x < b.x AND a.y > b.y
+    ), totals AS (
+        SELECT count(*)::BIGINT AS n FROM pts
+    ), tx AS (
+        SELECT CAST(sum(t * (t - 1)) / 2 AS BIGINT) AS ties_x_pairs
+        FROM (SELECT count(*)::BIGINT AS t FROM pts GROUP BY x)
+    ), ty AS (
+        SELECT CAST(sum(t * (t - 1)) / 2 AS BIGINT) AS ties_y_pairs
+        FROM (SELECT count(*)::BIGINT AS t FROM pts GROUP BY y)
+    ), joined AS (
+        SELECT n, CAST(n * (n - 1) / 2 AS BIGINT) AS n_pairs,
+               n_concordant, n_discordant, ties_x_pairs, ties_y_pairs
+        FROM totals, conc, disc, tx, ty
+    )
+    SELECT n, n_pairs, n_concordant, n_discordant, ties_x_pairs,
+           ties_y_pairs,
+           CASE WHEN (n_pairs - ties_x_pairs) > 0
+                 AND (n_pairs - ties_y_pairs) > 0
+                THEN round(
+                    (n_concordant - n_discordant)::DOUBLE
+                    / sqrt((n_pairs - ties_x_pairs)::DOUBLE
+                           * (n_pairs - ties_y_pairs)::DOUBLE), 6)
+           END AS tau_b
+    FROM joined
+    """
+)
+
+# Per-source Jensen-Shannon divergence vs the pooled corpus over the
+# top-50 tokens + exact-remainder OTHER bucket; the only order-sensitive
+# float sum folds over the bucket-sorted bounded list (list_reduce), the
+# char-entropy technique.
+oracle("quality_js_divergence_sources")(
+    """
+    WITH toks AS (
+        SELECT source, t
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+        WHERE t <> ''
+    ), corpus_counts AS (
+        SELECT t, count(*)::BIGINT AS c_corpus FROM toks GROUP BY t
+    ), top AS (
+        SELECT t AS bucket, c_corpus FROM corpus_counts
+        ORDER BY c_corpus DESC, t ASC LIMIT 50
+    ), src_counts AS (
+        SELECT source, t, count(*)::BIGINT AS c_src
+        FROM toks GROUP BY source, t
+    ), src_totals AS (
+        SELECT source, count(*)::BIGINT AS n_src FROM toks GROUP BY source
+    ), corpus_total AS (
+        SELECT count(*)::BIGINT AS n_corpus FROM toks
+    ), dense_top AS (
+        SELECT s.source, tp.bucket,
+               coalesce(sc.c_src, 0)::BIGINT AS c_src, tp.c_corpus
+        FROM src_totals s CROSS JOIN top tp
+        LEFT JOIN src_counts sc
+               ON sc.source = s.source AND sc.t = tp.bucket
+    ), other AS (
+        SELECT s.source, chr(0) || 'OTHER' AS bucket,
+               (s.n_src - st.top_c_src)::BIGINT AS c_src,
+               (ct.n_corpus - tt.top_c_corpus)::BIGINT AS c_corpus
+        FROM src_totals s
+        JOIN (SELECT source, sum(c_src)::BIGINT AS top_c_src
+              FROM dense_top GROUP BY source) st USING (source)
+        CROSS JOIN (SELECT sum(c_corpus)::BIGINT AS top_c_corpus
+                    FROM top) tt
+        CROSS JOIN corpus_total ct
+    ), cells AS (
+        SELECT source, bucket, c_src, c_corpus FROM dense_top
+        UNION ALL
+        SELECT source, bucket, c_src, c_corpus FROM other
+    ), terms AS (
+        SELECT c.source, s.n_src, c.bucket,
+               (CASE WHEN c.c_src > 0 THEN
+                    0.5 * (c.c_src::DOUBLE / s.n_src::DOUBLE)
+                        * ln(2.0 * (c.c_src::DOUBLE / s.n_src::DOUBLE)
+                             / ((c.c_src::DOUBLE / s.n_src::DOUBLE)
+                                + (c.c_corpus::DOUBLE / ct.n_corpus::DOUBLE)))
+                ELSE 0.0 END
+                + CASE WHEN c.c_corpus > 0 THEN
+                    0.5 * (c.c_corpus::DOUBLE / ct.n_corpus::DOUBLE)
+                        * ln(2.0 * (c.c_corpus::DOUBLE / ct.n_corpus::DOUBLE)
+                             / ((c.c_src::DOUBLE / s.n_src::DOUBLE)
+                                + (c.c_corpus::DOUBLE / ct.n_corpus::DOUBLE)))
+                ELSE 0.0 END) AS term
+        FROM cells c
+        JOIN src_totals s USING (source)
+        CROSS JOIN corpus_total ct
+    )
+    SELECT source, n_src AS n_tokens,
+           round(list_reduce(
+               list_prepend(0.0::DOUBLE, list_transform(
+                   list(term ORDER BY bucket), x -> x)),
+               (a, b) -> a + b), 6) AS js_vs_corpus
+    FROM terms GROUP BY source, n_src ORDER BY source
+    """
+)
+
+# DiD with the CUPED assignment discipline (parity arms, day-of-month
+# pre/post split), exact integer cents, HUGEINT/decimal accumulation of
+# d^2, factor-wise DOUBLE promotion, one rounding site per column.
+oracle("events_diff_in_differences")(
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               coalesce(sum(CASE WHEN day(ts) <= 15
+                   THEN CAST(round(value * 100) AS BIGINT) END), 0) AS pre,
+               coalesce(sum(CASE WHEN day(ts) > 15
+                   THEN CAST(round(value * 100) AS BIGINT) END), 0) AS post
+        FROM events GROUP BY user_id
+    ), deltas AS (
+        SELECT (user_id % 2)::INT AS arm, (post - pre) AS d FROM per_user
+    ), per_arm AS (
+        SELECT arm, count(*)::BIGINT AS n, sum(d)::BIGINT AS sd,
+               sum(d * d) AS sdd
+        FROM deltas GROUP BY arm
+    ), row_ AS (
+        SELECT t.n AS n_treat, t.sd AS sd_t, t.sdd AS sdd_t,
+               c.n AS n_control, c.sd AS sd_c, c.sdd AS sdd_c
+        FROM (SELECT * FROM per_arm WHERE arm = 1) t
+        CROSS JOIN (SELECT * FROM per_arm WHERE arm = 0) c
+    )
+    SELECT n_treat, n_control,
+           round(sd_t::DOUBLE / n_treat::DOUBLE / 100.0, 6)
+               AS mean_delta_treat,
+           round(sd_c::DOUBLE / n_control::DOUBLE / 100.0, 6)
+               AS mean_delta_control,
+           round((sd_t::DOUBLE / n_treat::DOUBLE
+                  - sd_c::DOUBLE / n_control::DOUBLE) / 100.0, 6)
+               AS did_estimate,
+           round(sqrt(
+               ((n_treat::DOUBLE * sdd_t::DOUBLE
+                 - sd_t::DOUBLE * sd_t::DOUBLE)
+                / (n_treat::DOUBLE * (n_treat::DOUBLE - 1.0)))
+               / n_treat::DOUBLE
+               + ((n_control::DOUBLE * sdd_c::DOUBLE
+                   - sd_c::DOUBLE * sd_c::DOUBLE)
+                  / (n_control::DOUBLE * (n_control::DOUBLE - 1.0)))
+               / n_control::DOUBLE) / 100.0, 6) AS se,
+           round((sd_t::DOUBLE / n_treat::DOUBLE
+                  - sd_c::DOUBLE / n_control::DOUBLE)
+                 / sqrt(
+               ((n_treat::DOUBLE * sdd_t::DOUBLE
+                 - sd_t::DOUBLE * sd_t::DOUBLE)
+                / (n_treat::DOUBLE * (n_treat::DOUBLE - 1.0)))
+               / n_treat::DOUBLE
+               + ((n_control::DOUBLE * sdd_c::DOUBLE
+                   - sd_c::DOUBLE * sd_c::DOUBLE)
+                  / (n_control::DOUBLE * (n_control::DOUBLE - 1.0)))
+               / n_control::DOUBLE), 6) AS t_stat
+    FROM row_
+    """
+)
+
+# Temperature-0.5 mixing weights: exact token counts, IEEE-exact sqrt,
+# normalizer folded over the source-sorted bounded list.
+oracle("sample_temperature_mix_weights")(
+    """
+    WITH per_source AS (
+        SELECT source,
+               sum(len(regexp_split_to_array(trim(text), ' +'))::BIGINT)
+                   ::BIGINT AS n_tokens
+        FROM documents GROUP BY source
+    ), z AS (
+        SELECT sum(n_tokens)::BIGINT AS total_tokens,
+               list_reduce(
+                   list_prepend(0.0::DOUBLE, list_transform(
+                       list(n_tokens ORDER BY source),
+                       x -> sqrt(x::DOUBLE))),
+                   (a, b) -> a + b) AS z
+        FROM per_source
+    )
+    SELECT source, n_tokens,
+           round(n_tokens::DOUBLE / total_tokens::DOUBLE, 6)
+               AS share_proportional,
+           round(sqrt(n_tokens::DOUBLE) / z, 6) AS weight_t05,
+           round((sqrt(n_tokens::DOUBLE) / z)
+                 / (n_tokens::DOUBLE / total_tokens::DOUBLE), 6) AS boost
+    FROM per_source CROSS JOIN z ORDER BY source
+    """
+)
+
+# Pearson matrix from one pass of exact moment sums (DuckDB sums BIGINT
+# into HUGEINT — the exact dual of Spark's decimal(38,0) accumulation),
+# factor-wise DOUBLE promotion, sqrt halves multiplied in double.
+oracle("agg_pearson_matrix")(
+    """
+    WITH li AS (
+        SELECT l_quantity::BIGINT AS q,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+               CAST(round(l_discount * 100) AS BIGINT) AS d,
+               CAST(round(l_tax * 100) AS BIGINT) AS t
+        FROM lineitem
+    ), m AS (
+        SELECT count(*)::BIGINT AS n,
+               sum(q)::BIGINT AS s_q, sum(p)::BIGINT AS s_p,
+               sum(d)::BIGINT AS s_d, sum(t)::BIGINT AS s_t,
+               sum(q * q) AS s_qq, sum(q * p) AS s_qp,
+               sum(q * d) AS s_qd, sum(q * t) AS s_qt,
+               sum(p * p) AS s_pp, sum(p * d) AS s_pd,
+               sum(p * t) AS s_pt, sum(d * d) AS s_dd,
+               sum(d * t) AS s_dt, sum(t * t) AS s_tt
+        FROM li
+    ), pairs AS (
+        SELECT n, 'quantity' AS col_a, 'price' AS col_b,
+               round((n::DOUBLE * s_qp::DOUBLE - s_q::DOUBLE * s_p::DOUBLE)
+                 / (sqrt(n::DOUBLE * s_qq::DOUBLE - s_q::DOUBLE * s_q::DOUBLE)
+                  * sqrt(n::DOUBLE * s_pp::DOUBLE - s_p::DOUBLE * s_p::DOUBLE)),
+                 6) AS pearson_r FROM m
+        UNION ALL
+        SELECT n, 'quantity', 'discount',
+               round((n::DOUBLE * s_qd::DOUBLE - s_q::DOUBLE * s_d::DOUBLE)
+                 / (sqrt(n::DOUBLE * s_qq::DOUBLE - s_q::DOUBLE * s_q::DOUBLE)
+                  * sqrt(n::DOUBLE * s_dd::DOUBLE - s_d::DOUBLE * s_d::DOUBLE)),
+                 6) FROM m
+        UNION ALL
+        SELECT n, 'quantity', 'tax',
+               round((n::DOUBLE * s_qt::DOUBLE - s_q::DOUBLE * s_t::DOUBLE)
+                 / (sqrt(n::DOUBLE * s_qq::DOUBLE - s_q::DOUBLE * s_q::DOUBLE)
+                  * sqrt(n::DOUBLE * s_tt::DOUBLE - s_t::DOUBLE * s_t::DOUBLE)),
+                 6) FROM m
+        UNION ALL
+        SELECT n, 'price', 'discount',
+               round((n::DOUBLE * s_pd::DOUBLE - s_p::DOUBLE * s_d::DOUBLE)
+                 / (sqrt(n::DOUBLE * s_pp::DOUBLE - s_p::DOUBLE * s_p::DOUBLE)
+                  * sqrt(n::DOUBLE * s_dd::DOUBLE - s_d::DOUBLE * s_d::DOUBLE)),
+                 6) FROM m
+        UNION ALL
+        SELECT n, 'price', 'tax',
+               round((n::DOUBLE * s_pt::DOUBLE - s_p::DOUBLE * s_t::DOUBLE)
+                 / (sqrt(n::DOUBLE * s_pp::DOUBLE - s_p::DOUBLE * s_p::DOUBLE)
+                  * sqrt(n::DOUBLE * s_tt::DOUBLE - s_t::DOUBLE * s_t::DOUBLE)),
+                 6) FROM m
+        UNION ALL
+        SELECT n, 'discount', 'tax',
+               round((n::DOUBLE * s_dt::DOUBLE - s_d::DOUBLE * s_t::DOUBLE)
+                 / (sqrt(n::DOUBLE * s_dd::DOUBLE - s_d::DOUBLE * s_d::DOUBLE)
+                  * sqrt(n::DOUBLE * s_tt::DOUBLE - s_t::DOUBLE * s_t::DOUBLE)),
+                 6) FROM m
+    )
+    SELECT n, col_a, col_b, pearson_r FROM pairs ORDER BY col_a, col_b
+    """
+)
