@@ -43,16 +43,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/check_parity.py). Run `python tools/ledger.py` for the ledger,
 # and `python tools/ledger.py --propose-window` to GENERATE the rotation
 # below (VERDICT r8 item 7 — this window is that tool's output).
-# ROUND-13 ROTATION (tool-proposed): the 45-entry owed-seconds backlog
-# (2 r12 births + the 43-strong once-certified queue) drains COMPLETELY
-# this round — after r13 certifies, every oracled query in the registry
-# is at least twice driver-certified (VERDICT r12 item 1). The 5 spare
-# seats back-fill with the stalest twice-certified entries (last cert
-# r2/r3) so re-verification keeps rotating; r13 births, if any, replace
-# back-fill seats via a re-run of `tools/ledger.py --propose-window`.
+# ROUND-13 ROTATION (tool-proposed): the 5 r13 births take the first
+# seats (never-certified invariant) and the 45-entry owed-seconds
+# backlog (2 r12 births + the 43-strong once-certified queue) fills the
+# rest EXACTLY — zero back-fill, zero queue. After r13 certifies, every
+# oracled query in the registry is at least twice driver-certified
+# (VERDICT r12 item 1).
 SEATING_ROUND = 13  # invariant tests evaluate the ledger as of SEATING_ROUND-1
 
 PRIORITY_WINDOW: tuple[str, ...] = (
+    "quality_kendall_tau",  # birth
+    "quality_js_divergence_sources",  # birth
+    "events_diff_in_differences",  # birth
+    "sample_temperature_mix_weights",  # birth
+    "agg_pearson_matrix",  # birth
     "quality_bigram_logloss",  # r12
     "dedup_longest_shared_ngram",  # r12
     "sample_token_budget_mix",  # r9
@@ -98,11 +102,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "agg_weighted_median_price",  # r9
     "scd2_asof_segments",  # r9
     "agg_pareto_skyline",  # r10
-    "events_tumbling_window",  # r2,r3
-    "events_sliding_window",  # r2,r3
-    "reshape_unpivot_part_sizes",  # r1,r2,r3
-    "embedding_near_duplicates_exact",  # r2,r3
-    "multimodal_image_features",  # r2,r3
 )
 
 
