@@ -8316,8 +8316,14 @@ def quality_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("p_retailprice") * 100).cast("long") / 100
         ).cast("long").alias("y"),
     )
-    grid = part.groupBy("x", "y").agg(
-        F.count(F.lit(1)).cast("long").alias("n_c")
+    # ONE data pass: everything downstream (pair sums, marginal ties,
+    # the total) derives from the persisted bounded grid — without the
+    # persist each consumer branch re-plans the full part scan
+    grid = persist_scoped(
+        part.groupBy("x", "y").agg(
+            F.count(F.lit(1)).cast("long").alias("n_c")
+        ),
+        "kendall_grid",
     )
     a = grid.select(
         F.col("x").alias("xa"), F.col("y").alias("ya"),
@@ -8327,36 +8333,44 @@ def quality_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").alias("xb"), F.col("y").alias("yb"),
         F.col("n_c").alias("nb"),
     )
-    conc = (
-        a.join(
-            F.broadcast(b),
-            (F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb")),
+    # one cell-pair join scans x-dominance once; concordant/discordant
+    # split inside the aggregate (ya<yb vs ya>yb)
+    pair_sums = (
+        a.join(F.broadcast(b), F.col("xa") < F.col("xb"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("ya") < F.col("yb"),
+                        F.col("na") * F.col("nb"),
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("n_concordant"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("ya") > F.col("yb"),
+                        F.col("na") * F.col("nb"),
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("n_discordant"),
         )
-        .agg(F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
-             .cast("long").alias("n_concordant"))
     )
-    disc = (
-        a.join(
-            F.broadcast(b),
-            (F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb")),
-        )
-        .agg(F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
-             .cast("long").alias("n_discordant"))
-    )
-    totals = part.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    totals = grid.agg(F.sum("n_c").cast("long").alias("n"))
     ties_x = (
-        part.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("t"))
+        grid.groupBy("x").agg(F.sum("n_c").cast("long").alias("t"))
         .agg((F.sum(F.col("t") * (F.col("t") - 1)) / 2)
              .cast("long").alias("ties_x_pairs"))
     )
     ties_y = (
-        part.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("t"))
+        grid.groupBy("y").agg(F.sum("n_c").cast("long").alias("t"))
         .agg((F.sum(F.col("t") * (F.col("t") - 1)) / 2)
              .cast("long").alias("ties_y_pairs"))
     )
     joined = (
-        totals.crossJoin(F.broadcast(conc))
-        .crossJoin(F.broadcast(disc))
+        totals.crossJoin(F.broadcast(pair_sums))
         .crossJoin(F.broadcast(ties_x))
         .crossJoin(F.broadcast(ties_y))
         .withColumn(
@@ -8411,26 +8425,32 @@ def quality_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame
     toks = docs.select(
         "source", F.explode(F.split(F.col("text"), " ")).alias("t")
     ).filter(F.col("t") != "")
-    corpus_counts = toks.groupBy("t").agg(
-        F.count(F.lit(1)).cast("long").alias("c_corpus")
+    # ONE token explode + hash aggregate; the corpus counts, per-source
+    # totals, and grand total are all rollups of this persisted frame —
+    # without it every branch re-explodes the full corpus
+    src_counts = persist_scoped(
+        toks.groupBy("source", "t").agg(
+            F.count(F.lit(1)).cast("long").alias("c_src")
+        ),
+        "js_divergence_src_counts",
+    )
+    corpus_counts = src_counts.groupBy("t").agg(
+        F.sum("c_src").cast("long").alias("c_corpus")
     )
     top = corpus_counts.orderBy(
         F.desc("c_corpus"), F.asc("t")
     ).limit(50).withColumnRenamed("t", "bucket")
-    src_counts = toks.groupBy("source", "t").agg(
-        F.count(F.lit(1)).cast("long").alias("c_src")
-    )
     src_top = (
         src_counts.join(
             F.broadcast(top), src_counts["t"] == top["bucket"], "inner"
         )
         .select("source", "bucket", "c_src", "c_corpus")
     )
-    src_totals = toks.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_src")
+    src_totals = src_counts.groupBy("source").agg(
+        F.sum("c_src").cast("long").alias("n_src")
     )
-    corpus_total = toks.agg(
-        F.count(F.lit(1)).cast("long").alias("n_corpus")
+    corpus_total = src_counts.agg(
+        F.sum("c_src").cast("long").alias("n_corpus")
     )
     # dense (source x top-50) support: zero-count cells still carry
     # corpus mass, so the fold must see them
@@ -8538,22 +8558,26 @@ def events_diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("arm", (F.col("user_id") % 2).cast("int"))
         .withColumn("d", F.col("post") - F.col("pre"))
     )
-    per_arm = per_user.groupBy("arm").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("d").cast("long").alias("sd"),
-        F.sum((F.col("d") * F.col("d")).cast("decimal(38,0)")).alias("sdd"),
+    # both arms fold in ONE conditional aggregate — a per-arm groupBy
+    # followed by filter+crossJoin plans the user-keyed aggregate twice
+    def arm_agg(arm: int, expr, name: str):
+        return F.sum(F.when(F.col("arm") == arm, expr)).alias(name)
+
+    row = per_user.agg(
+        arm_agg(1, F.lit(1), "n_treat_raw"),
+        arm_agg(1, F.col("d"), "sd_t"),
+        arm_agg(1, (F.col("d") * F.col("d")).cast("decimal(38,0)"), "sdd_t"),
+        arm_agg(0, F.lit(1), "n_control_raw"),
+        arm_agg(0, F.col("d"), "sd_c"),
+        arm_agg(0, (F.col("d") * F.col("d")).cast("decimal(38,0)"), "sdd_c"),
+    ).select(
+        F.col("n_treat_raw").cast("long").alias("n_treat"),
+        F.col("sd_t").cast("long").alias("sd_t"),
+        "sdd_t",
+        F.col("n_control_raw").cast("long").alias("n_control"),
+        F.col("sd_c").cast("long").alias("sd_c"),
+        "sdd_c",
     )
-    t = per_arm.filter(F.col("arm") == 1).select(
-        F.col("n").alias("n_treat"),
-        F.col("sd").alias("sd_t"),
-        F.col("sdd").alias("sdd_t"),
-    )
-    c = per_arm.filter(F.col("arm") == 0).select(
-        F.col("n").alias("n_control"),
-        F.col("sd").alias("sd_c"),
-        F.col("sdd").alias("sdd_c"),
-    )
-    row = t.crossJoin(F.broadcast(c))
 
     def var_of(n: str, sd: str, sdd: str):
         nd = F.col(n).cast("double")
@@ -8605,7 +8629,7 @@ def sample_temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFram
     |sources|-row output.
     """
     docs = load_documents(spark, sf_dir)
-    per_source = (
+    per_source = persist_scoped(
         docs.select(
             "source",
             F.size(F.split(F.trim(F.col("text")), " +")).cast("long").alias(
@@ -8613,7 +8637,10 @@ def sample_temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
         .groupBy("source")
-        .agg(F.sum("n_toks").cast("long").alias("n_tokens"))
+        .agg(F.sum("n_toks").cast("long").alias("n_tokens")),
+        # bounded |sources| rows; both the normalizer fold and the
+        # output branch consume it — one corpus scan, not two
+        "temperature_mix_per_source",
     )
     z = per_source.agg(
         F.sum("n_tokens").cast("long").alias("total_tokens"),
