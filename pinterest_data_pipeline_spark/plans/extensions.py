@@ -8601,7 +8601,10 @@ def events_diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_c / 100.0, 6).alias("mean_delta_control"),
         F.round(did / 100.0, 6).alias("did_estimate"),
         F.round(se / 100.0, 6).alias("se"),
-        F.round(did / se, 6).alias("t_stat"),
+        # degenerate zero-variance cells -> se == 0: the t-statistic is
+        # undefined and ANSI division would THROW, so it is guarded to
+        # NULL (the kendall_tau / kmeans-separation discipline)
+        F.when(se > 0, F.round(did / se, 6)).alias("t_stat"),
     )
 
 

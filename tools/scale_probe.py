@@ -2846,7 +2846,126 @@ def probe_shared_ngram(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
+def probe_kendall_tau(spark, mult: int) -> float:
+    """Kendall tau-b at mult x parts: the value grid stays bounded by the
+    (size, $1-bucket) domain, so only the first hash aggregate scales."""
+    part = multiply(
+        load_table(spark, SF, "part").select(
+            "p_partkey", "p_size", "p_retailprice"
+        ),
+        mult, ["p_partkey"],
+    ).select(
+        F.col("p_size").cast("long").alias("x"),
+        F.floor(
+            F.round(F.col("p_retailprice") * 100).cast("long") / 100
+        ).cast("long").alias("y"),
+    )
+    grid = part.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c")
+    )
+    a = grid.select(F.col("x").alias("xa"), F.col("y").alias("ya"),
+                    F.col("n_c").alias("na"))
+    b = grid.select(F.col("x").alias("xb"), F.col("y").alias("yb"),
+                    F.col("n_c").alias("nb"))
+    pair_sums = a.join(F.broadcast(b), F.col("xa") < F.col("xb")).agg(
+        F.coalesce(F.sum(F.when(F.col("ya") < F.col("yb"),
+                                F.col("na") * F.col("nb"))), F.lit(0))
+        .alias("n_concordant"),
+        F.coalesce(F.sum(F.when(F.col("ya") > F.col("yb"),
+                                F.col("na") * F.col("nb"))), F.lit(0))
+        .alias("n_discordant"),
+    )
+    t0 = time.perf_counter()
+    pair_sums.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_js_divergence(spark, mult: int) -> float:
+    """Per-source JS divergence at mult x documents: one (source, token)
+    aggregate scales with the corpus; everything after is domain-bounded."""
+    docs = multiply(
+        load_table(spark, SF, "documents").select("doc_id", "source", "text"),
+        mult, ["doc_id"],
+    )
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("t")
+    ).filter(F.col("t") != "")
+    src_counts = toks.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("c_src")
+    )
+    corpus_counts = src_counts.groupBy("t").agg(
+        F.sum("c_src").cast("long").alias("c_corpus")
+    )
+    top = corpus_counts.orderBy(F.desc("c_corpus"), F.asc("t")).limit(50)
+    q = src_counts.join(
+        F.broadcast(top), "t"
+    ).groupBy("source").agg(F.sum("c_src").alias("top_mass"))
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_did(spark, mult: int) -> float:
+    """DiD at mult x events (user axis): one user-keyed aggregate, one
+    global conditional aggregate — nothing else scales."""
+    events = multiply(
+        load_table(spark, SF, "events").select("user_id", "event_id", "ts", "value"),
+        mult, ["user_id", "event_id"],
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.coalesce(F.sum(F.when(F.dayofmonth("ts") <= 15, cents)), F.lit(0)).alias("pre"),
+            F.coalesce(F.sum(F.when(F.dayofmonth("ts") > 15, cents)), F.lit(0)).alias("post"),
+        )
+        .withColumn("arm", (F.col("user_id") % 2).cast("int"))
+        .withColumn("d", F.col("post") - F.col("pre"))
+    )
+    row = per_user.agg(
+        F.sum(F.when(F.col("arm") == 1, F.lit(1))).alias("n_t"),
+        F.sum(F.when(F.col("arm") == 1, F.col("d"))).alias("sd_t"),
+        F.sum(F.when(F.col("arm") == 1, (F.col("d") * F.col("d")).cast("decimal(38,0)"))).alias("sdd_t"),
+        F.sum(F.when(F.col("arm") == 0, F.lit(1))).alias("n_c"),
+        F.sum(F.when(F.col("arm") == 0, F.col("d"))).alias("sd_c"),
+        F.sum(F.when(F.col("arm") == 0, (F.col("d") * F.col("d")).cast("decimal(38,0)"))).alias("sdd_c"),
+    )
+    t0 = time.perf_counter()
+    row.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_pearson_matrix(spark, mult: int) -> float:
+    """Pearson matrix at mult x lineitem: one 15-sum scan aggregate."""
+    li = multiply(
+        load_table(spark, SF, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+        ),
+        mult, ["l_orderkey"],
+    ).select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("t"),
+    )
+    cols = ["q", "p", "d", "t"]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, a in enumerate(cols):
+        aggs.append(F.sum(a).alias(f"s_{a}"))
+        for b_ in cols[i:]:
+            aggs.append(F.sum((F.col(a) * F.col(b_)).cast("decimal(38,0)")).alias(f"s_{a}{b_}"))
+    q = li.agg(*aggs)
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+
 PROBES = {
+    "kendall_tau": probe_kendall_tau,
+    "js_divergence": probe_js_divergence,
+    "did": probe_did,
+    "pearson_matrix": probe_pearson_matrix,
     "tpch_q5_6way_join": probe_tpch_q5,
     "simhash_near_dup": probe_simhash,
     "pricing_agg": probe_groupagg,
