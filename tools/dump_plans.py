@@ -190,6 +190,12 @@ FLAGSHIPS = [
     # round-12 births
     "quality_bigram_logloss",
     "dedup_longest_shared_ngram",
+    # round-13 births
+    "quality_kendall_tau",
+    "quality_js_divergence_sources",
+    "events_diff_in_differences",
+    "sample_temperature_mix_weights",
+    "agg_pearson_matrix",
 ]
 
 
