@@ -262,3 +262,84 @@ def test_pearson_matrix_planted_correlations(spark):
     assert out[("price", "quantity")] if ("price", "quantity") in out else True
     assert out[("quantity", "price")] == 1.0
     assert out[("discount", "tax")] == -1.0
+
+
+# --- round-13 births: property tests -----------------------------------------
+
+from hypothesis import given, settings as hyp_settings, strategies as st
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),
+            st.integers(min_value=90000, max_value=90500),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@hyp_settings(max_examples=8, deadline=None)
+def test_kendall_tau_property_vs_brute_force(spark, pts_cents):
+    """Random tie-heavy (size, price) corpora: the grid formulation must
+    equal the O(n^2) pair definition, including the n_pairs==ties
+    degenerate NULL."""
+    rows = [
+        (i, f"p{i}", "B", "T", s, c / 100.0)
+        for i, (s, c) in enumerate(pts_cents)
+    ]
+    pts = [(s, c // 100) for s, c in pts_cents]
+    C = D = tx = ty = 0
+    n = len(pts)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = pts[i][0] - pts[j][0]
+            dy = pts[i][1] - pts[j][1]
+            tx += dx == 0
+            ty += dy == 0
+            if dx * dy > 0:
+                C += 1
+            elif dx * dy < 0:
+                D += 1
+    n0 = n * (n - 1) // 2
+    want = (
+        round((C - D) / math.sqrt((n0 - tx) * (n0 - ty)), 6)
+        if (n0 - tx) > 0 and (n0 - ty) > 0
+        else None
+    )
+    with tempfile.TemporaryDirectory() as d:
+        _write_part(spark, d, rows)
+        out = QUERIES["quality_kendall_tau"](spark, d).collect()[0]
+    assert (out.n_concordant, out.n_discordant, out.ties_x_pairs,
+            out.ties_y_pairs) == (C, D, tx, ty)
+    assert out.tau_b == want
+
+
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=400),
+        min_size=1,
+        max_size=6,
+    )
+)
+@hyp_settings(max_examples=8, deadline=None)
+def test_temperature_mix_property(spark, sizes):
+    """Random source sizes: weights sum to 1 (within rounding), weights
+    are monotone in source size, boosts are anti-monotone, and each
+    weight matches the sqrt closed form."""
+    rows = [
+        (i, " ".join(["t"] * n), "en", f"s{i:02d}", 1)
+        for i, n in enumerate(sizes)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, d, rows)
+        out = {r.source: r for r in
+               QUERIES["sample_temperature_mix_weights"](spark, d).collect()}
+    z = sum(math.sqrt(n) for n in sizes)
+    total = sum(sizes)
+    for i, n in enumerate(sizes):
+        r = out[f"s{i:02d}"]
+        assert r.n_tokens == n
+        assert r.weight_t05 == round(math.sqrt(n) / z, 6)
+        assert r.share_proportional == round(n / total, 6)
+    assert abs(sum(r.weight_t05 for r in out.values()) - 1.0) < 1e-4
