@@ -892,6 +892,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC (Jégou et al. 2011, §IV): the composed production index —
     IVF coarse cells restrict the scan, PQ-ADC scores the survivors from
@@ -907,6 +908,12 @@ def ivf_pq_topk(
     LUT) rows, so candidate generation is a broadcast hash join on cell
     — never a cross join against the whole corpus (the structural
     advantage over flat PQ, which must touch every code).
+
+    ``encoded`` optionally supplies a prebuilt :func:`build_ivf_pq_index`
+    frame so a caller querying the SAME index at several operating
+    points (the recall-vs-probes sweep) encodes the corpus once instead
+    of once per call — the build-once/query-many split a deployed index
+    has anyway.
     """
     import numpy as np
 
@@ -915,9 +922,10 @@ def ivf_pq_topk(
     sub = cbs[0].shape[1]
 
     assignp = nearest_cells_pandas(centroids, n_probe)
-    encoded = build_ivf_pq_index(
-        corpus, centroids, codebooks, id_col=id_col, vec_col=vec_col
-    )
+    if encoded is None:
+        encoded = build_ivf_pq_index(
+            corpus, centroids, codebooks, id_col=id_col, vec_col=vec_col
+        )
     # query side: bounded driver fetch (same sanctioned edge as training)
     # -> per-query ADC lookup tables + probed cells as one broadcast frame
     qrows = queries.select(F.col(id_col), as_double(F.col(vec_col))).collect()

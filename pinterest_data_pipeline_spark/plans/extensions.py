@@ -422,7 +422,11 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _certify_recall(
-    emb: DataFrame, q: DataFrame, ann: DataFrame, floor: int = 7
+    emb: DataFrame,
+    q: DataFrame,
+    ann: DataFrame,
+    floor: int = 7,
+    exact: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, n_returned, recall_ok): overlap of an approximate top-10
     against the engine-exact quantized brute-force top-10, thresholded at
@@ -432,12 +436,15 @@ def _certify_recall(
     exact set broadcasts into a left join carrying a hit marker, and one
     aggregation computes both n_returned and the overlap — no second
     branch over the ANN pipeline (a prior version referenced it twice and
-    paid the whole LSH/IVF twice per run)."""
-    exact = (
-        similarity.cosine_topk_quantized(emb, q, k=10)
-        .select("query_id", "vec_id")
-        .withColumn("_hit", F.lit(1))
-    )
+    paid the whole LSH/IVF twice per run). ``exact`` optionally supplies a
+    precomputed (query_id, vec_id) truth set so callers certifying SEVERAL
+    operating points of one index (the recall sweep) run the brute-force
+    pass once instead of once per floor."""
+    if exact is None:
+        exact = similarity.cosine_topk_quantized(emb, q, k=10).select(
+            "query_id", "vec_id"
+        )
+    exact = exact.select("query_id", "vec_id").withColumn("_hit", F.lit(1))
     return (
         ann.select("query_id", "vec_id")
         .join(F.broadcast(exact), ["query_id", "vec_id"], "left")
@@ -538,14 +545,35 @@ def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered = emb.filter(pred)
     centroids = similarity.train_ivf_centroids(emb, n_cells=16)
     ann = similarity.ivf_topk(filtered, q, centroids, k=10, n_probe=4)
-    recall = _certify_recall(filtered, q, ann, floor=2)
-    labels = emb.select("vec_id", "label")
-    filter_ok = (
-        ann.join(F.broadcast(labels), "vec_id")
-        .groupBy("query_id")
-        .agg((F.sum((~pred).cast("long")) == 0).alias("filter_ok"))
+    exact = (
+        similarity.cosine_topk_quantized(filtered, q, k=10)
+        .select("query_id", "vec_id")
+        .withColumn("_hit", F.lit(1))
     )
-    return recall.join(filter_ok, "query_id").orderBy("query_id")
+    labels = emb.select("vec_id", "label")
+    # ONE consumption of the ANN pipeline: the (queries x k)-row result
+    # broadcasts into the labels scan (never the reverse — a data-sized
+    # label frame on the build side is the r12 driver-killer), the exact
+    # truth set broadcasts on top, and a single aggregate emits recall
+    # AND the filter audit. The previous shape referenced `ann` from two
+    # branches and re-executed the whole IVF candidate stage (corpus
+    # Arrow kernel included) per run.
+    fused = (
+        labels.join(F.broadcast(ann.select("query_id", "vec_id")), "vec_id")
+        .join(F.broadcast(exact), ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_returned"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_overlap"),
+            (F.sum((~pred).cast("long")) == 0).alias("filter_ok"),
+        )
+    )
+    return fused.select(
+        "query_id",
+        "n_returned",
+        (F.col("n_overlap") >= 2).alias("recall_ok"),
+        "filter_ok",
+    ).orderBy("query_id")
 
 
 @query
@@ -2452,21 +2480,39 @@ def ann_ivf_pq_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall (floor 1; observed 1-7/10 across test SFs), while 8-of-16
     must beat the certified 4-cell floor of 2 (floor 4; observed 6-9).
     Exact per-dataset overlaps pinned by pytest.
+
+    Build-once/query-many made literal (r13): the encoded (id, cell,
+    codes) index frame is built and persisted ONCE and both operating
+    points read it — the unshared version ran the Arrow encode of the
+    whole corpus twice per sweep. Same for the brute-force truth set
+    (queries x 10 rows): computed once, certified against twice.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vectors(spark, sf_dir)
     centroids = similarity.train_ivf_centroids(emb, n_cells=16)
     books = similarity.train_pq_codebooks(emb, n_codes=64)
+    encoded = persist_scoped(
+        similarity.build_ivf_pq_index(emb, centroids, books),
+        "pq_sweep_index",
+    )
     lo = similarity.ivf_pq_topk(
-        emb, q, centroids, books, k=10, n_probe=2, k_coarse=200
+        emb, q, centroids, books, k=10, n_probe=2, k_coarse=200,
+        encoded=encoded,
     )
     hi = similarity.ivf_pq_topk(
-        emb, q, centroids, books, k=10, n_probe=8, k_coarse=200
+        emb, q, centroids, books, k=10, n_probe=8, k_coarse=200,
+        encoded=encoded,
     )
-    rl = _certify_recall(emb, q, lo, floor=1).select(
+    exact = persist_scoped(
+        similarity.cosine_topk_quantized(emb, q, k=10).select(
+            "query_id", "vec_id"
+        ),
+        "pq_sweep_exact",
+    )
+    rl = _certify_recall(emb, q, lo, floor=1, exact=exact).select(
         "query_id", F.col("recall_ok").alias("recall_lo_ok")
     )
-    rh = _certify_recall(emb, q, hi, floor=4).select(
+    rh = _certify_recall(emb, q, hi, floor=4, exact=exact).select(
         "query_id",
         F.col("n_returned").alias("n_hi"),
         F.col("recall_ok").alias("recall_hi_ok"),

@@ -1942,15 +1942,11 @@ def probe_bitmap_retention(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
-def probe_max_concurrency(spark, mult: int) -> float:
-    """Sweep-line concurrency at mult x events (user axis): session
-    build is user-keyed; the carry window stays one row per day."""
+def _max_concurrency_query(events):
+    """Sweep-line concurrency query body shared by the user-axis and
+    horizon-axis probes (mirrors events_max_concurrency_daily)."""
     from pyspark.sql import Window
 
-    events = multiply(
-        load_table(spark, SF, "events").select("user_id", "event_id", "ts"),
-        mult, ["user_id", "event_id"],
-    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_us = F.unix_micros(F.lag("ts").over(w))
     is_new = F.when(
@@ -1978,8 +1974,42 @@ def probe_max_concurrency(spark, mult: int) -> float:
         Window.unboundedPreceding, 0)
     peaks = per_ts.withColumn("run", F.sum("d").over(wt)).groupBy("day").agg(
         F.max("run").alias("mp"))
-    q = peaks.join(base, "day").select(
+    return peaks.join(base, "day").select(
         "day", (F.col("carry") + F.greatest(F.col("mp"), F.lit(0))).alias("p"))
+
+
+def probe_max_concurrency(spark, mult: int) -> float:
+    """Sweep-line concurrency at mult x events (user axis): session
+    build is user-keyed; the carry window stays one row per day."""
+    events = multiply(
+        load_table(spark, SF, "events").select("user_id", "event_id", "ts"),
+        mult, ["user_id", "event_id"],
+    )
+    q = _max_concurrency_query(events)
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_max_concurrency_horizon(spark, mult: int) -> float:
+    """Sweep-line concurrency on the HORIZON axis (mult x rows over
+    mult x the day span): the serial carry window grows one row per day,
+    so a mult x day domain is the stress direction for the unpartitioned
+    day-axis window this query deliberately keeps (domain-bounded by
+    contract — this probe is the evidence the bound holds as the domain
+    grows)."""
+    base = load_table(spark, SF, "events").select("user_id", "event_id", "ts")
+    parts = [base]
+    for i in range(1, mult):
+        parts.append(
+            base.withColumn("user_id", F.col("user_id") + i * KEY_STRIDE)
+            .withColumn("event_id", F.col("event_id") + i * KEY_STRIDE)
+            .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i * 45} DAYS"))
+        )
+    events = parts[0]
+    for p in parts[1:]:
+        events = events.unionByName(p)
+    q = _max_concurrency_query(events)
     t0 = time.perf_counter()
     q.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
@@ -3047,6 +3077,7 @@ PROBES = {
     # round-10 session-5 additions
     "bitmap_retention": probe_bitmap_retention,
     "max_concurrency": probe_max_concurrency,
+    "max_concurrency_horizon": probe_max_concurrency_horizon,
     "gini": probe_gini,
     "pmi": probe_pmi,
     "ngram_novelty": probe_ngram_novelty,
