@@ -552,3 +552,28 @@ def test_distinct_domain_windows_stay_bucketed(spark, name):
                 f"{name}: unpartitioned window ordered by {head!r} — "
                 "the naive distinct-domain window is back"
             )
+
+
+def test_ann_certification_pipelines_execute_once(spark):
+    """Round 13: the ANN certification edges must consume their
+    approximate pipeline exactly once. ann_ivf_filtered_topk fuses
+    recall + the filter audit into one aggregate over one ANN subtree —
+    the pre-r13 shape referenced `ann` from two branches and the
+    executed plan carried TWO copies of the IVF candidate stage (six
+    ArrowEvalPython nodes, the corpus kernel twice). Three Arrow stages
+    remain by construction: corpus cell-assign, query cell-assign, and
+    the brute-force truth kernel. The sweep pins its shared index via
+    the persisted-frame marker (build-once/query-many): without the
+    persist, both operating points re-encode the corpus."""
+    plan = plan_of(spark, "ann_ivf_filtered_topk")
+    n_arrow = plan.count("ArrowEvalPython")
+    assert n_arrow <= 3, (
+        f"ann_ivf_filtered_topk plans {n_arrow} Arrow stages — the "
+        "double-executed certification shape is back"
+    )
+    sweep = analytics.QUERIES["ann_ivf_pq_recall_sweep"](spark, SF)
+    splan = sweep._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in splan, (
+        "ann_ivf_pq_recall_sweep lost its persisted index/truth frames — "
+        "each operating point re-encodes the corpus"
+    )
