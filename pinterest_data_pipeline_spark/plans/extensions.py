@@ -2966,9 +2966,14 @@ def events_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence with lift: pairs of parts appearing in
     the same order, min support 2 orders, top 20 by lift — the
     recommendation / complements miner. The pair explosion is bounded by
-    the per-order basket size (TPC-H: <= 7 line items), so the self-join
-    on the order key fans out O(basket^2) per order, never corpus-
-    quadratic; pair counts aggregate on wide two-part keys (no hot key),
+    the per-order basket size — STRUCTURALLY, not by data luck: baskets
+    above :data:`_BASKET_CAP` distinct parts are excluded whole by
+    :func:`_mineable_baskets` (TPC-H baskets are <= 7 items, so the guard
+    is a no-op filter here, but one pathological 100k-item basket at
+    100 TB would otherwise put O(B^2) pair generation into a single
+    task) — so the self-join on the order key fans out O(cap^2) per
+    order worst case, never corpus-quadratic; pair counts aggregate on
+    wide two-part keys (no hot key),
     item counts are a broadcast-sized dimension, and the grand total
     attaches via the sanctioned single-row crossJoin. lift =
     (c_pair * n_orders) / (c_a * c_b): exact integers into ONE float
@@ -2980,7 +2985,7 @@ def events_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branches); persist_scoped computes the scan+distinct once per call
     # with a one-generation storage bound (~2 longs/row, tiny vs lineitem)
     baskets = persist_scoped(
-        li.select("l_orderkey", "l_partkey").distinct(), "mb_pairs_baskets"
+        _mineable_baskets(li), "mb_pairs_baskets"
     )
     totals = baskets.agg(F.count_distinct("l_orderkey").alias("n_orders"))
     item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c_item"))
@@ -3149,12 +3154,35 @@ def streaming_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day", "event_type")
 
 
+_BASKET_CAP = 512
+
+
+def _mineable_baskets(li: DataFrame, cap: int = _BASKET_CAP) -> DataFrame:
+    """Distinct (l_orderkey, l_partkey) basket rows, restricted to baskets
+    with at most ``cap`` distinct parts — the max-transaction-length guard
+    every basket-mining consumer needs at scale. The pair/triple/graph
+    miners fan out O(basket^k) per order key inside ONE task: bounded on
+    clean TPC-H data (<= 7 items/order) but a single pathological basket
+    (bot cart, ETL glitch) becomes a 10^10-pair straggler at 100 TB — the
+    same hot-key class as the r7 pattern-match fix. Oversized baskets are
+    excluded WHOLE (standard practice in frequent-itemset mining: a
+    100k-item transaction carries no lift signal), via one SORT-FREE count
+    window on the order key — the hot basket costs O(B) to measure and
+    drop, never O(B^k) to enumerate. The rule is deterministic and
+    mirrored in every consumer's DuckDB dual; a planted hot-basket pytest
+    pins both the bound and the exclusion."""
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    bsz = F.count(F.lit(1)).over(Window.partitionBy("l_orderkey"))
+    return b.withColumn("_bsz", bsz).filter(F.col("_bsz") <= cap).drop("_bsz")
+
+
 def _cooccurrence_edges(li: DataFrame) -> DataFrame:
     """Undirected part co-occurrence edges (a < b): part pairs sharing at
     least 2 distinct orders — the market-basket graph both graph queries
-    analyze. One orderkey-keyed self-join over the distinct baskets, then
-    a pair-keyed support count; support >= 2 bounds edge volume."""
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    analyze. One orderkey-keyed self-join over the distinct baskets
+    (hot-basket-guarded via :func:`_mineable_baskets`), then a pair-keyed
+    support count; support >= 2 bounds edge volume."""
+    baskets = _mineable_baskets(li)
     return (
         baskets.select("l_orderkey", F.col("l_partkey").alias("a"))
         .join(
@@ -4073,15 +4101,18 @@ def events_market_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair (a,b) is itself frequent, so the third self-join extends FREQUENT
     PAIR occurrences (a semi-join against the support->=2 pair set) rather
     than all pair occurrences. Enumeration stays basket-bounded — the
-    order-key joins fan out O(basket^3) per order against TPC-H's <= 7
-    line items, never corpus-cubed — and the prune is output-invariant by
+    order-key joins fan out O(basket^3) per order, the bound held
+    structurally by the :func:`_mineable_baskets` hot-basket guard
+    (TPC-H baskets are <= 7 items; the guard exists for the pathological
+    basket whose cube would otherwise be a single-task wall), never
+    corpus-cubed — and the prune is output-invariant by
     the Apriori theorem (support is anti-monotone on the lattice).
 
     Top-20 cut total-ordered by (support desc, a, b, c); all integers.
     """
     li = load_table(spark, sf_dir, "lineitem")
     baskets = persist_scoped(
-        li.select("l_orderkey", "l_partkey").distinct(), "mb_triples_baskets"
+        _mineable_baskets(li), "mb_triples_baskets"
     )
     item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c_item"))
     # frequent feeds three join branches; pair occurrences feed both the

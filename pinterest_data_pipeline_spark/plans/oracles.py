@@ -3720,7 +3720,23 @@ oracle("text_sparse_cosine_pairs")(
 # pair key, so the top-20 cut is a total order in both engines.
 oracle("events_market_basket_pairs")(
     """
-    WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    WITH _ok_baskets AS (
+        -- hot-basket guard (mirrors _mineable_baskets): baskets over 512
+        -- distinct parts are excluded whole before any O(basket^k) join.
+        -- Aggregate + semi-join form on purpose: the window form made
+        -- DuckDB spill >80 GB of temp on the triple join at sf0.1.
+        SELECT l_orderkey FROM (
+            SELECT l_orderkey, count(DISTINCT l_partkey) AS _bsz
+            FROM lineitem GROUP BY l_orderkey
+        ) s WHERE _bsz <= 512
+    ), baskets AS MATERIALIZED (
+        -- MATERIALIZED: with the guard join inlined, DuckDB's optimizer
+        -- flipped one basket join to a piecewise merge join on the part
+        -- inequality (O(n^2) output, >80 GB temp spill at sf0.1);
+        -- materializing restores hash joins on the order key
+        SELECT DISTINCT l.l_orderkey, l.l_partkey
+        FROM lineitem l JOIN _ok_baskets USING (l_orderkey)
+    ),
     totals AS (
         SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM baskets
     ),
@@ -3921,7 +3937,23 @@ oracle("agg_pareto_skyline")(
 # the degree-oriented wedge-closing count against the definition.
 oracle("graph_triangle_count")(
     """
-    WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    WITH _ok_baskets AS (
+        -- hot-basket guard (mirrors _mineable_baskets): baskets over 512
+        -- distinct parts are excluded whole before any O(basket^k) join.
+        -- Aggregate + semi-join form on purpose: the window form made
+        -- DuckDB spill >80 GB of temp on the triple join at sf0.1.
+        SELECT l_orderkey FROM (
+            SELECT l_orderkey, count(DISTINCT l_partkey) AS _bsz
+            FROM lineitem GROUP BY l_orderkey
+        ) s WHERE _bsz <= 512
+    ), baskets AS MATERIALIZED (
+        -- MATERIALIZED: with the guard join inlined, DuckDB's optimizer
+        -- flipped one basket join to a piecewise merge join on the part
+        -- inequality (O(n^2) output, >80 GB temp spill at sf0.1);
+        -- materializing restores hash joins on the order key
+        SELECT DISTINCT l.l_orderkey, l.l_partkey
+        FROM lineitem l JOIN _ok_baskets USING (l_orderkey)
+    ),
     e AS (
         SELECT a.l_partkey AS a, b.l_partkey AS b
         FROM baskets a JOIN baskets b
@@ -4120,8 +4152,22 @@ oracle("graph_pagerank")(
     # 0.15/0.85 literals (never 1 - d), neighbor sums stay unrounded until
     # the one terminal round(6), sort key is the rounded rank.
     """
-    WITH baskets AS (
-        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    WITH _ok_baskets AS (
+        -- hot-basket guard (mirrors _mineable_baskets): baskets over 512
+        -- distinct parts are excluded whole before any O(basket^k) join.
+        -- Aggregate + semi-join form on purpose: the window form made
+        -- DuckDB spill >80 GB of temp on the triple join at sf0.1.
+        SELECT l_orderkey FROM (
+            SELECT l_orderkey, count(DISTINCT l_partkey) AS _bsz
+            FROM lineitem GROUP BY l_orderkey
+        ) s WHERE _bsz <= 512
+    ), baskets AS MATERIALIZED (
+        -- MATERIALIZED: with the guard join inlined, DuckDB's optimizer
+        -- flipped one basket join to a piecewise merge join on the part
+        -- inequality (O(n^2) output, >80 GB temp spill at sf0.1);
+        -- materializing restores hash joins on the order key
+        SELECT DISTINCT l.l_orderkey, l.l_partkey
+        FROM lineitem l JOIN _ok_baskets USING (l_orderkey)
     ), pairs AS (
         SELECT a.l_partkey AS a, b.l_partkey AS b
         FROM baskets a JOIN baskets b USING (l_orderkey)
@@ -4429,8 +4475,22 @@ oracle("graph_bfs_hops")(
     # Three unrolled BFS expansions over the same support->=2 edges, min
     # distance kept at each round; per-hop count + id-sum checksum.
     """
-    WITH baskets AS (
-        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    WITH _ok_baskets AS (
+        -- hot-basket guard (mirrors _mineable_baskets): baskets over 512
+        -- distinct parts are excluded whole before any O(basket^k) join.
+        -- Aggregate + semi-join form on purpose: the window form made
+        -- DuckDB spill >80 GB of temp on the triple join at sf0.1.
+        SELECT l_orderkey FROM (
+            SELECT l_orderkey, count(DISTINCT l_partkey) AS _bsz
+            FROM lineitem GROUP BY l_orderkey
+        ) s WHERE _bsz <= 512
+    ), baskets AS MATERIALIZED (
+        -- MATERIALIZED: with the guard join inlined, DuckDB's optimizer
+        -- flipped one basket join to a piecewise merge join on the part
+        -- inequality (O(n^2) output, >80 GB temp spill at sf0.1);
+        -- materializing restores hash joins on the order key
+        SELECT DISTINCT l.l_orderkey, l.l_partkey
+        FROM lineitem l JOIN _ok_baskets USING (l_orderkey)
     ), pairs AS (
         SELECT a.l_partkey AS a, b.l_partkey AS b
         FROM baskets a JOIN baskets b USING (l_orderkey)
@@ -4494,8 +4554,22 @@ oracle("events_market_basket_triples")(
     # no prefix-pair prune — so the hash match certifies the Apriori prune
     # output-invariant, not just mirrored.
     """
-    WITH baskets AS (
-        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    WITH _ok_baskets AS (
+        -- hot-basket guard (mirrors _mineable_baskets): baskets over 512
+        -- distinct parts are excluded whole before any O(basket^k) join.
+        -- Aggregate + semi-join form on purpose: the window form made
+        -- DuckDB spill >80 GB of temp on the triple join at sf0.1.
+        SELECT l_orderkey FROM (
+            SELECT l_orderkey, count(DISTINCT l_partkey) AS _bsz
+            FROM lineitem GROUP BY l_orderkey
+        ) s WHERE _bsz <= 512
+    ), baskets AS MATERIALIZED (
+        -- MATERIALIZED: with the guard join inlined, DuckDB's optimizer
+        -- flipped one basket join to a piecewise merge join on the part
+        -- inequality (O(n^2) output, >80 GB temp spill at sf0.1);
+        -- materializing restores hash joins on the order key
+        SELECT DISTINCT l.l_orderkey, l.l_partkey
+        FROM lineitem l JOIN _ok_baskets USING (l_orderkey)
     ), triples AS (
         SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
                c.l_partkey AS part_c, count(*)::BIGINT AS support
@@ -5235,8 +5309,22 @@ oracle("graph_label_propagation")(
     # Three unrolled min-label rounds over the same support>=2 edges;
     # community-size histogram + label checksum.
     """
-    WITH baskets AS (
-        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    WITH _ok_baskets AS (
+        -- hot-basket guard (mirrors _mineable_baskets): baskets over 512
+        -- distinct parts are excluded whole before any O(basket^k) join.
+        -- Aggregate + semi-join form on purpose: the window form made
+        -- DuckDB spill >80 GB of temp on the triple join at sf0.1.
+        SELECT l_orderkey FROM (
+            SELECT l_orderkey, count(DISTINCT l_partkey) AS _bsz
+            FROM lineitem GROUP BY l_orderkey
+        ) s WHERE _bsz <= 512
+    ), baskets AS MATERIALIZED (
+        -- MATERIALIZED: with the guard join inlined, DuckDB's optimizer
+        -- flipped one basket join to a piecewise merge join on the part
+        -- inequality (O(n^2) output, >80 GB temp spill at sf0.1);
+        -- materializing restores hash joins on the order key
+        SELECT DISTINCT l.l_orderkey, l.l_partkey
+        FROM lineitem l JOIN _ok_baskets USING (l_orderkey)
     ), pairs AS (
         SELECT a.l_partkey AS a, b.l_partkey AS b
         FROM baskets a JOIN baskets b USING (l_orderkey)

@@ -343,3 +343,87 @@ def test_temperature_mix_property(spark, sizes):
         assert r.weight_t05 == round(math.sqrt(n) / z, 6)
         assert r.share_proportional == round(n / total, 6)
     assert abs(sum(r.weight_t05 for r in out.values()) - 1.0) < 1e-4
+
+
+# --- hot-basket guard (r13 session 2) ---------------------------------------
+#
+# Every basket-mining consumer (pair/triple itemsets, the co-occurrence
+# graph) fans out O(basket^k) per order key inside one task. TPC-H data
+# bounds baskets at <= 7 items; production data does not. The guard
+# excludes oversized baskets WHOLE with one sort-free count window, so a
+# pathological basket costs O(B) to drop, never O(B^k) to enumerate.
+
+
+def _basket_df(spark, baskets: dict[int, int]):
+    rows = [
+        (oid, 1_000_000 * oid + p)
+        for oid, n in baskets.items()
+        for p in range(n)
+    ]
+    return spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+
+def test_mineable_baskets_drops_oversized_whole(spark):
+    from pinterest_data_pipeline_spark.plans.extensions import (
+        _mineable_baskets,
+    )
+
+    df = _basket_df(spark, {1: 3, 2: 6, 3: 4})
+    out = _mineable_baskets(df, cap=5)
+    got = {r.l_orderkey for r in out.select("l_orderkey").distinct().collect()}
+    assert got == {1, 3}, got
+    # surviving baskets keep EVERY row (whole-basket semantics, no trim)
+    assert out.count() == 3 + 4
+
+
+def test_cooccurrence_edges_survive_hot_basket(spark):
+    """A basket wider than the cap contributes NO edges; support-2 edges
+    from normal baskets are unaffected. The hot basket enters the plan
+    (same frame), so this also pins that the guard runs before the
+    self-join fan-out."""
+    from pinterest_data_pipeline_spark.plans.extensions import (
+        _cooccurrence_edges,
+    )
+
+    normal = {10: 3, 11: 3}  # identical part trios -> support-2 edges
+    rows = [(oid, 500 + p) for oid in normal for p in range(3)]
+    hot = [(99, p) for p in range(600)]  # 600 > _BASKET_CAP = 512
+    df = spark.createDataFrame(
+        rows + hot, "l_orderkey long, l_partkey long"
+    )
+    edges = {(r.a, r.b) for r in _cooccurrence_edges(df).collect()}
+    assert edges == {(500, 501), (500, 502), (501, 502)}, edges
+
+
+def test_hot_basket_guard_is_linear_not_quadratic(spark):
+    """Volume check (the r8 pattern-match stress, basket edition): one
+    50k-item bot basket plus 200 normal baskets through the guarded
+    pair-mining shape completes quickly — the bot basket is measured
+    (one count window pass) and dropped, never pair-enumerated
+    (unguarded it would emit 1.25e9 pairs in one task)."""
+    import time
+
+    from pinterest_data_pipeline_spark.plans.extensions import (
+        _mineable_baskets,
+    )
+
+    normal = [(oid, oid * 100 + p) for oid in range(200) for p in range(5)]
+    bot = [(9999, p) for p in range(50_000)]
+    df = spark.createDataFrame(
+        normal + bot, "l_orderkey long, l_partkey long"
+    )
+    baskets = _mineable_baskets(df)
+    t0 = time.perf_counter()
+    pairs = (
+        baskets.select("l_orderkey", F.col("l_partkey").alias("a"))
+        .join(
+            baskets.select("l_orderkey", F.col("l_partkey").alias("b")),
+            "l_orderkey",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .collect()
+    )
+    elapsed = time.perf_counter() - t0
+    assert pairs[0].n_pairs == 200 * 10  # C(5,2) per normal basket
+    assert elapsed < 60, f"guarded mining took {elapsed:.1f}s"

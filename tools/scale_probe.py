@@ -1252,7 +1252,8 @@ def probe_market_basket(spark, mult: int) -> float:
         mult,
         ["l_orderkey"],
     )
-    baskets = li.distinct()
+    from pinterest_data_pipeline_spark.plans.extensions import _mineable_baskets
+    baskets = _mineable_baskets(li)  # hot-basket guard: probe == operator posture
     totals = baskets.agg(F.count_distinct("l_orderkey").alias("n_orders"))
     item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c_item"))
     pairs = (
@@ -1415,7 +1416,8 @@ def probe_triangles(spark, mult: int) -> float:
         mult,
         ["l_orderkey"],
     )
-    baskets = li.distinct()
+    from pinterest_data_pipeline_spark.plans.extensions import _mineable_baskets
+    baskets = _mineable_baskets(li)  # hot-basket guard: probe == operator posture
     edges = (
         baskets.select("l_orderkey", F.col("l_partkey").alias("a"))
         .join(baskets.select("l_orderkey", F.col("l_partkey").alias("b")), "l_orderkey")
@@ -1514,7 +1516,8 @@ def probe_pagerank(spark, mult: int) -> float:
         mult,
         ["l_orderkey"],
     )
-    baskets = li.distinct()
+    from pinterest_data_pipeline_spark.plans.extensions import _mineable_baskets
+    baskets = _mineable_baskets(li)  # hot-basket guard: probe == operator posture
     edges = (
         baskets.select("l_orderkey", F.col("l_partkey").alias("a"))
         .join(baskets.select("l_orderkey", F.col("l_partkey").alias("b")), "l_orderkey")
@@ -1681,7 +1684,8 @@ def probe_bfs(spark, mult: int) -> float:
         mult,
         ["l_orderkey"],
     )
-    baskets = li.distinct()
+    from pinterest_data_pipeline_spark.plans.extensions import _mineable_baskets
+    baskets = _mineable_baskets(li)  # hot-basket guard: probe == operator posture
     edges = (
         baskets.select("l_orderkey", F.col("l_partkey").alias("a"))
         .join(baskets.select("l_orderkey", F.col("l_partkey").alias("b")), "l_orderkey")
@@ -1715,7 +1719,8 @@ def probe_triples(spark, mult: int) -> float:
         mult,
         ["l_orderkey"],
     )
-    baskets = li.distinct()
+    from pinterest_data_pipeline_spark.plans.extensions import _mineable_baskets
+    baskets = _mineable_baskets(li)  # hot-basket guard: probe == operator posture
     item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c_item"))
     frequent = baskets.join(
         item.filter(F.col("c_item") >= 2).select("l_partkey"), "l_partkey"
