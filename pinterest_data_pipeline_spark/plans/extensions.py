@@ -558,6 +558,12 @@ def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AND the filter audit. The previous shape referenced `ann` from two
     # branches and re-executed the whole IVF candidate stage (corpus
     # Arrow kernel included) per run.
+    # CONTRACT (ADVICE r13): n_returned counts labels JOIN ann rows, which
+    # equals ann rows only because vec_id is the embeddings table's
+    # primary key (TESTDATA.md; one row per vector by construction — the
+    # store a real index would enforce). A duplicated vec_id would
+    # inflate n_returned and double-feed filter_ok; if this operator is
+    # ever pointed at a non-keyed store, dedupe labels on vec_id first.
     fused = (
         labels.join(F.broadcast(ann.select("query_id", "vec_id")), "vec_id")
         .join(F.broadcast(exact), ["query_id", "vec_id"], "left")

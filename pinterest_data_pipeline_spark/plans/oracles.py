@@ -10,15 +10,23 @@ DataFrame query of the same key. Keep aliases in lockstep with the Spark side
 from __future__ import annotations
 
 from ..operators.text import PII_PATTERNS
+from .extensions import _BASKET_CAP
 
 ORACLES: dict[str, str] = {}
 
 
 def oracle(name: str):
-    """Decorator-style registrar so each SQL sits next to its docstring."""
+    """Decorator-style registrar so each SQL sits next to its docstring.
+
+    ``__BASKET_CAP__`` placeholders are substituted from the ONE shared
+    Spark-side constant (:data:`..plans.extensions._BASKET_CAP`) so the
+    six hot-basket-guard duals can never silently desynchronize from the
+    engine if the cap changes (ADVICE r13: TPC-H baskets are <= 7 items,
+    so parity alone would never surface the drift).
+    """
 
     def _register(sql: str) -> str:
-        ORACLES[name] = sql
+        ORACLES[name] = sql.replace("__BASKET_CAP__", str(_BASKET_CAP))
         return sql
 
     return _register
@@ -3721,14 +3729,14 @@ oracle("text_sparse_cosine_pairs")(
 oracle("events_market_basket_pairs")(
     """
     WITH _ok_baskets AS (
-        -- hot-basket guard (mirrors _mineable_baskets): baskets over 512
-        -- distinct parts are excluded whole before any O(basket^k) join.
+        -- hot-basket guard (mirrors _mineable_baskets): baskets over the
+        -- shared cap are excluded whole before any O(basket^k) join.
         -- Aggregate + semi-join form on purpose: the window form made
         -- DuckDB spill >80 GB of temp on the triple join at sf0.1.
         SELECT l_orderkey FROM (
             SELECT l_orderkey, count(DISTINCT l_partkey) AS _bsz
             FROM lineitem GROUP BY l_orderkey
-        ) s WHERE _bsz <= 512
+        ) s WHERE _bsz <= __BASKET_CAP__
     ), baskets AS MATERIALIZED (
         -- MATERIALIZED: with the guard join inlined, DuckDB's optimizer
         -- flipped one basket join to a piecewise merge join on the part
@@ -3938,14 +3946,14 @@ oracle("agg_pareto_skyline")(
 oracle("graph_triangle_count")(
     """
     WITH _ok_baskets AS (
-        -- hot-basket guard (mirrors _mineable_baskets): baskets over 512
-        -- distinct parts are excluded whole before any O(basket^k) join.
+        -- hot-basket guard (mirrors _mineable_baskets): baskets over the
+        -- shared cap are excluded whole before any O(basket^k) join.
         -- Aggregate + semi-join form on purpose: the window form made
         -- DuckDB spill >80 GB of temp on the triple join at sf0.1.
         SELECT l_orderkey FROM (
             SELECT l_orderkey, count(DISTINCT l_partkey) AS _bsz
             FROM lineitem GROUP BY l_orderkey
-        ) s WHERE _bsz <= 512
+        ) s WHERE _bsz <= __BASKET_CAP__
     ), baskets AS MATERIALIZED (
         -- MATERIALIZED: with the guard join inlined, DuckDB's optimizer
         -- flipped one basket join to a piecewise merge join on the part
@@ -4153,14 +4161,14 @@ oracle("graph_pagerank")(
     # the one terminal round(6), sort key is the rounded rank.
     """
     WITH _ok_baskets AS (
-        -- hot-basket guard (mirrors _mineable_baskets): baskets over 512
-        -- distinct parts are excluded whole before any O(basket^k) join.
+        -- hot-basket guard (mirrors _mineable_baskets): baskets over the
+        -- shared cap are excluded whole before any O(basket^k) join.
         -- Aggregate + semi-join form on purpose: the window form made
         -- DuckDB spill >80 GB of temp on the triple join at sf0.1.
         SELECT l_orderkey FROM (
             SELECT l_orderkey, count(DISTINCT l_partkey) AS _bsz
             FROM lineitem GROUP BY l_orderkey
-        ) s WHERE _bsz <= 512
+        ) s WHERE _bsz <= __BASKET_CAP__
     ), baskets AS MATERIALIZED (
         -- MATERIALIZED: with the guard join inlined, DuckDB's optimizer
         -- flipped one basket join to a piecewise merge join on the part
@@ -4476,14 +4484,14 @@ oracle("graph_bfs_hops")(
     # distance kept at each round; per-hop count + id-sum checksum.
     """
     WITH _ok_baskets AS (
-        -- hot-basket guard (mirrors _mineable_baskets): baskets over 512
-        -- distinct parts are excluded whole before any O(basket^k) join.
+        -- hot-basket guard (mirrors _mineable_baskets): baskets over the
+        -- shared cap are excluded whole before any O(basket^k) join.
         -- Aggregate + semi-join form on purpose: the window form made
         -- DuckDB spill >80 GB of temp on the triple join at sf0.1.
         SELECT l_orderkey FROM (
             SELECT l_orderkey, count(DISTINCT l_partkey) AS _bsz
             FROM lineitem GROUP BY l_orderkey
-        ) s WHERE _bsz <= 512
+        ) s WHERE _bsz <= __BASKET_CAP__
     ), baskets AS MATERIALIZED (
         -- MATERIALIZED: with the guard join inlined, DuckDB's optimizer
         -- flipped one basket join to a piecewise merge join on the part
@@ -4555,14 +4563,14 @@ oracle("events_market_basket_triples")(
     # output-invariant, not just mirrored.
     """
     WITH _ok_baskets AS (
-        -- hot-basket guard (mirrors _mineable_baskets): baskets over 512
-        -- distinct parts are excluded whole before any O(basket^k) join.
+        -- hot-basket guard (mirrors _mineable_baskets): baskets over the
+        -- shared cap are excluded whole before any O(basket^k) join.
         -- Aggregate + semi-join form on purpose: the window form made
         -- DuckDB spill >80 GB of temp on the triple join at sf0.1.
         SELECT l_orderkey FROM (
             SELECT l_orderkey, count(DISTINCT l_partkey) AS _bsz
             FROM lineitem GROUP BY l_orderkey
-        ) s WHERE _bsz <= 512
+        ) s WHERE _bsz <= __BASKET_CAP__
     ), baskets AS MATERIALIZED (
         -- MATERIALIZED: with the guard join inlined, DuckDB's optimizer
         -- flipped one basket join to a piecewise merge join on the part
@@ -5310,14 +5318,14 @@ oracle("graph_label_propagation")(
     # community-size histogram + label checksum.
     """
     WITH _ok_baskets AS (
-        -- hot-basket guard (mirrors _mineable_baskets): baskets over 512
-        -- distinct parts are excluded whole before any O(basket^k) join.
+        -- hot-basket guard (mirrors _mineable_baskets): baskets over the
+        -- shared cap are excluded whole before any O(basket^k) join.
         -- Aggregate + semi-join form on purpose: the window form made
         -- DuckDB spill >80 GB of temp on the triple join at sf0.1.
         SELECT l_orderkey FROM (
             SELECT l_orderkey, count(DISTINCT l_partkey) AS _bsz
             FROM lineitem GROUP BY l_orderkey
-        ) s WHERE _bsz <= 512
+        ) s WHERE _bsz <= __BASKET_CAP__
     ), baskets AS MATERIALIZED (
         -- MATERIALIZED: with the guard join inlined, DuckDB's optimizer
         -- flipped one basket join to a piecewise merge join on the part

@@ -573,7 +573,13 @@ def test_ann_certification_pipelines_execute_once(spark):
     )
     sweep = analytics.QUERIES["ann_ivf_pq_recall_sweep"](spark, SF)
     splan = sweep._jdf.queryExecution().executedPlan().toString()
-    assert "InMemoryTableScan" in splan, (
-        "ann_ivf_pq_recall_sweep lost its persisted index/truth frames — "
-        "each operating point re-encodes the corpus"
+    # BOTH persisted frames must appear (ADVICE r13): the encoded index
+    # AND the exact truth set each feed two operating points — losing
+    # either one silently re-encodes / re-brute-forces the corpus while
+    # a single-occurrence check stays green
+    n_cached = splan.count("InMemoryTableScan")
+    assert n_cached >= 2, (
+        f"ann_ivf_pq_recall_sweep plans {n_cached} InMemoryTableScan — "
+        "a persisted index/truth frame was dropped and an operating "
+        "point re-encodes the corpus"
     )

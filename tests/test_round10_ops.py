@@ -590,22 +590,38 @@ def test_streaming_dedup_rollup_absorbs_replays(spark, tmp_path):
 
 
 def test_market_basket_hot_basket_stress(spark):
-    """The family's adversary is one enormous basket: a 2000-item order
-    fans out ~2M pair rows (O(basket^2) is the documented contract —
-    production caps basket size upstream). It must complete with exact
-    counts: the planted pair that co-occurs elsewhere keeps its exact
-    support, and hot-basket-only pairs die at the support filter when
-    they appear once."""
+    """The family's adversary is one enormous basket — and since r13 the
+    contract is the _mineable_baskets guard (extensions._BASKET_CAP=512):
+    baskets above the cap are excluded WHOLE before any pair enumeration.
+    This stresses both halves of that contract end-to-end through the
+    registered query:
+
+    - two 400-item baskets (under the cap) ARE mined completely — every
+      part passes the a-priori frequency prune, so the self-join really
+      enumerates 2*C(400,2) ~= 160k pair rows (the O(basket^2)
+      completeness stress the pre-guard test planted);
+    - two 600-item baskets (over the cap) are excluded whole: they never
+      bump the planted pair's support, their exclusive pairs never
+      appear even though unguarded they would co-occur twice, and they
+      don't count toward n_orders.
+    """
     import tempfile, os
 
     from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
     from pinterest_data_pipeline_spark.plans.analytics import QUERIES
 
-    hot = [(1, p, 0) for p in range(1, 2001)]  # one 2000-item basket
-    # parts 1 and 2 also co-occur in two small orders -> c_pair(1,2) = 3
-    rows = hot + [(2, 1, 0), (2, 2, 0), (3, 1, 0), (3, 2, 0)]
+    # under-cap stress baskets: identical 400-item orders -> all parts
+    # frequent -> full O(basket^2) fan-out actually happens
+    stress = [(o, p, 0) for o in (1, 4) for p in range(1000, 1400)]
+    # the planted pair: parts 1,2 co-occur in exactly two small orders
+    planted = [(2, 1, 0), (2, 2, 0), (3, 1, 0), (3, 2, 0)]
+    # above-cap baskets (600 > _BASKET_CAP=512) containing the planted
+    # pair AND an exclusive pair (401,402) that unguarded would reach
+    # support 2 and top the lift ranking
+    hot = [(o, p, 0) for o in (98, 99) for p in range(1, 601)]
     li = spark.createDataFrame(
-        rows, "l_orderkey long, l_partkey long, l_linenumber long"
+        stress + planted + hot,
+        "l_orderkey long, l_partkey long, l_linenumber long",
     )
     with tempfile.TemporaryDirectory() as d:
         li.write.parquet(os.path.join(d, "lineitem.parquet"))
@@ -613,10 +629,18 @@ def test_market_basket_hot_basket_stress(spark):
             (r.part_a, r.part_b): r.c_pair
             for r in QUERIES["events_market_basket_pairs"](spark, d).collect()
         }
-    assert out[(1, 2)] == 3
-    # every returned pair has support >= 2; hot-only pairs (support 1) gone
+    # guarded support: orders 2,3 only (98,99 excluded whole -> not 4);
+    # n_orders=4 makes every surviving lift 2.0, tie-broken by part key,
+    # so (1,2) leads the top-20 cut
+    assert out[(1, 2)] == 2
+    # the under-cap stress baskets were mined completely
+    assert out[(1000, 1001)] == 2
+    assert len(out) == 20
+    # every returned pair has support >= 2
     assert all(c >= 2 for c in out.values())
-    assert (3, 4) not in out
+    # pairs exclusive to the above-cap baskets are gone even at
+    # unguarded-support 2 — whole-basket exclusion, not the support filter
+    assert (401, 402) not in out
 
 
 # --- FastSS deletion-neighborhood join ---------------------------------------

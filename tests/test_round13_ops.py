@@ -413,8 +413,7 @@ def test_hot_basket_guard_is_linear_not_quadratic(spark):
         normal + bot, "l_orderkey long, l_partkey long"
     )
     baskets = _mineable_baskets(df)
-    t0 = time.perf_counter()
-    pairs = (
+    joined = (
         baskets.select("l_orderkey", F.col("l_partkey").alias("a"))
         .join(
             baskets.select("l_orderkey", F.col("l_partkey").alias("b")),
@@ -422,8 +421,44 @@ def test_hot_basket_guard_is_linear_not_quadratic(spark):
         )
         .filter(F.col("a") < F.col("b"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
-        .collect()
     )
+    # plan-shape proof (ADVICE r13): the _bsz cap filter must sit BELOW
+    # the self-join in the optimized plan — that ordering, not the wall
+    # clock, is what prevents the 1.25e9-pair fan-out. The join node
+    # appears before (= above) the last _bsz filter in the plan text.
+    plan = joined._jdf.queryExecution().optimizedPlan().toString()
+    assert "_bsz" in plan, "cap filter missing from the optimized plan"
+    join_pos = plan.find("Join")
+    bsz_pos = plan.rfind("_bsz")
+    assert 0 <= join_pos < bsz_pos, (
+        "cap filter is not below the self-join in the optimized plan"
+    )
+    t0 = time.perf_counter()
+    pairs = joined.collect()
     elapsed = time.perf_counter() - t0
     assert pairs[0].n_pairs == 200 * 10  # C(5,2) per normal basket
-    assert elapsed < 60, f"guarded mining took {elapsed:.1f}s"
+    # generous wall-clock backstop only — the plan assert above is the
+    # real guard-ran-first proof (ADVICE r13: time bounds flake on load)
+    assert elapsed < 120, f"guarded mining took {elapsed:.1f}s"
+
+
+def test_basket_cap_oracles_track_spark_constant():
+    """ADVICE r13 (medium): the six hot-basket-guard DuckDB duals derive
+    their cap from the ONE Spark-side constant at registration time —
+    TPC-H data (<= 7 items/basket) can never surface a drift through
+    parity, so pin the substitution structurally."""
+    from pinterest_data_pipeline_spark.plans.extensions import _BASKET_CAP
+    from pinterest_data_pipeline_spark.plans.oracles import ORACLES
+
+    guarded = [k for k, v in ORACLES.items() if "_ok_baskets" in v]
+    assert sorted(guarded) == [
+        "events_market_basket_pairs",
+        "events_market_basket_triples",
+        "graph_bfs_hops",
+        "graph_label_propagation",
+        "graph_pagerank",
+        "graph_triangle_count",
+    ], guarded
+    for k in guarded:
+        assert f"_bsz <= {_BASKET_CAP}" in ORACLES[k], k
+        assert "__BASKET_CAP__" not in ORACLES[k], k
