@@ -43,65 +43,65 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/check_parity.py). Run `python tools/ledger.py` for the ledger,
 # and `python tools/ledger.py --propose-window` to GENERATE the rotation
 # below (VERDICT r8 item 7 — this window is that tool's output).
-# ROUND-13 ROTATION (tool-proposed): the 5 r13 births take the first
-# seats (never-certified invariant) and the 45-entry owed-seconds
-# backlog (2 r12 births + the 43-strong once-certified queue) fills the
-# rest EXACTLY — zero back-fill, zero queue. After r13 certifies, every
-# oracled query in the registry is at least twice driver-certified
-# (VERDICT r12 item 1).
-SEATING_ROUND = 13  # invariant tests evaluate the ledger as of SEATING_ROUND-1
+# ROUND-14 ROTATION (tool-proposed): maintenance mode begins — after the
+# r13 drain every oracled query is at least twice driver-certified, so
+# the 5 r13 births (the only owed-seconds entries) take the first seats
+# and the remaining 45 back-fill to the STALEST twice-certified queries
+# (last certified r3/r4/r5). From here on, births compete with staleness
+# back-fill, not a drain schedule.
+SEATING_ROUND = 14  # invariant tests evaluate the ledger as of SEATING_ROUND-1
 
 PRIORITY_WINDOW: tuple[str, ...] = (
-    "quality_kendall_tau",  # birth
-    "quality_js_divergence_sources",  # birth
-    "events_diff_in_differences",  # birth
-    "sample_temperature_mix_weights",  # birth
-    "agg_pearson_matrix",  # birth
-    "quality_bigram_logloss",  # r12
-    "dedup_longest_shared_ngram",  # r12
-    "sample_token_budget_mix",  # r9
-    "sample_weighted_multi_draw",  # r9
-    "graph_triangle_count",  # r10
-    "events_attribution_multi_touch",  # r10
-    "text_bm25_topk",  # r10
-    "search_hybrid_rrf",  # r10
-    "graph_pagerank",  # r10
-    "agg_equidepth_bins",  # r10
-    "join_interval_bucketed",  # r10
-    "ml_kmeans_quantized",  # r10
-    "events_ab_chisquare",  # r10
-    "quality_ks_two_sample",  # r10
-    "clean_winsorized_mean",  # r10
-    "events_seasonal_mase",  # r10
-    "graph_bfs_hops",  # r10
-    "events_cumulative_users",  # r10
-    "events_market_basket_triples",  # r10
-    "anomaly_cusum_daily",  # r10
-    "sample_proportional_quota",  # r10
-    "agg_revenue_concentration",  # r10
-    "orc_roundtrip_battery",  # r10
-    "anomaly_bot_regularity",  # r10
-    "quality_knn_label_agreement",  # r10
-    "sample_negative_pairs",  # r10
-    "text_rake_keywords",  # r10
-    "join_fifo_allocation",  # r10
-    "quality_cohens_kappa",  # r10
-    "window_clamped_running_balance",  # r10
-    "agg_rfm_segments",  # r10
-    "quality_spearman_corr",  # r10
-    "quality_benford_digits",  # r10
-    "stat_bootstrap_ci_mean",  # r10
-    "events_daily_trend_slope",  # r10
-    "events_autocorrelation_lag",  # r10
-    "quality_mann_whitney_u",  # r10
-    "window_rolling_median_daily",  # r10
-    "graph_label_propagation",  # r10
-    "ml_target_encode_kfold",  # r10
-    "events_time_weighted_avg",  # r10
-    "events_sessionize_capped",  # r10
-    "agg_weighted_median_price",  # r9
-    "scd2_asof_segments",  # r9
-    "agg_pareto_skyline",  # r10
+    "quality_kendall_tau",  # r13
+    "quality_js_divergence_sources",  # r13
+    "events_diff_in_differences",  # r13
+    "sample_temperature_mix_weights",  # r13
+    "agg_pearson_matrix",  # r13
+    "events_tumbling_window",  # r2,r3
+    "events_sliding_window",  # r2,r3
+    "reshape_unpivot_part_sizes",  # r1,r2,r3
+    "embedding_near_duplicates_exact",  # r2,r3
+    "multimodal_image_features",  # r2,r3
+    "subquery_correlated_above_nation_avg",  # r2,r3
+    "tpch_q1_pricing_summary",  # r2,r3
+    "tpch_q5_local_supplier_volume",  # r2,r3
+    "quality_expectations_orders",  # r2,r3
+    "q1_top_brand_per_nation",  # r1,r2,r3,r4
+    "clean_part_battery",  # r2,r3,r4
+    "window_order_sequence",  # r1,r4
+    "window_analytics_battery",  # r2,r3,r4
+    "set_ops_intersect",  # r1,r4
+    "agg_cube_flag_status",  # r1,r4
+    "agg_pivot_status_revenue",  # r1,r2,r3,r4
+    "agg_count_distinct",  # r1,r4
+    "events_session_window",  # r2,r3,r4
+    "join_asof_latest_order",  # r2,r3,r4
+    "join_range_ship_window",  # r1,r2,r3,r4
+    "agg_grouping_sets",  # r2,r3,r4
+    "agg_salted_returnflag",  # r1,r2,r3,r4
+    "scalar_map_functions",  # r1,r4
+    "top_k_orders",  # r1,r2,r3,r4
+    "text_analysis_battery",  # r2,r3,r4
+    "text_bpe_token_counts",  # r2,r3,r4
+    "dedup_exact_documents",  # r1,r2,r3,r4
+    "dedup_minhash_near_duplicates",  # r2,r3,r4
+    "dedup_simhash_near_duplicates_stable",  # r2,r3,r4
+    "dedup_near_duplicate_clusters",  # r2,r3,r4
+    "ann_topk_quantized",  # r2,r3,r4
+    "text_sentence_split_udtf",  # r2,r3,r4
+    "pipeline_curate_documents",  # r2,r3,r4
+    "events_user_value_trend",  # r2,r3,r4
+    "merge_upsert_orders",  # r2,r3,r4
+    "scd2_customer_segments",  # r2,r3,r4
+    "join_fuzzy_part_names",  # r2,r3,r4
+    "embedding_near_duplicates",  # r4,r5
+    "multimodal_audio_features",  # r4,r5
+    "embedding_label_centroids",  # r4,r5
+    "streaming_availablenow_events",  # r4,r5
+    "subquery_exists_urgent_customers",  # r4,r5
+    "subquery_in_heavy_parts",  # r4,r5
+    "subquery_scalar_above_avg_price",  # r4,r5
+    "scalar_date_functions",  # r4,r5
 )
 
 
