@@ -3820,6 +3820,66 @@ def events_ab_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- int64 overflow guard for the pair-statistic family ---------------------
+# VERDICT r13 item 5: the rank/pair statistics carry exact-integer moment
+# sums whose worst-case magnitudes are polynomial in N — past a per-query
+# ceiling, long arithmetic THROWS under Spark 4 ANSI mode. The ceilings are
+# worst-case-exact, derived from each query's largest intermediate:
+#   spearman      n*sxx <= (4/3)n^4 + O(n^3)  -> n <= ~51k (TPC-H sf1 part
+#                 is 200k rows: this is a REAL pre-guard crash, not theory)
+#   kendall       n*(n-1) pair total          -> n <= ~3.03e9
+#   mann-whitney  tie term sum(t^3 - t) <= n^3 (fully-tied sample) -> ~2.09e6
+# (quality_ks_two_sample is exempt by construction: its CDFs divide each
+# cumulative count FIRST, so it never forms an integer product.)
+# The guard counts the base table ONCE (parquet metadata count, memoized
+# per directory) and promotes the moment arithmetic to decimal(38,0) —
+# exact to 1e38, covering n up to ~3e9 even for the quartic Spearman
+# terms — or raises when SPARK_GRAFT_STAT_OVERFLOW=raise (for clusters
+# that prefer failing fast over the decimal aggregation cost).
+
+_STAT_OVERFLOW_ENV = "SPARK_GRAFT_STAT_OVERFLOW"  # "promote" (default) | "raise"
+_STAT_FORCE_PROMOTE_ENV = "SPARK_GRAFT_STAT_FORCE_PROMOTE"  # tests: "1"
+_STAT_CEILING_SPEARMAN = 50_000
+_STAT_CEILING_KENDALL = 3_000_000_000
+_STAT_CEILING_MANN_WHITNEY = 2_000_000
+_ROWCOUNT_MEMO: dict[tuple[str, str], int] = {}
+
+
+def _stat_sum_type(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    ceiling: int,
+    query_name: str,
+) -> str:
+    """Return the SQL type for a pair-statistic's exact integer sums.
+
+    ``"long"`` below ``ceiling`` rows (the fast codegen path — redundant
+    long->long casts are elided by Catalyst, so the guarded plan is
+    byte-identical to the unguarded one), ``"decimal(38,0)"`` above it.
+    The row count is conservative (the UNFILTERED base table, metadata
+    count) so the decision never needs a data scan; promotion a little
+    early is exactness at a small cost, never an error.
+    """
+    key = (sf_dir, table)
+    n = _ROWCOUNT_MEMO.get(key)
+    if n is None:
+        n = load_table(spark, sf_dir, table).count()
+        _ROWCOUNT_MEMO[key] = n
+    if os.environ.get(_STAT_FORCE_PROMOTE_ENV) == "1":
+        return "decimal(38,0)"
+    if n <= ceiling:
+        return "long"
+    if os.environ.get(_STAT_OVERFLOW_ENV, "promote") == "raise":
+        raise ArithmeticError(
+            f"{query_name}: base table {table!r} has {n} rows, above the "
+            f"int64 worst-case ceiling of {ceiling} for this statistic's "
+            f"exact integer sums; unset {_STAT_OVERFLOW_ENV}=raise to "
+            "promote the moment arithmetic to decimal(38,0) instead"
+        )
+    return "decimal(38,0)"
+
+
 @query
 def quality_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov test between the price distributions
@@ -3841,7 +3901,9 @@ def quality_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the integer-product form cum1*n2 would overflow int64 at ~1e10-row
     samples, so the division happens FIRST, identically in both engines);
     the max/abs/sqrt chain is deterministic IEEE arithmetic, rounded at
-    one site.
+    one site. Exempt from the :func:`_stat_sum_type` guard BY
+    CONSTRUCTION: this query never forms an integer product, so its only
+    ceiling is the count itself (int64).
     """
     from ..operators.ranking import two_phase_running
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -4951,9 +5013,12 @@ def quality_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: rank tables are value-DOMAIN sized (the weighted-median
     collapse), the size-rank join is a broadcast (50 distinct sizes), the
-    price-rank join shuffles on the value key. 100 TB caveat documented:
-    the int64 moment sums would themselves need DOUBLE promotion past
-    ~1e18, trading exactness for scale at the same one site.
+    price-rank join shuffles on the value key. The int64 ceiling is
+    ENFORCED, not documented (VERDICT r13 item 5): the n*sxx term reaches
+    (4/3)n^4, so :func:`_stat_sum_type` counts the part table once and
+    promotes every moment sum to exact decimal(38,0) past 50k rows —
+    TPC-H sf1 (200k parts) would throw under ANSI long arithmetic
+    without it (planted proof: tests/test_round14_ops.py).
     """
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_size").cast("long").alias("x"),
@@ -4985,13 +5050,21 @@ def quality_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = part.join(F.broadcast(rank2(part, "x")), "x").join(
         rank2(part, "y"), "y"
     )
+    # int64 guard (VERDICT r13 item 5): the n*sxx term reaches (4/3)n^4 —
+    # ANSI long arithmetic throws past ~51k rows (TPC-H sf1 part = 200k
+    # rows crashes unguarded). t == "long" below the ceiling keeps the
+    # plan identical (redundant casts elided); above it every moment sum
+    # runs in decimal(38,0), exact to n ~ 3e9 even for the quartic terms.
+    t = _stat_sum_type(
+        spark, sf_dir, "part", _STAT_CEILING_SPEARMAN, "quality_spearman_corr"
+    )
     m = ranked.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("r2_x").alias("sx"),
-        F.sum("r2_y").alias("sy"),
-        F.sum(F.col("r2_x") * F.col("r2_y")).alias("sxy"),
-        F.sum(F.col("r2_x") * F.col("r2_x")).alias("sxx"),
-        F.sum(F.col("r2_y") * F.col("r2_y")).alias("syy"),
+        F.count(F.lit(1)).cast(t).alias("n"),
+        F.sum(F.col("r2_x").cast(t)).alias("sx"),
+        F.sum(F.col("r2_y").cast(t)).alias("sy"),
+        F.sum(F.col("r2_x").cast(t) * F.col("r2_y").cast(t)).alias("sxy"),
+        F.sum(F.col("r2_x").cast(t) * F.col("r2_x").cast(t)).alias("sxx"),
+        F.sum(F.col("r2_y").cast(t) * F.col("r2_y").cast(t)).alias("syy"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
         "num"
@@ -4999,10 +5072,10 @@ def quality_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     d1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     d2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     return m.select(
-        F.col("n").cast("long"),
-        num.cast("long"),
-        d1.cast("long").alias("den_x"),
-        d2.cast("long").alias("den_y"),
+        F.col("n").cast(t),
+        num.cast(t),
+        d1.cast(t).alias("den_x"),
+        d2.cast(t).alias("den_y"),
         F.round(
             (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
                 "double"
@@ -5301,7 +5374,11 @@ def quality_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     so U1 is held as the exact integer 2*U1 = sum(r2 | group1)
     - 2*n1(n1+1)/2; the tie-corrected normal z-score is assembled from
     five exact integers (n1, n2, n, 2*U1, sum(t^3 - t)) with divisions
-    and one sqrt only at the terminal site.
+    and one sqrt only at the terminal site. The int64 ceiling on the
+    cubic tie term is ENFORCED via :func:`_stat_sum_type` (VERDICT r13
+    item 5): decimal(38,0) promotion past 2e6 base rows — the
+    fully-tied worst case overflows long at ~2.09e6 rows (planted
+    proof: tests/test_round14_ops.py).
 
     Scale shape: the rank table is value-DOMAIN sized (distinct-value
     collapse), the rank join shuffles on the value key, everything else
@@ -5333,16 +5410,28 @@ def quality_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1).alias("r2"),
         "cnt",
     )
+    # int64 guard (VERDICT r13 item 5): the tie term sum(t^3 - t) reaches
+    # n^3 on a fully-tied sample — ANSI long arithmetic throws past
+    # ~2.09e6 rows in that worst case; above the (conservative,
+    # unfiltered-table) ceiling the tie/rank sums run in decimal(38,0)
+    t = _stat_sum_type(
+        spark,
+        sf_dir,
+        "orders",
+        _STAT_CEILING_MANN_WHITNEY,
+        "quality_mann_whitney_u",
+    )
+    cnt_t = F.col("cnt").cast(t)
     tie = rank_tab.agg(
-        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")).alias(
-            "tie_sum"
-        )
+        F.sum(cnt_t * cnt_t * cnt_t - cnt_t).cast(t).alias("tie_sum")
     )
     joined = orders.join(rank_tab.select("v", "r2"), "v")
     m = joined.agg(
-        F.sum(F.when(F.col("g1"), 1).otherwise(0)).alias("n1"),
-        F.sum(F.when(F.col("g1"), 0).otherwise(1)).alias("n2"),
-        F.sum(F.when(F.col("g1"), F.col("r2")).otherwise(0)).alias("r1_x2"),
+        F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast(t).alias("n1"),
+        F.sum(F.when(F.col("g1"), 0).otherwise(1)).cast(t).alias("n2"),
+        F.sum(F.when(F.col("g1"), F.col("r2").cast(t)).otherwise(
+            F.lit(0).cast(t)
+        )).alias("r1_x2"),
     )
     u1_x2 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
     n = F.col("n1") + F.col("n2")
@@ -5356,10 +5445,10 @@ def quality_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (n.cast("double") * (n - 1).cast("double"))
     )
     return m.crossJoin(F.broadcast(tie)).select(
-        F.col("n1").cast("long"),
-        F.col("n2").cast("long"),
-        u1_x2.cast("long").alias("u1_x2"),
-        F.col("tie_sum").cast("long"),
+        F.col("n1").cast(t),
+        F.col("n2").cast(t),
+        u1_x2.cast(t).alias("u1_x2"),
+        F.col("tie_sum").cast(t),
         F.round(u1, 1).alias("u1"),
         F.round((u1 - mean_u) / F.sqrt(var_u), 6).alias("z_score"),
     )
@@ -8389,15 +8478,24 @@ def quality_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one hash aggregate to the grid (output bounded by the
     value domain, the weighted-median collapse), then all pair math on
     the ~650-cell broadcast grid (a BroadcastNestedLoopJoin over cells,
-    never rows). int64 caveat at 100 TB mirrors Spearman's: per-term
-    products reach N^2 and would need the decimal(38) promotion
-    discipline past ~3e9 rows.
+    never rows). The int64 ceiling is ENFORCED (VERDICT r13 item 5):
+    pair totals reach n*(n-1), so :func:`_stat_sum_type` promotes the
+    grid arithmetic to exact decimal(38,0) past 3e9 rows; the halvings
+    are exact integer/decimal ops, never a double (which silently
+    rounds past 2^53).
     """
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_size").cast("long").alias("x"),
         F.floor(
             F.round(F.col("p_retailprice") * 100).cast("long") / 100
         ).cast("long").alias("y"),
+    )
+    # int64 guard (VERDICT r13 item 5): n*(n-1) pair totals overflow long
+    # past ~3.03e9 rows; above the ceiling all pair/tie arithmetic runs
+    # in decimal(38,0) (the grid is ~650 cells, so the decimal tax is
+    # confined to a broadcast-sized frame)
+    t = _stat_sum_type(
+        spark, sf_dir, "part", _STAT_CEILING_KENDALL, "quality_kendall_tau"
     )
     # ONE data pass: everything downstream (pair sums, marginal ties,
     # the total) derives from the persisted bounded grid — without the
@@ -8425,39 +8523,50 @@ def quality_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(
                     F.when(
                         F.col("ya") < F.col("yb"),
-                        F.col("na") * F.col("nb"),
+                        F.col("na").cast(t) * F.col("nb").cast(t),
                     )
                 ),
-                F.lit(0),
-            ).cast("long").alias("n_concordant"),
+                F.lit(0).cast(t),
+            ).cast(t).alias("n_concordant"),
             F.coalesce(
                 F.sum(
                     F.when(
                         F.col("ya") > F.col("yb"),
-                        F.col("na") * F.col("nb"),
+                        F.col("na").cast(t) * F.col("nb").cast(t),
                     )
                 ),
-                F.lit(0),
-            ).cast("long").alias("n_discordant"),
+                F.lit(0).cast(t),
+            ).cast(t).alias("n_discordant"),
         )
     )
-    totals = grid.agg(F.sum("n_c").cast("long").alias("n"))
+    totals = grid.agg(F.sum(F.col("n_c").cast(t)).alias("n"))
+
+    def half_even(col):
+        # exact halving of an even non-negative value in type t: the old
+        # `/ 2` ran through a DOUBLE, which silently rounds past 2^53
+        # (~1.3e8 rows) even inside the long regime; shiftright is exact
+        # long arithmetic, decimal division by 2 of an even decimal(38,0)
+        # is exact by construction
+        if t == "long":
+            return F.shiftright(col.cast("long"), 1)
+        return (col / 2).cast(t)
+
+    tie_pairs = half_even(F.col("t").cast(t) * (F.col("t").cast(t) - 1))
     ties_x = (
         grid.groupBy("x").agg(F.sum("n_c").cast("long").alias("t"))
-        .agg((F.sum(F.col("t") * (F.col("t") - 1)) / 2)
-             .cast("long").alias("ties_x_pairs"))
+        .agg(F.sum(tie_pairs).cast(t).alias("ties_x_pairs"))
     )
     ties_y = (
         grid.groupBy("y").agg(F.sum("n_c").cast("long").alias("t"))
-        .agg((F.sum(F.col("t") * (F.col("t") - 1)) / 2)
-             .cast("long").alias("ties_y_pairs"))
+        .agg(F.sum(tie_pairs).cast(t).alias("ties_y_pairs"))
     )
     joined = (
         totals.crossJoin(F.broadcast(pair_sums))
         .crossJoin(F.broadcast(ties_x))
         .crossJoin(F.broadcast(ties_y))
         .withColumn(
-            "n_pairs", (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+            "n_pairs",
+            half_even(F.col("n") * (F.col("n") - F.lit(1).cast(t))),
         )
     )
     denom_x = (F.col("n_pairs") - F.col("ties_x_pairs")).cast("double")

@@ -1,0 +1,183 @@
+"""Round-14 tests: the ENFORCED int64 overflow guard for the
+pair-statistic family (VERDICT r13 item 5).
+
+The guard (``extensions._stat_sum_type``) counts the base table once
+(memoized metadata count) and promotes the exact integer moment/pair
+arithmetic to decimal(38,0) past a per-query worst-case ceiling — or
+raises under ``SPARK_GRAFT_STAT_OVERFLOW=raise``. These tests plant
+GENUINELY over-ceiling data (not synthetic ceiling overrides) to prove:
+
+1. the overflow is real — the pre-guard long path THROWS under Spark 4
+   ANSI arithmetic on the planted data;
+2. the promoted decimal path completes and matches the same exact DuckDB
+   dual (run with HUGEINT moment sums — DuckDB's native overflow-free
+   integer discipline);
+3. the promoted path is value-identical to the long path at in-regime
+   scale (force-promote at sf0.001 vs the normal run).
+"""
+
+from __future__ import annotations
+
+import os
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.plans import extensions
+from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+from pinterest_data_pipeline_spark.plans.oracles import ORACLES
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _write_part(spark, d: str, n: int) -> str:
+    """Plant an n-row part table: 50 sizes, deterministic pseudo-random
+    prices (hash-derived, weakly correlated with size — a nonzero but
+    small rho exercises every term of the statistic)."""
+    (
+        spark.range(n)
+        .select(
+            (F.col("id") % 50 + 1).cast("int").alias("p_size"),
+            (
+                (F.pmod(F.xxhash64(F.col("id")), F.lit(900000)) + 100)
+                / 100.0
+            ).alias("p_retailprice"),
+        )
+        .write.parquet(os.path.join(d, "part.parquet"))
+    )
+    return d
+
+
+def test_spearman_long_path_overflow_is_real(spark, tmp_path, monkeypatch):
+    """At 60k rows the n*sxx moment term reaches ~5e19 — the pre-guard
+    long arithmetic genuinely throws under ANSI (this is the TPC-H sf1
+    crash the guard exists for), it is not a theoretical caveat."""
+    d = _write_part(spark, str(tmp_path), 60_000)
+    # force the long path by lifting the ceiling out of the way
+    monkeypatch.setattr(extensions, "_STAT_CEILING_SPEARMAN", 10**12)
+    with pytest.raises(Exception, match="(?i)overflow|arithmetic"):
+        QUERIES["quality_spearman_corr"](spark, d).collect()
+
+
+def test_spearman_promoted_path_matches_hugeint_dual(spark, tmp_path):
+    """The SAME 60k-row plant through the auto-promoted decimal(38,0)
+    path completes and matches the registered DuckDB dual run with
+    HUGEINT moment sums (the oracle's ::BIGINT sums would overflow in
+    DuckDB exactly where Spark's longs do — int128 is DuckDB's native
+    equivalent of the decimal promotion)."""
+    import duckdb
+
+    d = _write_part(spark, str(tmp_path), 60_000)
+    got = QUERIES["quality_spearman_corr"](spark, d).collect()[0]
+    # decimal(38,0) outputs in promoted mode — exactness end-to-end
+    assert isinstance(got["num"], Decimal)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW part AS SELECT * FROM "
+        f"read_parquet('{os.path.join(d, 'part.parquet')}/*.parquet')"
+    )
+    sql = ORACLES["quality_spearman_corr"]
+    for col in ("sx", "sy", "sxy", "sxx", "syy"):
+        sql = sql.replace(f"::BIGINT AS {col}", f"::HUGEINT AS {col}")
+    sql = sql.replace("(n * sxy - sx * sy)::BIGINT AS num",
+                      "(n * sxy - sx * sy)::HUGEINT AS num")
+    sql = sql.replace("(n * sxx - sx * sx)::BIGINT AS den_x",
+                      "(n * sxx - sx * sx)::HUGEINT AS den_x")
+    sql = sql.replace("(n * syy - sy * sy)::BIGINT AS den_y",
+                      "(n * syy - sy * sy)::HUGEINT AS den_y")
+    want = con.execute(sql).fetchone()
+    con.close()
+
+    assert int(got["n"]) == int(want[0]) == 60_000
+    assert int(got["num"]) == int(want[1])
+    assert int(got["den_x"]) == int(want[2])
+    assert int(got["den_y"]) == int(want[3])
+    assert got["spearman_rho"] == pytest.approx(want[4], abs=1e-9)
+
+
+def test_mann_whitney_tie_overflow_promoted(spark, tmp_path, monkeypatch):
+    """A fully-tied 2.1M-row sample drives the cubic tie term past
+    int64 (2.1e6^3 ~ 9.26e18): the long path throws, the auto-promoted
+    path completes with the EXACT tie_sum."""
+    d = str(tmp_path)
+    n_tied = 2_100_000
+    (
+        spark.range(n_tied + 4)
+        .select(
+            F.when(F.col("id") % 2 == 0, "1-URGENT")
+            .otherwise("5-LOW")
+            .alias("o_orderpriority"),
+            F.when(F.col("id") < n_tied, 1000.00)
+            .otherwise((F.col("id") - n_tied + 2000).cast("double"))
+            .alias("o_totalprice"),
+        )
+        .write.parquet(os.path.join(d, "orders.parquet"))
+    )
+    monkeypatch.setattr(extensions, "_STAT_CEILING_MANN_WHITNEY", 10**12)
+    with pytest.raises(Exception, match="(?i)overflow|arithmetic"):
+        QUERIES["quality_mann_whitney_u"](spark, d).collect()
+    monkeypatch.setattr(
+        extensions, "_STAT_CEILING_MANN_WHITNEY", 2_000_000
+    )
+    got = QUERIES["quality_mann_whitney_u"](spark, d).collect()[0]
+    # exact cubic tie term, straight from integer math
+    want_tie = (n_tied**3 - n_tied) + 4 * 0  # singleton values add t^3-t=0
+    assert int(got["tie_sum"]) == want_tie
+    assert int(got["n1"]) + int(got["n2"]) == n_tied + 4
+
+
+def test_stat_guard_raise_mode(spark, monkeypatch):
+    """SPARK_GRAFT_STAT_OVERFLOW=raise fails fast with the query name
+    and the ceiling in the message instead of promoting."""
+    monkeypatch.setenv("SPARK_GRAFT_STAT_OVERFLOW", "raise")
+    monkeypatch.setattr(extensions, "_STAT_CEILING_SPEARMAN", 10)
+    with pytest.raises(ArithmeticError, match="quality_spearman_corr"):
+        QUERIES["quality_spearman_corr"](spark, SF001)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "quality_spearman_corr",
+        "quality_kendall_tau",
+        "quality_mann_whitney_u",
+    ],
+)
+def test_force_promote_values_match_long_path(
+    spark, monkeypatch, name
+):
+    """decimal(38,0) promotion is value-identical to the long path on
+    in-regime data: force-promote at sf0.001 and compare every column
+    (exact for the integer columns, bit-equal for the rounded floats).
+    This certifies the decimal path against the same DuckDB duals
+    transitively — the long path is driver-certified against them."""
+    normal = QUERIES[name](spark, SF001).collect()
+    monkeypatch.setenv("SPARK_GRAFT_STAT_FORCE_PROMOTE", "1")
+    promoted = QUERIES[name](spark, SF001).collect()
+    assert len(normal) == len(promoted) == 1
+    for col in normal[0].asDict():
+        a, b = normal[0][col], promoted[0][col]
+        if isinstance(b, Decimal):
+            assert int(b) == int(a), col
+        else:
+            assert a == b, col
+
+
+def test_rowcount_memo_counts_once(spark):
+    """The guard's base-table count is memoized per (dir, table): a
+    second call must hit the memo (no second count job)."""
+    extensions._ROWCOUNT_MEMO.clear()
+    extensions._stat_sum_type(
+        spark, SF001, "part", extensions._STAT_CEILING_SPEARMAN, "t"
+    )
+    assert (SF001, "part") in extensions._ROWCOUNT_MEMO
+    sentinel = extensions._ROWCOUNT_MEMO[(SF001, "part")]
+    # poison the memo: if the count re-ran, the poison would be replaced
+    extensions._ROWCOUNT_MEMO[(SF001, "part")] = sentinel + 7
+    extensions._stat_sum_type(
+        spark, SF001, "part", extensions._STAT_CEILING_SPEARMAN, "t"
+    )
+    assert extensions._ROWCOUNT_MEMO[(SF001, "part")] == sentinel + 7
+    extensions._ROWCOUNT_MEMO[(SF001, "part")] = sentinel
