@@ -261,6 +261,193 @@ def minhash_near_duplicates(
     )
 
 
+# --- cross-shard incremental dedup -------------------------------------------
+
+
+def band_buckets(sigs: DataFrame, id_col: str, k: int = 32, bands: int = 8) -> DataFrame:
+    """(id, band, band_hash) LSH bucket rows derived from a signature
+    frame (``mh0..mh{k-1}``) — k integers per document, never the text.
+    This is the persisted-store schema for incremental dedup: buckets
+    re-derive from signatures with two integer ops, so the store holds
+    ONLY signatures and stays layout-free."""
+    rows_per_band = k // bands
+    buckets = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(
+                *[F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("band_hash"),
+        )
+        for bi in range(bands)
+    ]
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*buckets)).alias("bucket")
+    ).select(id_col, "bucket.band", "bucket.band_hash")
+
+
+def incremental_candidates(
+    batch_sigs: DataFrame,
+    store_sigs: DataFrame,
+    id_col: str,
+    k: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH candidate pairs for a batch against a signature store:
+    ``(bid, oid, partner_in_store)``.
+
+    Direction contract (the r12/r13 broadcast-killer lesson, made
+    structural): the BATCH bucket frame broadcasts into the store scan —
+    the store side NEVER shuffles and is never the broadcast side
+    (plan-contract-pinned by tests/test_round14_ops.py). Batch-internal
+    candidates keep only earlier-id partners (the greedy policy)."""
+    bbuckets = band_buckets(batch_sigs, id_col, k, bands)
+    sbuckets = band_buckets(store_sigs, id_col, k, bands)
+    cand_store = (
+        sbuckets.join(
+            F.broadcast(
+                bbuckets.select(
+                    F.col(id_col).alias("bid"), "band", "band_hash"
+                )
+            ),
+            ["band", "band_hash"],
+        )
+        .select("bid", F.col(id_col).alias("oid"))
+        .distinct()
+        .withColumn("partner_in_store", F.lit(True))
+    )
+    ba = bbuckets.select(F.col(id_col).alias("bid"), "band", "band_hash")
+    bb = bbuckets.select(F.col(id_col).alias("oid"), "band", "band_hash")
+    cand_batch = (
+        ba.join(bb, ["band", "band_hash"])
+        .filter(F.col("oid") < F.col("bid"))
+        .select("bid", "oid")
+        .distinct()
+        .withColumn("partner_in_store", F.lit(False))
+    )
+    return cand_store.unionByName(cand_batch)
+
+
+def incremental_minhash_dedup(
+    batch: DataFrame,
+    store_sigs: DataFrame,
+    store_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW document batch against a persisted signature store
+    WITHOUT recomputing the corpus — the production arrival shape the
+    reference's append-only landing zone implies (flush.size=1 S3 sink,
+    implementation_details.md:71: data arrives message-at-a-time and
+    accumulates; re-mining the whole corpus per batch is the O(corpus)
+    anti-pattern this operator replaces with O(batch + touched)).
+
+    Returns ``(decisions, store_delta)``:
+
+    * ``decisions`` — one row per batch document: ``(id, action,
+      n_store_matches, n_prior_batch_matches, best_match_id,
+      best_jaccard)``. The policy is single-pass greedy (the standard
+      incremental rule): a batch doc DROPS iff it has a verified
+      near-dup partner in the store, or a verified partner EARLIER in
+      the batch (smaller id). Chained within-batch transitivity is
+      deliberately out of scope — cluster-exact dedup is
+      :func:`cluster_pairs`' job over the accumulated pair stream.
+    * ``store_delta`` — the signature rows of KEPT batch docs, the
+      append that advances the store to the next batch.
+
+    Scale shape: signatures/shingles compute for the BATCH only; the
+    store side contributes one scan of its signature table probed by a
+    BROADCAST of the batch's bucket keys (batch << store always — no
+    store shuffle ever; with the store parquet laid out by band_hash
+    the scan prunes too), plus a semi-join-targeted text fetch for the
+    candidate store docs only. Verification is exact Jaccard on
+    O(candidates) rows — identical to the full pipeline's verify stage,
+    so incremental == full-recompute restricted to batch-involving
+    pairs (pinned by pytest and the exhaustive DuckDB dual).
+    """
+    batch_sigs = persist_scoped(
+        minhash_signatures(batch, text_col, id_col, shingle_n, k),
+        "incr_batch_sigs",
+    )
+    cands = persist_scoped(
+        incremental_candidates(batch_sigs, store_sigs, id_col, k, bands),
+        "incr_cands",
+    )
+    # exact-Jaccard verify on candidates only: batch shingles in full
+    # (the batch is small), store shingles via semi-join-targeted fetch
+    batch_sets = shingle_sets(batch, text_col, id_col, shingle_n)
+    store_cand_ids = cands.filter("partner_in_store").select(
+        F.col("oid").alias(id_col)
+    ).distinct()
+    store_sets = shingle_sets(
+        store_docs.join(store_cand_ids, id_col, "left_semi"),
+        text_col,
+        id_col,
+        shingle_n,
+    )
+    partner_sets = store_sets.unionByName(
+        batch_sets.join(
+            cands.filter(~F.col("partner_in_store"))
+            .select(F.col("oid").alias(id_col))
+            .distinct(),
+            id_col,
+            "left_semi",
+        )
+    )
+    scored = (
+        cands.join(
+            batch_sets.select(
+                F.col(id_col).alias("bid"),
+                F.col("shingle_set").alias("set_b"),
+            ),
+            "bid",
+        )
+        .join(
+            partner_sets.select(
+                F.col(id_col).alias("oid"), F.col("shingle_set").alias("set_o")
+            ),
+            "oid",
+        )
+        .withColumn("j", F.round(jaccard(F.col("set_b"), F.col("set_o")), 4))
+        .filter(F.col("j") >= threshold)
+    )
+    # best displacing partner: max jaccard, ties to the SMALLEST partner
+    # id — struct max over (j, -oid) is one aggregate, engine-exact on
+    # the rounded jaccard
+    matches = scored.groupBy("bid").agg(
+        F.sum(F.col("partner_in_store").cast("long")).alias("n_store_matches"),
+        F.sum((~F.col("partner_in_store")).cast("long")).alias(
+            "n_prior_batch_matches"
+        ),
+        F.max(F.struct(F.col("j"), (-F.col("oid")).alias("noid"))).alias("best"),
+    )
+    decisions = (
+        batch.select(F.col(id_col))
+        .join(matches.withColumnRenamed("bid", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("best").isNull(), "keep").otherwise("drop").alias(
+                "action"
+            ),
+            F.coalesce("n_store_matches", F.lit(0)).alias("n_store_matches"),
+            F.coalesce("n_prior_batch_matches", F.lit(0)).alias(
+                "n_prior_batch_matches"
+            ),
+            (-F.col("best.noid")).alias("best_match_id"),
+            F.col("best.j").alias("best_jaccard"),
+        )
+    )
+    store_delta = batch_sigs.join(
+        decisions.filter(F.col("action") == "keep").select(id_col),
+        id_col,
+        "left_semi",
+    )
+    return decisions, store_delta
+
+
 # --- near-dup clustering (connected components) -----------------------------
 
 

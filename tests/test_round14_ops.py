@@ -181,3 +181,151 @@ def test_rowcount_memo_counts_once(spark):
     )
     assert extensions._ROWCOUNT_MEMO[(SF001, "part")] == sentinel + 7
     extensions._ROWCOUNT_MEMO[(SF001, "part")] = sentinel
+
+
+# --- cross-shard incremental dedup (VERDICT r13 item 6) -----------------------
+
+
+def test_incremental_dedup_equals_full_recompute(spark):
+    """The incremental pipeline's decisions equal a from-scratch full
+    recompute restricted to batch-involving pairs under the same greedy
+    policy — the streaming_incremental_rollup certification pattern, on
+    the dedup family."""
+    from pinterest_data_pipeline_spark.operators import dedup
+    from pinterest_data_pipeline_spark.plans.extensions import load_documents
+
+    sf = SF001
+    docs = load_documents(spark, sf)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    store_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    store_sigs = dedup.minhash_signatures(store_docs, "text", "doc_id")
+    decisions, delta = dedup.incremental_minhash_dedup(
+        batch, store_sigs, store_docs, "text", "doc_id", threshold=0.3
+    )
+    got = {r["doc_id"]: r.asDict() for r in decisions.collect()}
+
+    # full recompute: every verified pair over the WHOLE corpus
+    full_pairs = dedup.minhash_near_duplicates(
+        docs, "text", "doc_id", threshold=0.3
+    ).collect()
+    # greedy policy in plain python over the full pair set
+    from collections import defaultdict
+
+    partners = defaultdict(list)
+    for r in full_pairs:
+        a, b = r["id_a"], r["id_b"], 
+        j = r["jaccard_sim"]
+        for me, other in ((a, b), (b, a)):
+            if me % 10 != 0:
+                continue  # only batch docs get decisions
+            in_store = other % 10 != 0
+            if in_store or other < me:
+                partners[me].append((other, in_store, j))
+    want = {}
+    for r in batch.select("doc_id").collect():
+        d = r["doc_id"]
+        ps = partners.get(d, [])
+        if not ps:
+            want[d] = ("keep", 0, 0, None, None)
+        else:
+            bj = max(p[2] for p in ps)
+            bid = min(p[0] for p in ps if p[2] == bj)
+            want[d] = (
+                "drop",
+                sum(1 for p in ps if p[1]),
+                sum(1 for p in ps if not p[1]),
+                bid,
+                bj,
+            )
+    assert set(got) == set(want)
+    for d, (action, ns, nb, bid, bj) in want.items():
+        g = got[d]
+        assert g["action"] == action, d
+        assert g["n_store_matches"] == ns, d
+        assert g["n_prior_batch_matches"] == nb, d
+        assert g["best_match_id"] == bid, d
+        assert g["best_jaccard"] == bj, d
+
+    # store delta: exactly the kept docs' signature rows
+    kept = {d for d, w in want.items() if w[0] == "keep"}
+    assert {r["doc_id"] for r in delta.select("doc_id").collect()} == kept
+    assert [c for c in delta.columns if c.startswith("mh")] == [
+        f"mh{i}" for i in range(32)
+    ]
+
+
+def test_incremental_dedup_planted_batch(spark):
+    """Planted cross-shard shapes: a batch doc duplicating a store doc
+    drops against the store; two batch duplicates keep the earlier and
+    drop the later; a unique batch doc keeps."""
+    from pinterest_data_pipeline_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    other = "completely different content about spark shuffle partitions and codegen stages"
+    uniq = "a third unrelated text regarding decimal promotion and integer overflow guards"
+    rows = [
+        (7, base),          # store
+        (13, other),        # store
+        (10, base),         # batch: dup of store 7 -> drop, best 7
+        (20, other),        # batch: dup of store 13 AND of batch 30? no - of 13
+        (30, other),        # batch: dup of 13 (store) and 20 (earlier batch)
+        (40, uniq),         # batch: unique -> keep
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    store_docs = docs.filter(F.col("doc_id") % 10 != 0)
+    store_sigs = dedup.minhash_signatures(store_docs, "text", "doc_id")
+    decisions, delta = dedup.incremental_minhash_dedup(
+        batch, store_sigs, store_docs, "text", "doc_id", threshold=0.5
+    )
+    got = {r["doc_id"]: r.asDict() for r in decisions.collect()}
+    assert got[10]["action"] == "drop" and got[10]["best_match_id"] == 7
+    assert got[10]["n_store_matches"] == 1
+    assert got[20]["action"] == "drop" and got[20]["best_match_id"] == 13
+    assert got[20]["n_prior_batch_matches"] == 0  # no EARLIER batch partner
+    assert got[30]["action"] == "drop"
+    assert got[30]["n_store_matches"] == 1  # store 13
+    assert got[30]["n_prior_batch_matches"] == 1  # batch 20
+    assert got[30]["best_match_id"] == 13  # tie on jaccard=1.0 -> min id
+    assert got[40]["action"] == "keep"
+    assert {r["doc_id"] for r in delta.collect()} == {40}
+
+
+def test_incremental_candidates_store_never_broadcast(spark, tmp_path):
+    """Direction contract (the r12/r13 corpus-broadcast killer): in the
+    candidate plan the STORE side must never sit under a
+    BroadcastExchange — the batch bucket keys are the broadcast side.
+    Parses the plan tree by indentation: no line inside any
+    BroadcastExchange subtree may reference the store parquet."""
+    import os
+
+    from pinterest_data_pipeline_spark.operators import dedup
+    from pinterest_data_pipeline_spark.plans.extensions import load_documents
+
+    docs = load_documents(spark, SF001)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    store_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    store_path = os.path.join(str(tmp_path), "sig_store")
+    dedup.minhash_signatures(store_docs, "text", "doc_id").write.parquet(
+        store_path
+    )
+    store_sigs = spark.read.parquet(store_path)
+    batch_sigs = dedup.minhash_signatures(batch, "text", "doc_id")
+    cands = dedup.incremental_candidates(batch_sigs, store_sigs, "doc_id")
+    plan = cands._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # the batch-side broadcast exists
+    lines = plan.splitlines()
+    inside, depth = False, 0
+    for ln in lines:
+        indent = len(ln) - len(ln.lstrip(" +-:*("))
+        if inside and indent <= depth:
+            inside = False
+        if "BroadcastExchange" in ln:
+            inside, depth = True, indent
+            continue
+        if inside:
+            assert "sig_store" not in ln, (
+                "store parquet under a BroadcastExchange:\n" + plan
+            )
