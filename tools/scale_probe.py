@@ -3044,6 +3044,72 @@ def probe_incremental_dedup(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
+
+def _multiplied_events_horizon_dir(spark, mult: int, name: str) -> str:
+    """mult x events over mult x the day span: copies shift BOTH keys and
+    ts (+45 days per copy, past the base span), so the day/week DOMAIN
+    grows with the data — the stress direction for the domain-bounded
+    unpartitioned day-axis windows (VERDICT r13 item 7). Written as an
+    sf-shaped dir so the probes time the REGISTERED queries unmodified."""
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse", f"_probe_{name}_{mult}x",
+    )
+    base = load_table(spark, SF, "events")
+    parts = [base]
+    for i in range(1, mult):
+        parts.append(
+            base.withColumn("event_id", F.col("event_id") + i * KEY_STRIDE)
+            .withColumn("user_id", F.col("user_id") + i * KEY_STRIDE)
+            .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i * 45} DAYS"))
+        )
+    events = parts[0]
+    for p in parts[1:]:
+        events = events.unionByName(p)
+    events.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    return out
+
+
+def probe_cumulative_users_horizon(spark, mult: int) -> float:
+    """Growth-accounting cumsum on the HORIZON axis: the unpartitioned
+    day window (extensions: events_cumulative_users) sees mult x the day
+    rows — the domain-bounded contract's stress direction."""
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    d = _multiplied_events_horizon_dir(spark, mult, "cumu_users_horizon")
+    q = QUERIES["events_cumulative_users"](spark, d)
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_cusum_horizon(spark, mult: int) -> float:
+    """CUSUM change-point on the HORIZON axis: the serial day-axis
+    cumulative window (anomaly_cusum_daily) grows one row per day."""
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    d = _multiplied_events_horizon_dir(spark, mult, "cusum_horizon")
+    q = QUERIES["anomaly_cusum_daily"](spark, d)
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_kaplan_meier_horizon(spark, mult: int) -> float:
+    """Kaplan-Meier on the HORIZON axis: the week-keyed reverse/forward
+    cumulative pair (events_kaplan_meier) sees mult x the week domain."""
+    from pinterest_data_pipeline_spark.plans import extensions  # noqa: F401
+    from pinterest_data_pipeline_spark.plans.analytics import QUERIES
+
+    d = _multiplied_events_horizon_dir(spark, mult, "km_horizon")
+    q = QUERIES["events_kaplan_meier"](spark, d)
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 PROBES = {
     "kendall_tau": probe_kendall_tau,
     "js_divergence": probe_js_divergence,
@@ -3159,6 +3225,9 @@ PROBES = {
     # round-14 addition (VERDICT r13 item 6): incremental dedup must
     # track the BATCH, not the corpus — the store grows, the batch stays
     "incremental_dedup": probe_incremental_dedup,
+    "cumulative_users_horizon": probe_cumulative_users_horizon,
+    "cusum_horizon": probe_cusum_horizon,
+    "kaplan_meier_horizon": probe_kaplan_meier_horizon,
 }
 
 
