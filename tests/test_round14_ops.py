@@ -329,3 +329,47 @@ def test_incremental_candidates_store_never_broadcast(spark, tmp_path):
             assert "sig_store" not in ln, (
                 "store parquet under a BroadcastExchange:\n" + plan
             )
+
+
+def test_incremental_store_fingerprint_cache(spark, tmp_path):
+    """The registered query's signature store is fingerprint-cached: a
+    second run at the same corpus reuses the parquet store (no rebuild),
+    and rewriting the source rebuilds it."""
+    import shutil
+
+    from pinterest_data_pipeline_spark.plans import extensions as ext
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    src = os.path.join(SF001, "documents.parquet")
+    dst = os.path.join(sf, "documents.parquet")
+    (shutil.copytree if os.path.isdir(src) else shutil.copy2)(src, dst)
+
+    store = ext._work_dir(sf, "_incr_sig_store")
+    QUERIES["dedup_incremental_batch"](spark, sf).count()
+    fp_file = os.path.join(store, "_SOURCE_FINGERPRINT")
+    assert os.path.exists(fp_file)
+    built_at = max(
+        os.stat(os.path.join(store, f)).st_mtime_ns
+        for f in os.listdir(store)
+    )
+    QUERIES["dedup_incremental_batch"](spark, sf).count()
+    again = max(
+        os.stat(os.path.join(store, f)).st_mtime_ns
+        for f in os.listdir(store)
+    )
+    assert again == built_at, "store rebuilt despite unchanged source"
+
+    # rewrite the source -> fingerprint differs -> rebuild
+    os.utime(
+        dst if not os.path.isdir(dst) else os.path.join(
+            dst, sorted(os.listdir(dst))[0]
+        )
+    )
+    QUERIES["dedup_incremental_batch"](spark, sf).count()
+    rebuilt = max(
+        os.stat(os.path.join(store, f)).st_mtime_ns
+        for f in os.listdir(store)
+    )
+    assert rebuilt > built_at, "store not rebuilt after source change"
+    shutil.rmtree(store, ignore_errors=True)
