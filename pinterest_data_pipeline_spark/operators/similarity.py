@@ -597,8 +597,29 @@ def nearest_cells(vec: Column, centroids: list[list[float]], n: int = 1) -> Colu
     return F.transform(F.slice(ranked, 1, n), lambda s: s["cell"])
 
 
-def ivf_topk(
+def ivf_assign_cells(
     corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, cell): nearest-centroid assignment — the persisted IVF
+    index schema. One narrow Arrow/numpy projection over the input; at
+    100 TB the output is written once ``partitionBy("cell")`` so query
+    batches scan only probed cells, and NEW vector batches assign with
+    the SAME stored centroids (O(batch)) and append as an index delta —
+    production indexes are built once, upserted forever (FAISS
+    ``IVF.add`` semantics; retraining is a separate offline job)."""
+    assign1 = nearest_cells_pandas(centroids, 1)
+    return corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        assign1(F.col(vec_col))[0].alias("cell"),
+    )
+
+
+def ivf_search_index(
+    index: DataFrame,
     queries: DataFrame,
     centroids: list[list[float]],
     k: int = 10,
@@ -607,29 +628,18 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """IVF ANN top-k: assign corpus to coarse cells once, probe the query's
-    ``n_probe`` nearest cells, exact cosine re-rank on the candidates.
-
-    Cell assignment is a narrow projection through the Arrow/numpy kernel
-    (``nearest_cells_pandas`` — dense scoring is the one place the Pandas
-    UDF path beats built-ins); the probe is an equi-join on cell id. At
-    100 TB the assigned corpus is written once partitioned by cell
-    (``partitionBy("cell")``) and every query batch scans only its probed
-    cells (partition pruning).
-    """
-    assign1 = nearest_cells_pandas(centroids, 1)
+    """Probe a prebuilt ``(id, vec, cell)`` IVF index: the query batch's
+    ``n_probe`` nearest cells broadcast into an equi-join on cell id
+    (partition pruning on a cell-partitioned layout — dynamic partition
+    pruning when the index is parquet), exact cosine re-rank on the
+    candidates."""
     assignp = nearest_cells_pandas(centroids, n_probe)
-    assigned = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        assign1(F.col(vec_col))[0].alias("cell"),
-    )
     qcells = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("query_vec"),
         F.explode(assignp(F.col(vec_col))).alias("cell"),
     )
-    cands = assigned.join(F.broadcast(qcells), "cell").filter(
+    cands = index.join(F.broadcast(qcells), "cell").filter(
         F.col(id_col) != F.col(query_id_col)
     )
     scored = (
@@ -645,6 +655,35 @@ def ivf_topk(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select(query_id_col, id_col, "cosine_sim", F.col("rk").alias("rank"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN top-k: assign corpus to coarse cells once, probe the query's
+    ``n_probe`` nearest cells, exact cosine re-rank on the candidates.
+
+    Composition of :func:`ivf_assign_cells` + :func:`ivf_search_index`
+    (identical plan to the pre-split form); see those for the 100 TB
+    layout and upsert story.
+    """
+    return ivf_search_index(
+        ivf_assign_cells(corpus, centroids, id_col, vec_col),
+        queries,
+        centroids,
+        k,
+        n_probe,
+        id_col,
+        vec_col,
+        query_id_col,
     )
 
 

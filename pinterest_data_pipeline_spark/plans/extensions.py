@@ -9002,3 +9002,58 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no presentation sort: one row per batch doc, value-hash is
     # order-insensitive, and a global sort would re-execute the verify
     return decisions
+
+
+@query
+def ann_ivf_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance (the ANN twin of
+    ``dedup_incremental_batch``): a NEW vector batch (vec_id % 10 == 0)
+    joins a PREBUILT cell-partitioned IVF index covering the other 90%
+    WITHOUT retraining — the batch assigns to the stored centroids
+    (O(batch), FAISS IVF.add semantics) and unions in as an index delta;
+    queries probe the merged index.
+
+    The index is written once ``partitionBy("cell")`` to a
+    fingerprint-cached parquet work dir, so the probe join reads the
+    production layout: the query batch's probed cells broadcast into the
+    scan and dynamic partition pruning drops the unprobed cell
+    partitions (plan-pinned by pytest). Centroids re-derive
+    deterministically (hash-stable sample, fixed seed) — production
+    persists them beside the index; the recompute here is a 512-row
+    driver k-means.
+
+    Certified like the IVF family: recall >= 2/10 per query against the
+    exact full-corpus top-10 (4-of-16-probe floor lineage), n_returned
+    derived. The sharper contract — merged-index search EQUALS a
+    from-scratch rebuild with the same centroids, bit-for-bit, and a
+    planted batch twin IS retrieved from the delta — is pinned by
+    pytest (computing it here would double-execute the pipeline, the
+    r13 ann_ivf_filtered lesson).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
+    batch = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 0)
+    centroids = similarity.train_ivf_centroids(old, n_cells=16)
+    index_path = _work_dir(sf_dir, "_ivf_cell_index")
+    fp_file = os.path.join(index_path, "_SOURCE_FINGERPRINT")
+    fp = _dir_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    cached = False
+    try:
+        with open(fp_file) as fh:
+            cached = fh.read() == fp
+    except OSError:
+        pass
+    if not cached:
+        similarity.ivf_assign_cells(old, centroids).write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(index_path)
+        with open(fp_file, "w") as fh:
+            fh.write(fp)
+    index = spark.read.parquet(index_path).select(
+        "vec_id", "embedding", "cell"
+    )
+    delta = similarity.ivf_assign_cells(batch, centroids)
+    merged = index.unionByName(delta)
+    q = _query_vectors(spark, sf_dir)
+    ann = similarity.ivf_search_index(merged, q, centroids, k=10, n_probe=4)
+    return _certify_recall(emb, q, ann, floor=2)

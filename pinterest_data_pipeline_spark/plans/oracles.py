@@ -7264,3 +7264,17 @@ oracle("dedup_incremental_batch")(
     LEFT JOIN bestid i ON d.doc_id = i.bid
     """
 )
+
+oracle("ann_ivf_incremental_upsert")(
+    # Same derived-n_returned discipline as the IVF oracle; same probe
+    # density PRECONDITION (4 of 16 cells hold >= k non-query vectors
+    # from sf0.001 up). The incremental-specific contracts — merged
+    # search == from-scratch rebuild, delta visibility — are pytest-
+    # pinned (no SQL engine can replay the IVF probe).
+    """
+    SELECT vec_id AS query_id,
+           least(10, (SELECT count(*) - 1 FROM embeddings))::BIGINT AS n_returned,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 3 ORDER BY query_id
+    """
+)

@@ -373,3 +373,73 @@ def test_incremental_store_fingerprint_cache(spark, tmp_path):
     )
     assert rebuilt > built_at, "store not rebuilt after source change"
     shutil.rmtree(store, ignore_errors=True)
+
+
+# --- incremental IVF index upsert (the ANN incremental twin) ------------------
+
+
+def test_ivf_upsert_merged_equals_full_rebuild(spark):
+    """The sharp incremental contract: searching (prebuilt index UNION
+    batch delta) equals a from-scratch assignment of the whole corpus
+    with the SAME centroids, bit-for-bit — same kernel, same centroids,
+    same cells, same candidates, same ranking."""
+    from pinterest_data_pipeline_spark.operators import similarity
+    from pinterest_data_pipeline_spark.session import load_table
+    from pinterest_data_pipeline_spark.plans.extensions import _query_vectors
+
+    emb = load_table(spark, SF001, "embeddings")
+    old = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
+    batch = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 0)
+    cents = similarity.train_ivf_centroids(old, n_cells=16)
+    q = _query_vectors(spark, SF001)
+    merged = similarity.ivf_assign_cells(old, cents).unionByName(
+        similarity.ivf_assign_cells(batch, cents)
+    )
+    inc = similarity.ivf_search_index(merged, q, cents, k=10, n_probe=4)
+    full = similarity.ivf_topk(emb, q, cents, k=10, n_probe=4)
+    a = sorted(map(tuple, inc.collect()))
+    b = sorted(map(tuple, full.collect()))
+    assert a == b and len(a) == 30
+
+
+def test_ivf_upsert_delta_is_searchable(spark):
+    """Delta visibility: a planted batch vector that is the near-exact
+    twin of a query vector comes back rank-1 from the merged index —
+    new vectors are retrievable without a rebuild."""
+    from pinterest_data_pipeline_spark.operators import similarity
+    from pinterest_data_pipeline_spark.session import load_table
+    from pinterest_data_pipeline_spark.plans.extensions import _query_vectors
+
+    emb = load_table(spark, SF001, "embeddings")
+    old = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
+    cents = similarity.train_ivf_centroids(old, n_cells=16)
+    q = _query_vectors(spark, SF001)
+    # the planted twin: query 0's own vector under a fresh id ending in 0
+    twin = q.filter(F.col("vec_id") == 0).select(
+        F.lit(1_000_000_000).alias("vec_id"), F.col("embedding")
+    )
+    merged = similarity.ivf_assign_cells(old, cents).unionByName(
+        similarity.ivf_assign_cells(twin, cents)
+    )
+    got = (
+        similarity.ivf_search_index(merged, q, cents, k=10, n_probe=4)
+        .filter((F.col("query_id") == 0) & (F.col("rank") == 1))
+        .collect()
+    )
+    assert len(got) == 1 and got[0]["vec_id"] == 1_000_000_000
+    assert got[0]["cosine_sim"] == 1.0
+
+
+def test_ivf_upsert_index_scan_is_partition_pruned(spark):
+    """The 100 TB layout made real: the registered query's index parquet
+    is partitioned by cell, and the probe join injects a
+    dynamicpruningexpression into the index scan — unprobed cell
+    partitions are never read."""
+    QUERIES["ann_ivf_incremental_upsert"](spark, SF001).collect()  # build index
+    from pinterest_data_pipeline_spark.plans import extensions as ext
+
+    index_path = ext._work_dir(SF001, "_ivf_cell_index")
+    assert any(f.startswith("cell=") for f in os.listdir(index_path))
+    df = QUERIES["ann_ivf_incremental_upsert"](spark, SF001)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
