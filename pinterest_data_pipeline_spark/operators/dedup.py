@@ -327,6 +327,69 @@ def incremental_candidates(
     return cand_store.unionByName(cand_batch)
 
 
+def incremental_verified_pairs(
+    batch: DataFrame,
+    batch_sigs: DataFrame,
+    store_sigs: DataFrame,
+    store_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard-verified near-dup pairs involving a batch:
+    ``(bid, oid, partner_in_store, j)`` with ``j >= threshold``.
+
+    Candidates via :func:`incremental_candidates` (persisted: consumed by
+    the fetch semi-joins AND the verify join); verification recomputes
+    shingles for the batch plus the candidate-touched store docs ONLY
+    (semi-join-targeted fetch). Shared verify stage of the incremental
+    family: the dedup decision operator and the incremental cluster
+    maintenance both consume this frame."""
+    cands = persist_scoped(
+        incremental_candidates(batch_sigs, store_sigs, id_col, k, bands),
+        "incr_cands",
+    )
+    batch_sets = shingle_sets(batch, text_col, id_col, shingle_n)
+    store_cand_ids = cands.filter("partner_in_store").select(
+        F.col("oid").alias(id_col)
+    ).distinct()
+    store_sets = shingle_sets(
+        store_docs.join(store_cand_ids, id_col, "left_semi"),
+        text_col,
+        id_col,
+        shingle_n,
+    )
+    partner_sets = store_sets.unionByName(
+        batch_sets.join(
+            cands.filter(~F.col("partner_in_store"))
+            .select(F.col("oid").alias(id_col))
+            .distinct(),
+            id_col,
+            "left_semi",
+        )
+    )
+    return (
+        cands.join(
+            batch_sets.select(
+                F.col(id_col).alias("bid"),
+                F.col("shingle_set").alias("set_b"),
+            ),
+            "bid",
+        )
+        .join(
+            partner_sets.select(
+                F.col(id_col).alias("oid"), F.col("shingle_set").alias("set_o")
+            ),
+            "oid",
+        )
+        .withColumn("j", F.round(jaccard(F.col("set_b"), F.col("set_o")), 4))
+        .filter(F.col("j") >= threshold)
+    )
+
+
 def incremental_minhash_dedup(
     batch: DataFrame,
     store_sigs: DataFrame,
@@ -372,47 +435,9 @@ def incremental_minhash_dedup(
         minhash_signatures(batch, text_col, id_col, shingle_n, k),
         "incr_batch_sigs",
     )
-    cands = persist_scoped(
-        incremental_candidates(batch_sigs, store_sigs, id_col, k, bands),
-        "incr_cands",
-    )
-    # exact-Jaccard verify on candidates only: batch shingles in full
-    # (the batch is small), store shingles via semi-join-targeted fetch
-    batch_sets = shingle_sets(batch, text_col, id_col, shingle_n)
-    store_cand_ids = cands.filter("partner_in_store").select(
-        F.col("oid").alias(id_col)
-    ).distinct()
-    store_sets = shingle_sets(
-        store_docs.join(store_cand_ids, id_col, "left_semi"),
-        text_col,
-        id_col,
-        shingle_n,
-    )
-    partner_sets = store_sets.unionByName(
-        batch_sets.join(
-            cands.filter(~F.col("partner_in_store"))
-            .select(F.col("oid").alias(id_col))
-            .distinct(),
-            id_col,
-            "left_semi",
-        )
-    )
-    scored = (
-        cands.join(
-            batch_sets.select(
-                F.col(id_col).alias("bid"),
-                F.col("shingle_set").alias("set_b"),
-            ),
-            "bid",
-        )
-        .join(
-            partner_sets.select(
-                F.col(id_col).alias("oid"), F.col("shingle_set").alias("set_o")
-            ),
-            "oid",
-        )
-        .withColumn("j", F.round(jaccard(F.col("set_b"), F.col("set_o")), 4))
-        .filter(F.col("j") >= threshold)
+    scored = incremental_verified_pairs(
+        batch, batch_sigs, store_sigs, store_docs,
+        text_col, id_col, shingle_n, k, bands, threshold,
     )
     # best displacing partner: max jaccard, ties to the SMALLEST partner
     # id — struct max over (j, -oid) is one aggregate, engine-exact on
@@ -540,6 +565,85 @@ def cluster_pairs(
     return labels.select(
         F.col("node").alias("member_id"), F.col("label").alias("cluster_id")
     )
+
+
+def incremental_cluster_update(
+    clusters: DataFrame,
+    new_pairs: DataFrame,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Merge a batch of new near-dup pairs into an existing
+    ``(member_id, cluster_id)`` table WITHOUT re-clustering the corpus
+    graph — the third store of the incremental family (signature store,
+    ANN index, cluster table).
+
+    Contraction argument (why incremental == full): every existing
+    component is connectivity-equivalent to its star (member -> root),
+    and each root is its component's MINIMUM id (the canonical-label
+    invariant ``cluster_pairs`` maintains), so connected components over
+    the CONTRACTED new edges — endpoints replaced by their existing
+    roots where known — produce exactly the labels a full recompute
+    over (old pairs UNION new pairs) would. Pinned by pytest and by the
+    registered query's recompute-from-scratch DuckDB dual.
+
+    Scale shape: the corpus-scale clusters table is only SCANNED (root
+    lookup probed by the BROADCAST endpoint set; final remap against the
+    BROADCAST root-change map — the table itself never shuffles); the
+    iterative label propagation runs on the contracted batch graph only,
+    O(new pairs) per round, never the corpus. Returns (member_id,
+    cluster_id) covering all old members plus the new-pair endpoints.
+    """
+    ids = (
+        new_pairs.select(F.col("id_a").alias("_e"))
+        .union(new_pairs.select(F.col("id_b")))
+        .distinct()
+    )
+    # root lookup: broadcast the endpoint set into the clusters scan
+    roots = persist_scoped(
+        clusters.join(
+            F.broadcast(ids),
+            clusters["member_id"] == ids["_e"],
+        ).select(F.col("_e"), F.col("cluster_id").alias("_r")),
+        "incr_cc_roots",
+    )
+    ra = roots.select(F.col("_e").alias("id_a"), F.col("_r").alias("_ra"))
+    rb = roots.select(F.col("_e").alias("id_b"), F.col("_r").alias("_rb"))
+    contracted = (
+        new_pairs.join(F.broadcast(ra), "id_a", "left")
+        .join(F.broadcast(rb), "id_b", "left")
+        .select(
+            F.coalesce("_ra", F.col("id_a")).alias("id_a"),
+            F.coalesce("_rb", F.col("id_b")).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+    sub = persist_scoped(
+        cluster_pairs(contracted, max_iters), "incr_cc_sub"
+    )
+    # old members remap through the root-change map (keyed on their old
+    # label: only old ROOTS appear as keys — new ids can never collide
+    # with an old label because ids are globally unique)
+    remap = sub.select(
+        F.col("member_id").alias("cluster_id"),
+        F.col("cluster_id").alias("_new"),
+    )
+    updated_old = clusters.join(F.broadcast(remap), "cluster_id", "left").select(
+        "member_id",
+        F.coalesce("_new", F.col("cluster_id")).alias("cluster_id"),
+    )
+    # endpoints with no existing cluster row (batch docs, old singletons)
+    # take their contracted label; isolated ones keep themselves
+    fresh = (
+        ids.join(F.broadcast(roots.select("_e")), "_e", "left_anti")
+        .select(F.col("_e").alias("member_id"))
+        .join(sub, "member_id", "left")
+        .select(
+            "member_id",
+            F.coalesce("cluster_id", "member_id").alias("cluster_id"),
+        )
+    )
+    return updated_old.unionByName(fresh)
 
 
 def near_duplicate_clusters(

@@ -223,8 +223,9 @@ def dedup_simhash_near_duplicates_stable(spark: SparkSession, sf_dir: str) -> Da
 @query
 def dedup_near_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup decision: MinHash pairs -> connected
-    components -> (doc, cluster, keep). Iterative label propagation —
-    rows-only (not SQL-expressible); component semantics pinned by pytest.
+    components -> (doc, cluster, keep). Iterative label propagation on
+    the Spark side; EXACTLY oracled since r2 by the recursive-CTE
+    transitive closure over the exhaustive >=0.3 Jaccard pair set.
     Unsorted on purpose — see ``dedup_minhash_near_duplicates``."""
     docs = load_documents(spark, sf_dir)
     return dedup.near_duplicate_clusters(docs, "text", "doc_id", threshold=0.3)
@@ -7632,6 +7633,29 @@ def _part_fingerprint(sf_dir: str) -> str:
     return _dir_fingerprint(os.path.join(sf_dir, "part.parquet"))
 
 
+def _cached_store(spark, sf_dir: str, name: str, source_file: str, write):
+    """Fingerprint-cached parquet work-dir store — the shared 'prebuilt
+    and amortized' shape of the incremental family (signature store, IVF
+    index, cluster table): ``write(path)`` runs only when the source
+    parquet's size/mtime fingerprint changed; otherwise the store is
+    read back as-is. The fingerprint file starts with '_' so parquet
+    readers ignore it."""
+    path = _work_dir(sf_dir, name)
+    fp_file = os.path.join(path, "_SOURCE_FINGERPRINT")
+    fp = _dir_fingerprint(os.path.join(sf_dir, source_file))
+    cached = False
+    try:
+        with open(fp_file) as fh:
+            cached = fh.read() == fp
+    except OSError:
+        pass
+    if not cached:
+        write(path)
+        with open(fp_file, "w") as fh:
+            fh.write(fp)
+    return spark.read.parquet(path)
+
+
 def fs_linkage_weights(
     spark: SparkSession,
     sf_dir: str,
@@ -8976,26 +9000,14 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_documents(spark, sf_dir)
     batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
     store_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
-    store_path = _work_dir(sf_dir, "_incr_sig_store")
     # the store is PREBUILT in production and amortized over every
-    # arriving batch, so the build is fingerprint-cached (source parquet
-    # size+mtime, the FS-planner memo discipline): only the first run at
-    # a given corpus pays it, and a changed corpus rebuilds
-    fp_file = os.path.join(store_path, "_SOURCE_FINGERPRINT")
-    fp = _dir_fingerprint(os.path.join(sf_dir, "documents.parquet"))
-    cached = False
-    try:
-        with open(fp_file) as fh:
-            cached = fh.read() == fp
-    except OSError:
-        pass
-    if not cached:
-        dedup.minhash_signatures(store_docs, "text", "doc_id").write.mode(
-            "overwrite"
-        ).parquet(store_path)
-        with open(fp_file, "w") as fh:
-            fh.write(fp)
-    store_sigs = spark.read.parquet(store_path)
+    # arriving batch, so the build is fingerprint-cached: only the first
+    # run at a given corpus pays it, and a changed corpus rebuilds
+    store_sigs = _cached_store(
+        spark, sf_dir, "_incr_sig_store", "documents.parquet",
+        lambda path: dedup.minhash_signatures(store_docs, "text", "doc_id")
+        .write.mode("overwrite").parquet(path),
+    )
     decisions, _delta = dedup.incremental_minhash_dedup(
         batch, store_sigs, store_docs, "text", "doc_id", threshold=0.3
     )
@@ -9034,26 +9046,72 @@ def ann_ivf_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
     batch = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 0)
     centroids = similarity.train_ivf_centroids(old, n_cells=16)
-    index_path = _work_dir(sf_dir, "_ivf_cell_index")
-    fp_file = os.path.join(index_path, "_SOURCE_FINGERPRINT")
-    fp = _dir_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
-    cached = False
-    try:
-        with open(fp_file) as fh:
-            cached = fh.read() == fp
-    except OSError:
-        pass
-    if not cached:
-        similarity.ivf_assign_cells(old, centroids).write.mode(
-            "overwrite"
-        ).partitionBy("cell").parquet(index_path)
-        with open(fp_file, "w") as fh:
-            fh.write(fp)
-    index = spark.read.parquet(index_path).select(
-        "vec_id", "embedding", "cell"
-    )
+    index = _cached_store(
+        spark, sf_dir, "_ivf_cell_index", "embeddings.parquet",
+        lambda path: similarity.ivf_assign_cells(old, centroids)
+        .write.mode("overwrite").partitionBy("cell").parquet(path),
+    ).select("vec_id", "embedding", "cell")
     delta = similarity.ivf_assign_cells(batch, centroids)
     merged = index.unionByName(delta)
     q = _query_vectors(spark, sf_dir)
     ann = similarity.ivf_search_index(merged, q, centroids, k=10, n_probe=4)
     return _certify_recall(emb, q, ann, floor=2)
+
+
+@query
+def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup CLUSTER maintenance — the third store of the
+    incremental family (signature store, IVF index, cluster table): a
+    new batch's verified pairs merge into the persisted cluster table
+    via :func:`~..operators.dedup.incremental_cluster_update` (root
+    contraction + connected components on the contracted batch graph
+    only), and the output must equal ``dedup_near_duplicate_clusters``'s
+    full recompute EXACTLY — same (doc_id, cluster_id, keep) rows, same
+    min-id canonical labels — so the DuckDB dual is literally the full
+    query's recursive-CTE closure: incremental == full is the
+    driver-checked contract, not a pytest-only claim.
+
+    Both stores are fingerprint-cached parquet (signatures shared with
+    ``dedup_incremental_batch``; the cluster table built once from
+    store-only pairs). The timed arrival path is O(batch + touched):
+    batch signatures, broadcast-probed store scan, candidate verify,
+    contracted CC, one broadcast-remap scan of the cluster table.
+    """
+    docs = load_documents(spark, sf_dir)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    store_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    store_sigs = _cached_store(
+        spark, sf_dir, "_incr_sig_store", "documents.parquet",
+        lambda path: dedup.minhash_signatures(store_docs, "text", "doc_id")
+        .write.mode("overwrite").parquet(path),
+    )
+    clusters = _cached_store(
+        spark, sf_dir, "_incr_cluster_store", "documents.parquet",
+        lambda path: dedup.cluster_pairs(
+            dedup.minhash_near_duplicates(
+                store_docs, "text", "doc_id", threshold=0.3
+            ).select("id_a", "id_b")
+        ).write.mode("overwrite").parquet(path),
+    )
+    batch_sigs = persist_scoped(
+        dedup.minhash_signatures(batch, "text", "doc_id"),
+        "incr_cc_batch_sigs",
+    )
+    new_pairs = dedup.incremental_verified_pairs(
+        batch, batch_sigs, store_sigs, store_docs,
+        "text", "doc_id", threshold=0.3,
+    ).select(F.col("bid").alias("id_a"), F.col("oid").alias("id_b"))
+    updated = dedup.incremental_cluster_update(clusters, new_pairs)
+    return (
+        docs.select("doc_id")
+        .join(
+            updated.withColumnRenamed("member_id", "doc_id"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+    )

@@ -7278,3 +7278,8 @@ oracle("ann_ivf_incremental_upsert")(
     FROM embeddings WHERE vec_id < 3 ORDER BY query_id
     """
 )
+
+# Incremental cluster maintenance must equal the full recompute EXACTLY,
+# so its dual IS the full query's recursive-CTE closure (same SQL text:
+# the strongest possible incremental == full statement).
+ORACLES["dedup_incremental_clusters"] = ORACLES["dedup_near_duplicate_clusters"]

@@ -443,3 +443,93 @@ def test_ivf_upsert_index_scan_is_partition_pruned(spark):
     df = QUERIES["ann_ivf_incremental_upsert"](spark, SF001)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+# --- incremental cluster maintenance ------------------------------------------
+
+
+def test_incremental_cluster_update_crafted_shapes(spark):
+    """Root contraction over crafted shapes: a new edge bridging two old
+    clusters merges them under the global min; a pair of brand-new docs
+    forms its own cluster; an old singleton joining a new doc clusters
+    under the smaller id; untouched clusters pass through unchanged."""
+    from pinterest_data_pipeline_spark.operators import dedup
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (5, 1), (2, 2), (9, 2), (40, 40), (41, 40)],
+        "member_id long, cluster_id long",
+    )
+    new_pairs = spark.createDataFrame(
+        [(5, 9), (100, 101), (3, 200)], "id_a long, id_b long"
+    )
+    got = {
+        r["member_id"]: r["cluster_id"]
+        for r in dedup.incremental_cluster_update(clusters, new_pairs).collect()
+    }
+    assert got == {
+        1: 1, 5: 1, 2: 1, 9: 1,       # bridged: merged under global min 1
+        40: 40, 41: 40,               # untouched cluster passes through
+        100: 100, 101: 100,           # brand-new pair
+        3: 3, 200: 3,                 # old singleton + new doc
+    }, got
+
+
+def test_incremental_clusters_query_equals_full_recompute(spark):
+    """The registered incremental query's rows equal the full-recompute
+    query's rows EXACTLY at sf0.001 — the same contract its shared
+    DuckDB dual states, verified engine-side too."""
+    inc = sorted(
+        map(tuple, QUERIES["dedup_incremental_clusters"](spark, SF001).collect())
+    )
+    full = sorted(
+        map(tuple, QUERIES["dedup_near_duplicate_clusters"](spark, SF001).collect())
+    )
+    assert inc == full and len(inc) > 0
+
+
+def test_incremental_cluster_table_never_broadcast(spark, tmp_path):
+    """The corpus-scale cluster table is only scanned: no plan may put
+    it under a BroadcastExchange (endpoint set and remap are the
+    broadcast sides)."""
+    import os
+
+    from pinterest_data_pipeline_spark.operators import dedup
+
+    store = os.path.join(str(tmp_path), "cluster_table")
+    spark.range(10_000).select(
+        F.col("id").alias("member_id"),
+        (F.col("id") - F.col("id") % 2).alias("cluster_id"),
+    ).write.parquet(store)
+    clusters = spark.read.parquet(store)
+    new_pairs = spark.createDataFrame(
+        [(4, 6), (11, 9001)], "id_a long, id_b long"
+    )
+    out = dedup.incremental_cluster_update(clusters, new_pairs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # broadcast sides may LEGITIMATELY mention the table inside an
+    # InMemoryRelation node — that is the persisted bounded root-lookup
+    # frame printing its (already materialized) build lineage. What must
+    # never appear is a LIVE cluster-table FileScan under a
+    # BroadcastExchange: that would rebuild/broadcast corpus-scale data.
+    lines = plan.splitlines()
+    inside, depth = False, 0
+    imr_depth = None
+    for ln in lines:
+        indent = len(ln) - len(ln.lstrip(" +-:*("))
+        if inside and indent <= depth:
+            inside, imr_depth = False, None
+        if imr_depth is not None and indent <= imr_depth:
+            imr_depth = None
+        if "BroadcastExchange" in ln:
+            inside, depth = True, indent
+            continue
+        if inside and imr_depth is None and "InMemoryRelation" in ln:
+            imr_depth = indent
+            continue
+        if inside and imr_depth is None:
+            assert "cluster_table" not in ln, (
+                "live cluster-table scan under a BroadcastExchange:\n" + plan
+            )
+    # and the persisted root-lookup frame IS what the broadcasts carry
+    assert "InMemoryTableScan" in plan

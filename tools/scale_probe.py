@@ -3110,6 +3110,56 @@ def probe_kaplan_meier_horizon(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
+
+def probe_incremental_clusters(spark, mult: int) -> float:
+    """Incremental cluster maintenance with the STORE multiplied mult x
+    and the BATCH fixed: both prebuilt stores (signatures, cluster
+    table) land in parquet untimed; the timed arrival path is batch
+    signatures + broadcast-probed store scan + verify + contracted CC +
+    one broadcast-remap scan of the cluster table."""
+    from pinterest_data_pipeline_spark.plans.extensions import load_documents
+    from pinterest_data_pipeline_spark.session import persist_scoped
+
+    docs = load_documents(spark, SF)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    store_docs = _salt_text(
+        multiply(
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0),
+            mult,
+            ["doc_id"],
+        ),
+        mult,
+        "doc_id",
+    )
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse", f"_probe_incr_cc_{mult}x",
+    )
+    store_docs.write.mode("overwrite").parquet(os.path.join(out, "docs.parquet"))
+    store_docs = spark.read.parquet(os.path.join(out, "docs.parquet"))
+    dedup.minhash_signatures(store_docs, "text", "doc_id").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "sigs.parquet"))
+    store_sigs = spark.read.parquet(os.path.join(out, "sigs.parquet"))
+    dedup.cluster_pairs(
+        dedup.minhash_near_duplicates(store_docs, "text", "doc_id", threshold=0.3)
+        .select("id_a", "id_b")
+    ).write.mode("overwrite").parquet(os.path.join(out, "clusters.parquet"))
+    clusters = spark.read.parquet(os.path.join(out, "clusters.parquet"))
+    t0 = time.perf_counter()
+    batch_sigs = persist_scoped(
+        dedup.minhash_signatures(batch, "text", "doc_id"), "probe_cc_bsigs"
+    )
+    pairs = dedup.incremental_verified_pairs(
+        batch, batch_sigs, store_sigs, store_docs, "text", "doc_id",
+        threshold=0.3,
+    ).select(F.col("bid").alias("id_a"), F.col("oid").alias("id_b"))
+    dedup.incremental_cluster_update(clusters, pairs).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 PROBES = {
     "kendall_tau": probe_kendall_tau,
     "js_divergence": probe_js_divergence,
@@ -3225,6 +3275,7 @@ PROBES = {
     # round-14 addition (VERDICT r13 item 6): incremental dedup must
     # track the BATCH, not the corpus — the store grows, the batch stays
     "incremental_dedup": probe_incremental_dedup,
+    "incremental_clusters": probe_incremental_clusters,
     "cumulative_users_horizon": probe_cumulative_users_horizon,
     "cusum_horizon": probe_cusum_horizon,
     "kaplan_meier_horizon": probe_kaplan_meier_horizon,
