@@ -571,6 +571,7 @@ def incremental_cluster_update(
     clusters: DataFrame,
     new_pairs: DataFrame,
     max_iters: int = 20,
+    driver_cc_cap: int = 1_000_000,
 ) -> DataFrame:
     """Merge a batch of new near-dup pairs into an existing
     ``(member_id, cluster_id)`` table WITHOUT re-clustering the corpus
@@ -589,9 +590,16 @@ def incremental_cluster_update(
     Scale shape: the corpus-scale clusters table is only SCANNED (root
     lookup probed by the BROADCAST endpoint set; final remap against the
     BROADCAST root-change map — the table itself never shuffles); the
-    iterative label propagation runs on the contracted batch graph only,
-    O(new pairs) per round, never the corpus. Returns (member_id,
-    cluster_id) covering all old members plus the new-pair endpoints.
+    connected components run on the contracted batch graph only,
+    O(new pairs), never the corpus. The contracted graph is COUNTED
+    first (the r13 self-enforcing-guard pattern): at or under
+    ``driver_cc_cap`` edges it is solved by driver-side union-find —
+    one bounded collect, microseconds, versus the iterative distributed
+    loop's per-round job+checkpoint overhead that would dominate a
+    small arrival batch — and above the cap it degrades to
+    :func:`cluster_pairs` (same min-label answers, pinned by pytest).
+    Returns (member_id, cluster_id) covering all old members plus the
+    new-pair endpoints.
     """
     ids = (
         new_pairs.select(F.col("id_a").alias("_e"))
@@ -608,7 +616,7 @@ def incremental_cluster_update(
     )
     ra = roots.select(F.col("_e").alias("id_a"), F.col("_r").alias("_ra"))
     rb = roots.select(F.col("_e").alias("id_b"), F.col("_r").alias("_rb"))
-    contracted = (
+    contracted = persist_scoped(
         new_pairs.join(F.broadcast(ra), "id_a", "left")
         .join(F.broadcast(rb), "id_b", "left")
         .select(
@@ -616,11 +624,36 @@ def incremental_cluster_update(
             F.coalesce("_rb", F.col("id_b")).alias("id_b"),
         )
         .filter(F.col("id_a") != F.col("id_b"))
-        .distinct()
+        .distinct(),
+        "incr_cc_contracted",
     )
-    sub = persist_scoped(
-        cluster_pairs(contracted, max_iters), "incr_cc_sub"
-    )
+    n_edges = contracted.count()  # the guard's one bounded-size probe
+    spark = new_pairs.sparkSession
+    if n_edges <= driver_cc_cap:
+        # driver-side union-find: the collect is bounded by the cap the
+        # count just verified; min-label semantics match cluster_pairs
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for row in contracted.collect():
+            a, b = row["id_a"], row["id_b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra_, rb_ = find(a), find(b)
+            if ra_ != rb_:
+                parent[max(ra_, rb_)] = min(ra_, rb_)
+        labels = [(m, find(m)) for m in parent]
+        sub = spark.createDataFrame(
+            labels or [], "member_id long, cluster_id long"
+        )
+    else:
+        sub = cluster_pairs(contracted, max_iters)
+    sub = persist_scoped(sub, "incr_cc_sub")
     # old members remap through the root-change map (keyed on their old
     # label: only old ROOTS appear as keys — new ids can never collide
     # with an old label because ids are globally unique)

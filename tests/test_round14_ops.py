@@ -533,3 +533,29 @@ def test_incremental_cluster_table_never_broadcast(spark, tmp_path):
             )
     # and the persisted root-lookup frame IS what the broadcasts carry
     assert "InMemoryTableScan" in plan
+
+
+def test_incremental_cluster_driver_and_distributed_cc_agree(spark):
+    """The guarded degrade (r13 pattern): driver-side union-find under
+    the cap and the distributed label-propagation fallback produce the
+    same min-label answers on the same crafted graph."""
+    from pinterest_data_pipeline_spark.operators import dedup
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (5, 1), (2, 2), (9, 2)], "member_id long, cluster_id long"
+    )
+    new_pairs = spark.createDataFrame(
+        [(5, 9), (100, 101), (3, 200), (101, 102)], "id_a long, id_b long"
+    )
+    via_driver = sorted(
+        map(tuple, dedup.incremental_cluster_update(clusters, new_pairs).collect())
+    )
+    via_dist = sorted(
+        map(
+            tuple,
+            dedup.incremental_cluster_update(
+                clusters, new_pairs, driver_cc_cap=0
+            ).collect(),
+        )
+    )
+    assert via_driver == via_dist and len(via_driver) == 9
