@@ -196,6 +196,10 @@ FLAGSHIPS = [
     "events_diff_in_differences",
     "sample_temperature_mix_weights",
     "agg_pearson_matrix",
+    # round-14 births (the incremental-store family)
+    "dedup_incremental_batch",
+    "ann_ivf_incremental_upsert",
+    "dedup_incremental_clusters",
 ]
 
 
