@@ -45,8 +45,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # below (VERDICT r8 item 7 — this window is that tool's output).
 # ROUND-14 ROTATION (tool-proposed): maintenance mode begins — after the
 # r13 drain every oracled query is at least twice driver-certified, so
-# the r14 births (dedup_incremental_batch, ann_ivf_incremental_upsert,
-# dedup_incremental_clusters — seated at birth) and the 5 r13 births (the only owed-seconds entries)
+# the four r14 births (dedup_incremental_batch, ann_ivf_incremental_upsert,
+# dedup_incremental_clusters, sketch_incremental_kmv — seated at birth) and the 5 r13 births (the only owed-seconds entries)
 # take the first seats and the remaining back-fill goes to the STALEST
 # twice-certified queries (last certified r3/r4/r5). From r14 on, births
 # compete with staleness back-fill, not a drain schedule.
@@ -56,6 +56,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_incremental_batch",  # birth
     "ann_ivf_incremental_upsert",  # birth
     "dedup_incremental_clusters",  # birth
+    "sketch_incremental_kmv",  # birth
     "quality_kendall_tau",  # r13
     "quality_js_divergence_sources",  # r13
     "events_diff_in_differences",  # r13
@@ -102,7 +103,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "multimodal_audio_features",  # r4,r5
     "embedding_label_centroids",  # r4,r5
     "streaming_availablenow_events",  # r4,r5
-    "subquery_exists_urgent_customers",  # r4,r5
 )
 
 

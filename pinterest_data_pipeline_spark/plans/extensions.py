@@ -9115,3 +9115,64 @@ def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
     )
+
+
+@query
+def sketch_incremental_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental vocabulary monitoring — the SKETCH member of the
+    incremental-store family: a persisted 64-row KMV sketch of the store
+    corpus's distinct tokens absorbs a new batch by sketch MERGE (k
+    smallest of the hash union), so the store corpus is never re-read on
+    arrival — the arrival path is O(batch tokens) plus a 64-row store
+    read. KMV is closed under union (the k smallest of A∪B lie in the
+    union of each side's k smallest), so the merged sketch equals a
+    from-scratch sketch of the full corpus BIT-FOR-BIT — and the DuckDB
+    dual computes the merged row FROM THE FULL TOKEN SET, making
+    incremental == full the driver-checked contract (the
+    ``dedup_incremental_clusters`` discipline, sketch edition).
+
+    Output: (stage batch/merged/store, n_sketch, kmv_estimate,
+    exact_distinct) — the exact counts are the certification side, as in
+    ``sketch_kmv_distinct_union``; production drops them.
+    """
+    from ..operators import sketches
+
+    k = 64
+    docs = load_documents(spark, sf_dir)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    store_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+
+    def toks(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+
+    store_sketch = _cached_store(
+        spark, sf_dir, "_incr_kmv_store", "documents.parquet",
+        lambda path: sketches.kmv_sketch(toks(store_docs), "token", k=k)
+        .write.mode("overwrite").parquet(path),
+    )
+    batch_sketch = sketches.kmv_sketch(toks(batch), "token", k=k)
+    merged = sketches.kmv_merge(store_sketch, batch_sketch, k=k)
+
+    def labeled(name: str, sketch: DataFrame, exact_src: DataFrame) -> DataFrame:
+        exact = toks(exact_src).agg(
+            F.count_distinct("token").alias("exact_distinct")
+        )
+        return (
+            sketches.kmv_estimate(sketch, k)
+            .crossJoin(exact)
+            .select(
+                F.lit(name).alias("stage"),
+                "n_sketch",
+                "kmv_estimate",
+                F.col("exact_distinct").cast("long"),
+            )
+        )
+
+    return (
+        labeled("batch", batch_sketch, batch)
+        .unionByName(labeled("merged", merged, docs))
+        .unionByName(labeled("store", store_sketch, store_docs))
+        .orderBy("stage")
+    )

@@ -7283,3 +7283,59 @@ oracle("ann_ivf_incremental_upsert")(
 # so its dual IS the full query's recursive-CTE closure (same SQL text:
 # the strongest possible incremental == full statement).
 ORACLES["dedup_incremental_clusters"] = ORACLES["dedup_near_duplicate_clusters"]
+
+oracle("sketch_incremental_kmv")(
+    # Recompute-from-scratch dual: each stage's sketch rebuilt in SQL,
+    # and the MERGED row computed from the FULL token set — valid
+    # because KMV is closed under union (k smallest of A∪B ⊆ union of
+    # each side's k smallest), which is exactly the incremental == full
+    # claim the Spark side makes by merging the persisted store sketch.
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    hb AS (
+        SELECT DISTINCT CAST(('0x' || substring(md5(token || 'kmv'), 1, 8))
+                             AS UBIGINT)::BIGINT AS h
+        FROM toks WHERE doc_id % 10 = 0
+    ),
+    hs AS (
+        SELECT DISTINCT CAST(('0x' || substring(md5(token || 'kmv'), 1, 8))
+                             AS UBIGINT)::BIGINT AS h
+        FROM toks WHERE doc_id % 10 <> 0
+    ),
+    ha AS (
+        SELECT DISTINCT CAST(('0x' || substring(md5(token || 'kmv'), 1, 8))
+                             AS UBIGINT)::BIGINT AS h
+        FROM toks
+    ),
+    sk_b AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+    sk_s AS (SELECT h FROM hs ORDER BY h LIMIT 64),
+    sk_m AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+    est AS (
+        SELECT 'batch' AS stage, count(*)::BIGINT AS n_sketch,
+               round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                          ELSE 63.0 * 4294967296.0 / max(h) END, 4)
+                   AS kmv_estimate,
+               (SELECT count(DISTINCT token) FROM toks
+                WHERE doc_id % 10 = 0)::BIGINT AS exact_distinct
+        FROM sk_b
+        UNION ALL
+        SELECT 'merged', count(*)::BIGINT,
+               round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                          ELSE 63.0 * 4294967296.0 / max(h) END, 4),
+               (SELECT count(DISTINCT token) FROM toks)::BIGINT
+        FROM sk_m
+        UNION ALL
+        SELECT 'store', count(*)::BIGINT,
+               round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                          ELSE 63.0 * 4294967296.0 / max(h) END, 4),
+               (SELECT count(DISTINCT token) FROM toks
+                WHERE doc_id % 10 <> 0)::BIGINT
+        FROM sk_s
+    )
+    SELECT stage, n_sketch, kmv_estimate, exact_distinct FROM est
+    ORDER BY stage
+    """
+)

@@ -559,3 +559,64 @@ def test_incremental_cluster_driver_and_distributed_cc_agree(spark):
         )
     )
     assert via_driver == via_dist and len(via_driver) == 9
+
+
+# --- incremental KMV sketch store ---------------------------------------------
+
+
+def test_incremental_kmv_merge_equals_full_rebuild(spark):
+    """KMV closure under union, engine-side: merging the store sketch
+    with the batch sketch equals a from-scratch sketch of the full
+    corpus BIT-FOR-BIT (hash rows identical, not just the estimate)."""
+    from pinterest_data_pipeline_spark.operators import sketches
+    from pinterest_data_pipeline_spark.plans.extensions import load_documents
+
+    docs = load_documents(spark, SF001)
+
+    def toks(df):
+        return df.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    store = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    merged = sketches.kmv_merge(
+        sketches.kmv_sketch(toks(store), "token", k=64),
+        sketches.kmv_sketch(toks(batch), "token", k=64),
+        k=64,
+    )
+    full = sketches.kmv_sketch(toks(docs), "token", k=64)
+    assert [r["h"] for r in merged.collect()] == [
+        r["h"] for r in full.collect()
+    ]
+
+
+def test_incremental_kmv_arrival_path_never_rereads_store_docs(
+    spark, tmp_path
+):
+    """With the store sketch persisted to parquet, the arrival path's
+    plan scans the BATCH documents only — the store corpus never
+    re-reads (its 64-row sketch does)."""
+    import os
+
+    from pinterest_data_pipeline_spark.operators import sketches
+    from pinterest_data_pipeline_spark.plans.extensions import load_documents
+
+    docs = load_documents(spark, SF001)
+
+    def toks(df):
+        return df.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+
+    store = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    sk_path = os.path.join(str(tmp_path), "kmv_store")
+    sketches.kmv_sketch(toks(store), "token", k=64).write.parquet(sk_path)
+    store_sketch = spark.read.parquet(sk_path)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    merged = sketches.kmv_merge(
+        store_sketch, sketches.kmv_sketch(toks(batch), "token", k=64), k=64
+    )
+    est = sketches.kmv_estimate(merged, 64)
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("documents.parquet") == 1, plan
+    # exactly two parquet scans: the batch documents and the 64-row
+    # store sketch (plan text elides long paths, so count scans rather
+    # than matching the store path)
+    assert plan.count("FileScan parquet") == 2, plan
