@@ -43,66 +43,64 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/check_parity.py). Run `python tools/ledger.py` for the ledger,
 # and `python tools/ledger.py --propose-window` to GENERATE the rotation
 # below (VERDICT r8 item 7 — this window is that tool's output).
-# ROUND-14 ROTATION (tool-proposed): maintenance mode begins — after the
-# r13 drain every oracled query is at least twice driver-certified, so
-# the four r14 births (dedup_incremental_batch, ann_ivf_incremental_upsert,
-# dedup_incremental_clusters, sketch_incremental_kmv — seated at birth) and the 5 r13 births (the only owed-seconds entries)
-# take the first seats and the remaining back-fill goes to the STALEST
-# twice-certified queries (last certified r3/r4/r5). From r14 on, births
-# compete with staleness back-fill, not a drain schedule.
-SEATING_ROUND = 14  # invariant tests evaluate the ledger as of SEATING_ROUND-1
+# ROUND-15 ROTATION (tool-proposed): maintenance mode continues — the
+# four r14 births are the only once-certified (owed-seconds) entries and
+# take the first seats; r15 births seat at birth as they land; the
+# remaining back-fill goes to the STALEST twice-certified queries (the
+# r5/r6-certified block VERDICT r14 item 2 named).
+SEATING_ROUND = 15  # invariant tests evaluate the ledger as of SEATING_ROUND-1
 
 PRIORITY_WINDOW: tuple[str, ...] = (
-    "dedup_incremental_batch",  # birth
-    "ann_ivf_incremental_upsert",  # birth
-    "dedup_incremental_clusters",  # birth
-    "sketch_incremental_kmv",  # birth
-    "quality_kendall_tau",  # r13
-    "quality_js_divergence_sources",  # r13
-    "events_diff_in_differences",  # r13
-    "sample_temperature_mix_weights",  # r13
-    "agg_pearson_matrix",  # r13
-    "events_tumbling_window",  # r2,r3
-    "events_sliding_window",  # r2,r3
-    "reshape_unpivot_part_sizes",  # r1,r2,r3
-    "embedding_near_duplicates_exact",  # r2,r3
-    "multimodal_image_features",  # r2,r3
-    "subquery_correlated_above_nation_avg",  # r2,r3
-    "tpch_q1_pricing_summary",  # r2,r3
-    "tpch_q5_local_supplier_volume",  # r2,r3
-    "quality_expectations_orders",  # r2,r3
-    "q1_top_brand_per_nation",  # r1,r2,r3,r4
-    "clean_part_battery",  # r2,r3,r4
-    "window_order_sequence",  # r1,r4
-    "window_analytics_battery",  # r2,r3,r4
-    "set_ops_intersect",  # r1,r4
-    "agg_cube_flag_status",  # r1,r4
-    "agg_pivot_status_revenue",  # r1,r2,r3,r4
-    "agg_count_distinct",  # r1,r4
-    "events_session_window",  # r2,r3,r4
-    "join_asof_latest_order",  # r2,r3,r4
-    "join_range_ship_window",  # r1,r2,r3,r4
-    "agg_grouping_sets",  # r2,r3,r4
-    "agg_salted_returnflag",  # r1,r2,r3,r4
-    "scalar_map_functions",  # r1,r4
-    "top_k_orders",  # r1,r2,r3,r4
-    "text_analysis_battery",  # r2,r3,r4
-    "text_bpe_token_counts",  # r2,r3,r4
-    "dedup_exact_documents",  # r1,r2,r3,r4
-    "dedup_minhash_near_duplicates",  # r2,r3,r4
-    "dedup_simhash_near_duplicates_stable",  # r2,r3,r4
-    "dedup_near_duplicate_clusters",  # r2,r3,r4
-    "ann_topk_quantized",  # r2,r3,r4
-    "text_sentence_split_udtf",  # r2,r3,r4
-    "pipeline_curate_documents",  # r2,r3,r4
-    "events_user_value_trend",  # r2,r3,r4
-    "merge_upsert_orders",  # r2,r3,r4
-    "scd2_customer_segments",  # r2,r3,r4
-    "join_fuzzy_part_names",  # r2,r3,r4
-    "embedding_near_duplicates",  # r4,r5
-    "multimodal_audio_features",  # r4,r5
-    "embedding_label_centroids",  # r4,r5
-    "streaming_availablenow_events",  # r4,r5
+    "dedup_incremental_batch",  # r14
+    "ann_ivf_incremental_upsert",  # r14
+    "dedup_incremental_clusters",  # r14
+    "sketch_incremental_kmv",  # r14
+    "subquery_exists_urgent_customers",  # r4,r5
+    "subquery_in_heavy_parts",  # r4,r5
+    "subquery_scalar_above_avg_price",  # r4,r5
+    "scalar_date_functions",  # r4,r5
+    "scalar_string_functions",  # r4,r5
+    "tpch_q3_shipping_priority",  # r4,r5
+    "events_view_purchase_attribution",  # r4,r5
+    "json_variant_extract_props",  # r4,r5
+    "json_variant_grouped_stats",  # r4,r5
+    "events_resample_ffill",  # r4,r5
+    "anomaly_zscore_events",  # r4,r5
+    "quality_referential_integrity",  # r4,r5
+    "array_hof_battery",  # r4,r5
+    "tpch_q18_large_orders",  # r4,r5
+    "tpch_q9_product_type_profit",  # r4,r5
+    "tpch_q21_waiting_suppliers",  # r4,r5
+    "tpch_q2_min_cost_supplier",  # r4,r5
+    "sample_hash_split_counts",  # r5,r6
+    "sample_hash_split_membership",  # r5,r6
+    "sample_per_lang_cap",  # r5,r6
+    "ann_topk_cosine",  # r5,r6
+    "text_normalization_collapse",  # r5,r6
+    "text_normalized_keys",  # r5,r6
+    "pack_sequences_documents",  # r5,r6
+    "text_chunk_sliding",  # r5,r6
+    "tfidf_top_terms",  # r5,r6
+    "multimodal_video_frames",  # r5,r6
+    "dedup_cluster_canonical",  # r5,r6
+    "tpch_q10_returned_items",  # r5,r6
+    "tpch_q4_order_priority",  # r5,r6
+    "tpch_q7_volume_shipping",  # r5,r6
+    "tpch_q8_market_share",  # r5,r6
+    "tpch_q13_customer_distribution",  # r5,r6
+    "tpch_q15_top_supplier",  # r5,r6
+    "tpch_q16_supplier_part_counts",  # r5,r6
+    "tpch_q17_small_quantity_revenue",  # r5,r6
+    "tpch_q20_promotion_suppliers",  # r5,r6
+    "tpch_q22_dormant_customers",  # r5,r6
+    "tpch_q11_important_stock",  # r5,r6
+    "events_resample_interpolate",  # r5,r6
+    "window_time_range_frame",  # r5,r6
+    "join_bucketed_colocated",  # r5,r6
+    "clean_normalize_nulls_documents",  # r1,r7
+    "clean_parse_human_count_part",  # r1,r7
+    "clean_strip_prefix_part",  # r1,r7
+    "clean_distinct_flag_status",  # r1,r7
 )
 
 
