@@ -1,0 +1,186 @@
+"""Round-15 tests: size-guarded BATCH-side broadcasts in the
+incremental-store family (VERDICT r14 item 1).
+
+The r14 births protected the STORE side contractually (never broadcast,
+never shuffled), but the arrival batch's endpoint/bucket/remap frames
+were wrapped in unconditional ``F.broadcast(...)`` — the r12
+driver-killer class one config away (a day's landing at 100 TB is not
+always broadcast-sized). The fix is the established self-enforcing
+pattern: count the batch-derived frame once, broadcast at or under
+``BATCH_BROADCAST_CAP`` rows, degrade to a sort-merge join above it.
+These tests pin the plan shape on BOTH sides of the cap and that the
+results are identical either way.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.operators import dedup
+from pinterest_data_pipeline_spark.plans.extensions import load_documents
+from pinterest_data_pipeline_spark.session import release_scoped
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _sig_fixtures(spark, tmp_path):
+    docs = load_documents(spark, SF001)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    store_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    store_path = os.path.join(str(tmp_path), "sig_store")
+    dedup.minhash_signatures(store_docs, "text", "doc_id").write.parquet(
+        store_path
+    )
+    store_sigs = spark.read.parquet(store_path)
+    batch_sigs = dedup.minhash_signatures(batch, "text", "doc_id")
+    return batch_sigs, store_sigs
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+class _no_auto_broadcast:
+    """Disable size-based auto-broadcast so the only possible
+    BroadcastExchange in a plan is a FORCED hint — exactly what the guard
+    must not emit above the cap. (Planner-chosen broadcasts are size-aware
+    already and out of the guard's scope.)"""
+
+    KEYS = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.old = {}
+        for k in self.KEYS:
+            try:
+                self.old[k] = self.spark.conf.get(k)
+            except Exception:
+                self.old[k] = None
+            self.spark.conf.set(k, "-1")
+
+    def __exit__(self, *exc):
+        for k, v in self.old.items():
+            if v is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, v)
+
+
+def test_incremental_candidates_broadcast_guard_both_sides(spark, tmp_path):
+    """Below the cap the batch bucket keys broadcast (the r14 contract);
+    with the cap forced to 0 the probe join degrades to sort-merge — NO
+    BroadcastExchange anywhere in the plan — and the candidate set is
+    identical."""
+    batch_sigs, store_sigs = _sig_fixtures(spark, tmp_path)
+
+    under = dedup.incremental_candidates(batch_sigs, store_sigs, "doc_id")
+    plan_under = under._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan_under  # batch-side broadcast kept
+
+    with _no_auto_broadcast(spark):
+        over = dedup.incremental_candidates(
+            batch_sigs, store_sigs, "doc_id", batch_broadcast_cap=0
+        )
+        plan_over = over._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan_over, (
+            "above-cap candidates must not force a broadcast:\n" + plan_over
+        )
+        assert "SortMergeJoin" in plan_over
+        assert "CartesianProduct" not in plan_over
+        rows_over = _rows(over)
+
+    assert _rows(under) == rows_over
+
+
+def test_incremental_dedup_above_cap_matches_below(spark, tmp_path):
+    """End-to-end: incremental_minhash_dedup decisions + store delta are
+    identical with the batch broadcast cap forced to 0 (every batch-side
+    frame takes the shuffle path)."""
+    docs = load_documents(spark, SF001)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    store_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    store_path = os.path.join(str(tmp_path), "sig_store")
+    dedup.minhash_signatures(store_docs, "text", "doc_id").write.parquet(
+        store_path
+    )
+    store_sigs = spark.read.parquet(store_path)
+
+    d_under, delta_under = dedup.incremental_minhash_dedup(
+        batch, store_sigs, store_docs, "text", "doc_id", threshold=0.3
+    )
+    d_over, delta_over = dedup.incremental_minhash_dedup(
+        batch, store_sigs, store_docs, "text", "doc_id", threshold=0.3,
+        batch_broadcast_cap=0,
+    )
+    assert _rows(d_under) == _rows(d_over)
+    assert _rows(delta_under.select("doc_id")) == _rows(
+        delta_over.select("doc_id")
+    )
+
+
+def test_incremental_cluster_update_broadcast_guard_both_sides(spark):
+    """Below the cap the endpoint/root/remap frames broadcast; with the
+    cap forced to 0 the whole update plans with ZERO BroadcastExchange
+    nodes (every batch-side join degrades to sort-merge) and the labels
+    are identical. The distributed-CC branch is forced too
+    (driver_cc_cap=0) so the above-cap plan is the fully distributed
+    posture end-to-end."""
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5), (6, 5), (9, 9)],
+        "member_id long, cluster_id long",
+    )
+    new_pairs = spark.createDataFrame(
+        [(2, 5), (9, 30), (40, 41)], "id_a long, id_b long"
+    )
+
+    under = dedup.incremental_cluster_update(clusters, new_pairs)
+    plan_under = under._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan_under
+
+    # drop the under-cap run's scoped caches: persist_scoped would hand the
+    # over-cap run the SAME cached frames (hints don't change sameResult)
+    # and their printed lineage still contains the old broadcast plan
+    release_scoped()
+    with _no_auto_broadcast(spark):
+        over = dedup.incremental_cluster_update(
+            clusters, new_pairs, driver_cc_cap=0, batch_broadcast_cap=0
+        )
+        plan_over = over._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan_over, (
+            "above-cap cluster update must not force a broadcast:\n"
+            + plan_over
+        )
+        assert "CartesianProduct" not in plan_over
+        rows_over = _rows(over)
+
+    expected = {
+        (1, 1), (2, 1), (5, 1), (6, 1),  # merged 1-cluster via 2-5
+        (9, 9), (30, 9),                  # 30 joins 9's cluster
+        (40, 40), (41, 40),               # fresh pair, min-id label
+    }
+    assert _rows(under) == expected
+    assert rows_over == expected
+
+
+def test_driver_union_find_collects_arrow_not_rows(spark):
+    """ADVICE r14: the under-cap CC path must collect the contracted
+    edges as Arrow columns (bounded, compact), not Row objects. Pinned
+    behaviorally: the answer equals the distributed path on a chain that
+    exercises path compression."""
+    clusters = spark.createDataFrame([], "member_id long, cluster_id long")
+    # 16-edge chain: path compression exercised; diameter stays inside
+    # cluster_pairs' max_iters so the distributed dual converges too
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 116)], "id_a long, id_b long"
+    )
+    fast = dedup.incremental_cluster_update(clusters, chain)
+    slow = dedup.incremental_cluster_update(clusters, chain, driver_cc_cap=0)
+    assert _rows(fast) == _rows(slow)
+    assert {r for r in _rows(fast) if r[0] == 115} == {(115, 100)}
