@@ -316,23 +316,50 @@ def main() -> None:
         json.dump(single_run, f, indent=1, sort_keys=True)
         f.write("\n")
 
+    # Calibration PROVENANCE (VERDICT r14 item 1 of "What's wrong"): the
+    # merged mins come from runs on boxes with DIFFERENT calib rates, so
+    # the detail artifact records, per query, the calib_total of the RUN
+    # whose min was kept (query_calib) plus the list of all merged runs'
+    # calibs (run_calibs) and their min (best_calib). Cross-round
+    # normalization is then derivable from the committed tree alone:
+    #   normalized(q) = queries[q] / query_calib[q]
+    # and two rounds compare as normalized_rN(q) / normalized_rM(q) —
+    # never divide a merged min by the LAST run's calib (that fabricated
+    # a ~25% phantom regression in the r13->r14 comparison).
     detail_path = os.path.join(here, "BENCH_DETAIL.json")
+    this_calib = calibration["calib_total"]
     merged = dict(timings)
+    query_calib = {q: this_calib for q in timings}
+    run_calibs = [this_calib]
     try:
         with open(detail_path) as f:
             prior = json.load(f)
         if prior.get("round") == round_n:
+            prior_fallback_calib = prior.get("calibration", {}).get(
+                "calib_total"
+            )
+            prior_query_calib = prior.get("query_calib", {})
+            run_calibs = prior.get("run_calibs", [prior_fallback_calib]) + [
+                this_calib
+            ]
             for q, t in prior.get("queries", {}).items():
-                if q in merged:
-                    merged[q] = min(merged[q], t)
+                if q in merged and t < merged[q]:
+                    merged[q] = t
+                    query_calib[q] = prior_query_calib.get(
+                        q, prior_fallback_calib
+                    )
     except (OSError, ValueError):
         pass
+    run_calibs = [c for c in run_calibs if c is not None]
     detail = {
         **summary,
         "round": round_n,
         "method": "per-query min across same-round bench.py invocations",
         "value": round(sum(merged.values()), 4),
         "queries": merged,
+        "query_calib": query_calib,
+        "run_calibs": run_calibs,
+        "best_calib": min(run_calibs) if run_calibs else None,
     }
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)

@@ -3843,7 +3843,7 @@ _STAT_FORCE_PROMOTE_ENV = "SPARK_GRAFT_STAT_FORCE_PROMOTE"  # tests: "1"
 _STAT_CEILING_SPEARMAN = 50_000
 _STAT_CEILING_KENDALL = 3_000_000_000
 _STAT_CEILING_MANN_WHITNEY = 2_000_000
-_ROWCOUNT_MEMO: dict[tuple[str, str], int] = {}
+_ROWCOUNT_MEMO: dict[tuple[str, str, str], int] = {}
 
 
 def _stat_sum_type(
@@ -3862,7 +3862,14 @@ def _stat_sum_type(
     count) so the decision never needs a data scan; promotion a little
     early is exactness at a small cost, never an error.
     """
-    key = (sf_dir, table)
+    # the memo key carries the parquet's size/mtime fingerprint (ADVICE
+    # r14): a table regenerated or grown within a live session re-counts
+    # instead of serving a stale 'long' verdict past the real ceiling
+    key = (
+        sf_dir,
+        table,
+        _dir_fingerprint(os.path.join(sf_dir, table + ".parquet")),
+    )
     n = _ROWCOUNT_MEMO.get(key)
     if n is None:
         n = load_table(spark, sf_dir, table).count()
@@ -7633,16 +7640,25 @@ def _part_fingerprint(sf_dir: str) -> str:
     return _dir_fingerprint(os.path.join(sf_dir, "part.parquet"))
 
 
-def _cached_store(spark, sf_dir: str, name: str, source_file: str, write):
+def _cached_store(
+    spark, sf_dir: str, name: str, source_file: str, write, params: str = ""
+):
     """Fingerprint-cached parquet work-dir store — the shared 'prebuilt
     and amortized' shape of the incremental family (signature store, IVF
     index, cluster table): ``write(path)`` runs only when the source
     parquet's size/mtime fingerprint changed; otherwise the store is
     read back as-is. The fingerprint file starts with '_' so parquet
-    readers ignore it."""
+    readers ignore it.
+
+    ``params`` folds the BUILD PARAMETERS (k, bands, n_cells, threshold,
+    centroid seed — whatever shaped the store) into the fingerprint
+    (ADVICE r14): changing an operator default then rebuilds instead of
+    silently serving a stale store from the work dir."""
     path = _work_dir(sf_dir, name)
     fp_file = os.path.join(path, "_SOURCE_FINGERPRINT")
     fp = _dir_fingerprint(os.path.join(sf_dir, source_file))
+    if params:
+        fp = f"{fp}|params={params}"
     cached = False
     try:
         with open(fp_file) as fh:
@@ -9007,6 +9023,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "_incr_sig_store", "documents.parquet",
         lambda path: dedup.minhash_signatures(store_docs, "text", "doc_id")
         .write.mode("overwrite").parquet(path),
+        params="shingle_n=3,k=32",
     )
     decisions, _delta = dedup.incremental_minhash_dedup(
         batch, store_sigs, store_docs, "text", "doc_id", threshold=0.3
@@ -9041,6 +9058,14 @@ def ann_ivf_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted batch twin IS retrieved from the delta — is pinned by
     pytest (computing it here would double-execute the pipeline, the
     r13 ann_ivf_filtered lesson).
+
+    ADVICE r14 strengthening: the row also carries ``exact_top1`` — the
+    exact quantized-cosine nearest neighbor over the FULL (old ∪ batch)
+    corpus — which the DuckDB dual RECOMPUTES by brute force, so the
+    certification row is data-dependent on the merged corpus (the
+    brute-force-expressible part of the contract), not shape-only. The
+    exact frame is persisted and consumed by both the top-1 projection
+    and the recall join — one brute-force pass, not two.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     old = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
@@ -9050,12 +9075,25 @@ def ann_ivf_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "_ivf_cell_index", "embeddings.parquet",
         lambda path: similarity.ivf_assign_cells(old, centroids)
         .write.mode("overwrite").partitionBy("cell").parquet(path),
+        params="n_cells=16",
     ).select("vec_id", "embedding", "cell")
     delta = similarity.ivf_assign_cells(batch, centroids)
     merged = index.unionByName(delta)
     q = _query_vectors(spark, sf_dir)
     ann = similarity.ivf_search_index(merged, q, centroids, k=10, n_probe=4)
-    return _certify_recall(emb, q, ann, floor=2)
+    exact = persist_scoped(
+        similarity.cosine_topk_quantized(emb, q, k=10), "upsert_exact"
+    )
+    top1 = exact.filter(F.col("rank") == 1).select(
+        "query_id", F.col("vec_id").alias("exact_top1")
+    )
+    return (
+        _certify_recall(
+            emb, q, ann, floor=2, exact=exact.select("query_id", "vec_id")
+        )
+        .join(top1, "query_id")
+        .orderBy("query_id")
+    )
 
 
 @query
@@ -9084,6 +9122,7 @@ def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "_incr_sig_store", "documents.parquet",
         lambda path: dedup.minhash_signatures(store_docs, "text", "doc_id")
         .write.mode("overwrite").parquet(path),
+        params="shingle_n=3,k=32",
     )
     clusters = _cached_store(
         spark, sf_dir, "_incr_cluster_store", "documents.parquet",
@@ -9092,6 +9131,7 @@ def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 store_docs, "text", "doc_id", threshold=0.3
             ).select("id_a", "id_b")
         ).write.mode("overwrite").parquet(path),
+        params="threshold=0.3,shingle_n=3,k=32,bands=8",
     )
     batch_sigs = persist_scoped(
         dedup.minhash_signatures(batch, "text", "doc_id"),
@@ -9151,6 +9191,7 @@ def sketch_incremental_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "_incr_kmv_store", "documents.parquet",
         lambda path: sketches.kmv_sketch(toks(store_docs), "token", k=k)
         .write.mode("overwrite").parquet(path),
+        params=f"k={k}",
     )
     batch_sketch = sketches.kmv_sketch(toks(batch), "token", k=k)
     merged = sketches.kmv_merge(store_sketch, batch_sketch, k=k)

@@ -7270,12 +7270,32 @@ oracle("ann_ivf_incremental_upsert")(
     # density PRECONDITION (4 of 16 cells hold >= k non-query vectors
     # from sf0.001 up). The incremental-specific contracts — merged
     # search == from-scratch rebuild, delta visibility — are pytest-
-    # pinned (no SQL engine can replay the IVF probe).
+    # pinned (no SQL engine can replay the IVF probe). ADVICE r14: the
+    # dual RECOMPUTES exact_top1 by brute force over the full merged
+    # corpus (same integer-quantized dot, same tie-break), so the
+    # certification is data-dependent, not shape-only.
     """
-    SELECT vec_id AS query_id,
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3
+    ), pairs AS (
+        SELECT q.query_id, e.vec_id,
+               unnest(list_transform(e.embedding, v -> round(v::double * 1000)::bigint)) AS ev,
+               unnest(list_transform(q.embedding, v -> round(v::double * 1000)::bigint)) AS qv
+        FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+    ), dots AS (
+        SELECT query_id, vec_id, sum(ev * qv)::bigint AS dot_q
+        FROM pairs GROUP BY 1, 2
+    ), top1 AS (
+        SELECT query_id, vec_id AS exact_top1
+        FROM dots
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dot_q DESC, vec_id) = 1
+    )
+    SELECT query_id,
            least(10, (SELECT count(*) - 1 FROM embeddings))::BIGINT AS n_returned,
-           TRUE AS recall_ok
-    FROM embeddings WHERE vec_id < 3 ORDER BY query_id
+           TRUE AS recall_ok,
+           exact_top1
+    FROM top1 ORDER BY query_id
     """
 )
 

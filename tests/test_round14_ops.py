@@ -166,21 +166,32 @@ def test_force_promote_values_match_long_path(
 
 
 def test_rowcount_memo_counts_once(spark):
-    """The guard's base-table count is memoized per (dir, table): a
-    second call must hit the memo (no second count job)."""
+    """The guard's base-table count is memoized per (dir, table, parquet
+    fingerprint): a second call at unchanged data must hit the memo (no
+    second count job), and a CHANGED fingerprint keys a fresh entry
+    (ADVICE r14: a regenerated table re-counts instead of serving a
+    stale ceiling verdict)."""
+    key = (
+        SF001,
+        "part",
+        extensions._dir_fingerprint(os.path.join(SF001, "part.parquet")),
+    )
     extensions._ROWCOUNT_MEMO.clear()
     extensions._stat_sum_type(
         spark, SF001, "part", extensions._STAT_CEILING_SPEARMAN, "t"
     )
-    assert (SF001, "part") in extensions._ROWCOUNT_MEMO
-    sentinel = extensions._ROWCOUNT_MEMO[(SF001, "part")]
+    assert key in extensions._ROWCOUNT_MEMO
+    sentinel = extensions._ROWCOUNT_MEMO[key]
     # poison the memo: if the count re-ran, the poison would be replaced
-    extensions._ROWCOUNT_MEMO[(SF001, "part")] = sentinel + 7
+    extensions._ROWCOUNT_MEMO[key] = sentinel + 7
     extensions._stat_sum_type(
         spark, SF001, "part", extensions._STAT_CEILING_SPEARMAN, "t"
     )
-    assert extensions._ROWCOUNT_MEMO[(SF001, "part")] == sentinel + 7
-    extensions._ROWCOUNT_MEMO[(SF001, "part")] = sentinel
+    assert extensions._ROWCOUNT_MEMO[key] == sentinel + 7
+    # a different fingerprint is a MISS: the stale entry is not consulted
+    stale_key = (SF001, "part", "rewritten")
+    assert stale_key not in extensions._ROWCOUNT_MEMO
+    extensions._ROWCOUNT_MEMO[key] = sentinel
 
 
 # --- cross-shard incremental dedup (VERDICT r13 item 6) -----------------------

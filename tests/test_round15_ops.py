@@ -169,6 +169,38 @@ def test_incremental_cluster_update_broadcast_guard_both_sides(spark):
     assert rows_over == expected
 
 
+def test_cached_store_params_token_invalidates(spark, tmp_path):
+    """ADVICE r14: _cached_store's fingerprint folds the BUILD PARAMETERS
+    in — changing an operator default rebuilds the store instead of
+    silently serving a stale one from the work dir."""
+    import shutil
+
+    from pinterest_data_pipeline_spark.plans import extensions as ext
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    src = os.path.join(SF001, "documents.parquet")
+    dst = os.path.join(sf, "documents.parquet")
+    (shutil.copytree if os.path.isdir(src) else shutil.copy2)(src, dst)
+
+    builds = []
+
+    def build(k):
+        def write(path):
+            builds.append(k)
+            spark.range(1).write.mode("overwrite").parquet(path)
+
+        return write
+
+    name = "_params_probe"
+    ext._cached_store(spark, sf, name, "documents.parquet", build(32), params="k=32")
+    ext._cached_store(spark, sf, name, "documents.parquet", build(32), params="k=32")
+    assert builds == [32]  # same params: cached
+    ext._cached_store(spark, sf, name, "documents.parquet", build(64), params="k=64")
+    assert builds == [32, 64]  # changed params: rebuilt
+    shutil.rmtree(ext._work_dir(sf, name), ignore_errors=True)
+
+
 def test_driver_union_find_collects_arrow_not_rows(spark):
     """ADVICE r14: the under-cap CC path must collect the contracted
     edges as Arrow columns (bounded, compact), not Row objects. Pinned

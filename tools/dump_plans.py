@@ -200,6 +200,7 @@ FLAGSHIPS = [
     "dedup_incremental_batch",
     "ann_ivf_incremental_upsert",
     "dedup_incremental_clusters",
+    "sketch_incremental_kmv",
 ]
 
 
