@@ -181,23 +181,79 @@ def dedup_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query
 def dedup_simhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs within Hamming distance 10 (rows-only check).
+    """SimHash (xxhash64) near-dup certification — BOUND ORACLE (VERDICT
+    r14 item 6, closing the registry's last rows-only entry).
 
-    Unsorted on purpose — see ``dedup_minhash_near_duplicates``. This is
-    the registry's ONE rows-only entry, and it is structural: DuckDB has
-    no xxhash64, so no cross-engine dual can exist for this hash choice.
-    Certification is covered twice instead (VERDICT r11 item 6): the
-    stable-hash twin below runs the identical pipeline under an
-    md5-derived hash DuckDB reproduces (oracle-exact, algorithm
-    certified), and ``test_simhash_xxhash64_pairs_equal_exhaustive_
-    hamming_join`` pins THIS variant's pair set to the exhaustive O(n^2)
-    Hamming join over the same xxhash64 signatures in-Spark, on a
-    planted-duplicate corpus — so the hash swap is the only uncovered
-    difference, and it is covered by the recall query
-    ``dedup_simhash_exact_recall``.
+    The raw pair list cannot carry an exact dual (DuckDB has no
+    xxhash64), so the query emits the certifiable invariants instead,
+    the ``plans/oracles.py`` bound-oracle pattern: the exact parts are
+    data-dependent and recomputed by the dual, the hash-dependent parts
+    are in-Spark invariants stated as booleans.
+
+    * ``n_docs`` / ``n_exact_dup_pairs`` — EXACT: corpus size and the
+      md5-text-equality pair count after planting 50 deterministic
+      duplicates (the ``dedup_simhash_exact_recall`` planting rule — the
+      natural corpus has zero exact dups at small SFs, which would make
+      containment vacuous).
+    * ``exact_recall_ok`` — every exact-dup pair (identical text ⇒
+      identical signature ⇒ Hamming 0) appears in the claimed pair set.
+    * ``within_radius_ok`` — max claimed Hamming distance <= 10.
+
+    The COMPLETENESS of the pigeonhole candidate machinery (no missed
+    pairs at radius <= 10) is certified by the stable-hash twin below
+    (oracle-exact end-to-end under an md5-derived hash) and pinned for
+    THIS hash by ``test_simhash_xxhash64_pairs_equal_exhaustive_
+    hamming_join``; the raw pair-list operator remains
+    ``dedup.simhash_near_duplicates``. The pair frame is persisted and
+    consumed by both aggregates — the pipeline runs once (r13 lesson).
     """
-    docs = load_documents(spark, sf_dir)
-    return dedup.simhash_near_duplicates(docs, "text", "doc_id", max_distance=10)
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    planted = (
+        docs.orderBy("doc_id")
+        .limit(50)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+    )
+    corpus = docs.unionByName(planted)
+    found = persist_scoped(
+        dedup.simhash_near_duplicates(corpus, "text", "doc_id", max_distance=10),
+        "simhash_cert_pairs",
+    )
+    h = corpus.select(F.md5("text").alias("h"), "doc_id")
+    exact_pairs = (
+        h.select(F.col("h"), F.col("doc_id").alias("id_a"))
+        .join(h.select(F.col("h"), F.col("doc_id").alias("id_b")), "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    recall = (
+        exact_pairs.join(
+            found.select("id_a", "id_b").withColumn("_hit", F.lit(True)),
+            ["id_a", "id_b"],
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact_dup_pairs"),
+            F.sum(F.when(F.col("_hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_found"),
+        )
+    )
+    radius = found.agg(
+        F.coalesce(F.max("hamming"), F.lit(0)).alias("max_h")
+    )
+    n_docs = corpus.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        n_docs.crossJoin(recall)
+        .crossJoin(radius)
+        .select(
+            "n_docs",
+            "n_exact_dup_pairs",
+            (F.col("n_found") == F.col("n_exact_dup_pairs")).alias(
+                "exact_recall_ok"
+            ),
+            (F.col("max_h") <= F.lit(10)).alias("within_radius_ok"),
+        )
+    )
 
 
 @query

@@ -2783,6 +2783,31 @@ oracle("dedup_simhash_exact_recall")(
     """
 )
 
+oracle("dedup_simhash_near_duplicates")(
+    # Bound-oracle promotion of the registry's last rows-only entry
+    # (VERDICT r14 item 6): the xxhash64 pair LIST has no cross-engine
+    # dual, so the registered query emits the certifiable invariants —
+    # n_docs and the md5-exact-dup pair count (EXACT, data-dependent,
+    # planted like dedup_simhash_exact_recall so containment is never
+    # vacuous) plus the recall/radius booleans (in-Spark invariants,
+    # literal TRUE here). Pigeonhole completeness is certified exactly
+    # by the stable-hash twin's full dual.
+    """
+    WITH planted AS (
+        SELECT doc_id + 10000000 AS doc_id, text
+        FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50)
+    ), corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM planted
+    ), g AS (SELECT md5(text) AS h, doc_id FROM corpus)
+    SELECT (SELECT count(*) FROM corpus)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_exact_dup_pairs,
+           TRUE AS exact_recall_ok,
+           TRUE AS within_radius_ok
+    FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+    """
+)
+
 oracle("ann_lsh_topk")(
     # Same certification dual as ann_lsh_multitable_topk: the Spark side
     # runs the OR-amplified configuration under an INDEPENDENT plane seed,
