@@ -658,6 +658,90 @@ def ivf_search_index(
     )
 
 
+def ivf_compact_index(
+    spark,
+    index_path: str,
+    target_rows_per_file: int = 4096,
+) -> tuple[DataFrame, int, int, int]:
+    """Compact a cell-partitioned IVF parquet index in place — the
+    OPTIMIZE lifecycle step after :func:`ivf_assign_cells` upserts
+    (FAISS ``IVF.add`` semantics leave the delta as per-batch file
+    fragments; the reference's ``flush.size=1`` landing pathology,
+    implementation_details.md:71, is the same disease on row tables —
+    cured there by ``sources/layout.compact_small_files``).
+
+    Delta-to-base merge with cell REBALANCE: each cell is rewritten into
+    ``ceil(rows / target_rows_per_file)`` files, so probe-side scan cost
+    returns to O(data), not O(fragments). Only FRAGMENTED cells pay —
+    a cell already at or under its target file count is left untouched
+    (file mtimes preserved), which is what makes the job O(touched
+    partitions) at 100 TB, never O(index): a daily upsert touches a few
+    cells; compaction rewrites exactly those.
+
+    Per-cell row counts come from one bounded aggregate (n_cells rows);
+    the rewrite's only shuffle is ``repartition(cell, slot)`` where
+    ``slot = pmod(xxhash64(id), files_for_cell)`` — deterministic,
+    data-independent balance within each cell. Rewritten cells replace
+    their directories atomically-per-cell (write aside, swap).
+
+    Returns ``(compacted_index_df, n_files_before, n_files_after,
+    n_cells_rewritten)``.
+    """
+    import glob as _glob
+    import math as _math
+    import os as _os
+    import shutil as _shutil
+
+    def _cell_files(root: str) -> dict[int, list[str]]:
+        out: dict[int, list[str]] = {}
+        for d in _glob.glob(_os.path.join(root, "cell=*")):
+            cell = int(_os.path.basename(d).split("=", 1)[1])
+            out[cell] = sorted(_glob.glob(_os.path.join(d, "part-*")))
+        return out
+
+    before = _cell_files(index_path)
+    n_before = sum(len(v) for v in before.values())
+    idx = spark.read.parquet(index_path)
+    # bounded: one row per cell
+    counts = {
+        r["cell"]: r["n"]
+        for r in idx.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    targets = {
+        c: max(1, _math.ceil(n / target_rows_per_file)) for c, n in counts.items()
+    }
+    touched = sorted(
+        c for c in counts if len(before.get(c, ())) > targets[c]
+    )
+    if touched:
+        slot_map = F.create_map(
+            *[F.lit(x) for c in touched for x in (c, targets[c])]
+        )
+        frag = idx.filter(F.col("cell").isin(touched))
+        rewritten = frag.withColumn(
+            "_slot", F.pmod(F.xxhash64("vec_id"), slot_map[F.col("cell")])
+        )
+        aside = index_path + "__compacting"
+        _shutil.rmtree(aside, ignore_errors=True)
+        (
+            rewritten.repartition(
+                sum(targets[c] for c in touched), F.col("cell"), F.col("_slot")
+            )
+            .drop("_slot")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(aside)
+        )
+        for c in touched:
+            dst = _os.path.join(index_path, f"cell={c}")
+            src = _os.path.join(aside, f"cell={c}")
+            _shutil.rmtree(dst, ignore_errors=True)
+            _os.rename(src, dst)
+        _shutil.rmtree(aside, ignore_errors=True)
+    n_after = sum(len(v) for v in _cell_files(index_path).values())
+    return spark.read.parquet(index_path), n_before, n_after, len(touched)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

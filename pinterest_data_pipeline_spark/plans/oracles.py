@@ -7324,6 +7324,40 @@ oracle("ann_ivf_incremental_upsert")(
     """
 )
 
+oracle("ann_ivf_index_compaction")(
+    # Same dual shape as ann_ivf_incremental_upsert (exact_top1 is
+    # recomputed by brute force over the merged corpus — data-dependent);
+    # the compaction-specific invariants (losslessness digest, fragment
+    # count strictly reduced) are in-Spark facts stated as booleans, and
+    # the bit-for-bit search-equality contract is pytest-pinned (no SQL
+    # engine can replay a parquet file layout).
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3
+    ), pairs AS (
+        SELECT q.query_id, e.vec_id,
+               unnest(list_transform(e.embedding, v -> round(v::double * 1000)::bigint)) AS ev,
+               unnest(list_transform(q.embedding, v -> round(v::double * 1000)::bigint)) AS qv
+        FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+    ), dots AS (
+        SELECT query_id, vec_id, sum(ev * qv)::bigint AS dot_q
+        FROM pairs GROUP BY 1, 2
+    ), top1 AS (
+        SELECT query_id, vec_id AS exact_top1
+        FROM dots
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dot_q DESC, vec_id) = 1
+    )
+    SELECT query_id,
+           least(10, (SELECT count(*) - 1 FROM embeddings))::BIGINT AS n_returned,
+           TRUE AS recall_ok,
+           exact_top1,
+           TRUE AS compaction_lossless,
+           TRUE AS files_reduced_ok
+    FROM top1 ORDER BY query_id
+    """
+)
+
 # Incremental cluster maintenance must equal the full recompute EXACTLY,
 # so its dual IS the full query's recursive-CTE closure (same SQL text:
 # the strongest possible incremental == full statement).

@@ -216,3 +216,122 @@ def test_driver_union_find_collects_arrow_not_rows(spark):
     slow = dedup.incremental_cluster_update(clusters, chain, driver_cc_cap=0)
     assert _rows(fast) == _rows(slow)
     assert {r for r in _rows(fast) if r[0] == 115} == {(115, 100)}
+
+
+# --- IVF index compaction (r15 birth: the OPTIMIZE lifecycle step) -----------
+
+
+def _ivf_fixture(spark, tmp_path, n_cells=8):
+    from pinterest_data_pipeline_spark.operators import similarity
+    from pinterest_data_pipeline_spark.session import load_table
+
+    emb = load_table(spark, SF001, "embeddings")
+    old = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
+    batch = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 0)
+    centroids = similarity.train_ivf_centroids(old, n_cells=n_cells)
+    path = os.path.join(str(tmp_path), "ivf_idx")
+    similarity.ivf_assign_cells(old, centroids).write.partitionBy(
+        "cell"
+    ).parquet(path)
+    return emb, batch, centroids, path
+
+
+def test_ivf_compaction_search_is_bit_for_bit(spark, tmp_path):
+    """Searching the compacted index equals searching a from-scratch
+    unfragmented assignment of the whole corpus — same rows, same scores,
+    same ranks — and the compacted row set equals base ∪ delta."""
+    from pinterest_data_pipeline_spark.operators import similarity
+
+    emb, batch, centroids, path = _ivf_fixture(spark, tmp_path)
+    delta = similarity.ivf_assign_cells(batch, centroids)
+    delta.repartition(6).write.mode("append").partitionBy("cell").parquet(path)
+    compacted, n_before, n_after, n_touched = similarity.ivf_compact_index(
+        spark, path
+    )
+    assert n_after < n_before and n_touched > 0
+
+    rebuilt = similarity.ivf_assign_cells(emb, centroids)
+    assert _rows(compacted.select("vec_id", "cell")) == _rows(
+        rebuilt.select("vec_id", "cell")
+    )
+    q = emb.filter(F.col("vec_id") < 3)
+    s_compact = sorted(
+        map(tuple, similarity.ivf_search_index(
+            compacted, q, centroids, k=10, n_probe=3
+        ).collect())
+    )
+    s_rebuilt = sorted(
+        map(tuple, similarity.ivf_search_index(
+            rebuilt, q, centroids, k=10, n_probe=3
+        ).collect())
+    )
+    assert s_compact == s_rebuilt and len(s_compact) > 0
+
+
+def test_ivf_compaction_skips_already_compact_cells(spark, tmp_path):
+    """O(touched partitions), never O(index): an index already at its
+    per-cell file target is left byte-untouched (mtimes preserved), and
+    fragmenting ONE cell rewrites exactly that cell."""
+    import glob
+
+    from pinterest_data_pipeline_spark.operators import similarity
+
+    emb, batch, centroids, path = _ivf_fixture(spark, tmp_path)
+    # normalize to exactly one file per cell first
+    similarity.ivf_compact_index(spark, path)
+
+    def mtimes():
+        return {
+            f: os.stat(f).st_mtime_ns
+            for f in glob.glob(os.path.join(path, "cell=*", "part-*"))
+        }
+
+    before = mtimes()
+    _, n_b, n_a, n_touched = similarity.ivf_compact_index(spark, path)
+    assert n_touched == 0 and n_b == n_a
+    assert mtimes() == before, "compact cells must not be rewritten"
+
+    # fragment exactly one cell: append that cell's delta rows only
+    delta = similarity.ivf_assign_cells(batch, centroids)
+    one_cell = delta.orderBy("vec_id").limit(1).select("cell").first()["cell"]
+    delta.filter(F.col("cell") == one_cell).repartition(3).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(path)
+    pre = mtimes()
+    _, _, _, n_touched = similarity.ivf_compact_index(spark, path)
+    assert n_touched == 1
+    post = mtimes()
+    changed_cells = {
+        f.split("cell=")[1].split("/")[0]
+        for f in set(pre) ^ set(post)
+    } | {
+        f.split("cell=")[1].split("/")[0]
+        for f in pre.keys() & post.keys()
+        if pre[f] != post[f]
+    }
+    assert changed_cells == {str(one_cell)}
+
+
+def test_ivf_compaction_rebalances_big_cells(spark, tmp_path):
+    """Cell REBALANCE: a cell above target_rows_per_file splits into
+    ~ceil(rows/target) files, each bounded, instead of one giant file."""
+    import glob
+    import math
+
+    from pinterest_data_pipeline_spark.operators import similarity
+
+    emb, batch, centroids, path = _ivf_fixture(spark, tmp_path, n_cells=2)
+    delta = similarity.ivf_assign_cells(batch, centroids)
+    delta.repartition(4).write.mode("append").partitionBy("cell").parquet(path)
+    compacted, _, _, _ = similarity.ivf_compact_index(
+        spark, path, target_rows_per_file=64
+    )
+    counts = {
+        r["cell"]: r["n"]
+        for r in compacted.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for cell, n in counts.items():
+        files = glob.glob(os.path.join(path, f"cell={cell}", "part-*"))
+        assert 1 <= len(files) <= math.ceil(n / 64)
