@@ -9364,3 +9364,92 @@ def sketch_incremental_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(labeled("store", store_sketch, store_docs))
         .orderBy("stage")
     )
+
+
+@query
+def sketch_incremental_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental QUANTILE monitoring — the t-digest member of the
+    incremental-store family (VERDICT r14 item 7): a persisted per-day
+    t-digest centroid store absorbs an arriving day-slice by sketch
+    MERGE, so historical days are never re-read on arrival — the
+    arrival path is O(batch) partials plus a bounded centroid-store
+    read (<= partitions x ~2*delta rows per day).
+
+    The day split is deterministic and SQL-expressible: days whose
+    epoch-day number is ≡ 0 (mod 10) play the arriving batch; the other
+    ~90% of days are the store. t-digest is closed under merge within
+    the documented rank bound (Dunning & Ertl; the
+    ``sketch_tdigest_quantile_bounds`` lineage), so the driver-checked
+    contract is rank-space: per target quantile the MERGED
+    (store ∪ batch partials) estimate must sit within 0.05 rank of q on
+    the FULL corpus, and within 0.02 rank of a from-scratch digest of
+    the whole corpus — incremental == full as data, the
+    ``dedup_incremental_clusters`` discipline in the sketch's native
+    tolerance. The oracle emits the exact quantiles (quantile_cont
+    dual) + literal TRUE per bound; exact ranks are the certification
+    side, computed over the corpus like every bound-oracle sketch row.
+    """
+    from ..operators import sketches
+
+    qs = [0.1, 0.5, 0.9]
+    events = load_table(spark, sf_dir, "events")
+    vals = events.select(
+        F.to_date("ts").alias("day"),
+        F.col("value").cast("double").alias("v"),
+    )
+    is_batch_day = F.pmod(F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")), F.lit(10)) == 0
+    batch = vals.filter(is_batch_day)
+    store_vals = vals.filter(~is_batch_day)
+    store = _cached_store(
+        spark, sf_dir, "_incr_tdigest_store", "events.parquet",
+        lambda path: sketches.tdigest_grouped_partials(store_vals, "day", "v")
+        .write.mode("overwrite").parquet(path),
+        params="delta=100,group=day",
+    )
+    batch_partials = sketches.tdigest_grouped_partials(batch, "day", "v")
+    merged_est = sketches.tdigest_merged_quantiles(
+        store.drop("day").unionByName(batch_partials.drop("day")), qs
+    )
+    scratch_est = sketches.tdigest_merged_quantiles(
+        sketches.tdigest_partials(vals.select("v"), "v"), qs
+    )
+    ests = merged_est.withColumnRenamed("est", "est_merged").join(
+        scratch_est.withColumnRenamed("est", "est_scratch"), "q"
+    )
+    frac = (
+        vals.crossJoin(F.broadcast(ests))
+        .groupBy("q")
+        .agg(
+            (
+                F.sum((F.col("v") <= F.col("est_merged")).cast("long"))
+                / F.count(F.lit(1))
+            ).alias("frac_merged"),
+            (
+                F.sum((F.col("v") <= F.col("est_scratch")).cast("long"))
+                / F.count(F.lit(1))
+            ).alias("frac_scratch"),
+        )
+    )
+    qs_lit = F.array(*[F.lit(float(x)) for x in qs])
+    exact = (
+        vals.agg(F.percentile(F.col("v"), qs_lit).alias("p"))
+        .select(F.posexplode("p").alias("i", "exact_raw"))
+        .select(
+            F.element_at(qs_lit, F.col("i") + 1).alias("q"),
+            F.round("exact_raw", 2).alias("exact_q"),
+        )
+    )
+    return (
+        exact.join(frac, "q")
+        .select(
+            "q",
+            "exact_q",
+            (F.abs(F.col("frac_merged") - F.col("q")) <= 0.05).alias(
+                "merged_rank_ok"
+            ),
+            (F.abs(F.col("frac_merged") - F.col("frac_scratch")) <= 0.02).alias(
+                "incremental_agrees"
+            ),
+        )
+        .orderBy("q")
+    )

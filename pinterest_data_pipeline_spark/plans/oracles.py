@@ -3285,6 +3285,29 @@ oracle("sketch_tdigest_quantile_bounds")(
     """
 )
 
+oracle("sketch_incremental_tdigest")(
+    # Incremental-store family, t-digest member: the exact quantiles are
+    # the data-dependent dual (quantile_cont over the full value set, the
+    # sketch_tdigest_quantile_bounds lineage); the merged-vs-exact and
+    # merged-vs-from-scratch rank bounds are in-Spark invariants stated
+    # as booleans — incremental == full within the documented t-digest
+    # tolerance, driver-checked.
+    """
+    WITH p AS (
+        SELECT quantile_cont(value::DOUBLE, [0.1, 0.5, 0.9]) AS v
+        FROM events
+    )
+    SELECT t.q, round(t.e, 2) AS exact_q,
+           TRUE AS merged_rank_ok, TRUE AS incremental_agrees
+    FROM (
+        SELECT unnest([0.1::DOUBLE, 0.5::DOUBLE, 0.9::DOUBLE]) AS q,
+               unnest(v) AS e
+        FROM p
+    ) t
+    ORDER BY t.q
+    """
+)
+
 oracle("agg_tdigest_grouped_p95")(
     """
     SELECT event_type, count(*)::BIGINT AS n_events,

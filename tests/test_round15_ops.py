@@ -335,3 +335,86 @@ def test_ivf_compaction_rebalances_big_cells(spark, tmp_path):
     for cell, n in counts.items():
         files = glob.glob(os.path.join(path, f"cell={cell}", "part-*"))
         assert 1 <= len(files) <= math.ceil(n / 64)
+
+
+# --- incremental t-digest store refresh (r15 birth, sketch family) -----------
+
+
+def test_incremental_tdigest_merged_matches_scratch(spark):
+    """Incremental == full within the documented t-digest rank bound on a
+    crafted heavy-tailed multiset: the merged (store partials ∪ batch
+    partials) digest and a from-scratch digest of everything agree
+    within 0.02 rank at each target quantile, and both sit within 0.05
+    rank of truth."""
+    from pinterest_data_pipeline_spark.operators import sketches
+
+    qs = [0.1, 0.5, 0.9]
+    # store: 4 "days" of lognormal-ish spread; batch: one day with a
+    # planted extreme tail the store has never seen
+    rows = [(d, float(((i * 37 + d * 11) % 1000) ** 1.5)) for d in range(4) for i in range(500)]
+    rows += [(9, 1e7 + i) for i in range(100)] + [(9, float(i)) for i in range(400)]
+    vals = spark.createDataFrame(rows, "day int, v double")
+    store = vals.filter("day < 4")
+    batch = vals.filter("day = 9")
+    merged = sketches.tdigest_merged_quantiles(
+        sketches.tdigest_grouped_partials(store, "day", "v").drop("day")
+        .unionByName(
+            sketches.tdigest_grouped_partials(batch, "day", "v").drop("day")
+        ),
+        qs,
+    )
+    scratch = sketches.tdigest_merged_quantiles(
+        sketches.tdigest_partials(vals.select("v"), "v"), qs
+    )
+    ests = {
+        r["q"]: (r["m"], r["s"])
+        for r in merged.withColumnRenamed("est", "m")
+        .join(scratch.withColumnRenamed("est", "s"), "q")
+        .collect()
+    }
+    n = vals.count()
+    for q in qs:
+        m, s = ests[q]
+        fm = vals.filter(F.col("v") <= m).count() / n
+        fs = vals.filter(F.col("v") <= s).count() / n
+        assert abs(fm - q) <= 0.05, (q, fm)
+        assert abs(fs - q) <= 0.05, (q, fs)
+        assert abs(fm - fs) <= 0.02, (q, fm, fs)
+
+
+def test_incremental_tdigest_arrival_reads_batch_only(spark, tmp_path):
+    """With the per-day centroid store persisted to parquet, the arrival
+    path's plan scans the BATCH events only — historical days enter as
+    bounded centroid rows, never as raw events."""
+    from pinterest_data_pipeline_spark.operators import sketches
+    from pinterest_data_pipeline_spark.session import load_table
+
+    events = load_table(spark, SF001, "events")
+    vals = events.select(
+        F.to_date("ts").alias("day"),
+        F.col("value").cast("double").alias("v"),
+    )
+    is_batch = (
+        F.pmod(
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")),
+            F.lit(10),
+        )
+        == 0
+    )
+    st_path = os.path.join(str(tmp_path), "td_store")
+    sketches.tdigest_grouped_partials(
+        vals.filter(~is_batch), "day", "v"
+    ).write.parquet(st_path)
+    store = spark.read.parquet(st_path)
+    est = sketches.tdigest_merged_quantiles(
+        store.drop("day").unionByName(
+            sketches.tdigest_grouped_partials(
+                vals.filter(is_batch), "day", "v"
+            ).drop("day")
+        ),
+        [0.5],
+    )
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("events.parquet") == 1, plan
+    assert plan.count("FileScan parquet") == 2, plan
+    assert est.count() == 1
