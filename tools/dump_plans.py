@@ -201,6 +201,10 @@ FLAGSHIPS = [
     "ann_ivf_incremental_upsert",
     "dedup_incremental_clusters",
     "sketch_incremental_kmv",
+    # round-15 births (index lifecycle + sketch-store refresh; the
+    # promoted simhash certification keeps its original FLAGSHIPS slot)
+    "ann_ivf_index_compaction",
+    "sketch_incremental_tdigest",
 ]
 
 
