@@ -9453,3 +9453,67 @@ def sketch_incremental_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+@query
+def embedding_store_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-store DRIFT monitor between snapshots — the retrain
+    trigger that completes the IVF index lifecycle (r14 upsert absorbs
+    batches without retraining; r15 compaction merges the files; THIS
+    decides when the stored centroids are stale): per-dimension mean
+    shift between the store snapshot and the arriving batch, ranked.
+
+    Exact cross-engine by the quantized-moments discipline
+    (``cosine_topk_quantized`` lineage): each component integer-quantizes
+    to round(v*1000), so per-dimension sums are exact integers on both
+    engines, each mean is ONE division, and the shift is rounded at one
+    site. Output: top-10 dimensions by |mean shift| (ties by dim) with
+    the per-dim store/batch means and a z-like normalized shift — the
+    statistic a production monitor thresholds to schedule retraining.
+
+    Scale shape: one posexplode + hash aggregate per side, (dim)-bounded
+    output (64 rows before top-10), no joins on data-sized frames.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
+    batch = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 0)
+
+    def moments(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.select(
+                F.posexplode(similarity.quantize(F.col("embedding"))).alias(
+                    "dim", "qv"
+                )
+            )
+            .groupBy("dim")
+            .agg(
+                F.count(F.lit(1)).alias(f"n_{tag}"),
+                F.sum("qv").alias(f"s_{tag}"),
+                F.sum(F.col("qv") * F.col("qv")).alias(f"ss_{tag}"),
+            )
+        )
+
+    joined = moments(store, "store").join(moments(batch, "batch"), "dim")
+    # exact integer moments -> double at the last step; one rounding site
+    # per emitted float. var uses the store's population variance in
+    # quantized units; shift_z = |mean_b - mean_s| / sqrt(var_s / n_b).
+    mean_s = F.col("s_store") / F.col("n_store")
+    mean_b = F.col("s_batch") / F.col("n_batch")
+    var_s = F.col("ss_store") / F.col("n_store") - mean_s * mean_s
+    scored = joined.select(
+        "dim",
+        F.round(mean_s / 1000.0, 6).alias("mean_store"),
+        F.round(mean_b / 1000.0, 6).alias("mean_batch"),
+        F.round(F.abs(mean_b - mean_s) / 1000.0, 6).alias("abs_shift"),
+        # a constant store dimension has zero variance: the z-statistic
+        # is undefined there, NULL — never an ANSI divide-by-zero (the
+        # planted-dimension pytest caught exactly this; the DiD lesson)
+        F.when(
+            var_s > 0,
+            F.round(
+                F.abs(mean_b - mean_s) / F.sqrt(var_s / F.col("n_batch")),
+                4,
+            ),
+        ).alias("shift_z"),
+    )
+    return scored.orderBy(F.desc("abs_shift"), "dim").limit(10)

@@ -7381,6 +7381,49 @@ oracle("ann_ivf_index_compaction")(
     """
 )
 
+oracle("embedding_store_drift")(
+    # EXACT dual by the quantized-moments discipline: per-dimension sums
+    # of round(v*1000) are exact integers on both engines; each mean is
+    # one division, each emitted float rounds at one site. The top-10
+    # selection sorts on the rounded shift (deterministic: identical
+    # IEEE operands on both engines), ties by dim.
+    """
+    WITH store AS (
+        SELECT unnest(range(len(embedding)))::INT AS dim,
+               round(unnest(embedding)::DOUBLE * 1000)::BIGINT AS qv
+        FROM embeddings WHERE vec_id % 10 <> 0
+    ), batch AS (
+        SELECT unnest(range(len(embedding)))::INT AS dim,
+               round(unnest(embedding)::DOUBLE * 1000)::BIGINT AS qv
+        FROM embeddings WHERE vec_id % 10 = 0
+    ), ms AS (
+        SELECT dim, count(*)::BIGINT AS n_s, sum(qv)::BIGINT AS s_s,
+               sum(qv * qv)::BIGINT AS ss_s
+        FROM store GROUP BY dim
+    ), mb AS (
+        SELECT dim, count(*)::BIGINT AS n_b, sum(qv)::BIGINT AS s_b
+        FROM batch GROUP BY dim
+    ), scored AS (
+        SELECT ms.dim,
+               round((s_s::DOUBLE / n_s) / 1000.0, 6) AS mean_store,
+               round((s_b::DOUBLE / n_b) / 1000.0, 6) AS mean_batch,
+               round(abs(s_b::DOUBLE / n_b - s_s::DOUBLE / n_s) / 1000.0, 6)
+                   AS abs_shift,
+               CASE WHEN (ss_s::DOUBLE / n_s
+                          - (s_s::DOUBLE / n_s) * (s_s::DOUBLE / n_s)) > 0
+                    THEN round(abs(s_b::DOUBLE / n_b - s_s::DOUBLE / n_s)
+                               / sqrt((ss_s::DOUBLE / n_s
+                                       - (s_s::DOUBLE / n_s)
+                                         * (s_s::DOUBLE / n_s))
+                                      / n_b), 4)
+                    END AS shift_z
+        FROM ms JOIN mb ON ms.dim = mb.dim
+    )
+    SELECT dim, mean_store, mean_batch, abs_shift, shift_z
+    FROM scored ORDER BY abs_shift DESC, dim LIMIT 10
+    """
+)
+
 # Incremental cluster maintenance must equal the full recompute EXACTLY,
 # so its dual IS the full query's recursive-CTE closure (same SQL text:
 # the strongest possible incremental == full statement).

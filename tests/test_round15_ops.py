@@ -418,3 +418,33 @@ def test_incremental_tdigest_arrival_reads_batch_only(spark, tmp_path):
     assert plan.count("events.parquet") == 1, plan
     assert plan.count("FileScan parquet") == 2, plan
     assert est.count() == 1
+
+
+def test_embedding_drift_planted_shift_ranks_first(spark, tmp_path, monkeypatch):
+    """A planted mean shift on ONE dimension dominates the drift ranking
+    with the closed-form shift value; un-shifted dimensions report ~0."""
+    import pinterest_data_pipeline_spark.plans.extensions as ext
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    # 40 store vectors at [0.1, 0.2, 0.3]; 10 batch vectors with dim 1
+    # shifted +0.5 and a little per-row noise on dim 2 so var_s > 0
+    rows = []
+    for i in range(50):
+        is_batch = i % 10 == 0
+        noise = (i % 5) / 1000.0
+        rows.append(
+            (i, [0.1, 0.2 + (0.5 if is_batch else 0.0), 0.3 + noise])
+        )
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.parquet(os.path.join(sf, "embeddings.parquet"))
+    out = ext.embedding_store_drift(spark, sf).collect()
+    top = out[0]
+    assert top["dim"] == 1
+    assert abs(top["abs_shift"] - 0.5) < 1e-6
+    assert abs(top["mean_store"] - 0.2) < 1e-6
+    assert abs(top["mean_batch"] - 0.7) < 1e-6
+    # the no-shift dimension reports zero drift
+    by_dim = {r["dim"]: r for r in out}
+    assert by_dim[0]["abs_shift"] == 0.0
