@@ -205,6 +205,7 @@ FLAGSHIPS = [
     # promoted simhash certification keeps its original FLAGSHIPS slot)
     "ann_ivf_index_compaction",
     "sketch_incremental_tdigest",
+    "embedding_store_drift",
 ]
 
 
