@@ -9194,7 +9194,12 @@ def ann_ivf_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = _work_dir(sf_dir, "_ivf_compact")
     shutil.rmtree(work, ignore_errors=True)
     shutil.copytree(base_path, work)
-    delta = similarity.ivf_assign_cells(batch, centroids)
+    # persisted: the delta's Arrow assign kernel feeds BOTH the fragmented
+    # append and the losslessness digest — Python stages are the case
+    # where persist beats AQE reuse (the r13 rule)
+    delta = persist_scoped(
+        similarity.ivf_assign_cells(batch, centroids), "compact_delta"
+    )
     (
         delta.repartition(8)
         .write.mode("append").partitionBy("cell").parquet(work)
