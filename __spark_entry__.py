@@ -55,6 +55,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "ann_ivf_index_compaction",  # birth
     "sketch_incremental_tdigest",  # birth
     "embedding_store_drift",  # birth
+    "dedup_incremental_batch_pruned",  # birth
     "dedup_incremental_batch",  # r14
     "ann_ivf_incremental_upsert",  # r14
     "dedup_incremental_clusters",  # r14
@@ -100,7 +101,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "tpch_q11_important_stock",  # r5,r6
     "events_resample_interpolate",  # r5,r6
     "window_time_range_frame",  # r5,r6
-    "join_bucketed_colocated",  # r5,r6
 )
 
 

@@ -303,13 +303,39 @@ def band_buckets(sigs: DataFrame, id_col: str, k: int = 32, bands: int = 8) -> D
     ).select(id_col, "bucket.band", "bucket.band_hash")
 
 
+BUCKET_STORE_PARTS = 16  # bh_part partitions per band in the bucket-store layout
+
+
+def band_bucket_store(
+    sigs: DataFrame,
+    id_col: str,
+    k: int = 32,
+    bands: int = 8,
+    n_parts: int = BUCKET_STORE_PARTS,
+) -> DataFrame:
+    """``(band, bh_part, band_hash, id)`` — the PARTITIONED-LAYOUT store
+    schema for incremental dedup: bucket rows carry a coarse
+    ``bh_part = pmod(band_hash, n_parts)`` so the store parquet can be
+    written ``partitionBy("band", "bh_part")`` and the arrival probe's
+    broadcast join injects dynamic partition pruning — the scan reads
+    only the (band, bh_part) directories the batch's bucket keys touch,
+    never the whole store (the IVF cell-index discipline applied to the
+    signature store; the layout incremental_minhash_dedup's docstring
+    promised since r14)."""
+    return band_buckets(sigs, id_col, k, bands).withColumn(
+        "bh_part", F.pmod(F.col("band_hash"), F.lit(n_parts)).cast("int")
+    )
+
+
 def incremental_candidates(
     batch_sigs: DataFrame,
-    store_sigs: DataFrame,
+    store_sigs: DataFrame | None,
     id_col: str,
     k: int = 32,
     bands: int = 8,
     batch_broadcast_cap: int = BATCH_BROADCAST_CAP,
+    store_buckets: DataFrame | None = None,
+    store_parts: int = BUCKET_STORE_PARTS,
 ) -> DataFrame:
     """LSH candidate pairs for a batch against a signature store:
     ``(bid, oid, partner_in_store)``.
@@ -325,22 +351,46 @@ def incremental_candidates(
     sides of the batch-internal self-join) and counted once; above
     ``batch_broadcast_cap`` rows the store probe degrades to a sort-merge
     join — at that point the arrival batch is a corpus in its own right
-    and a shuffle is the honest cost."""
-    bbuckets = persist_scoped(
-        band_buckets(batch_sigs, id_col, k, bands), "incr_bbuckets"
-    )
-    n_bucket_rows = bbuckets.count()
-    sbuckets = band_buckets(store_sigs, id_col, k, bands)
+    and a shuffle is the honest cost.
+
+    Two store layouts: ``store_sigs`` (signature rows; buckets re-derive
+    per arrival — one full store projection) or ``store_buckets`` (a
+    prebuilt :func:`band_bucket_store` frame, parquet-partitioned by
+    ``(band, bh_part)``; the probe join keys include the partition
+    columns so dynamic partition pruning skips untouched directories —
+    the O(touched buckets) arrival scan).
+
+    DPP LINEAGE CONTRACT (measured r15): Spark's cache substitution
+    replaces ANY subtree that sameResult-matches a persisted frame with
+    an InMemoryRelation, and the DPP rule then no longer sees a
+    selective predicate on the probe side — the pruning subquery is
+    silently dropped. So the pruned path keeps the batch lineage RAW
+    (no persist anywhere under the probe) and pays a few extra O(batch)
+    signature passes; the win is the O(store) scan it prunes. Callers
+    in the pruned path must not persist a same-result batch-sig frame
+    in the same session scope either."""
+    if store_buckets is not None:
+        bbuckets = band_buckets(batch_sigs, id_col, k, bands)
+        n_bucket_rows = bbuckets.count()
+        sbuckets = store_buckets
+        probe = bbuckets.select(
+            F.col(id_col).alias("bid"), "band", "band_hash"
+        ).withColumn(
+            "bh_part", F.pmod(F.col("band_hash"), F.lit(store_parts)).cast("int")
+        )
+        store_keys = ["band", "bh_part", "band_hash"]
+    else:
+        bbuckets = persist_scoped(
+            band_buckets(batch_sigs, id_col, k, bands), "incr_bbuckets"
+        )
+        n_bucket_rows = bbuckets.count()
+        sbuckets = band_buckets(store_sigs, id_col, k, bands)
+        probe = bbuckets.select(F.col(id_col).alias("bid"), "band", "band_hash")
+        store_keys = ["band", "band_hash"]
     cand_store = (
         sbuckets.join(
-            _guarded_broadcast(
-                bbuckets.select(
-                    F.col(id_col).alias("bid"), "band", "band_hash"
-                ),
-                n_bucket_rows,
-                batch_broadcast_cap,
-            ),
-            ["band", "band_hash"],
+            _guarded_broadcast(probe, n_bucket_rows, batch_broadcast_cap),
+            store_keys,
         )
         .select("bid", F.col(id_col).alias("oid"))
         .distinct()
@@ -361,7 +411,7 @@ def incremental_candidates(
 def incremental_verified_pairs(
     batch: DataFrame,
     batch_sigs: DataFrame,
-    store_sigs: DataFrame,
+    store_sigs: DataFrame | None,
     store_docs: DataFrame,
     text_col: str,
     id_col: str,
@@ -370,6 +420,7 @@ def incremental_verified_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     batch_broadcast_cap: int = BATCH_BROADCAST_CAP,
+    store_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard-verified near-dup pairs involving a batch:
     ``(bid, oid, partner_in_store, j)`` with ``j >= threshold``.
@@ -382,7 +433,8 @@ def incremental_verified_pairs(
     maintenance both consume this frame."""
     cands = persist_scoped(
         incremental_candidates(
-            batch_sigs, store_sigs, id_col, k, bands, batch_broadcast_cap
+            batch_sigs, store_sigs, id_col, k, bands, batch_broadcast_cap,
+            store_buckets=store_buckets,
         ),
         "incr_cands",
     )
@@ -426,7 +478,7 @@ def incremental_verified_pairs(
 
 def incremental_minhash_dedup(
     batch: DataFrame,
-    store_sigs: DataFrame,
+    store_sigs: DataFrame | None,
     store_docs: DataFrame,
     text_col: str,
     id_col: str,
@@ -435,6 +487,7 @@ def incremental_minhash_dedup(
     bands: int = 8,
     threshold: float = 0.5,
     batch_broadcast_cap: int = BATCH_BROADCAST_CAP,
+    store_buckets: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup a NEW document batch against a persisted signature store
     WITHOUT recomputing the corpus — the production arrival shape the
@@ -468,14 +521,16 @@ def incremental_minhash_dedup(
     so incremental == full-recompute restricted to batch-involving
     pairs (pinned by pytest and the exhaustive DuckDB dual).
     """
-    batch_sigs = persist_scoped(
-        minhash_signatures(batch, text_col, id_col, shingle_n, k),
-        "incr_batch_sigs",
-    )
+    batch_sigs = minhash_signatures(batch, text_col, id_col, shingle_n, k)
+    if store_buckets is None:
+        # pruned path stays RAW: a cached same-result sig frame would be
+        # substituted into the DPP probe's subtree and kill the pruning
+        # subquery (see incremental_candidates' lineage contract)
+        batch_sigs = persist_scoped(batch_sigs, "incr_batch_sigs")
     scored = incremental_verified_pairs(
         batch, batch_sigs, store_sigs, store_docs,
         text_col, id_col, shingle_n, k, bands, threshold,
-        batch_broadcast_cap,
+        batch_broadcast_cap, store_buckets=store_buckets,
     )
     # best displacing partner: max jaccard, ties to the SMALLEST partner
     # id — struct max over (j, -oid) is one aggregate, engine-exact on

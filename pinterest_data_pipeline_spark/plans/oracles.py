@@ -7313,6 +7313,11 @@ oracle("dedup_incremental_batch")(
     """
 )
 
+# The partitioned-bucket-store layout must produce IDENTICAL decisions
+# to the signature-store variant — layout never changes answers — so its
+# dual is the same exhaustive recompute.
+ORACLES["dedup_incremental_batch_pruned"] = ORACLES["dedup_incremental_batch"]
+
 oracle("ann_ivf_incremental_upsert")(
     # Same derived-n_returned discipline as the IVF oracle; same probe
     # density PRECONDITION (4 of 16 cells hold >= k non-query vectors

@@ -448,3 +448,59 @@ def test_embedding_drift_planted_shift_ranks_first(spark, tmp_path, monkeypatch)
     # the no-shift dimension reports zero drift
     by_dim = {r["dim"]: r for r in out}
     assert by_dim[0]["abs_shift"] == 0.0
+
+
+# --- partitioned bucket-store layout (pulled-forward r16 candidate) ----------
+
+
+def test_pruned_bucket_store_decisions_match_sig_store(spark, tmp_path):
+    """Layout never changes answers: the partitioned bucket-store variant
+    produces decisions identical to the signature-store variant."""
+    docs = load_documents(spark, SF001)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    store_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    sigs = dedup.minhash_signatures(store_docs, "text", "doc_id")
+    sig_path = os.path.join(str(tmp_path), "sig_store")
+    sigs.write.parquet(sig_path)
+    bkt_path = os.path.join(str(tmp_path), "bucket_store")
+    dedup.band_bucket_store(sigs, "doc_id").repartition(
+        "band", "bh_part"
+    ).write.partitionBy("band", "bh_part").parquet(bkt_path)
+
+    d_sig, _ = dedup.incremental_minhash_dedup(
+        batch, spark.read.parquet(sig_path), store_docs, "text", "doc_id",
+        threshold=0.3,
+    )
+    rows_sig = _rows(d_sig)
+    release_scoped()  # distinct lineage: don't reuse the sig-store cands
+    d_bkt, _ = dedup.incremental_minhash_dedup(
+        batch, None, store_docs, "text", "doc_id", threshold=0.3,
+        store_buckets=spark.read.parquet(bkt_path),
+    )
+    assert rows_sig == _rows(d_bkt)
+
+
+def test_pruned_bucket_store_scan_is_partition_pruned(spark, tmp_path):
+    """The arrival probe injects dynamic partition pruning into the
+    bucket-store scan: the candidate plan carries a
+    dynamicpruningexpression on the (band, bh_part) partition columns."""
+    docs = load_documents(spark, SF001)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    store_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    bkt_path = os.path.join(str(tmp_path), "bucket_store")
+    dedup.band_bucket_store(
+        dedup.minhash_signatures(store_docs, "text", "doc_id"), "doc_id"
+    ).repartition("band", "bh_part").write.partitionBy(
+        "band", "bh_part"
+    ).parquet(bkt_path)
+    assert any(f.startswith("band=") for f in os.listdir(bkt_path))
+    release_scoped()  # a cached same-result sig/bucket frame from an
+    # earlier test would substitute into the probe subtree and kill DPP
+    batch_sigs = dedup.minhash_signatures(batch, "text", "doc_id")
+    cands = dedup.incremental_candidates(
+        batch_sigs, None, "doc_id",
+        store_buckets=spark.read.parquet(bkt_path),
+    )
+    plan = cands._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
+    assert cands.count() > 0
