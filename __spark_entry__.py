@@ -56,6 +56,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "sketch_incremental_tdigest",  # birth
     "embedding_store_drift",  # birth
     "dedup_incremental_batch_pruned",  # birth
+    "sketch_incremental_mg",  # birth
     "dedup_incremental_batch",  # r14
     "ann_ivf_incremental_upsert",  # r14
     "dedup_incremental_clusters",  # r14
@@ -100,7 +101,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "tpch_q22_dormant_customers",  # r5,r6
     "tpch_q11_important_stock",  # r5,r6
     "events_resample_interpolate",  # r5,r6
-    "window_time_range_frame",  # r5,r6
 )
 
 

@@ -519,3 +519,39 @@ def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
         (F.lit(float(k - 1)) * F.lit(4294967296.0)) / F.col("h_k")
     )
     return agg.select("n_sketch", F.round(est, 4).alias("kmv_estimate"))
+
+
+def mg_merge(summaries: list[DataFrame], k: int) -> DataFrame:
+    """Merge Misra-Gries summaries into ONE <= k-counter summary — the
+    Mergeable-Summaries merge step (Agarwal et al.): union-add the
+    counter sets, then one shrink back to k counters. Each shrink's
+    per-item decrement removes >= k+1 units of total weight, so the
+    merged summary underestimates true counts by at most n_total/(k+1) —
+    the same bound a from-scratch pass over the union would carry, which
+    is what makes an INCREMENTAL store refresh sound: merging an arrival
+    batch's summary into a persisted store summary never re-reads the
+    store corpus.
+
+    Inputs are (item, est_count) frames, each bounded (<= k counters per
+    contributing partition); the union is collected to the driver for
+    the exact rank-based shrink — bounded by construction, never
+    data-sized.
+    """
+    first = summaries[0]
+    merged = first
+    for s in summaries[1:]:
+        merged = merged.unionByName(s)
+    agg = merged.groupBy("item").agg(F.sum("est_count").alias("est_count"))
+    counters = {r["item"]: r["est_count"] for r in agg.collect()}
+    _shrink(counters, k)
+    spark = first.sparkSession
+    item_type = first.schema["item"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("item", item_type),
+            T.StructField("est_count", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(i, int(c)) for i, c in counters.items()] or [], out_schema
+    )

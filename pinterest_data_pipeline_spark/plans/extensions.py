@@ -9571,3 +9571,83 @@ def dedup_incremental_batch_pruned(spark: SparkSession, sf_dir: str) -> DataFram
         store_buckets=store_buckets,
     )
     return decisions
+
+
+@query
+def sketch_incremental_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental heavy-hitter monitoring — the Misra-Gries member of
+    the incremental-store family (KMV r14, t-digest r15): a persisted
+    <= k-counter MG summary of the store corpus's languages absorbs an
+    arriving batch by SUMMARY MERGE (union-add + one shrink,
+    :func:`~..operators.sketches.mg_merge`), so the store corpus is
+    never re-read on arrival — O(batch) mapInPandas partials plus a
+    <= k-row store read.
+
+    Mergeable-Summaries guarantee (Agarwal et al. 2012): the merged
+    summary's total decrement stays <= n_total/(k+1), the SAME bound a
+    from-scratch pass carries — incremental == full in the sketch's
+    native tolerance, stated as data per heavy item: every language
+    with true frequency > n/(k+1) must appear in the merged summary
+    (``in_merged``) with an estimate within the bound
+    (``merged_within_bound``), and the from-scratch summary must agree
+    (``scratch_within_bound``). The DuckDB dual computes the exact
+    heavy set (data-dependent) + literal TRUE per invariant — the
+    ``sketch_mg_heavy_langs`` certification, store edition.
+    """
+    from ..operators import sketches
+
+    k = 3
+    docs = load_documents(spark, sf_dir)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    store_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    store_summary = _cached_store(
+        spark, sf_dir, "_incr_mg_store", "documents.parquet",
+        lambda path: sketches.mg_merge(
+            [sketches.misra_gries_summary(store_docs, "lang", k=k)], k
+        ).write.mode("overwrite").parquet(path),
+        params=f"k={k},item=lang",
+    )
+    merged = sketches.mg_merge(
+        [store_summary, sketches.misra_gries_summary(batch, "lang", k=k)], k
+    )
+    scratch = sketches.mg_merge(
+        [sketches.misra_gries_summary(docs, "lang", k=k)], k
+    )
+    exact = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("exact_count"))
+    total = docs.agg(F.count(F.lit(1)).alias("n"))
+    heavy = exact.crossJoin(F.broadcast(total)).filter(
+        F.col("exact_count") > F.col("n") / (k + 1)
+    )
+
+    def bound(est_col: str) -> F.Column:
+        est = F.coalesce(F.col(est_col), F.lit(0))
+        return (F.col("exact_count") - est <= F.col("n") / (k + 1)) & (
+            est <= F.col("exact_count")
+        )
+
+    return (
+        heavy.join(
+            merged.select(
+                F.col("item").alias("lang"),
+                F.col("est_count").alias("est_merged"),
+            ),
+            "lang",
+            "left",
+        )
+        .join(
+            scratch.select(
+                F.col("item").alias("lang"),
+                F.col("est_count").alias("est_scratch"),
+            ),
+            "lang",
+            "left",
+        )
+        .select(
+            "lang",
+            "exact_count",
+            F.col("est_merged").isNotNull().alias("in_merged"),
+            bound("est_merged").alias("merged_within_bound"),
+            bound("est_scratch").alias("scratch_within_bound"),
+        )
+        .orderBy("lang")
+    )

@@ -3308,6 +3308,23 @@ oracle("sketch_incremental_tdigest")(
     """
 )
 
+oracle("sketch_incremental_mg")(
+    # Incremental-store family, Misra-Gries member: exact heavy set is
+    # the data-dependent dual; the in-summary / bound invariants are
+    # in-Spark facts (Mergeable Summaries), literal TRUE here.
+    """
+    WITH t AS (SELECT count(*)::DOUBLE AS n FROM documents)
+    SELECT lang, count(*)::BIGINT AS exact_count,
+           TRUE AS in_merged,
+           TRUE AS merged_within_bound,
+           TRUE AS scratch_within_bound
+    FROM documents, t
+    GROUP BY lang, t.n
+    HAVING count(*) > t.n / 4
+    ORDER BY lang
+    """
+)
+
 oracle("agg_tdigest_grouped_p95")(
     """
     SELECT event_type, count(*)::BIGINT AS n_events,

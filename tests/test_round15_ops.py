@@ -504,3 +504,52 @@ def test_pruned_bucket_store_scan_is_partition_pruned(spark, tmp_path):
     plan = cands._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:3000]
     assert cands.count() > 0
+
+
+# --- incremental Misra-Gries store refresh (r15 birth) ------------------------
+
+
+def test_incremental_mg_merge_bound_and_size(spark):
+    """Mergeable-Summaries contract on crafted data: merging a batch
+    summary into a store summary keeps <= k counters and every heavy
+    item (freq > n/(k+1)) survives with an estimate underestimating by
+    at most n/(k+1) — even when the batch floods an item the store
+    never saw."""
+    from pinterest_data_pipeline_spark.operators import sketches
+
+    k = 2
+    store = spark.createDataFrame(
+        [("a",)] * 800 + [("b",)] * 300, "lang string"
+    )
+    batch = spark.createDataFrame([("c",)] * 500, "lang string")
+    s_sum = sketches.mg_merge(
+        [sketches.misra_gries_summary(store, "lang", k=k)], k
+    )
+    merged = sketches.mg_merge(
+        [s_sum, sketches.misra_gries_summary(batch, "lang", k=k)], k
+    )
+    rows = {r["item"]: r["est_count"] for r in merged.collect()}
+    assert len(rows) <= k
+    n = 1600
+    exact = {"a": 800, "b": 300, "c": 500}
+    for item, true in exact.items():
+        if true > n / (k + 1):  # heavy: must be present within bound
+            assert item in rows
+        if item in rows:
+            assert rows[item] <= true
+            assert true - rows[item] <= n / (k + 1)
+
+
+def test_incremental_mg_matches_from_scratch_bound(spark):
+    """Incremental == full in the sketch's tolerance: on the documents
+    corpus, both the (store ∪ batch)-merged summary and a from-scratch
+    summary satisfy the same n/(k+1) bound for every heavy language —
+    the registered query's booleans, asserted end-to-end."""
+    import pinterest_data_pipeline_spark.plans.extensions as ext
+
+    out = ext.sketch_incremental_mg(spark, SF001).collect()
+    assert len(out) >= 1  # 'en' share clears the 25% threshold
+    for r in out:
+        assert r["in_merged"], r
+        assert r["merged_within_bound"], r
+        assert r["scratch_within_bound"], r
