@@ -57,6 +57,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "embedding_store_drift",  # birth
     "dedup_incremental_batch_pruned",  # birth
     "sketch_incremental_mg",  # birth
+    "ann_rerank_label_boost",  # birth
     "dedup_incremental_batch",  # r14
     "ann_ivf_incremental_upsert",  # r14
     "dedup_incremental_clusters",  # r14
@@ -100,7 +101,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "tpch_q20_promotion_suppliers",  # r5,r6
     "tpch_q22_dormant_customers",  # r5,r6
     "tpch_q11_important_stock",  # r5,r6
-    "events_resample_interpolate",  # r5,r6
 )
 
 

@@ -9651,3 +9651,60 @@ def sketch_incremental_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query
+def ann_rerank_label_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-boosted RERANK stage — the post-ANN step every production
+    retrieval pipeline runs (business rules / metadata affinity folded
+    into the similarity order before serving): a top-50 shortlist by
+    quantized cosine, re-scored as ``dot_q + 200000 * (candidate label
+    == query label)`` (a 0.2-cosine-equivalent bonus in integer
+    quantized units), top-10 served.
+
+    EXACT dual end-to-end: shortlist and rerank are pure integer
+    arithmetic (the ``cosine_topk_quantized`` discipline), ties broken
+    by vec_id at both stages, so DuckDB reproduces the full two-stage
+    order bit-for-bit — unlike the recall-floor ANN entries, this one's
+    final ORDER is driver-checked.
+
+    Scale shape: the shortlist is the certifiable stand-in for any
+    coarse stage (IVF/PQ/LSH swap in transparently — the rerank only
+    sees (query_id, vec_id, dot_q) rows); the rerank itself touches
+    50 rows per query, label lookup is a semi-bounded join on the
+    shortlist, never the corpus.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vectors(spark, sf_dir)
+    shortlist = similarity.cosine_topk_quantized(emb, q, k=50)
+    labeled = (
+        shortlist.join(emb.select("vec_id", "label"), "vec_id")
+        .join(
+            F.broadcast(
+                q.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("query_label"),
+                )
+            ),
+            "query_id",
+        )
+        .withColumn(
+            "boosted_score",
+            F.col("dot_q")
+            + F.when(F.col("label") == F.col("query_label"), 200000).otherwise(0),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("boosted_score"), F.asc("vec_id")
+    )
+    return (
+        labeled.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "query_id",
+            "vec_id",
+            "boosted_score",
+            F.col("rk").cast("int").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

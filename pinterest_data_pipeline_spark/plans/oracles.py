@@ -2783,6 +2783,44 @@ oracle("dedup_simhash_exact_recall")(
     """
 )
 
+oracle("ann_rerank_label_boost")(
+    # EXACT two-stage dual: integer quantized dots, integer label bonus,
+    # ties by vec_id at both stages — the full rerank ORDER is
+    # driver-checked, not just a recall floor.
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding, label AS query_label
+        FROM embeddings WHERE vec_id < 3
+    ), pairs AS (
+        SELECT q.query_id, e.vec_id,
+               unnest(list_transform(e.embedding, v -> round(v::double * 1000)::bigint)) AS ev,
+               unnest(list_transform(q.embedding, v -> round(v::double * 1000)::bigint)) AS qv
+        FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+    ), dots AS (
+        SELECT query_id, vec_id, sum(ev * qv)::bigint AS dot_q
+        FROM pairs GROUP BY 1, 2
+    ), shortlist AS (
+        SELECT query_id, vec_id, dot_q
+        FROM dots
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dot_q DESC, vec_id) <= 50
+    ), boosted AS (
+        SELECT s.query_id, s.vec_id,
+               s.dot_q + CASE WHEN e.label = q.query_label
+                              THEN 200000 ELSE 0 END AS boosted_score
+        FROM shortlist s
+        JOIN embeddings e ON e.vec_id = s.vec_id
+        JOIN q ON q.query_id = s.query_id
+    )
+    SELECT query_id, vec_id, boosted_score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY boosted_score DESC, vec_id)::INT AS rank
+    FROM boosted
+    QUALIFY rank <= 10
+    ORDER BY query_id, rank
+    """
+)
+
 oracle("dedup_simhash_near_duplicates")(
     # Bound-oracle promotion of the registry's last rows-only entry
     # (VERDICT r14 item 6): the xxhash64 pair LIST has no cross-engine

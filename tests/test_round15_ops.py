@@ -553,3 +553,31 @@ def test_incremental_mg_matches_from_scratch_bound(spark):
         assert r["in_merged"], r
         assert r["merged_within_bound"], r
         assert r["scratch_within_bound"], r
+
+
+def test_rerank_label_boost_reorders_shortlist(spark):
+    """The boost is real: at least one query's top-10 ORDER differs from
+    the pure-cosine order (a matching-label candidate overtakes a closer
+    non-matching one), and every boosted score decomposes back to
+    dot_q + {0, 200000}."""
+    import pinterest_data_pipeline_spark.plans.extensions as ext
+    from pinterest_data_pipeline_spark.operators import similarity
+    from pinterest_data_pipeline_spark.session import load_table
+
+    out = ext.ann_rerank_label_boost(spark, SF001).collect()
+    assert len(out) == 30  # 3 queries x 10
+    emb = load_table(spark, SF001, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    pure = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in similarity.cosine_topk_quantized(emb, q, k=10).collect()
+    }
+    boosted = {(r["query_id"], r["rank"]): r["vec_id"] for r in out}
+    assert pure != boosted, "label boost never changed any ranking"
+    dots = {
+        (r["query_id"], r["vec_id"]): r["dot_q"]
+        for r in similarity.cosine_topk_quantized(emb, q, k=50).collect()
+    }
+    for r in out:
+        delta = r["boosted_score"] - dots[(r["query_id"], r["vec_id"])]
+        assert delta in (0, 200000), r
