@@ -206,6 +206,9 @@ FLAGSHIPS = [
     "ann_ivf_index_compaction",
     "sketch_incremental_tdigest",
     "embedding_store_drift",
+    "dedup_incremental_batch_pruned",
+    "sketch_incremental_mg",
+    "ann_rerank_label_boost",
 ]
 
 
