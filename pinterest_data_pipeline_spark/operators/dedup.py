@@ -685,34 +685,39 @@ def incremental_cluster_update(
     lookup probed by the endpoint set; final remap against the
     root-change map — the table itself never shuffles while the batch is
     broadcast-sized); the connected components run on the contracted
-    batch graph only, O(new pairs), never the corpus. Both guard probes
-    are self-enforcing counts (the r13 pattern): the ENDPOINT set is
-    counted once and, past ``batch_broadcast_cap``, every batch-side
-    broadcast (endpoints, root maps, remap — all bounded by the endpoint
-    count) degrades to a sort-merge join; the CONTRACTED graph is counted
-    and, at or under ``driver_cc_cap`` edges, solved by driver-side
-    union-find — one bounded Arrow collect (two int64 columns, ~16 MB at
-    the default cap) plus a linear union-find pass, versus the iterative
-    distributed loop's per-round job+checkpoint overhead that would
-    dominate a small arrival batch — and above the cap it degrades to
+    batch graph only, O(new pairs), never the corpus. ONE self-enforcing
+    probe guards everything (r15 revision — the old shape ran separate
+    endpoint/contracted count jobs AND re-executed the un-persisted pair
+    lineage per consumer, pure scheduling overhead on a small arrival):
+    the pair frame is persisted and counted once, and every derived
+    frame is bounded by it — endpoints and remap rows <= 2*n_pairs,
+    contracted edges <= n_pairs. Past ``batch_broadcast_cap`` every
+    batch-side broadcast degrades to a sort-merge join; at or under
+    ``driver_cc_cap`` PAIRS (a conservative upper bound on contracted
+    edges) the components solve by driver-side union-find — one bounded
+    Arrow collect (two int64 columns, ~16 MB at the default cap) plus a
+    linear union-find pass, versus the iterative distributed loop's
+    per-round job+checkpoint overhead that would dominate a small
+    arrival batch — and above the cap it degrades to
     :func:`cluster_pairs` (same min-label answers, pinned by pytest).
     Returns (member_id, cluster_id) covering all old members plus the
     new-pair endpoints.
     """
-    ids = persist_scoped(
-        new_pairs.select(F.col("id_a").alias("_e"))
-        .union(new_pairs.select(F.col("id_b")))
-        .distinct(),
-        "incr_cc_ids",
+    new_pairs = persist_scoped(
+        new_pairs.select("id_a", "id_b"), "incr_cc_pairs"
     )
-    # ONE bounded-size probe guards every batch-side broadcast below:
-    # roots/ra/rb/remap are all <= the endpoint count by construction
-    # (<=1 root per endpoint; <=1 remap row per contracted node).
-    n_endpoints = ids.count()
+    # the guard's ONE bounded-size probe (also materializes the pair
+    # lineage once — ids/contracted/fresh all read the cache)
+    n_pairs = new_pairs.count()
 
     def bguard(df: DataFrame) -> DataFrame:
-        return _guarded_broadcast(df, n_endpoints, batch_broadcast_cap)
+        return _guarded_broadcast(df, 2 * n_pairs, batch_broadcast_cap)
 
+    ids = (
+        new_pairs.select(F.col("id_a").alias("_e"))
+        .union(new_pairs.select(F.col("id_b")))
+        .distinct()
+    )
     # root lookup: broadcast the endpoint set into the clusters scan
     roots = persist_scoped(
         clusters.join(
@@ -723,7 +728,7 @@ def incremental_cluster_update(
     )
     ra = roots.select(F.col("_e").alias("id_a"), F.col("_r").alias("_ra"))
     rb = roots.select(F.col("_e").alias("id_b"), F.col("_r").alias("_rb"))
-    contracted = persist_scoped(
+    contracted = (
         new_pairs.join(bguard(ra), "id_a", "left")
         .join(bguard(rb), "id_b", "left")
         .select(
@@ -731,12 +736,10 @@ def incremental_cluster_update(
             F.coalesce("_rb", F.col("id_b")).alias("id_b"),
         )
         .filter(F.col("id_a") != F.col("id_b"))
-        .distinct(),
-        "incr_cc_contracted",
+        .distinct()
     )
-    n_edges = contracted.count()  # the guard's one bounded-size probe
     spark = new_pairs.sparkSession
-    if n_edges <= driver_cc_cap:
+    if n_pairs <= driver_cc_cap:
         # driver-side union-find: the collect is bounded by the cap the
         # count just verified, and arrives as TWO ARROW INT64 COLUMNS
         # (ADVICE r14: ~16 MB at the default cap, not a list of Row
@@ -763,7 +766,11 @@ def incremental_cluster_update(
             labels or [], "member_id long, cluster_id long"
         )
     else:
-        sub = cluster_pairs(contracted, max_iters)
+        # distributed branch consumes the contracted graph repeatedly —
+        # persist it there only (the driver branch reads it exactly once)
+        sub = cluster_pairs(
+            persist_scoped(contracted, "incr_cc_contracted"), max_iters
+        )
     sub = persist_scoped(sub, "incr_cc_sub")
     # old members remap through the root-change map (keyed on their old
     # label: only old ROOTS appear as keys — new ids can never collide
