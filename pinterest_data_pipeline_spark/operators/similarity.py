@@ -735,8 +735,17 @@ def ivf_compact_index(
         for c in touched:
             dst = _os.path.join(index_path, f"cell={c}")
             src = _os.path.join(aside, f"cell={c}")
-            _shutil.rmtree(dst, ignore_errors=True)
+            old = _os.path.join(index_path, f"_old_cell={c}")
+            # crash-safe per-cell swap: the live dir is renamed aside
+            # BEFORE the new one moves in, so no instant exists where the
+            # cell has neither copy (a crash leaves either the old dir,
+            # recoverable by renaming back, or both — the '_'-prefixed
+            # aside is hidden from partition discovery and swept on the
+            # next compaction)
+            _shutil.rmtree(old, ignore_errors=True)
+            _os.rename(dst, old)
             _os.rename(src, dst)
+            _shutil.rmtree(old, ignore_errors=True)
         _shutil.rmtree(aside, ignore_errors=True)
     n_after = sum(len(v) for v in _cell_files(index_path).values())
     return spark.read.parquet(index_path), n_before, n_after, len(touched)
