@@ -421,6 +421,7 @@ def incremental_verified_pairs(
     threshold: float = 0.5,
     batch_broadcast_cap: int = BATCH_BROADCAST_CAP,
     store_buckets: DataFrame | None = None,
+    store_parts: int = BUCKET_STORE_PARTS,
 ) -> DataFrame:
     """Exact-Jaccard-verified near-dup pairs involving a batch:
     ``(bid, oid, partner_in_store, j)`` with ``j >= threshold``.
@@ -434,7 +435,7 @@ def incremental_verified_pairs(
     cands = persist_scoped(
         incremental_candidates(
             batch_sigs, store_sigs, id_col, k, bands, batch_broadcast_cap,
-            store_buckets=store_buckets,
+            store_buckets=store_buckets, store_parts=store_parts,
         ),
         "incr_cands",
     )
@@ -488,6 +489,7 @@ def incremental_minhash_dedup(
     threshold: float = 0.5,
     batch_broadcast_cap: int = BATCH_BROADCAST_CAP,
     store_buckets: DataFrame | None = None,
+    store_parts: int = BUCKET_STORE_PARTS,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup a NEW document batch against a persisted signature store
     WITHOUT recomputing the corpus — the production arrival shape the
@@ -506,8 +508,9 @@ def incremental_minhash_dedup(
       the batch (smaller id). Chained within-batch transitivity is
       deliberately out of scope — cluster-exact dedup is
       :func:`cluster_pairs`' job over the accumulated pair stream.
-    * ``store_delta`` — the signature rows of KEPT batch docs, the
-      append that advances the store to the next batch.
+    * ``store_delta`` — the KEPT batch docs in the probed store's OWN
+      layout (signature rows, or bucket rows when ``store_buckets`` is
+      given), the append that advances the store to the next batch.
 
     Scale shape: signatures/shingles compute for the BATCH only; the
     store side contributes one scan of its signature table probed by a
@@ -531,6 +534,7 @@ def incremental_minhash_dedup(
         batch, batch_sigs, store_sigs, store_docs,
         text_col, id_col, shingle_n, k, bands, threshold,
         batch_broadcast_cap, store_buckets=store_buckets,
+        store_parts=store_parts,
     )
     # best displacing partner: max jaccard, ties to the SMALLEST partner
     # id — struct max over (j, -oid) is one aggregate, engine-exact on
@@ -558,10 +562,20 @@ def incremental_minhash_dedup(
             F.col("best.j").alias("best_jaccard"),
         )
     )
-    store_delta = batch_sigs.join(
+    kept_sigs = batch_sigs.join(
         decisions.filter(F.col("action") == "keep").select(id_col),
         id_col,
         "left_semi",
+    )
+    # the delta matches the layout it just probed: signature rows for a
+    # signature store, (band, bh_part, band_hash, id) bucket rows for a
+    # partitioned bucket store — either way `delta.write.mode("append")`
+    # (partitionBy("band", "bh_part") for the bucket layout) advances
+    # the store to the next batch without a schema mismatch
+    store_delta = (
+        kept_sigs
+        if store_buckets is None
+        else band_bucket_store(kept_sigs, id_col, k, bands, store_parts)
     )
     return decisions, store_delta
 

@@ -671,8 +671,11 @@ def ivf_compact_index(
     cured there by ``sources/layout.compact_small_files``).
 
     Delta-to-base merge with cell REBALANCE: each cell is rewritten into
-    ``ceil(rows / target_rows_per_file)`` files, so probe-side scan cost
-    returns to O(data), not O(fragments). Only FRAGMENTED cells pay —
+    AT MOST ``ceil(rows / target_rows_per_file)`` files (hash slotting —
+    slot collisions within a task can merge target files, so individual
+    files may exceed the target by small factors; the guarantee is the
+    fragment-count ceiling, not an exact per-file row count), so
+    probe-side scan cost returns to O(data), not O(fragments). Only FRAGMENTED cells pay —
     a cell already at or under its target file count is left untouched
     (file mtimes preserved), which is what makes the job O(touched
     partitions) at 100 TB, never O(index): a daily upsert touches a few
@@ -681,8 +684,10 @@ def ivf_compact_index(
     Per-cell row counts come from one bounded aggregate (n_cells rows);
     the rewrite's only shuffle is ``repartition(cell, slot)`` where
     ``slot = pmod(xxhash64(id), files_for_cell)`` — deterministic,
-    data-independent balance within each cell. Rewritten cells replace
-    their directories atomically-per-cell (write aside, swap).
+    data-independent slotting within each cell. Rewritten cells replace
+    their directories via a crash-recoverable aside-and-swap
+    (single-writer contract; a crash leaves a state the next run's
+    recovery sweep restores).
 
     Returns ``(compacted_index_df, n_files_before, n_files_after,
     n_cells_rewritten)``.
@@ -698,6 +703,20 @@ def ivf_compact_index(
             cell = int(_os.path.basename(d).split("=", 1)[1])
             out[cell] = sorted(_glob.glob(_os.path.join(d, "part-*")))
         return out
+
+    # crash RECOVERY before anything else: a previous run that died
+    # mid-swap may have left '_old_cell=N' asides — if the live twin is
+    # missing, the aside IS the cell (rename it back); if both exist the
+    # aside is a stale pre-swap copy (sweep it). Makes every compaction
+    # run a recovery point, not just the cells it happens to touch.
+    for old_dir in _glob.glob(_os.path.join(index_path, "_old_cell=*")):
+        live = _os.path.join(
+            index_path, _os.path.basename(old_dir).removeprefix("_old_")
+        )
+        if _os.path.exists(live):
+            _shutil.rmtree(old_dir, ignore_errors=True)
+        else:
+            _os.rename(old_dir, live)
 
     before = _cell_files(index_path)
     n_before = sum(len(v) for v in before.values())
@@ -736,12 +755,12 @@ def ivf_compact_index(
             dst = _os.path.join(index_path, f"cell={c}")
             src = _os.path.join(aside, f"cell={c}")
             old = _os.path.join(index_path, f"_old_cell={c}")
-            # crash-safe per-cell swap: the live dir is renamed aside
-            # BEFORE the new one moves in, so no instant exists where the
-            # cell has neither copy (a crash leaves either the old dir,
-            # recoverable by renaming back, or both — the '_'-prefixed
-            # aside is hidden from partition discovery and swept on the
-            # next compaction)
+            # crash-RECOVERABLE per-cell swap (single-writer contract;
+            # concurrent readers may briefly miss a mid-swap cell): the
+            # live dir renames aside before the new one moves in, so a
+            # crash at any instant leaves the cell's data on disk — as
+            # the live dir, the hidden aside, or both — and the recovery
+            # sweep at the top of the next run restores the invariant
             _shutil.rmtree(old, ignore_errors=True)
             _os.rename(dst, old)
             _os.rename(src, dst)

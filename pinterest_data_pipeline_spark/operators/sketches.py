@@ -537,6 +537,8 @@ def mg_merge(summaries: list[DataFrame], k: int) -> DataFrame:
     the exact rank-based shrink — bounded by construction, never
     data-sized.
     """
+    if not summaries:
+        raise ValueError("mg_merge needs at least one summary frame")
     first = summaries[0]
     merged = first
     for s in summaries[1:]:

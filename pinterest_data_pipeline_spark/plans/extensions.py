@@ -179,6 +179,32 @@ def dedup_minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame
     return dedup.minhash_near_duplicates(docs, "text", "doc_id", threshold=0.3)
 
 
+def _planted_dup_corpus(docs: DataFrame) -> DataFrame:
+    """documents plus 50 deterministic exact duplicates (the 50 lowest
+    doc_ids re-keyed at +10M) — the shared planting rule of the SimHash
+    certification pair (``dedup_simhash_near_duplicates`` /
+    ``dedup_simhash_exact_recall``) and their DuckDB duals: the natural
+    corpus has zero exact-dup pairs at small SFs, which would let recall
+    invariants certify over an empty set."""
+    planted = (
+        docs.orderBy("doc_id")
+        .limit(50)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+    )
+    return docs.unionByName(planted)
+
+
+def _exact_dup_pairs(corpus: DataFrame) -> DataFrame:
+    """(id_a < id_b) pairs with byte-identical text (md5 equality)."""
+    h = corpus.select(F.md5("text").alias("h"), "doc_id")
+    return (
+        h.select(F.col("h"), F.col("doc_id").alias("id_a"))
+        .join(h.select(F.col("h"), F.col("doc_id").alias("id_b")), "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+
 @query
 def dedup_simhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (xxhash64) near-dup certification — BOUND ORACLE (VERDICT
@@ -208,23 +234,12 @@ def dedup_simhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame
     consumed by both aggregates — the pipeline runs once (r13 lesson).
     """
     docs = load_documents(spark, sf_dir).select("doc_id", "text")
-    planted = (
-        docs.orderBy("doc_id")
-        .limit(50)
-        .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
-    )
-    corpus = docs.unionByName(planted)
+    corpus = _planted_dup_corpus(docs)
     found = persist_scoped(
         dedup.simhash_near_duplicates(corpus, "text", "doc_id", max_distance=10),
         "simhash_cert_pairs",
     )
-    h = corpus.select(F.md5("text").alias("h"), "doc_id")
-    exact_pairs = (
-        h.select(F.col("h"), F.col("doc_id").alias("id_a"))
-        .join(h.select(F.col("h"), F.col("doc_id").alias("id_b")), "h")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
+    exact_pairs = _exact_dup_pairs(corpus)
     recall = (
         exact_pairs.join(
             found.select("id_a", "id_b").withColumn("_hit", F.lit(True)),
@@ -1693,21 +1708,11 @@ def dedup_simhash_exact_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     that matters without it.
     """
     docs = load_documents(spark, sf_dir).select("doc_id", "text")
-    planted = (
-        docs.orderBy("doc_id")
-        .limit(50)
-        .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
-    )
-    corpus = docs.unionByName(planted)
+    corpus = _planted_dup_corpus(docs)
     found = dedup.simhash_near_duplicates(
         corpus, "text", "doc_id", max_distance=10
     ).select("id_a", "id_b", F.lit(True).alias("_hit"))
-    h = corpus.select(F.md5("text").alias("h"), "doc_id")
-    a = h.select(F.col("h"), F.col("doc_id").alias("id_a"))
-    b = h.select(F.col("h"), F.col("doc_id").alias("id_b"))
-    exact_pairs = a.join(b, "h").filter(F.col("id_a") < F.col("id_b")).select(
-        "id_a", "id_b"
-    )
+    exact_pairs = _exact_dup_pairs(corpus)
     return exact_pairs.join(found, ["id_a", "id_b"], "left").agg(
         F.count(F.lit(1)).cast("long").alias("n_expected_pairs"),
         F.sum(F.when(F.col("_hit"), 1).otherwise(0)).cast("long").alias("n_found"),
@@ -9554,6 +9559,17 @@ def dedup_incremental_batch_pruned(spark: SparkSession, sf_dir: str) -> DataFram
     the store projection is only a few MB; the gap is O(store) vs
     O(touched dirs) by construction.
     """
+    from ..session import release_scoped
+
+    # SELF-ENFORCED raw-lineage contract (the DPP lesson in dedup.py):
+    # a cached same-result batch-sig/bucket frame — the sibling
+    # incremental queries persist exactly that over this corpus — would
+    # be substituted into the probe subtree and silently drop the
+    # pruning subquery, full-scanning the store this query exists to
+    # avoid. Evict those scopes so the probe plans raw regardless of
+    # which query ran first in the session.
+    for scope in ("incr_batch_sigs", "incr_cc_batch_sigs", "incr_bbuckets"):
+        release_scoped(scope)
     docs = load_documents(spark, sf_dir)
     batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
     store_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)

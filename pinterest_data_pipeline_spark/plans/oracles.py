@@ -2760,6 +2760,17 @@ oracle("join_dpp_partition_pruned")(
     """
 )
 
+# Shared planting CTE of the SimHash certification pair (mirrors
+# extensions._planted_dup_corpus / _exact_dup_pairs): 50 deterministic
+# duplicates re-keyed at +10M, exact-dup pairs via md5 equality.
+_PLANTED_SIMHASH_CORPUS_SQL = """planted AS (
+        SELECT doc_id + 10000000 AS doc_id, text
+        FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50)
+    ), corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM planted
+    ), g AS (SELECT md5(text) AS h, doc_id FROM corpus)"""
+
 oracle("dedup_simhash_exact_recall")(
     # Identical text -> identical signature -> Hamming 0: simhash must
     # find every exact-duplicate pair, whatever its bucket hashes are.
@@ -2768,14 +2779,8 @@ oracle("dedup_simhash_exact_recall")(
     # side), so n_expected_pairs >= 50 at every SF: a green row asserts
     # PRESENCE of recalled pairs, not absence of misses over an
     # accidentally-empty pair set.
-    """
-    WITH planted AS (
-        SELECT doc_id + 10000000 AS doc_id, text
-        FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50)
-    ), corpus AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL SELECT doc_id, text FROM planted
-    ), g AS (SELECT md5(text) AS h, doc_id FROM corpus)
+    f"""
+    WITH {_PLANTED_SIMHASH_CORPUS_SQL}
     SELECT count(*)::BIGINT AS n_expected_pairs,
            count(*)::BIGINT AS n_found,
            0::BIGINT AS n_missed
@@ -2830,14 +2835,8 @@ oracle("dedup_simhash_near_duplicates")(
     # vacuous) plus the recall/radius booleans (in-Spark invariants,
     # literal TRUE here). Pigeonhole completeness is certified exactly
     # by the stable-hash twin's full dual.
-    """
-    WITH planted AS (
-        SELECT doc_id + 10000000 AS doc_id, text
-        FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50)
-    ), corpus AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL SELECT doc_id, text FROM planted
-    ), g AS (SELECT md5(text) AS h, doc_id FROM corpus)
+    f"""
+    WITH {_PLANTED_SIMHASH_CORPUS_SQL}
     SELECT (SELECT count(*) FROM corpus)::BIGINT AS n_docs,
            count(*)::BIGINT AS n_exact_dup_pairs,
            TRUE AS exact_recall_ok,
