@@ -658,6 +658,87 @@ def ivf_search_index(
     )
 
 
+def ivf_recover_index(index_path: str) -> int:
+    """Crash-recovery sweep for a cell-partitioned index directory.
+
+    A compaction/migration run that died mid-swap leaves ``_old_cell=N``
+    asides. Between the crash and the next maintenance run every plain
+    reader of the index is DOWN (measured on Spark 4: partition inference
+    sees ``_old_cell`` as a conflicting second partition column and the
+    read fails with CONFLICTING_PARTITION_COLUMN_NAMES — loud, not the
+    silent partial index ADVICE r15 hypothesized, but broken until
+    someone sweeps). The sweep restores the
+    invariant at any time, not just at the next maintenance run: if the
+    live twin is missing, the aside IS the cell (rename it back); if both
+    exist the aside is a stale pre-swap copy (sweep it). Idempotent;
+    single-writer contract (never run concurrently with a maintenance
+    job on the same index). Returns the number of asides resolved.
+    """
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    resolved = 0
+    for old_dir in _glob.glob(_os.path.join(index_path, "_old_cell=*")):
+        live = _os.path.join(
+            index_path, _os.path.basename(old_dir).removeprefix("_old_")
+        )
+        if _os.path.exists(live):
+            _shutil.rmtree(old_dir, ignore_errors=True)
+        else:
+            _os.rename(old_dir, live)
+        resolved += 1
+    return resolved
+
+
+def ivf_open_index(spark, index_path: str) -> DataFrame:
+    """Open a cell-partitioned IVF parquet index for READING, running the
+    crash-recovery sweep first (ADVICE r15: a mid-swap crash otherwise
+    hides a cell from every reader until the next compaction happens to
+    run). This is the read-path twin of the sweep
+    :func:`ivf_compact_index` / :func:`ivf_retrain_migrate` run before
+    writing."""
+    ivf_recover_index(index_path)
+    return spark.read.parquet(index_path)
+
+
+def _swap_cell_dirs(index_path: str, aside: str, cells: list[int]) -> None:
+    """Move ``cell=N`` directories from ``aside`` over the live index via
+    the crash-recoverable aside-and-swap (single-writer contract;
+    concurrent readers may briefly miss a mid-swap cell): the live dir
+    renames to ``_old_cell=N`` before the new one moves in, so a crash at
+    any instant leaves the cell's data on disk — as the live dir, the
+    hidden aside, or both — and :func:`ivf_recover_index` restores the
+    invariant. A cell with no live twin (migration created it) just moves
+    in.
+
+    OBJECT-STORE MAPPING (the 100 TB commit protocol — POSIX rename is a
+    test-scaffold stand-in, not the design): on S3/GCS this sequence is a
+    table-format transaction, not directory renames. Delta Lake's
+    ``OPTIMIZE`` / Iceberg's rewrite_data_files express exactly this
+    operator: write new files alongside old ones, then commit ONE
+    manifest/log entry that atomically swaps which files are live —
+    readers see wholly-old or wholly-new (snapshot isolation), crash
+    recovery is "uncommitted files are invisible" (no sweep needed), and
+    concurrent-reader gaps disappear. When the environment grows Delta
+    (``sources.formats.delta_available()``), the swap body becomes a
+    single ``OPTIMIZE ... WHERE cell IN (...)`` / ``REPLACE WHERE``
+    commit; the touched-cells planning above it is unchanged.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    for c in cells:
+        dst = _os.path.join(index_path, f"cell={c}")
+        src = _os.path.join(aside, f"cell={c}")
+        old = _os.path.join(index_path, f"_old_cell={c}")
+        _shutil.rmtree(old, ignore_errors=True)
+        if _os.path.exists(dst):
+            _os.rename(dst, old)
+        _os.rename(src, dst)
+        _shutil.rmtree(old, ignore_errors=True)
+
+
 def ivf_compact_index(
     spark,
     index_path: str,
@@ -704,19 +785,10 @@ def ivf_compact_index(
             out[cell] = sorted(_glob.glob(_os.path.join(d, "part-*")))
         return out
 
-    # crash RECOVERY before anything else: a previous run that died
-    # mid-swap may have left '_old_cell=N' asides — if the live twin is
-    # missing, the aside IS the cell (rename it back); if both exist the
-    # aside is a stale pre-swap copy (sweep it). Makes every compaction
-    # run a recovery point, not just the cells it happens to touch.
-    for old_dir in _glob.glob(_os.path.join(index_path, "_old_cell=*")):
-        live = _os.path.join(
-            index_path, _os.path.basename(old_dir).removeprefix("_old_")
-        )
-        if _os.path.exists(live):
-            _shutil.rmtree(old_dir, ignore_errors=True)
-        else:
-            _os.rename(old_dir, live)
+    # crash RECOVERY before anything else (shared sweep — also invoked on
+    # the read path by ivf_open_index): makes every compaction run a
+    # recovery point, not just the cells it happens to touch.
+    ivf_recover_index(index_path)
 
     before = _cell_files(index_path)
     n_before = sum(len(v) for v in before.values())
@@ -751,23 +823,155 @@ def ivf_compact_index(
             .partitionBy("cell")
             .parquet(aside)
         )
-        for c in touched:
-            dst = _os.path.join(index_path, f"cell={c}")
-            src = _os.path.join(aside, f"cell={c}")
-            old = _os.path.join(index_path, f"_old_cell={c}")
-            # crash-RECOVERABLE per-cell swap (single-writer contract;
-            # concurrent readers may briefly miss a mid-swap cell): the
-            # live dir renames aside before the new one moves in, so a
-            # crash at any instant leaves the cell's data on disk — as
-            # the live dir, the hidden aside, or both — and the recovery
-            # sweep at the top of the next run restores the invariant
-            _shutil.rmtree(old, ignore_errors=True)
-            _os.rename(dst, old)
-            _os.rename(src, dst)
-            _shutil.rmtree(old, ignore_errors=True)
+        # crash-recoverable per-cell swap; see _swap_cell_dirs for the
+        # POSIX contract and the object-store (Delta OPTIMIZE) mapping
+        _swap_cell_dirs(index_path, aside, touched)
         _shutil.rmtree(aside, ignore_errors=True)
     n_after = sum(len(v) for v in _cell_files(index_path).values())
     return spark.read.parquet(index_path), n_before, n_after, len(touched)
+
+
+def align_centroids(
+    old: list[list[float]], new: list[list[float]]
+) -> list[list[float]]:
+    """Permute retrained centroids so index ``i`` holds the new centroid
+    nearest old centroid ``i`` (greedy global-min matching on squared
+    distance, deterministic ties by index order).
+
+    Retraining renumbers cells arbitrarily; without alignment every
+    vector's cell id changes and a "migration" rewrites the whole index.
+    Under drift, most retrained centroids sit close to a predecessor, so
+    aligned ids keep most vectors in place and migration cost tracks the
+    vectors the retrain actually MOVED — the whole point of
+    :func:`ivf_retrain_migrate`. Driver-side on (cells × cells) floats:
+    bounded by construction.
+    """
+    import numpy as np
+
+    if len(new) != len(old):
+        raise ValueError(
+            f"align_centroids: centroid counts differ ({len(old)} old vs "
+            f"{len(new)} new) — retrain with the same n_cells to migrate "
+            "in place; changing cell count is a full rebuild"
+        )
+    o = np.asarray(old, dtype=np.float64)
+    nw = np.asarray(new, dtype=np.float64)
+    d = ((o[:, None, :] - nw[None, :, :]) ** 2).sum(axis=2)
+    out: list[list[float] | None] = [None] * len(new)
+    used_old: set[int] = set()
+    used_new: set[int] = set()
+    for flat in np.argsort(d, axis=None, kind="stable"):
+        i, j = divmod(int(flat), d.shape[1])
+        if i in used_old or j in used_new:
+            continue
+        out[i] = new[j]
+        used_old.add(i)
+        used_new.add(j)
+        if len(used_new) == len(new):
+            break
+    return [c for c in out if c is not None]
+
+
+def ivf_retrain_migrate(
+    spark,
+    index_path: str,
+    new_centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, int, int]:
+    """Migrate a cell-partitioned IVF index to RETRAINED centroids by
+    rewriting only the cells whose membership changed — the final verb of
+    the index lifecycle (r14 ``IVF.add`` upsert absorbs batches, r15
+    compaction merges their files, r15 drift monitoring decides WHEN the
+    stored centroids are stale; this executes the retrain without a full
+    re-index).
+
+    Plan shape (all bounded or O(touched)):
+
+    1. recovery sweep, then ONE narrow Arrow pass over the index computes
+       each vector's nearest cell under the new (aligned) centroids — no
+       shuffle, no join; this pass is unavoidable (every vector must be
+       scored against the new centroids to know whether it moves) and is
+       pure map-side compute at 100 TB.
+    2. the TOUCHED set — cells losing or gaining any vector — comes from
+       one bounded aggregate (≤ 2·n_cells rows). A vector moving c→d
+       touches both c and d; a cell nobody leaves or enters is untouched.
+    3. only rows whose NEW cell is touched rewrite (stayers in touched
+       cells ride along — their directory is being replaced anyway;
+       stayers in untouched cells never rewrite, their files keep mtimes).
+       The rewrite shuffles O(touched-cells' rows), never O(index), and
+       swaps in via the shared crash-recoverable aside-and-swap
+       (:func:`_swap_cell_dirs`; Delta ``OPTIMIZE``-commit mapping there).
+
+    Pass ``new_centroids`` through :func:`align_centroids` first (the
+    certification queries do) — unaligned retrained centroids renumber
+    every cell and degrade this to a full rewrite, correct but O(index).
+
+    Returns ``(migrated_index_df, n_moved, n_cells_touched)``. The
+    migrated index is bit-identical (as a rowset) to a from-scratch
+    ``ivf_assign_cells(corpus, new_centroids)`` rebuild — pytest-pinned;
+    searches against it must use ``new_centroids``.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    ivf_recover_index(index_path)
+    idx = spark.read.parquet(index_path)
+    assign1 = nearest_cells_pandas(new_centroids, 1)
+    reassigned = idx.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cell").cast("int").alias("cell"),
+        assign1(F.col(vec_col))[0].cast("int").alias("new_cell"),
+    )
+    # bounded: one row per (old, new) cell pair with any movement
+    moves = (
+        reassigned.filter(F.col("new_cell") != F.col("cell"))
+        .groupBy("cell", "new_cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    touched = sorted({r["cell"] for r in moves} | {r["new_cell"] for r in moves})
+    n_moved = sum(r["n"] for r in moves)
+    if touched:
+        aside = index_path + "__migrating"
+        _shutil.rmtree(aside, ignore_errors=True)
+        # dropDuplicates makes a RE-RUN exact after a mid-migration crash:
+        # cell swaps commit one directory at a time, so a crash between a
+        # mover's destination swap and its source swap leaves the row in
+        # both cells; on the re-run both copies reassign to the same
+        # (id, vec, new_cell) row and the dedup collapses them. Protocol:
+        # the recovery sweep restores READABILITY at any time; re-running
+        # the migration restores EXACTNESS (idempotent). The shuffle is
+        # O(touched cells' rows), never O(index).
+        (
+            reassigned.filter(F.col("new_cell").isin(touched))
+            .select(id_col, vec_col, F.col("new_cell").alias("cell"))
+            .dropDuplicates([id_col])
+            .repartition(len(touched), F.col("cell"))
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(aside)
+        )
+        # a touched cell can end up EMPTY (everyone left, nobody arrived):
+        # the writer emits no directory for it — rename-aside then delete,
+        # so a crash at any instant leaves the rows recoverable and a
+        # re-run converges
+        empty = [
+            c
+            for c in touched
+            if not _os.path.exists(_os.path.join(aside, f"cell={c}"))
+        ]
+        _swap_cell_dirs(index_path, aside, [c for c in touched if c not in empty])
+        for c in empty:
+            live = _os.path.join(index_path, f"cell={c}")
+            old = _os.path.join(index_path, f"_old_cell={c}")
+            if _os.path.exists(live):
+                _shutil.rmtree(old, ignore_errors=True)
+                _os.rename(live, old)
+                _shutil.rmtree(old, ignore_errors=True)
+        _shutil.rmtree(aside, ignore_errors=True)
+    return spark.read.parquet(index_path), n_moved, len(touched)
 
 
 def ivf_topk(

@@ -9724,3 +9724,108 @@ def ann_rerank_label_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+@query
+def ann_ivf_centroid_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-triggered centroid RETRAIN + touched-cells index MIGRATION —
+    the last verb of the IVF lifecycle (VERDICT r15 item 1): r14's
+    ``IVF.add`` upsert absorbs batches without retraining, r15's
+    compaction merges their files, r15's ``embedding_store_drift``
+    computes the retrain trigger; THIS executes the retrain the trigger
+    schedules, without a full re-index.
+
+    Per run: the fingerprint-cached base index (store vectors, stale
+    store-trained centroids) is file-copied to a work dir (scaffolding —
+    production migrates in place), the batch delta appends assigned with
+    the SAME stale centroids (the drifted state the retrain cures), new
+    centroids train on the FULL store ∪ batch corpus and are
+    :func:`~..operators.similarity.align_centroids`-matched to the old
+    cell ids so only genuinely-moved vectors migrate, and
+    :func:`~..operators.similarity.ivf_retrain_migrate` rewrites exactly
+    the cells whose membership changed (O(touched), crash-recoverable
+    aside-and-swap; Delta ``OPTIMIZE``-commit mapping in
+    ``_swap_cell_dirs``). Certification:
+
+    * ``migration_lossless`` — (count, vec_id-digest) of the migrated
+      index equals the full corpus: no vector dropped or duplicated by
+      the move (in-Spark invariant, TRUE in the dual).
+    * ``migrated_assign_ok`` — zero rows whose stored cell differs from
+      the nearest NEW centroid; together with losslessness this is
+      exactly "migrated index == from-scratch rebuild with the new
+      centroids" stated as data (the rowset equality itself, plus the
+      untouched-cell no-rewrite mtime contract and migration-cost-tracks-
+      moved-vectors, are pytest-pinned — file layout is outside SQL).
+    * search columns — probing the MIGRATED index with the NEW centroids
+      answers like the IVF family: recall >= 2/10 vs the exact top-10
+      (4-of-16-probe floor lineage) and ``exact_top1`` recomputed by
+      brute force in the DuckDB dual (data-dependent).
+    """
+    import shutil
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
+    batch = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 0)
+    old_centroids = similarity.train_ivf_centroids(old, n_cells=16)
+    base_path = _work_dir(sf_dir, "_ivf_cell_index")
+    _cached_store(
+        spark, sf_dir, "_ivf_cell_index", "embeddings.parquet",
+        lambda path: similarity.ivf_assign_cells(old, old_centroids)
+        .write.mode("overwrite").partitionBy("cell").parquet(path),
+        params="n_cells=16",
+    )
+    work = _work_dir(sf_dir, "_ivf_retrain")
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(base_path, work)
+    similarity.ivf_assign_cells(batch, old_centroids).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(work)
+    new_centroids = similarity.align_centroids(
+        old_centroids, similarity.train_ivf_centroids(emb, n_cells=16)
+    )
+    migrated, _n_moved, _n_touched = similarity.ivf_retrain_migrate(
+        spark, work, new_centroids
+    )
+
+    def digest(df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.pmod(F.xxhash64("vec_id"), F.lit(1_000_000_007))
+            ).alias("d"),
+        )
+
+    lossless = (
+        digest(migrated)
+        .crossJoin(
+            digest(emb).withColumnsRenamed({"n": "n2", "d": "d2"})
+        )
+        .select(
+            ((F.col("n") == F.col("n2")) & (F.col("d") == F.col("d2"))).alias(
+                "migration_lossless"
+            )
+        )
+    )
+    assign1 = similarity.nearest_cells_pandas(new_centroids, 1)
+    assign_ok = migrated.select(
+        (F.col("cell").cast("int") != assign1(F.col("embedding"))[0])
+        .cast("long")
+        .alias("bad")
+    ).agg((F.sum("bad") == 0).alias("migrated_assign_ok"))
+    q = _query_vectors(spark, sf_dir)
+    ann = similarity.ivf_search_index(migrated, q, new_centroids, k=10, n_probe=4)
+    exact = persist_scoped(
+        similarity.cosine_topk_quantized(emb, q, k=10), "retrain_exact"
+    )
+    top1 = exact.filter(F.col("rank") == 1).select(
+        "query_id", F.col("vec_id").alias("exact_top1")
+    )
+    return (
+        _certify_recall(
+            emb, q, ann, floor=2, exact=exact.select("query_id", "vec_id")
+        )
+        .join(top1, "query_id")
+        .crossJoin(lossless)
+        .crossJoin(assign_ok)
+        .orderBy("query_id")
+    )

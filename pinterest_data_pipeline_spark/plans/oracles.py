@@ -7543,3 +7543,38 @@ oracle("sketch_incremental_kmv")(
     ORDER BY stage
     """
 )
+
+oracle("ann_ivf_centroid_retrain")(
+    # Same dual shape as ann_ivf_index_compaction (exact_top1 is
+    # recomputed by brute force over the full corpus — data-dependent);
+    # the migration-specific invariants (vec_id-digest losslessness,
+    # stored cell == nearest new centroid) are in-Spark facts stated as
+    # booleans, and the rowset-equals-rebuild / untouched-cell-mtime
+    # contracts are pytest-pinned (no SQL engine can replay a parquet
+    # file layout).
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3
+    ), pairs AS (
+        SELECT q.query_id, e.vec_id,
+               unnest(list_transform(e.embedding, v -> round(v::double * 1000)::bigint)) AS ev,
+               unnest(list_transform(q.embedding, v -> round(v::double * 1000)::bigint)) AS qv
+        FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+    ), dots AS (
+        SELECT query_id, vec_id, sum(ev * qv)::bigint AS dot_q
+        FROM pairs GROUP BY 1, 2
+    ), top1 AS (
+        SELECT query_id, vec_id AS exact_top1
+        FROM dots
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dot_q DESC, vec_id) = 1
+    )
+    SELECT query_id,
+           least(10, (SELECT count(*) - 1 FROM embeddings))::BIGINT AS n_returned,
+           TRUE AS recall_ok,
+           exact_top1,
+           TRUE AS migration_lossless,
+           TRUE AS migrated_assign_ok
+    FROM top1 ORDER BY query_id
+    """
+)

@@ -1,0 +1,196 @@
+"""Round-16 tests: drift-triggered IVF centroid retrain + touched-cells
+index migration (VERDICT r15 item 1) and the read-path crash-recovery
+sweep (ADVICE r15).
+
+The file-layout contracts no SQL dual can express live here:
+migrated-index rowset == from-scratch rebuild with the new centroids,
+untouched cells are never rewritten (mtimes preserved), migration cost
+tracks MOVED vectors (only cells losing/gaining rewrite), a crash that
+leaves a vector in two cells converges on re-run, and a reader opening
+an index with a mid-swap ``_old_cell=N`` aside sees the full index.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pinterest_data_pipeline_spark.operators import similarity
+
+# Unit anchors in R^4: dot-product nearest-cell assignment is exact and
+# tie-free for members placed exactly at an anchor.
+ANCHORS = [
+    [1.0, 0.0, 0.0, 0.0],
+    [0.0, 1.0, 0.0, 0.0],
+    [0.0, 0.0, 1.0, 0.0],
+    [0.0, 0.0, 0.0, 1.0],
+]
+# Outliers sit between anchors 2 and 3, barely on anchor 2's side under
+# the OLD centroids (dot 0.71 vs 0.70); the retrained centroid 3 leans
+# toward them (dot 0.985) so exactly these five vectors migrate 2 -> 3.
+OUTLIER = [0.0, 0.0, 0.71, 0.70]
+NEW_C3 = [0.0, 0.0, 0.5, 0.9]
+
+
+def _corpus(spark):
+    rows = []
+    vid = 0
+    for c in ANCHORS:
+        for _ in range(10):
+            rows.append((vid, [float(x) for x in c]))
+            vid += 1
+    for _ in range(5):
+        rows.append((vid, [float(x) for x in OUTLIER]))
+        vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _new_centroids():
+    return [ANCHORS[0], ANCHORS[1], ANCHORS[2], NEW_C3]
+
+
+def _rowset(df):
+    return {
+        (r["vec_id"], int(r["cell"])) for r in df.select("vec_id", "cell").collect()
+    }
+
+
+def _build_index(spark, tmp_path, name="ivf_idx"):
+    path = os.path.join(str(tmp_path), name)
+    similarity.ivf_assign_cells(_corpus(spark), ANCHORS).write.partitionBy(
+        "cell"
+    ).parquet(path)
+    return path
+
+
+def _cell_file_mtimes(path):
+    out = {}
+    for d in os.listdir(path):
+        if not d.startswith("cell="):
+            continue
+        cell = int(d.split("=", 1)[1])
+        full = os.path.join(path, d)
+        out[cell] = {
+            f: os.path.getmtime(os.path.join(full, f))
+            for f in os.listdir(full)
+            if f.startswith("part-")
+        }
+    return out
+
+
+def test_retrain_migrate_matches_rebuild(spark, tmp_path):
+    """Migrated index == ivf_assign_cells(corpus, new_centroids) as a
+    rowset (bit-for-bit modulo order), and the outliers really moved."""
+    path = _build_index(spark, tmp_path)
+    corpus = _corpus(spark)
+    new_c = _new_centroids()
+    migrated, n_moved, n_touched = similarity.ivf_retrain_migrate(
+        spark, path, new_c
+    )
+    rebuild = similarity.ivf_assign_cells(corpus, new_c)
+    assert _rowset(migrated) == _rowset(rebuild)
+    assert n_moved == 5  # exactly the planted outliers
+    assert n_touched == 2  # source cell 2 + destination cell 3
+    moved = {
+        r["vec_id"]
+        for r in migrated.filter(F.col("cell") == 3)
+        .select("vec_id")
+        .collect()
+    }
+    assert set(range(40, 45)) <= moved
+
+
+def test_retrain_migrate_untouched_cells_not_rewritten(spark, tmp_path):
+    """Cells that neither lose nor gain a vector keep their files
+    byte-untouched (mtimes preserved) — migration cost is O(moved
+    vectors' cells), never O(index)."""
+    path = _build_index(spark, tmp_path)
+    before = _cell_file_mtimes(path)
+    similarity.ivf_retrain_migrate(spark, path, _new_centroids())
+    after = _cell_file_mtimes(path)
+    for untouched in (0, 1):
+        assert after[untouched] == before[untouched]
+    # touched cells were rewritten: fresh files
+    assert after[2] != before[2]
+    assert after[3] != before[3]
+
+
+def test_retrain_migrate_noop_when_nothing_moves(spark, tmp_path):
+    """Retraining to the SAME centroids touches nothing: zero moved,
+    zero cells rewritten, every file mtime preserved."""
+    path = _build_index(spark, tmp_path)
+    before = _cell_file_mtimes(path)
+    migrated, n_moved, n_touched = similarity.ivf_retrain_migrate(
+        spark, path, ANCHORS
+    )
+    assert (n_moved, n_touched) == (0, 0)
+    assert _cell_file_mtimes(path) == before
+    assert _rowset(migrated) == _rowset(
+        similarity.ivf_assign_cells(_corpus(spark), ANCHORS)
+    )
+
+
+def test_retrain_migrate_crash_rerun_exact(spark, tmp_path):
+    """A crash between a mover's destination swap and its source swap
+    leaves the vector in BOTH cells; re-running the migration converges
+    to the exact rebuild (the dropDuplicates re-run protocol)."""
+    path = os.path.join(str(tmp_path), "dup_idx")
+    base = similarity.ivf_assign_cells(_corpus(spark), ANCHORS)
+    # simulate the half-committed state: outliers present in their old
+    # cell (2, from assignment) AND already swapped into cell 3
+    dup = base.unionByName(
+        base.filter(F.col("vec_id") >= 40).withColumn("cell", F.lit(3))
+    )
+    dup.write.partitionBy("cell").parquet(path)
+    migrated, _, _ = similarity.ivf_retrain_migrate(
+        spark, path, _new_centroids()
+    )
+    assert _rowset(migrated) == _rowset(
+        similarity.ivf_assign_cells(_corpus(spark), _new_centroids())
+    )
+    counts = migrated.groupBy("vec_id").count().filter(F.col("count") > 1)
+    assert counts.count() == 0
+
+
+def test_align_centroids_recovers_permutation():
+    """Aligning a shuffled, slightly-perturbed retrain output restores
+    the old cell numbering (each slot gets the perturbed twin of its old
+    centroid); mismatched counts raise instead of silently rebuilding."""
+    import pytest
+
+    perturbed = [[v + 0.01 for v in c] for c in ANCHORS]
+    shuffled = [perturbed[2], perturbed[0], perturbed[3], perturbed[1]]
+    aligned = similarity.align_centroids(ANCHORS, shuffled)
+    assert aligned == perturbed
+    with pytest.raises(ValueError, match="centroid counts differ"):
+        similarity.align_centroids(ANCHORS, perturbed[:3])
+
+
+def test_ivf_open_index_recovers_mid_swap_aside(spark, tmp_path):
+    """ADVICE r15: a reader opening an index left mid-swap (live cell dir
+    missing, ``_old_cell=N`` aside present) must see the FULL index —
+    ivf_open_index runs the recovery sweep before reading. A plain
+    parquet read of the same state is BROKEN until someone sweeps:
+    Spark's partition inference sees ``_old_cell`` as a second partition
+    column and fails with CONFLICTING_PARTITION_COLUMN_NAMES (measured —
+    loud, not the silent-partial-index failure ADVICE hypothesized, but
+    every reader is still down until a maintenance run happens by)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    path = _build_index(spark, tmp_path, "crash_idx")
+    full = _rowset(spark.read.parquet(path))
+    os.rename(
+        os.path.join(path, "cell=1"), os.path.join(path, "_old_cell=1")
+    )
+    # the hazard: the aside dir breaks partition inference for readers
+    with pytest.raises(SparkRuntimeException, match="CONFLICTING_PARTITION"):
+        spark.read.parquet(path).collect()
+    recovered = similarity.ivf_open_index(spark, path)
+    assert _rowset(recovered) == full
+    assert os.path.exists(os.path.join(path, "cell=1"))
+    # stale-aside case: both live and aside exist -> aside swept
+    os.makedirs(os.path.join(path, "_old_cell=2"), exist_ok=True)
+    similarity.ivf_open_index(spark, path)
+    assert not os.path.exists(os.path.join(path, "_old_cell=2"))

@@ -3160,6 +3160,111 @@ def probe_incremental_clusters(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
+IVF_PROBE_CELLS = 16
+IVF_PROBE_BASE_ROWS = 100_000
+IVF_PROBE_OUTLIERS = 500
+
+
+def _ivf_probe_index(spark, mult: int) -> tuple[str, list[list[float]]]:
+    """Prebuild (untimed) a mult x cell-partitioned IVF index on a
+    SYNTHETIC anchored corpus where migration movement is controllable:
+    mult x 100k vectors sit exactly on 16 one-hot anchors (their cell
+    never changes under the probe's drift), plus a FIXED 500 planted
+    outliers between anchors 2 and 3 that flip 2 -> 3 when centroid 3
+    leans toward them. Real-embedding drift moves a data-dependent,
+    dest-scattered set; the controlled corpus is what lets the probe
+    separate the scan floor from the touched-cells rewrite."""
+    from pinterest_data_pipeline_spark.operators import similarity
+
+    anchors = [
+        [1.0 if j == i else 0.0 for j in range(IVF_PROBE_CELLS)]
+        for i in range(IVF_PROBE_CELLS)
+    ]
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse", f"_probe_ivf_retrain_{mult}x",
+    )
+    path = os.path.join(out, "index")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        anchored = spark.range(IVF_PROBE_BASE_ROWS * mult).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[
+                    F.when(
+                        F.pmod(F.col("id"), F.lit(IVF_PROBE_CELLS)) == i, 1.0
+                    ).otherwise(0.0)
+                    for i in range(IVF_PROBE_CELLS)
+                ]
+            ).alias("embedding"),
+            F.pmod(F.col("id"), F.lit(IVF_PROBE_CELLS))
+            .cast("int")
+            .alias("cell"),
+        )
+        outlier_vec = [
+            0.71 if i == 2 else (0.70 if i == 3 else 0.0)
+            for i in range(IVF_PROBE_CELLS)
+        ]
+        outliers = spark.range(IVF_PROBE_OUTLIERS).select(
+            (F.col("id") + KEY_STRIDE * 1000).alias("vec_id"),
+            F.array(*[F.lit(float(v)) for v in outlier_vec]).alias(
+                "embedding"
+            ),
+            F.lit(2).cast("int").alias("cell"),  # dot .71 vs .70: cell 2
+        )
+        anchored.unionByName(outliers).repartition(
+            IVF_PROBE_CELLS, F.col("cell")
+        ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    return path, anchors
+
+
+def probe_ivf_retrain_noop(spark, mult: int) -> float:
+    """Migration floor at mult x index: retrain to IDENTICAL centroids —
+    zero vectors move, zero cells rewrite; the timed cost is the
+    unavoidable map-only rescoring pass (every vector scored against the
+    new centroids to know nothing moved) + the bounded movement
+    aggregate. No shuffle, no write."""
+    from pinterest_data_pipeline_spark.operators import similarity
+
+    path, anchors = _ivf_probe_index(spark, mult)
+    t0 = time.perf_counter()
+    _, n_moved, n_touched = similarity.ivf_retrain_migrate(
+        spark, path, anchors
+    )
+    assert (n_moved, n_touched) == (0, 0), (n_moved, n_touched)
+    return time.perf_counter() - t0
+
+
+def probe_ivf_retrain_drift(spark, mult: int) -> float:
+    """Localized drift at mult x index: centroid 3 leans toward the FIXED
+    500 planted outliers (the drift-monitor trigger scenario), so exactly
+    those vectors migrate 2 -> 3 and the rewrite touches 2 of 16 cells.
+    Timed cost = the noop probe's scan floor + a rewrite that tracks the
+    touched cells' rows — never O(index). The index is rebuilt fresh
+    per call (untimed) so repeated runs migrate the same state."""
+    import shutil
+
+    from pinterest_data_pipeline_spark.operators import similarity
+
+    path, anchors = _ivf_probe_index(spark, mult)
+    work = path + "_drift"
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(path, work)
+    drifted = [list(c) for c in anchors]
+    drifted[3] = [
+        0.5 if i == 2 else (0.9 if i == 3 else 0.0)
+        for i in range(IVF_PROBE_CELLS)
+    ]
+    t0 = time.perf_counter()
+    _, n_moved, n_touched = similarity.ivf_retrain_migrate(
+        spark, work, drifted
+    )
+    assert n_moved == IVF_PROBE_OUTLIERS and n_touched == 2, (
+        n_moved,
+        n_touched,
+    )
+    return time.perf_counter() - t0
+
+
 PROBES = {
     "kendall_tau": probe_kendall_tau,
     "js_divergence": probe_js_divergence,
@@ -3279,6 +3384,10 @@ PROBES = {
     "cumulative_users_horizon": probe_cumulative_users_horizon,
     "cusum_horizon": probe_cusum_horizon,
     "kaplan_meier_horizon": probe_kaplan_meier_horizon,
+    # round-16 additions (VERDICT r15 item 1): centroid-retrain migration
+    # cost = map-only rescoring floor + rewrite of TOUCHED cells only
+    "ivf_retrain_noop": probe_ivf_retrain_noop,
+    "ivf_retrain_drift": probe_ivf_retrain_drift,
 }
 
 
