@@ -9829,3 +9829,52 @@ def ann_ivf_centroid_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(assign_ok)
         .orderBy("query_id")
     )
+
+
+@query
+def dedup_incremental_stream_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-driven incremental dedup store maintenance (VERDICT r15
+    item 2): the signature store absorbs arrivals through the engine's
+    OWN streaming runtime — a file-source ``readStream`` with one
+    landing file per arrival and ``maxFilesPerTrigger=1``, so arrival k
+    is exactly micro-batch k — instead of the batch calls the r14/r15
+    entries drive. Each trigger dedups its documents against the store
+    AS OF the previous trigger (store ∪ kept arrivals < k) and appends
+    kept signatures + documents as batch-id-named delta directories
+    (``incremental_dedup_store_sink``'s replay-idempotent layout; the
+    Delta ``txnAppId`` analogue).
+
+    Two deterministic arrivals: docs with doc_id % 20 == 0 land first,
+    doc_id % 20 == 10 second (together the familiar %10 == 0 batch
+    population). The DuckDB dual recomputes the full SEQUENTIAL
+    semantics from scratch — arrival 1 greedy vs store ∪ earlier-in-
+    arrival-1; arrival 2 greedy vs store ∪ KEPT arrival-1 (a store
+    partner now: its signatures were appended) ∪ earlier-in-arrival-2 —
+    so the driver certifies that the stream-maintained store answers
+    exactly like the from-scratch recompute at every arrival point.
+    Stream-built store == sequential-batch-built store and
+    restart/replay idempotency are pytest-pinned (checkpoint surgery is
+    outside SQL).
+    """
+    from ..streaming import pipeline as streaming_pipeline
+
+    docs = load_documents(spark, sf_dir)
+    base_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    base_sigs = _cached_store(
+        spark, sf_dir, "_incr_sig_store", "documents.parquet",
+        lambda path: dedup.minhash_signatures(base_docs, "text", "doc_id")
+        .write.mode("overwrite").parquet(path),
+        params="shingle_n=3,k=32",
+    )
+    arrivals = [
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0),
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 10),
+    ]
+    out = streaming_pipeline.availablenow_incremental_dedup_roundtrip(
+        spark, sf_dir, _work_dir(sf_dir, "_stream_dedup_store"),
+        base_sigs, base_docs, arrivals,
+    )
+    return out.select(
+        "doc_id", "arrival", "action", "n_store_matches",
+        "n_prior_batch_matches", "best_match_id", "best_jaccard",
+    ).orderBy("doc_id")

@@ -7578,3 +7578,97 @@ oracle("ann_ivf_centroid_retrain")(
     FROM top1 ORDER BY query_id
     """
 )
+
+oracle("dedup_incremental_stream_store")(
+    # Recompute-from-scratch dual of the SEQUENTIAL streaming semantics:
+    # arrival 1 (doc_id % 20 = 0) plays the greedy policy against the
+    # store ∪ earlier-in-arrival-1; arrival 2 (doc_id % 20 = 10) against
+    # the store ∪ KEPT arrival-1 (a store partner by then — its
+    # signatures were appended) ∪ earlier-in-arrival-2. Same shingle CTE
+    # and >= 0.3 exact-Jaccard policy as the dedup_incremental_batch
+    # dual; stream-maintained == from-scratch at every arrival point is
+    # the check.
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+                    ELSE [array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                          FOR i IN range(1, len(string_split(text, ' ')) - 1)]
+               END
+             ) AS s
+      FROM documents
+    ), h1 AS (
+      SELECT b.doc_id AS bid, o.doc_id AS oid,
+             (o.doc_id % 10 <> 0) AS partner_in_store,
+             round(len(list_intersect(b.s, o.s))::double
+                   / len(list_distinct(list_concat(b.s, o.s))), 4) AS j
+      FROM sh b JOIN sh o
+        ON b.doc_id <> o.doc_id
+       AND (o.doc_id % 10 <> 0 OR (o.doc_id % 20 = 0 AND o.doc_id < b.doc_id))
+      WHERE b.doc_id % 20 = 0
+        AND round(len(list_intersect(b.s, o.s))::double
+                  / len(list_distinct(list_concat(b.s, o.s))), 4) >= 0.3
+    ), a1 AS (
+      SELECT bid,
+             count(*) FILTER (WHERE partner_in_store) AS n_store_matches,
+             count(*) FILTER (WHERE NOT partner_in_store)
+                 AS n_prior_batch_matches,
+             max(j) AS bj
+      FROM h1 GROUP BY bid
+    ), i1 AS (
+      SELECT h.bid, min(h.oid) AS best_match_id
+      FROM h1 h JOIN a1 a ON h.bid = a.bid AND h.j = a.bj
+      GROUP BY h.bid
+    ), keep1 AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 20 = 0 AND doc_id NOT IN (SELECT bid FROM a1)
+    ), h2 AS (
+      SELECT b.doc_id AS bid, o.doc_id AS oid,
+             (o.doc_id % 10 <> 0
+              OR o.doc_id IN (SELECT doc_id FROM keep1)) AS partner_in_store,
+             round(len(list_intersect(b.s, o.s))::double
+                   / len(list_distinct(list_concat(b.s, o.s))), 4) AS j
+      FROM sh b JOIN sh o
+        ON b.doc_id <> o.doc_id
+       AND (o.doc_id % 10 <> 0
+            OR (o.doc_id % 20 = 0
+                AND o.doc_id IN (SELECT doc_id FROM keep1))
+            OR (o.doc_id % 20 = 10 AND o.doc_id < b.doc_id))
+      WHERE b.doc_id % 20 = 10
+        AND round(len(list_intersect(b.s, o.s))::double
+                  / len(list_distinct(list_concat(b.s, o.s))), 4) >= 0.3
+    ), a2 AS (
+      SELECT bid,
+             count(*) FILTER (WHERE partner_in_store) AS n_store_matches,
+             count(*) FILTER (WHERE NOT partner_in_store)
+                 AS n_prior_batch_matches,
+             max(j) AS bj
+      FROM h2 GROUP BY bid
+    ), i2 AS (
+      SELECT h.bid, min(h.oid) AS best_match_id
+      FROM h2 h JOIN a2 a ON h.bid = a.bid AND h.j = a.bj
+      GROUP BY h.bid
+    )
+    SELECT d.doc_id, 1::INT AS arrival,
+           CASE WHEN a.bid IS NULL THEN 'keep' ELSE 'drop' END AS action,
+           COALESCE(a.n_store_matches, 0)::BIGINT AS n_store_matches,
+           COALESCE(a.n_prior_batch_matches, 0)::BIGINT
+               AS n_prior_batch_matches,
+           i.best_match_id, a.bj AS best_jaccard
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 0) d
+    LEFT JOIN a1 a ON d.doc_id = a.bid
+    LEFT JOIN i1 i ON d.doc_id = i.bid
+    UNION ALL
+    SELECT d.doc_id, 2::INT AS arrival,
+           CASE WHEN a.bid IS NULL THEN 'keep' ELSE 'drop' END AS action,
+           COALESCE(a.n_store_matches, 0)::BIGINT AS n_store_matches,
+           COALESCE(a.n_prior_batch_matches, 0)::BIGINT
+               AS n_prior_batch_matches,
+           i.best_match_id, a.bj AS best_jaccard
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 10) d
+    LEFT JOIN a2 a ON d.doc_id = a.bid
+    LEFT JOIN i2 i ON d.doc_id = i.bid
+    ORDER BY doc_id
+    """
+)

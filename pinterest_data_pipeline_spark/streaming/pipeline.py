@@ -1164,3 +1164,155 @@ def availablenow_bitmap_distinct(
         .groupBy("day")
         .agg(F.sum(F.bit_count("bits")).cast("long").alias("n_active"))
     )
+
+
+def incremental_dedup_store_sink(
+    stream_docs: DataFrame,
+    work_dir: str,
+    base_sigs: DataFrame,
+    base_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+):
+    """Streaming ARRIVAL path for the incremental dedup store (VERDICT
+    r15 item 2): each micro-batch of documents dedups against the
+    signature store as of the PREVIOUS batch and appends its kept
+    signatures — the production arrival the reference's landing zone
+    implies (STREAM:45-232 is arrival-at-a-time into persistent tables;
+    this is the LLM-pipeline analogue of that surface, driven by the
+    engine's own streaming runtime instead of an external batch
+    scheduler).
+
+    Store layout under ``work_dir`` (the base store is READ-ONLY input —
+    ``base_sigs``/``base_docs`` frames, typically the fingerprint-cached
+    ``_incr_sig_store`` parquet and the store documents):
+
+    * ``sig_delta/batch=N/`` — batch N's kept signature rows
+    * ``doc_delta/batch=N/`` — batch N's kept documents (the text the
+      NEXT batches' Jaccard verification fetches candidates from)
+    * ``decisions/batch=N/`` — batch N's per-document decision rows
+
+    EXACTLY-ONCE at the table level without a transaction log: every
+    write is ``overwrite`` into a directory NAMED by the micro-batch id,
+    and batch N reads only deltas with id < N — so a replayed batch
+    (crash between the delta writes and the checkpoint commit)
+    overwrites its own directories with identical content, and a stale
+    partial directory from a dead incarnation is invisible to the
+    batches that follow until its id replays. This is the same
+    idempotency contract Delta encodes with ``txnAppId``/``txnVersion``;
+    directory-per-batch is the scaffold's manifest.
+
+    Determinism contract: decisions depend on micro-batch COMPOSITION
+    (greedy-within-batch policy), so certifying runs must pin the
+    file-to-batch mapping (one landing file per arrival +
+    ``maxFilesPerTrigger=1``) — see
+    :func:`availablenow_incremental_dedup_roundtrip`.
+
+    Scale shape per trigger: O(batch) signatures + the size-guarded
+    broadcast probe of the store scan (``incremental_minhash_dedup``'s
+    contract); the delta-dir union adds one parquet scan per PRIOR batch
+    — fragmentation the band-bucket-store compactor merges on schedule,
+    exactly like the IVF cell index.
+    """
+    import glob
+
+    from ..operators import dedup as dedup_ops
+
+    spark = stream_docs.sparkSession
+    sig_delta_root = os.path.join(work_dir, "sig_delta")
+    doc_delta_root = os.path.join(work_dir, "doc_delta")
+    dec_root = os.path.join(work_dir, "decisions")
+
+    def committed_deltas(root: str, before: int) -> list[str]:
+        return sorted(
+            p
+            for p in glob.glob(os.path.join(root, "batch=*"))
+            if int(os.path.basename(p).split("=", 1)[1]) < before
+        )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        store_sigs = base_sigs
+        for p in committed_deltas(sig_delta_root, batch_id):
+            store_sigs = store_sigs.unionByName(spark.read.parquet(p))
+        store_docs = base_docs
+        for p in committed_deltas(doc_delta_root, batch_id):
+            store_docs = store_docs.unionByName(spark.read.parquet(p))
+        decisions, sig_delta = dedup_ops.incremental_minhash_dedup(
+            batch, store_sigs, store_docs, text_col, id_col,
+            threshold=threshold,
+        )
+        # three consumers (decision rows, kept sigs, kept docs) hang off
+        # the verify pipeline; persist the O(batch) decision frame once
+        decisions = decisions.persist()
+        try:
+            decisions.write.mode("overwrite").parquet(
+                os.path.join(dec_root, f"batch={batch_id}")
+            )
+            kept = decisions.filter(F.col("action") == "keep").select(id_col)
+            sig_delta.write.mode("overwrite").parquet(
+                os.path.join(sig_delta_root, f"batch={batch_id}")
+            )
+            batch.join(kept, id_col, "left_semi").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(doc_delta_root, f"batch={batch_id}"))
+        finally:
+            decisions.unpersist()
+
+    writer = (
+        stream_docs.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(work_dir, "_checkpoint"),
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def availablenow_incremental_dedup_roundtrip(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    base_sigs: DataFrame,
+    base_docs: DataFrame,
+    arrivals: list[DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Drive :func:`incremental_dedup_store_sink` as one bounded,
+    oracle-checkable run: each ``arrivals`` frame lands as ONE file
+    (sequential writes, distinct mtimes) and ``maxFilesPerTrigger=1``
+    pins file == micro-batch, so arrival k IS batch k and the greedy
+    within-batch policy is deterministic cross-engine. ``work_dir``
+    (landing + checkpoint + store deltas + decisions) is wiped per call
+    — repeated driver/parity/bench invocations replay identically.
+
+    Returns the accumulated decisions table with the directory-encoded
+    ``batch`` id surfaced as ``arrival`` (1-based).
+    """
+    import shutil
+
+    if os.path.exists(work_dir):
+        shutil.rmtree(work_dir)
+    landing = os.path.join(work_dir, "landing")
+    for arr in arrivals:
+        arr.coalesce(1).write.mode("append").parquet(landing)
+    stream = (
+        spark.readStream.schema(arrivals[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    query = incremental_dedup_store_sink(
+        stream, work_dir, base_sigs, base_docs, text_col, id_col,
+        threshold, available_now=True,
+    )
+    query.awaitTermination()
+    return spark.read.parquet(os.path.join(work_dir, "decisions")).withColumn(
+        "arrival", (F.col("batch") + 1).cast("int")
+    ).drop("batch")

@@ -194,3 +194,123 @@ def test_ivf_open_index_recovers_mid_swap_aside(spark, tmp_path):
     os.makedirs(os.path.join(path, "_old_cell=2"), exist_ok=True)
     similarity.ivf_open_index(spark, path)
     assert not os.path.exists(os.path.join(path, "_old_cell=2"))
+
+
+# --- streaming arrival path for the incremental dedup store (r15 item 2) ----
+
+from pinterest_data_pipeline_spark.operators import dedup
+from pinterest_data_pipeline_spark.plans.extensions import load_documents
+from pinterest_data_pipeline_spark.streaming import pipeline as streaming
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _dedup_fixtures(spark, tmp_path):
+    docs = load_documents(spark, SF001)
+    base_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    sig_path = os.path.join(str(tmp_path), "base_sigs")
+    dedup.minhash_signatures(base_docs, "text", "doc_id").write.parquet(
+        sig_path
+    )
+    base_sigs = spark.read.parquet(sig_path)
+    arrivals = [
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0),
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 10),
+    ]
+    return base_docs, base_sigs, arrivals
+
+
+def _frozen(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_stream_store_equals_sequential_batches(spark, tmp_path):
+    """The stream-maintained store is identical (as rowsets: decisions
+    AND accumulated signature store) to driving the same two arrivals
+    through sequential batch calls of incremental_minhash_dedup — the
+    streaming runtime adds delivery, not semantics."""
+    base_docs, base_sigs, arrivals = _dedup_fixtures(spark, tmp_path)
+    work = os.path.join(str(tmp_path), "stream_store")
+    out = streaming.availablenow_incremental_dedup_roundtrip(
+        spark, SF001, work, base_sigs, base_docs, arrivals
+    )
+    # sequential reference
+    d1, delta1 = dedup.incremental_minhash_dedup(
+        arrivals[0], base_sigs, base_docs, "text", "doc_id", threshold=0.3
+    )
+    kept1 = d1.filter(F.col("action") == "keep").select("doc_id")
+    store2_sigs = base_sigs.unionByName(delta1)
+    store2_docs = base_docs.unionByName(
+        arrivals[0].join(kept1, "doc_id", "left_semi")
+    )
+    d2, delta2 = dedup.incremental_minhash_dedup(
+        arrivals[1], store2_sigs, store2_docs, "text", "doc_id", threshold=0.3
+    )
+    cols = [
+        "doc_id", "action", "n_store_matches", "n_prior_batch_matches",
+        "best_match_id", "best_jaccard",
+    ]
+    assert _frozen(out.filter(F.col("arrival") == 1).select(*cols)) == _frozen(
+        d1.select(*cols)
+    )
+    assert _frozen(out.filter(F.col("arrival") == 2).select(*cols)) == _frozen(
+        d2.select(*cols)
+    )
+    stream_store = base_sigs.unionByName(
+        spark.read.parquet(os.path.join(work, "sig_delta"))
+        .drop("batch")
+    )
+    batch_store = base_sigs.unionByName(delta1).unionByName(delta2)
+    assert _frozen(stream_store) == _frozen(batch_store)
+
+
+def test_stream_store_replay_idempotent(spark, tmp_path):
+    """Exactly-once at the table level: replaying a micro-batch whose
+    checkpoint commit was lost (crash between the delta writes and the
+    commit — simulated by deleting commits/1) overwrites its own
+    batch-id-named directories with identical content; a further restart
+    with nothing to do changes nothing."""
+    base_docs, base_sigs, arrivals = _dedup_fixtures(spark, tmp_path)
+    work = os.path.join(str(tmp_path), "replay_store")
+    streaming.availablenow_incremental_dedup_roundtrip(
+        spark, SF001, work, base_sigs, base_docs, arrivals
+    )
+
+    def state():
+        return (
+            _frozen(spark.read.parquet(os.path.join(work, "decisions"))),
+            _frozen(spark.read.parquet(os.path.join(work, "sig_delta"))),
+            _frozen(spark.read.parquet(os.path.join(work, "doc_delta"))),
+        )
+
+    first = state()
+    # crash simulation: batch 1's delta dirs exist but its commit is gone.
+    # Spark commits via atomic temp-write + rename of the entry AND its
+    # Hadoop checksum sidecar, so a real crash leaves both or neither —
+    # remove both (a stale .crc alone fails the replay's rename loudly).
+    os.remove(os.path.join(work, "_checkpoint", "commits", "1"))
+    crc = os.path.join(work, "_checkpoint", "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    landing = os.path.join(work, "landing")
+    stream = (
+        spark.readStream.schema(arrivals[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = streaming.incremental_dedup_store_sink(
+        stream, work, base_sigs, base_docs, available_now=True
+    )
+    q.awaitTermination()
+    assert state() == first
+    # clean restart: no new files, no new batches, nothing changes
+    stream = (
+        spark.readStream.schema(arrivals[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = streaming.incremental_dedup_store_sink(
+        stream, work, base_sigs, base_docs, available_now=True
+    )
+    q.awaitTermination()
+    assert state() == first
