@@ -7672,3 +7672,61 @@ oracle("dedup_incremental_stream_store")(
     ORDER BY doc_id
     """
 )
+
+oracle("dedup_bucket_store_compaction")(
+    # The compacted bucket store holds exactly the % 10 != 0 corpus's
+    # buckets, so decisions are the dedup_incremental_batch exhaustive
+    # recompute verbatim; compaction must never change answers. The
+    # compaction-specific invariants (count + content digest of
+    # compacted == base ∪ delta, fragment count strictly dropped) are
+    # in-Spark facts stated as booleans; the fragment ceiling /
+    # untouched-leaf mtimes / crash sweep are pytest-pinned (no SQL
+    # engine can replay a parquet file layout).
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+                    ELSE [array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                          FOR i IN range(1, len(string_split(text, ' ')) - 1)]
+               END
+             ) AS s
+      FROM documents
+    ), hits AS (
+      SELECT b.doc_id AS bid, o.doc_id AS oid,
+             (o.doc_id % 10 <> 0) AS partner_in_store,
+             round(len(list_intersect(b.s, o.s))::double
+                   / len(list_distinct(list_concat(b.s, o.s))), 4) AS j
+      FROM sh b JOIN sh o
+        ON b.doc_id <> o.doc_id
+       AND (o.doc_id % 10 <> 0 OR o.doc_id < b.doc_id)
+      WHERE b.doc_id % 10 = 0
+        AND round(len(list_intersect(b.s, o.s))::double
+                  / len(list_distinct(list_concat(b.s, o.s))), 4) >= 0.3
+    ), agg AS (
+      SELECT bid,
+             count(*) FILTER (WHERE partner_in_store) AS n_store_matches,
+             count(*) FILTER (WHERE NOT partner_in_store)
+                 AS n_prior_batch_matches,
+             max(j) AS bj
+      FROM hits GROUP BY bid
+    ), bestid AS (
+      SELECT h.bid, min(h.oid) AS best_match_id
+      FROM hits h JOIN agg a ON h.bid = a.bid AND h.j = a.bj
+      GROUP BY h.bid
+    )
+    SELECT d.doc_id,
+           CASE WHEN a.bid IS NULL THEN 'keep' ELSE 'drop' END AS action,
+           COALESCE(a.n_store_matches, 0)::BIGINT AS n_store_matches,
+           COALESCE(a.n_prior_batch_matches, 0)::BIGINT
+               AS n_prior_batch_matches,
+           i.best_match_id,
+           a.bj AS best_jaccard,
+           TRUE AS compaction_lossless,
+           TRUE AS files_reduced_ok
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+    LEFT JOIN agg a ON d.doc_id = a.bid
+    LEFT JOIN bestid i ON d.doc_id = i.bid
+    ORDER BY doc_id
+    """
+)

@@ -314,3 +314,128 @@ def test_stream_store_replay_idempotent(spark, tmp_path):
     )
     q.awaitTermination()
     assert state() == first
+
+
+# --- bucket-store compaction (VERDICT r15 item 5) ---------------------------
+
+
+def _bucket_store(spark, tmp_path, name="bucket_store"):
+    """(band, bh_part)-partitioned store over the sf0.001 base docs: one
+    file per leaf (clean build), then an 8-way-fragmented delta append."""
+    docs = load_documents(spark, SF001)
+    base = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)).isin(1, 2, 3, 4))
+    delta_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)).isin(5, 6))
+    path = os.path.join(str(tmp_path), name)
+    (
+        dedup.band_bucket_store(
+            dedup.minhash_signatures(base, "text", "doc_id"), "doc_id"
+        )
+        .repartition("band", "bh_part")
+        .write.partitionBy("band", "bh_part")
+        .parquet(path)
+    )
+    delta = dedup.band_bucket_store(
+        dedup.minhash_signatures(delta_docs, "text", "doc_id"), "doc_id"
+    )
+    delta.repartition(8).write.mode("append").partitionBy(
+        "band", "bh_part"
+    ).parquet(path)
+    return path
+
+
+def _leaf_file_stats(path):
+    import glob
+
+    out = {}
+    for d in glob.glob(os.path.join(path, "band=*", "bh_part=*")):
+        files = sorted(glob.glob(os.path.join(d, "part-*")))
+        out[d[len(path) + 1 :]] = [
+            (os.path.basename(f), os.path.getmtime(f)) for f in files
+        ]
+    return out
+
+
+def test_bucket_compact_ceiling_and_lossless(spark, tmp_path):
+    """After compaction every leaf is at its ceil(rows/target) file
+    ceiling, total file count strictly dropped, and the rowset is
+    unchanged."""
+    path = _bucket_store(spark, tmp_path)
+    before_rows = {tuple(r) for r in spark.read.parquet(path).collect()}
+    compacted, n_before, n_after, n_touched = dedup.bucket_store_compact(
+        spark, path
+    )
+    assert n_after < n_before and n_touched > 0
+    stats = _leaf_file_stats(path)
+    counts = {
+        (r["band"], r["bh_part"]): r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy("band", "bh_part")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    import math
+
+    for (band, part), n in counts.items():
+        leaf = os.path.join(f"band={band}", f"bh_part={part}")
+        assert len(stats[leaf]) <= max(1, math.ceil(n / 65536))
+    assert {tuple(r) for r in compacted.collect()} == before_rows
+
+
+def test_bucket_compact_untouched_leaves_not_rewritten(spark, tmp_path):
+    """A leaf already at its file ceiling is never rewritten: same file
+    names, same mtimes. Fragmented leaves are; a second compaction run
+    touches nothing."""
+    path = _bucket_store(spark, tmp_path)
+    stats0 = _leaf_file_stats(path)
+    untouched0 = {k: v for k, v in stats0.items() if len(v) == 1}
+    assert untouched0 is not None
+    dedup.bucket_store_compact(spark, path)
+    stats1 = _leaf_file_stats(path)
+    for leaf, files in untouched0.items():
+        assert stats1[leaf] == files
+    _, n_before2, n_after2, n_touched2 = dedup.bucket_store_compact(spark, path)
+    assert n_touched2 == 0 and n_before2 == n_after2
+    assert _leaf_file_stats(path) == stats1
+
+
+def test_bucket_store_recover_sweep(spark, tmp_path):
+    """Both crash states converge: aside-without-live renames back
+    (the leaf's data is the aside); aside-with-live sweeps the stale
+    copy. bucket_store_open runs the sweep on the read path."""
+    import shutil
+
+    path = _bucket_store(spark, tmp_path)
+    all_rows = {tuple(r) for r in spark.read.parquet(path).collect()}
+    live = os.path.join(path, "band=0", "bh_part=3")
+    aside = os.path.join(path, "band=0", "_old_bh_part=3")
+    # crash state A: live renamed aside, replacement never arrived
+    os.rename(live, aside)
+    assert {tuple(r) for r in dedup.bucket_store_open(spark, path).collect()} == all_rows
+    assert os.path.exists(live) and not os.path.exists(aside)
+    # crash state B: both exist — the aside is the stale pre-swap copy
+    shutil.copytree(live, aside)
+    assert {tuple(r) for r in dedup.bucket_store_open(spark, path).collect()} == all_rows
+    assert not os.path.exists(aside)
+
+
+def test_bucket_compact_decisions_identical(spark, tmp_path):
+    """Compaction never changes answers: incremental dedup decisions
+    against the compacted store equal decisions against the fragmented
+    store, row for row."""
+    docs = load_documents(spark, SF001)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    store_docs = docs.filter(
+        F.pmod(F.col("doc_id"), F.lit(10)).isin(1, 2, 3, 4, 5, 6)
+    )
+    path = _bucket_store(spark, tmp_path)
+    d_frag, _ = dedup.incremental_minhash_dedup(
+        batch, None, store_docs, "text", "doc_id", threshold=0.3,
+        store_buckets=spark.read.parquet(path),
+    )
+    frag_rows = _frozen(d_frag)
+    compacted, _, _, _ = dedup.bucket_store_compact(spark, path)
+    d_comp, _ = dedup.incremental_minhash_dedup(
+        batch, None, store_docs, "text", "doc_id", threshold=0.3,
+        store_buckets=compacted,
+    )
+    assert _frozen(d_comp) == frag_rows

@@ -3265,6 +3265,105 @@ def probe_ivf_retrain_drift(spark, mult: int) -> float:
     return time.perf_counter() - t0
 
 
+BUCKET_PROBE_BANDS = 8
+BUCKET_PROBE_PARTS = 16
+BUCKET_PROBE_BASE_DOCS = 200_000
+BUCKET_PROBE_APPENDS = 12
+BUCKET_PROBE_DOCS_PER_APPEND = 2_000
+
+
+def _bucket_probe_rows(spark, start: int, n: int):
+    """Synthetic (doc_id, band, band_hash, bh_part) bucket rows — the
+    probe times the ARRIVAL SCAN against the store layout, so bucket
+    rows are generated directly (signature computation is the batch's
+    O(batch) cost, not the store-side cost under test)."""
+    return (
+        spark.range(start, start + n)
+        .withColumn(
+            "band",
+            F.explode(F.array(*[F.lit(b) for b in range(BUCKET_PROBE_BANDS)])),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("band").cast("int").alias("band"),
+            F.xxhash64("id", "band").alias("band_hash"),
+        )
+        .withColumn(
+            "bh_part",
+            F.pmod(F.col("band_hash"), F.lit(BUCKET_PROBE_PARTS)).cast("int"),
+        )
+    )
+
+
+def _bucket_probe_store(spark, mult: int, compacted: bool) -> str:
+    """Prebuild (untimed) a mult x bucket store: clean one-file-per-leaf
+    base, then BUCKET_PROBE_APPENDS fragmented delta appends (4 files
+    per touched leaf each — the store_delta arrival pathology). The
+    compacted twin runs bucket_store_compact after the appends."""
+    from pinterest_data_pipeline_spark.operators import dedup as dedup_ops
+
+    tag = "comp" if compacted else "frag"
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse", f"_probe_bucket_{tag}_{mult}x",
+    )
+    path = os.path.join(out, "store")
+    marker = os.path.join(out, "_READY")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        (
+            _bucket_probe_rows(spark, 0, BUCKET_PROBE_BASE_DOCS * mult)
+            .repartition("band", "bh_part")
+            .write.mode("overwrite")
+            .partitionBy("band", "bh_part")
+            .parquet(path)
+        )
+        for a in range(BUCKET_PROBE_APPENDS):
+            (
+                _bucket_probe_rows(
+                    spark,
+                    KEY_STRIDE * (a + 1),
+                    BUCKET_PROBE_DOCS_PER_APPEND,
+                )
+                .repartition(4)
+                .write.mode("append")
+                .partitionBy("band", "bh_part")
+                .parquet(path)
+            )
+        if compacted:
+            dedup_ops.bucket_store_compact(spark, path)
+        with open(marker, "w") as fh:
+            fh.write("ready")
+    return path
+
+
+def _bucket_probe_scan(spark, path: str) -> float:
+    """Timed arrival probe: a 10-doc batch's bucket keys broadcast into
+    the store scan (the incremental_candidates store-probe join shape)."""
+    probe = _bucket_probe_rows(spark, 0, 10).withColumnRenamed("doc_id", "bid")
+    t0 = time.perf_counter()
+    (
+        spark.read.parquet(path)
+        .join(F.broadcast(probe), ["band", "bh_part", "band_hash"])
+        .count()
+    )
+    return time.perf_counter() - t0
+
+
+def probe_bucket_arrival_fragmented(spark, mult: int) -> float:
+    """Arrival-scan cost against the store after 12 fragmented appends —
+    the cost that grows with fragments, not data."""
+    return _bucket_probe_scan(spark, _bucket_probe_store(spark, mult, False))
+
+
+def probe_bucket_arrival_compacted(spark, mult: int) -> float:
+    """Arrival-scan cost against the same store after compaction — flat
+    vs the fragmented twin; tracks data only."""
+    return _bucket_probe_scan(spark, _bucket_probe_store(spark, mult, True))
+
+
 PROBES = {
     "kendall_tau": probe_kendall_tau,
     "js_divergence": probe_js_divergence,
@@ -3388,6 +3487,10 @@ PROBES = {
     # cost = map-only rescoring floor + rewrite of TOUCHED cells only
     "ivf_retrain_noop": probe_ivf_retrain_noop,
     "ivf_retrain_drift": probe_ivf_retrain_drift,
+    # round-16 (VERDICT r15 item 5): bucket-store compaction — the
+    # arrival scan is flat after N fragmented appends once compacted
+    "bucket_arrival_fragmented": probe_bucket_arrival_fragmented,
+    "bucket_arrival_compacted": probe_bucket_arrival_compacted,
 }
 
 
