@@ -327,6 +327,66 @@ def band_bucket_store(
     )
 
 
+BUCKET_STORE_META = "_BUCKET_STORE_META"
+
+
+def write_bucket_store(
+    sigs: DataFrame,
+    id_col: str,
+    path: str,
+    k: int = 32,
+    bands: int = 8,
+    n_parts: int = BUCKET_STORE_PARTS,
+) -> None:
+    """Build and persist the partitioned bucket store WITH its layout
+    metadata sidecar (ADVICE r15): the arrival probe's ``bh_part``
+    derivation must use the n_parts the store was BUILT with — a
+    mismatch raises no error, the probe's pmod simply never matches the
+    store's partition values and candidates (hence dedup decisions)
+    silently vanish. Persisting ``{n_parts, k, bands}`` in a
+    ``_BUCKET_STORE_META`` sidecar (underscore prefix: parquet readers
+    ignore it) and reading it back via :func:`open_bucket_store` makes
+    the layout travel with the store instead of being re-guessed at
+    every call site."""
+    import json as _json
+    import os as _os
+
+    (
+        band_bucket_store(sigs, id_col, k, bands, n_parts)
+        .repartition("band", "bh_part")
+        .write.mode("overwrite")
+        .partitionBy("band", "bh_part")
+        .parquet(path)
+    )
+    with open(_os.path.join(path, BUCKET_STORE_META), "w") as fh:
+        _json.dump({"n_parts": n_parts, "k": k, "bands": bands}, fh)
+
+
+def open_bucket_store(spark, store_path: str) -> tuple[DataFrame, dict]:
+    """Open a partitioned bucket store for the arrival probe: crash-
+    recovery sweep, then the frame plus the layout metadata the store
+    was built with (``{n_parts, k, bands}`` — feed these to
+    ``incremental_minhash_dedup``'s ``store_parts``/``k``/``bands`` so
+    the probe's bucket derivation matches the store's by construction).
+    A store without the sidecar fails loudly here instead of silently
+    dropping candidates downstream."""
+    import json as _json
+    import os as _os
+
+    meta_file = _os.path.join(store_path, BUCKET_STORE_META)
+    try:
+        with open(meta_file) as fh:
+            meta = _json.load(fh)
+    except OSError as e:
+        raise FileNotFoundError(
+            f"bucket store at {store_path} has no {BUCKET_STORE_META} "
+            "sidecar — rebuild it with write_bucket_store; probing with "
+            "a guessed n_parts silently drops candidates on mismatch"
+        ) from e
+    bucket_store_recover(store_path)
+    return spark.read.parquet(store_path), meta
+
+
 def bucket_store_recover(store_path: str) -> int:
     """Crash-recovery sweep for a ``(band, bh_part)``-partitioned bucket
     store — the two-level twin of ``similarity.ivf_recover_index``. A

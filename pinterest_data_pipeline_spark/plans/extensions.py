@@ -9573,18 +9573,24 @@ def dedup_incremental_batch_pruned(spark: SparkSession, sf_dir: str) -> DataFram
     docs = load_documents(spark, sf_dir)
     batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
     store_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
-    store_buckets = _cached_store(
+    _cached_store(
         spark, sf_dir, "_incr_bucket_store", "documents.parquet",
-        lambda path: dedup.band_bucket_store(
-            dedup.minhash_signatures(store_docs, "text", "doc_id"), "doc_id"
-        )
-        .repartition("band", "bh_part")
-        .write.mode("overwrite").partitionBy("band", "bh_part").parquet(path),
-        params=f"shingle_n=3,k=32,bands=8,parts={dedup.BUCKET_STORE_PARTS}",
+        lambda path: dedup.write_bucket_store(
+            dedup.minhash_signatures(store_docs, "text", "doc_id"),
+            "doc_id", path,
+        ),
+        params=f"shingle_n=3,k=32,bands=8,parts={dedup.BUCKET_STORE_PARTS}"
+        ",meta=v2",
+    )
+    # layout metadata travels WITH the store (ADVICE r15): the probe's
+    # bh_part modulus comes from the sidecar, never a guessed argument
+    store_buckets, meta = dedup.open_bucket_store(
+        spark, _work_dir(sf_dir, "_incr_bucket_store")
     )
     decisions, _delta = dedup.incremental_minhash_dedup(
         batch, None, store_docs, "text", "doc_id", threshold=0.3,
-        store_buckets=store_buckets,
+        store_buckets=store_buckets, store_parts=meta["n_parts"],
+        k=meta["k"], bands=meta["bands"],
     )
     return decisions
 
@@ -9920,23 +9926,25 @@ def dedup_bucket_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame
     base_path = _work_dir(sf_dir, "_incr_bucket_store_base")
     _cached_store(
         spark, sf_dir, "_incr_bucket_store_base", "documents.parquet",
-        lambda path: dedup.band_bucket_store(
-            dedup.minhash_signatures(base_docs, "text", "doc_id"), "doc_id"
-        )
-        .repartition("band", "bh_part")
-        .write.mode("overwrite").partitionBy("band", "bh_part").parquet(path),
+        lambda path: dedup.write_bucket_store(
+            dedup.minhash_signatures(base_docs, "text", "doc_id"),
+            "doc_id", path,
+        ),
         params=f"shingle_n=3,k=32,bands=8,parts={dedup.BUCKET_STORE_PARTS}"
-        ",split=mod10-not-0-9",
+        ",split=mod10-not-0-9,meta=v2",
     )
     work = _work_dir(sf_dir, "_bucket_compact")
     shutil.rmtree(work, ignore_errors=True)
     shutil.copytree(base_path, work)
+    # layout params come from the copied store's sidecar (ADVICE r15) —
+    # the delta MUST bucket with the same k/bands/n_parts as the base
+    _, meta = dedup.open_bucket_store(spark, work)
     delta = dedup.band_bucket_store(
         dedup.minhash_signatures(
             store_docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 9),
             "text", "doc_id",
         ),
-        "doc_id",
+        "doc_id", k=meta["k"], bands=meta["bands"], n_parts=meta["n_parts"],
     )
     delta.repartition(8).write.mode("append").partitionBy(
         "band", "bh_part"
@@ -9973,7 +9981,8 @@ def dedup_bucket_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     decisions, _delta = dedup.incremental_minhash_dedup(
         batch, None, store_docs, "text", "doc_id", threshold=0.3,
-        store_buckets=compacted,
+        store_buckets=compacted, store_parts=meta["n_parts"],
+        k=meta["k"], bands=meta["bands"],
     )
     return (
         decisions.crossJoin(lossless)

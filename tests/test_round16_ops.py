@@ -439,3 +439,56 @@ def test_bucket_compact_decisions_identical(spark, tmp_path):
         store_buckets=compacted,
     )
     assert _frozen(d_comp) == frag_rows
+
+
+def test_bucket_store_meta_sidecar(spark, tmp_path):
+    """ADVICE r15: the probe's bh_part modulus must be the n_parts the
+    store was BUILT with — a mismatch silently drops candidates (no
+    error, decisions just change). The _BUCKET_STORE_META sidecar makes
+    the layout travel with the store: open_bucket_store returns it,
+    meta-driven decisions equal the default-layout decisions, and a
+    store without the sidecar fails loudly."""
+    import pytest
+
+    docs = load_documents(spark, SF001)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    store_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    sigs = dedup.minhash_signatures(store_docs, "text", "doc_id")
+    path = os.path.join(str(tmp_path), "meta_store")
+    dedup.write_bucket_store(sigs, "doc_id", path, n_parts=8)
+    store, meta = dedup.open_bucket_store(spark, path)
+    assert meta == {"n_parts": 8, "k": 32, "bands": 8}
+    d_meta, _ = dedup.incremental_minhash_dedup(
+        batch, None, store_docs, "text", "doc_id", threshold=0.3,
+        store_buckets=store, store_parts=meta["n_parts"],
+    )
+    # reference: the signature-store (layout-free) path
+    d_ref, _ = dedup.incremental_minhash_dedup(
+        batch, sigs, store_docs, "text", "doc_id", threshold=0.3
+    )
+    assert _frozen(d_meta) == _frozen(d_ref)
+    # the hazard the sidecar prevents: a guessed n_parts=16 against the
+    # 8-part store raises nothing and silently loses store CANDIDATES —
+    # pmod(h,16) lands on pmod(h,8) or pmod(h,8)+8 with ~even odds, so
+    # about half the probe's bucket keys miss their store partition
+    # (decisions can survive at tiny SF because near-dup pairs match on
+    # several bands; the candidate loss is the structural defect)
+    batch_sigs = dedup.minhash_signatures(batch, "text", "doc_id")
+    bbuckets = dedup.band_buckets(batch_sigs, "doc_id")
+
+    def band_hits(parts: int) -> int:
+        probe = bbuckets.select(
+            F.col("doc_id").alias("bid"), "band", "band_hash"
+        ).withColumn(
+            "bh_part", F.pmod(F.col("band_hash"), F.lit(parts)).cast("int")
+        )
+        return store.join(probe, ["band", "bh_part", "band_hash"]).count()
+
+    # measured on sf0.001: 66 band-level hits with the true modulus, 27
+    # with the guessed one — at larger corpora the lost bands become
+    # lost PAIRS and thus lost drop decisions
+    assert band_hits(16) < band_hits(8)
+    # no sidecar -> loud failure, not silent candidate loss
+    os.remove(os.path.join(path, dedup.BUCKET_STORE_META))
+    with pytest.raises(FileNotFoundError, match="sidecar"):
+        dedup.open_bucket_store(spark, path)
