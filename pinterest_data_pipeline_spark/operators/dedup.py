@@ -384,6 +384,11 @@ def open_bucket_store(spark, store_path: str) -> tuple[DataFrame, dict]:
             "a guessed n_parts silently drops candidates on mismatch"
         ) from e
     bucket_store_recover(store_path)
+    # the store may have been rebuilt/copied OUT-OF-BAND (shutil) since a
+    # prior read in this session — Spark's shared file-listing cache then
+    # serves deleted files (FAILED_READ_FILE.FILE_NOT_EXIST, caught by the
+    # r16 bench's second same-session run); refresh before reading
+    spark.catalog.refreshByPath(store_path)
     return spark.read.parquet(store_path), meta
 
 
@@ -422,6 +427,7 @@ def bucket_store_open(spark, store_path: str) -> DataFrame:
     running the crash-recovery sweep first — the read-path twin of the
     sweep :func:`bucket_store_compact` runs before writing."""
     bucket_store_recover(store_path)
+    spark.catalog.refreshByPath(store_path)
     return spark.read.parquet(store_path)
 
 
@@ -472,6 +478,10 @@ def bucket_store_compact(
         return out
 
     bucket_store_recover(store_path)
+    # out-of-band mutations (sweep, a caller's copytree) invalidate the
+    # session's shared file-listing cache for this path — refresh or the
+    # count aggregate below can plan against deleted files
+    spark.catalog.refreshByPath(store_path)
     before = _leaf_files(store_path)
     n_before = sum(len(v) for v in before.values())
     store = spark.read.parquet(store_path)
@@ -528,6 +538,8 @@ def bucket_store_compact(
             _os.rename(src, dst)
             _shutil.rmtree(old, ignore_errors=True)
         _shutil.rmtree(aside, ignore_errors=True)
+        # the swap replaced files behind the listing cache's back
+        spark.catalog.refreshByPath(store_path)
     n_after = sum(len(v) for v in _leaf_files(store_path).values())
     return spark.read.parquet(store_path), n_before, n_after, len(touched)
 

@@ -699,6 +699,10 @@ def ivf_open_index(spark, index_path: str) -> DataFrame:
     :func:`ivf_compact_index` / :func:`ivf_retrain_migrate` run before
     writing."""
     ivf_recover_index(index_path)
+    # out-of-band mutations (sweep, a caller's copytree) invalidate the
+    # session's shared file-listing cache for this path (the r16 bucket
+    # store lesson) — refresh before reading
+    spark.catalog.refreshByPath(index_path)
     return spark.read.parquet(index_path)
 
 
@@ -789,6 +793,7 @@ def ivf_compact_index(
     # the read path by ivf_open_index): makes every compaction run a
     # recovery point, not just the cells it happens to touch.
     ivf_recover_index(index_path)
+    spark.catalog.refreshByPath(index_path)
 
     before = _cell_files(index_path)
     n_before = sum(len(v) for v in before.values())
@@ -827,6 +832,8 @@ def ivf_compact_index(
         # POSIX contract and the object-store (Delta OPTIMIZE) mapping
         _swap_cell_dirs(index_path, aside, touched)
         _shutil.rmtree(aside, ignore_errors=True)
+        # the swap replaced files behind the listing cache's back
+        spark.catalog.refreshByPath(index_path)
     n_after = sum(len(v) for v in _cell_files(index_path).values())
     return spark.read.parquet(index_path), n_before, n_after, len(touched)
 
@@ -916,6 +923,7 @@ def ivf_retrain_migrate(
     import shutil as _shutil
 
     ivf_recover_index(index_path)
+    spark.catalog.refreshByPath(index_path)
     idx = spark.read.parquet(index_path)
     assign1 = nearest_cells_pandas(new_centroids, 1)
     reassigned = idx.select(
@@ -971,6 +979,7 @@ def ivf_retrain_migrate(
                 _os.rename(live, old)
                 _shutil.rmtree(old, ignore_errors=True)
         _shutil.rmtree(aside, ignore_errors=True)
+        spark.catalog.refreshByPath(index_path)
     return spark.read.parquet(index_path), n_moved, len(touched)
 
 
