@@ -7730,3 +7730,81 @@ oracle("dedup_bucket_store_compaction")(
     ORDER BY doc_id
     """
 )
+
+oracle("ann_ivf_stream_upsert")(
+    # Same dual shape as ann_ivf_incremental_upsert (exact_top1
+    # recomputed by brute force over the full merged corpus); the
+    # streaming-specific invariant (stream-built delta == arrival
+    # population, count + vec_id digest) is an in-Spark fact stated as a
+    # boolean, and stream-delta == batch-assign rowset equality plus
+    # replay idempotency are pytest-pinned (checkpoint surgery and file
+    # layout are outside SQL).
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3
+    ), pairs AS (
+        SELECT q.query_id, e.vec_id,
+               unnest(list_transform(e.embedding, v -> round(v::double * 1000)::bigint)) AS ev,
+               unnest(list_transform(q.embedding, v -> round(v::double * 1000)::bigint)) AS qv
+        FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+    ), dots AS (
+        SELECT query_id, vec_id, sum(ev * qv)::bigint AS dot_q
+        FROM pairs GROUP BY 1, 2
+    ), top1 AS (
+        SELECT query_id, vec_id AS exact_top1
+        FROM dots
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dot_q DESC, vec_id) = 1
+    )
+    SELECT query_id,
+           least(10, (SELECT count(*) - 1 FROM embeddings))::BIGINT AS n_returned,
+           TRUE AS recall_ok,
+           exact_top1,
+           TRUE AS delta_lossless
+    FROM top1 ORDER BY query_id
+    """
+)
+
+oracle("sketch_kmv_stream_store")(
+    # Recompute-from-scratch dual of the stream-maintained versions:
+    # stage arrival1's sketch rebuilt from the store ∪ first-arrival
+    # token set, arrival2's from the full corpus — valid because KMV is
+    # closed under union, which is exactly the claim the stream sink
+    # makes by merging version N-1 with batch N's partial.
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    h1 AS (
+        SELECT DISTINCT CAST(('0x' || substring(md5(token || 'kmv'), 1, 8))
+                             AS UBIGINT)::BIGINT AS h
+        FROM toks WHERE doc_id % 10 <> 0 OR doc_id % 20 = 0
+    ),
+    h2 AS (
+        SELECT DISTINCT CAST(('0x' || substring(md5(token || 'kmv'), 1, 8))
+                             AS UBIGINT)::BIGINT AS h
+        FROM toks
+    ),
+    sk_1 AS (SELECT h FROM h1 ORDER BY h LIMIT 64),
+    sk_2 AS (SELECT h FROM h2 ORDER BY h LIMIT 64),
+    est AS (
+        SELECT 'arrival1' AS stage, count(*)::BIGINT AS n_sketch,
+               round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                          ELSE 63.0 * 4294967296.0 / max(h) END, 4)
+                   AS kmv_estimate,
+               (SELECT count(DISTINCT token) FROM toks
+                WHERE doc_id % 10 <> 0 OR doc_id % 20 = 0)::BIGINT
+                   AS exact_distinct
+        FROM sk_1
+        UNION ALL
+        SELECT 'arrival2', count(*)::BIGINT,
+               round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                          ELSE 63.0 * 4294967296.0 / max(h) END, 4),
+               (SELECT count(DISTINCT token) FROM toks)::BIGINT
+        FROM sk_2
+    )
+    SELECT stage, n_sketch, kmv_estimate, exact_distinct
+    FROM est ORDER BY stage
+    """
+)

@@ -1217,8 +1217,6 @@ def incremental_dedup_store_sink(
     — fragmentation the band-bucket-store compactor merges on schedule,
     exactly like the IVF cell index.
     """
-    import glob
-
     from ..operators import dedup as dedup_ops
 
     spark = stream_docs.sparkSession
@@ -1226,19 +1224,12 @@ def incremental_dedup_store_sink(
     doc_delta_root = os.path.join(work_dir, "doc_delta")
     dec_root = os.path.join(work_dir, "decisions")
 
-    def committed_deltas(root: str, before: int) -> list[str]:
-        return sorted(
-            p
-            for p in glob.glob(os.path.join(root, "batch=*"))
-            if int(os.path.basename(p).split("=", 1)[1]) < before
-        )
-
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         store_sigs = base_sigs
-        for p in committed_deltas(sig_delta_root, batch_id):
+        for p in _committed_batch_dirs(sig_delta_root, batch_id):
             store_sigs = store_sigs.unionByName(spark.read.parquet(p))
         store_docs = base_docs
-        for p in committed_deltas(doc_delta_root, batch_id):
+        for p in _committed_batch_dirs(doc_delta_root, batch_id):
             store_docs = store_docs.unionByName(spark.read.parquet(p))
         decisions, sig_delta = dedup_ops.incremental_minhash_dedup(
             batch, store_sigs, store_docs, text_col, id_col,
@@ -1300,14 +1291,7 @@ def availablenow_incremental_dedup_roundtrip(
 
     if os.path.exists(work_dir):
         shutil.rmtree(work_dir)
-    landing = os.path.join(work_dir, "landing")
-    for arr in arrivals:
-        arr.coalesce(1).write.mode("append").parquet(landing)
-    stream = (
-        spark.readStream.schema(arrivals[0].schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(landing)
-    )
+    stream = _landed_stream(spark, work_dir, arrivals)
     query = incremental_dedup_store_sink(
         stream, work_dir, base_sigs, base_docs, text_col, id_col,
         threshold, available_now=True,
@@ -1316,3 +1300,193 @@ def availablenow_incremental_dedup_roundtrip(
     return spark.read.parquet(os.path.join(work_dir, "decisions")).withColumn(
         "arrival", (F.col("batch") + 1).cast("int")
     ).drop("batch")
+
+
+def _committed_batch_dirs(root: str, before: int) -> list[str]:
+    """Batch-id-named delta directories with id < ``before``, in batch
+    order — the replay-idempotency discipline shared by the store-
+    maintenance sinks: batch N consumes only deltas it could not itself
+    have written, so a replayed batch regenerates identical content and
+    a dead incarnation's partial directory stays invisible until its id
+    replays."""
+    import glob
+
+    return sorted(
+        (
+            p
+            for p in glob.glob(os.path.join(root, "batch=*"))
+            if int(os.path.basename(p).split("=", 1)[1]) < before
+        ),
+        key=lambda p: int(os.path.basename(p).split("=", 1)[1]),
+    )
+
+
+def _landed_stream(spark: SparkSession, work_dir: str, arrivals: list[DataFrame]):
+    """Land each arrival frame as ONE file (sequential writes, distinct
+    mtimes) and open a ``maxFilesPerTrigger=1`` file-source stream over
+    the landing dir, so arrival k IS micro-batch k — the determinism
+    pin every oracle-checkable streaming roundtrip needs."""
+    landing = os.path.join(work_dir, "landing")
+    for arr in arrivals:
+        arr.coalesce(1).write.mode("append").parquet(landing)
+    return (
+        spark.readStream.schema(arrivals[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+
+
+def ivf_stream_upsert_sink(
+    stream_vecs: DataFrame,
+    work_dir: str,
+    centroids: list[list[float]],
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+):
+    """Streaming ARRIVAL path for the IVF index (VERDICT r15 item 2, ANN
+    member): each micro-batch of vectors assigns to the FIXED stored
+    centroids (O(batch) map-side Arrow kernel — FAISS ``IVF.add``
+    semantics, no retrain, no store read at all) and lands as a
+    cell-partitioned delta directory named by the micro-batch id under
+    ``work_dir/delta/batch=N/``. Readers take base ∪ deltas; the r15
+    compactor merges deltas into base cells on schedule, and the r16
+    drift monitor + retrain-migrate close the lifecycle.
+
+    EXACTLY-ONCE at the table level: every write is ``overwrite`` into
+    its batch-id-named directory (``incremental_dedup_store_sink``'s
+    contract — a replayed batch overwrites itself with identical
+    content; assignment is deterministic given the centroids).
+    """
+    from ..operators import similarity
+
+    delta_root = os.path.join(work_dir, "delta")
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        similarity.ivf_assign_cells(batch, centroids).write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(
+            os.path.join(delta_root, f"batch={batch_id}")
+        )
+
+    writer = (
+        stream_vecs.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(work_dir, "_checkpoint"),
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def availablenow_ivf_upsert_roundtrip(
+    spark: SparkSession,
+    work_dir: str,
+    arrivals: list[DataFrame],
+    centroids: list[list[float]],
+) -> DataFrame:
+    """Drive :func:`ivf_stream_upsert_sink` as one bounded run (one
+    landing file per arrival, file == micro-batch) and return the
+    accumulated index DELTA (all committed batches, cell column intact).
+    ``work_dir`` is wiped per call — repeated driver/parity/bench
+    invocations replay identically."""
+    import shutil
+
+    if os.path.exists(work_dir):
+        shutil.rmtree(work_dir)
+    stream = _landed_stream(spark, work_dir, arrivals)
+    query = ivf_stream_upsert_sink(
+        stream, work_dir, centroids, available_now=True
+    )
+    query.awaitTermination()
+    dirs = _committed_batch_dirs(os.path.join(work_dir, "delta"), 1 << 62)
+    out = spark.read.parquet(dirs[0])
+    for p in dirs[1:]:
+        out = out.unionByName(spark.read.parquet(p))
+    return out
+
+
+def kmv_stream_merge_sink(
+    stream_docs: DataFrame,
+    work_dir: str,
+    base_sketch: DataFrame,
+    text_col: str = "text",
+    k: int = 64,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+):
+    """Streaming ARRIVAL path for the KMV vocabulary sketch (VERDICT r15
+    item 2, sketch member): each micro-batch tokenizes its documents
+    (O(batch)), sketches them, and MERGES into the store sketch as of
+    the previous batch — the store corpus is never re-read; the arrival
+    cost is the batch's tokens plus a ≤k-row store read. The merged
+    sketch is VERSIONED per batch (``work_dir/sketch/batch=N/`` holds
+    the full ≤k-row sketch AFTER batch N), which is what makes replay
+    exact: a replayed batch re-reads the version its id mandates
+    (largest id < N — never its own output) and overwrites its own
+    directory with identical content. KMV is closed under union, so the
+    stream-maintained sketch equals the from-scratch sketch of
+    store ∪ arrivals bit-for-bit (the oracle-checked contract).
+    """
+    from ..operators import sketches
+
+    spark = stream_docs.sparkSession
+    sketch_root = os.path.join(work_dir, "sketch")
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        prev_dirs = _committed_batch_dirs(sketch_root, batch_id)
+        prev = (
+            spark.read.parquet(prev_dirs[-1]) if prev_dirs else base_sketch
+        )
+        toks = batch.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("token")
+        )
+        merged = sketches.kmv_merge(
+            prev, sketches.kmv_sketch(toks, "token", k=k), k=k
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(sketch_root, f"batch={batch_id}")
+        )
+
+    writer = (
+        stream_docs.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(work_dir, "_checkpoint"),
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def availablenow_kmv_merge_roundtrip(
+    spark: SparkSession,
+    work_dir: str,
+    base_sketch: DataFrame,
+    arrivals: list[DataFrame],
+    text_col: str = "text",
+    k: int = 64,
+) -> list[DataFrame]:
+    """Drive :func:`kmv_stream_merge_sink` as one bounded run (one
+    landing file per arrival, file == micro-batch) and return the
+    per-batch sketch VERSIONS in batch order (version i = the store
+    sketch after arrival i). ``work_dir`` is wiped per call."""
+    import shutil
+
+    if os.path.exists(work_dir):
+        shutil.rmtree(work_dir)
+    stream = _landed_stream(spark, work_dir, arrivals)
+    query = kmv_stream_merge_sink(
+        stream, work_dir, base_sketch, text_col, k, available_now=True
+    )
+    query.awaitTermination()
+    return [
+        spark.read.parquet(p)
+        for p in _committed_batch_dirs(
+            os.path.join(work_dir, "sketch"), 1 << 62
+        )
+    ]

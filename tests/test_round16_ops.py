@@ -492,3 +492,148 @@ def test_bucket_store_meta_sidecar(spark, tmp_path):
     os.remove(os.path.join(path, dedup.BUCKET_STORE_META))
     with pytest.raises(FileNotFoundError, match="sidecar"):
         dedup.open_bucket_store(spark, path)
+
+
+def test_rowcount_memo_evicts_superseded_fingerprints(spark):
+    """ADVICE r15: when a table's fingerprint changes (regenerated data),
+    inserting the fresh count evicts the superseded (sf_dir, table, fp)
+    entries — a long-lived session that rewrites tables doesn't leak memo
+    rows. Other tables' entries are untouched."""
+    from pinterest_data_pipeline_spark.plans import extensions
+
+    key = (
+        SF001,
+        "part",
+        extensions._dir_fingerprint(os.path.join(SF001, "part.parquet")),
+    )
+    extensions._ROWCOUNT_MEMO.clear()
+    extensions._ROWCOUNT_MEMO[(SF001, "part", "stale-fp-1")] = 1
+    extensions._ROWCOUNT_MEMO[(SF001, "part", "stale-fp-2")] = 2
+    other = (SF001, "orders", "some-fp")
+    extensions._ROWCOUNT_MEMO[other] = 3
+    extensions._stat_sum_type(
+        spark, SF001, "part", extensions._STAT_CEILING_SPEARMAN, "t"
+    )
+    assert key in extensions._ROWCOUNT_MEMO
+    assert (SF001, "part", "stale-fp-1") not in extensions._ROWCOUNT_MEMO
+    assert (SF001, "part", "stale-fp-2") not in extensions._ROWCOUNT_MEMO
+    assert extensions._ROWCOUNT_MEMO[other] == 3
+    extensions._ROWCOUNT_MEMO.clear()
+
+
+# --- streaming arrival paths: IVF upsert + KMV merge (r15 item 2) ------------
+
+
+def _replay_crash(work):
+    """Simulate a crash between batch 1's writes and its checkpoint
+    commit: remove the commit entry AND its checksum sidecar (an atomic
+    rename crash leaves both or neither)."""
+    os.remove(os.path.join(work, "_checkpoint", "commits", "1"))
+    crc = os.path.join(work, "_checkpoint", "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def _restart_sink(spark, work, schema, start):
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(work, "landing"))
+    )
+    q = start(stream)
+    q.awaitTermination()
+
+
+def test_ivf_stream_delta_equals_batch_assign(spark, tmp_path):
+    """The stream-built index delta is identical (as a rowset) to a
+    batch ivf_assign_cells over the same arrivals — the streaming
+    runtime adds delivery, not semantics — and replaying a lost-commit
+    batch changes nothing."""
+    corpus = _corpus(spark)
+    arrivals = [
+        corpus.filter(F.col("vec_id") < 20),
+        corpus.filter(F.col("vec_id") >= 20),
+    ]
+    work = os.path.join(str(tmp_path), "ivf_stream")
+    delta = streaming.availablenow_ivf_upsert_roundtrip(
+        spark, work, arrivals, ANCHORS
+    )
+    assert _rowset(delta) == _rowset(
+        similarity.ivf_assign_cells(corpus, ANCHORS)
+    )
+    first = _rowset(spark.read.parquet(os.path.join(work, "delta")))
+    _replay_crash(work)
+    _restart_sink(
+        spark, work, arrivals[0].schema,
+        lambda s: streaming.ivf_stream_upsert_sink(
+            s, work, ANCHORS, available_now=True
+        ),
+    )
+    assert _rowset(spark.read.parquet(os.path.join(work, "delta"))) == first
+
+
+def test_kmv_stream_versions_equal_sequential_merges(spark, tmp_path):
+    """Each stream-maintained sketch version equals the sequential batch
+    merge at the same arrival point, row for row; a replayed batch
+    regenerates identical versions."""
+    from pinterest_data_pipeline_spark.operators import sketches
+
+    docs = load_documents(spark, SF001)
+
+    def toks(df):
+        return df.select(
+            F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+
+    base = sketches.kmv_sketch(
+        toks(docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)),
+        "token", k=64,
+    )
+    arrivals = [
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0),
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 10),
+    ]
+    work = os.path.join(str(tmp_path), "kmv_stream")
+    versions = streaming.availablenow_kmv_merge_roundtrip(
+        spark, work, base, arrivals
+    )
+    seq1 = sketches.kmv_merge(
+        base, sketches.kmv_sketch(toks(arrivals[0]), "token", k=64), k=64
+    )
+    seq2 = sketches.kmv_merge(
+        seq1, sketches.kmv_sketch(toks(arrivals[1]), "token", k=64), k=64
+    )
+    assert _frozen(versions[0]) == _frozen(seq1)
+    assert _frozen(versions[1]) == _frozen(seq2)
+    state = [_frozen(v) for v in versions]
+    _replay_crash(work)
+    _restart_sink(
+        spark, work, arrivals[0].schema,
+        lambda s: streaming.kmv_stream_merge_sink(
+            s, work, base, available_now=True
+        ),
+    )
+    after = [
+        _frozen(spark.read.parquet(p))
+        for p in streaming._committed_batch_dirs(
+            os.path.join(work, "sketch"), 1 << 62
+        )
+    ]
+    assert after == state
+
+
+def test_store_surgery_queries_rerun_in_session(spark):
+    """Regression (caught by the r16 bench's pre-warm + timed pass): a
+    query that rebuilds its work dir with OS-level copytree/rename must
+    run twice in the SAME session with identical results — Spark's
+    shared file-listing cache otherwise serves the first run's deleted
+    files (FAILED_READ_FILE.FILE_NOT_EXIST). The operators now
+    refreshByPath after every out-of-band mutation."""
+    from pinterest_data_pipeline_spark.plans import extensions
+
+    first = _frozen(extensions.dedup_bucket_store_compaction(spark, SF001))
+    assert _frozen(
+        extensions.dedup_bucket_store_compaction(spark, SF001)
+    ) == first
+    mig1 = _frozen(extensions.ann_ivf_centroid_retrain(spark, SF001))
+    assert _frozen(extensions.ann_ivf_centroid_retrain(spark, SF001)) == mig1
