@@ -43,64 +43,64 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/check_parity.py). Run `python tools/ledger.py` for the ledger,
 # and `python tools/ledger.py --propose-window` to GENERATE the rotation
 # below (VERDICT r8 item 7 — this window is that tool's output).
-# ROUND-15 ROTATION (tool-proposed): maintenance mode continues — the
-# four r14 births are the only once-certified (owed-seconds) entries and
-# take the first seats; r15 births seat at birth as they land; the
-# remaining back-fill goes to the STALEST twice-certified queries (the
-# r5/r6-certified block VERDICT r14 item 2 named).
-SEATING_ROUND = 15  # invariant tests evaluate the ledger as of SEATING_ROUND-1
+# ROUND-16 ROTATION (tool-proposed): the seven r15 births are
+# once-certified and keep seats; the three r16 births seat at birth;
+# the four r14 births (certified r14+r15) keep seats one more round as
+# the youngest twice-certified block; back-fill continues through the
+# stalest r4/r5-r5/r6 block.
+SEATING_ROUND = 16  # invariant tests evaluate the ledger as of SEATING_ROUND-1
 
 PRIORITY_WINDOW: tuple[str, ...] = (
-    "dedup_simhash_near_duplicates",  # birth
-    "ann_ivf_index_compaction",  # birth
-    "sketch_incremental_tdigest",  # birth
-    "embedding_store_drift",  # birth
-    "dedup_incremental_batch_pruned",  # birth
-    "sketch_incremental_mg",  # birth
-    "ann_rerank_label_boost",  # birth
-    "dedup_incremental_batch",  # r14
-    "ann_ivf_incremental_upsert",  # r14
-    "dedup_incremental_clusters",  # r14
-    "sketch_incremental_kmv",  # r14
-    "subquery_exists_urgent_customers",  # r4,r5
-    "subquery_in_heavy_parts",  # r4,r5
-    "subquery_scalar_above_avg_price",  # r4,r5
-    "scalar_date_functions",  # r4,r5
-    "scalar_string_functions",  # r4,r5
-    "tpch_q3_shipping_priority",  # r4,r5
-    "events_view_purchase_attribution",  # r4,r5
-    "json_variant_extract_props",  # r4,r5
-    "json_variant_grouped_stats",  # r4,r5
-    "events_resample_ffill",  # r4,r5
-    "anomaly_zscore_events",  # r4,r5
-    "quality_referential_integrity",  # r4,r5
-    "array_hof_battery",  # r4,r5
-    "tpch_q18_large_orders",  # r4,r5
-    "tpch_q9_product_type_profit",  # r4,r5
-    "tpch_q21_waiting_suppliers",  # r4,r5
-    "tpch_q2_min_cost_supplier",  # r4,r5
-    "sample_hash_split_counts",  # r5,r6
-    "sample_hash_split_membership",  # r5,r6
-    "sample_per_lang_cap",  # r5,r6
-    "ann_topk_cosine",  # r5,r6
-    "text_normalization_collapse",  # r5,r6
-    "text_normalized_keys",  # r5,r6
-    "pack_sequences_documents",  # r5,r6
-    "text_chunk_sliding",  # r5,r6
-    "tfidf_top_terms",  # r5,r6
-    "multimodal_video_frames",  # r5,r6
-    "dedup_cluster_canonical",  # r5,r6
-    "tpch_q10_returned_items",  # r5,r6
-    "tpch_q4_order_priority",  # r5,r6
-    "tpch_q7_volume_shipping",  # r5,r6
-    "tpch_q8_market_share",  # r5,r6
-    "tpch_q13_customer_distribution",  # r5,r6
-    "tpch_q15_top_supplier",  # r5,r6
-    "tpch_q16_supplier_part_counts",  # r5,r6
-    "tpch_q17_small_quantity_revenue",  # r5,r6
-    "tpch_q20_promotion_suppliers",  # r5,r6
-    "tpch_q22_dormant_customers",  # r5,r6
-    "tpch_q11_important_stock",  # r5,r6
+    "ann_ivf_centroid_retrain",  # birth
+    "dedup_incremental_stream_store",  # birth
+    "dedup_bucket_store_compaction",  # birth
+    "dedup_simhash_near_duplicates",  # r15
+    "ann_ivf_index_compaction",  # r15
+    "sketch_incremental_tdigest",  # r15
+    "embedding_store_drift",  # r15
+    "dedup_incremental_batch_pruned",  # r15
+    "sketch_incremental_mg",  # r15
+    "ann_rerank_label_boost",  # r15
+    "events_resample_interpolate",  # r5,r6
+    "window_time_range_frame",  # r5,r6
+    "join_bucketed_colocated",  # r5,r6
+    "clean_normalize_nulls_documents",  # r1,r7
+    "clean_parse_human_count_part",  # r1,r7
+    "clean_strip_prefix_part",  # r1,r7
+    "clean_distinct_flag_status",  # r1,r7
+    "window_running_revenue",  # r1,r7
+    "join_anti_customers_without_orders",  # r1,r7
+    "text_token_stats",  # r1,r7
+    "text_lang_id",  # r1,r7
+    "text_quality_scores",  # r1,r7
+    "text_fingerprints",  # r1,r7
+    "dedup_ngram_jaccard_adjacent",  # r1,r7
+    "sample_stratified_by_lang",  # r6,r7
+    "ann_ivf_topk",  # r6,r7
+    "streaming_upsert_latest_events",  # r6,r7
+    "streaming_incremental_rollup",  # r6,r7
+    "csv_roundtrip_malformed",  # r6,r7
+    "sketch_hll_distinct_parts",  # r6,r7
+    "tpch_q12_priority_shipmode",  # r6,r7
+    "tpch_q14_promo_revenue_share",  # r5,r7
+    "tpch_q19_disjunctive_predicates",  # r5,r7
+    "tpch_q6_forecast_revenue",  # r5,r7
+    "join_salted_skewed",  # r6,r7
+    "events_sessionize_gap",  # r6,r7
+    "join_asof_next_order",  # r6,r8
+    "agg_approx_distinct",  # r6,r8
+    "q6_median_acctbal_per_band_approx",  # r6,r8
+    "dedup_containment_adjacent",  # r7,r8
+    "sample_weighted_by_length",  # r7,r8
+    "text_ngram_vocab_topk",  # r7,r8
+    "ann_lsh_multitable_topk",  # r7,r8
+    "ann_pq_topk",  # r7,r8
+    "ann_binary_hamming_topk",  # r7,r8
+    "text_pii_redaction",  # r6,r8
+    "text_repetition_battery",  # r6,r8
+    "dedup_decontaminate_ngram",  # r6,r8
+    "embedding_quantize_int8",  # r6,r8
+    "embedding_truncate_renormalize",  # r7,r8
 )
 
 
