@@ -54,6 +54,8 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "ann_ivf_centroid_retrain",  # birth
     "dedup_incremental_stream_store",  # birth
     "dedup_bucket_store_compaction",  # birth
+    "ann_ivf_stream_upsert",  # birth
+    "sketch_kmv_stream_store",  # birth
     "dedup_simhash_near_duplicates",  # r15
     "ann_ivf_index_compaction",  # r15
     "sketch_incremental_tdigest",  # r15
@@ -99,8 +101,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "text_pii_redaction",  # r6,r8
     "text_repetition_battery",  # r6,r8
     "dedup_decontaminate_ngram",  # r6,r8
-    "embedding_quantize_int8",  # r6,r8
-    "embedding_truncate_renormalize",  # r7,r8
 )
 
 
