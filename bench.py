@@ -166,6 +166,12 @@ BENCH_EXCLUSIONS: dict[str, str] = {
         "streaming: trigger overhead, not operator cost, dominates",
     "streaming_bitmap_distinct":
         "streaming: trigger overhead, not operator cost, dominates",
+    "dedup_incremental_stream_store":
+        "streaming: trigger overhead, not operator cost, dominates",
+    "ann_ivf_stream_upsert":
+        "streaming: trigger overhead, not operator cost, dominates",
+    "sketch_kmv_stream_store":
+        "streaming: trigger overhead, not operator cost, dominates",
     "subquery_exists_urgent_customers":
         "micro: sub-0.2s scalar/cleaning/battery shape; headline kept at the pre-r12 206-query set for cross-round comparability",
     "subquery_in_heavy_parts":

@@ -9931,13 +9931,18 @@ def dedup_bucket_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame
     store_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
     base_docs = store_docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 9)
     base_path = _work_dir(sf_dir, "_incr_bucket_store_base")
+    # n_parts=4 here (32 leaves, vs the pruned query's 16): the
+    # compaction discipline is layout-width-independent, decisions are
+    # layout-free (same exhaustive dual), and the narrower store cuts
+    # the certification's filesystem churn ~4x — the sidecar carries the
+    # width so the probe stays correct by construction
     _cached_store(
         spark, sf_dir, "_incr_bucket_store_base", "documents.parquet",
         lambda path: dedup.write_bucket_store(
             dedup.minhash_signatures(base_docs, "text", "doc_id"),
-            "doc_id", path,
+            "doc_id", path, n_parts=4,
         ),
-        params=f"shingle_n=3,k=32,bands=8,parts={dedup.BUCKET_STORE_PARTS}"
+        params="shingle_n=3,k=32,bands=8,parts=4"
         ",split=mod10-not-0-9,meta=v2",
     )
     work = _work_dir(sf_dir, "_bucket_compact")
@@ -9946,14 +9951,22 @@ def dedup_bucket_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame
     # layout params come from the copied store's sidecar (ADVICE r15) —
     # the delta MUST bucket with the same k/bands/n_parts as the base
     _, meta = dedup.open_bucket_store(spark, work)
-    delta = dedup.band_bucket_store(
-        dedup.minhash_signatures(
-            store_docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 9),
-            "text", "doc_id",
+    # persisted: the delta's signature pass feeds BOTH the fragmented
+    # append and the losslessness digest — one minhash pass, not two
+    delta = persist_scoped(
+        dedup.band_bucket_store(
+            dedup.minhash_signatures(
+                store_docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 9),
+                "text", "doc_id",
+            ),
+            "doc_id", k=meta["k"], bands=meta["bands"],
+            n_parts=meta["n_parts"],
         ),
-        "doc_id", k=meta["k"], bands=meta["bands"], n_parts=meta["n_parts"],
+        "bucket_compact_delta",
     )
-    delta.repartition(8).write.mode("append").partitionBy(
+    # 4-way round-robin still fragments EVERY leaf (the pathology under
+    # test) at roughly half the small-file count of the initial 8-way
+    delta.repartition(4).write.mode("append").partitionBy(
         "band", "bh_part"
     ).parquet(work)
     compacted, n_before, n_after, _ = dedup.bucket_store_compact(spark, work)

@@ -209,6 +209,13 @@ FLAGSHIPS = [
     "dedup_incremental_batch_pruned",
     "sketch_incremental_mg",
     "ann_rerank_label_boost",
+    # round-16 births (retrain migration + streaming arrival paths +
+    # bucket-store compaction)
+    "ann_ivf_centroid_retrain",
+    "dedup_incremental_stream_store",
+    "dedup_bucket_store_compaction",
+    "ann_ivf_stream_upsert",
+    "sketch_kmv_stream_store",
 ]
 
 
