@@ -637,3 +637,45 @@ def test_store_surgery_queries_rerun_in_session(spark):
     ) == first
     mig1 = _frozen(extensions.ann_ivf_centroid_retrain(spark, SF001))
     assert _frozen(extensions.ann_ivf_centroid_retrain(spark, SF001)) == mig1
+
+
+def test_stream_upsert_compact_retrain_lifecycle(spark, tmp_path):
+    """End-to-end lifecycle: a stream-fed delta (r16 arrival) folds into
+    the base index, compaction (r15) merges the fragments, and a drift
+    retrain (r16) migrates the result — after all three maintenance
+    verbs the index rowset equals a from-scratch rebuild of the full
+    corpus under the final centroids."""
+    corpus = _corpus(spark)
+    base = corpus.filter(F.col("vec_id") < 20)
+    arrivals = [
+        corpus.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 35)),
+        corpus.filter(F.col("vec_id") >= 35),
+    ]
+    index_path = os.path.join(str(tmp_path), "lifecycle_idx")
+    similarity.ivf_assign_cells(base, ANCHORS).write.partitionBy(
+        "cell"
+    ).parquet(index_path)
+    # arrival: stream-fed delta directories
+    work = os.path.join(str(tmp_path), "lifecycle_stream")
+    delta = streaming.availablenow_ivf_upsert_roundtrip(
+        spark, work, arrivals, ANCHORS
+    )
+    # fold the deltas into the base cells (fragmented append), compact
+    delta.select("vec_id", "embedding", "cell").repartition(4).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(index_path)
+    compacted, n_before, n_after, _ = similarity.ivf_compact_index(
+        spark, index_path
+    )
+    assert n_after < n_before
+    assert _rowset(compacted) == _rowset(
+        similarity.ivf_assign_cells(corpus, ANCHORS)
+    )
+    # drift retrain: the planted outliers migrate, rowset == rebuild
+    migrated, n_moved, _ = similarity.ivf_retrain_migrate(
+        spark, index_path, _new_centroids()
+    )
+    assert n_moved == 5
+    assert _rowset(migrated) == _rowset(
+        similarity.ivf_assign_cells(corpus, _new_centroids())
+    )
