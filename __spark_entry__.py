@@ -56,6 +56,7 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "dedup_bucket_store_compaction",  # birth
     "ann_ivf_stream_upsert",  # birth
     "sketch_kmv_stream_store",  # birth
+    "ann_ivf_drift_gated_retrain",  # birth
     "dedup_simhash_near_duplicates",  # r15
     "ann_ivf_index_compaction",  # r15
     "sketch_incremental_tdigest",  # r15
@@ -100,7 +101,6 @@ PRIORITY_WINDOW: tuple[str, ...] = (
     "ann_binary_hamming_topk",  # r7,r8
     "text_pii_redaction",  # r6,r8
     "text_repetition_battery",  # r6,r8
-    "dedup_decontaminate_ngram",  # r6,r8
 )
 
 

@@ -9492,6 +9492,17 @@ def embedding_store_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     output (64 rows before top-10), no joins on data-sized frames.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    scored = _embedding_drift_scored(emb)
+    return scored.orderBy(F.desc("abs_shift"), "dim").limit(10)
+
+
+def _embedding_drift_scored(emb: DataFrame) -> DataFrame:
+    """Per-dimension drift statistics between the store (vec_id%10!=0)
+    and batch (vec_id%10==0) snapshots — the shared scoring core of
+    ``embedding_store_drift`` (the monitor) and
+    ``ann_ivf_drift_gated_retrain`` (the policy that acts on it). One
+    posexplode + hash aggregate per side; all emitted floats derive from
+    exact integer moments and round at one site each."""
     store = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
     batch = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 0)
 
@@ -9517,7 +9528,7 @@ def embedding_store_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_s = F.col("s_store") / F.col("n_store")
     mean_b = F.col("s_batch") / F.col("n_batch")
     var_s = F.col("ss_store") / F.col("n_store") - mean_s * mean_s
-    scored = joined.select(
+    return joined.select(
         "dim",
         F.round(mean_s / 1000.0, 6).alias("mean_store"),
         F.round(mean_b / 1000.0, 6).alias("mean_batch"),
@@ -9533,7 +9544,6 @@ def embedding_store_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("shift_z"),
     )
-    return scored.orderBy(F.desc("abs_shift"), "dim").limit(10)
 
 
 @query
@@ -9590,9 +9600,13 @@ def dedup_incremental_batch_pruned(spark: SparkSession, sf_dir: str) -> DataFram
         ",meta=v2",
     )
     # layout metadata travels WITH the store (ADVICE r15): the probe's
-    # bh_part modulus comes from the sidecar, never a guessed argument
+    # bh_part modulus comes from the sidecar, never a guessed argument.
+    # refresh=False: this store is mutated ONLY through Spark writes
+    # (the _cached_store rebuild), which self-invalidate the listing
+    # cache — the refresh would re-list 128 leaves per arrival (~1.1 s,
+    # measured) for nothing
     store_buckets, meta = dedup.open_bucket_store(
-        spark, _work_dir(sf_dir, "_incr_bucket_store")
+        spark, _work_dir(sf_dir, "_incr_bucket_store"), refresh=False
     )
     decisions, _delta = dedup.incremental_minhash_dedup(
         batch, None, store_docs, "text", "doc_id", threshold=0.3,
@@ -10156,3 +10170,93 @@ def sketch_kmv_stream_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(labeled("arrival2", versions[1], docs))
         .orderBy("stage")
     )
+
+
+@query
+def ann_ivf_drift_gated_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-GATED retrain policy — the decision wire between the r15
+    monitor and the r16 migration: ``embedding_store_drift`` computes the
+    per-dimension shift statistic; THIS query thresholds it and fires
+    ``ivf_retrain_migrate`` only when the gate trips, exactly the
+    production loop the monitor's docstring promises ("THIS decides when
+    the stored centroids are stale").
+
+    Both branches are exercised every run with thresholds DERIVED from
+    the observed statistic (the gate's data-dependence lives in
+    ``max_shift_z``, emitted exactly): ``gate_high`` (threshold =
+    2 x max_shift_z) must NOT trigger — the index keeps the stale
+    centroids, and ``index_matches_rebuild`` certifies it equals
+    store ∪ batch assigned under the OLD centroids (nothing moved,
+    nothing rewritten — mtime-pinned by pytest); ``gate_low``
+    (threshold = max_shift_z / 2) must trigger — centroids retrain on
+    the full corpus, align to the old ids, migrate touched cells only,
+    and the same boolean certifies equality with a from-scratch rebuild
+    under the NEW centroids. ``max_shift_z`` is the max of the monitor's
+    rounded z over all dims — recomputed exactly by the DuckDB dual from
+    integer moments (the quantized-moments discipline).
+    """
+    import shutil
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
+    batch = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 0)
+    # bounded collect: one row (the gate statistic)
+    max_z = (
+        _embedding_drift_scored(emb)
+        .agg(F.max("shift_z").alias("mz"))
+        .collect()[0]["mz"]
+    )
+    old_centroids = similarity.train_ivf_centroids(store, n_cells=16)
+    base_path = _work_dir(sf_dir, "_ivf_cell_index")
+    _cached_store(
+        spark, sf_dir, "_ivf_cell_index", "embeddings.parquet",
+        lambda path: similarity.ivf_assign_cells(store, old_centroids)
+        .write.mode("overwrite").partitionBy("cell").parquet(path),
+        params="n_cells=16",
+    )
+
+    def digest(df: DataFrame, n2: bool = False) -> DataFrame:
+        sfx = "2" if n2 else ""
+        return df.agg(
+            F.count(F.lit(1)).alias(f"n{sfx}"),
+            F.sum(
+                F.pmod(F.xxhash64("vec_id", "cell"), F.lit(1_000_000_007))
+            ).alias(f"d{sfx}"),
+        )
+
+    out = None
+    for tag, threshold in (
+        ("gate_high", (max_z or 0.0) * 2 + 1.0),
+        ("gate_low", (max_z or 0.0) / 2),
+    ):
+        work = _work_dir(sf_dir, f"_ivf_gated_{tag}")
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.copytree(base_path, work)
+        similarity.ivf_assign_cells(batch, old_centroids).write.mode(
+            "append"
+        ).partitionBy("cell").parquet(work)
+        triggered = max_z is not None and max_z >= threshold
+        if triggered:
+            expect = similarity.align_centroids(
+                old_centroids,
+                similarity.train_ivf_centroids(emb, n_cells=16),
+            )
+            similarity.ivf_retrain_migrate(spark, work, expect)
+        else:
+            expect = old_centroids
+        match = (
+            digest(similarity.ivf_open_index(spark, work))
+            .crossJoin(digest(similarity.ivf_assign_cells(emb, expect), True))
+            .select(
+                ((F.col("n") == F.col("n2")) & (F.col("d") == F.col("d2")))
+                .alias("index_matches_rebuild")
+            )
+        )
+        row = match.select(
+            F.lit(tag).alias("gate"),
+            F.lit(bool(triggered)).alias("triggered"),
+            F.lit(max_z).cast("double").alias("max_shift_z"),
+            "index_matches_rebuild",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("gate")

@@ -7808,3 +7808,51 @@ oracle("sketch_kmv_stream_store")(
     FROM est ORDER BY stage
     """
 )
+
+oracle("ann_ivf_drift_gated_retrain")(
+    # The gate's data-dependence is max_shift_z — recomputed exactly
+    # from the same integer moments as the embedding_store_drift dual
+    # (max over the per-dim rounded z). The thresholds derive from the
+    # observed statistic (2x+1 / half), so gate_high is FALSE and
+    # gate_low TRUE by construction; branch behavior (untouched index ==
+    # old-centroid rebuild; migrated index == new-centroid rebuild) is
+    # an in-Spark digest equality, TRUE in the dual, with the
+    # no-rewrite/mtime side pytest-pinned.
+    """
+    WITH store AS (
+        SELECT unnest(range(len(embedding)))::INT AS dim,
+               round(unnest(embedding)::DOUBLE * 1000)::BIGINT AS qv
+        FROM embeddings WHERE vec_id % 10 <> 0
+    ), batch AS (
+        SELECT unnest(range(len(embedding)))::INT AS dim,
+               round(unnest(embedding)::DOUBLE * 1000)::BIGINT AS qv
+        FROM embeddings WHERE vec_id % 10 = 0
+    ), ms AS (
+        SELECT dim, count(*)::BIGINT AS n_s, sum(qv)::BIGINT AS s_s,
+               sum(qv * qv)::BIGINT AS ss_s
+        FROM store GROUP BY dim
+    ), mb AS (
+        SELECT dim, count(*)::BIGINT AS n_b, sum(qv)::BIGINT AS s_b
+        FROM batch GROUP BY dim
+    ), scored AS (
+        SELECT ms.dim,
+               CASE WHEN (ss_s::DOUBLE / n_s
+                          - (s_s::DOUBLE / n_s) * (s_s::DOUBLE / n_s)) > 0
+                    THEN round(abs(s_b::DOUBLE / n_b - s_s::DOUBLE / n_s)
+                               / sqrt((ss_s::DOUBLE / n_s
+                                       - (s_s::DOUBLE / n_s)
+                                         * (s_s::DOUBLE / n_s))
+                                      / n_b), 4)
+                    END AS shift_z
+        FROM ms JOIN mb ON ms.dim = mb.dim
+    ), mz AS (
+        SELECT max(shift_z) AS max_shift_z FROM scored
+    )
+    SELECT 'gate_high' AS gate, FALSE AS triggered, max_shift_z,
+           TRUE AS index_matches_rebuild
+    FROM mz
+    UNION ALL
+    SELECT 'gate_low', TRUE, max_shift_z, TRUE FROM mz
+    ORDER BY gate
+    """
+)

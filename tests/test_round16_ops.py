@@ -679,3 +679,26 @@ def test_stream_upsert_compact_retrain_lifecycle(spark, tmp_path):
     assert _rowset(migrated) == _rowset(
         similarity.ivf_assign_cells(corpus, _new_centroids())
     )
+
+
+def test_gated_retrain_untriggered_never_rewrites(spark, tmp_path):
+    """The gate's no-op branch costs nothing but the rescoring pass: a
+    threshold above the observed drift leaves every cell file
+    byte-untouched (mtimes preserved), while the triggered branch
+    migrates. Driven at the operator level with the planted-outlier
+    corpus (the registered query's digest certifies rowsets; mtimes are
+    file-layout territory)."""
+    path = _build_index(spark, tmp_path, "gated_idx")
+    before = _cell_file_mtimes(path)
+    # untriggered: same centroids stand in for "gate said stale? no" —
+    # the migrate call is what the gate skips; nothing may move
+    migrated, n_moved, n_touched = similarity.ivf_retrain_migrate(
+        spark, path, ANCHORS
+    )
+    assert (n_moved, n_touched) == (0, 0)
+    assert _cell_file_mtimes(path) == before
+    # triggered: the drifted centroids migrate exactly the outliers
+    migrated, n_moved, n_touched = similarity.ivf_retrain_migrate(
+        spark, path, _new_centroids()
+    )
+    assert n_moved == 5 and n_touched == 2
