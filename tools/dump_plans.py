@@ -216,6 +216,7 @@ FLAGSHIPS = [
     "dedup_bucket_store_compaction",
     "ann_ivf_stream_upsert",
     "sketch_kmv_stream_store",
+    "ann_ivf_drift_gated_retrain",
 ]
 
 
