@@ -582,27 +582,46 @@ def incremental_candidates(
     Two store layouts: ``store_sigs`` (signature rows; buckets re-derive
     per arrival — one full store projection) or ``store_buckets`` (a
     prebuilt :func:`band_bucket_store` frame, parquet-partitioned by
-    ``(band, bh_part)``; the probe join keys include the partition
-    columns so dynamic partition pruning skips untouched directories —
-    the O(touched buckets) arrival scan).
+    ``(band, bh_part)``; the batch's touched ``(band, bh_part)`` set —
+    bounded by the partition DOMAIN, ``bands x store_parts`` values, by
+    construction — is collected once and applied as a STATIC partition
+    filter on the store scan, so untouched directories are pruned at
+    planning time — the O(touched buckets) arrival scan).
 
-    DPP LINEAGE CONTRACT (measured r15): Spark's cache substitution
-    replaces ANY subtree that sameResult-matches a persisted frame with
-    an InMemoryRelation, and the DPP rule then no longer sees a
-    selective predicate on the probe side — the pruning subquery is
-    silently dropped. So the pruned path keeps the batch lineage RAW
-    (no persist anywhere under the probe) and pays a few extra O(batch)
-    signature passes; the win is the O(store) scan it prunes. Callers
-    in the pruned path must not persist a same-result batch-sig frame
-    in the same session scope either."""
+    Static vs dynamic pruning (r16 optimization, guide §2.4/§6): the
+    r15 shape relied on runtime DPP injected by the broadcast probe,
+    which required the batch lineage to stay RAW (Spark's cache
+    substitution swaps any sameResult subtree for an InMemoryRelation
+    and the DPP rule then drops the pruning subquery — measured r15).
+    Raw lineage re-ran the batch's shingle+minhash pass once per plan
+    branch (~4x per arrival). The touched-partition list is tiny by
+    construction, so collecting it on the driver and filtering the scan
+    statically keeps the same O(touched dirs) guarantee — visible as
+    ``PartitionFilters`` in the scan, pinned by pytest — while letting
+    the batch signature frame persist like every other path (one
+    minhash pass per arrival). Decisions are unchanged: the filter
+    keeps exactly the partitions whose keys the probe join could
+    match."""
     if store_buckets is not None:
-        bbuckets = band_buckets(batch_sigs, id_col, k, bands)
+        bbuckets = persist_scoped(
+            band_buckets(batch_sigs, id_col, k, bands), "incr_bbuckets"
+        )
         n_bucket_rows = bbuckets.count()
-        sbuckets = store_buckets
         probe = bbuckets.select(
             F.col(id_col).alias("bid"), "band", "band_hash"
         ).withColumn(
             "bh_part", F.pmod(F.col("band_hash"), F.lit(store_parts)).cast("int")
+        )
+        # bounded collect: distinct (band, bh_part) over the batch is at
+        # most bands x store_parts values (the partition domain), never
+        # O(batch) — the IVF probe's "touched cells" discipline
+        touched = sorted(
+            (r["band"], r["bh_part"])
+            for r in probe.select("band", "bh_part").distinct().collect()
+        )
+        combo = F.col("band") * F.lit(store_parts) + F.col("bh_part")
+        sbuckets = store_buckets.filter(
+            combo.isin([b * store_parts + p for b, p in touched])
         )
         store_keys = ["band", "bh_part", "band_hash"]
     else:
@@ -750,12 +769,14 @@ def incremental_minhash_dedup(
     so incremental == full-recompute restricted to batch-involving
     pairs (pinned by pytest and the exhaustive DuckDB dual).
     """
-    batch_sigs = minhash_signatures(batch, text_col, id_col, shingle_n, k)
-    if store_buckets is None:
-        # pruned path stays RAW: a cached same-result sig frame would be
-        # substituted into the DPP probe's subtree and kill the pruning
-        # subquery (see incremental_candidates' lineage contract)
-        batch_sigs = persist_scoped(batch_sigs, "incr_batch_sigs")
+    # persisted in BOTH store layouts since the r16 static-pruning change:
+    # the probe's partition filter no longer depends on runtime DPP, so
+    # the batch signature pass runs once per arrival (see
+    # incremental_candidates' pruning note)
+    batch_sigs = persist_scoped(
+        minhash_signatures(batch, text_col, id_col, shingle_n, k),
+        "incr_batch_sigs",
+    )
     scored = incremental_verified_pairs(
         batch, batch_sigs, store_sigs, store_docs,
         text_col, id_col, shingle_n, k, bands, threshold,

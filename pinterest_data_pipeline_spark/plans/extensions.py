@@ -9562,8 +9562,12 @@ def dedup_incremental_batch_pruned(spark: SparkSession, sf_dir: str) -> DataFram
     Decisions are IDENTICAL to ``dedup_incremental_batch`` by
     construction (same buckets, same candidates, same verify), so the
     DuckDB dual is the same exhaustive recompute — layout must never
-    change answers, driver-checked. The dynamicpruningexpression plan
-    shape is pytest-pinned.
+    change answers, driver-checked. Since r16 the pruning is STATIC —
+    the batch's touched (band, bh_part) set (bounded by the partition
+    domain) collects once and filters the scan at planning time
+    (``PartitionFilters``, pytest-pinned) — replacing the r15 runtime-DPP
+    shape whose raw-lineage requirement re-ran the batch signature pass
+    per plan branch.
 
     REGIME (documented honestly, the embedding-all-pairs precedent):
     pruning is selective when the batch's bucket keys touch a small
@@ -9576,17 +9580,6 @@ def dedup_incremental_batch_pruned(spark: SparkSession, sf_dir: str) -> DataFram
     the store projection is only a few MB; the gap is O(store) vs
     O(touched dirs) by construction.
     """
-    from ..session import release_scoped
-
-    # SELF-ENFORCED raw-lineage contract (the DPP lesson in dedup.py):
-    # a cached same-result batch-sig/bucket frame — the sibling
-    # incremental queries persist exactly that over this corpus — would
-    # be substituted into the probe subtree and silently drop the
-    # pruning subquery, full-scanning the store this query exists to
-    # avoid. Evict those scopes so the probe plans raw regardless of
-    # which query ran first in the session.
-    for scope in ("incr_batch_sigs", "incr_cc_batch_sigs", "incr_bbuckets"):
-        release_scoped(scope)
     docs = load_documents(spark, sf_dir)
     batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
     store_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
@@ -9935,11 +9928,6 @@ def dedup_bucket_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     import shutil
 
-    from ..session import release_scoped
-
-    # same DPP raw-lineage self-enforcement as dedup_incremental_batch_pruned
-    for scope in ("incr_batch_sigs", "incr_cc_batch_sigs", "incr_bbuckets"):
-        release_scoped(scope)
     docs = load_documents(spark, sf_dir)
     batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
     store_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)

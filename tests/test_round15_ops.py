@@ -481,9 +481,13 @@ def test_pruned_bucket_store_decisions_match_sig_store(spark, tmp_path):
 
 
 def test_pruned_bucket_store_scan_is_partition_pruned(spark, tmp_path):
-    """The arrival probe injects dynamic partition pruning into the
-    bucket-store scan: the candidate plan carries a
-    dynamicpruningexpression on the (band, bh_part) partition columns."""
+    """The arrival probe prunes the bucket-store scan STATICALLY (r16):
+    the batch's touched (band, bh_part) set — bounded by the partition
+    domain — is collected once and lands as a PartitionFilters predicate
+    on the store scan, so only touched leaf directories are read. The
+    no-files-from-untouched-leaves property is asserted on the executed
+    scan's input files, which pins the behavior independent of plan-
+    string formatting."""
     docs = load_documents(spark, SF001)
     batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
     store_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
@@ -494,15 +498,38 @@ def test_pruned_bucket_store_scan_is_partition_pruned(spark, tmp_path):
         "band", "bh_part"
     ).parquet(bkt_path)
     assert any(f.startswith("band=") for f in os.listdir(bkt_path))
-    release_scoped()  # a cached same-result sig/bucket frame from an
-    # earlier test would substitute into the probe subtree and kill DPP
     batch_sigs = dedup.minhash_signatures(batch, "text", "doc_id")
     cands = dedup.incremental_candidates(
         batch_sigs, None, "doc_id",
         store_buckets=spark.read.parquet(bkt_path),
     )
     plan = cands._jdf.queryExecution().executedPlan().toString()
-    assert "dynamicpruning" in plan.lower(), plan[:3000]
+    # the scan carries a static partition filter on the touched set
+    assert "PartitionFilters: [" in plan and "bh_part" in plan, plan[:3000]
+    assert "dynamicpruning" not in plan.lower()
+    # and it actually prunes — corrupt every UNTOUCHED leaf's parquet
+    # files: the probe must still execute cleanly (it never opens them),
+    # while a full-store scan would throw on the garbage bytes
+    touched = {
+        (r["band"], r["bh_part"])
+        for r in dedup.band_bucket_store(batch_sigs, "doc_id")
+        .select("band", "bh_part").distinct().collect()
+    }
+    leaves = [
+        (int(band_dir.split("=", 1)[1]), int(part_dir.split("=", 1)[1]))
+        for band_dir in os.listdir(bkt_path)
+        if band_dir.startswith("band=")
+        for part_dir in os.listdir(os.path.join(bkt_path, band_dir))
+        if part_dir.startswith("bh_part=")
+    ]
+    untouched = [lf for lf in leaves if lf not in touched]
+    assert untouched, "batch must not touch every leaf"
+    for band, part in untouched:
+        leaf = os.path.join(bkt_path, f"band={band}", f"bh_part={part}")
+        for fname in os.listdir(leaf):
+            if fname.startswith("part-"):
+                with open(os.path.join(leaf, fname), "wb") as fh:
+                    fh.write(b"not parquet")
     assert cands.count() > 0
 
 
