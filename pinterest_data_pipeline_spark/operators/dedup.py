@@ -606,19 +606,24 @@ def incremental_candidates(
         bbuckets = persist_scoped(
             band_buckets(batch_sigs, id_col, k, bands), "incr_bbuckets"
         )
-        n_bucket_rows = bbuckets.count()
         probe = bbuckets.select(
             F.col(id_col).alias("bid"), "band", "band_hash"
         ).withColumn(
             "bh_part", F.pmod(F.col("band_hash"), F.lit(store_parts)).cast("int")
         )
-        # bounded collect: distinct (band, bh_part) over the batch is at
-        # most bands x store_parts values (the partition domain), never
-        # O(batch) — the IVF probe's "touched cells" discipline
-        touched = sorted(
-            (r["band"], r["bh_part"])
-            for r in probe.select("band", "bh_part").distinct().collect()
+        # ONE bounded action materializes the persisted bucket frame and
+        # yields both the broadcast-guard row count (sum of group sizes)
+        # and the touched-partition set: distinct (band, bh_part) over
+        # the batch is at most bands x store_parts values (the partition
+        # domain), never O(batch) — the IVF probe's "touched cells"
+        # discipline
+        per_leaf = (
+            probe.groupBy("band", "bh_part")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
         )
+        n_bucket_rows = sum(r["n"] for r in per_leaf)
+        touched = sorted((r["band"], r["bh_part"]) for r in per_leaf)
         combo = F.col("band") * F.lit(store_parts) + F.col("bh_part")
         sbuckets = store_buckets.filter(
             combo.isin([b * store_parts + p for b, p in touched])

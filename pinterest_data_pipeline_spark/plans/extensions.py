@@ -9807,6 +9807,25 @@ def ann_ivf_centroid_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, work, new_centroids
     )
 
+    # ONE aggregate pass over the migrated index yields BOTH certification
+    # sides that previously each scanned it (r16, guide §1.2: fewer
+    # passes): the losslessness digest (count + vec_id hash-sum) and the
+    # zero-misassignment check (stored cell == nearest NEW centroid, the
+    # same Arrow kernel as before, now fused into the digest scan).
+    assign1 = similarity.nearest_cells_pandas(new_centroids, 1)
+    mig_cert = migrated.select(
+        "vec_id",
+        (F.col("cell").cast("int") != assign1(F.col("embedding"))[0])
+        .cast("long")
+        .alias("bad"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.pmod(F.xxhash64("vec_id"), F.lit(1_000_000_007))
+        ).alias("d"),
+        (F.sum("bad") == 0).alias("migrated_assign_ok"),
+    )
+
     def digest(df: DataFrame) -> DataFrame:
         return df.agg(
             F.count(F.lit(1)).alias("n"),
@@ -9815,23 +9834,17 @@ def ann_ivf_centroid_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d"),
         )
 
-    lossless = (
-        digest(migrated)
-        .crossJoin(
+    cert = (
+        mig_cert.crossJoin(
             digest(emb).withColumnsRenamed({"n": "n2", "d": "d2"})
         )
         .select(
             ((F.col("n") == F.col("n2")) & (F.col("d") == F.col("d2"))).alias(
                 "migration_lossless"
-            )
+            ),
+            "migrated_assign_ok",
         )
     )
-    assign1 = similarity.nearest_cells_pandas(new_centroids, 1)
-    assign_ok = migrated.select(
-        (F.col("cell").cast("int") != assign1(F.col("embedding"))[0])
-        .cast("long")
-        .alias("bad")
-    ).agg((F.sum("bad") == 0).alias("migrated_assign_ok"))
     q = _query_vectors(spark, sf_dir)
     ann = similarity.ivf_search_index(migrated, q, new_centroids, k=10, n_probe=4)
     exact = persist_scoped(
@@ -9845,8 +9858,7 @@ def ann_ivf_centroid_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, q, ann, floor=2, exact=exact.select("query_id", "vec_id")
         )
         .join(top1, "query_id")
-        .crossJoin(lossless)
-        .crossJoin(assign_ok)
+        .crossJoin(cert)
         .orderBy("query_id")
     )
 
