@@ -46,6 +46,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Disable PySpark's per-call DataFrame debugging context (call-site
+        # capture for error messages): every Column/functions API call
+        # otherwise pays a conf RPC + Python stack walk + two JVM calls —
+        # measured 8.4 ms per F.lit vs 0.16 ms with it off (r16). The
+        # engine's expression-heavy operators (32-perm MinHash, banded LSH,
+        # sketch batteries) build thousands of Columns per plan, so this is
+        # pure driver-side overhead with no effect on results; plans,
+        # execution, and error *types* are unchanged (only the enriched
+        # call-site line in error messages is dropped).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # The driver's events.parquet stores TIMESTAMP(NANOS); Spark has no
         # nanosecond timestamp type, so read them as raw longs and convert
         # at the read edge (load_table) with integer division — lossless,
