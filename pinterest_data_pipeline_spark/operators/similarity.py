@@ -926,12 +926,23 @@ def ivf_retrain_migrate(
     spark.catalog.refreshByPath(index_path)
     idx = spark.read.parquet(index_path)
     assign1 = nearest_cells_pandas(new_centroids, 1)
+    # Persisted for the life of this call: the moves aggregate AND the
+    # touched-cell rewrite both need every vector's new_cell, and without
+    # the cache the second job re-scans the index and re-scores every
+    # vector against the centroids (measured r16: the rescan+rescore was
+    # ~half the migrate wall time). At scale the cache spills columnar
+    # batches to executor-local disk — the same disks the rewrite's
+    # shuffle uses — trading one map-only rescan for a cache write/read;
+    # in the retrain regime this runs in (drift tripped, most cells
+    # touched) the rewrite is ~O(index) anyway, so the cache never
+    # exceeds the shuffle volume already in flight. Unpersisted before
+    # return.
     reassigned = idx.select(
         F.col(id_col),
         F.col(vec_col),
         F.col("cell").cast("int").alias("cell"),
         assign1(F.col(vec_col))[0].cast("int").alias("new_cell"),
-    )
+    ).persist()
     # bounded: one row per (old, new) cell pair with any movement
     moves = (
         reassigned.filter(F.col("new_cell") != F.col("cell"))
@@ -980,6 +991,7 @@ def ivf_retrain_migrate(
                 _shutil.rmtree(old, ignore_errors=True)
         _shutil.rmtree(aside, ignore_errors=True)
         spark.catalog.refreshByPath(index_path)
+    reassigned.unpersist()
     return spark.read.parquet(index_path), n_moved, len(touched)
 
 

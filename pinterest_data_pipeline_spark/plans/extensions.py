@@ -10224,6 +10224,14 @@ def ann_ivf_drift_gated_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"d{sfx}"),
         )
 
+    # one batch-assignment pass, not one per gate: both branches append
+    # the IDENTICAL (id, vec, cell) arrival rows, so score the batch
+    # against the stored centroids once and let the second append read
+    # the cache (same rows land in both work dirs byte-for-byte)
+    batch_assigned = persist_scoped(
+        similarity.ivf_assign_cells(batch, old_centroids),
+        "gated_batch_assign",
+    )
     out = None
     for tag, threshold in (
         ("gate_high", (max_z or 0.0) * 2 + 1.0),
@@ -10232,9 +10240,7 @@ def ann_ivf_drift_gated_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         work = _work_dir(sf_dir, f"_ivf_gated_{tag}")
         shutil.rmtree(work, ignore_errors=True)
         shutil.copytree(base_path, work)
-        similarity.ivf_assign_cells(batch, old_centroids).write.mode(
-            "append"
-        ).partitionBy("cell").parquet(work)
+        batch_assigned.write.mode("append").partitionBy("cell").parquet(work)
         triggered = max_z is not None and max_z >= threshold
         if triggered:
             expect = similarity.align_centroids(
