@@ -1112,6 +1112,41 @@ def near_duplicate_clusters(
 _LANE_MASK = 0x0001_0001_0001_0001
 
 
+@_functools.lru_cache(maxsize=4)
+def _simhash_lane_sums() -> tuple:
+    """The 16 SIMD-lane vote aggregates over column ``h`` — plan-independent
+    unresolved Columns, built once per process (the :func:`_minhash_aggs`
+    py4j-construction amortization; ~16 round-trips each)."""
+    return tuple(
+        F.sum(
+            F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(_LANE_MASK))
+        ).alias(f"s{b}")
+        for b in range(16)
+    )
+
+
+@_functools.lru_cache(maxsize=8)
+def _simhash_packed(n_bits: int, lanes: int) -> Column:
+    """The bit-vote repack expression over ``s0..s15``/``n`` — ~300 nested
+    Column ops per build, a pure function of (n_bits, lanes), cached once
+    per process."""
+    packed = F.lit(0).cast("long")
+    for b in range(16):
+        for k in range(lanes):
+            bit = b + 16 * k
+            if bit >= n_bits:
+                continue
+            s = F.shiftrightunsigned(F.col(f"s{b}"), 16 * k).bitwiseAND(F.lit(0xFFFF))
+            # Bit 63 is the sign bit: its set-value is MIN_LONG, not 1<<63.
+            bit_val = (1 << bit) if bit < 63 else -(1 << 63)
+            packed = packed.bitwiseOR(
+                F.when(2 * s > F.col("n"), F.lit(bit_val).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+    return packed
+
+
 def simhash(
     df: DataFrame,
     text_col: str,
@@ -1150,28 +1185,12 @@ def simhash(
             F.slice(F.split(F.col(text_col), " "), 1, 32000)
         ).alias("token"),
     ).withColumn("h", hash_fn(F.col("token")))
-    lane_sums = [
-        F.sum(
-            F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(_LANE_MASK))
-        ).alias(f"s{b}")
-        for b in range(16)
-    ]
-    votes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"), *lane_sums)
-    packed = F.lit(0).cast("long")
-    for b in range(16):
-        for k in range(lanes):
-            bit = b + 16 * k
-            if bit >= n_bits:
-                continue
-            s = F.shiftrightunsigned(F.col(f"s{b}"), 16 * k).bitwiseAND(F.lit(0xFFFF))
-            # Bit 63 is the sign bit: its set-value is MIN_LONG, not 1<<63.
-            bit_val = (1 << bit) if bit < 63 else -(1 << 63)
-            packed = packed.bitwiseOR(
-                F.when(2 * s > F.col("n"), F.lit(bit_val).cast("long")).otherwise(
-                    F.lit(0).cast("long")
-                )
-            )
-    return votes.select(F.col(id_col), packed.alias("simhash"))
+    votes = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n"), *_simhash_lane_sums()
+    )
+    return votes.select(
+        F.col(id_col), _simhash_packed(n_bits, lanes).alias("simhash")
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:
