@@ -38,3 +38,23 @@ def test_release_all_scopes(spark):
     b = S.persist_scoped(_frame(spark, 6), "t_all_2")
     S.release_scoped()
     assert not a.is_cached and not b.is_cached
+
+
+def test_register_views_memoizes_and_reswitches_dirs(spark):
+    """register_views is a no-op when the session already has THIS dir's
+    views (16 SQL-path queries call it per build; the 10 schema reads cost
+    ~1.4 s per call), but switching directories re-registers and switching
+    BACK re-registers again — the memo must never leave views pointing at
+    the previously registered directory."""
+    S.register_views(spark, "/root/testdata/sf0.001")
+    n_small = spark.table("orders").count()
+    S.register_views(spark, "/root/testdata/sf0.01")
+    n_big = spark.table("orders").count()
+    assert n_big > n_small
+    S.register_views(spark, "/root/testdata/sf0.001")
+    assert spark.table("orders").count() == n_small
+    # a fresh catalog (newSession shares the appId but not temp views)
+    # registers from scratch rather than trusting the parent's memo entry
+    ns = spark.newSession()
+    S.register_views(ns, "/root/testdata/sf0.001")
+    assert ns.table("orders").count() == n_small
