@@ -21,6 +21,9 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Per-session memo of load_table's lazy source plans (see load_table).
+_TABLE_PLANS: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
+
 
 def get_spark(
     app_name: str = "pinterest_data_pipeline_spark",
@@ -89,12 +92,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     # oracle comparisons drift silently. Pin it here, at the same runtime
     # edge that re-applies nanosAsLong.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Memoized per (session, dir, table): building this frame costs
+    # ~250 ms (file listing + parquet footer schema inference + the NTZ
+    # normalization's py4j casts), and the battery's queries call this
+    # 1-4x per build. The cached object is an UNRESOLVED LAZY PLAN over
+    # the read-only source parquet — no data, no results; every action
+    # against it still scans the files — and DataFrames are immutable,
+    # so sharing one plan object across queries is safe. Weak keys drop
+    # entries with their session; a restarted or newSession() session
+    # rebuilds from scratch.
+    global _TABLE_PLANS
+    if _TABLE_PLANS is None:
+        import weakref
+
+        _TABLE_PLANS = weakref.WeakKeyDictionary()
+    cache = _TABLE_PLANS.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    cached = cache.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return normalize_ntz(df)
+    df = normalize_ntz(df)
+    cache[key] = df
+    return df
 
 
 def normalize_ntz(df):

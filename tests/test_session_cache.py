@@ -58,3 +58,20 @@ def test_register_views_memoizes_and_reswitches_dirs(spark):
     ns = spark.newSession()
     S.register_views(ns, "/root/testdata/sf0.001")
     assert ns.table("orders").count() == n_small
+
+
+def test_load_table_memoizes_lazy_plan_per_session_and_dir(spark):
+    """load_table memoizes the unresolved source plan per (session, dir,
+    table) — ~250 ms of listing + footer inference per call otherwise —
+    but distinct directories get distinct plans and a separate session
+    (newSession) never shares the parent's entries."""
+    a = S.load_table(spark, "/root/testdata/sf0.001", "orders")
+    b = S.load_table(spark, "/root/testdata/sf0.001", "orders")
+    assert b is a, "same (session, dir, table) must reuse the cached plan"
+    c = S.load_table(spark, "/root/testdata/sf0.01", "orders")
+    assert c is not a
+    assert c.count() > a.count(), "each plan still reads its own directory"
+    ns = spark.newSession()
+    d = S.load_table(ns, "/root/testdata/sf0.001", "orders")
+    assert d is not a
+    assert d.count() == a.count()
