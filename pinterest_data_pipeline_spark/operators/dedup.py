@@ -848,11 +848,42 @@ def incremental_minhash_dedup(
 # --- near-dup clustering (connected components) -----------------------------
 
 
+def _arrow_union_find(edges: DataFrame) -> list[tuple[int, int]]:
+    """Driver-side min-label union-find over a bounded (id_a, id_b) frame.
+
+    The caller MUST have verified the frame is under its row cap (the
+    self-enforcing count-gate discipline) — the collect here arrives as
+    TWO ARROW INT64 COLUMNS (~16 MB at the 1M-pair cap, ADVICE r14),
+    never Row objects. Union always points the larger root at the
+    smaller, so every final ``find`` is the component MINIMUM — exactly
+    the converged min-diffusion label.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    tbl = edges.toArrow()
+    col_a = tbl.column("id_a").to_pylist()
+    col_b = tbl.column("id_b").to_pylist()
+    for a, b in zip(col_a, col_b):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return [(m, find(m)) for m in parent]
+
+
 def cluster_pairs(
     pairs: DataFrame,
     max_iters: int = 20,
     reliable: bool = False,
     checkpoint_dir: str | None = None,
+    driver_cc_cap: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over (id_a, id_b) near-dup pairs.
 
@@ -878,7 +909,38 @@ def cluster_pairs(
     ``sc.setCheckpointDir``. Reliable checkpoints recompute the plan once
     more when writing files — the documented 2-jobs-per-round durability
     tax, opt-in only.
+
+    Under ``driver_cc_cap`` PAIRS (one self-enforcing count gate, which
+    also materializes the persisted pair frame the distributed fallback
+    reuses) the components solve by driver union-find instead — the
+    same r14-certified shape :func:`incremental_cluster_update` runs on
+    contracted batch graphs: one bounded Arrow collect plus a linear
+    pass beats O(diameter) rounds of join+checkpoint+action scheduling
+    whenever the pair set is driver-sized (r16, guide §1.2 — at sf0.1
+    the converged loop spent ~2.7 s of pure per-round job overhead on
+    256 pairs). Labels are identical by construction (union-by-min ==
+    converged min-diffusion; pytest-pinned against the distributed
+    branch) and the cap keeps the collect ~16 MB, so 100 TB pair sets
+    take the iterative branch unchanged. ``reliable=True`` skips the
+    driver branch: that flag asks for the fault-tolerant distributed
+    shape explicitly. Long ids only (the repo-wide id contract); any
+    other id type takes the distributed branch.
     """
+    if (
+        not reliable
+        and driver_cc_cap > 0
+        and dict(pairs.dtypes).get("id_a") == "bigint"
+        and dict(pairs.dtypes).get("id_b") == "bigint"
+    ):
+        cached = persist_scoped(
+            pairs.select("id_a", "id_b"), "cluster_pairs_input"
+        )
+        if cached.count() <= driver_cc_cap:
+            labels = _arrow_union_find(cached)
+            return pairs.sparkSession.createDataFrame(
+                labels or [], "member_id long, cluster_id long"
+            )
+        pairs = cached  # over cap: the distributed loop reads the cache
     if reliable:
         sc = pairs.sparkSession.sparkContext
         if checkpoint_dir is not None:
@@ -1020,35 +1082,23 @@ def incremental_cluster_update(
     spark = new_pairs.sparkSession
     if n_pairs <= driver_cc_cap:
         # driver-side union-find: the collect is bounded by the cap the
-        # count just verified, and arrives as TWO ARROW INT64 COLUMNS
-        # (ADVICE r14: ~16 MB at the default cap, not a list of Row
-        # objects); min-label semantics match cluster_pairs
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        edges = contracted.toArrow()
-        col_a = edges.column("id_a").to_pylist()
-        col_b = edges.column("id_b").to_pylist()
-        for a, b in zip(col_a, col_b):
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra_, rb_ = find(a), find(b)
-            if ra_ != rb_:
-                parent[max(ra_, rb_)] = min(ra_, rb_)
-        labels = [(m, find(m)) for m in parent]
+        # count just verified (shared kernel: _arrow_union_find —
+        # min-label semantics match cluster_pairs)
+        labels = _arrow_union_find(contracted)
         sub = spark.createDataFrame(
             labels or [], "member_id long, cluster_id long"
         )
     else:
         # distributed branch consumes the contracted graph repeatedly —
-        # persist it there only (the driver branch reads it exactly once)
+        # persist it there only (the driver branch reads it exactly once).
+        # The caller's cap threads through: cluster_pairs re-gates on the
+        # ACTUAL contracted-edge count (<= n_pairs, the conservative bound
+        # that routed us here), so a contraction that shrinks the batch
+        # graph back under the cap still solves driver-side — and a
+        # caller that pinned driver_cc_cap=0 stays fully distributed.
         sub = cluster_pairs(
-            persist_scoped(contracted, "incr_cc_contracted"), max_iters
+            persist_scoped(contracted, "incr_cc_contracted"), max_iters,
+            driver_cc_cap=driver_cc_cap,
         )
     sub = persist_scoped(sub, "incr_cc_sub")
     # old members remap through the root-change map (keyed on their old

@@ -102,7 +102,10 @@ def test_cluster_pairs_one_action_per_iteration(spark):
     """VERDICT r6 item 3: the convergence flag folds into the round's
     materializing aggregate — ONE action (= one job once AQE and broadcast
     side-jobs are disabled) per iteration, not the old checkpoint + diff
-    pair that doubled scheduler round-trips."""
+    pair that doubled scheduler round-trips. ``driver_cc_cap=0`` forces
+    the distributed branch (r16: under-cap pair sets solve by driver
+    union-find instead), which is the branch whose action discipline
+    this pins."""
     ns = spark.newSession()
     ns.conf.set("spark.sql.adaptive.enabled", "false")
     ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -113,7 +116,7 @@ def test_cluster_pairs_one_action_per_iteration(spark):
     try:
         comps = {
             r.member_id: r.cluster_id
-            for r in dedup.cluster_pairs(pairs).collect()
+            for r in dedup.cluster_pairs(pairs, driver_cc_cap=0).collect()
         }
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
@@ -123,6 +126,32 @@ def test_cluster_pairs_one_action_per_iteration(spark):
     # (2 aggregate actions), + the final collect = 3 jobs total; the old
     # two-jobs-per-round shape would show 5+
     assert len(jobs) == 3, sorted(jobs)
+
+
+def test_cluster_pairs_driver_branch_matches_distributed(spark):
+    """r16: under ``driver_cc_cap`` PAIRS cluster_pairs solves by driver
+    union-find (the incremental family's r14-certified kernel) instead of
+    the iterative min-diffusion loop. Same labels by construction —
+    pinned here on a shape that exercises path compression (a chain),
+    min-through-merge (two chains joined out of id order), and a
+    singleton edge; plus identical column names/types."""
+    rows = (
+        [(i, i + 1) for i in range(100, 108)]  # chain
+        + [(205, 201), (201, 203), (203, 100)]  # second chain, joins first
+        + [(900, 901)]  # island
+    )
+    pairs = spark.createDataFrame(rows, ["id_a", "id_b"])
+    fast = dedup.cluster_pairs(pairs)  # driver branch (14 pairs < cap)
+    slow = dedup.cluster_pairs(pairs, driver_cc_cap=0)  # distributed
+    assert fast.schema.fieldNames() == slow.schema.fieldNames()
+    assert [f.dataType for f in fast.schema.fields] == [
+        f.dataType for f in slow.schema.fields
+    ]
+    frows = {(r.member_id, r.cluster_id) for r in fast.collect()}
+    srows = {(r.member_id, r.cluster_id) for r in slow.collect()}
+    assert frows == srows
+    # the merged component's label is the global min across both chains
+    assert (205, 100) in frows and (901, 900) in frows
 
 
 def test_cluster_pairs_reliable_checkpoint(spark, tmp_path):
