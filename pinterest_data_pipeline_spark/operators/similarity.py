@@ -19,6 +19,7 @@ literal arrays — every run and every engine sees identical planes.
 
 from __future__ import annotations
 
+import functools as _functools
 import random
 
 import pandas as pd
@@ -379,44 +380,13 @@ def lsh_topk_multitable(
     registered query), and at 100 TB it is the difference between one
     corpus pass and sixteen. No all-pairs stage anywhere.
     """
-    all_planes = [_hyperplanes(n_planes, dim, seed + 1000 * t) for t in range(n_tables)]
-    # ALL planes ship as ONE nested literal (array<array<array<double>>>,
-    # a single Literal node) and the per-table buckets are computed inside
-    # a transform lambda, so the expression tree holds n_planes dot
-    # subtrees instead of n_tables * n_planes — at 16x3 that cut first-run
-    # analysis/compile from ~4 s to well under a second on the registered
-    # query with BIT-IDENTICAL results (same dot fold order, same plane
-    # doubles, same bucket strings; the certification floor and oracle are
-    # untouched).
-    # fast_array_literal: F.lit on this 16x3x64 nested list costs ~3 s of
-    # py4j round trips (it WAS the query's warm build cost); the SQL-text
-    # construction lands on the bit-identical Literal in ~10 ms
-    planes_lit = fast_array_literal(
-        [[list(map(float, p)) for p in tbl] for tbl in all_planes]
-    )
-
-    def table_keys(vec: Column) -> Column:
-        return F.transform(
-            planes_lit,
-            lambda tbl_planes, t: F.struct(
-                t.alias("tbl"),
-                F.concat(
-                    *[
-                        F.when(dot(vec, tbl_planes[p]) >= 0, F.lit("1")).otherwise(
-                            F.lit("0")
-                        )
-                        for p in range(n_planes)
-                    ]
-                ).alias("bucket"),
-            ),
-        )
-
+    keys = _multitable_keys(n_planes, dim, n_tables, seed, vec_col)
     bucketed = corpus.select(
-        F.col(id_col), F.explode(table_keys(as_double(F.col(vec_col)))).alias("tb")
+        F.col(id_col), F.explode(keys).alias("tb")
     ).select(id_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     qb = queries.select(
         F.col(id_col).alias(query_id_col),
-        F.explode(table_keys(as_double(F.col(vec_col)))).alias("tb"),
+        F.explode(keys).alias("tb"),
     ).select(query_id_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     cands = (
         bucketed.join(F.broadcast(qb), ["tbl", "bucket"])
@@ -446,6 +416,54 @@ def lsh_topk_multitable(
 def _hyperplanes(n_planes: int, dim: int, seed: int = 1234) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+@_functools.lru_cache(maxsize=64)
+def _multitable_keys(
+    n_planes: int, dim: int, n_tables: int, seed: int, vec_col: str
+) -> Column:
+    """Cached (tbl, bucket)-keys expression for the multi-table LSH scan —
+    a pure function of its scalar parameters over the fixed ``vec_col``
+    name, so one unresolved Column tree serves every corpus/query frame
+    and every repeat call (the r16 MinHash/SimHash expression-caching
+    discipline: Columns are plan-independent expression trees; sharing
+    one cannot change any result — plans are byte-identical).
+
+    ALL planes ship as ONE nested literal (array<array<array<double>>>,
+    a single Literal node) and the per-table buckets are computed inside
+    a transform lambda, so the expression tree holds n_planes dot
+    subtrees instead of n_tables * n_planes — at 16x3 that cut first-run
+    analysis/compile from ~4 s to well under a second on the registered
+    query with BIT-IDENTICAL results (same dot fold order, same plane
+    doubles, same bucket strings; the certification floor and oracle are
+    untouched). fast_array_literal: F.lit on this 16x3x64 nested list
+    costs ~3 s of py4j round trips (it WAS the query's warm build cost);
+    the SQL-text construction lands on the bit-identical Literal in
+    ~10 ms. Building the transform lambda itself still costs ~0.4 s of
+    py4j (_create_lambda round-trips), paid twice per build before this
+    cache (r16 measurement) — now once per configuration per process.
+    """
+    all_planes = [
+        _hyperplanes(n_planes, dim, seed + 1000 * t) for t in range(n_tables)
+    ]
+    planes_lit = fast_array_literal(
+        [[list(map(float, p)) for p in tbl] for tbl in all_planes]
+    )
+    vec = as_double(F.col(vec_col))
+    return F.transform(
+        planes_lit,
+        lambda tbl_planes, t: F.struct(
+            t.alias("tbl"),
+            F.concat(
+                *[
+                    F.when(dot(vec, tbl_planes[p]) >= 0, F.lit("1")).otherwise(
+                        F.lit("0")
+                    )
+                    for p in range(n_planes)
+                ]
+            ).alias("bucket"),
+        ),
+    )
 
 
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
