@@ -4,9 +4,10 @@ One place to encode the engine's execution posture:
 
 * AQE on (runtime shuffle-partition coalescing, skew-join splitting) — this is
   the 100 TB answer to skewed `groupBy`/`join` keys without hand-tuned salting.
-* `spark.sql.shuffle.partitions` sized to the local core count for tests; on a
-  real cluster AQE coalesces from a deliberately high initial number, so the
-  static setting is a floor, not a schedule.
+* `spark.sql.shuffle.partitions` derived from the INPUT SIZE (see
+  :func:`derived_shuffle_partitions`), not the core count: tiny inputs get few
+  partitions (task overhead floor), large inputs get bytes/128MB partitions
+  (guide §2.2), and cluster deployments override via env.
 * UTC session timezone — all `to_timestamp`/`year()` semantics are stable and
   match the DuckDB oracle regardless of host timezone.
 * Arrow enabled — every Pandas-UDF extension operator (similarity kernels,
@@ -20,6 +21,68 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _dir_bytes(path: str) -> int:
+    """Total bytes under ``path`` (0 if missing) — cheap os.walk, no Spark."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def derived_shuffle_partitions(cpus: int) -> int:
+    """Size ``spark.sql.shuffle.partitions`` from the INPUT data, not cores.
+
+    Guide §2.2: partitions should be sized so each holds a sensible chunk
+    of data; flooring the count at the core count manufactures tiny tasks
+    whose scheduling overhead exceeds their work. Measured on this box
+    (r17, interleaved same-box A/B at sf0.1 = 17.5 MB of parquet): 32
+    partitions ran 1.3-3.3x SLOWER than 8 across the heavy battery
+    (quality_js_divergence_sources 2.12 -> 0.91 s, dedup_longest_shared_ngram
+    1.96 -> 0.60, quality_bigram_logloss 2.34 -> 1.33), while 2 partitions
+    lost compute parallelism on the heavy joins (text_sparse_cosine_pairs
+    1.41x worse than 8). AQE coalescing could NOT recover the win
+    (parallelismFirst=false + advisory size measured at best flat, and a
+    high initialPartitionNum was 3-9x slower from map-side fan-out), so
+    the right-sizing must happen statically, from the data size.
+
+    The rule, scale-adaptive and core-count-free until data is plentiful:
+
+        partitions = min(ceil(bytes / min_task_bytes),
+                         max(cpus,  ceil(bytes / target_bytes)))
+
+    * ``min_task_bytes`` (default 2 MB, env ``SPARK_GRAFT_MIN_TASK_BYTES``)
+      is the floor on useful per-partition input: below it, task overhead
+      dominates (the measured local sweet spot above).
+    * ``target_bytes`` (default 128 MB, env
+      ``SPARK_GRAFT_TARGET_PARTITION_BYTES``) is the guide's 100 MB-1 GB
+      partition sizing for large inputs; once data outgrows the cores the
+      count grows as bytes/target (e.g. 100 TB -> ~800k partitions), the
+      textbook cluster posture.
+    * Small data (sf0.1: 17.5 MB -> 9 partitions) gets the same count at
+      ANY core count, so the driver's 8-core scaling run measures core
+      scaling, not a partitioning constant tuned to one master.
+
+    ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` overrides outright (cluster
+    deployments that know their shuffle volume); with no readable input
+    dir the old cores floor applies.
+    """
+    env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if env:
+        return int(env)
+    size = _dir_bytes(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    if size <= 0:
+        return cpus
+    min_task = int(os.environ.get("SPARK_GRAFT_MIN_TASK_BYTES", str(2 * 1024**2)))
+    target = int(os.environ.get("SPARK_GRAFT_TARGET_PARTITION_BYTES", str(128 * 1024**2)))
+    by_overhead = max(1, -(-size // min_task))
+    by_size = max(cpus, -(-size // target))
+    return min(by_overhead, by_size)
 
 # Per-session memo of load_table's lazy source plans (see load_table).
 _TABLE_PLANS: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
@@ -40,7 +103,7 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{n}]")
-        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.shuffle.partitions", str(derived_shuffle_partitions(n)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
