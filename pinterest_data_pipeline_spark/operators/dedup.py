@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..session import fan_out, persist_scoped
+from .litutil import jvm_epoch
 from .text import shingles, stable_hash64
 
 # Row cap for the incremental family's BATCH-side broadcast hints (VERDICT
@@ -164,7 +165,7 @@ def minhash_signature(shingle_set: Column, k: int = 32) -> Column:
 
 
 @_functools.lru_cache(maxsize=8)
-def _minhash_aggs(k: int) -> tuple:
+def _minhash_aggs(k: int, _epoch: int = -1) -> tuple:
     """The k MIN(perm(h)) aggregate Columns, built once per process.
 
     Column objects are unresolved expression trees independent of any
@@ -192,7 +193,7 @@ def minhash_signatures(
     hashes = sets_.select(
         F.col(id_col), F.explode("shingle_set").alias("shingle")
     ).select(id_col, F.xxhash64("shingle").bitwiseAND(F.lit(_MASK32)).alias("h"))
-    return hashes.groupBy(id_col).agg(*_minhash_aggs(k))
+    return hashes.groupBy(id_col).agg(*_minhash_aggs(k, _epoch=jvm_epoch()))
 
 
 def minhash_lsh_candidates(
@@ -208,7 +209,7 @@ def minhash_lsh_candidates(
     band pattern) automatically.
     """
     banded = sigs.select(
-        F.col(id_col), F.explode(_band_bucket_array(k, bands)).alias("bucket")
+        F.col(id_col), F.explode(_band_bucket_array(k, bands, _epoch=jvm_epoch())).alias("bucket")
     ).select(id_col, "bucket.band", "bucket.band_hash")
     a = banded.alias("a")
     b = banded.alias("b")
@@ -284,7 +285,7 @@ def minhash_near_duplicates(
 
 
 @_functools.lru_cache(maxsize=8)
-def _band_bucket_array(k: int, bands: int) -> Column:
+def _band_bucket_array(k: int, bands: int, _epoch: int = -1) -> Column:
     """The banded (band, band_hash) struct-array Column over ``mh*``
     signature columns, built once per process (same py4j-construction
     amortization as :func:`_minhash_aggs`)."""
@@ -312,7 +313,7 @@ def band_buckets(sigs: DataFrame, id_col: str, k: int = 32, bands: int = 8) -> D
     re-derive from signatures with two integer ops, so the store holds
     ONLY signatures and stays layout-free."""
     return sigs.select(
-        F.col(id_col), F.explode(_band_bucket_array(k, bands)).alias("bucket")
+        F.col(id_col), F.explode(_band_bucket_array(k, bands, _epoch=jvm_epoch())).alias("bucket")
     ).select(id_col, "bucket.band", "bucket.band_hash")
 
 
@@ -502,17 +503,26 @@ def bucket_store_compact(
     bucket_store_recover(store_path)
     # out-of-band mutations (sweep, a caller's copytree) invalidate the
     # session's shared file-listing cache for this path — refresh or the
-    # count aggregate below can plan against deleted files
+    # rewrite below can plan against deleted files
     spark.catalog.refreshByPath(store_path)
     before = _leaf_files(store_path)
     n_before = sum(len(v) for v in before.values())
     store = spark.read.parquet(store_path)
-    # bounded: one row per (band, bh_part) leaf
+    # Per-leaf row counts from the parquet FOOTERS, driver-side (r17,
+    # guide §1.4 job-count discipline): the planner only needs row counts
+    # per (band, bh_part) leaf, which every footer already carries — the
+    # same metadata a Spark count aggregate would read, minus the job.
+    # O(files) bounded metadata reads over the file list `before` already
+    # holds (a compaction planner is O(files) driver work by nature —
+    # the Delta/Iceberg OPTIMIZE shape reads sizes from the manifest).
+    # The old per-leaf count JOB scanned the whole store through the
+    # scheduler: 0.79-0.85 s warm at sf0.1 vs 0.004 s for the footer
+    # reads (interleaved same-session A/B, identical per-leaf counts).
+    import pyarrow.parquet as _pq
+
     counts = {
-        (r["band"], r["bh_part"]): r["n"]
-        for r in store.groupBy("band", "bh_part")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        key: sum(_pq.read_metadata(f).num_rows for f in files)
+        for key, files in before.items()
     }
     targets = {
         key: max(1, _math.ceil(n / target_rows_per_file))
@@ -857,7 +867,32 @@ def _arrow_union_find(edges: DataFrame) -> list[tuple[int, int]]:
     never Row objects. Union always points the larger root at the
     smaller, so every final ``find`` is the component MINIMUM — exactly
     the converged min-diffusion label.
+
+    NULL endpoints (nullable bigint passes the caller's dtype gate) get
+    the distributed branch's semantics exactly (ADVICE r16): SQL equi-joins
+    never match a NULL key, so in the iterative branch a NULL node keeps
+    its own NULL label and never links its partner to anything — the
+    non-NULL partner still appears (as a singleton, unless a clean pair
+    connects it). Here that means: skip the union for any pair with a
+    NULL side, still register the non-NULL side, and emit one
+    (NULL, NULL) row iff any NULL endpoint was seen (``distinct`` over
+    edge sources collapses all NULLs to one node there).
     """
+    tbl = edges.toArrow()
+    labels, saw_null = _union_find_min(
+        tbl.column("id_a").to_pylist(), tbl.column("id_b").to_pylist()
+    )
+    out = list(labels.items())
+    if saw_null:
+        out.append((None, None))
+    return out
+
+
+def _union_find_min(col_a: list, col_b: list) -> tuple[dict, bool]:
+    """Union-find core over two parallel endpoint lists: returns
+    ``({member: component_min}, saw_null)``. Pairs with a NULL side are
+    skipped (the non-NULL side still registers as a member) — the SQL
+    equi-join semantics of the distributed branch."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -866,16 +901,101 @@ def _arrow_union_find(edges: DataFrame) -> list[tuple[int, int]]:
             x = parent[x]
         return x
 
-    tbl = edges.toArrow()
-    col_a = tbl.column("id_a").to_pylist()
-    col_b = tbl.column("id_b").to_pylist()
+    saw_null = False
     for a, b in zip(col_a, col_b):
+        if a is None or b is None:
+            saw_null = True
+            if a is not None:
+                parent.setdefault(a, a)
+            if b is not None:
+                parent.setdefault(b, b)
+            continue
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    return [(m, find(m)) for m in parent]
+    return {m: find(m) for m in parent}, saw_null
+
+
+def _driver_cluster_update(
+    spark, clusters: DataFrame, pairs_tbl, batch_broadcast_cap: int
+) -> DataFrame:
+    """Under-cap body of :func:`incremental_cluster_update`: the batch
+    pair columns are already collected (bounded by the caller's gate);
+    contraction, union-find, remap and fresh-label computation all run
+    driver-side, with ONE distributed job — the root lookup against the
+    corpus-scale clusters table, probed by a broadcast LocalRelation of
+    the endpoint set. Semantics identical to the distributed shape
+    (pytest-pinned): NULL/self pairs drop out of the contracted graph
+    exactly as the old join+filter dropped them, a NULL endpoint yields
+    the one (NULL, NULL) row, and non-root endpoints label through the
+    contracted component or themselves."""
+    import pyarrow as pa
+
+    col_a = pairs_tbl.column("id_a").to_pylist()
+    col_b = pairs_tbl.column("id_b").to_pylist()
+    n_pairs = pairs_tbl.num_rows
+    saw_null = any(x is None for x in col_a) or any(x is None for x in col_b)
+    endpoints = sorted(
+        {x for x in col_a if x is not None} | {x for x in col_b if x is not None}
+    )
+
+    def bguard(df: DataFrame) -> DataFrame:
+        return _guarded_broadcast(df, 2 * n_pairs, batch_broadcast_cap)
+
+    ids_local = spark.createDataFrame(
+        pa.table({"_e": pa.array(endpoints, type=pa.int64())})
+    )
+    # the ONLY distributed job: root lookup, clusters scanned once
+    roots_tbl = (
+        clusters.join(bguard(ids_local), clusters["member_id"] == F.col("_e"))
+        .select(F.col("_e"), F.col("cluster_id").alias("_r"))
+        .toArrow()
+    )
+    root = dict(
+        zip(roots_tbl.column("_e").to_pylist(), roots_tbl.column("_r").to_pylist())
+    )
+    # contract endpoints to their existing roots; drop NULL and self pairs
+    # (the old distributed filter's semantics), then min-label union-find
+    ca, cb = [], []
+    for a, b in zip(col_a, col_b):
+        if a is None or b is None:
+            continue
+        x, y = root.get(a, a), root.get(b, b)
+        if x != y:
+            ca.append(x)
+            cb.append(y)
+    labels, _ = _union_find_min(ca, cb)
+    sub = spark.createDataFrame(
+        pa.table(
+            {
+                "member_id": pa.array(list(labels), type=pa.int64()),
+                "cluster_id": pa.array(list(labels.values()), type=pa.int64()),
+            }
+        )
+    )
+    # old members remap through the root-change map (keyed on their old
+    # label: only old ROOTS appear as keys — new ids can never collide
+    # with an old label because ids are globally unique)
+    remap = sub.select(
+        F.col("member_id").alias("cluster_id"),
+        F.col("cluster_id").alias("_new"),
+    )
+    updated_old = clusters.join(bguard(remap), "cluster_id", "left").select(
+        "member_id",
+        F.coalesce("_new", F.col("cluster_id")).alias("cluster_id"),
+    )
+    # endpoints with no existing cluster row (batch docs, old singletons)
+    # take their contracted label; isolated ones keep themselves; a NULL
+    # endpoint keeps its NULL label as one row
+    fresh_rows = [
+        (e, labels.get(e, e)) for e in endpoints if e not in root
+    ] + ([(None, None)] if saw_null else [])
+    fresh = spark.createDataFrame(
+        fresh_rows or [], "member_id long, cluster_id long"
+    )
+    return updated_old.unionByName(fresh)
 
 
 def cluster_pairs(
@@ -888,9 +1008,18 @@ def cluster_pairs(
     """Connected components over (id_a, id_b) near-dup pairs.
 
     Returns (member_id, cluster_id) with cluster_id = min member id.
-    Iterative min-label propagation: each round every node adopts the
-    smallest label among itself and its neighbors; converges in
-    O(log(diameter)) rounds for the star/chain shapes near-dup graphs take.
+    Iterative min-label propagation WITH POINTER DOUBLING (r17): each
+    round every node adopts the smallest label among itself, its
+    neighbors' labels, and — the shortcut — its own label's label
+    (``label(label(v))``). Plain diffusion moves the minimum one hop per
+    round (O(diameter) rounds: a 64-chain needs 63); the shortcut
+    contracts label chains exponentially, so convergence is O(log
+    diameter) rounds — the Shiloach-Vishkin/large-star contraction idea
+    expressed as one extra equi-join per round, with the SAME fixpoint:
+    labels only decrease, every label is a component member's id, and
+    any non-min fixpoint would leave a cross edge whose smaller side
+    relabels its neighbor next round. Pinned by the deep-chain pytest
+    (round count) and the driver-vs-distributed equality tests (labels).
     The loop is driver-side control flow over distributed joins — the
     standard Spark shape for iterative algorithms.
 
@@ -910,9 +1039,10 @@ def cluster_pairs(
     more when writing files — the documented 2-jobs-per-round durability
     tax, opt-in only.
 
-    Under ``driver_cc_cap`` PAIRS (one self-enforcing count gate, which
-    also materializes the persisted pair frame the distributed fallback
-    reuses) the components solve by driver union-find instead — the
+    Under ``driver_cc_cap`` PAIRS (one self-enforcing bounded gate:
+    ``limit(cap+1)`` collected as Arrow, so gate and collect are a single
+    action and nothing is persisted) the components solve by driver
+    union-find instead — the
     same r14-certified shape :func:`incremental_cluster_update` runs on
     contracted batch graphs: one bounded Arrow collect plus a linear
     pass beats O(diameter) rounds of join+checkpoint+action scheduling
@@ -932,15 +1062,27 @@ def cluster_pairs(
         and dict(pairs.dtypes).get("id_a") == "bigint"
         and dict(pairs.dtypes).get("id_b") == "bigint"
     ):
-        cached = persist_scoped(
-            pairs.select("id_a", "id_b"), "cluster_pairs_input"
-        )
-        if cached.count() <= driver_cc_cap:
-            labels = _arrow_union_find(cached)
-            return pairs.sparkSession.createDataFrame(
-                labels or [], "member_id long, cluster_id long"
+        # r17 (guide §1.4 + ADVICE r16): the count gate and the pair
+        # collect fold into ONE bounded action — limit(cap+1).toArrow()
+        # IS the gate (cap+1 rows back == over cap) and, under the cap,
+        # already holds the two int64 columns the union-find needs, so
+        # no persisted input generation exists at all. Over the cap the
+        # distributed loop below re-reads the raw pair lineage once into
+        # the ONLY cached generation (`cluster_edges`) — the old shape
+        # kept a second, redundant persisted copy of the input alive for
+        # the whole loop on exactly the largest graphs (§5).
+        limited = pairs.select("id_a", "id_b").limit(driver_cc_cap + 1).toArrow()
+        if limited.num_rows <= driver_cc_cap:
+            labels, saw_null = _union_find_min(
+                limited.column("id_a").to_pylist(),
+                limited.column("id_b").to_pylist(),
             )
-        pairs = cached  # over cap: the distributed loop reads the cache
+            out = list(labels.items())
+            if saw_null:
+                out.append((None, None))
+            return pairs.sparkSession.createDataFrame(
+                out or [], "member_id long, cluster_id long"
+            )
     if reliable:
         sc = pairs.sparkSession.sparkContext
         if checkpoint_dir is not None:
@@ -974,22 +1116,37 @@ def cluster_pairs(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = ckpt(
+        # pointer doubling: look up the CURRENT label's own label in the
+        # same (checkpointed, materialized) label table — label(label(v))
+        # ≤ label(v) by the monotone invariant, so F.least keeps the
+        # fixpoint argument intact while chain depth halves per round
+        shortcut = labels.select(
+            F.col("node").alias("_sn"), F.col("label").alias("_sl")
+        )
+        stepped = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("new_label"),
-                (
-                    F.least(
-                        F.col("label"),
-                        F.coalesce(F.col("nbr_label"), F.col("label")),
-                    )
-                    < F.col("label")
-                ).alias("_changed"),
+                ).alias("l1"),
             )
-            .select("node", F.col("new_label").alias("label"), "_changed")
+        )
+        new_labels = ckpt(
+            stepped.join(shortcut, stepped.l1 == F.col("_sn"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("l1"), F.coalesce(F.col("_sl"), F.col("l1"))
+                ).alias("label"),
+                "old_label",
+            )
+            .select(
+                "node",
+                "label",
+                (F.col("label") < F.col("old_label")).alias("_changed"),
+            )
         )
         # single action: materializes the checkpoint AND returns the flag
         changed = new_labels.agg(F.max("_changed")).first()[0]
@@ -1027,26 +1184,49 @@ def incremental_cluster_update(
     root-change map — the table itself never shuffles while the batch is
     broadcast-sized); the connected components run on the contracted
     batch graph only, O(new pairs), never the corpus. ONE self-enforcing
-    probe guards everything (r15 revision — the old shape ran separate
-    endpoint/contracted count jobs AND re-executed the un-persisted pair
-    lineage per consumer, pure scheduling overhead on a small arrival):
-    the pair frame is persisted and counted once, and every derived
-    frame is bounded by it — endpoints and remap rows <= 2*n_pairs,
-    contracted edges <= n_pairs. Past ``batch_broadcast_cap`` every
-    batch-side broadcast degrades to a sort-merge join; at or under
-    ``driver_cc_cap`` PAIRS (a conservative upper bound on contracted
-    edges) the components solve by driver-side union-find — one bounded
-    Arrow collect (two int64 columns, ~16 MB at the default cap) plus a
-    linear union-find pass, versus the iterative distributed loop's
-    per-round job+checkpoint overhead that would dominate a small
-    arrival batch — and above the cap it degrades to
+    bounded action guards everything (r17 revision of the r15 probe):
+    at or under ``driver_cc_cap`` PAIRS the gate IS the collect —
+    ``limit(cap+1)`` as Arrow (two int64 columns, ~16 MB at the default
+    cap), one materialization of the pair lineage — and contraction,
+    union-find, remap and fresh labels then run driver-side with a
+    single distributed root-lookup job (:func:`_driver_cluster_update`);
+    every driver structure is bounded by the gate — endpoints and remap
+    rows <= 2*n_pairs, contracted edges <= n_pairs. Past
+    ``batch_broadcast_cap`` the batch-side broadcasts degrade to
+    sort-merge joins, and above ``driver_cc_cap`` the whole update
+    degrades to the persisted distributed shape ending in
     :func:`cluster_pairs` (same min-label answers, pinned by pytest).
     Returns (member_id, cluster_id) covering all old members plus the
     new-pair endpoints.
     """
-    new_pairs = persist_scoped(
-        new_pairs.select("id_a", "id_b"), "incr_cc_pairs"
-    )
+    new_pairs = new_pairs.select("id_a", "id_b")
+    spark = new_pairs.sparkSession
+    dts = dict(new_pairs.dtypes)
+    if (
+        driver_cc_cap > 0
+        and dts.get("id_a") == "bigint"
+        and dts.get("id_b") == "bigint"
+    ):
+        # r17 (guide §1.4): the count gate and the pair collect fold into
+        # ONE bounded action — `limit(cap+1).toArrow()` materializes the
+        # expensive verified-pairs lineage exactly once AND is the gate
+        # (cap+1 rows back == over cap, fall through to the distributed
+        # shape). Under the cap the whole contraction then runs driver-
+        # side on the collected columns: root lookup is the only
+        # remaining distributed job (clusters scan probed by a broadcast
+        # LocalRelation of the endpoints), and sub/remap/fresh become
+        # LocalRelations — no persisted generation, no cache scans, and
+        # the returned plan is one clusters scan + one bounded broadcast
+        # join + a local union. (Old shape: persist + count job, then a
+        # contracted-graph join/distinct collect job, then remap/fresh
+        # plans re-reading the cache.) Labels are pinned identical to
+        # the distributed branch by the r14/r15 equality pytests.
+        limited = new_pairs.limit(driver_cc_cap + 1).toArrow()
+        if limited.num_rows <= driver_cc_cap:
+            return _driver_cluster_update(
+                spark, clusters, limited, batch_broadcast_cap
+            )
+    new_pairs = persist_scoped(new_pairs, "incr_cc_pairs")
     # the guard's ONE bounded-size probe (also materializes the pair
     # lineage once — ids/contracted/fresh all read the cache)
     n_pairs = new_pairs.count()
@@ -1163,7 +1343,7 @@ _LANE_MASK = 0x0001_0001_0001_0001
 
 
 @_functools.lru_cache(maxsize=4)
-def _simhash_lane_sums() -> tuple:
+def _simhash_lane_sums(_epoch: int = -1) -> tuple:
     """The 16 SIMD-lane vote aggregates over column ``h`` — plan-independent
     unresolved Columns, built once per process (the :func:`_minhash_aggs`
     py4j-construction amortization; ~16 round-trips each)."""
@@ -1176,7 +1356,7 @@ def _simhash_lane_sums() -> tuple:
 
 
 @_functools.lru_cache(maxsize=8)
-def _simhash_packed(n_bits: int, lanes: int) -> Column:
+def _simhash_packed(n_bits: int, lanes: int, _epoch: int = -1) -> Column:
     """The bit-vote repack expression over ``s0..s15``/``n`` — ~300 nested
     Column ops per build, a pure function of (n_bits, lanes), cached once
     per process."""
@@ -1236,10 +1416,10 @@ def simhash(
         ).alias("token"),
     ).withColumn("h", hash_fn(F.col("token")))
     votes = toks.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n"), *_simhash_lane_sums()
+        F.count(F.lit(1)).alias("n"), *_simhash_lane_sums(jvm_epoch())
     )
     return votes.select(
-        F.col(id_col), _simhash_packed(n_bits, lanes).alias("simhash")
+        F.col(id_col), _simhash_packed(n_bits, lanes, _epoch=jvm_epoch()).alias("simhash")
     )
 
 

@@ -38,3 +38,36 @@ def fast_array_literal(nested: list) -> Column:
     (-> double), bit-identical to ``F.lit(nested)`` but ~300x cheaper to
     construct for thousand-element arrays."""
     return F.expr(_render(nested))
+
+
+def jvm_epoch() -> int:
+    """Identity token of the live SparkContext, for Column-cache keys.
+
+    The expression-list ``lru_cache``s (MinHash aggs, SimHash lanes,
+    multi-table LSH keys) hold JVM-bound Column objects; after a
+    SparkContext stop/restart in the same process a cached entry holds
+    stale py4j references and every later call with the same
+    configuration fails (ADVICE r16). Passing this token as a cache-key
+    argument makes a restarted context miss the old entries instead.
+    Tokens come from a never-reused counter keyed weakly on the context
+    object (``id()`` alone can be recycled after GC). Returns -1 when no
+    context is alive (the entry built next binds whatever context the
+    first call creates).
+    """
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        return -1
+    tok = _JVM_EPOCHS.get(sc)
+    if tok is None:
+        tok = next(_JVM_EPOCH_COUNTER)
+        _JVM_EPOCHS[sc] = tok
+    return tok
+
+
+import itertools as _itertools
+import weakref as _weakref
+
+_JVM_EPOCHS: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+_JVM_EPOCH_COUNTER = _itertools.count()

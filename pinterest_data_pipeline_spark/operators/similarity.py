@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .litutil import fast_array_literal
+from .litutil import fast_array_literal, jvm_epoch
 
 
 def _stack_vectors(series: pd.Series, dim: int | None, ctx: str):
@@ -380,7 +380,7 @@ def lsh_topk_multitable(
     registered query), and at 100 TB it is the difference between one
     corpus pass and sixteen. No all-pairs stage anywhere.
     """
-    keys = _multitable_keys(n_planes, dim, n_tables, seed, vec_col)
+    keys = _multitable_keys(n_planes, dim, n_tables, seed, vec_col, _epoch=jvm_epoch())
     bucketed = corpus.select(
         F.col(id_col), F.explode(keys).alias("tb")
     ).select(id_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
@@ -420,7 +420,7 @@ def _hyperplanes(n_planes: int, dim: int, seed: int = 1234) -> list[list[float]]
 
 @_functools.lru_cache(maxsize=64)
 def _multitable_keys(
-    n_planes: int, dim: int, n_tables: int, seed: int, vec_col: str
+    n_planes: int, dim: int, n_tables: int, seed: int, vec_col: str, _epoch: int = -1
 ) -> Column:
     """Cached (tbl, bucket)-keys expression for the multi-table LSH scan —
     a pure function of its scalar parameters over the fixed ``vec_col``

@@ -154,6 +154,47 @@ def test_cluster_pairs_driver_branch_matches_distributed(spark):
     assert (205, 100) in frows and (901, 900) in frows
 
 
+def test_cluster_pairs_distributed_deep_chain_log_rounds(spark):
+    """r17 pointer doubling: the distributed loop must converge in
+    O(log diameter) rounds, not O(diameter). A 64-node chain has
+    diameter 63 — plain min-diffusion would need 63 rounds (and silently
+    return non-minimal labels at the default ``max_iters=20``); with the
+    label-shortcut join the label chain halves per round. One action per
+    round (pinned elsewhere), so the job-group count bounds the rounds."""
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    # max_iters=8 is the proof: plain diffusion moves the min one hop per
+    # round, so 8 rounds would leave node 63 labeled 55; only the
+    # shortcut's exponential contraction can fully converge within 8.
+    comps = {
+        r.member_id: r.cluster_id
+        for r in dedup.cluster_pairs(
+            pairs, max_iters=8, driver_cc_cap=0
+        ).collect()
+    }
+    assert comps == {i: 0 for i in range(n)}  # full convergence to the min
+
+
+def test_cluster_pairs_null_ids_match_distributed(spark):
+    """ADVICE r16 (medium): a nullable bigint pair column passes the driver
+    branch's dtype gate, and NULL endpoints used to crash the union-find
+    (int-vs-None comparison). The distributed branch's semantics are the
+    contract — SQL equi-joins never match NULL, so a NULL node keeps its
+    NULL label as one (NULL, NULL) row and never links its partner —
+    and the driver branch must produce identical rows."""
+    rows = [(1, 2), (2, None), (None, 7), (None, None), (7, 8)]
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+    fast = dedup.cluster_pairs(pairs)  # driver branch (5 pairs < cap)
+    slow = dedup.cluster_pairs(pairs, driver_cc_cap=0)  # distributed
+    frows = {(r.member_id, r.cluster_id) for r in fast.collect()}
+    srows = {(r.member_id, r.cluster_id) for r in slow.collect()}
+    assert frows == srows
+    # null partners stay singletons/own-component; one (None, None) row
+    assert (None, None) in frows and (2, 1) in frows and (8, 7) in frows
+
+
 def test_cluster_pairs_reliable_checkpoint(spark, tmp_path):
     """reliable=True writes fault-tolerant checkpoints (survives executor
     loss, unlike localCheckpoint's block storage) and converges to the
@@ -165,6 +206,22 @@ def test_cluster_pairs_reliable_checkpoint(spark, tmp_path):
     assert {comps[i] for i in (1, 2, 3)} == {1}
     assert comps[10] == comps[11] == 10
     assert any(ckpt.rglob("*")), "no checkpoint files written"
+
+
+def test_column_caches_keyed_on_context_epoch(spark):
+    """ADVICE r16 (low): the lru_cached Column builders hold JVM-bound
+    objects; a SparkContext restart in-process must MISS the old entries
+    (stale py4j refs) instead of returning them. The epoch token is a
+    cache-key argument: same epoch -> same cached tree, different epoch
+    -> a fresh build; and the live token is stable for a live context."""
+    from pinterest_data_pipeline_spark.operators import similarity
+    from pinterest_data_pipeline_spark.operators.litutil import jvm_epoch
+
+    a = similarity._multitable_keys(3, 4, 2, 7, "vec", _epoch=101)
+    again = similarity._multitable_keys(3, 4, 2, 7, "vec", _epoch=101)
+    fresh = similarity._multitable_keys(3, 4, 2, 7, "vec", _epoch=102)
+    assert a is again and a is not fresh
+    assert jvm_epoch() == jvm_epoch() != -1
 
 
 def test_near_duplicate_clusters_keep_decision(docs):

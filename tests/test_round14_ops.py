@@ -542,8 +542,10 @@ def test_incremental_cluster_table_never_broadcast(spark, tmp_path):
             assert "cluster_table" not in ln, (
                 "live cluster-table scan under a BroadcastExchange:\n" + plan
             )
-    # and the persisted root-lookup frame IS what the broadcasts carry
-    assert "InMemoryTableScan" in plan
+    # and the broadcasts carry bounded LOCAL relations (r17: the under-cap
+    # path collects the pair/root sets once and ships sub/remap/fresh as
+    # LocalRelations — nothing persisted, nothing corpus-scale broadcast)
+    assert "LocalTableScan" in plan
 
 
 def test_incremental_cluster_driver_and_distributed_cc_agree(spark):
