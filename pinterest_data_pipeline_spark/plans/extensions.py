@@ -3905,6 +3905,12 @@ _STAT_CEILING_SPEARMAN = 50_000
 _STAT_CEILING_KENDALL = 3_000_000_000
 _STAT_CEILING_MANN_WHITNEY = 2_000_000
 _ROWCOUNT_MEMO: dict[tuple[str, str, str], int] = {}
+# Bound on distinct (sf_dir, table, fingerprint) keys (VERDICT r16 item 7):
+# same-table regenerations already evict their older fingerprints below,
+# but a long-lived session visiting many DIRECTORIES (a sweep over
+# per-tenant datasets) would otherwise grow the memo without limit.
+# FIFO eviction — dict preserves insertion order, each entry is one int.
+_ROWCOUNT_MEMO_CAP = 64
 
 
 def _stat_sum_type(
@@ -3942,6 +3948,8 @@ def _stat_sum_type(
         ]:
             del _ROWCOUNT_MEMO[stale]
         _ROWCOUNT_MEMO[key] = n
+        while len(_ROWCOUNT_MEMO) > _ROWCOUNT_MEMO_CAP:
+            del _ROWCOUNT_MEMO[next(iter(_ROWCOUNT_MEMO))]
     if os.environ.get(_STAT_FORCE_PROMOTE_ENV) == "1":
         return "decimal(38,0)"
     if n <= ceiling:

@@ -75,3 +75,25 @@ def test_load_table_memoizes_lazy_plan_per_session_and_dir(spark):
     d = S.load_table(ns, "/root/testdata/sf0.001", "orders")
     assert d is not a
     assert d.count() == a.count()
+
+
+def test_rowcount_memo_bounded(spark):
+    """VERDICT r16 item 7: the row-count memo must not grow without bound
+    in a long-lived session sweeping many directories — FIFO eviction
+    keeps it at the cap while the fresh entry stays resident."""
+    from pinterest_data_pipeline_spark.plans import extensions as ext
+
+    saved = dict(ext._ROWCOUNT_MEMO)
+    try:
+        ext._ROWCOUNT_MEMO.clear()
+        for i in range(ext._ROWCOUNT_MEMO_CAP):
+            ext._ROWCOUNT_MEMO[(f"/fake/dir{i}", "t", f"fp{i}")] = i
+        ext._stat_sum_type(
+            spark, "/root/testdata/sf0.001", "orders", 10**12, "memo_probe"
+        )
+        assert len(ext._ROWCOUNT_MEMO) <= ext._ROWCOUNT_MEMO_CAP
+        assert any(k[0] == "/root/testdata/sf0.001" for k in ext._ROWCOUNT_MEMO)
+        assert ("/fake/dir0", "t", "fp0") not in ext._ROWCOUNT_MEMO  # FIFO victim
+    finally:
+        ext._ROWCOUNT_MEMO.clear()
+        ext._ROWCOUNT_MEMO.update(saved)
