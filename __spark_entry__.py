@@ -43,64 +43,66 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/check_parity.py). Run `python tools/ledger.py` for the ledger,
 # and `python tools/ledger.py --propose-window` to GENERATE the rotation
 # below (VERDICT r8 item 7 — this window is that tool's output).
-# ROUND-16 ROTATION (tool-proposed): the seven r15 births are
-# once-certified and keep seats; the three r16 births seat at birth;
-# the four r14 births (certified r14+r15) keep seats one more round as
-# the youngest twice-certified block; back-fill continues through the
-# stalest r4/r5-r5/r6 block.
-SEATING_ROUND = 16  # invariant tests evaluate the ledger as of SEATING_ROUND-1
+# ROUND-17 ROTATION (tool-proposed): the six r16 births are
+# once-certified and keep seats; the cluster family heads the back-fill
+# via ledger.RESEAT_CHANGED (VERDICT r16 item 4 — its connected-
+# components algorithm changed after its last certification: r16 driver
+# union-find + r17 pointer-doubling / driver-side contraction, so a seat
+# re-certifies changed code first); staleness back-fill then continues
+# through the r6/r8 and r1-r3/r9 blocks.
+SEATING_ROUND = 17  # invariant tests evaluate the ledger as of SEATING_ROUND-1
 
 PRIORITY_WINDOW: tuple[str, ...] = (
-    "ann_ivf_centroid_retrain",  # birth
-    "dedup_incremental_stream_store",  # birth
-    "dedup_bucket_store_compaction",  # birth
-    "ann_ivf_stream_upsert",  # birth
-    "sketch_kmv_stream_store",  # birth
-    "ann_ivf_drift_gated_retrain",  # birth
-    "dedup_simhash_near_duplicates",  # r15
-    "ann_ivf_index_compaction",  # r15
-    "sketch_incremental_tdigest",  # r15
-    "embedding_store_drift",  # r15
-    "dedup_incremental_batch_pruned",  # r15
-    "sketch_incremental_mg",  # r15
-    "ann_rerank_label_boost",  # r15
-    "events_resample_interpolate",  # r5,r6
-    "window_time_range_frame",  # r5,r6
-    "join_bucketed_colocated",  # r5,r6
-    "clean_normalize_nulls_documents",  # r1,r7
-    "clean_parse_human_count_part",  # r1,r7
-    "clean_strip_prefix_part",  # r1,r7
-    "clean_distinct_flag_status",  # r1,r7
-    "window_running_revenue",  # r1,r7
-    "join_anti_customers_without_orders",  # r1,r7
-    "text_token_stats",  # r1,r7
-    "text_lang_id",  # r1,r7
-    "text_quality_scores",  # r1,r7
-    "text_fingerprints",  # r1,r7
-    "dedup_ngram_jaccard_adjacent",  # r1,r7
-    "sample_stratified_by_lang",  # r6,r7
-    "ann_ivf_topk",  # r6,r7
-    "streaming_upsert_latest_events",  # r6,r7
-    "streaming_incremental_rollup",  # r6,r7
-    "csv_roundtrip_malformed",  # r6,r7
-    "sketch_hll_distinct_parts",  # r6,r7
-    "tpch_q12_priority_shipmode",  # r6,r7
-    "tpch_q14_promo_revenue_share",  # r5,r7
-    "tpch_q19_disjunctive_predicates",  # r5,r7
-    "tpch_q6_forecast_revenue",  # r5,r7
-    "join_salted_skewed",  # r6,r7
-    "events_sessionize_gap",  # r6,r7
-    "join_asof_next_order",  # r6,r8
-    "agg_approx_distinct",  # r6,r8
-    "q6_median_acctbal_per_band_approx",  # r6,r8
-    "dedup_containment_adjacent",  # r7,r8
-    "sample_weighted_by_length",  # r7,r8
-    "text_ngram_vocab_topk",  # r7,r8
-    "ann_lsh_multitable_topk",  # r7,r8
-    "ann_pq_topk",  # r7,r8
-    "ann_binary_hamming_topk",  # r7,r8
-    "text_pii_redaction",  # r6,r8
-    "text_repetition_battery",  # r6,r8
+    "ann_ivf_centroid_retrain",  # r16
+    "dedup_incremental_stream_store",  # r16
+    "dedup_bucket_store_compaction",  # r16
+    "ann_ivf_stream_upsert",  # r16
+    "sketch_kmv_stream_store",  # r16
+    "ann_ivf_drift_gated_retrain",  # r16
+    "dedup_cluster_canonical",  # r5,r6,r15
+    "dedup_near_duplicate_clusters",  # r2,r3,r4,r14
+    "dedup_incremental_clusters",  # r14,r15
+    "dedup_decontaminate_ngram",  # r6,r8
+    "embedding_quantize_int8",  # r6,r8
+    "embedding_truncate_renormalize",  # r7,r8
+    "ann_two_stage_rerank",  # r6,r8
+    "layout_compact_small_files",  # r6,r8
+    "streaming_funnel_steps",  # r7,r8
+    "events_ewma_daily",  # r7,r8
+    "events_pattern_match",  # r7,r8
+    "streaming_cms_rollup",  # r7,r8
+    "streaming_view_purchase_outer",  # r7,r8
+    "sketch_mg_heavy_langs",  # r7,r8
+    "join_dpp_partition_pruned",  # r7,r8
+    "dedup_simhash_exact_recall",  # r7,r8
+    "pandas_grouped_agg_weighted_mean",  # r7,r8
+    "schema_evolution_merge",  # r6,r8
+    "quality_table_checksum",  # r6,r8
+    "text_unigram_logprob",  # r6,r8
+    "join_lateral_top_customers",  # r7,r8
+    "recursive_order_chain",  # r7,r8
+    "scalar_math_functions",  # r6,r8
+    "cdc_snapshot_diff",  # r7,r8
+    "sketch_hll_merge_equals_direct",  # r6,r8
+    "agg_histogram_totalprice",  # r6,r8
+    "quality_column_profile",  # r6,r8
+    "events_funnel_steps",  # r7,r8
+    "events_retention_cohorts",  # r7,r8
+    "q2_orders_per_brand_year",  # r1,r2,r3,r9
+    "q3_top_supplier_per_nation",  # r1,r2,r3,r9
+    "q4_nation_with_top_supplier",  # r1,r2,r3,r9
+    "q5_top_segment_per_balance_band",  # r1,r2,r3,r9
+    "q6_median_acctbal_per_band",  # r1,r2,r3,r9
+    "q7_orders_per_year",  # r1,r2,r3,r9
+    "q8_median_price_by_year",  # r1,r2,r3,r9
+    "q9_median_price_by_year_priority",  # r1,r2,r3,r9
+    "clean_age_group_customers",  # r1,r2,r3,r9
+    "clean_scalar_functions",  # r1,r2,r3,r9
+    "set_ops_customers",  # r2,r3,r9
+    "join_semi_customers_with_orders",  # r1,r2,r3,r9
+    "join_outer_order_counts",  # r1,r2,r3,r9
+    "agg_rollup_region_nation",  # r1,r2,r3,r9
+    "agg_stats_suite",  # r1,r2,r3,r9
 )
 
 

@@ -52,6 +52,19 @@ BOUND_ORACLE_PRIORITY: tuple[str, ...] = (
     "sketch_hll_merge_equals_direct",
 )
 
+# Queries whose IMPLEMENTATION changed after their last certification:
+# they head the back-fill block at the next rotation — a seat re-certifies
+# changed code before staleness rotation resumes (VERDICT r16 item 4: the
+# r16 ``ea6b2e9`` union-find change landed after the cluster family's last
+# driver row, and r17 rewrote the CC machinery again). Per-round data,
+# like EXPECTED_QUEUE: clear entries once the reseating round's
+# CORRECTNESS file lands with their green rows.
+RESEAT_CHANGED: tuple[str, ...] = (
+    "dedup_cluster_canonical",
+    "dedup_near_duplicate_clusters",
+    "dedup_incremental_clusters",
+)
+
 
 def build_ledger(
     repo: Path = REPO, max_round: int | None = None
@@ -127,8 +140,10 @@ def propose_window(
       1. oracled, never certified (seat-at-birth is mandatory);
       2. once-certified, bound/approx oracles first then registry order
          (owed their second row — the no-wasted-seats invariant);
-      3. back-fill with twice-certified seats, STALEST last-certification
-         first (keeps rotating re-verification through the registry).
+      3. back-fill with twice-certified seats: RESEAT_CHANGED first
+         (implementation changed since last cert), then STALEST
+         last-certification first (keeps rotating re-verification
+         through the registry).
     Whatever under-certified queries don't fit become EXPECTED_QUEUE, in
     ``queue()`` order.
     """
@@ -147,9 +162,10 @@ def propose_window(
         owed[size:], key=lambda q: (prio.get(q, len(prio)), reg_idx[q])
     )
     if len(window) < size:
+        reseat = {q: i for i, q in enumerate(RESEAT_CHANGED)}
         done = sorted(
             (q for q in registry_order if q in oracled and len(ledger.get(q, [])) >= 2),
-            key=lambda q: (ledger[q][-1], reg_idx[q]),
+            key=lambda q: (reseat.get(q, len(reseat)), ledger[q][-1], reg_idx[q]),
         )
         window += done[: size - len(window)]
     return window, queued
