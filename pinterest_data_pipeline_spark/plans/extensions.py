@@ -6137,7 +6137,10 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtree five times (once per reference).
     """
     docs = load_documents(spark, sf_dir)
-    n_docs = docs.count()  # bounded collect: one scalar
+    # bounded collect: one scalar — counted on the RAW scan, not the
+    # fan_out frame (the count's repartition shuffle was pure overhead;
+    # row count is identical by construction, r17 guide §2.4)
+    n_docs = load_table(spark, sf_dir, "documents").count()
     tok = (
         docs.select(
             "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
@@ -6311,7 +6314,16 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r_b",
         )
     )
-    sets_ = dedup.shingle_sets(docs, "text", "doc_id")
+    # persisted: the shingle-set frame feeds BOTH sides of the verify
+    # join on DIFFERENT keys (id_a / id_b), so there is no exchange to
+    # reuse and the unpersisted shape ran the corpus text->shingle
+    # projection twice (r17 interleaved A/B: 1.59 -> 1.38 s warm min,
+    # persist won every pair). Scale trade: one cached generation of
+    # (doc_id, shingle_set) vs a second full text pass — MEMORY_AND_DISK
+    # spills gracefully and the verify stage reads it twice regardless.
+    sets_ = persist_scoped(
+        dedup.shingle_sets(docs, "text", "doc_id"), "sn_shingle_sets"
+    )
     scored = dedup.ngram_jaccard_pairs(
         pairs.join(
             sets_.select(
