@@ -3364,7 +3364,93 @@ def probe_bucket_arrival_compacted(spark, mult: int) -> float:
     return _bucket_probe_scan(spark, _bucket_probe_store(spark, mult, True))
 
 
+def probe_label_propagation(spark, mult: int) -> float:
+    """3-round min-label propagation at mult x lineitem (the registered
+    query's exact shape: co-occurrence edges, one lazy plan, edges
+    deliberately unpersisted — exchange reuse beats InMemoryRelation)."""
+    from pinterest_data_pipeline_spark.plans.extensions import _cooccurrence_edges
+
+    li = multiply(
+        load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey"),
+        mult,
+        ["l_orderkey"],
+    )
+    edges = _cooccurrence_edges(li)
+    dir_edges = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    labels = dir_edges.select(F.col("src").alias("n")).distinct().select(
+        "n", F.col("n").alias("lbl")
+    )
+    for _ in range(3):
+        pushed = labels.join(dir_edges, labels["n"] == dir_edges["src"]).select(
+            F.col("dst").alias("n"), "lbl"
+        )
+        labels = labels.unionByName(pushed).groupBy("n").agg(
+            F.min("lbl").alias("lbl")
+        )
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("sz"))
+    q = sizes.groupBy("sz").agg(F.count(F.lit(1)).alias("n_communities"))
+    t0 = time.perf_counter()
+    q.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_recall_sweep(spark, mult: int) -> float:
+    """IVF-PQ recall sweep at mult x embeddings: index encoded once
+    (persisted), both operating points read it — the registered query's
+    build-once/query-many shape with the corpus multiplied."""
+    from pinterest_data_pipeline_spark.operators import similarity
+    from pinterest_data_pipeline_spark.session import persist_scoped, release_scoped
+
+    emb = multiply(load_table(spark, SF, "embeddings"), mult, ["vec_id"])
+    q = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 3)
+    centroids = similarity.train_ivf_centroids(emb, n_cells=16)
+    books = similarity.train_pq_codebooks(emb, n_codes=64)
+    encoded = persist_scoped(
+        similarity.build_ivf_pq_index(emb, centroids, books), "probe_pq_index"
+    )
+    lo = similarity.ivf_pq_topk(
+        emb, q, centroids, books, k=10, n_probe=2, k_coarse=200, encoded=encoded
+    )
+    hi = similarity.ivf_pq_topk(
+        emb, q, centroids, books, k=10, n_probe=8, k_coarse=200, encoded=encoded
+    )
+    t0 = time.perf_counter()
+    lo.unionByName(hi).write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    release_scoped("probe_pq_index")
+    return dt
+
+
+def probe_cc_deep_graph(spark, mult: int) -> float:
+    """Distributed connected components (driver branch disabled) on a
+    synthetic graph of mult x 100k edges arranged as 1000-node chains —
+    diameter 999, the shape that punishes O(diameter) min-diffusion.
+    With r17 pointer doubling the loop converges in O(log d) rounds, so
+    wall-clock should grow near-linearly in edges, not in diameter."""
+    from pinterest_data_pipeline_spark.operators import dedup
+
+    n = 100_000 * mult
+    pairs = (
+        spark.range(n)
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+        .filter((F.col("id_b") % 1000) != 0)  # break into 1000-node chains
+    )
+    # the loop's per-round actions fire INSIDE cluster_pairs, so the whole
+    # call is the timed region (unlike the lazy-plan probes)
+    t0 = time.perf_counter()
+    out = dedup.cluster_pairs(pairs, max_iters=20, driver_cc_cap=0)
+    out.groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cluster_id").alias("s")
+    ).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 PROBES = {
+    "label_propagation": probe_label_propagation,
+    "recall_sweep": probe_recall_sweep,
+    "cc_deep_graph": probe_cc_deep_graph,
     "kendall_tau": probe_kendall_tau,
     "js_divergence": probe_js_divergence,
     "did": probe_did,
